@@ -1,0 +1,176 @@
+"""Unit tests of the pure extraction kernel (the oracle itself).
+
+Mirrors the reference's golden-content test strategy
+(/root/reference/tests/test_1-url-all-outputs.py:74-127) with exact
+assertions instead of prefixes — the kernel is deterministic, so we can
+pin full behavior.
+"""
+
+import random
+
+from webextract import pdfmini
+from webextract.chunk import chunk_blocks_from_spans
+from webextract.dom import parse_blocks, collapse_ws
+from webextract.extract import (extract_document, select_main,
+                                serialize_md, serialize_doctags,
+                                serialize_html, serialize_json)
+from webextract.options import DEFAULT_OPTIONS
+from webextract.synth import gen_page
+
+
+PAGE = b"""<!DOCTYPE html><html><head><title>t</title>
+<script>var x = "<p>not content</p>";</script><style>p{color:red}</style></head>
+<body>
+<header><nav><ul><li><a href="/">Home</a></li><li><a href="/a">About</a></li>
+<li><a href="/c">Contact</a></li><li><a href="/d">Docs</a></li></ul></nav></header>
+<div class="cookie">We use cookies <a href="/ok">Accept</a></div>
+<div id="page">
+ <aside><ul><li><a href="/1">rel one</a></li><li><a href="/2">rel two</a></li>
+ <li><a href="/3">rel three</a></li><li><a href="/4">rel four</a></li></ul></aside>
+ <article>
+  <h1>Deep   Learning &amp; Systems</h1>
+  <p>First paragraph with an &#x2014; em dash and
+     messy    whitespace that must collapse to single spaces exactly once.</p>
+  <h2>Methods</h2>
+  <p>Second paragraph has <b>bold</b> and <i>italics</i> and a
+     <a href="/x">link inside</a> which stays because density is low here.</p>
+  <ul><li>alpha item</li><li>beta item</li></ul>
+  <ol><li>first ordered</li><li>second ordered</li></ol>
+  <table><tr><th>h1</th><th>h2</th></tr><tr><td>a</td><td>b</td></tr></table>
+  <pre><code>def f(x):
+    return x + 1</code></pre>
+  <blockquote>quoted wisdom here</blockquote>
+ </article>
+</div>
+<footer><ul><li><a href="/tos">Terms</a></li><li><a href="/p">Privacy</a></li></ul></footer>
+</body></html>"""
+
+
+def test_boilerplate_stripped_and_content_kept():
+    r = extract_document(PAGE)
+    assert r.status == "success"
+    t = r.text
+    assert "Deep Learning & Systems" in t          # entity decoded, ws collapsed
+    assert "— em dash" in t.replace("  ", " ")
+    assert "collapse to single spaces exactly once" in t
+    assert "alpha item" in t and "second ordered" in t
+    assert "quoted wisdom here" in t
+    assert "def f(x):\n    return x + 1" in t      # code keeps raw whitespace
+    # boilerplate gone
+    for bad in ("Home", "cookies", "rel one", "Terms", "not content",
+                "color:red"):
+        assert bad not in t, bad
+
+
+def test_whitespace_and_entity_normalization():
+    blocks = parse_blocks(b"<body><article><p>a&amp;b   c\n\nd &#65; e</p></article></body>")
+    assert blocks[0].text == "a&b c d A e"
+    assert collapse_ws("  a \t b\n\nc ") == "a b c"
+
+
+def test_markdown_serialization():
+    r = extract_document(PAGE)
+    md = r.text_md
+    assert "# Deep Learning & Systems" in md
+    assert "## Methods" in md
+    assert "- alpha item\n- beta item" in md
+    assert "1. first ordered\n2. second ordered" in md
+    assert "| h1 | h2 |\n|---|---|\n| a | b |" in md
+    assert "```\ndef f(x):\n    return x + 1\n```" in md
+    assert "> quoted wisdom here" in md
+
+
+def test_spans_offsets_are_exact():
+    r = extract_document(PAGE)
+    for (s, e, kind, path) in r.spans:
+        seg = r.text[s:e]
+        assert seg and "\n\n" not in seg or kind in ("code", "table", "quote")
+    (s0, e0, k0, _) = r.spans[0]
+    assert r.text[s0:e0] == "Deep Learning & Systems" and k0 == "heading"
+
+
+def test_other_serializers():
+    main = select_main(parse_blocks(PAGE), DEFAULT_OPTIONS)
+    dt = serialize_doctags(main)
+    assert dt.startswith("<doctag><section_header><loc_0>")
+    assert dt.endswith("</doctag>")
+    html = serialize_html(main)
+    assert html.startswith("<!DOCTYPE html>\n<html>\n<head>")
+    assert "<h1>Deep Learning &amp; Systems</h1>" in html
+    js = serialize_json(main, "u")
+    assert '"schema_name":"WebExtractDocument"' in js
+
+
+def test_malformed_html_recovers():
+    page = b"<body><article><h1>Title here now</h1><p>unclosed para one with enough words to count<p>second para also has plenty of words in it</article>"
+    r = extract_document(page)
+    assert r.status == "success"
+    assert "unclosed para one" in r.text and "second para also" in r.text
+
+
+def test_empty_and_oversize_and_format_admission():
+    assert extract_document(b"").status == "skipped"
+    assert extract_document(b"<body></body>").status == "skipped"
+    opt = DEFAULT_OPTIONS.with_(max_file_size=10)
+    assert extract_document(PAGE, opt).status == "skipped"
+    opt2 = DEFAULT_OPTIONS.with_(from_formats=("pdf",))
+    assert extract_document(PAGE, opt2).status == "skipped"
+
+
+def test_non_utf8_fallback():
+    page = "<body><article><p>caf\xe9 latin one text with many words here</p></article></body>".encode("latin-1")
+    r = extract_document(page)
+    assert r.status == "success" and "café" in r.text
+
+
+def test_pdf_roundtrip_and_reading_order():
+    rng = random.Random(7)
+    pages = [[(50, 30, 24, "Title Run"),
+              (50, 100, 11, "left col first"), (50, 140, 11, "left col second"),
+              (400, 103, 11, "right col first"), (400, 141, 11, "right col second")]]
+    rng.shuffle(pages[0])
+    payload = pdfmini.write_pdf(pages)
+    r = extract_document(payload)
+    assert r.fmt == "pdf" and r.status == "success"
+    assert r.text == ("Title Run\n\nleft col first\n\nleft col second"
+                      "\n\nright col first\n\nright col second")
+    assert r.text_md.startswith("# Title Run")
+
+
+def test_pdf_page_range():
+    pages = [[(50, 30, 11, "page one text")], [(50, 30, 11, "page two text")]]
+    payload = pdfmini.write_pdf(pages)
+    opt = DEFAULT_OPTIONS.with_(page_range=(2, 2))
+    assert extract_document(payload, opt).text == "page two text"
+
+
+def test_chunkers():
+    text = " ".join(f"w{i}" for i in range(600))
+    spans = [{"start": 0, "end": len(text), "kind": "para", "path": "p"}]
+    chunks = chunk_blocks_from_spans(text, spans, "hybrid", 256)
+    assert [c.n_tokens for c in chunks] == [256, 256, 88]
+    assert chunks[0].text.split()[0] == "w0"
+    assert chunks[1].text.split()[0] == "w256"
+    # merge_peers: small blocks merge under a heading
+    t2 = "Head\n\naaa bbb\n\nccc ddd"
+    sp2 = [{"start": 0, "end": 4, "kind": "heading", "path": "h"},
+           {"start": 6, "end": 13, "kind": "para", "path": "p1"},
+           {"start": 15, "end": 22, "kind": "para", "path": "p2"}]
+    ch2 = chunk_blocks_from_spans(t2, sp2, "hybrid", 256)
+    assert len(ch2) == 1 and ch2[0].text == "aaa bbb ccc ddd"
+    assert ch2[0].heading == "Head"
+    ch3 = chunk_blocks_from_spans(t2, sp2, "hierarchical", 256)
+    assert len(ch3) == 2 and ch3[1].heading == "Head"
+
+
+def test_generator_determinism_and_coverage():
+    a, b = gen_page(123), gen_page(123)
+    assert a == b
+    langs, fmts = set(), set()
+    for i in range(300):
+        p = gen_page(i)
+        langs.add(p["lang"])
+        fmts.add("pdf" if p["html"].startswith(b"%PDF") else "html")
+    assert langs == {"en", "de", "fr", "es", "zh"}
+    assert fmts == {"pdf", "html"}
+    assert len(gen_page(9)["html"]) > 3_000_000  # pinned skew bomb

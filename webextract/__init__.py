@@ -1,0 +1,30 @@
+"""webextract — PySpark-native main-content extraction engine.
+
+A from-scratch, Spark-first reimplementation of the query surface of
+``bankjaneo/docling-serve`` (reference at /root/reference, v1.8.0) as a
+batch extraction pipeline over Common-Crawl-style page tables:
+
+* ``dom.py``      — HTML bytes -> flat block-DOM (stdlib html.parser)
+* ``extract.py``  — pure extraction kernel: density scoring, main-content
+                    selection, md/text/doctags serialization, span offsets.
+                    This SAME function is the row-at-a-time oracle in tests
+                    and the batch kernel inside the Arrow UDF.
+* ``pdfmini.py``  — deterministic mini-PDF parser + reading-order sort
+* ``udfs.py``     — mapInArrow kernels (no per-row Python anywhere)
+* ``pipeline.py`` — DataFrame plan builder: read -> admit -> tier/salt ->
+                    extract -> write + lineage
+* ``icetable.py`` — Iceberg-style table emulation (snapshots, manifests,
+                    per-partition commit log, resume)
+* ``chunk.py``    — hybrid/hierarchical chunkers (1->N explode)
+* ``synth.py``    — deterministic Common-Crawl-style page generator
+* ``dedup.py``    — exact/MinHash-LSH/SimHash/Jaccard dedup over documents
+* ``similarity.py`` — cosine top-k / LSH-bucketed ANN over embeddings
+* ``textstats.py``  — lang-ID, quality scoring, token counts, fingerprints
+* ``multimodal.py`` — binary-column decode/feature plumbing (stubbed decode)
+
+Design stance (SURVEY.md §1.4, §4): DataFrame end-to-end, Catalyst does
+pruning/pushdown/codegen; the only Python is Arrow-vectorized batch
+kernels; explicit url-hash partitioning with size-tier salting for skew.
+"""
+
+__version__ = "0.1.0"

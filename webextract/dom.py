@@ -1,0 +1,351 @@
+"""HTML bytes -> flat block-DOM, on the stdlib ``html.parser`` only.
+
+This is the Spark-friendly replacement for the recursive DoclingDocument
+tree the reference builds (asserted shape in
+/root/reference/tests/test_1-url-all-outputs.py:86-91): instead of a
+tree, a flat ``list[Block]`` in document order — Arrow-friendly,
+explodes cleanly (SURVEY.md §1.4).
+
+Parsing is tolerant: unclosed/malformed tags never raise (the generator
+includes malformed variants on purpose); entity refs are decoded by
+``convert_charrefs=True``; non-UTF8 inputs fall back to latin-1.
+
+Everything here is pure Python on bytes/str — it runs identically as the
+row-at-a-time oracle in tests and inside the mapInArrow kernel.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+# elements whose entire content is dropped (never content, never scored)
+_SKIP = {"script", "style", "noscript", "template", "svg", "head", "title",
+         "iframe", "object", "button", "select", "option", "label", "canvas"}
+# boilerplate landmarks: subtree is heavily damped during scoring
+_BOILER = {"nav", "header", "footer", "aside", "form"}
+# semantic main-content landmarks: container boost
+_SEMANTIC = {"article", "main"}
+# block-level elements that become Block rows
+_BLOCK = {"h1", "h2", "h3", "h4", "h5", "h6", "p", "li", "pre",
+          "blockquote", "dt", "dd", "caption", "figcaption"}
+# structural containers (candidates for main-content cluster selection)
+_CONTAINER = {"html", "body", "div", "section", "article", "main", "nav",
+              "header", "footer", "aside", "ul", "ol", "table", "form",
+              "figure", "details", "blockquote", "li", "dl"}
+_VOID = {"br", "hr", "img", "meta", "link", "input", "source", "wbr",
+         "area", "base", "col", "embed", "track", "param"}
+# class/id hints that mark a container as boilerplate (trafilatura-style
+# attribute heuristics, per the north_star's boilerplate-strip mandate)
+_BOILER_ATTR = re.compile(
+    r"(?:^|[\s_-])(nav|menu|footer|header|banner|cookie|consent|sidebar|"
+    r"related|share|social|comment|comments|widget|promo|ad|ads|advert|"
+    r"breadcrumb|pagination|subscribe|newsletter)(?:$|[\s_-])")
+
+_KIND = {"p": "para", "li": "list_item", "pre": "code",
+         "blockquote": "quote", "dt": "para", "dd": "para",
+         "caption": "caption", "figcaption": "caption"}
+
+
+def collapse_ws(s: str) -> str:
+    """Whitespace normalization rule — defined ONCE for oracle + kernel."""
+    return " ".join(s.split())
+
+
+@dataclass
+class Block:
+    idx: int
+    tag: str
+    kind: str            # heading|para|list_item|code|quote|table|caption
+    path: str            # element path of the block itself
+    container_path: str  # path of the enclosing container chain
+    depth: int
+    text: str
+    link_chars: int
+    boiler: bool         # under nav/header/footer/aside/form
+    semantic: bool       # under article/main
+    heading_level: int = 0
+    li_index: int = 0    # 1-based within <ol>, 0 in <ul>
+    cells: tuple[tuple[str, ...], ...] | None = None  # table blocks only
+
+    @property
+    def chars(self) -> int:
+        return len(self.text)
+
+    @property
+    def link_density(self) -> float:
+        return (self.link_chars / self.chars) if self.chars else 0.0
+
+
+class _Parser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        # element stack entries:
+        # [tag, path_seg, child_counts, li_counter, boiler_inc, semantic_inc]
+        self.stack: list[list] = []
+        self.skip = 0
+        self.a_depth = 0
+        self.pre_depth = 0
+        self.bq_depth = 0
+        self.boiler_depth = 0
+        self.semantic_depth = 0
+        # open block: [tag, kind, path, container_path, depth, pieces,
+        #              link_chars, li_index]
+        self.cur: list | None = None
+        # implicit-text buffer for text directly inside containers
+        self.pending: list | None = None  # [pieces, link_chars, path_info]
+        # stack of table contexts: [rows, cur_row, cur_cell_pieces,
+        #                           link_chars, in_cell, path, cpath, depth]
+        self.tables: list[list] = []
+        self.ol_stack: list[bool] = []  # True if current list is <ol>
+
+    # -- path helpers ---------------------------------------------------
+    def _child_seg(self, tag: str) -> str:
+        counts = self.stack[-1][2] if self.stack else self._root_counts
+        counts[tag] = counts.get(tag, 0) + 1
+        return f"{tag}[{counts[tag]}]"
+
+    _root_counts: dict = None  # set in parse()
+
+    def _path(self) -> str:
+        return "/".join(e[1] for e in self.stack)
+
+    # -- block lifecycle ------------------------------------------------
+    def _flush_cur(self) -> None:
+        if self.cur is None:
+            return
+        tag, kind, path, cpath, depth, pieces, link_chars, li_index = self.cur
+        self.cur = None
+        raw = "".join(pieces)
+        text = raw.strip("\n").rstrip() if kind == "code" else collapse_ws(raw)
+        if not text:
+            return
+        self.blocks.append(Block(
+            idx=len(self.blocks), tag=tag, kind=kind, path=path,
+            container_path=cpath, depth=depth, text=text,
+            link_chars=min(link_chars, len(text)),
+            boiler=self.boiler_depth > 0, semantic=self.semantic_depth > 0,
+            heading_level=int(tag[1]) if tag[0] == "h" and tag[1:].isdigit() else 0,
+            li_index=li_index))
+
+    def _flush_pending(self) -> None:
+        if self.pending is None:
+            return
+        pieces, link_chars, path, cpath, depth = self.pending
+        self.pending = None
+        text = collapse_ws("".join(pieces))
+        if not text:
+            return
+        self.blocks.append(Block(
+            idx=len(self.blocks), tag="_text", kind="para",
+            path=path, container_path=cpath, depth=depth, text=text,
+            link_chars=min(link_chars, len(text)),
+            boiler=self.boiler_depth > 0, semantic=self.semantic_depth > 0))
+
+    def _open_block(self, tag: str) -> None:
+        self._flush_pending()
+        self._flush_cur()   # blocks don't nest: new block closes the open one
+        seg = self._child_seg(tag)
+        cpath = self._path()
+        li_index = 0
+        if tag == "li" and self.ol_stack and self.ol_stack[-1]:
+            self.stack[-1][3] += 1
+            li_index = self.stack[-1][3]
+        kind = ("quote" if self.bq_depth > 0 and tag != "pre"
+                else "heading" if tag[0] == "h" and tag[1:].isdigit()
+                else _KIND.get(tag, "para"))
+        path = f"{cpath}/{seg}" if cpath else seg
+        self.cur = [tag, kind, path, cpath, len(self.stack), [], 0, li_index]
+
+    # -- HTMLParser hooks -----------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if tag in _VOID:
+            if tag == "br" and self.cur is not None:
+                self.cur[5].append("\n")
+            return
+        if self.skip or tag in _SKIP:
+            self.skip += 1
+            return
+        if tag == "a":
+            self.a_depth += 1
+            return
+        if tag in ("b", "i", "em", "strong", "span", "u", "s", "small",
+                   "mark", "sub", "sup", "code", "abbr", "time", "cite", "q"):
+            return  # inline: text flows into the current block
+        if tag == "table":
+            self._flush_pending()
+            self._flush_cur()
+            seg = self._child_seg(tag)
+            cpath = self._path()
+            path = f"{cpath}/{seg}" if cpath else seg
+            self.tables.append([[], None, [], 0, False, path, cpath,
+                                len(self.stack)])
+            self.stack.append([tag, seg, {}, 0, False, False])
+            return
+        if self.tables and tag in ("tr", "td", "th", "thead", "tbody", "tfoot"):
+            t = self.tables[-1]
+            if tag == "tr":
+                t[1] = []
+            elif tag in ("td", "th"):
+                if t[1] is None:
+                    t[1] = []
+                t[2] = []
+                t[4] = True
+            return
+        if tag in _BLOCK:
+            self._open_block(tag)
+            if tag == "pre":
+                self.pre_depth += 1
+            if tag == "blockquote":
+                self.bq_depth += 1
+                # blockquote is also a container for nested <p>
+                self.stack.append([tag, self.cur[2].rsplit("/", 1)[-1], {}, 0,
+                                   False, False])
+            return
+        if tag in _CONTAINER:
+            self._flush_pending()
+            self._flush_cur()
+            seg = self._child_seg(tag)
+            boiler_inc = tag in _BOILER or self._attr_boiler(attrs)
+            semantic_inc = tag in _SEMANTIC
+            self.stack.append([tag, seg, {}, 0, boiler_inc, semantic_inc])
+            if boiler_inc:
+                self.boiler_depth += 1
+            if semantic_inc:
+                self.semantic_depth += 1
+            if tag in ("ul", "ol"):
+                self.ol_stack.append(tag == "ol")
+            return
+        # unknown tag: ignore
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if self.skip:
+            if tag in _SKIP:
+                self.skip -= 1
+            return
+        if tag == "a":
+            self.a_depth = max(0, self.a_depth - 1)
+            return
+        if self.tables and tag in ("td", "th", "tr", "thead", "tbody",
+                                   "tfoot", "table"):
+            t = self.tables[-1]
+            if tag in ("td", "th"):
+                cell = collapse_ws("".join(t[2]))
+                if t[1] is None:
+                    t[1] = []
+                t[1].append(cell)
+                t[2] = []
+                t[4] = False
+            elif tag == "tr":
+                if t[1] is not None:
+                    t[0].append(tuple(t[1]))
+                t[1] = None
+            elif tag == "table":
+                if t[1]:
+                    t[0].append(tuple(t[1]))
+                self.tables.pop()
+                self._pop_to("table")
+                rows = tuple(r for r in t[0] if any(c for c in r))
+                text = "\n".join(" | ".join(r) for r in rows)
+                if text:
+                    self.blocks.append(Block(
+                        idx=len(self.blocks), tag="table", kind="table",
+                        path=t[5], container_path=t[6], depth=t[7],
+                        text=text, link_chars=min(t[3], len(text)),
+                        boiler=self.boiler_depth > 0,
+                        semantic=self.semantic_depth > 0, cells=rows))
+            return
+        if tag in _BLOCK:
+            if tag == "pre" and self.pre_depth:
+                self.pre_depth -= 1
+            if tag == "blockquote":
+                self.bq_depth = max(0, self.bq_depth - 1)
+                self._flush_pending()
+                self._pop_to("blockquote")
+            if self.cur is not None and self.cur[0] == tag:
+                self._flush_cur()
+            return
+        if tag in _CONTAINER:
+            self._flush_pending()
+            self._flush_cur()
+            self._pop_to(tag)
+            return
+
+    @staticmethod
+    def _attr_boiler(attrs) -> bool:
+        for name, val in attrs or ():
+            if name in ("class", "id", "role") and val \
+                    and _BOILER_ATTR.search(val.lower()):
+                return True
+        return False
+
+    def _pop_to(self, tag: str) -> None:
+        """Tolerant close: pop to the nearest matching open tag, if any."""
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i][0] == tag:
+                for e in self.stack[i:]:
+                    if e[4]:
+                        self.boiler_depth = max(0, self.boiler_depth - 1)
+                    if e[5]:
+                        self.semantic_depth = max(0, self.semantic_depth - 1)
+                    if e[0] in ("ul", "ol") and self.ol_stack:
+                        self.ol_stack.pop()
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if self.skip or not data:
+            return
+        if self.tables and self.tables[-1][4]:
+            self.tables[-1][2].append(data)
+            if self.a_depth:
+                self.tables[-1][3] += len(collapse_ws(data))
+            return
+        if self.cur is not None:
+            self.cur[5].append(data)
+            if self.a_depth:
+                self.cur[6] += len(collapse_ws(data))
+            return
+        if self.pending is None and not data.strip():
+            return  # never START an implicit block on pure whitespace
+        if self.pending is None:
+            cpath = self._path()
+            self.pending = [[], 0, f"{cpath}/_text" if cpath else "_text",
+                            cpath, len(self.stack)]
+        self.pending[0].append(data)
+        if self.a_depth:
+            self.pending[1] += len(collapse_ws(data))
+
+    def close(self) -> None:  # EOF: flush whatever is still open
+        super().close()
+        self._flush_pending()
+        self._flush_cur()
+        while self.tables:
+            self.handle_endtag("table")
+
+
+def decode_html(payload: bytes) -> str:
+    """utf-8 with latin-1 fallback (FIXTURES.md §2 'non-UTF8 bytes')."""
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload.decode("latin-1")
+
+
+def parse_blocks(payload: bytes | str) -> list[Block]:
+    """Parse HTML into the flat block list. Never raises on bad markup."""
+    text = decode_html(payload) if isinstance(payload, bytes) else payload
+    p = _Parser()
+    p._root_counts = {}
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        # html.parser is robust, but guarantee the no-raise contract
+        p._flush_pending()
+        p._flush_cur()
+    return p.blocks

@@ -1,0 +1,278 @@
+"""Pure extraction kernel: blocks -> main content -> serialized outputs.
+
+The reference delegates conversion to docling's DocumentConverter and
+asserts golden output prefixes per format
+(/root/reference/tests/test_1-url-all-outputs.py:74-127: md "## ...",
+text contains title, doctags "<doctag><page_header><loc", json
+'"schema_name"').  Here the conversion core is reimplemented as a
+deterministic pipeline: text-density + link-density scoring over the
+flat block-DOM (readability/trafilatura-style, per BASELINE.json
+north_star), largest-cluster container selection, then serialization to
+text/md/doctags/html/json.
+
+BYTE-IDENTITY CONTRACT (SURVEY.md §7.4#1): ``extract_document`` is the
+single definition of extraction.  Tests call it row-at-a-time as the
+oracle; the Arrow UDF calls it per batch element.  Nothing may
+re-implement any normalization rule elsewhere.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from .dom import Block, parse_blocks
+from .options import ConvertOptions, DEFAULT_OPTIONS
+from . import pdfmini
+
+SPAN_KINDS = ("heading", "para", "list_item", "table", "code", "quote",
+              "caption")
+
+
+@dataclass
+class Extracted:
+    """One output row (mirrors ExportDocumentResponse,
+    /root/reference/docling_serve/datamodel/responses.py:25-30)."""
+    status: str = "success"      # success|partial_success|skipped|failure
+    text: str = ""
+    text_md: str = ""
+    doctags: str = ""
+    n_blocks: int = 0
+    fmt: str = "html"
+    error: str | None = None
+    # spans: (start, end, kind, path) char offsets into ``text``
+    spans: list[tuple[int, int, str, str]] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# format sniffing (reference: schema-on-read per-document format detection,
+# docs/usage.md:14; operator C1 in SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+def sniff_format(payload: bytes) -> str:
+    head = payload[:16]
+    if head.startswith(b"%PDF-MINI") or head.startswith(b"%PDF"):
+        return "pdf"
+    return "html"
+
+
+# ---------------------------------------------------------------------------
+# main-content selection (operator C3)
+# ---------------------------------------------------------------------------
+
+def _block_mass(b: Block, opt: ConvertOptions) -> float:
+    """Effective content mass of a block for container scoring."""
+    mass = max(0.0, b.chars - opt.link_char_penalty * b.link_chars)
+    if b.kind == "heading":
+        mass += 20.0                      # headings anchor content clusters
+    elif b.chars < opt.min_block_chars:
+        mass *= 0.5
+    if b.boiler:
+        mass *= opt.boiler_damp
+    return mass
+
+
+DESCEND_FRACTION = 0.6   # descend while the dominant child holds >= 60%
+
+
+def select_main(blocks: list[Block], opt: ConvertOptions) -> list[Block]:
+    """Pick the main-content container by density-cluster descent.
+
+    1. Every container path prefix accumulates the effective mass of the
+       blocks under it; article/main subtrees get ``semantic_boost``,
+       boilerplate subtrees (nav/footer/... tags or class/id hints) are
+       damped in ``_block_mass``.
+    2. Walk DOWN from the root: descend into the heaviest child container
+       while it holds >= DESCEND_FRACTION of the current container's
+       mass (ties broken lexicographically — deterministic).  The walk
+       stops at the tightest container around the dominant content
+       cluster, which defeats both sibling link-farms and duplicate
+       smaller content candidates.
+    3. Admit that container's blocks, dropping boilerplate-tagged blocks
+       and high link-density blocks (headings/tables/code tolerate more).
+    """
+    if not blocks:
+        return []
+    scores: dict[str, float] = {}
+    children: dict[str, set] = {}
+    for b in blocks:
+        mass = _block_mass(b, opt)
+        if b.semantic:
+            mass *= opt.semantic_boost
+        parts = b.container_path.split("/") if b.container_path else []
+        for i in range(len(parts) + 1):
+            prefix = "/".join(parts[:i])
+            scores[prefix] = scores.get(prefix, 0.0) + mass
+            if i < len(parts):
+                child = "/".join(parts[:i + 1])
+                children.setdefault(prefix, set()).add(child)
+    if scores.get("", 0.0) <= 0:
+        return []
+    chosen = ""
+    while True:
+        kids = children.get(chosen)
+        if not kids:
+            break
+        top = max(sorted(kids), key=lambda c: scores[c])
+        if scores[top] < DESCEND_FRACTION * scores[chosen]:
+            break
+        chosen = top
+    out = []
+    for b in blocks:
+        if chosen and not (b.container_path == chosen
+                           or b.container_path.startswith(chosen + "/")):
+            continue
+        if b.boiler:
+            continue
+        limit = (0.5 if b.kind in ("heading", "table", "code")
+                 else opt.max_link_density)
+        if b.chars and b.link_density > limit:
+            continue
+        out.append(b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# serializers (operator C10; byte-identity contract lives here)
+# ---------------------------------------------------------------------------
+
+def serialize_text(blocks: list[Block]) -> tuple[str, list[tuple[int, int, str, str]]]:
+    """Plain-text flattening + span offsets. Blocks joined by blank line;
+    each span is the half-open char range of one block within the text."""
+    parts: list[str] = []
+    spans: list[tuple[int, int, str, str]] = []
+    pos = 0
+    for b in blocks:
+        if parts:
+            pos += 2  # "\n\n"
+        start = pos
+        parts.append(b.text)
+        pos += len(b.text)
+        spans.append((start, pos, b.kind, b.path))
+    return "\n\n".join(parts), spans
+
+
+def _md_block(b: Block) -> str:
+    if b.kind == "heading":
+        return "#" * max(1, b.heading_level) + " " + b.text
+    if b.kind == "list_item":
+        return (f"{b.li_index}. " if b.li_index else "- ") + b.text
+    if b.kind == "code":
+        return "```\n" + b.text + "\n```"
+    if b.kind == "quote":
+        return "\n".join("> " + ln for ln in b.text.split("\n"))
+    if b.kind == "table" and b.cells:
+        w = max(len(r) for r in b.cells)
+        rows = [list(r) + [""] * (w - len(r)) for r in b.cells]
+        lines = ["| " + " | ".join(rows[0]) + " |",
+                 "|" + "---|" * w]
+        lines += ["| " + " | ".join(r) + " |" for r in rows[1:]]
+        return "\n".join(lines)
+    return b.text
+
+
+def serialize_md(blocks: list[Block], page_break: str = "") -> str:
+    """Markdown serialization (reference md assertions: '## ' headings,
+    test_1-url-all-outputs.py:74-79). Consecutive list items group with
+    single newlines; everything else separated by blank lines."""
+    out: list[str] = []
+    prev_list = False
+    for b in blocks:
+        piece = _md_block(b)
+        if out:
+            out.append("\n" if (b.kind == "list_item" and prev_list) else "\n\n")
+        out.append(piece)
+        prev_list = b.kind == "list_item"
+    return "".join(out)
+
+
+def serialize_doctags(blocks: list[Block]) -> str:
+    """Doctags-style serialization (reference asserts
+    '<doctag><page_header><loc' prefix, test_1-url-all-outputs.py:122-127).
+    We emit <doctag> root with one tag per block + loc = block idx."""
+    tag_for = {"heading": "section_header", "para": "text",
+               "list_item": "list_item", "code": "code", "quote": "quote",
+               "table": "otsl", "caption": "caption"}
+    parts = ["<doctag>"]
+    for i, b in enumerate(blocks):
+        t = tag_for.get(b.kind, "text")
+        parts.append(f"<{t}><loc_{i}>{b.text}</{t}>")
+    parts.append("</doctag>")
+    return "".join(parts)
+
+
+def serialize_html(blocks: list[Block]) -> str:
+    """HTML serialization (reference asserts '<!DOCTYPE html>\\n<html>\\n<head>'
+    prefix, test_1-url-all-outputs.py:98-103)."""
+    esc = lambda s: (s.replace("&", "&amp;").replace("<", "&lt;")
+                     .replace(">", "&gt;"))
+    body: list[str] = []
+    for b in blocks:
+        if b.kind == "heading":
+            lv = max(1, b.heading_level)
+            body.append(f"<h{lv}>{esc(b.text)}</h{lv}>")
+        elif b.kind == "list_item":
+            body.append(f"<li>{esc(b.text)}</li>")
+        elif b.kind == "code":
+            body.append(f"<pre><code>{esc(b.text)}</code></pre>")
+        elif b.kind == "quote":
+            body.append(f"<blockquote>{esc(b.text)}</blockquote>")
+        elif b.kind == "table" and b.cells:
+            rows = "".join(
+                "<tr>" + "".join(f"<td>{esc(c)}</td>" for c in r) + "</tr>"
+                for r in b.cells)
+            body.append(f"<table>{rows}</table>")
+        else:
+            body.append(f"<p>{esc(b.text)}</p>")
+    return ("<!DOCTYPE html>\n<html>\n<head></head>\n<body>\n"
+            + "\n".join(body) + "\n</body>\n</html>")
+
+
+def serialize_json(blocks: list[Block], url: str = "") -> str:
+    """JSON document IR (reference asserts '"schema_name": "DoclingDocument"',
+    test_1-url-all-outputs.py:86-91 — ours uses its own schema name)."""
+    return json.dumps({
+        "schema_name": "WebExtractDocument",
+        "version": "1.0.0",
+        "origin": url,
+        "blocks": [{"idx": b.idx, "tag": b.tag, "kind": b.kind,
+                    "path": b.path, "text": b.text,
+                    "heading_level": b.heading_level} for b in blocks],
+    }, ensure_ascii=False, separators=(",", ":"))
+
+
+# ---------------------------------------------------------------------------
+# top-level per-document extraction (the oracle AND the batch kernel body)
+# ---------------------------------------------------------------------------
+
+def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
+                     url: str = "") -> Extracted:
+    """bytes -> Extracted. Deterministic, total (never raises)."""
+    try:
+        if payload is None or len(payload) == 0:
+            return Extracted(status="skipped", error="empty payload")
+        if len(payload) > opt.max_file_size:
+            return Extracted(status="skipped", error="file too large")
+        fmt = sniff_format(payload)
+        if fmt not in opt.from_formats:
+            return Extracted(status="skipped", fmt=fmt,
+                             error=f"format {fmt} not admitted")
+        if fmt == "pdf":
+            # born-digital PDFs carry no boilerplate: all runs are content
+            # (density clustering would truncate multi-page docs)
+            main = pdfmini.parse_pdf_blocks(payload, opt.page_range)
+        else:
+            main = select_main(parse_blocks(payload), opt)
+        if not main:
+            return Extracted(status="skipped", fmt=fmt, n_blocks=0,
+                             error="no content")
+        text, spans = serialize_text(main)
+        res = Extracted(status="success", fmt=fmt, text=text, spans=spans,
+                        n_blocks=len(main))
+        if "md" in opt.to_formats:
+            res.text_md = serialize_md(main, opt.md_page_break_placeholder)
+        if "doctags" in opt.to_formats:
+            res.doctags = serialize_doctags(main)
+        return res
+    except Exception as e:  # abort_on_error=false semantics
+        return Extracted(status="failure", error=f"{type(e).__name__}: {e}")

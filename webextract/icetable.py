@@ -1,0 +1,143 @@
+"""Iceberg-style table emulation: snapshots, manifests, partition commits.
+
+No Iceberg jars exist in this sandbox (SURVEY.md §7.4#5), so this module
+reproduces the subset of Iceberg semantics the pipeline needs, with the
+same shape a real catalog would slot into:
+
+* data files live wherever they were written (``files/<run_id>/...``);
+  the MANIFEST is the only source of truth — orphan files from a killed
+  run are simply never referenced (exactly Iceberg's model).
+* a snapshot is a JSON manifest listing committed partitions, their data
+  files, and per-partition lineage counters; snapshots chain via
+  ``parent_id``.
+* commits are atomic: manifest written to a temp file then ``os.replace``
+  onto the ``_CURRENT`` pointer — readers see the old or the new
+  snapshot, never a partial one.
+* resume = read ``committed_parts()`` and skip them (the reference's
+  precedent is its Redis task-registry status repair,
+  /root/reference/docling_serve/orchestrator_factory.py:35-92; counters
+  ≡ processing_meta, orchestrator_factory.py:104-106).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+
+class IceTable:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.files_dir = os.path.join(root, "files")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.files_dir, exist_ok=True)
+
+    # -- snapshot chain -------------------------------------------------
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self.meta_dir, "_CURRENT")
+
+    def current_snapshot_id(self) -> str | None:
+        try:
+            with open(self._current_path) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _snapshot(self, snap_id: str) -> dict:
+        with open(os.path.join(self.meta_dir, f"snap-{snap_id}.json")) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """Chain from current back to root (newest first)."""
+        out = []
+        sid = self.current_snapshot_id()
+        while sid:
+            s = self._snapshot(sid)
+            out.append(s)
+            sid = s.get("parent_id")
+        return out
+
+    # -- read side ------------------------------------------------------
+    def committed_parts(self) -> set[int]:
+        return {p["part_id"] for s in self.snapshots()
+                for p in s["partitions"]}
+
+    def data_files(self) -> list[str]:
+        return [f for s in self.snapshots()
+                for p in s["partitions"] for f in p["files"]]
+
+    def read(self, spark):
+        files = self.data_files()
+        if not files:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        return spark.read.parquet(*files)
+
+    def lineage(self) -> list[dict]:
+        """Per-partition lineage rows (FIXTURES.md §5) across snapshots."""
+        rows = []
+        for s in self.snapshots():
+            for p in s["partitions"]:
+                r = dict(p["counters"])
+                r.update(run_id=s["run_id"], part_id=p["part_id"],
+                         committed_at=s["committed_at"],
+                         snapshot_id=s["snapshot_id"])
+                rows.append(r)
+        return rows
+
+    def lineage_df(self, spark):
+        rows = self.lineage()
+        return spark.createDataFrame(
+            rows or [],
+            schema=("run_id string, part_id int, num_docs long, "
+                    "num_processed long, num_succeeded long, num_failed long, "
+                    "num_skipped long, bytes_in long, bytes_out long, "
+                    "wall_ms long, committed_at string, snapshot_id string"))
+
+    # -- write side -----------------------------------------------------
+    def staging_dir(self, run_id: str, wave: int) -> str:
+        return os.path.join(self.files_dir, run_id, f"wave-{wave:04d}")
+
+    def commit(self, run_id: str, partitions: list[dict],
+               committed_at: str) -> str:
+        """partitions: [{part_id, files: [...], counters: {...}}].
+        Atomic snapshot append; returns the new snapshot id."""
+        snap_id = uuid.uuid4().hex[:16]
+        snap = {"snapshot_id": snap_id,
+                "parent_id": self.current_snapshot_id(),
+                "run_id": run_id,
+                "committed_at": committed_at,
+                "partitions": partitions}
+        path = os.path.join(self.meta_dir, f"snap-{snap_id}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        ptmp = self._current_path + ".tmp"
+        with open(ptmp, "w") as f:
+            f.write(snap_id)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptmp, self._current_path)  # the atomic swap
+        return snap_id
+
+    def expire_orphans(self, keep_run_ids: set[str] | None = None) -> int:
+        """Maintenance: delete data files not referenced by any snapshot
+        (the reference's result-GC analogue, response_preparation.py:71-80)."""
+        referenced = set(self.data_files())
+        removed = 0
+        for dirpath, _, files in os.walk(self.files_dir):
+            for fn in files:
+                if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                    continue  # _SUCCESS / .crc markers are not data files
+                p = os.path.join(dirpath, fn)
+                if p not in referenced:
+                    if keep_run_ids and any(r in p for r in keep_run_ids):
+                        continue
+                    os.remove(p)
+                    removed += 1
+        return removed

@@ -1,0 +1,142 @@
+"""Plan builder: read -> admit -> tier/partition -> extract -> write+lineage.
+
+The DataFrame plan is declared; Catalyst does column pruning (the naive
+``text`` column never reaches the kernel), filter pushdown, and AQE
+coalescing.  Explicit choices we make (SURVEY.md §4.2):
+
+* ``part_id = pmod(xxhash64(url), P)`` — deterministic url-hash
+  partitioning; the resume anti-filter and per-partition lineage key.
+* size tiers: rows with payloads >= ``TIER_BYTES`` are repartitioned
+  wider so a skew-bomb document lands alone in its task (salting for
+  blob skew, north_rule); small rows stay at normal width.
+* extraction is one narrow mapInArrow pass (no shuffle); the only
+  shuffles are the two tier repartitions and the final write layout.
+* waves: part_ids are processed in W groups, each group committed
+  atomically to the IceTable manifest — a killed run resumes by
+  skipping committed part_ids (checkpoint-resume, north_rule).
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .icetable import IceTable
+from .options import ConvertOptions, DEFAULT_OPTIONS
+from .udfs import EXTRACT_SCHEMA_DDL, make_extract_kernel, make_chunk_kernel, \
+    CHUNK_SCHEMA_DDL
+
+TIER_BYTES = 1 * 1024 * 1024      # payloads >= 1 MiB go to the wide tier
+DEFAULT_PARTITIONS = 64
+
+
+def with_part_id(df: DataFrame, partitions: int = DEFAULT_PARTITIONS) -> DataFrame:
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64("url"), F.lit(partitions)).cast("int"))
+
+
+def extracted_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
+                 cpus: int = 32, tier_bytes: int = TIER_BYTES) -> DataFrame:
+    """pages(url, warc_ts, html, [text], [lang]) -> extracted frame.
+
+    Two-tier skew handling: the wide tier gets 4x the partitions so each
+    oversized payload is its own task; the narrow tier packs normally.
+    Both tiers run the same kernel; unionByName keeps one schema.
+    """
+    cols = ["url", "warc_ts", "lang", "html"] \
+        if "lang" in pages.columns else ["url", "warc_ts", "html"]
+    src = pages.select(*cols)  # column pruning: naive `text` never scanned
+    kernel = make_extract_kernel(opt)
+    small = (src.filter(F.length("html") < tier_bytes)
+             .repartition(cpus * 2, F.col("url"))
+             .mapInArrow(kernel, EXTRACT_SCHEMA_DDL))
+    big = (src.filter(F.length("html") >= tier_bytes)
+           .repartition(cpus * 4, F.col("url"))
+           .mapInArrow(kernel, EXTRACT_SCHEMA_DDL))
+    return small.unionByName(big)
+
+
+def chunks_df(extracted: DataFrame, chunker: str = "hybrid",
+              max_tokens: int = 256) -> DataFrame:
+    """Extracted frame -> exploded chunk rows (K1/K2). Narrow: chunking
+    is per-document, no shuffle (SURVEY.md §3.3)."""
+    src = extracted.select("url", "text", "spans")
+    return src.mapInArrow(make_chunk_kernel(chunker, max_tokens),
+                          CHUNK_SCHEMA_DDL)
+
+
+def _wave_groups(parts: list[int], waves: int) -> list[list[int]]:
+    if not parts:
+        return []
+    waves = max(1, min(waves, len(parts)))
+    size = -(-len(parts) // waves)
+    return [parts[i:i + size] for i in range(0, len(parts), size)]
+
+
+def run_extract(spark: SparkSession, pages: DataFrame, table_root: str,
+                opt: ConvertOptions = DEFAULT_OPTIONS,
+                partitions: int = DEFAULT_PARTITIONS, waves: int = 4,
+                cpus: int = 32, run_id: str | None = None,
+                fail_after_wave: int | None = None) -> dict:
+    """The job driver: wave-committed, resumable extraction run.
+
+    ``fail_after_wave`` injects a crash between commits (tests only).
+    Returns a summary with per-wave counters.
+    """
+    table = IceTable(table_root)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    committed = table.committed_parts()
+    todo = [p for p in range(partitions) if p not in committed]
+    pages_p = with_part_id(pages, partitions)
+    summary = {"run_id": run_id, "partitions": partitions,
+               "skipped_parts": sorted(committed), "waves": []}
+
+    for wi, wave_parts in enumerate(_wave_groups(todo, waves)):
+        t0 = time.time()
+        wave_df = pages_p.filter(F.col("part_id").isin(wave_parts))
+        out = extracted_df(wave_df.drop("part_id"), opt, cpus)
+        out = with_part_id(out, partitions)
+        stage = table.staging_dir(run_id, wi)
+        out.write.mode("overwrite").partitionBy("part_id").parquet(stage)
+
+        # lineage counters from the written files (no recompute; columnar
+        # scan of status/bytes only). counters ≡ processing_meta
+        # (/root/reference/docling_serve/orchestrator_factory.py:104-106)
+        written = spark.read.parquet(stage)
+        rows = (written.groupBy("part_id").agg(
+            F.count("*").alias("num_docs"),
+            F.count("*").alias("num_processed"),
+            F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("num_succeeded"),
+            F.sum(F.when(F.col("status") == "failure", 1).otherwise(0)).alias("num_failed"),
+            F.sum(F.when(F.col("status") == "skipped", 1).otherwise(0)).alias("num_skipped"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum(F.length("text").cast("long")).alias("bytes_out"),
+        ).collect())
+        wall_ms = int((time.time() - t0) * 1000)
+        counters = {r["part_id"]: r.asDict() for r in rows}
+        parts_meta = []
+        for p in wave_parts:
+            files = sorted(glob.glob(os.path.join(stage, f"part_id={p}", "*.parquet")))
+            c = counters.get(p, {"part_id": p, "num_docs": 0,
+                                 "num_processed": 0, "num_succeeded": 0,
+                                 "num_failed": 0, "num_skipped": 0,
+                                 "bytes_in": 0, "bytes_out": 0})
+            c = {k: (v if v is not None else 0) for k, v in c.items()
+                 if k != "part_id"}
+            c["wall_ms"] = wall_ms
+            parts_meta.append({"part_id": p, "files": files, "counters": c})
+        snap = table.commit(run_id, parts_meta,
+                            datetime.datetime.utcnow().isoformat())
+        summary["waves"].append({
+            "wave": wi, "snapshot_id": snap, "parts": wave_parts,
+            "num_docs": sum(m["counters"]["num_docs"] for m in parts_meta),
+            "wall_ms": wall_ms})
+        if fail_after_wave is not None and wi >= fail_after_wave:
+            summary["injected_failure"] = True
+            return summary
+    return summary

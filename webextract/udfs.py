@@ -1,0 +1,133 @@
+"""Arrow-vectorized batch kernels (mapInArrow) — the ONLY Python compute.
+
+North-rule constraint: no per-row Python UDFs anywhere.  The extraction
+and chunking kernels cross the JVM<->Python boundary once per Arrow
+RecordBatch; inside the batch the per-document work calls the SAME pure
+functions the tests use as the oracle (byte-identity contract,
+SURVEY.md §7.4#1).  Strings/bytes are materialized from Arrow exactly
+once and results go back as large_string/large_binary arrays, so no
+pandas round-trip can alter bytes.
+
+Batch memory is bounded by a byte-budget rebatcher: a batch whose html
+payloads exceed ``BATCH_BYTE_BUDGET`` is split before processing, so one
+skew-bomb row cannot blow up Python worker memory (SURVEY.md §7.4#4);
+this mirrors the reference's stage batching knobs
+(/root/reference/docling_serve/settings.py:77-82).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from .chunk import chunk_blocks_from_spans
+from .extract import extract_document
+from .options import ConvertOptions, DEFAULT_OPTIONS
+
+BATCH_BYTE_BUDGET = 64 * 1024 * 1024
+
+SPAN_TYPE = pa.list_(pa.struct([
+    ("start", pa.int64()), ("end", pa.int64()),
+    ("kind", pa.string()), ("path", pa.string())]))
+
+EXTRACT_SCHEMA_DDL = (
+    "url string, warc_ts timestamp, lang string, status string, fmt string, "
+    "text string, text_md string, "
+    "spans array<struct<start:bigint,end:bigint,kind:string,path:string>>, "
+    "n_blocks int, bytes_in bigint, error string")
+
+_EXTRACT_ARROW = pa.schema([
+    ("url", pa.large_string()), ("warc_ts", pa.timestamp("us")),
+    ("lang", pa.string()), ("status", pa.string()), ("fmt", pa.string()),
+    ("text", pa.large_string()), ("text_md", pa.large_string()),
+    ("spans", SPAN_TYPE), ("n_blocks", pa.int32()),
+    ("bytes_in", pa.int64()), ("error", pa.string())])
+
+
+def _split_by_budget(htmls: list, budget: int) -> Iterator[tuple[int, int]]:
+    """Yield (start, end) slices whose summed payload <= budget
+    (single oversized rows get their own slice)."""
+    start, acc = 0, 0
+    for i, h in enumerate(htmls):
+        n = len(h) if h is not None else 0
+        if acc and acc + n > budget:
+            yield start, i
+            start, acc = i, 0
+        acc += n
+    if start < len(htmls):
+        yield start, len(htmls)
+
+
+def make_extract_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
+                        budget: int = BATCH_BYTE_BUDGET):
+    """Returns the mapInArrow function for the extract stage (operators
+    C1-C4, C10 of SURVEY.md §2.3 fused into one narrow pass)."""
+
+    def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {n: batch.column(n) for n in batch.schema.names}
+            urls = cols["url"].to_pylist()
+            htmls = cols["html"].to_pylist()
+            ts = cols["warc_ts"].to_pylist() if "warc_ts" in cols else [None] * len(urls)
+            langs = cols["lang"].to_pylist() if "lang" in cols else [None] * len(urls)
+            for lo, hi in _split_by_budget(htmls, budget):
+                out = {"url": [], "warc_ts": [], "lang": [], "status": [],
+                       "fmt": [], "text": [], "text_md": [], "spans": [],
+                       "n_blocks": [], "bytes_in": [], "error": []}
+                for i in range(lo, hi):
+                    r = extract_document(htmls[i], opt, urls[i])
+                    out["url"].append(urls[i])
+                    out["warc_ts"].append(ts[i])
+                    out["lang"].append(langs[i])
+                    out["status"].append(r.status)
+                    out["fmt"].append(r.fmt)
+                    out["text"].append(r.text)
+                    out["text_md"].append(r.text_md)
+                    out["spans"].append(
+                        [{"start": s, "end": e, "kind": k, "path": p}
+                         for (s, e, k, p) in r.spans])
+                    out["n_blocks"].append(r.n_blocks)
+                    out["bytes_in"].append(len(htmls[i]) if htmls[i] else 0)
+                    out["error"].append(r.error)
+                yield pa.RecordBatch.from_pydict(
+                    {f.name: pa.array(out[f.name], f.type)
+                     for f in _EXTRACT_ARROW})
+
+    return extract_batches
+
+
+CHUNK_SCHEMA_DDL = ("url string, chunk_idx int, chunk_text string, "
+                    "heading string, n_tokens int")
+
+_CHUNK_ARROW = pa.schema([
+    ("url", pa.large_string()), ("chunk_idx", pa.int32()),
+    ("chunk_text", pa.large_string()), ("heading", pa.string()),
+    ("n_tokens", pa.int32())])
+
+
+def make_chunk_kernel(chunker: str = "hybrid", max_tokens: int = 256):
+    """mapInArrow 1->N chunker (operators K1/K2, SURVEY.md §2.4) over the
+    extracted frame (columns url, text, spans).  Followed by nothing:
+    the kernel itself emits exploded chunk rows (UDTF-style)."""
+
+    def chunk_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            texts = batch.column("text").to_pylist()
+            spans = batch.column("spans").to_pylist()
+            out = {"url": [], "chunk_idx": [], "chunk_text": [],
+                   "heading": [], "n_tokens": []}
+            for u, t, sp in zip(urls, texts, spans):
+                for c in chunk_blocks_from_spans(t or "", sp or [], chunker,
+                                                 max_tokens):
+                    out["url"].append(u)
+                    out["chunk_idx"].append(c.idx)
+                    out["chunk_text"].append(c.text)
+                    out["heading"].append(c.heading)
+                    out["n_tokens"].append(c.n_tokens)
+            yield pa.RecordBatch.from_pydict(
+                {f.name: pa.array(out[f.name], f.type)
+                 for f in _CHUNK_ARROW})
+
+    return chunk_batches
