@@ -1,0 +1,89 @@
+"""Deterministic documents→pages adapter for the driver's testdata.
+
+The driver's correctness gate runs queries over the testdata tables
+(`documents` et al.).  The extraction engine's input is the
+BASELINE.json input_hint page table `(url, warc_ts, html, text, lang)`,
+so this module wraps each `documents` row into a boilerplate-laden HTML
+page as a PURE function of (doc_id, text) — no RNG, no clock.  Because
+`documents.text` is already whitespace-normalized and the wrapper
+escapes/unescapes losslessly, the expected extraction output is exactly
+expressible in SQL → the flagship extraction operators become
+DuckDB-oracle-checkable end-to-end (boilerplate must vanish, main text
+must survive byte-identically).
+
+Page anatomy mirrors the synthetic corpus (synth.py): header/nav link
+farm, cookie banner, aside link list, <article> main content, footer —
+the parts the density scorer must strip.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+_LINKS = "".join(
+    f'<li><a href="/l{i}">menu item {i} with label</a></li>' for i in range(8))
+_HEADER = (f"<header><div>Example Site banner</div><nav><ul>{_LINKS}</ul>"
+           "</nav></header>")
+_COOKIE = ('<div class="cookie">We use cookies to improve your experience '
+           '<a href="/accept">Accept</a> <a href="/reject">Reject</a></div>')
+_ASIDE = f"<aside><h3>Related</h3><ul>{_LINKS}</ul></aside>"
+_FOOTER = f"<footer><ul>{_LINKS}</ul></footer>"
+
+
+def _esc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def build_page(doc_id: int, text: str, para_tokens: int = 0) -> bytes:
+    """One Common-Crawl-style page wrapping `text` as the main content.
+    para_tokens=0 → a single <p>; >0 → paragraphs of that many tokens
+    (multi-block variant for span/chunk operators)."""
+    if para_tokens > 0:
+        toks = text.split(" ")
+        paras = ["<p>%s</p>" % _esc(" ".join(toks[i:i + para_tokens]))
+                 for i in range(0, len(toks), para_tokens)]
+        content = "".join(paras)
+    else:
+        content = f"<p>{_esc(text)}</p>"
+    article = f"<article><h1>Document {doc_id}</h1>{content}</article>"
+    return (
+        f"<!DOCTYPE html><html><head><title>Doc {doc_id}</title>"
+        f"<script>var t={doc_id};</script><style>body{{margin:0}}</style></head>"
+        f"<body>{_HEADER}{_COOKIE}"
+        f'<div id="page">{_ASIDE}{article}</div>{_FOOTER}</body></html>'
+    ).encode("utf-8")
+
+
+def docs_to_pages(docs: DataFrame, para_tokens: int = 0,
+                  empty_mod: int = 0) -> DataFrame:
+    """documents(doc_id, text, lang, ...) → input_hint page frame.
+
+    empty_mod>0 injects empty payloads for doc_id % empty_mod == 3
+    (admission/counter operators need skipped rows).  mapInArrow keeps
+    the adapter vectorized and executor-side (north_rule: no per-row
+    Python)."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            langs = b.column("lang").to_pylist()
+            html = [b"" if empty_mod and i % empty_mod == 3
+                    else build_page(i, t, para_tokens)
+                    for i, t in zip(ids, texts)]
+            yield pa.RecordBatch.from_pydict({
+                "url": pa.array([f"doc://{i}" for i in ids], pa.large_string()),
+                "warc_ts": pa.array([None] * len(ids), pa.timestamp("us")),
+                "html": pa.array(html, pa.large_binary()),
+                "text": pa.array(texts, pa.large_string()),
+                "lang": pa.array(langs, pa.string()),
+            })
+
+    return docs.select("doc_id", "text", "lang").mapInArrow(gen, PAGES_SCHEMA)

@@ -1,0 +1,566 @@
+"""Query registry: every operator exposed as (spark_fn, oracle_sql).
+
+One entry per implemented operator (SURVEY.md §2 + the training-data
+corpus ops).  Each Spark callable takes (spark, sf_dir) and returns a
+DataFrame; ORACLES[name] is the DuckDB-equivalent ANSI SQL over the
+same parquet tables (views pre-registered by the driver).  Column
+names, types, and rounding are aligned engine-to-engine — the driver
+hash-compares values after sorting columns by name.
+
+Extraction operators run the REAL mapInArrow kernel over pages built
+deterministically from `documents` (webextract/docpages.py); because
+the page wrapper is lossless around pre-normalized text, the expected
+main-content extraction is exactly expressible in SQL — boilerplate
+must vanish and the article text must survive byte-identically (the
+north_rule's per-url invariant, checked by the driver itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import corpus, media
+from .docpages import docs_to_pages
+from .pipeline import chunks_df, extracted_df
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _doc_id(df: DataFrame) -> DataFrame:
+    """Recover doc_id from the page url ('doc://<id>')."""
+    return df.withColumn(
+        "doc_id", F.substring("url", 7, 20).cast("bigint"))
+
+
+def _extract(spark: SparkSession, sf_dir: str, para_tokens: int = 0,
+             empty_mod: int = 0) -> DataFrame:
+    pages = docs_to_pages(_read(spark, sf_dir, "documents"),
+                          para_tokens=para_tokens, empty_mod=empty_mod)
+    return _doc_id(extracted_df(pages, cpus=4))
+
+
+# ---------------------------------------------------------------------------
+# extraction family (operators C1-C3, C10-C11, K1-K2; P3 admission)
+# ---------------------------------------------------------------------------
+
+def q_extract_main_text(spark, sf_dir):
+    return (_extract(spark, sf_dir)
+            .filter(F.col("status") == "success")
+            .select("doc_id", "text"))
+
+
+def q_extract_markdown(spark, sf_dir):
+    return (_extract(spark, sf_dir)
+            .filter(F.col("status") == "success")
+            .select("doc_id", F.col("text_md").alias("text_md")))
+
+
+def q_extract_status_counts(spark, sf_dir):
+    return (_extract(spark, sf_dir, empty_mod=50)
+            .groupBy("status")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_blocks").cast("long").alias("n_blocks")))
+
+
+def q_extract_spans(spark, sf_dir):
+    out = _extract(spark, sf_dir, para_tokens=40)
+    return (out.select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
+            .select("doc_id", F.col("span_idx").cast("int").alias("span_idx"),
+                    F.col("s.start").alias("start_off"),
+                    F.col("s.end").alias("end_off"),
+                    F.col("s.kind").alias("kind")))
+
+
+def q_chunk_hybrid(spark, sf_dir):
+    out = _extract(spark, sf_dir)
+    return (chunks_df(out, "hybrid", 64)
+            .withColumn("doc_id", F.substring("url", 7, 20).cast("bigint"))
+            .select("doc_id", "chunk_idx", "chunk_text", "heading", "n_tokens"))
+
+
+def q_chunk_hierarchical(spark, sf_dir):
+    out = _extract(spark, sf_dir, para_tokens=40)
+    return (chunks_df(out, "hierarchical", 64)
+            .withColumn("doc_id", F.substring("url", 7, 20).cast("bigint"))
+            .select("doc_id", "chunk_idx", "chunk_text", "heading", "n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return corpus.dedup_exact(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return corpus.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return corpus.lsh_candidate_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return corpus.simhash(_read(spark, sf_dir, "documents"))
+
+
+def q_embed_cosine_topk(spark, sf_dir):
+    return corpus.cosine_topk(_read(spark, sf_dir, "embeddings"))
+
+
+def q_embed_ann_buckets(spark, sf_dir):
+    return corpus.ann_bucket_stats(_read(spark, sf_dir, "embeddings"), bits=8)
+
+
+# ---------------------------------------------------------------------------
+# text-analysis family
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    return corpus.text_quality(_read(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return corpus.lang_id(_read(spark, sf_dir, "documents"))
+
+
+def q_token_stats(spark, sf_dir):
+    return corpus.token_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return corpus.fingerprints(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal family (stubbed decode; real Spark plumbing)
+# ---------------------------------------------------------------------------
+
+def q_media_decode_meta(spark, sf_dir):
+    docs = media.with_fake_media(_read(spark, sf_dir, "documents"))
+    return media.media_meta(docs)
+
+
+def q_media_frame_sample(spark, sf_dir):
+    docs = media.with_fake_media(_read(spark, sf_dir, "documents"))
+    return media.frame_sample(docs, stride=4)
+
+
+# ---------------------------------------------------------------------------
+# relational family (joins / aggs / windows / semi-anti / sessionization)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate")
+                      <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").cast("long").alias("count_order")))
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    nation = _read(spark, sf_dir, "nation")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                 F.count("*").cast("long").alias("n_lineitems")))
+
+
+def q_top_orders_per_cust(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (orders.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def q_priority_big_orders(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_orders")))
+
+
+def q_events_sessions(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet loads ts as TIMESTAMP_NTZ; session tz is UTC so the cast is
+    # the identity mapping DuckDB's naive epoch_ms uses
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    brk = F.when(F.lag(ms).over(w).isNull()
+                 | ((ms - F.lag(ms).over(w)) > 1800000), 1).otherwise(0)
+    return (ev.withColumn("brk", brk)
+            .groupBy("user_id")
+            .agg(F.sum("brk").cast("long").alias("n_sessions"),
+                 F.count("*").cast("long").alias("n_events")))
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (ev.withColumn("hour_bucket",
+                          F.expr("unix_millis(cast(ts as timestamp)) div 3600000"))
+            .groupBy("hour_bucket", "event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_resume_pending(spark, sf_dir):
+    """Checkpoint-resume anti-join shape (T10): committed partitions are
+    skipped via a broadcast left-anti join on part_id."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "part_id", F.col("doc_id") % 16)
+    committed = spark.range(0, 16, 2).select(F.col("id").alias("part_id"))
+    return (docs.join(F.broadcast(committed), "part_id", "left_anti")
+            .groupBy("part_id")
+            .agg(F.count("*").cast("long").alias("n_pending")))
+
+
+QUERIES = {
+    "extract_main_text": q_extract_main_text,
+    "extract_markdown": q_extract_markdown,
+    "extract_status_counts": q_extract_status_counts,
+    "extract_spans": q_extract_spans,
+    "chunk_hybrid": q_chunk_hybrid,
+    "chunk_hierarchical": q_chunk_hierarchical,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "embed_cosine_topk": q_embed_cosine_topk,
+    "embed_ann_buckets": q_embed_ann_buckets,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_stats": q_token_stats,
+    "doc_fingerprints": q_doc_fingerprints,
+    "media_decode_meta": q_media_decode_meta,
+    "media_frame_sample": q_media_frame_sample,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "priority_big_orders": q_priority_big_orders,
+    "events_sessions": q_events_sessions,
+    "events_hourly": q_events_hourly,
+    "resume_pending": q_resume_pending,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — same semantics, same column names/types/rounding
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(toks) >= 3 THEN
+                list_transform(generate_series(1, len(toks) - 2),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END) AS shingles
+       FROM tok)
+"""
+
+ORACLES = {
+    "extract_main_text": """
+        SELECT doc_id,
+               'Document ' || doc_id || chr(10) || chr(10) || text AS text
+        FROM documents""",
+
+    "extract_markdown": """
+        SELECT doc_id,
+               '# Document ' || doc_id || chr(10) || chr(10) || text AS text_md
+        FROM documents""",
+
+    "extract_status_counts": """
+        SELECT status, count(*)::BIGINT AS n_docs, sum(nb)::BIGINT AS n_blocks
+        FROM (SELECT CASE WHEN doc_id % 50 = 3 THEN 'skipped'
+                          ELSE 'success' END AS status,
+                     CASE WHEN doc_id % 50 = 3 THEN 0 ELSE 2 END AS nb
+              FROM documents)
+        GROUP BY status""",
+
+    "extract_spans": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        p AS (SELECT doc_id, i,
+                     length('Document ' || doc_id) AS hlen,
+                     length(array_to_string(
+                       toks[((i-1)*40+1):(least(i*40, len(toks)))], ' ')) AS plen
+              FROM t, unnest(generate_series(
+                       1, cast(ceil(len(toks)/40.0) AS BIGINT))) AS u(i)),
+        c AS (SELECT doc_id, i, plen,
+                     hlen + 2*i + coalesce(sum(plen) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS pstart
+              FROM p)
+        SELECT doc_id, 0::INTEGER AS span_idx, 0::BIGINT AS start_off,
+               hlen::BIGINT AS end_off, 'heading' AS kind
+        FROM (SELECT DISTINCT doc_id, hlen FROM p)
+        UNION ALL
+        SELECT doc_id, i::INTEGER, pstart::BIGINT,
+               (pstart + plen)::BIGINT, 'para'
+        FROM c""",
+
+    "chunk_hybrid": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        w AS (SELECT doc_id, i,
+                     toks[((i-1)*64+1):(least(i*64, len(toks)))] AS ctoks
+              FROM t, unnest(generate_series(
+                       1, cast(ceil(len(toks)/64.0) AS BIGINT))) AS u(i))
+        SELECT doc_id, (i-1)::INTEGER AS chunk_idx,
+               array_to_string(ctoks, ' ') AS chunk_text,
+               'Document ' || doc_id AS heading,
+               len(ctoks)::INTEGER AS n_tokens
+        FROM w""",
+
+    "chunk_hierarchical": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        w AS (SELECT doc_id, i,
+                     toks[((i-1)*40+1):(least(i*40, len(toks)))] AS ctoks
+              FROM t, unnest(generate_series(
+                       1, cast(ceil(len(toks)/40.0) AS BIGINT))) AS u(i))
+        SELECT doc_id, (i-1)::INTEGER AS chunk_idx,
+               array_to_string(ctoks, ' ') AS chunk_text,
+               'Document ' || doc_id AS heading,
+               len(ctoks)::INTEGER AS n_tokens
+        FROM w""",
+
+    "dedup_exact": """
+        SELECT sha256(text) AS text_sha256, min(doc_id) AS canonical_id,
+               count(*)::BIGINT AS n_copies
+        FROM documents GROUP BY sha256(text)""",
+
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+              FROM sh),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.n AS na, b.n AS nb, count(*) AS i
+                  FROM e a JOIN e b
+                    ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, round(i / (na + nb - i), 4) AS jaccard
+        FROM inter WHERE i / (na + nb - i) >= 0.4""",
+
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        m AS (SELECT doc_id, seed, min(md5(seed || ':' || s)) AS mh
+              FROM e CROSS JOIN
+                   (SELECT unnest(generate_series(0, 15)) AS seed) sd
+              GROUP BY doc_id, seed),
+        b AS (SELECT doc_id, seed // 4 AS band,
+                     md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+              FROM m GROUP BY doc_id, seed // 4)
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM b a JOIN b b2
+          ON a.band = b2.band AND a.band_key = b2.band_key
+         AND a.doc_id < b2.doc_id""",
+
+    "dedup_simhash": """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        tc AS (SELECT doc_id, token, count(*) AS cnt, md5(token) AS h
+               FROM tok GROUP BY doc_id, token),
+        c AS (SELECT doc_id, j,
+                     sum(CASE WHEN substr(h, (j+1)::INTEGER, 1) >= '8'
+                              THEN cnt ELSE -cnt END) AS s
+              FROM tc CROSS JOIN
+                   (SELECT unnest(generate_series(0, 31)) AS j) js
+              GROUP BY doc_id, j)
+        SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY j) AS simhash
+        FROM c GROUP BY doc_id""",
+
+    "embed_cosine_topk": """
+        WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[])) AS nrm
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+              WHERE vec_id < 10),
+        p AS (SELECT qid, vec_id AS nid,
+                     round(list_dot_product(qv, v) / (qn * nrm), 6) AS cos
+              FROM n CROSS JOIN q WHERE vec_id <> qid),
+        r AS (SELECT qid, nid, cos,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, nid) AS rank
+              FROM p)
+        SELECT qid, nid, cos, rank::INTEGER AS rank FROM r WHERE rank <= 5""",
+
+    "embed_ann_buckets": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, j,
+                     list_sum(list_transform(generate_series(1, len(v)),
+                       d -> CASE WHEN substr(md5(j || ':' || (d-1)), 1, 1) >= '8'
+                                 THEN v[d] ELSE -v[d] END)) AS dot
+              FROM e CROSS JOIN
+                   (SELECT unnest(generate_series(0, 7)) AS j) js),
+        b AS (SELECT vec_id,
+                     string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END,
+                                '' ORDER BY j) AS bucket
+              FROM s GROUP BY vec_id)
+        SELECT bucket, count(*)::BIGINT AS n_vecs, min(vec_id) AS min_vec_id
+        FROM b GROUP BY bucket""",
+
+    "text_quality": """
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                   FROM documents),
+        m AS (SELECT doc_id, length(text) AS nc, len(toks) AS nt,
+                     len(list_filter(toks, x -> x IN
+                       ('the','a','of','and','to','in','is','it'))) AS ns
+              FROM t)
+        SELECT doc_id, nc::BIGINT AS n_chars, nt::BIGINT AS n_tokens,
+               round((nc - (nt - 1)) / nt, 4) AS avg_token_len,
+               round(ns / nt, 4) AS stopword_ratio,
+               round(least(1.0, nt / 100.0)
+                     * (0.5 + 0.5 * least(1.0, (ns / nt) * 10.0)), 4)
+                 AS quality_score
+        FROM m""",
+
+    "lang_id": """
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, lang,
+                len(list_filter(toks, x -> x IN
+                  ('der','die','das','und','ist','nicht'))) AS d,
+                len(list_filter(toks, x -> x IN
+                  ('le','les','et','est','dans','pour'))) AS f,
+                len(list_filter(toks, x -> x IN
+                  ('el','los','las','es','para','con'))) AS e
+              FROM t),
+        p AS (SELECT doc_id, lang,
+                CASE WHEN d > f AND d > e AND d > 0 THEN 'de'
+                     WHEN f > e AND f > 0 THEN 'fr'
+                     WHEN e > 0 THEN 'es' ELSE 'en' END AS lang_pred
+              FROM s)
+        SELECT doc_id, lang AS lang_label, lang_pred,
+               (lang_pred = lang)::INTEGER AS is_match
+        FROM p""",
+
+    "token_stats": """
+        WITH t AS (SELECT lang, string_split(text, ' ') AS toks
+                   FROM documents)
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(len(toks))::BIGINT AS n_tokens,
+               sum(list_sum(list_transform(toks,
+                 x -> cast(ceil(length(x) / 4.0) AS BIGINT))))::BIGINT
+                 AS n_subwords
+        FROM t GROUP BY lang""",
+
+    "doc_fingerprints": """
+        WITH t AS (SELECT doc_id, md5(text) AS fp_md5,
+                          string_split(text, ' ') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, fp_md5, i AS pos, len(toks) - 4 AS m,
+                     md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4]) AS h
+              FROM t, unnest(generate_series(
+                       1, greatest(len(toks) - 4, 0))) AS u(i)),
+        w AS (SELECT doc_id, fp_md5, pos, m,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+              FROM g)
+        SELECT doc_id, fp_md5, count(DISTINCT wmin)::BIGINT AS n_winnow
+        FROM w WHERE pos <= m - 3 GROUP BY doc_id, fp_md5""",
+
+    "media_decode_meta": """
+        SELECT doc_id, length(text)::BIGINT AS n_bytes,
+               CASE length(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                    ELSE 'webp' END AS fmt,
+               (16 + length(text) % 512)::INTEGER AS width,
+               (16 + (length(text) * 7) % 512)::INTEGER AS height,
+               (1 + length(text) % 24)::INTEGER AS n_frames
+        FROM documents""",
+
+    "media_frame_sample": """
+        WITH m AS (SELECT doc_id, 1 + length(text) % 24 AS nf
+                   FROM documents)
+        SELECT doc_id, ((i-1) * 4)::INTEGER AS frame_idx,
+               ((i-1) * 4 * 4096)::BIGINT AS frame_off
+        FROM m, unnest(generate_series(
+                 1, cast(ceil(nf / 4.0) AS BIGINT))) AS u(i)""",
+
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+
+    "revenue_by_nation": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*)::BIGINT AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name""",
+
+    "top_orders_per_cust": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rank::INTEGER AS rank
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders)
+        WHERE rank <= 3""",
+
+    "priority_big_orders": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority""",
+
+    "events_sessions": """
+        WITH x AS (SELECT user_id, epoch_ms(ts) AS e,
+                          lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pe
+                   FROM events)
+        SELECT user_id,
+               sum(CASE WHEN pe IS NULL OR e - pe > 1800000
+                        THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+               count(*)::BIGINT AS n_events
+        FROM x GROUP BY user_id""",
+
+    "events_hourly": """
+        SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2""",
+
+    "resume_pending": """
+        SELECT doc_id % 16 AS part_id, count(*)::BIGINT AS n_pending
+        FROM documents WHERE (doc_id % 16) % 2 = 1
+        GROUP BY doc_id % 16""",
+}
