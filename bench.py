@@ -1,0 +1,97 @@
+"""Per-round benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
+"sf", plus extraction throughput fields}.
+
+The flagship extraction number is measured over a deterministic
+synthetic Common-Crawl-style page corpus (seed 42, heavy-tailed sizes,
+skew bombs — webextract/synth.py) scan→kernel→noop-write, which is the
+shape the north_rule grades (docs/sec at scan time).  Corpus generation
+is NOT timed: pages are materialized to parquet once per sf and reused.
+
+Timing protocol: each query plan is forced with a noop-format write
+(full materialization, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+N_SYNTH = {"0.001": 500, "0.01": 2000, "0.1": 20000}
+
+HEADLINE = [
+    "extract_main_text", "chunk_hybrid", "dedup_exact",
+    "dedup_lsh_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "embed_cosine_topk", "embed_ann_buckets", "text_quality",
+    "token_stats", "doc_fingerprints", "media_decode_meta",
+    "pricing_summary", "revenue_by_nation", "top_orders_per_cust",
+    "events_sessions", "events_hourly",
+]
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def synth_pages_path(spark, sf_tag: str, n: int, cpus: int) -> str:
+    path = f"/tmp/webextract_bench/pages_sf{sf_tag}_n{n}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from webextract.synth import pages_df
+        pages_df(spark, n, parallelism=cpus * 2).write.mode(
+            "overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from webextract.session import get_spark
+    from webextract.pipeline import extracted_df
+    from webextract.queries import QUERIES
+
+    spark = get_spark("webextract-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # -- flagship: synthetic-corpus extraction (scan → kernel → sink) ----
+    n_synth = N_SYNTH.get(sf_tag, 2000)
+    pages_path = synth_pages_path(spark, sf_tag, n_synth, cpus)
+    pages = spark.read.parquet(pages_path)
+    _force(extracted_df(pages, cpus=cpus))   # warm JVM + Python workers
+    t0 = time.time()
+    _force(extracted_df(pages, cpus=cpus))
+    extract_sec = time.time() - t0
+    timings["extract_synth"] = round(extract_sec, 3)
+    docs_per_sec = round(n_synth / extract_sec, 1)
+
+    # -- registry queries over the sf tables ------------------------------
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.time()
+        _force(q(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_tag,
+        "extract_docs_per_sec": docs_per_sec,
+        "extract_n_docs": n_synth,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

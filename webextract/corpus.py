@@ -35,12 +35,15 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 # shingling (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
 
-def shingles_expr(n: int = 3):
-    """array<string> of word n-grams (distinct), via sequence+transform —
-    no explode until the caller asks, so it stays a narrow projection.
-    Guarded: Spark sequence(1, 0) would count DOWN, so short docs get an
-    explicit empty array."""
-    toks = TOKENS()
+def shingles_of(col: str = "toks", n: int = 3):
+    """array<string> of word n-grams (distinct) over a MATERIALIZED token
+    array column.  The column must be a real projection (not the split()
+    expression inline): higher-order-function lambdas are interpreted,
+    so an inlined split() would re-tokenize the document once per
+    element_at — O(tokens × shingles) per row, measured 50×
+    slower at sf0.1.  Guarded: Spark sequence(1, 0) counts DOWN, so
+    short docs get an explicit empty array."""
+    toks = F.col(col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
@@ -50,12 +53,17 @@ def shingles_expr(n: int = 3):
         .otherwise(F.array().cast("array<string>")))
 
 
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh: array<string>) with tokens materialized first."""
+    return (docs.select("doc_id", TOKENS().alias("toks"))
+            .select("doc_id", shingles_of("toks", n).alias("sh")))
+
+
 def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle, n_shingles) — one row per distinct doc-shingle.
     Narrow (generate + explode); the downstream groupBy/join shuffles on
     `shingle`, which is high-cardinality and well-spread → no skew."""
-    return (docs
-            .select("doc_id", shingles_expr(n).alias("sh"))
+    return (doc_shingles(docs, n)
             .select("doc_id", F.size("sh").alias("n_shingles"),
                     F.explode("sh").alias("shingle")))
 
@@ -99,35 +107,64 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16) -> DataFrame:
-    """(doc_id, seed, minhash): k independent min-hashes per document.
+MINHASH_P = 536870909   # prime < 2^29: A*h + B stays far below 2^63
 
-    The hash family is min over shingles of md5(seed||':'||shingle) —
-    string-min over a uniform 128-bit hex space is a valid MinHash and
-    is bit-identical across engines (DuckDB oracle runs the same
-    formula).  Narrow until the groupBy(doc_id, seed) hash-shuffle;
-    partial min() combines map-side so the exchange carries k rows per
-    document, not k×shingles."""
-    e = exploded_shingles(docs, n)
-    return (e.select("doc_id",
-                     F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
-                     "shingle")
-            .groupBy("doc_id", "seed")
-            .agg(F.min(F.md5(F.concat_ws(":", F.col("seed").cast("string"),
-                                         F.col("shingle")))).alias("minhash")))
+
+def shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, hs: array<bigint>) — one 28-bit base hash per distinct
+    shingle (first 7 hex chars of md5, engine-portable).  Materialized
+    as its own projection so the k permutations below reuse it instead
+    of re-hashing (HOF lambdas inline their inputs — an md5 inside the
+    permutation loop would run k× per shingle)."""
+    # admission predicate on the CHEAP column: size(sh) > 0 ⟺
+    # size(toks) >= n, and the latter doesn't re-evaluate the shingle
+    # expression when Catalyst pushes the filter below the projection
+    return (docs.select("doc_id", TOKENS().alias("toks"))
+            .filter(F.size("toks") >= n)
+            .select("doc_id", shingles_of("toks", n).alias("sh"))
+            .select("doc_id", F.transform(
+                "sh",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
+                .cast("bigint")).alias("hs")))
+
+
+def minhash_sig_expr(k: int = 16):
+    """array<bigint> of k min-hashes over the `hs` base-hash column.
+
+    Classic affine-permutation MinHash: mh_j = min over shingles of
+    (A_j·h + B_j) mod P — one md5 per shingle total, then k cheap
+    integer ops (the md5-per-(seed,shingle) variant measured ~4× the
+    cost).  Pure projection, NO shuffle — the naive explode(shingles)
+    ×explode(seeds)→groupBy shape would exchange k×|shingles| rows per
+    doc.  Identical formula in the DuckDB oracle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.array_min(F.transform(
+            F.col("hs"),
+            lambda h: (h * (j * F.lit(7919) + 1)
+                       + (j * F.lit(104729) + 1)) % F.lit(MINHASH_P))))
 
 
 def lsh_band_keys(docs: DataFrame, n: int = 3, k: int = 16,
                   rows_per_band: int = 4) -> DataFrame:
     """(doc_id, band, band_key): LSH banding of the MinHash signature.
-    band_key = md5 of the band's minhashes joined in seed order."""
-    sig = minhash_signatures(docs, n, k)
-    banded = sig.withColumn("band", F.expr(f"seed div {rows_per_band}").cast("int"))
-    return (banded.groupBy("doc_id", "band")
+    band_key = md5 of the band's minhashes joined in seed order.
+
+    Shape: the signature array is posexploded (Generate evaluates it
+    exactly once per row — building band keys with element_at() in a
+    sibling projection lets CollapseProject inline the signature into
+    every band, recomputing it ~4×, measured 38 s vs 9 s) and banded
+    with one small groupBy of k rows per doc."""
+    r = rows_per_band
+    sig = (shingle_hashes(docs, n)
+           .select("doc_id",
+                   F.posexplode(minhash_sig_expr(k)).alias("seed", "mh")))
+    return (sig.withColumn("band", F.expr(f"seed div {r}").cast("int"))
+            .groupBy("doc_id", "band")
             .agg(F.md5(F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda x: x["minhash"]),
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"].cast("string")),
                 ",")).alias("band_key")))
 
 
@@ -139,8 +176,14 @@ def lsh_candidate_pairs(docs: DataFrame, n: int = 3, k: int = 16,
     doc per band regardless of document size; bucket sizes are the skew
     knob (near-dup clusters of size m cost m² pairs; production caps
     bucket size before the self-join).  Sub-quadratic replacement for
-    ngram_jaccard_pairs at 10^12 docs."""
-    bk = lsh_band_keys(docs, n, k, rows_per_band)
+    ngram_jaccard_pairs at 10^12 docs.
+
+    The band-key frame is persisted before the self-join: AQE broadcasts
+    one side, which would otherwise recompute the whole shingle+minhash
+    lineage twice (measured 2×).  At cluster scale the same role is
+    played by writing signatures to a staging table between the two
+    passes."""
+    bk = lsh_band_keys(docs, n, k, rows_per_band).persist()
     a, b = bk.alias("a"), bk.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
@@ -148,6 +191,27 @@ def lsh_candidate_pairs(docs: DataFrame, n: int = 3, k: int = 16,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
+
+
+def lsh_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4,
+                      k: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """The production near-dup pipeline: MinHash-LSH candidate pairs,
+    verified with EXACT n-gram Jaccard via array_intersect.
+
+    This is the sub-quadratic scale path: candidates come from the
+    O(docs×bands) bucket join; the exact verify touches only candidate
+    pairs and is per-pair O(|A|+|B|) array math (no shingle-explode
+    self-join, which is what makes the exact kernel quadratic-ish).
+    Output ⊆ ngram_jaccard_pairs (LSH recall is the tunable)."""
+    cands = lsh_candidate_pairs(docs, n, k, rows_per_band)
+    sh = doc_shingles(docs, n).persist()  # reused for both pair sides
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (cands.join(a, "doc_a").join(b, "doc_b")
+            .filter(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
@@ -317,10 +381,12 @@ def fingerprints(docs: DataFrame, gram: int = 5, window: int = 4) -> DataFrame:
 
     Winnowing (Schleimer et al., SIGMOD'03): hash every token `gram`-gram,
     keep the min hash of each sliding window of `window` positions, count
-    distinct kept hashes.  Implemented as posexplode + a bounded-frame
-    window min — the per-doc frame never shuffles more than the doc's own
-    gram rows (partitioned by doc_id)."""
-    toks = TOKENS()
+    distinct kept hashes.  Computed entirely in the array domain (pure
+    projection, zero shuffle) — the posexplode + bounded-frame window-min
+    alternative shuffles every gram row and measured ~10 s at sf0.1 vs
+    ~1 s for this shape.  Docs with no full window are excluded (operator
+    contract, mirrored in the oracle)."""
+    toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= gram,
         F.transform(
@@ -329,13 +395,12 @@ def fingerprints(docs: DataFrame, gram: int = 5, window: int = 4) -> DataFrame:
                 " ", *[F.element_at(toks, i + k) for k in range(gram)])))
     ).otherwise(F.array().cast("array<string>"))
     g = (docs.select("doc_id", F.md5("text").alias("fp_md5"),
-                     F.posexplode(grams).alias("pos", "h")))
-    w = (Window.partitionBy("doc_id").orderBy("pos")
-         .rowsBetween(0, window - 1))
-    n_grams = Window.partitionBy("doc_id")
-    winmin = (g.withColumn("wmin", F.min("h").over(w))
-              .withColumn("m", F.max("pos").over(n_grams))
-              .filter(F.col("pos") <= F.col("m") - (window - 1)))
-    return (winmin.groupBy("doc_id", "fp_md5")
-            .agg(F.count_distinct("wmin").cast("long").alias("n_winnow"))
-            .select("doc_id", "fp_md5", "n_winnow"))
+                     TOKENS().alias("toks"))
+         .select("doc_id", "fp_md5", grams.alias("g")))
+    wmins = F.transform(
+        F.sequence(F.lit(1), F.size("g") - (window - 1)),
+        lambda i: F.array_min(F.slice(F.col("g"), i, window)))
+    return (g.filter(F.size("g") >= window)
+            .select("doc_id", "fp_md5",
+                    F.size(F.array_distinct(wmins)).cast("long")
+                    .alias("n_winnow")))

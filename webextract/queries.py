@@ -103,6 +103,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return corpus.lsh_candidate_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_dedup_lsh_jaccard(spark, sf_dir):
+    return corpus.lsh_jaccard_pairs(_read(spark, sf_dir, "documents"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     return corpus.simhash(_read(spark, sf_dir, "documents"))
 
@@ -246,6 +250,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ann_buckets": q_embed_ann_buckets,
@@ -365,18 +370,48 @@ ORACLES = {
 
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},
-        e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        m AS (SELECT doc_id, seed, min(md5(seed || ':' || s)) AS mh
-              FROM e CROSS JOIN
-                   (SELECT unnest(generate_series(0, 15)) AS seed) sd
-              GROUP BY doc_id, seed),
-        b AS (SELECT doc_id, seed // 4 AS band,
-                     md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
-              FROM m GROUP BY doc_id, seed // 4)
+        hs AS (SELECT doc_id, list_transform(shingles,
+                 s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
+               FROM sh WHERE len(shingles) > 0),
+        m AS (SELECT doc_id, list_transform(generate_series(0, 15),
+                j -> list_min(list_transform(hs,
+                  h -> (h * (j*7919 + 1) + (j*104729 + 1)) % 536870909)))
+                AS mh
+              FROM hs),
+        b AS (SELECT doc_id, band,
+                     md5(mh[band*4+1] || ',' || mh[band*4+2] || ',' ||
+                         mh[band*4+3] || ',' || mh[band*4+4]) AS band_key
+              FROM m, unnest(generate_series(0, 3)) AS u(band))
         SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
         FROM b a JOIN b b2
           ON a.band = b2.band AND a.band_key = b2.band_key
          AND a.doc_id < b2.doc_id""",
+
+    "dedup_lsh_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        h2 AS (SELECT doc_id, list_transform(shingles,
+                 s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
+               FROM sh WHERE len(shingles) > 0),
+        m AS (SELECT doc_id, list_transform(generate_series(0, 15),
+                j -> list_min(list_transform(hs,
+                  h -> (h * (j*7919 + 1) + (j*104729 + 1)) % 536870909)))
+                AS mh
+              FROM h2),
+        b AS (SELECT doc_id, band,
+                     md5(mh[band*4+1] || ',' || mh[band*4+2] || ',' ||
+                         mh[band*4+3] || ',' || mh[band*4+4]) AS band_key
+              FROM m, unnest(generate_series(0, 3)) AS u(band)),
+        c AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+              FROM b a JOIN b b2
+                ON a.band = b2.band AND a.band_key = b2.band_key
+               AND a.doc_id < b2.doc_id),
+        j AS (SELECT doc_a, doc_b,
+                     len(list_intersect(sa.shingles, sb.shingles)) AS i,
+                     len(sa.shingles) AS na, len(sb.shingles) AS nb
+              FROM c JOIN sh sa ON sa.doc_id = c.doc_a
+                     JOIN sh sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, round(i / (na + nb - i), 4) AS jaccard
+        FROM j WHERE i / (na + nb - i) >= 0.4""",
 
     "dedup_simhash": """
         WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
