@@ -2,9 +2,13 @@
 
 Reads a pre-generated page corpus, runs the extraction pipeline to a
 noop sink, and prints one JSON line with the extraction wall time only
-(session startup and scan-side cache warmup excluded via one warm
-pass).  Used by bench/scaling.py at two masters (local[8], local[32])
-to evidence the north_rule's N→4N scaling-efficiency criterion.
+(session startup and JVM/Python-worker warmup excluded via one warm
+pass).  Used by bench/scaling.py at two masters (N and 4N cores) to
+evidence the north_rule's scaling-efficiency criterion.
+
+Wall time is the MINIMUM over `reps` timed passes: this sandbox is a
+noisy shared VM (identical runs vary ±30%); the minimum estimates
+capability, and the same estimator is applied to both legs.
 """
 
 from __future__ import annotations
@@ -18,11 +22,17 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     pages_path, cpus = sys.argv[1], int(sys.argv[2])
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     spark = (SparkSession.builder.appName(f"wx-scale-{cpus}")
              .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false")
+             # extraction parallelism = scan splits (no payload shuffle):
+             # split fine enough that 4N cores all get work and a
+             # bomb-bearing split stays a bounded straggler
+             .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     from webextract.pipeline import extracted_df
@@ -36,9 +46,11 @@ def main() -> None:
          .write.format("noop").mode("overwrite").save())
         return time.time() - t0
 
-    run()                      # warm: JVM codegen + Python workers
-    wall = min(run(), run())   # best of 2 timed passes
+    run()                                      # warm
+    walls = [run() for _ in range(reps)]
+    wall = min(walls)
     print(json.dumps({"cpus": cpus, "n_docs": n, "wall_s": round(wall, 3),
+                      "walls": [round(w, 2) for w in walls],
                       "docs_per_sec": round(n / wall, 2)}))
     spark.stop()
 
