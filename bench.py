@@ -39,7 +39,8 @@ def _force(df) -> int:
 
 
 def synth_pages_path(spark, sf_tag: str, n: int, cpus: int) -> str:
-    path = f"/tmp/webextract_bench/pages_sf{sf_tag}_n{n}"
+    from webextract.synth import GEN_VERSION
+    path = f"/tmp/webextract_bench/pages_v{GEN_VERSION}_sf{sf_tag}_n{n}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from webextract.synth import pages_df
         pages_df(spark, n, parallelism=cpus * 2).write.mode(

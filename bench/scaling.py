@@ -41,7 +41,8 @@ def sh(cmd: list[str]) -> str:
 
 
 def ensure_pages(n: int) -> str:
-    path = f"/tmp/webextract_bench/pages_scaling_n{n}"
+    from webextract.synth import GEN_VERSION
+    path = f"/tmp/webextract_bench/pages_v{GEN_VERSION}_scaling_n{n}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         gen = (
             "from webextract.session import get_spark\n"

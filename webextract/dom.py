@@ -68,6 +68,7 @@ class Block:
     heading_level: int = 0
     li_index: int = 0    # 1-based within <ol>, 0 in <ul>
     cells: tuple[tuple[str, ...], ...] | None = None  # table blocks only
+    src: str | None = None  # image blocks only (kind == "image")
 
     @property
     def chars(self) -> int:
@@ -165,6 +166,21 @@ class _Parser(HTMLParser):
         if tag in _VOID:
             if tag == "br" and self.cur is not None:
                 self.cur[5].append("\n")
+            elif tag == "img" and not self.skip and not self.tables:
+                # pictures are standalone block items (like the
+                # reference's DoclingDocument picture items): an inline
+                # <img> closes the open text block
+                src = next((v for k, v in (attrs or ()) if k == "src"), None)
+                self._flush_pending()
+                self._flush_cur()
+                seg = self._child_seg("img")
+                cpath = self._path()
+                self.blocks.append(Block(
+                    idx=len(self.blocks), tag="img", kind="image",
+                    path=f"{cpath}/{seg}" if cpath else seg,
+                    container_path=cpath, depth=len(self.stack), text="",
+                    link_chars=0, boiler=self.boiler_depth > 0,
+                    semantic=self.semantic_depth > 0, src=src))
             return
         if self.skip or tag in _SKIP:
             self.skip += 1

@@ -18,7 +18,10 @@ re-implement any normalization rule elsewhere.
 
 from __future__ import annotations
 
+import base64
 import json
+import re
+import time
 from dataclasses import dataclass, field
 
 from .dom import Block, parse_blocks
@@ -42,6 +45,9 @@ class Extracted:
     error: str | None = None
     # spans: (start, end, kind, path) char offsets into ``text``
     spans: list[tuple[int, int, str, str]] = field(default_factory=list)
+    # images: (idx, uri, data) per ImageRefMode (operator C9; reference
+    # docs/usage.md:16 placeholder|embedded|referenced)
+    images: list[tuple[int, str | None, bytes | None]] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +149,8 @@ def serialize_text(blocks: list[Block]) -> tuple[str, list[tuple[int, int, str, 
     spans: list[tuple[int, int, str, str]] = []
     pos = 0
     for b in blocks:
+        if b.kind == "image":
+            continue  # pictures carry no text (md/doctags render them)
         if parts:
             pos += 2  # "\n\n"
         start = pos
@@ -150,6 +158,66 @@ def serialize_text(blocks: list[Block]) -> tuple[str, list[tuple[int, int, str, 
         pos += len(b.text)
         spans.append((start, pos, b.kind, b.path))
     return "\n\n".join(parts), spans
+
+
+_DATA_URI = re.compile(r"^data:image/([a-z0-9.+-]+);base64,(.*)$", re.I | re.S)
+
+
+def decode_data_uri(src: str | None) -> tuple[str | None, bytes | None]:
+    """data:image/<fmt>;base64,... -> (fmt, bytes); (None, None) otherwise."""
+    if not src:
+        return None, None
+    m = _DATA_URI.match(src)
+    if not m:
+        return None, None
+    try:
+        return m.group(1).lower(), base64.b64decode(m.group(2), validate=False)
+    except Exception:
+        return None, None
+
+
+def collect_images(blocks: list[Block], mode: str
+                   ) -> list[tuple[int, str | None, bytes | None]]:
+    """Per-document image artifacts (operator C9).  placeholder: refs
+    only; embedded: inline bytes decoded from data URIs; referenced:
+    deterministic relative sidecar paths (the zip-sink invariant —
+    every referenced uri exists as an artifact — mirrors the reference
+    test, tests/test_fastapi_endpoints.py:181-215)."""
+    out: list[tuple[int, str | None, bytes | None]] = []
+    i = 0
+    for b in blocks:
+        if b.kind != "image":
+            continue
+        fmt, data = decode_data_uri(b.src)
+        if mode == "referenced" and data is not None:
+            out.append((i, f"images/img_{i}.{fmt}", data))
+        elif mode == "embedded" and data is not None:
+            out.append((i, b.src, data))
+        else:
+            out.append((i, b.src if b.src and not b.src.startswith("data:")
+                        else None, None))
+        i += 1
+    return out
+
+
+def _md_image(b: Block, mode: str, img_idx: int) -> str:
+    if mode == "embedded" and b.src:
+        return f"![image]({b.src})"
+    if mode == "referenced":
+        fmt, data = decode_data_uri(b.src)
+        if data is not None:
+            return f"![image](images/img_{img_idx}.{fmt})"
+        if b.src:
+            return f"![image]({b.src})"
+    return "<!-- image -->"
+
+
+def _page_of(b: Block) -> int:
+    """PDF page number from the block's container path, 0 for HTML."""
+    cp = b.container_path
+    if cp.startswith("pdf/page["):
+        return int(cp[9:cp.index("]")])
+    return 0
 
 
 def _md_block(b: Block) -> str:
@@ -171,18 +239,34 @@ def _md_block(b: Block) -> str:
     return b.text
 
 
-def serialize_md(blocks: list[Block], page_break: str = "") -> str:
+def serialize_md(blocks: list[Block], page_break: str = "",
+                 image_mode: str = "placeholder") -> str:
     """Markdown serialization (reference md assertions: '## ' headings,
     test_1-url-all-outputs.py:74-79). Consecutive list items group with
-    single newlines; everything else separated by blank lines."""
+    single newlines; everything else separated by blank lines.  Images
+    render per ImageRefMode (C9); PDF page transitions insert
+    ``page_break`` when set (md_page_break_placeholder,
+    docs/usage.md:31)."""
     out: list[str] = []
     prev_list = False
+    prev_page: int | None = None
+    img_idx = 0
     for b in blocks:
-        piece = _md_block(b)
+        if b.kind == "image":
+            piece = _md_image(b, image_mode, img_idx)
+            img_idx += 1
+        else:
+            piece = _md_block(b)
+        page = _page_of(b)
         if out:
-            out.append("\n" if (b.kind == "list_item" and prev_list) else "\n\n")
+            if page_break and prev_page is not None and page != prev_page:
+                out.append("\n\n" + page_break + "\n\n")
+            else:
+                out.append("\n" if (b.kind == "list_item" and prev_list)
+                           else "\n\n")
         out.append(piece)
         prev_list = b.kind == "list_item"
+        prev_page = page
     return "".join(out)
 
 
@@ -192,7 +276,7 @@ def serialize_doctags(blocks: list[Block]) -> str:
     We emit <doctag> root with one tag per block + loc = block idx."""
     tag_for = {"heading": "section_header", "para": "text",
                "list_item": "list_item", "code": "code", "quote": "quote",
-               "table": "otsl", "caption": "caption"}
+               "table": "otsl", "caption": "caption", "image": "picture"}
     parts = ["<doctag>"]
     for i, b in enumerate(blocks):
         t = tag_for.get(b.kind, "text")
@@ -222,6 +306,8 @@ def serialize_html(blocks: list[Block]) -> str:
                 "<tr>" + "".join(f"<td>{esc(c)}</td>" for c in r) + "</tr>"
                 for r in b.cells)
             body.append(f"<table>{rows}</table>")
+        elif b.kind == "image":
+            body.append(f'<img src="{esc(b.src or "")}">')
         else:
             body.append(f"<p>{esc(b.text)}</p>")
     return ("<!DOCTYPE html>\n<html>\n<head></head>\n<body>\n"
@@ -247,7 +333,18 @@ def serialize_json(blocks: list[Block], url: str = "") -> str:
 
 def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
                      url: str = "") -> Extracted:
-    """bytes -> Extracted. Deterministic, total (never raises)."""
+    """bytes -> Extracted. Deterministic, total (never raises).
+
+    Per-document timeout (P4, reference datamodel/convert.py:33-40) is
+    checked at stage boundaries — a pure single-threaded kernel cannot
+    be preempted mid-parse, so the guarantee is "no document *continues*
+    past its deadline", matching abort_on_error=false semantics (the row
+    becomes status=failure, the job never dies)."""
+    t0 = time.monotonic()
+
+    def timed_out() -> bool:
+        return (time.monotonic() - t0) > opt.document_timeout
+
     try:
         if payload is None or len(payload) == 0:
             return Extracted(status="skipped", error="empty payload")
@@ -263,16 +360,24 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
             main = pdfmini.parse_pdf_blocks(payload, opt.page_range)
         else:
             main = select_main(parse_blocks(payload), opt)
+        if timed_out():
+            return Extracted(status="failure", fmt=fmt,
+                             error="document timeout")
         if not main:
             return Extracted(status="skipped", fmt=fmt, n_blocks=0,
                              error="no content")
         text, spans = serialize_text(main)
         res = Extracted(status="success", fmt=fmt, text=text, spans=spans,
-                        n_blocks=len(main))
+                        n_blocks=len(main),
+                        images=collect_images(main, opt.image_export_mode))
         if "md" in opt.to_formats:
-            res.text_md = serialize_md(main, opt.md_page_break_placeholder)
+            res.text_md = serialize_md(main, opt.md_page_break_placeholder,
+                                       opt.image_export_mode)
         if "doctags" in opt.to_formats:
             res.doctags = serialize_doctags(main)
+        if timed_out():
+            return Extracted(status="failure", fmt=fmt,
+                             error="document timeout")
         return res
     except Exception as e:  # abort_on_error=false semantics
         return Extracted(status="failure", error=f"{type(e).__name__}: {e}")

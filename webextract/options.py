@@ -31,6 +31,11 @@ class ConvertOptions:
     # markdown page-break placeholder (docs/usage.md:31)
     md_page_break_placeholder: str = ""
 
+    # image export mode (ImageRefMode placeholder|embedded|referenced,
+    # docs/usage.md:16; referenced-mode artifact invariant tested like
+    # the reference's zip test, tests/test_fastapi_endpoints.py:181-215)
+    image_export_mode: str = "placeholder"
+
     # main-content selection knobs (north_star: text/link-density scoring)
     min_block_chars: int = 15          # blocks shorter than this score less
     max_link_density: float = 0.35     # block-level admit threshold

@@ -83,6 +83,32 @@ def chunks_df(extracted: DataFrame, chunker: str = "hybrid",
                           CHUNK_SCHEMA_DDL)
 
 
+def write_artifacts(extracted: DataFrame, out_dir: str) -> None:
+    """Directory-of-artifacts sink — the reference's ZipTarget analogue
+    (response_preparation.py:47-54): per document a md file plus its
+    referenced image sidecars at the RELATIVE paths the markdown cites
+    (invariant mirrored from tests/test_fastapi_endpoints.py:181-215).
+
+    Executor-side foreachPartition writer; suitable for test/export
+    volumes — a 10^12-doc run would emit artifact *bundles* (tar/zip
+    per partition) instead of billions of small files."""
+    def _write(rows) -> None:
+        import hashlib
+        import os
+        for r in rows:
+            d = os.path.join(out_dir,
+                             hashlib.md5(r["url"].encode()).hexdigest()[:16])
+            os.makedirs(os.path.join(d, "images"), exist_ok=True)
+            with open(os.path.join(d, "doc.md"), "w") as f:
+                f.write(r["text_md"] or "")
+            for im in (r["images"] or []):
+                if im["data"] is not None and im["uri"]:
+                    with open(os.path.join(d, im["uri"]), "wb") as f:
+                        f.write(bytes(im["data"]))
+
+    extracted.select("url", "text_md", "images").foreachPartition(_write)
+
+
 def _wave_groups(parts: list[int], waves: int) -> list[list[int]]:
     if not parts:
         return []

@@ -31,17 +31,21 @@ SPAN_TYPE = pa.list_(pa.struct([
     ("start", pa.int64()), ("end", pa.int64()),
     ("kind", pa.string()), ("path", pa.string())]))
 
+IMAGE_TYPE = pa.list_(pa.struct([
+    ("idx", pa.int32()), ("uri", pa.string()), ("data", pa.large_binary())]))
+
 EXTRACT_SCHEMA_DDL = (
     "url string, warc_ts timestamp, lang string, status string, fmt string, "
     "text string, text_md string, "
     "spans array<struct<start:bigint,end:bigint,kind:string,path:string>>, "
+    "images array<struct<idx:int,uri:string,data:binary>>, "
     "n_blocks int, bytes_in bigint, error string")
 
 _EXTRACT_ARROW = pa.schema([
     ("url", pa.large_string()), ("warc_ts", pa.timestamp("us")),
     ("lang", pa.string()), ("status", pa.string()), ("fmt", pa.string()),
     ("text", pa.large_string()), ("text_md", pa.large_string()),
-    ("spans", SPAN_TYPE), ("n_blocks", pa.int32()),
+    ("spans", SPAN_TYPE), ("images", IMAGE_TYPE), ("n_blocks", pa.int32()),
     ("bytes_in", pa.int64()), ("error", pa.string())])
 
 
@@ -74,7 +78,8 @@ def make_extract_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
             for lo, hi in _split_by_budget(htmls, budget):
                 out = {"url": [], "warc_ts": [], "lang": [], "status": [],
                        "fmt": [], "text": [], "text_md": [], "spans": [],
-                       "n_blocks": [], "bytes_in": [], "error": []}
+                       "images": [], "n_blocks": [], "bytes_in": [],
+                       "error": []}
                 for i in range(lo, hi):
                     r = extract_document(htmls[i], opt, urls[i])
                     out["url"].append(urls[i])
@@ -87,6 +92,9 @@ def make_extract_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
                     out["spans"].append(
                         [{"start": s, "end": e, "kind": k, "path": p}
                          for (s, e, k, p) in r.spans])
+                    out["images"].append(
+                        [{"idx": i, "uri": u, "data": d}
+                         for (i, u, d) in r.images])
                     out["n_blocks"].append(r.n_blocks)
                     out["bytes_in"].append(len(htmls[i]) if htmls[i] else 0)
                     out["error"].append(r.error)
