@@ -99,19 +99,28 @@ def select_main(blocks: list[Block], opt: ConvertOptions) -> list[Block]:
     """
     if not blocks:
         return []
-    scores: dict[str, float] = {}
-    children: dict[str, set] = {}
+    # accumulate mass per unique container path first (blocks cluster in
+    # few containers), then spread each container's total up its prefix
+    # chain once — ~5-10× fewer prefix walks than per-block spreading
+    per_cpath: dict[str, float] = {}
     for b in blocks:
         mass = _block_mass(b, opt)
         if b.semantic:
             mass *= opt.semantic_boost
-        parts = b.container_path.split("/") if b.container_path else []
-        for i in range(len(parts) + 1):
-            prefix = "/".join(parts[:i])
+        per_cpath[b.container_path] = per_cpath.get(b.container_path, 0.0) + mass
+    scores: dict[str, float] = {}
+    children: dict[str, set] = {}
+    prefix_cache: dict[str, list[str]] = {}
+    for cpath, mass in per_cpath.items():
+        chain = prefix_cache.get(cpath)
+        if chain is None:
+            parts = cpath.split("/") if cpath else []
+            chain = ["/".join(parts[:i]) for i in range(len(parts) + 1)]
+            prefix_cache[cpath] = chain
+        for i, prefix in enumerate(chain):
             scores[prefix] = scores.get(prefix, 0.0) + mass
-            if i < len(parts):
-                child = "/".join(parts[:i + 1])
-                children.setdefault(prefix, set()).add(child)
+            if i + 1 < len(chain):
+                children.setdefault(prefix, set()).add(chain[i + 1])
     if scores.get("", 0.0) <= 0:
         return []
     chosen = ""
