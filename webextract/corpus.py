@@ -219,25 +219,21 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
     Hyperplane j's sign for a token is the high bit of hex digit j of
     md5(token) (engine-portable).  bit_j = sign of Σ_tokens ±count.
-    Two shuffles: token-count groupBy, then per-(doc,bit) sum — both
-    with map-side partials; output is one `bits`-char string per doc."""
+    Shape: token-count groupBy, then ONE aggregation with `bits` sum
+    columns — exploding a (doc, bit) row per token×bit would shuffle
+    bits× more rows (measured 5× slower).  Output is one `bits`-char
+    string per doc."""
     tok = (docs.select("doc_id", F.explode(TOKENS()).alias("token"))
            .groupBy("doc_id", "token").agg(F.count("*").alias("cnt")))
-    contrib = tok.select(
+    h = tok.select("doc_id", "cnt", F.md5("token").alias("h"))
+    sums = h.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.substring("h", j + 1, 1) >= F.lit("8"), F.col("cnt"))
+              .otherwise(-F.col("cnt"))).alias(f"s{j}")
+        for j in range(bits)])
+    return sums.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        F.col("cnt"), F.md5("token").alias("h"))
-    signed = contrib.withColumn(
-        "w", F.when(F.substring(F.col("h"), F.col("j") + 1, 1) >= F.lit("8"),
-                    F.col("cnt")).otherwise(-F.col("cnt")))
-    bitcol = (signed.groupBy("doc_id", "j")
-              .agg(F.sum("w").alias("s"))
-              .withColumn("bit", F.when(F.col("s") > 0, F.lit("1"))
-                          .otherwise(F.lit("0"))))
-    return (bitcol.groupBy("doc_id")
-            .agg(F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct("j", "bit"))),
-                            lambda x: x["bit"]), "").alias("simhash")))
+        F.concat(*[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                   for j in range(bits)]).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -396,11 +392,16 @@ def fingerprints(docs: DataFrame, gram: int = 5, window: int = 4) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     g = (docs.select("doc_id", F.md5("text").alias("fp_md5"),
                      TOKENS().alias("toks"))
-         .select("doc_id", "fp_md5", grams.alias("g")))
+         .select("doc_id", "fp_md5", grams.alias("g"))
+         .filter(F.size("g") >= window)
+         # exchange barrier: materializes `g` exactly once — without it
+         # CollapseProject inlines the gram expression into every
+         # element_at of the window-min pass (measured 3× recompute)
+         .repartition(F.col("doc_id")))
     wmins = F.transform(
         F.sequence(F.lit(1), F.size("g") - (window - 1)),
-        lambda i: F.array_min(F.slice(F.col("g"), i, window)))
-    return (g.filter(F.size("g") >= window)
-            .select("doc_id", "fp_md5",
+        lambda i: F.least(*[F.element_at(F.col("g"), i + k)
+                            for k in range(window)]))
+    return g.select("doc_id", "fp_md5",
                     F.size(F.array_distinct(wmins)).cast("long")
-                    .alias("n_winnow")))
+                    .alias("n_winnow"))
