@@ -76,8 +76,10 @@ def main() -> None:
     # -- registry queries over the sf tables ------------------------------
     for name in HEADLINE:
         q = QUERIES[name]
-        t0 = time.time()
-        _force(q(spark, sf_dir))
+        spark.catalog.clearCache()   # isolate: drop persisted frames of
+        _force(q(spark, sf_dir))     # earlier queries (LSH signatures);
+        t0 = time.time()             # first pass pays Catalyst+codegen
+        _force(q(spark, sf_dir))     # compile, timed pass is steady-state
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -396,8 +396,11 @@ def fingerprints(docs: DataFrame, gram: int = 5, window: int = 4) -> DataFrame:
          .filter(F.size("g") >= window)
          # exchange barrier: materializes `g` exactly once — without it
          # CollapseProject inlines the gram expression into every
-         # element_at of the window-min pass (measured 3× recompute)
-         .repartition(F.col("doc_id")))
+         # element_at of the window-min pass (measured 3× recompute).
+         # Explicit partition count: AQE would coalesce a column-only
+         # repartition of this small-bytes frame to ~1 partition and
+         # serialize the (CPU-heavy) window-min pass.
+         .repartition(64, F.col("doc_id")))
     wmins = F.transform(
         F.sequence(F.lit(1), F.size("g") - (window - 1)),
         lambda i: F.least(*[F.element_at(F.col("g"), i + k)
