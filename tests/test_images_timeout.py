@@ -123,3 +123,17 @@ def test_synth_images_roundtrip():
             if uri and uri.startswith("images/"):
                 assert data is not None and data[:4] == bytes([137, 80, 78, 71])
     assert n_imgs > 0
+
+
+def test_to_formats_projection():
+    """P5: only requested output formats are populated (docs/usage.md:15)."""
+    from webextract.extract import extract_document
+    all_opt = ConvertOptions(to_formats=("md", "text", "doctags", "html", "json"))
+    r = extract_document(PAGE, all_opt)
+    assert r.text_md.startswith("# Pictures and text")
+    assert r.doctags.startswith("<doctag><section_header>")
+    assert r.text_html.startswith("<!DOCTYPE html>\n<html>\n<head>")
+    assert '"schema_name"' in r.text_json
+    minimal = extract_document(PAGE, ConvertOptions(to_formats=("text",)))
+    assert minimal.text and not minimal.text_md and not minimal.doctags \
+        and not minimal.text_html and not minimal.text_json

@@ -40,6 +40,8 @@ class Extracted:
     text: str = ""
     text_md: str = ""
     doctags: str = ""
+    text_html: str = ""
+    text_json: str = ""
     n_blocks: int = 0
     fmt: str = "html"
     error: str | None = None
@@ -379,11 +381,17 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
         res = Extracted(status="success", fmt=fmt, text=text, spans=spans,
                         n_blocks=len(main),
                         images=collect_images(main, opt.image_export_mode))
+        # output-format projection (P5, docs/usage.md:15,408): only the
+        # requested formats are populated, others stay empty/null
         if "md" in opt.to_formats:
             res.text_md = serialize_md(main, opt.md_page_break_placeholder,
                                        opt.image_export_mode)
         if "doctags" in opt.to_formats:
             res.doctags = serialize_doctags(main)
+        if "html" in opt.to_formats:
+            res.text_html = serialize_html(main)
+        if "json" in opt.to_formats:
+            res.text_json = serialize_json(main, url)
         if timed_out():
             return Extracted(status="failure", fmt=fmt,
                              error="document timeout")

@@ -101,14 +101,17 @@ class IceTable:
         return os.path.join(self.files_dir, run_id, f"wave-{wave:04d}")
 
     def commit(self, run_id: str, partitions: list[dict],
-               committed_at: str) -> str:
+               committed_at: str, versions: dict | None = None) -> str:
         """partitions: [{part_id, files: [...], counters: {...}}].
-        Atomic snapshot append; returns the new snapshot id."""
+        Atomic snapshot append; returns the new snapshot id.
+        ``versions`` records component versions in the snapshot (the
+        reference's /version endpoint analogue, helper_functions.py:12-21)."""
         snap_id = uuid.uuid4().hex[:16]
         snap = {"snapshot_id": snap_id,
                 "parent_id": self.current_snapshot_id(),
                 "run_id": run_id,
                 "committed_at": committed_at,
+                "versions": versions or {},
                 "partitions": partitions}
         path = os.path.join(self.meta_dir, f"snap-{snap_id}.json")
         tmp = path + ".tmp"

@@ -175,8 +175,11 @@ def run_extract(spark: SparkSession, pages: DataFrame, table_root: str,
                  if k != "part_id"}
             c["wall_ms"] = wall_ms
             parts_meta.append({"part_id": p, "files": files, "counters": c})
+        from . import __version__
         snap = table.commit(run_id, parts_meta,
-                            datetime.datetime.utcnow().isoformat())
+                            datetime.datetime.utcnow().isoformat(),
+                            versions={"webextract": __version__,
+                                      "spark": spark.version})
         summary["waves"].append({
             "wave": wi, "snapshot_id": snap, "parts": wave_parts,
             "num_docs": sum(m["counters"]["num_docs"] for m in parts_meta),

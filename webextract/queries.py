@@ -229,6 +229,29 @@ def q_events_hourly(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_pipeline_counters(spark, sf_dir):
+    """End-to-end wave pipeline over documents-derived pages (incl. the
+    IceTable snapshot commit protocol), verified through the committed
+    LINEAGE counters (T10: counters ≡ processing_meta,
+    orchestrator_factory.py:104-106).  A fresh table root per call keeps
+    the query idempotent."""
+    import tempfile
+
+    from .icetable import IceTable
+    from .pipeline import run_extract
+
+    pages = docs_to_pages(_read(spark, sf_dir, "documents"), empty_mod=50)
+    root = tempfile.mkdtemp(prefix="wx_counters_")
+    run_extract(spark, pages, root, partitions=8, waves=2, cpus=4)
+    lin = IceTable(root).lineage_df(spark)
+    return lin.agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("num_docs").cast("long").alias("n_docs"),
+        F.sum("num_succeeded").cast("long").alias("n_success"),
+        F.sum("num_skipped").cast("long").alias("n_skipped"),
+        F.sum("bytes_out").cast("long").alias("bytes_out"))
+
+
 def q_resume_pending(spark, sf_dir):
     """Checkpoint-resume anti-join shape (T10): committed partitions are
     skipped via a broadcast left-anti join on part_id."""
@@ -267,6 +290,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_hourly": q_events_hourly,
     "resume_pending": q_resume_pending,
+    "pipeline_counters": q_pipeline_counters,
 }
 
 # ---------------------------------------------------------------------------
@@ -598,4 +622,17 @@ ORACLES = {
         SELECT doc_id % 16 AS part_id, count(*)::BIGINT AS n_pending
         FROM documents WHERE (doc_id % 16) % 2 = 1
         GROUP BY doc_id % 16""",
+
+    "pipeline_counters": """
+        SELECT 8::BIGINT AS n_parts,
+               count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN doc_id % 50 = 3 THEN 0 ELSE 1 END)::BIGINT
+                 AS n_success,
+               sum(CASE WHEN doc_id % 50 = 3 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_skipped,
+               sum(CASE WHEN doc_id % 50 = 3 THEN 0
+                        ELSE length('Document ' || doc_id || chr(10)
+                                    || chr(10) || text) END)::BIGINT
+                 AS bytes_out
+        FROM documents""",
 }

@@ -36,7 +36,8 @@ IMAGE_TYPE = pa.list_(pa.struct([
 
 EXTRACT_SCHEMA_DDL = (
     "url string, warc_ts timestamp, lang string, status string, fmt string, "
-    "text string, text_md string, "
+    "text string, text_md string, doctags string, text_html string, "
+    "text_json string, "
     "spans array<struct<start:bigint,end:bigint,kind:string,path:string>>, "
     "images array<struct<idx:int,uri:string,data:binary>>, "
     "n_blocks int, bytes_in bigint, error string")
@@ -45,6 +46,8 @@ _EXTRACT_ARROW = pa.schema([
     ("url", pa.large_string()), ("warc_ts", pa.timestamp("us")),
     ("lang", pa.string()), ("status", pa.string()), ("fmt", pa.string()),
     ("text", pa.large_string()), ("text_md", pa.large_string()),
+    ("doctags", pa.large_string()), ("text_html", pa.large_string()),
+    ("text_json", pa.large_string()),
     ("spans", SPAN_TYPE), ("images", IMAGE_TYPE), ("n_blocks", pa.int32()),
     ("bytes_in", pa.int64()), ("error", pa.string())])
 
@@ -77,7 +80,8 @@ def make_extract_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
             langs = cols["lang"].to_pylist() if "lang" in cols else [None] * len(urls)
             for lo, hi in _split_by_budget(htmls, budget):
                 out = {"url": [], "warc_ts": [], "lang": [], "status": [],
-                       "fmt": [], "text": [], "text_md": [], "spans": [],
+                       "fmt": [], "text": [], "text_md": [], "doctags": [],
+                       "text_html": [], "text_json": [], "spans": [],
                        "images": [], "n_blocks": [], "bytes_in": [],
                        "error": []}
                 for i in range(lo, hi):
@@ -89,6 +93,9 @@ def make_extract_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
                     out["fmt"].append(r.fmt)
                     out["text"].append(r.text)
                     out["text_md"].append(r.text_md)
+                    out["doctags"].append(r.doctags)
+                    out["text_html"].append(r.text_html)
+                    out["text_json"].append(r.text_json)
                     out["spans"].append(
                         [{"start": s, "end": e, "kind": k, "path": p}
                          for (s, e, k, p) in r.spans])
