@@ -366,6 +366,8 @@ _TOKEN = re.compile(
     r"|<![^>]*>"                 # doctype / declarations
     r"|<\?[^>]*>"                # processing instructions
     r"|</?[a-zA-Z][^>]*>"        # start/end tags
+    r"|</[^>]*(?:>|$)"           # bogus end tag ('</' + non-letter):
+                                 # html5 bogus comment, consumed silently
     r"|[^<]+",                   # text runs
     re.S)
 _TAGNAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
@@ -408,7 +410,13 @@ def _fast_feed(p: _Parser, text: str) -> None:
             continue
         tm = _TAGNAME.match(tok)
         if tm is None:
+            if tok.startswith("</"):
+                continue        # bogus comment: swallowed, no event
             p.handle_data(tok)  # '<' followed by non-letter: literal text
+            continue
+        if "<" in tok[1:]:
+            # malformed tag containing '<' (e.g. '<a<p>'): html.parser
+            # swallows the whole slice without an event — match that
             continue
         name = tm.group(1).lower()
         if c2 == "</":
