@@ -78,7 +78,8 @@ def test_minhash_plan_is_projection_until_bucket_join(spark):
     to the signature posexplode (Generate) is a narrow projection; only
     the k-rows-per-doc band groupBy exchanges."""
     from webextract.corpus import lsh_band_keys
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spark.catalog.clearCache()  # cached LSH frames from other tests would
+    docs = spark.read.parquet(f"{SF}/documents.parquet")  # rewrite the plan
     plan = _plan(lsh_band_keys(docs))
     # formatted plans print top-down: nodes BELOW Generate in the tree
     # section are its inputs — the shingle/signature projections

@@ -392,52 +392,65 @@ def _parse_attrs(tag_body: str):
 
 
 def _fast_feed(p: _Parser, text: str) -> None:
-    pos, n = 0, len(text)
+    n = len(text)
+    pos = 0
     low = None  # lazily lowered copy for rawtext end scan
+    handle_data = p.handle_data
+    handle_start = p.handle_starttag
+    handle_end = p.handle_endtag
+    unescape = _html_mod.unescape
+    tagname_match = _TAGNAME.match
     while pos < n:
-        m = _TOKEN.match(text, pos)
-        if m is None:           # lone '<' at EOF or before another '<'
-            p.handle_data(text[pos])
-            pos += 1
-            continue
-        tok = m.group(0)
-        pos = m.end()
-        c2 = tok[:2]
-        if c2 in ("<!", "<?"):
-            continue            # comment / doctype / decl / PI
-        if tok[0] != "<":
-            p.handle_data(_html_mod.unescape(tok) if "&" in tok else tok)
-            continue
-        tm = _TAGNAME.match(tok)
-        if tm is None:
-            if tok.startswith("</"):
-                continue        # bogus comment: swallowed, no event
-            p.handle_data(tok)  # '<' followed by non-letter: literal text
-            continue
-        if "<" in tok[1:]:
-            # malformed tag containing '<' (e.g. '<a<p>'): html.parser
-            # swallows the whole slice without an event — match that
-            continue
-        name = tm.group(1).lower()
-        if c2 == "</":
-            p.handle_endtag(name)
-            continue
-        attrs = (_parse_attrs(tok[tm.end():-1])
-                 if name in _WANT_ATTRS else [])
-        p.handle_starttag(name, attrs)
-        if name in _RAWTEXT and not tok.endswith("/>"):
-            # rawtext content mode: no tags/entities until the end tag
-            if low is None:
-                low = text.lower()
-            end = low.find("</" + name, pos)
-            if end == -1:
-                p.handle_data(text[pos:])
-                pos = n
-            else:
-                p.handle_data(text[pos:end])
-                close = low.find(">", end)
-                pos = n if close == -1 else close + 1
-            p.handle_endtag(name)
+        restart = False
+        for m in _TOKEN.finditer(text, pos):
+            s = m.start()
+            if s > pos:         # lone '<'s matching no alternative
+                handle_data(text[pos:s])
+            tok = m.group(0)
+            pos = m.end()
+            if tok[0] != "<":
+                handle_data(unescape(tok) if "&" in tok else tok)
+                continue
+            c1 = tok[1]
+            if c1 == "!" or c1 == "?":
+                continue        # comment / doctype / decl / PI
+            tm = tagname_match(tok)
+            if tm is None:
+                if c1 == "/":
+                    continue    # bogus comment: swallowed, no event
+                handle_data(tok)   # '<' + non-letter: literal text
+                continue
+            if "<" in tok[1:]:
+                # malformed tag containing '<' (e.g. '<a<p>'):
+                # html.parser swallows the slice without an event
+                continue
+            name = tm.group(1).lower()
+            if c1 == "/":
+                handle_end(name)
+                continue
+            attrs = (_parse_attrs(tok[tm.end():-1])
+                     if name in _WANT_ATTRS else [])
+            handle_start(name, attrs)
+            if name in _RAWTEXT and not tok.endswith("/>"):
+                # rawtext mode: no tags/entities until the end tag;
+                # jump + restart the scanner at the new position
+                if low is None:
+                    low = text.lower()
+                end = low.find("</" + name, pos)
+                if end == -1:
+                    handle_data(text[pos:])
+                    pos = n
+                else:
+                    handle_data(text[pos:end])
+                    close = low.find(">", end)
+                    pos = n if close == -1 else close + 1
+                handle_end(name)
+                restart = True
+                break
+        if not restart:
+            if pos < n:         # trailing lone '<'s
+                handle_data(text[pos:])
+            pos = n
 
 
 import html as _html_mod  # noqa: E402  (entity table shared with html.parser)
