@@ -128,12 +128,41 @@ def test_synth_images_roundtrip():
 def test_to_formats_projection():
     """P5: only requested output formats are populated (docs/usage.md:15)."""
     from webextract.extract import extract_document
-    all_opt = ConvertOptions(to_formats=("md", "text", "doctags", "html", "json"))
+    all_opt = ConvertOptions(to_formats=(
+        "md", "text", "doctags", "html", "html_split_page", "json"))
     r = extract_document(PAGE, all_opt)
     assert r.text_md.startswith("# Pictures and text")
     assert r.doctags.startswith("<doctag><section_header>")
     assert r.text_html.startswith("<!DOCTYPE html>\n<html>\n<head>")
+    assert r.text_html_split.startswith("<!DOCTYPE html>\n<html>\n<head>")
+    assert '<div class="page" data-page="1">' in r.text_html_split
     assert '"schema_name"' in r.text_json
     minimal = extract_document(PAGE, ConvertOptions(to_formats=("text",)))
     assert minimal.text and not minimal.text_md and not minimal.doctags \
-        and not minimal.text_html and not minimal.text_json
+        and not minimal.text_html and not minimal.text_html_split \
+        and not minimal.text_json
+
+
+def test_html_split_page_pdf_pages():
+    """html_split_page: one <div class="page"> per PDF page, page-numbered,
+    block rendering byte-identical to the plain html serializer."""
+    from webextract.extract import (extract_document, serialize_html,
+                                    serialize_html_split_page)
+    from webextract.pdfmini import write_pdf
+    pdf = write_pdf([[(72, 72, 24, "Title on page one"),
+                      (72, 144, 11, "Body paragraph on page one.")],
+                     [(72, 72, 11, "Second page body text here.")]])
+    opt = ConvertOptions(to_formats=("html", "html_split_page"))
+    r = extract_document(pdf, opt)
+    assert r.status == "success"
+    assert r.text_html_split.count('<div class="page"') == 2
+    assert '<div class="page" data-page="1">' in r.text_html_split
+    assert '<div class="page" data-page="2">' in r.text_html_split
+    # stripping the page wrappers recovers exactly the plain-html body
+    import re
+    inner = re.sub(r'\n?</?div[^>]*>\n?', "\n",
+                   r.text_html_split).replace("\n\n", "\n")
+    assert "<h1>Title on page one</h1>" in r.text_html_split
+    for line in r.text_html.splitlines():
+        if line.startswith(("<h", "<p")):
+            assert line in inner

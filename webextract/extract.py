@@ -41,6 +41,7 @@ class Extracted:
     text_md: str = ""
     doctags: str = ""
     text_html: str = ""
+    text_html_split: str = ""
     text_json: str = ""
     n_blocks: int = 0
     fmt: str = "html"
@@ -296,33 +297,58 @@ def serialize_doctags(blocks: list[Block]) -> str:
     return "".join(parts)
 
 
+def _esc_html(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _html_block(b: Block) -> str:
+    """One block -> HTML element. Single definition shared by the html
+    and html_split_page serializers (byte-identity contract)."""
+    esc = _esc_html
+    if b.kind == "heading":
+        lv = max(1, b.heading_level)
+        return f"<h{lv}>{esc(b.text)}</h{lv}>"
+    if b.kind == "list_item":
+        return f"<li>{esc(b.text)}</li>"
+    if b.kind == "code":
+        return f"<pre><code>{esc(b.text)}</code></pre>"
+    if b.kind == "quote":
+        return f"<blockquote>{esc(b.text)}</blockquote>"
+    if b.kind == "table" and b.cells:
+        rows = "".join(
+            "<tr>" + "".join(f"<td>{esc(c)}</td>" for c in r) + "</tr>"
+            for r in b.cells)
+        return f"<table>{rows}</table>"
+    if b.kind == "image":
+        return f'<img src="{esc(b.src or "")}">'
+    return f"<p>{esc(b.text)}</p>"
+
+
 def serialize_html(blocks: list[Block]) -> str:
     """HTML serialization (reference asserts '<!DOCTYPE html>\\n<html>\\n<head>'
     prefix, test_1-url-all-outputs.py:98-103)."""
-    esc = lambda s: (s.replace("&", "&amp;").replace("<", "&lt;")
-                     .replace(">", "&gt;"))
-    body: list[str] = []
-    for b in blocks:
-        if b.kind == "heading":
-            lv = max(1, b.heading_level)
-            body.append(f"<h{lv}>{esc(b.text)}</h{lv}>")
-        elif b.kind == "list_item":
-            body.append(f"<li>{esc(b.text)}</li>")
-        elif b.kind == "code":
-            body.append(f"<pre><code>{esc(b.text)}</code></pre>")
-        elif b.kind == "quote":
-            body.append(f"<blockquote>{esc(b.text)}</blockquote>")
-        elif b.kind == "table" and b.cells:
-            rows = "".join(
-                "<tr>" + "".join(f"<td>{esc(c)}</td>" for c in r) + "</tr>"
-                for r in b.cells)
-            body.append(f"<table>{rows}</table>")
-        elif b.kind == "image":
-            body.append(f'<img src="{esc(b.src or "")}">')
-        else:
-            body.append(f"<p>{esc(b.text)}</p>")
+    body = [_html_block(b) for b in blocks]
     return ("<!DOCTYPE html>\n<html>\n<head></head>\n<body>\n"
             + "\n".join(body) + "\n</body>\n</html>")
+
+
+def serialize_html_split_page(blocks: list[Block]) -> str:
+    """html_split_page output format (reference OutputFormat enum,
+    docs/usage.md:15): same HTML rendering, but each source page wrapped
+    in its own <div class="page"> container — HTML docs yield one page
+    div, PDFs one per parsed page (page number from the block's
+    pdf/page[N] container path)."""
+    pages: list[tuple[int, list[str]]] = []
+    for b in blocks:
+        page = _page_of(b)
+        if not pages or pages[-1][0] != page:
+            pages.append((page, []))
+        pages[-1][1].append(_html_block(b))
+    # PDF pages are 1-based (pdfmini page_range); HTML blocks report 0
+    divs = [f'<div class="page" data-page="{p if p > 0 else 1}">\n'
+            + "\n".join(body) + "\n</div>" for p, body in pages]
+    return ("<!DOCTYPE html>\n<html>\n<head></head>\n<body>\n"
+            + "\n".join(divs) + "\n</body>\n</html>")
 
 
 def serialize_json(blocks: list[Block], url: str = "") -> str:
@@ -390,6 +416,8 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
             res.doctags = serialize_doctags(main)
         if "html" in opt.to_formats:
             res.text_html = serialize_html(main)
+        if "html_split_page" in opt.to_formats:
+            res.text_html_split = serialize_html_split_page(main)
         if "json" in opt.to_formats:
             res.text_json = serialize_json(main, url)
         if timed_out():

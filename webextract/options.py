@@ -59,4 +59,4 @@ class ConvertOptions:
 DEFAULT_OPTIONS = ConvertOptions()
 
 # Output-format names (reference OutputFormat enum, docs/usage.md:15).
-OUTPUT_FORMATS = ("md", "json", "html", "text", "doctags")
+OUTPUT_FORMATS = ("md", "json", "html", "html_split_page", "text", "doctags")

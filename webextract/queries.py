@@ -57,6 +57,19 @@ def q_extract_markdown(spark, sf_dir):
             .select("doc_id", F.col("text_md").alias("text_md")))
 
 
+def q_extract_html_split(spark, sf_dir):
+    """C10: html + html_split_page serializers, oracle-checked
+    byte-for-byte (the docpages article is one heading + one para, so
+    the rendered HTML is exactly expressible in SQL)."""
+    from .options import DEFAULT_OPTIONS
+    pages = docs_to_pages(_read(spark, sf_dir, "documents"))
+    opt = DEFAULT_OPTIONS.with_(
+        to_formats=("text", "html", "html_split_page"))
+    return (_doc_id(extracted_df(pages, opt, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "text_html", "text_html_split"))
+
+
 def q_extract_status_counts(spark, sf_dir):
     return (_extract(spark, sf_dir, empty_mod=50)
             .groupBy("status")
@@ -266,6 +279,7 @@ def q_resume_pending(spark, sf_dir):
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_markdown": q_extract_markdown,
+    "extract_html_split": q_extract_html_split,
     "extract_status_counts": q_extract_status_counts,
     "extract_spans": q_extract_spans,
     "chunk_hybrid": q_chunk_hybrid,
@@ -317,6 +331,28 @@ ORACLES = {
         SELECT doc_id,
                '# Document ' || doc_id || chr(10) || chr(10) || text AS text_md
         FROM documents""",
+
+    "extract_html_split": """
+        WITH e AS (SELECT doc_id,
+                          replace(replace(replace(text, '&', '&amp;'),
+                                  '<', '&lt;'), '>', '&gt;') AS esc
+                   FROM documents),
+        b AS (SELECT doc_id,
+                     '<h1>Document ' || doc_id || '</h1>' || chr(10)
+                     || '<p>' || esc || '</p>' AS body
+              FROM e)
+        SELECT doc_id,
+               '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10)
+               || '<head></head>' || chr(10) || '<body>' || chr(10)
+               || body || chr(10) || '</body>' || chr(10) || '</html>'
+                 AS text_html,
+               '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10)
+               || '<head></head>' || chr(10) || '<body>' || chr(10)
+               || '<div class="page" data-page="1">' || chr(10)
+               || body || chr(10) || '</div>'
+               || chr(10) || '</body>' || chr(10) || '</html>'
+                 AS text_html_split
+        FROM b""",
 
     "extract_status_counts": """
         SELECT status, count(*)::BIGINT AS n_docs, sum(nb)::BIGINT AS n_blocks

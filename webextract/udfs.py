@@ -37,7 +37,7 @@ IMAGE_TYPE = pa.list_(pa.struct([
 EXTRACT_SCHEMA_DDL = (
     "url string, warc_ts timestamp, lang string, status string, fmt string, "
     "text string, text_md string, doctags string, text_html string, "
-    "text_json string, "
+    "text_html_split string, text_json string, "
     "spans array<struct<start:bigint,end:bigint,kind:string,path:string>>, "
     "images array<struct<idx:int,uri:string,data:binary>>, "
     "n_blocks int, bytes_in bigint, error string")
@@ -47,7 +47,7 @@ _EXTRACT_ARROW = pa.schema([
     ("lang", pa.string()), ("status", pa.string()), ("fmt", pa.string()),
     ("text", pa.large_string()), ("text_md", pa.large_string()),
     ("doctags", pa.large_string()), ("text_html", pa.large_string()),
-    ("text_json", pa.large_string()),
+    ("text_html_split", pa.large_string()), ("text_json", pa.large_string()),
     ("spans", SPAN_TYPE), ("images", IMAGE_TYPE), ("n_blocks", pa.int32()),
     ("bytes_in", pa.int64()), ("error", pa.string())])
 
@@ -81,9 +81,9 @@ def make_extract_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
             for lo, hi in _split_by_budget(htmls, budget):
                 out = {"url": [], "warc_ts": [], "lang": [], "status": [],
                        "fmt": [], "text": [], "text_md": [], "doctags": [],
-                       "text_html": [], "text_json": [], "spans": [],
-                       "images": [], "n_blocks": [], "bytes_in": [],
-                       "error": []}
+                       "text_html": [], "text_html_split": [],
+                       "text_json": [], "spans": [], "images": [],
+                       "n_blocks": [], "bytes_in": [], "error": []}
                 for i in range(lo, hi):
                     r = extract_document(htmls[i], opt, urls[i])
                     out["url"].append(urls[i])
@@ -95,6 +95,7 @@ def make_extract_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
                     out["text_md"].append(r.text_md)
                     out["doctags"].append(r.doctags)
                     out["text_html"].append(r.text_html)
+                    out["text_html_split"].append(r.text_html_split)
                     out["text_json"].append(r.text_json)
                     out["spans"].append(
                         [{"start": s, "end": e, "kind": k, "path": p}
