@@ -87,3 +87,46 @@ def docs_to_pages(docs: DataFrame, para_tokens: int = 0,
             })
 
     return docs.select("doc_id", "text", "lang").mapInArrow(gen, PAGES_SCHEMA)
+
+
+RUNS_PER_PAGE = 20
+
+
+def build_pdf_page(doc_id: int, text: str, run_tokens: int = 12) -> bytes:
+    """One mini-PDF payload per document: paragraphs of ``run_tokens``
+    tokens laid out top-to-bottom, RUNS_PER_PAGE runs per page, emitted
+    in REVERSED wire order — the parser must reconstruct reading order
+    (operator C4) before the output can match the SQL oracle."""
+    from .pdfmini import write_pdf
+    toks = text.split(" ")
+    runs = [" ".join(toks[i:i + run_tokens])
+            for i in range(0, len(toks), run_tokens)]
+    pages: list[list[tuple[int, int, int, str]]] = []
+    for j, run in enumerate(runs):
+        if j % RUNS_PER_PAGE == 0:
+            pages.append([])
+        pages[-1].append((72, 72 + 30 * (j % RUNS_PER_PAGE), 11, run))
+    shuffled = [list(reversed(p)) for p in pages]
+    return write_pdf(shuffled)
+
+
+def docs_to_pdf_pages(docs: DataFrame, run_tokens: int = 12) -> DataFrame:
+    """documents → input_hint page frame whose payloads are mini-PDFs
+    (format-sniff dispatch C1 routes them to pdfmini)."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            langs = b.column("lang").to_pylist()
+            yield pa.RecordBatch.from_pydict({
+                "url": pa.array([f"doc://{i}" for i in ids], pa.large_string()),
+                "warc_ts": pa.array([None] * len(ids), pa.timestamp("us")),
+                "html": pa.array([build_pdf_page(i, t, run_tokens)
+                                  for i, t in zip(ids, texts)],
+                                 pa.large_binary()),
+                "text": pa.array(texts, pa.large_string()),
+                "lang": pa.array(langs, pa.string()),
+            })
+
+    return docs.select("doc_id", "text", "lang").mapInArrow(gen, PAGES_SCHEMA)

@@ -86,6 +86,31 @@ def q_extract_spans(spark, sf_dir):
                     F.col("s.kind").alias("kind")))
 
 
+def q_extract_pdf_text(spark, sf_dir):
+    """C4: PDF parse + reading-order reconstruction, oracle-checked.
+    Payloads are mini-PDFs with runs in REVERSED wire order; the output
+    only matches the oracle if the (page, column, y-band, x) sort
+    restores reading order."""
+    from .docpages import docs_to_pdf_pages
+    pages = docs_to_pdf_pages(_read(spark, sf_dir, "documents"))
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
+def q_extract_pdf_page_slice(spark, sf_dir):
+    """P2: page_range slice (docs/usage.md:25) — convert only pages 2-3
+    of each mini-PDF (runs 21-60 of the reading order)."""
+    from .docpages import docs_to_pdf_pages
+    from .options import DEFAULT_OPTIONS
+    pages = docs_to_pdf_pages(_read(spark, sf_dir, "documents"),
+                              run_tokens=2)
+    opt = DEFAULT_OPTIONS.with_(page_range=(2, 3))
+    return (_doc_id(extracted_df(pages, opt, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "text"))
+
+
 def q_chunk_hybrid(spark, sf_dir):
     out = _extract(spark, sf_dir)
     return (chunks_df(out, "hybrid", 64)
@@ -280,6 +305,8 @@ QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_markdown": q_extract_markdown,
     "extract_html_split": q_extract_html_split,
+    "extract_pdf_text": q_extract_pdf_text,
+    "extract_pdf_page_slice": q_extract_pdf_page_slice,
     "extract_status_counts": q_extract_status_counts,
     "extract_spans": q_extract_spans,
     "chunk_hybrid": q_chunk_hybrid,
@@ -353,6 +380,30 @@ ORACLES = {
                || chr(10) || '</body>' || chr(10) || '</html>'
                  AS text_html_split
         FROM b""",
+
+    "extract_pdf_text": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        w AS (SELECT doc_id, i,
+                     array_to_string(
+                       toks[((i-1)*12+1):(least(i*12, len(toks)))], ' ') AS run
+              FROM t, unnest(generate_series(
+                       1, cast(ceil(len(toks)/12.0) AS BIGINT))) AS u(i))
+        SELECT doc_id, 'pdf' AS fmt,
+               string_agg(run, chr(10) || chr(10) ORDER BY i) AS text
+        FROM w GROUP BY doc_id""",
+
+    "extract_pdf_page_slice": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        w AS (SELECT doc_id, i,
+                     array_to_string(
+                       toks[((i-1)*2+1):(least(i*2, len(toks)))], ' ') AS run
+              FROM t, unnest(generate_series(
+                       1, cast(ceil(len(toks)/2.0) AS BIGINT))) AS u(i))
+        SELECT doc_id,
+               string_agg(run, chr(10) || chr(10) ORDER BY i) AS text
+        FROM w WHERE i BETWEEN 21 AND 60 GROUP BY doc_id""",
 
     "extract_status_counts": """
         SELECT status, count(*)::BIGINT AS n_docs, sum(nb)::BIGINT AS n_blocks
