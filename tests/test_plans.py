@@ -39,11 +39,31 @@ def test_extraction_scan_prunes_naive_text(spark):
 
 
 def test_extraction_plan_has_no_shuffle(spark):
+    """extracted_df over a pages scan is a pure narrow map — raw HTML
+    payloads are never exchanged (north_rule plan shape)."""
+    from webextract.docpages import docs_to_pages
+    from webextract.pipeline import extracted_df
+    pages_dir = "/tmp/wx_plan_pages_ns"
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    docs_to_pages(docs).write.mode("overwrite").parquet(pages_dir)
+    out = extracted_df(spark.read.parquet(pages_dir), cpus=4)
+    assert "Exchange" not in _plan(out)
+
+
+def test_docpages_spread_exchanges_no_payload(spark):
+    """The documents→pages gate adapter repartitions for parallelism,
+    but the exchange may carry only the tiny doc rows: the html payload
+    is BUILT by the kernel after the exchange, never shuffled."""
     from webextract.docpages import docs_to_pages
     from webextract.pipeline import extracted_df
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    out = extracted_df(docs_to_pages(docs), cpus=4)
-    assert "Exchange" not in _plan(out)
+    plan = _plan(extracted_df(docs_to_pages(docs), cpus=4))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    scan = plan[plan.index("Scan parquet"):]
+    schema_line = next(l for l in scan.splitlines()
+                       if l.startswith("ReadSchema"))
+    assert "html" not in schema_line, schema_line
 
 
 def test_resume_antijoin_is_broadcast(spark):

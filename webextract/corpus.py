@@ -378,29 +378,30 @@ def fingerprints(docs: DataFrame, gram: int = 5, window: int = 4) -> DataFrame:
     Winnowing (Schleimer et al., SIGMOD'03): hash every token `gram`-gram,
     keep the min hash of each sliding window of `window` positions, count
     distinct kept hashes.  Computed entirely in the array domain (pure
-    projection, zero shuffle) — the posexplode + bounded-frame window-min
-    alternative shuffles every gram row and measured ~10 s at sf0.1 vs
-    ~1 s for this shape.  Docs with no full window are excluded (operator
-    contract, mirrored in the oracle)."""
+    projection, zero payload shuffle) — the posexplode + bounded-frame
+    window-min alternative shuffles every gram row and measured ~10 s at
+    sf0.1 vs <1 s for this shape.  Docs with no full window are excluded
+    (operator contract, mirrored in the oracle).
+
+    Plan order matters: the admission filter runs on the CHEAP token
+    count (size(toks) >= gram+window-1 ⟺ n_grams >= window) BEFORE the
+    gram projection, and the exchange barrier sits between tokenization
+    and gram-hashing.  Filtering on size(g) instead evaluated the md5
+    gram expression once in the pushed-down predicate and again in the
+    projection (measured 7 s vs 0.6 s at sf0.1 — a 10× recompute+
+    pushdown trap).  The barrier also keeps the CPU-heavy gram/window
+    pass spread over 64 tasks (AQE would coalesce this small-bytes
+    frame to ~1 partition)."""
     toks = F.col("toks")
-    grams = F.when(
-        F.size(toks) >= gram,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (gram - 1)),
-            lambda i: F.md5(F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(gram)])))
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (gram - 1)),
+        lambda i: F.md5(F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(gram)])))
     g = (docs.select("doc_id", F.md5("text").alias("fp_md5"),
                      TOKENS().alias("toks"))
-         .select("doc_id", "fp_md5", grams.alias("g"))
-         .filter(F.size("g") >= window)
-         # exchange barrier: materializes `g` exactly once — without it
-         # CollapseProject inlines the gram expression into every
-         # element_at of the window-min pass (measured 3× recompute).
-         # Explicit partition count: AQE would coalesce a column-only
-         # repartition of this small-bytes frame to ~1 partition and
-         # serialize the (CPU-heavy) window-min pass.
-         .repartition(64, F.col("doc_id")))
+         .filter(F.size("toks") >= gram + window - 1)
+         .repartition(64, F.col("doc_id"))
+         .select("doc_id", "fp_md5", grams.alias("g")))
     wmins = F.transform(
         F.sequence(F.lit(1), F.size("g") - (window - 1)),
         lambda i: F.least(*[F.element_at(F.col("g"), i + k)

@@ -86,7 +86,20 @@ def docs_to_pages(docs: DataFrame, para_tokens: int = 0,
                 "lang": pa.array(langs, pa.string()),
             })
 
-    return docs.select("doc_id", "text", "lang").mapInArrow(gen, PAGES_SCHEMA)
+    return _spread(docs.select("doc_id", "text", "lang")).mapInArrow(
+        gen, PAGES_SCHEMA)
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition of the (tiny) doc rows so the page-build +
+    extraction kernels parallelize: the testdata tables are single
+    parquet files → one scan split → one core for the whole mapInArrow
+    chain otherwise.  The exchange moves ~400-byte rows, the kernel does
+    ~10^4× that work per row; at production scale the input layout
+    (many files / Iceberg splits) provides this for free and the
+    exchange is skipped for already-parallel inputs."""
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(p) if docs.rdd.getNumPartitions() < p else docs
 
 
 RUNS_PER_PAGE = 20
@@ -129,4 +142,5 @@ def docs_to_pdf_pages(docs: DataFrame, run_tokens: int = 12) -> DataFrame:
                 "lang": pa.array(langs, pa.string()),
             })
 
-    return docs.select("doc_id", "text", "lang").mapInArrow(gen, PAGES_SCHEMA)
+    return _spread(docs.select("doc_id", "text", "lang")).mapInArrow(
+        gen, PAGES_SCHEMA)
