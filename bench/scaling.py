@@ -82,23 +82,57 @@ def hardware_control() -> dict:
             "eff_8_to_32": round(out[32] / out[8] / 4, 3)}
 
 
-def run_leg(pkg: str, pages: str, cpus: int, reps: int) -> dict:
+def run_leg(pkg: str, pages: str, cpus: int, reps: int = 1,
+            warm_frac: float = 0.25) -> dict:
     out = sh(["spark-submit", "--master", f"local[{cpus}]",
               # local mode = one JVM; default 1g heap OOMs at 32 tasks
               "--driver-memory", "48g",
               "--py-files", pkg,
               os.path.join(REPO, "bench", "scaling_job.py"),
-              pages, str(cpus), str(reps)])
+              pages, str(cpus), str(reps), str(warm_frac)])
     r = json.loads(out.strip().splitlines()[-1])
     print(r, flush=True)
     return r
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
+def run_pair(pkg: str, pages: str, n_small: int, n_big: int,
+             rounds: int) -> dict:
+    """Interleaved pair protocol: this sandbox VM's throughput drifts by
+    up to 2× over tens of minutes, so measuring all N-passes and then all
+    4N-passes confounds host drift with scaling.  Each round runs one
+    N leg and one 4N leg BACK-TO-BACK (fresh JVM each, warm on a 25%
+    file subset, wall = min of 2 timed passes), yielding a per-round
+    efficiency
+    (wall_N / wall_4N) / 4 over near-identical host conditions; the pair
+    efficiency is the MEDIAN round ratio."""
+    rounds_out = []
+    for i in range(rounds):
+        small = run_leg(pkg, pages, n_small, reps=2)
+        big = run_leg(pkg, pages, n_big, reps=2)
+        eff = round(small["wall_s"] / big["wall_s"] / 4, 3)
+        rounds_out.append({"round": i, "wall_small": small["wall_s"],
+                           "wall_big": big["wall_s"], "eff": eff,
+                           "dps_small": small["docs_per_sec"],
+                           "dps_big": big["docs_per_sec"]})
+        print(f"round {i}: local[{n_small}]={small['wall_s']}s "
+              f"local[{n_big}]={big['wall_s']}s eff={eff}", flush=True)
+    return {"n_small": n_small, "n_big": n_big, "rounds": rounds_out,
+            "eff_median": round(_median([r["eff"] for r in rounds_out]), 3),
+            "dps_small_best": max(r["dps_small"] for r in rounds_out),
+            "dps_big_best": max(r["dps_big"] for r in rounds_out)}
+
+
 def main() -> None:
-    # sized so the smallest leg runs ~45 s: short jobs measure scheduler
+    # sized so the smallest leg runs ~2 min: short jobs measure scheduler
     # fixed costs, not scaling
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 150000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 600000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     pages = ensure_pages(n)
     pkg = "/tmp/webextract_pkg.zip"
     subprocess.run(["zip", "-qr", pkg, "webextract"], cwd=REPO, check=True)
@@ -106,37 +140,54 @@ def main() -> None:
     ctl = hardware_control()
     print("hardware control:", ctl, flush=True)
 
-    legs = {c: run_leg(pkg, pages, c, reps) for c in (4, 16, 8, 32)}
-    eff_primary = round(
-        legs[16]["docs_per_sec"] / legs[4]["docs_per_sec"] / 4, 3)
-    eff_secondary = round(
-        legs[32]["docs_per_sec"] / legs[8]["docs_per_sec"] / 4, 3)
-    summary = {"n_docs": n, "legs": legs,
-               "eff_4_to_16": eff_primary, "eff_8_to_32": eff_secondary,
+    primary = run_pair(pkg, pages, 4, 16, rounds)
+    secondary = run_pair(pkg, pages, 8, 32, rounds)
+    summary = {"n_docs": n, "primary": primary, "secondary": secondary,
                "hardware_control": ctl,
-               "pass": eff_primary >= 0.8}
+               "pass": primary["eff_median"] >= 0.8}
     print(json.dumps(summary))
 
-    rows = "\n".join(
-        f"| local[{c}] | {legs[c]['wall_s']} | {legs[c]['docs_per_sec']} | "
-        f"{legs[c]['walls']} |" for c in (4, 8, 16, 32))
+    def rows(pair):
+        return "\n".join(
+            f"| {r['round']} | {r['wall_small']} | {r['wall_big']} | "
+            f"{r['eff']} |" for r in pair["rounds"])
+
     md = f"""# BENCH — scaling evidence (N → 4N parallelism)
 
 Protocol (BASELINE.md): identical extraction job — same input parquet
 ({n} deterministic synthetic pages, seed 42, heavy-tailed sizes + skew
 bombs), same code, `spark-submit --py-files` — at two N→4N pairs.
 Timing is the extraction stage only (parquet scan → mapInArrow kernel →
-noop sink; no payload shuffle — scan splits provide parallelism), wall
-= min over {reps} timed passes after a warm pass (this sandbox VM has
-±30% run-to-run noise; the minimum estimates capability and is applied
-identically to both legs).
+noop sink; no payload shuffle — scan splits provide parallelism).
 
-| parallelism | wall (s) | docs/sec | all walls (s) |
+**Interleaved rounds**: this sandbox VM's absolute throughput drifts up
+to 2× over tens of minutes (see the hardware control), so each round
+times one N leg and one 4N leg back-to-back (fresh JVM per leg, warm
+pass on a 25% file subset first, wall = min of 2 timed passes); the
+per-round efficiency (wall_N / wall_4N) / 4 therefore compares
+near-identical host conditions, and the reported pair efficiency is the
+median round.
+
+## Primary pair: local[4] → local[16]
+
+| round | wall local[4] (s) | wall local[16] (s) | efficiency |
 |---|---|---|---|
-{rows}
+{rows(primary)}
 
-- **primary  4→16 efficiency = {eff_primary}** — target ≥ 0.8: **{'PASS' if eff_primary >= 0.8 else 'FAIL'}**
-- secondary 8→32 efficiency = {eff_secondary}
+- **median 4→16 efficiency = {primary['eff_median']}** — target ≥ 0.8: \
+**{'PASS' if primary['eff_median'] >= 0.8 else 'FAIL'}**
+- best throughput: local[4] {primary['dps_small_best']} docs/s, \
+local[16] {primary['dps_big_best']} docs/s
+
+## Secondary pair: local[8] → local[32]
+
+| round | wall local[8] (s) | wall local[32] (s) | efficiency |
+|---|---|---|---|
+{rows(secondary)}
+
+- median 8→32 efficiency = {secondary['eff_median']}
+- best throughput: local[8] {secondary['dps_small_best']} docs/s, \
+local[32] {secondary['dps_big_best']} docs/s
 
 ## Hardware control (Spark-free)
 
@@ -147,8 +198,10 @@ The same extraction kernel run under plain `multiprocessing.Pool`
 - control efficiency 4→16: {ctl['eff_4_to_16']}, 8→32: {ctl['eff_8_to_32']}
 
 The box itself stops scaling linearly past ~16 workers (virtualized
-memory subsystem), so 4→16 is the pair that measures the engine rather
-than the host; 8→32 is bounded above by the control value.
+memory subsystem and host co-tenancy), so the 4→16 pair measures the
+engine rather than the host; 8→32 is bounded above by the control
+value.  Control numbers vary run-to-run with host load — they are a
+same-run snapshot, not a constant.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)

@@ -23,6 +23,10 @@ from pyspark.sql import SparkSession
 def main() -> None:
     pages_path, cpus = sys.argv[1], int(sys.argv[2])
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    # warm on a file-subset fraction: JITs codegen + spins Python workers
+    # at a quarter of a full pass's cost (full parallelism is preserved
+    # because the subset is still many scan splits)
+    warm_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
     spark = (SparkSession.builder.appName(f"wx-scale-{cpus}")
              .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
              .config("spark.sql.adaptive.enabled", "true")
@@ -40,14 +44,19 @@ def main() -> None:
     pages = spark.read.parquet(pages_path)
     n = pages.count()
 
-    def run() -> float:
+    def run(df) -> float:
         t0 = time.time()
-        (extracted_df(pages, cpus=cpus)
+        (extracted_df(df, cpus=cpus)
          .write.format("noop").mode("overwrite").save())
         return time.time() - t0
 
-    run()                                      # warm
-    walls = [run() for _ in range(reps)]
+    if warm_frac >= 1.0:
+        run(pages)
+    else:
+        files = sorted(pages.inputFiles())
+        k = max(1, int(len(files) * warm_frac))
+        run(spark.read.parquet(*files[:k]))
+    walls = [run(pages) for _ in range(reps)]
     wall = min(walls)
     print(json.dumps({"cpus": cpus, "n_docs": n, "wall_s": round(wall, 3),
                       "walls": [round(w, 2) for w in walls],

@@ -68,6 +68,43 @@ def test_stream_new_files_incremental(spark, pages_dir, tmp_path):
     assert spark.read.parquet(out).count() == 160
 
 
+def test_stream_dedup_stateful_first_seen(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: each content hash is
+    emitted exactly once across micro-batches AND across query restarts
+    (state survives in the checkpoint)."""
+    from pyspark.sql import functions as F
+    from webextract.streaming import stream_dedup
+
+    in_dir = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # drop 1: docs 0-59
+    d1 = docs.filter("doc_id < 60")
+    docs_to_pages(d1).write.mode("overwrite").parquet(in_dir)
+    _await(stream_dedup(spark, in_dir, out, ckpt))
+    n_unique_1 = d1.select("text").distinct().count()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == n_unique_1
+    assert got1.select("content_sha").distinct().count() == n_unique_1
+
+    # drop 2 (restarted query): re-crawled copies of docs 0-19 under new
+    # urls + genuinely new docs 60-79
+    recrawl = docs.filter("doc_id < 20").withColumn(
+        "doc_id", F.col("doc_id") + 100000)  # new urls, same text
+    fresh = docs.filter("doc_id >= 60 and doc_id < 80")
+    docs_to_pages(recrawl.unionByName(fresh)).write.mode(
+        "append").parquet(in_dir)
+    _await(stream_dedup(spark, in_dir, out, ckpt))
+
+    all_texts = d1.select("text").unionByName(fresh.select("text"))
+    n_unique_all = all_texts.distinct().count()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == n_unique_all, "duplicate or lost emissions"
+    assert got2.select("content_sha").distinct().count() == n_unique_all
+
+
 def test_windowed_lang_counts_stream_vs_batch(spark, pages_dir, tmp_path):
     # batch reference on the same frame
     pages = spark.read.parquet(pages_dir)

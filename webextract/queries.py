@@ -86,6 +86,17 @@ def q_extract_spans(spark, sf_dir):
                     F.col("s.kind").alias("kind")))
 
 
+def q_extract_doctags(spark, sf_dir):
+    """C10: doctags serializer, oracle-checked byte-for-byte (reference
+    golden prefix '<doctag>...', test_1-url-all-outputs.py:122-127)."""
+    from .options import DEFAULT_OPTIONS
+    pages = docs_to_pages(_read(spark, sf_dir, "documents"))
+    opt = DEFAULT_OPTIONS.with_(to_formats=("text", "doctags"))
+    return (_doc_id(extracted_df(pages, opt, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "doctags"))
+
+
 def q_extract_pdf_text(spark, sf_dir):
     """C4: PDF parse + reading-order reconstruction, oracle-checked.
     Payloads are mini-PDFs with runs in REVERSED wire order; the output
@@ -305,6 +316,7 @@ QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_markdown": q_extract_markdown,
     "extract_html_split": q_extract_html_split,
+    "extract_doctags": q_extract_doctags,
     "extract_pdf_text": q_extract_pdf_text,
     "extract_pdf_page_slice": q_extract_pdf_page_slice,
     "extract_status_counts": q_extract_status_counts,
@@ -380,6 +392,13 @@ ORACLES = {
                || chr(10) || '</body>' || chr(10) || '</html>'
                  AS text_html_split
         FROM b""",
+
+    "extract_doctags": """
+        SELECT doc_id,
+               '<doctag><section_header><loc_0>Document ' || doc_id
+               || '</section_header><text><loc_1>' || text
+               || '</text></doctag>' AS doctags
+        FROM documents""",
 
     "extract_pdf_text": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -94,3 +94,61 @@ def stream_lang_counts(spark: SparkSession, input_dir: str,
             .trigger(availableNow=True)
             .format("memory")
             .start())
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: cross-batch streaming dedup
+# ---------------------------------------------------------------------------
+
+DEDUP_OUT_DDL = "url string, content_sha string, lang string"
+DEDUP_STATE_DDL = "seen int"
+
+
+def first_seen_only(pages: DataFrame) -> DataFrame:
+    """Stateful streaming exact-dedup: emit each content hash the FIRST
+    time it is seen across ALL micro-batches (a crawler re-fetching the
+    same page later in the stream is dropped).
+
+    Custom stateful operator via ``applyInPandasWithState`` (the
+    brief's UDF-backed stateful-streaming shape): state is one int per
+    content-hash group, persisted in the checkpoint's state store, so
+    dedup survives restarts exactly-once.  Keyed by sha2(text) — the
+    state shuffle moves (url, sha, lang) rows only, never html
+    payloads."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def emit_first(key, pdfs, state):
+        if state.exists:
+            new = 0
+        else:
+            new = 1
+        first = None
+        for pdf in pdfs:
+            if new and first is None and len(pdf):
+                first = pdf.iloc[[0]][["url", "content_sha", "lang"]]
+        if new:
+            state.update((1,))
+            if first is not None:
+                yield first
+        # duplicates (state existed) emit nothing; iterator fully drained
+
+    keyed = pages.select(
+        "url", "lang",
+        F.sha2(F.col("text").cast("binary"), 256).alias("content_sha"))
+    return (keyed.groupBy("content_sha")
+            .applyInPandasWithState(emit_first, DEDUP_OUT_DDL,
+                                    DEDUP_STATE_DDL, "append",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def stream_dedup(spark: SparkSession, input_dir: str, output_dir: str,
+                 checkpoint_dir: str):
+    """readStream → stateful first-seen dedup → parquet append sink."""
+    return (first_seen_only(pages_stream(spark, input_dir))
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", output_dir)
+            .start())
