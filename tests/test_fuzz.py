@@ -43,6 +43,16 @@ def test_parser_total_and_engines_agree(doc):
     assert fast == ref
 
 
+def test_open_table_with_unterminated_skip_terminates():
+    """Regression (found by fuzzing): an open <table> followed by an
+    unterminated rawtext/skip element (<script>/<svg>/<style>) left
+    skip>0 at EOF, and the finalize drain loop never terminated."""
+    for doc in ("<table><script><ul><ul><pre>", "<table><svg><p>x",
+                "<table><style>zzz", "<table><tr><td>x<script>y"):
+        assert parse_blocks(doc, engine="fast") \
+            == parse_blocks(doc, engine="stdlib")
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.binary(max_size=400))
 def test_extract_total_on_garbage(payload):

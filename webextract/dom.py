@@ -336,12 +336,21 @@ class _Parser(HTMLParser):
         if self.a_depth:
             self.pending[1] += len(collapse_ws(data))
 
-    def close(self) -> None:  # EOF: flush whatever is still open
-        super().close()
+    def _finalize(self) -> None:
+        """EOF: flush whatever is still open.  skip MUST be reset first:
+        an unterminated <script>/<svg>/... leaves skip>0, and a skipping
+        handle_endtag("table") returns without popping — the drain loop
+        below would never terminate (found by fuzzing: an open <table>
+        followed by an unterminated rawtext/skip element)."""
+        self.skip = 0
         self._flush_pending()
         self._flush_cur()
         while self.tables:
             self.handle_endtag("table")
+
+    def close(self) -> None:
+        super().close()
+        self._finalize()
 
 
 def decode_html(payload: bytes) -> str:
@@ -469,15 +478,14 @@ def parse_blocks(payload: bytes | str, engine: str = "fast") -> list[Block]:
     try:
         if engine == "fast":
             _fast_feed(p, text)
-            p._flush_pending()
-            p._flush_cur()
-            while p.tables:
-                p.handle_endtag("table")
+            p._finalize()
         else:
             p.feed(text)
             p.close()
     except Exception:
         # guarantee the no-raise contract
-        p._flush_pending()
-        p._flush_cur()
+        try:
+            p._finalize()
+        except Exception:
+            pass
     return p.blocks
