@@ -97,6 +97,19 @@ def q_extract_doctags(spark, sf_dir):
             .select("doc_id", "doctags"))
 
 
+def q_extract_json(spark, sf_dir):
+    """C10: JSON document-IR serializer, oracle-checked byte-for-byte
+    (reference asserts '"schema_name"', test_1-url-all-outputs.py:86-91).
+    Block idx values (19, 20) are the parse-order indices after the
+    constant boilerplate wrapper — deterministic per docpages anatomy."""
+    from .options import DEFAULT_OPTIONS
+    pages = docs_to_pages(_read(spark, sf_dir, "documents"))
+    opt = DEFAULT_OPTIONS.with_(to_formats=("text", "json"))
+    return (_doc_id(extracted_df(pages, opt, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "text_json"))
+
+
 def q_extract_pdf_text(spark, sf_dir):
     """C4: PDF parse + reading-order reconstruction, oracle-checked.
     Payloads are mini-PDFs with runs in REVERSED wire order; the output
@@ -317,6 +330,7 @@ QUERIES = {
     "extract_markdown": q_extract_markdown,
     "extract_html_split": q_extract_html_split,
     "extract_doctags": q_extract_doctags,
+    "extract_json": q_extract_json,
     "extract_pdf_text": q_extract_pdf_text,
     "extract_pdf_page_slice": q_extract_pdf_page_slice,
     "extract_status_counts": q_extract_status_counts,
@@ -398,6 +412,19 @@ ORACLES = {
                '<doctag><section_header><loc_0>Document ' || doc_id
                || '</section_header><text><loc_1>' || text
                || '</text></doctag>' AS doctags
+        FROM documents""",
+
+    "extract_json": """
+        SELECT doc_id,
+               '{"schema_name":"WebExtractDocument","version":"1.0.0",'
+               || '"origin":"doc://' || doc_id || '","blocks":['
+               || '{"idx":19,"tag":"h1","kind":"heading",'
+               || '"path":"html[1]/body[1]/div[2]/article[1]/h1[1]",'
+               || '"text":"Document ' || doc_id || '","heading_level":1},'
+               || '{"idx":20,"tag":"p","kind":"para",'
+               || '"path":"html[1]/body[1]/div[2]/article[1]/p[1]",'
+               || '"text":"' || text || '","heading_level":0}]}'
+                 AS text_json
         FROM documents""",
 
     "extract_pdf_text": """
