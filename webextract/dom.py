@@ -83,8 +83,10 @@ class _Parser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[Block] = []
-        # element stack entries:
-        # [tag, path_seg, child_counts, li_counter, boiler_inc, semantic_inc]
+        # element stack entries: [tag, path_seg, child_counts, li_counter,
+        # boiler_inc, semantic_inc, full_path] — full_path caches the
+        # "/".join of segs up to this entry (O(1) _path instead of a
+        # per-block join over the stack)
         self.stack: list[list] = []
         self.skip = 0
         self.a_depth = 0
@@ -111,7 +113,13 @@ class _Parser(HTMLParser):
     _root_counts: dict = None  # set in parse()
 
     def _path(self) -> str:
-        return "/".join(e[1] for e in self.stack)
+        return self.stack[-1][6] if self.stack else ""
+
+    def _push(self, tag: str, seg: str, boiler_inc: bool = False,
+              semantic_inc: bool = False) -> None:
+        parent = self.stack[-1][6] if self.stack else ""
+        self.stack.append([tag, seg, {}, 0, boiler_inc, semantic_inc,
+                           f"{parent}/{seg}" if parent else seg])
 
     # -- block lifecycle ------------------------------------------------
     def _flush_cur(self) -> None:
@@ -199,7 +207,7 @@ class _Parser(HTMLParser):
             path = f"{cpath}/{seg}" if cpath else seg
             self.tables.append([[], None, [], 0, False, path, cpath,
                                 len(self.stack)])
-            self.stack.append([tag, seg, {}, 0, False, False])
+            self._push(tag, seg)
             return
         if self.tables and tag in ("tr", "td", "th", "thead", "tbody", "tfoot"):
             t = self.tables[-1]
@@ -218,8 +226,7 @@ class _Parser(HTMLParser):
             if tag == "blockquote":
                 self.bq_depth += 1
                 # blockquote is also a container for nested <p>
-                self.stack.append([tag, self.cur[2].rsplit("/", 1)[-1], {}, 0,
-                                   False, False])
+                self._push(tag, self.cur[2].rsplit("/", 1)[-1])
             return
         if tag in _CONTAINER:
             self._flush_pending()
@@ -227,7 +234,7 @@ class _Parser(HTMLParser):
             seg = self._child_seg(tag)
             boiler_inc = tag in _BOILER or self._attr_boiler(attrs)
             semantic_inc = tag in _SEMANTIC
-            self.stack.append([tag, seg, {}, 0, boiler_inc, semantic_inc])
+            self._push(tag, seg, boiler_inc, semantic_inc)
             if boiler_inc:
                 self.boiler_depth += 1
             if semantic_inc:
