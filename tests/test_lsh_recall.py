@@ -6,7 +6,10 @@ key would silently destroy recall while still 'running'."""
 
 from __future__ import annotations
 
-from webextract.corpus import lsh_candidate_pairs, ngram_jaccard_pairs
+from pyspark.sql import functions as F
+
+from webextract.corpus import (LSH_BUCKET_CAP, lsh_candidate_pairs,
+                               ngram_jaccard_pairs)
 
 SF = "/root/testdata/sf0.01"
 
@@ -22,3 +25,47 @@ def test_lsh_recall_and_precision(spark):
     assert not missed, f"LSH missed true pairs: {sorted(missed)[:5]}"
     # false-candidate rate stays tiny on this corpus (pinned: 1 extra)
     assert len(cands - exact) <= 5, len(cands - exact)
+
+
+def test_ngram_df_cap_bounds_hot_shingle(spark):
+    """The document-frequency cap must (a) keep real near-dup pairs and
+    (b) bound the self-join's reducer input when a viral shingle
+    appears in every document.  200 docs all share one hot phrase; two
+    are true near-dups of each other."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    hot = "subscribe to our newsletter"      # injected viral 3+-gram
+    rows = [(i, f"unique{i} token{i} filler{i} {hot} word{i} tail{i}")
+            for i in range(200)]
+    rows.append((900, f"{base} one two three four five six seven"))
+    rows.append((901, f"{base} one two three four five six eight"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in ngram_jaccard_pairs(docs, df_cap=32).collect()}
+    assert (900, 901) in pairs
+    # no pair may exist solely through the hot shingle
+    assert all(a >= 900 for a, _ in pairs), sorted(pairs)[:5]
+    # reducer bound: after the cap, no shingle row count exceeds df_cap,
+    # so the join input per shingle is <= df_cap (vs 200 uncapped)
+    from webextract.corpus import exploded_shingles
+    from pyspark.sql import Window
+    e = exploded_shingles(docs, 3)
+    capped = (e.withColumn("df", F.count("*").over(
+        Window.partitionBy("shingle"))).filter(F.col("df") <= 32))
+    assert capped.groupBy("shingle").count().agg(
+        F.max("count")).first()[0] <= 32
+    uncapped_max = e.groupBy("shingle").count().agg(F.max("count")).first()[0]
+    assert uncapped_max > 32  # the injected skew was real
+
+
+def test_lsh_bucket_cap_drops_giant_bucket(spark):
+    """An m-copy duplicate cluster larger than the bucket cap must be
+    excluded from candidate pairs (m² guard); small clusters survive."""
+    big = [(i, "identical duplicate content repeated many times over")
+           for i in range(LSH_BUCKET_CAP + 10)]
+    small = [(500, "a distinct near duplicate pair of documents here one"),
+             (501, "a distinct near duplicate pair of documents here two")]
+    docs = spark.createDataFrame(big + small, "doc_id bigint, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect()}
+    assert (500, 501) in pairs
+    assert not any(a < 500 for a, _ in pairs), \
+        "giant bucket leaked pairs past the cap"

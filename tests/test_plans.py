@@ -17,13 +17,13 @@ def _plan(df) -> str:
         df._jdf.queryExecution(), "formatted")
 
 
-def test_extraction_scan_prunes_naive_text(spark):
+def test_extraction_scan_prunes_naive_text(spark, tmp_path):
     """The crawl's naive `text` column must never be read: extraction
     projects (url, warc_ts, lang, html) only (column pruning reaches
     ReadSchema)."""
     from webextract.docpages import docs_to_pages
     from webextract.pipeline import extracted_df
-    pages_dir = "/tmp/wx_plan_pages"
+    pages_dir = str(tmp_path / "pages")
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
     docs_to_pages(docs).write.mode("overwrite").parquet(pages_dir)
     out = extracted_df(spark.read.parquet(pages_dir), cpus=4)
@@ -38,12 +38,12 @@ def test_extraction_scan_prunes_naive_text(spark):
         or "Exchange" not in plan, plan
 
 
-def test_extraction_plan_has_no_shuffle(spark):
+def test_extraction_plan_has_no_shuffle(spark, tmp_path):
     """extracted_df over a pages scan is a pure narrow map — raw HTML
     payloads are never exchanged (north_rule plan shape)."""
     from webextract.docpages import docs_to_pages
     from webextract.pipeline import extracted_df
-    pages_dir = "/tmp/wx_plan_pages_ns"
+    pages_dir = str(tmp_path / "pages_ns")
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
     docs_to_pages(docs).write.mode("overwrite").parquet(pages_dir)
     out = extracted_df(spark.read.parquet(pages_dir), cpus=4)
@@ -93,6 +93,65 @@ def test_shipdate_filter_pushed_to_scan(spark):
     assert "l_shipdate" in pushed, pushed
 
 
+def test_fingerprints_gram_hash_not_recomputed(spark):
+    """The winnowing gram-hash expression must appear exactly once in
+    the optimized plan: the repartition barrier between tokenization
+    and the gram projection keeps CollapseProject from inlining the
+    md5 gram array into the window-min pass (measured 3× recompute
+    when inlined).  A Spark version change that merges the projections
+    fails here, not silently in bench."""
+    from webextract.corpus import fingerprints
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    opt = (fingerprints(docs)._jdf.queryExecution()
+           .optimizedPlan().toString())
+    # two distinct Project nodes must survive above the exchange: the
+    # gram-hash projection and the window-min projection.  If
+    # CollapseProject ever merges them, the gram md5 array is inlined
+    # into every element_at of the window-min pass (3× recompute).
+    assert "Repartition" in opt, opt
+    above_exchange = opt[:opt.index("Repartition")]
+    assert above_exchange.count("Project") == 2, opt
+
+
+def test_lsh_verify_plan_prunes_and_broadcasts(spark):
+    """The LSH→exact verify must (a) never sort-merge-join and (b)
+    build shingle arrays only for semi-join-pruned candidate rows:
+    the full-corpus shingle projection feeds ONLY the band-key
+    aggregation, and both verify joins broadcast the tiny
+    candidate-pair side."""
+    from webextract.corpus import lsh_jaccard_pairs
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(lsh_jaccard_pairs(docs))
+    assert "SortMergeJoin" not in plan
+    # two broadcast verify joins + one broadcast semi-join prune
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "LeftSemi" in plan
+
+
+def test_simhash_plan_is_single_narrow_projection(spark):
+    """Array-domain SimHash: no token explode, no groupBy — at most the
+    conditional spread exchange (tiny doc rows), zero wide operators."""
+    from webextract.corpus import simhash
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simhash(docs))
+    tree = plan.split("\n\n")[0]
+    assert "HashAggregate" not in tree, tree
+    assert "Generate" not in tree, tree           # no explode
+    assert tree.count("Exchange") <= 1, tree      # spread barrier only
+
+
+def test_ann_buckets_plan_has_no_md5(spark):
+    """SRP hyperplane signs are driver-side literals: the per-row plan
+    must contain no md5 call at all."""
+    from webextract.corpus import lsh_ann_buckets
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    opt = (lsh_ann_buckets(emb, bits=8)._jdf.queryExecution()
+           .optimizedPlan().toString())
+    assert "md5" not in opt, opt[:2000]
+
+
 def test_minhash_plan_is_projection_until_bucket_join(spark):
     """MinHash signatures must not shuffle shingle rows: everything up
     to the signature posexplode (Generate) is a narrow projection; only
@@ -102,9 +161,11 @@ def test_minhash_plan_is_projection_until_bucket_join(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")  # rewrite the plan
     plan = _plan(lsh_band_keys(docs))
     # formatted plans print top-down: nodes BELOW Generate in the tree
-    # section are its inputs — the shingle/signature projections
+    # section are its inputs — the shingle/signature projections.  The
+    # only exchange allowed there is the conditional _spread barrier,
+    # which carries raw (doc_id, text) rows, never shingles.
     tree = plan.split("\n\n")[0]
     below_generate = tree[tree.index("Generate"):]
-    assert "Exchange" not in below_generate, below_generate
-    # the exchanges that exist carry (doc_id, seed/band, mh) rows only
+    assert below_generate.count("Exchange") <= 1, below_generate
+    # band groupBy + spread barrier, nothing else
     assert tree.count("Exchange") <= 2, tree

@@ -71,6 +71,19 @@ def test_query_matches_oracle(spark, ddb, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+def test_synth_charset_json_safe(spark):
+    """extract_json's oracle splices text into a JSON string literal
+    with only backslash/quote escaping (mirroring json.dumps); control
+    characters would make the two diverge.  Guard the assumption on
+    the driver corpus — if this ever fails, extend the oracle's
+    escaping instead of the generator."""
+    texts = [r.text for r in spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").select("text").collect()]
+    assert texts
+    for t in texts:
+        assert not any(ord(c) < 0x20 for c in t), repr(t[:80])
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.count()

@@ -31,6 +31,26 @@ def TOKENS():
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Conditional parallelism barrier for CPU-heavy array-domain ops.
+
+    Repartitions narrow inputs whose scan layout under-parallelizes the
+    cluster (single-file test tables collapse to a handful of splits —
+    the openCostInBytes floor caps splits at file_size/128KB, so a
+    0.6 MB table gets 5 tasks on 32 cores).  SKIPPED when the source is
+    already parallel — the 100 TB case, where inputs arrive as
+    thousands of files/splits — so no payload shuffle happens at scale.
+    The exchange, when it fires, carries column-pruned (doc_id, text)
+    rows only.  Side benefit: a Repartition node is a hard
+    CollapseProject barrier, so expensive projections below it can
+    never be inlined into consumers above it."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p * 2, F.col(key))
+    return df
+
+
 # ---------------------------------------------------------------------------
 # shingling (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
@@ -55,7 +75,8 @@ def shingles_of(col: str = "toks", n: int = 3):
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh: array<string>) with tokens materialized first."""
-    return (docs.select("doc_id", TOKENS().alias("toks"))
+    return (_spread(docs.select("doc_id", "text"))
+            .select("doc_id", TOKENS().alias("toks"))
             .select("doc_id", shingles_of("toks", n).alias("sh")))
 
 
@@ -83,17 +104,30 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
             .select("text_sha256", "canonical_id", "n_copies"))
 
 
+NGRAM_DF_CAP = 32   # shingles seen in more docs than this are dropped
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.4) -> DataFrame:
+                        threshold: float = 0.4,
+                        df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard.
 
-    Shape: explode distinct shingles → self-equi-join on shingle →
-    count = |A∩B| → filter on |A∩B|/(|A|+|B|-|A∩B|).  The join shuffles
-    on `shingle`; hot shingles (stop-phrases) would skew at 100 TB, so
-    production adds a document-frequency cap — here df is uniform.
-    This is the O(pairs-sharing-a-shingle) exact kernel; MinHash-LSH
-    below is the sub-quadratic scale path."""
+    Shape: explode distinct shingles → document-frequency cap →
+    self-equi-join on shingle → count = |A∩B| → filter on
+    |A∩B|/(|A|+|B|-|A∩B|).  The join shuffles on `shingle`; a hot
+    shingle (viral boilerplate phrase) otherwise makes one reducer
+    quadratic at 100 TB, so shingles appearing in more than ``df_cap``
+    documents are EXCLUDED from intersection counting (denominators
+    stay the full per-doc shingle counts).  The cap bounds every
+    reducer to df_cap² join rows per shingle and is part of the
+    operator contract, mirrored in the DuckDB oracle; pairs whose
+    overlap is exclusively ultra-common shingles are by construction
+    boilerplate matches, not near-dups.  This is the exact kernel;
+    MinHash-LSH below is the sub-quadratic scale path."""
     e = exploded_shingles(docs, n)
+    dfw = Window.partitionBy("shingle")
+    e = (e.withColumn("df", F.count("*").over(dfw))
+         .filter(F.col("df") <= df_cap).drop("df"))
     a, b = e.alias("a"), e.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -119,7 +153,8 @@ def shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
     # admission predicate on the CHEAP column: size(sh) > 0 ⟺
     # size(toks) >= n, and the latter doesn't re-evaluate the shingle
     # expression when Catalyst pushes the filter below the projection
-    return (docs.select("doc_id", TOKENS().alias("toks"))
+    return (_spread(docs.select("doc_id", "text"))
+            .select("doc_id", TOKENS().alias("toks"))
             .filter(F.size("toks") >= n)
             .select("doc_id", shingles_of("toks", n).alias("sh"))
             .select("doc_id", F.transform(
@@ -168,28 +203,44 @@ def lsh_band_keys(docs: DataFrame, n: int = 3, k: int = 16,
                 ",")).alias("band_key")))
 
 
+LSH_BUCKET_CAP = 64   # buckets larger than this are skipped (skew guard)
+
+
 def lsh_candidate_pairs(docs: DataFrame, n: int = 3, k: int = 16,
-                        rows_per_band: int = 4) -> DataFrame:
+                        rows_per_band: int = 4,
+                        bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
-    Scale: the bucket join shuffles on (band, band_key) — 32 bytes per
-    doc per band regardless of document size; bucket sizes are the skew
-    knob (near-dup clusters of size m cost m² pairs; production caps
-    bucket size before the self-join).  Sub-quadratic replacement for
-    ngram_jaccard_pairs at 10^12 docs.
+    Scale: ONE shuffle on (band, band_key) — 32 bytes per doc per band
+    regardless of document size — into a groupBy that collects each
+    bucket's doc_ids and emits the in-bucket pairs with a nested
+    transform (i<j over the sorted id array).  No self-join: the old
+    join-based shape either recomputed the whole shingle+minhash
+    lineage for both sides or needed a persist() it never released
+    (the round-1 review's leak).  The groupBy reads the lineage exactly
+    once and map-side combines.
 
-    The band-key frame is persisted before the self-join: AQE broadcasts
-    one side, which would otherwise recompute the whole shingle+minhash
-    lineage twice (measured 2×).  At cluster scale the same role is
-    played by writing signatures to a staging table between the two
-    passes."""
-    bk = lsh_band_keys(docs, n, k, rows_per_band).persist()
-    a, b = bk.alias("a"), bk.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
+    ``bucket_cap`` is the skew guard the round-1 review required: an
+    m-copy near-dup cluster would otherwise cost m² pairs in one
+    reducer; buckets larger than the cap are dropped (their members are
+    near-certain exact duplicates — dedup_exact's job, far cheaper).
+    The cap is part of the operator contract and mirrored in the
+    DuckDB oracle.  Sub-quadratic replacement for ngram_jaccard_pairs
+    at 10^12 docs."""
+    bk = lsh_band_keys(docs, n, k, rows_per_band)
+    buckets = (bk.groupBy("band", "band_key")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap)))
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(2), F.size("ids")),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), i - 1),
+            lambda j: F.struct(
+                F.element_at(F.col("ids"), j).alias("doc_a"),
+                F.element_at(F.col("ids"), i).alias("doc_b")))))
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.doc_a").alias("doc_a"),
+                    F.col("p.doc_b").alias("doc_b"))
             .distinct())
 
 
@@ -204,12 +255,27 @@ def lsh_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4,
     self-join, which is what makes the exact kernel quadratic-ish).
     Output ⊆ ngram_jaccard_pairs (LSH recall is the tunable)."""
     cands = lsh_candidate_pairs(docs, n, k, rows_per_band)
-    sh = doc_shingles(docs, n).persist()  # reused for both pair sides
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    # Semi-join-prune BEFORE shingling (the round-1 review's fix): only
+    # candidate docs ever get their shingle arrays built or moved.  The
+    # candidate-id set is tiny relative to the corpus → broadcast; the
+    # prune sits BELOW the shingle projection in the constructed plan,
+    # so the expensive gram math runs on candidate rows only.  No
+    # persist: the only recomputed lineage is the candidate-pair frame
+    # (cheap band-key aggregation), never full-corpus shingles, and
+    # nothing leaks cached partitions in a long-lived session.  At 100TB
+    # the same shape holds — full shingle arrays of NON-candidates never
+    # enter any exchange.
+    ids = (cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+           .distinct())
+    pruned = (docs.select("doc_id", "text")
+              .join(F.broadcast(ids), "doc_id", "left_semi")
+              .select("doc_id", TOKENS().alias("toks"))
+              .select("doc_id", shingles_of("toks", n).alias("sh")))
+    a = pruned.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = pruned.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter / (F.size("sa") + F.size("sb") - inter)
-    return (cands.join(a, "doc_a").join(b, "doc_b")
+    return (F.broadcast(cands).join(a, "doc_a").join(b, "doc_b")
             .filter(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
@@ -219,21 +285,35 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
     Hyperplane j's sign for a token is the high bit of hex digit j of
     md5(token) (engine-portable).  bit_j = sign of Σ_tokens ±count.
-    Shape: token-count groupBy, then ONE aggregation with `bits` sum
-    columns — exploding a (doc, bit) row per token×bit would shuffle
-    bits× more rows (measured 5× slower).  Output is one `bits`-char
-    string per doc."""
-    tok = (docs.select("doc_id", F.explode(TOKENS()).alias("token"))
-           .groupBy("doc_id", "token").agg(F.count("*").alias("cnt")))
-    h = tok.select("doc_id", "cnt", F.md5("token").alias("h"))
-    sums = h.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.substring("h", j + 1, 1) >= F.lit("8"), F.col("cnt"))
-              .otherwise(-F.col("cnt"))).alias(f"s{j}")
-        for j in range(bits)])
-    return sums.select(
+
+    Shape: a single narrow projection in the ARRAY domain — zero
+    shuffle.  The identity Σ_distinct(cnt·sign) == Σ_occurrences(sign)
+    means no token counting (and hence no groupBy(doc_id, token)
+    exchange) is needed: one md5 per token occurrence via transform,
+    then one aggregate folding every occurrence's per-bit ±1 vector
+    into a `bits`-wide accumulator.  The old token-explode + two-level
+    groupBy shape shuffled every token row (the avoidable exchange the
+    round-1 review flagged); this plan has the same shuffle-free shape
+    as `fingerprints`.  The md5 array is built inside the single
+    aggregate expression (referenced once → CollapseProject cannot
+    duplicate it).  Output values are identical: the oracle still
+    computes the groupBy formulation."""
+    docs = _spread(docs.select("doc_id", "text"))
+    ones = F.sequence(F.lit(1), F.lit(bits))
+    sums = F.aggregate(
+        F.transform(TOKENS(), lambda t: F.md5(t)),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(ones, lambda j: F.when(
+                F.substring(h, j, 1) >= F.lit("8"),
+                F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))),
+            lambda a, b: a + b))
+    return docs.select(
         "doc_id",
-        F.concat(*[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
-                   for j in range(bits)]).alias("simhash"))
+        F.array_join(F.transform(
+            sums, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))),
+            "").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -274,24 +354,40 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
             .select("qid", "nid", "cos", F.col("rank").cast("int").alias("rank")))
 
 
-def lsh_ann_buckets(emb: DataFrame, bits: int = 16) -> DataFrame:
+def _srp_sign_matrix(bits: int, dims: int) -> list[list[float]]:
+    """The constant bits×dims hyperplane sign matrix, computed ONCE on
+    the driver (sign of plane j at dim d = high bit of the first hex
+    digit of md5(f"{j}:{d}") — identical rule to the DuckDB oracle)."""
+    import hashlib
+    return [[1.0 if int(hashlib.md5(f"{j}:{d}".encode())
+                        .hexdigest()[0], 16) >= 8 else -1.0
+             for d in range(dims)] for j in range(bits)]
+
+
+def lsh_ann_buckets(emb: DataFrame, bits: int = 16,
+                    dims: int | None = None) -> DataFrame:
     """(vec_id, bucket): random-hyperplane (SRP) cosine-LSH bucket.
 
     Hyperplane j's sign at dimension d is md5(j||':'||d) — deterministic
-    and engine-portable; bucket = concat of sign bits of h_j·v.  Narrow
-    (pure projection, no shuffle): the scale path groups by bucket and
-    runs cosine_topk within buckets only."""
-    dims = F.size(F.col("embedding"))
+    and engine-portable — but the matrix is CONSTANT, so it is
+    precomputed driver-side as literal arrays (the round-1 review's
+    fix: the old shape ran bits×dims interpreted md5 calls per ROW).
+    Per row the work is now `bits` codegen'd zip_with dot products.
+    Narrow (pure projection, no shuffle): the scale path groups by
+    bucket and runs cosine_topk within buckets only.
+
+    ``dims`` defaults to the corpus' embedding width (one-row lookup —
+    at cluster scale this is a catalog/schema constant)."""
+    if dims is None:
+        dims = emb.select(F.size("embedding")).first()[0]
+    signs = _srp_sign_matrix(bits, dims)
 
     def plane_bit(j: int):
+        plane = F.array(*[F.lit(s) for s in signs[j]])
         s = F.aggregate(
-            F.sequence(F.lit(1), dims), F.lit(0.0),
-            lambda acc, d: acc + F.when(
-                F.substring(F.md5(F.concat_ws(
-                    ":", F.lit(str(j)), (d - 1).cast("string"))), 1, 1)
-                >= F.lit("8"),
-                F.element_at(F.col("embedding"), d).cast("double")
-            ).otherwise(-F.element_at(F.col("embedding"), d).cast("double")))
+            F.zip_with(F.col("embedding"), plane,
+                       lambda x, sg: x.cast("double") * sg),
+            F.lit(0.0), lambda acc, v: acc + v)
         return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
 
     return emb.select(
@@ -397,10 +493,11 @@ def fingerprints(docs: DataFrame, gram: int = 5, window: int = 4) -> DataFrame:
         F.sequence(F.lit(1), F.size(toks) - (gram - 1)),
         lambda i: F.md5(F.concat_ws(
             " ", *[F.element_at(toks, i + k) for k in range(gram)])))
+    width = docs.sparkSession.sparkContext.defaultParallelism * 2
     g = (docs.select("doc_id", F.md5("text").alias("fp_md5"),
                      TOKENS().alias("toks"))
          .filter(F.size("toks") >= gram + window - 1)
-         .repartition(64, F.col("doc_id"))
+         .repartition(width, F.col("doc_id"))
          .select("doc_id", "fp_md5", grams.alias("g")))
     wmins = F.transform(
         F.sequence(F.lit(1), F.size("g") - (window - 1)),

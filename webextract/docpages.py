@@ -36,6 +36,13 @@ _COOKIE = ('<div class="cookie">We use cookies to improve your experience '
 _ASIDE = f"<aside><h3>Related</h3><ul>{_LINKS}</ul></aside>"
 _FOOTER = f"<footer><ul>{_LINKS}</ul></footer>"
 
+# Parse-order block count of the constant boilerplate BEFORE the article
+# (1 header banner + 8 nav links + 1 cookie div + 1 aside heading +
+# 8 aside links).  The extract_json oracle (queries.py) derives the
+# article's h1/p block indices from this — if the page anatomy above
+# changes, this constant (and nothing else) must change with it.
+N_BOILER_BLOCKS = 19
+
 
 def _esc(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")

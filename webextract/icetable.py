@@ -134,13 +134,17 @@ class IceTable:
         referenced = set(self.data_files())
         removed = 0
         for dirpath, _, files in os.walk(self.files_dir):
+            # keep-filter matches the run_id as a whole path COMPONENT
+            # (files/<run_id>/wave-NNNN/...): substring matching would
+            # wrongly keep a run whose id is a prefix of another's
+            parts = set(os.path.relpath(dirpath, self.files_dir).split(os.sep))
+            if keep_run_ids and parts & keep_run_ids:
+                continue
             for fn in files:
                 if not fn.endswith(".parquet") or fn.startswith((".", "_")):
                     continue  # _SUCCESS / .crc markers are not data files
                 p = os.path.join(dirpath, fn)
                 if p not in referenced:
-                    if keep_run_ids and any(r in p for r in keep_run_ids):
-                        continue
                     os.remove(p)
                     removed += 1
         return removed

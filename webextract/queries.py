@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import corpus, media
-from .docpages import docs_to_pages
+from .docpages import N_BOILER_BLOCKS as _N_BOILER, docs_to_pages
 from .pipeline import chunks_df, extracted_df
 
 
@@ -414,18 +414,26 @@ ORACLES = {
                || '</text></doctag>' AS doctags
         FROM documents""",
 
-    "extract_json": """
+    # json.dumps escaping of backslash/quote is mirrored with the two
+    # replace() calls; control chars can't occur (documents.text is
+    # single-space-normalized — asserted by test_synth_charset).  Block
+    # idx values derive from the docpages page anatomy (N_BOILER_BLOCKS).
+    "extract_json": f"""
+        WITH esc AS (SELECT doc_id,
+                            replace(replace(text, chr(92), chr(92)||chr(92)),
+                                    '"', chr(92)||'"') AS jtext
+                     FROM documents)
         SELECT doc_id,
-               '{"schema_name":"WebExtractDocument","version":"1.0.0",'
+               '{{"schema_name":"WebExtractDocument","version":"1.0.0",'
                || '"origin":"doc://' || doc_id || '","blocks":['
-               || '{"idx":19,"tag":"h1","kind":"heading",'
+               || '{{"idx":{_N_BOILER},"tag":"h1","kind":"heading",'
                || '"path":"html[1]/body[1]/div[2]/article[1]/h1[1]",'
-               || '"text":"Document ' || doc_id || '","heading_level":1},'
-               || '{"idx":20,"tag":"p","kind":"para",'
+               || '"text":"Document ' || doc_id || '","heading_level":1}},'
+               || '{{"idx":{_N_BOILER + 1},"tag":"p","kind":"para",'
                || '"path":"html[1]/body[1]/div[2]/article[1]/p[1]",'
-               || '"text":"' || text || '","heading_level":0}]}'
+               || '"text":"' || jtext || '","heading_level":0}}]}}'
                  AS text_json
-        FROM documents""",
+        FROM esc""",
 
     "extract_pdf_text": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -517,9 +525,13 @@ ORACLES = {
         WITH {_SHINGLES_CTE},
         e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
               FROM sh),
+        e2 AS (SELECT doc_id, n, s FROM
+                 (SELECT doc_id, n, s,
+                         count(*) OVER (PARTITION BY s) AS df FROM e)
+               WHERE df <= 32),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                          a.n AS na, b.n AS nb, count(*) AS i
-                  FROM e a JOIN e b
+                  FROM e2 a JOIN e2 b
                     ON a.s = b.s AND a.doc_id < b.doc_id
                   GROUP BY 1, 2, 3, 4)
         SELECT doc_a, doc_b, round(i / (na + nb - i), 4) AS jaccard
@@ -538,11 +550,15 @@ ORACLES = {
         b AS (SELECT doc_id, band,
                      md5(mh[band*4+1] || ',' || mh[band*4+2] || ',' ||
                          mh[band*4+3] || ',' || mh[band*4+4]) AS band_key
-              FROM m, unnest(generate_series(0, 3)) AS u(band))
+              FROM m, unnest(generate_series(0, 3)) AS u(band)),
+        bc AS (SELECT doc_id, band, band_key,
+                      count(*) OVER (PARTITION BY band, band_key) AS c
+               FROM b)
         SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-        FROM b a JOIN b b2
+        FROM bc a JOIN bc b2
           ON a.band = b2.band AND a.band_key = b2.band_key
-         AND a.doc_id < b2.doc_id""",
+         AND a.doc_id < b2.doc_id
+        WHERE a.c <= 64""",
 
     "dedup_lsh_jaccard": f"""
         WITH {_SHINGLES_CTE},
@@ -558,10 +574,14 @@ ORACLES = {
                      md5(mh[band*4+1] || ',' || mh[band*4+2] || ',' ||
                          mh[band*4+3] || ',' || mh[band*4+4]) AS band_key
               FROM m, unnest(generate_series(0, 3)) AS u(band)),
+        bc AS (SELECT doc_id, band, band_key,
+                      count(*) OVER (PARTITION BY band, band_key) AS c
+               FROM b),
         c AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-              FROM b a JOIN b b2
+              FROM bc a JOIN bc b2
                 ON a.band = b2.band AND a.band_key = b2.band_key
-               AND a.doc_id < b2.doc_id),
+               AND a.doc_id < b2.doc_id
+              WHERE a.c <= 64),
         j AS (SELECT doc_a, doc_b,
                      len(list_intersect(sa.shingles, sb.shingles)) AS i,
                      len(sa.shingles) AS na, len(sb.shingles) AS nb

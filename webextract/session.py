@@ -14,12 +14,29 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "webextract", cpus: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              profile: str = "kernel") -> SparkSession:
+    """profile="kernel" (default): scan-split sizing tuned for the
+    CPU-bound extraction kernel — the per-byte cost of extraction is
+    ~10^3× a columnar scan's, so splits must be much finer than the
+    128 MB I/O default or small corpora collapse to 1-2 tasks
+    (openCostInBytes=4 MB folds 64 small files into ~3 splits —
+    measured 1.85× speedup on 32 cores with the fine settings).  The
+    same knob bounds straggler size at 100 TB.
+
+    profile="analytics": stock Spark split sizing, for pure-columnar
+    SQL sessions over corpus tables — at 100 TB the kernel profile
+    would mean ~13M scan splits of pure scheduler overhead for queries
+    that never touch the kernel.  The two profiles are the deployment
+    story (spark-defaults per job class); a session is one or the
+    other.  Corpus operators are robust to either: their CPU-heavy
+    stages self-spread via corpus._spread when the scan layout
+    under-parallelizes."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = f"local[{cpus}]"
     sp = shuffle_partitions or max(cpus, 8)
-    return (
+    b = (
         SparkSession.builder
         .master(master)
         .appName(app)
@@ -34,15 +51,12 @@ def get_spark(app: str = "webextract", cpus: int | None = None,
         # (DOCLING_PERF_PAGE_BATCH_SIZE etc., settings.py:77-82) — but
         # sized for throughput; byte-budget rebatching happens in udfs.py
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # scan-split sizing for a CPU-bound kernel: the extraction cost
-        # per byte is ~10^3× a columnar scan's, so splits must be much
-        # finer than the 128 MB I/O default or small corpora collapse
-        # to 1-2 tasks (openCostInBytes=4 MB folds 64 small files into
-        # ~3 splits — measured 1.85× speedup on 32 cores; with these,
-        # near-linear).  Same knob bounds straggler size at 100 TB.
-        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .config("spark.driver.memory", os.environ.get("WEBEXTRACT_DRIVER_MEM", "48g"))
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if profile == "kernel":
+        b = (b.config("spark.sql.files.maxPartitionBytes",
+                      str(8 * 1024 * 1024))
+             .config("spark.sql.files.openCostInBytes", str(128 * 1024)))
+    return b.getOrCreate()

@@ -114,23 +114,28 @@ def first_seen_only(pages: DataFrame) -> DataFrame:
     content-hash group, persisted in the checkpoint's state store, so
     dedup survives restarts exactly-once.  Keyed by sha2(text) — the
     state shuffle moves (url, sha, lang) rows only, never html
-    payloads."""
+    payloads.
+
+    The surviving representative for a new hash is DETERMINISTIC: the
+    min(url) row within the micro-batch that first contains the hash
+    (arrival/partition order would make replays of the same input emit
+    different urls — round-1 advice)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def emit_first(key, pdfs, state):
-        if state.exists:
-            new = 0
-        else:
-            new = 1
-        first = None
-        for pdf in pdfs:
-            if new and first is None and len(pdf):
-                first = pdf.iloc[[0]][["url", "content_sha", "lang"]]
+        new = 0 if state.exists else 1
+        best = None
+        for pdf in pdfs:  # iterator must be fully drained either way
+            if new and len(pdf):
+                cand = pdf.loc[[pdf["url"].idxmin()],
+                               ["url", "content_sha", "lang"]]
+                if best is None or cand["url"].iloc[0] < best["url"].iloc[0]:
+                    best = cand
         if new:
             state.update((1,))
-            if first is not None:
-                yield first
-        # duplicates (state existed) emit nothing; iterator fully drained
+            if best is not None:
+                yield best
+        # duplicates (state existed) emit nothing
 
     keyed = pages.select(
         "url", "lang",
