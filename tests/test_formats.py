@@ -1,0 +1,154 @@
+"""Unit tests for the 15-format sniffer + the non-HTML parsers
+(webextract/formats.py).  Reference format enum:
+/root/reference/docs/usage.md:14; round-1 review required unknown
+payloads to SKIP instead of parsing as HTML."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+from hypothesis import given, settings, strategies as st
+
+from webextract.extract import extract_document
+from webextract.formats import (parse_csv_blocks, parse_md_blocks,
+                                parse_vtt_blocks, sniff)
+from webextract.options import DEFAULT_OPTIONS
+
+
+def _zip(parts: dict[str, str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, content in parts.items():
+            z.writestr(name, content)
+    return buf.getvalue()
+
+
+SNIFF_CASES = [
+    (b"%PDF-1.4 ...", "pdf"),
+    (b"%PDF-MINI\n\x00\x00", "pdf"),
+    (b"<!DOCTYPE html><html></html>", "html"),
+    (b"  \n <html><body>x</body>", "html"),
+    (b"plain prose with no markup at all", "html"),
+    (b"# Heading\n\ntext", "md"),
+    (b"= Title\n\ntext", "asciidoc"),
+    (b"WEBVTT\n\n00:00:00.000 --> 00:00:01.000\nhi", "vtt"),
+    (b"a,b,c\n1,2,3\n", "csv"),
+    (b'{"schema_name":"WebExtractDocument","blocks":[]}', "json_docling"),
+    (b"\x89PNG\r\n\x1a\nxxxx", "image"),
+    (b"\xff\xd8\xff\xe0JFIF", "image"),
+    (b"GIF89a\x01\x00", "image"),
+    (b"RIFF\x00\x00\x00\x00WEBPVP8", "image"),
+    (b"ID3\x04\x00tag", "audio"),
+    (b"OggS\x00\x02", "audio"),
+    (b"RIFF\x00\x00\x00\x00WAVEfmt", "audio"),
+    (b'<?xml version="1.0"?><article><front/></article>', "xml_jats"),
+    (b'<?xml version="1.0"?><us-patent-grant/>', "xml_uspto"),
+    (b'<?xml version="1.0"?><mets xmlns="m"/>', "mets_gbs"),
+    (b"\x00\x01\x02\x03junk", "unknown"),
+    (b"PK\x03\x04 plain zip no parts", "unknown"),
+]
+
+
+def test_sniff_matrix():
+    for payload, want in SNIFF_CASES:
+        assert sniff(payload) == want, (payload[:20], sniff(payload), want)
+
+
+def test_sniff_ooxml():
+    assert sniff(_zip({"word/document.xml": "<w:document/>"})) == "docx"
+    assert sniff(_zip({"ppt/slides/slide1.xml": "<p:sld/>"})) == "pptx"
+    assert sniff(_zip({"xl/worksheets/sheet1.xml": "<ws/>"})) == "xlsx"
+
+
+def test_md_parser_structure():
+    bs = parse_md_blocks(
+        "# T\n\npara one\nsame para\n\n- a\n- b\n\n1. c\n\n"
+        "```\ncode  here\n```\n\n> q1\n> q2\n\n| h1 | h2 |\n|---|---|\n"
+        "| x | y |\n\n![alt](img.png)\n")
+    kinds = [(b.kind, b.text) for b in bs]
+    assert kinds == [
+        ("heading", "T"), ("para", "para one same para"),
+        ("list_item", "a"), ("list_item", "b"), ("list_item", "c"),
+        ("code", "code  here"), ("quote", "q1 q2"),
+        ("table", "h1 | h2\nx | y"), ("image", "")]
+    assert bs[0].heading_level == 1
+    assert bs[4].li_index == 1
+    assert bs[7].cells == (("h1", "h2"), ("x", "y"))
+    assert bs[8].src == "img.png"
+
+
+def test_md_roundtrip_through_serializer():
+    """md source -> blocks -> serialize_md must reproduce the source
+    (heading + paragraph shape)."""
+    src = b"# Document 7\n\nsome plain words here\n"
+    r = extract_document(src)
+    assert r.status == "success" and r.fmt == "md"
+    assert r.text_md.encode() + b"\n" == src
+
+
+def test_csv_quoting_roundtrip():
+    bs = parse_csv_blocks('a,"b,with comma",c\n"say ""hi""",2,3\n')
+    assert bs[0].cells == (("a", "b,with comma", "c"),
+                           ('say "hi"', "2", "3"))
+
+
+def test_vtt_strips_ids_and_timestamps():
+    bs = parse_vtt_blocks(
+        "WEBVTT\n\nNOTE a comment\n\ncue-1\n00:00:00.000 --> 00:00:01.000\n"
+        "first line\nsecond line\n\n00:00:01.000 --> 00:00:02.000\nbare cue\n")
+    assert [b.text for b in bs] == ["first line second line", "bare cue"]
+
+
+def test_docx_heading_and_runs():
+    payload = _zip({"word/document.xml":
+                    '<w:document><w:body>'
+                    '<w:p><w:pPr><w:pStyle w:val="Heading2"/></w:pPr>'
+                    '<w:r><w:t>Head</w:t></w:r></w:p>'
+                    '<w:p><w:r><w:t>a </w:t></w:r><w:r><w:t>b</w:t></w:r>'
+                    '</w:p></w:body></w:document>'})
+    r = extract_document(payload)
+    assert r.fmt == "docx" and r.text == "Head\n\na b"
+    assert r.text_md == "## Head\n\na b"
+
+
+def test_xlsx_shared_strings():
+    payload = _zip({
+        "xl/sharedStrings.xml":
+            "<sst><si><t>alpha</t></si><si><t>beta</t></si></sst>",
+        "xl/worksheets/sheet1.xml":
+            '<worksheet><sheetData>'
+            '<row r="1"><c t="s"><v>0</v></c><c><v>42</v></c></row>'
+            '<row r="2"><c t="s"><v>1</v></c><c><v>7</v></c></row>'
+            '</sheetData></worksheet>'})
+    r = extract_document(payload)
+    assert r.fmt == "xlsx" and r.text == "alpha | 42\nbeta | 7"
+
+
+def test_unknown_skips_not_mangles():
+    r = extract_document(b"\x00\xde\xad" * 30)
+    assert r.status == "skipped" and r.fmt == "unknown"
+    assert r.text == ""
+
+
+def test_media_formats_route_away_from_text_kernel():
+    r = extract_document(b"\x89PNG\r\n\x1a\n" + b"z" * 64)
+    assert r.status == "skipped" and r.fmt == "image"
+    r = extract_document(b"ID3\x04\x00" + b"z" * 64)
+    assert r.status == "skipped" and r.fmt == "audio"
+
+
+def test_from_formats_admission_still_filters():
+    opt = DEFAULT_OPTIONS.with_(from_formats=("html", "pdf"))
+    r = extract_document(b"# Heading\n\nbody", opt)
+    assert r.status == "skipped" and r.fmt == "md"
+    assert "not admitted" in r.error
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_sniff_total_and_extract_total(payload):
+    fmt = sniff(payload)
+    assert isinstance(fmt, str)
+    r = extract_document(payload)
+    assert r.status in ("success", "skipped", "failure")

@@ -109,6 +109,89 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs.repartition(p) if docs.rdd.getNumPartitions() < p else docs
 
 
+# ---------------------------------------------------------------------------
+# non-HTML format payloads (md / csv / json_docling / mixed) — drive the
+# 15-format sniff routing (webextract/formats.py) through the same
+# oracle-checkable documents wrapper
+# ---------------------------------------------------------------------------
+
+CSV_COLS = 5
+
+
+def build_md_page(doc_id: int, text: str) -> bytes:
+    """Markdown source: heading + one paragraph (text is single-line,
+    md-metachar-free — asserted by test_synth_charset)."""
+    return f"# Document {doc_id}\n\n{text}\n".encode("utf-8")
+
+
+def build_csv_page(doc_id: int, text: str) -> bytes:
+    """CSV source: fixed header + token rows of CSV_COLS cells."""
+    import csv as _csv
+    import io as _io
+    toks = text.split(" ")
+    buf = _io.StringIO()
+    w = _csv.writer(buf, lineterminator="\n")
+    w.writerow([f"c{i}" for i in range(CSV_COLS)])
+    for i in range(0, len(toks), CSV_COLS):
+        w.writerow(toks[i:i + CSV_COLS])
+    return buf.getvalue().encode("utf-8")
+
+
+def build_json_page(doc_id: int, text: str) -> bytes:
+    """json_docling source: our serialized document IR (heading + para),
+    re-ingested losslessly by formats.parse_json_docling_blocks."""
+    import json as _json
+    return _json.dumps({
+        "schema_name": "WebExtractDocument", "version": "1.0.0",
+        "origin": f"doc://{doc_id}",
+        "blocks": [
+            {"idx": 0, "tag": "h1", "kind": "heading", "path": "jd/h[0]",
+             "text": f"Document {doc_id}", "heading_level": 1},
+            {"idx": 1, "tag": "p", "kind": "para", "path": "jd/p[1]",
+             "text": text, "heading_level": 0}],
+    }, ensure_ascii=False, separators=(",", ":")).encode("utf-8")
+
+
+def build_mixed_page(doc_id: int, text: str) -> bytes:
+    """Round-robin format mix incl. binary junk (doc_id % 4 == 2) — the
+    admission gate proving unknown payloads SKIP instead of parsing as
+    HTML."""
+    r = doc_id % 4
+    if r == 0:
+        return build_page(doc_id, text)
+    if r == 1:
+        return build_md_page(doc_id, text)
+    if r == 2:
+        return b"\x00\xfe\xfd" + text.encode("utf-8")[:64]
+    return build_csv_page(doc_id, text)
+
+
+def docs_to_format_pages(docs: DataFrame, kind: str) -> DataFrame:
+    """documents → input_hint page frame with kind ∈ {md, csv, json,
+    mixed} payloads (same vectorized mapInArrow shape as
+    docs_to_pages)."""
+    build = {"md": build_md_page, "csv": build_csv_page,
+             "json": build_json_page, "mixed": build_mixed_page}[kind]
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            langs = b.column("lang").to_pylist()
+            yield pa.RecordBatch.from_pydict({
+                "url": pa.array([f"doc://{i}" for i in ids],
+                                pa.large_string()),
+                "warc_ts": pa.array([None] * len(ids), pa.timestamp("us")),
+                "html": pa.array([build(i, t) for i, t in zip(ids, texts)],
+                                 pa.large_binary()),
+                "text": pa.array(texts, pa.large_string()),
+                "lang": pa.array(langs, pa.string()),
+            })
+
+    return _spread(docs.select("doc_id", "text", "lang")).mapInArrow(
+        gen, PAGES_SCHEMA)
+
+
 RUNS_PER_PAGE = 20
 
 

@@ -24,7 +24,8 @@ import re
 import time
 from dataclasses import dataclass, field
 
-from .dom import Block, parse_blocks
+from .dom import Block, decode_html, parse_blocks
+from .formats import BINARY_PARSERS, TEXT_PARSERS, sniff
 from .options import ConvertOptions, DEFAULT_OPTIONS
 from . import pdfmini
 
@@ -55,14 +56,14 @@ class Extracted:
 
 # ---------------------------------------------------------------------------
 # format sniffing (reference: schema-on-read per-document format detection,
-# docs/usage.md:14; operator C1 in SURVEY.md §2.3)
+# docs/usage.md:14; operator C1 in SURVEY.md §2.3).  Full 15-format
+# detection lives in webextract/formats.py; truly-unknown payloads are
+# marked "unknown" and SKIPPED by the kernel — never mangled through
+# the HTML parser (round-1 review fix).
 # ---------------------------------------------------------------------------
 
 def sniff_format(payload: bytes) -> str:
-    head = payload[:16]
-    if head.startswith(b"%PDF-MINI") or head.startswith(b"%PDF"):
-        return "pdf"
-    return "html"
+    return sniff(payload)
 
 
 # ---------------------------------------------------------------------------
@@ -388,6 +389,9 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
         if len(payload) > opt.max_file_size:
             return Extracted(status="skipped", error="file too large")
         fmt = sniff_format(payload)
+        if fmt == "unknown":
+            return Extracted(status="skipped", fmt="unknown",
+                             error="unknown format")
         if fmt not in opt.from_formats:
             return Extracted(status="skipped", fmt=fmt,
                              error=f"format {fmt} not admitted")
@@ -395,8 +399,19 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
             # born-digital PDFs carry no boilerplate: all runs are content
             # (density clustering would truncate multi-page docs)
             main = pdfmini.parse_pdf_blocks(payload, opt.page_range)
-        else:
+        elif fmt == "html":
             main = select_main(parse_blocks(payload), opt)
+        elif fmt in TEXT_PARSERS:
+            # structured text formats carry no boilerplate: every block
+            # is content (like the PDF path)
+            main = TEXT_PARSERS[fmt](decode_html(payload))
+        elif fmt in BINARY_PARSERS:
+            main = BINARY_PARSERS[fmt](payload)
+        else:
+            # image/audio route to the media operators (webextract/
+            # media.py); xml archive formats have no text backend here
+            return Extracted(status="skipped", fmt=fmt,
+                             error=f"no text backend for format {fmt}")
         if timed_out():
             return Extracted(status="failure", fmt=fmt,
                              error="document timeout")

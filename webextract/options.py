@@ -16,9 +16,13 @@ from dataclasses import dataclass, field, replace
 
 @dataclass(frozen=True)
 class ConvertOptions:
-    # admission (reference: from_formats docs/usage.md:14; max_num_pages /
+    # admission (reference: from_formats docs/usage.md:14 — defaults to
+    # ALL 15 formats exactly like the reference; max_num_pages /
     # max_file_size settings.py:74-75)
-    from_formats: tuple[str, ...] = ("html", "pdf")
+    from_formats: tuple[str, ...] = (
+        "docx", "pptx", "html", "image", "pdf", "asciidoc", "md", "csv",
+        "xlsx", "xml_uspto", "xml_jats", "mets_gbs", "json_docling",
+        "audio", "vtt")
     max_file_size: int = 256 * 1024 * 1024
     max_num_pages: int = 10_000
 

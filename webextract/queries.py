@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import corpus, media
-from .docpages import N_BOILER_BLOCKS as _N_BOILER, docs_to_pages
+from .docpages import (CSV_COLS, N_BOILER_BLOCKS as _N_BOILER,
+                       docs_to_format_pages, docs_to_pages)
 from .pipeline import chunks_df, extracted_df
 
 
@@ -133,6 +134,47 @@ def q_extract_pdf_page_slice(spark, sf_dir):
     return (_doc_id(extracted_df(pages, opt, cpus=4))
             .filter(F.col("status") == "success")
             .select("doc_id", "text"))
+
+
+def q_extract_md_source(spark, sf_dir):
+    """C1/C2 for the md input format (reference InputFormat enum,
+    docs/usage.md:14): sniff routes `# `-headed payloads to the
+    markdown parser; the md serializer round-trips the source
+    byte-identically (heading + paragraph)."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"), "md")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text", "text_md"))
+
+
+def q_extract_csv_source(spark, sf_dir):
+    """csv input format: whole file → one table block; cell text must
+    survive csv quoting round-trip byte-identically."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"), "csv")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
+def q_extract_json_docling(spark, sf_dir):
+    """json_docling input format: re-ingest of the serialized document
+    IR — blocks rebuild losslessly (the reference's json_docling
+    round-trip analogue)."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"), "json")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
+def q_extract_mixed_formats(spark, sf_dir):
+    """Admission gate for sniff routing: a corpus mixing html / md /
+    binary-junk / csv payloads must route every row to the right
+    parser, and UNKNOWN payloads must be SKIPPED (never parsed as
+    HTML — the round-1 review's silent-mangling fix)."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"), "mixed")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .groupBy("fmt", "status")
+            .agg(F.count("*").cast("long").alias("n_docs")))
 
 
 def q_chunk_hybrid(spark, sf_dir):
@@ -335,6 +377,10 @@ QUERIES = {
     "extract_pdf_page_slice": q_extract_pdf_page_slice,
     "extract_status_counts": q_extract_status_counts,
     "extract_spans": q_extract_spans,
+    "extract_md_source": q_extract_md_source,
+    "extract_csv_source": q_extract_csv_source,
+    "extract_json_docling": q_extract_json_docling,
+    "extract_mixed_formats": q_extract_mixed_formats,
     "chunk_hybrid": q_chunk_hybrid,
     "chunk_hierarchical": q_chunk_hierarchical,
     "dedup_exact": q_dedup_exact,
@@ -489,6 +535,42 @@ ORACLES = {
         SELECT doc_id, i::INTEGER, pstart::BIGINT,
                (pstart + plen)::BIGINT, 'para'
         FROM c""",
+
+    "extract_md_source": """
+        SELECT doc_id, 'md' AS fmt,
+               'Document ' || doc_id || chr(10) || chr(10) || text AS text,
+               '# Document ' || doc_id || chr(10) || chr(10) || text
+                 AS text_md
+        FROM documents""",
+
+    "extract_csv_source": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        r AS (SELECT doc_id, i,
+                     array_to_string(
+                       toks[((i-1)*{CSV_COLS}+1):
+                            (least(i*{CSV_COLS}, len(toks)))], ' | ') AS row
+              FROM t, unnest(generate_series(
+                       1, cast(ceil(len(toks)/{CSV_COLS}.0) AS BIGINT)))
+                   AS u(i))
+        SELECT doc_id, 'csv' AS fmt,
+               'c0 | c1 | c2 | c3 | c4' || chr(10)
+               || string_agg(row, chr(10) ORDER BY i) AS text
+        FROM r GROUP BY doc_id""",
+
+    "extract_json_docling": """
+        SELECT doc_id, 'json_docling' AS fmt,
+               'Document ' || doc_id || chr(10) || chr(10) || text AS text
+        FROM documents""",
+
+    "extract_mixed_formats": """
+        SELECT fmt, status, count(*)::BIGINT AS n_docs
+        FROM (SELECT CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'md'
+                     WHEN 2 THEN 'unknown' ELSE 'csv' END AS fmt,
+                     CASE WHEN doc_id % 4 = 2 THEN 'skipped'
+                          ELSE 'success' END AS status
+              FROM documents)
+        GROUP BY fmt, status""",
 
     "chunk_hybrid": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
