@@ -163,6 +163,38 @@ def test_chunkers():
     assert len(ch3) == 2 and ch3[1].heading == "Head"
 
 
+def test_chunker_merge_peers_false():
+    t2 = "Head\n\naaa bbb\n\nccc ddd"
+    sp2 = [{"start": 0, "end": 4, "kind": "heading", "path": "h"},
+           {"start": 6, "end": 13, "kind": "para", "path": "p1"},
+           {"start": 15, "end": 22, "kind": "para", "path": "p2"}]
+    ch = chunk_blocks_from_spans(t2, sp2, "hybrid", 256, merge_peers=False)
+    assert [c.text for c in ch] == ["aaa bbb", "ccc ddd"]
+    assert all(c.heading == "Head" for c in ch)
+
+
+def test_chunker_subword_measure():
+    # words of len 8 cost 2 pieces each -> budget 10 fits 5 words
+    text = " ".join("abcdefgh" for _ in range(12))
+    spans = [{"start": 0, "end": len(text), "kind": "para", "path": "p"}]
+    ch = chunk_blocks_from_spans(text, spans, "hybrid", 10,
+                                 tokenizer="subword")
+    assert [len(c.text.split()) for c in ch] == [5, 5, 2]
+    assert [c.n_tokens for c in ch] == [10, 10, 4]
+    # mixed costs: greedy maximal prefix under the budget
+    text2 = "aaaa a aaaaaaaa aa"          # costs 1,1,2,1
+    sp = [{"start": 0, "end": len(text2), "kind": "para", "path": "p"}]
+    ch2 = chunk_blocks_from_spans(text2, sp, "hybrid", 3,
+                                  tokenizer="subword")
+    assert [c.text for c in ch2] == ["aaaa a", "aaaaaaaa aa"]
+    assert [c.n_tokens for c in ch2] == [2, 3]
+    # a single over-budget word still emits (never drops content)
+    ch3 = chunk_blocks_from_spans("aaaaaaaaaaaaaaaa", [
+        {"start": 0, "end": 16, "kind": "para", "path": "p"}], "hybrid", 3,
+        tokenizer="subword")
+    assert [c.text for c in ch3] == ["aaaaaaaaaaaaaaaa"]
+
+
 def test_generator_determinism_and_coverage():
     a, b = gen_page(123), gen_page(123)
     assert a == b

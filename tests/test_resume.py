@@ -53,6 +53,13 @@ def test_run_commit_resume(spark, tmp_path):
     runs = {r.run_id for r in lin.collect()}
     assert len(runs) == 2
 
+    # snapshot lineage records the full option record + its hash
+    # (VERDICT item 5: options must be portable between engines)
+    snap = tbl.latest_snapshot()
+    from webextract.options import DEFAULT_OPTIONS
+    assert snap["versions"]["options_hash"] == DEFAULT_OPTIONS.options_hash()
+    assert "do_ocr" in snap["versions"]["options"]
+
 
 def test_rerun_is_noop_and_orphan_gc(spark, tmp_path):
     pages = pages_df(spark, 60, parallelism=4)

@@ -25,7 +25,12 @@ import sys
 from pyspark.sql import SparkSession
 
 
+def _bool(v: str) -> bool:
+    return v.lower() in ("1", "true", "yes", "on")
+
+
 def build_parser() -> argparse.ArgumentParser:
+    from webextract.options import DEFAULT_OPTIONS as D
     p = argparse.ArgumentParser(prog="webextract")
     p.add_argument("--input", help="parquet dir of pages (url, warc_ts, html, text, lang)")
     p.add_argument("--synth", type=int, default=0,
@@ -37,12 +42,79 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpus", type=int, default=32,
                    help="parallelism hint for tier repartitions")
     p.add_argument("--run-id", default=None)
-    p.add_argument("--to-formats", default="md,text")
-    p.add_argument("--from-formats", default="html,pdf")
-    p.add_argument("--max-file-size", type=int, default=256 * 1024 * 1024)
     p.add_argument("--fail-after-wave", type=int, default=None,
                    help="inject a crash after wave K (resume testing)")
+    # --- conversion option surface (reference form fields, usage.md:14-41) ---
+    p.add_argument("--to-formats", default=",".join(D.to_formats))
+    p.add_argument("--from-formats", default=",".join(D.from_formats))
+    p.add_argument("--max-file-size", type=int, default=D.max_file_size)
+    p.add_argument("--max-num-pages", type=int, default=D.max_num_pages)
+    p.add_argument("--page-range", default=f"{D.page_range[0]},{D.page_range[1]}",
+                   help="inclusive 1-based page slice, e.g. 2,5")
+    p.add_argument("--md-page-break-placeholder", default=D.md_page_break_placeholder)
+    p.add_argument("--image-export-mode", default=D.image_export_mode,
+                   choices=("placeholder", "embedded", "referenced"))
+    p.add_argument("--include-images", type=_bool, default=D.include_images)
+    p.add_argument("--images-scale", type=float, default=D.images_scale)
+    p.add_argument("--document-timeout", type=float, default=D.document_timeout)
+    p.add_argument("--abort-on-error", type=_bool, default=D.abort_on_error)
+    # OCR / backend / pipeline selectors — recorded no-ops (options.py)
+    p.add_argument("--do-ocr", type=_bool, default=D.do_ocr)
+    p.add_argument("--force-ocr", type=_bool, default=D.force_ocr)
+    p.add_argument("--ocr-engine", default=D.ocr_engine)
+    p.add_argument("--ocr-lang", default="",
+                   help="comma list, e.g. en,fr")
+    p.add_argument("--pdf-backend", default=D.pdf_backend)
+    p.add_argument("--pipeline", default=D.pipeline)
+    # table structure / enrichment stages — recorded no-ops
+    p.add_argument("--do-table-structure", type=_bool, default=D.do_table_structure)
+    p.add_argument("--table-mode", default=D.table_mode)
+    p.add_argument("--table-cell-matching", type=_bool, default=D.table_cell_matching)
+    p.add_argument("--do-code-enrichment", type=_bool, default=D.do_code_enrichment)
+    p.add_argument("--do-formula-enrichment", type=_bool, default=D.do_formula_enrichment)
+    p.add_argument("--do-picture-classification", type=_bool,
+                   default=D.do_picture_classification)
+    p.add_argument("--do-picture-description", type=_bool,
+                   default=D.do_picture_description)
+    p.add_argument("--picture-description-area-threshold", type=float,
+                   default=D.picture_description_area_threshold)
+    p.add_argument("--picture-description-local", default=None)
+    p.add_argument("--picture-description-api", default=None)
     return p
+
+
+def options_from_args(args) -> "ConvertOptions":
+    """argparse namespace -> full ConvertOptions record (the reference's
+    FormDepends flattening, helper_functions.py:46-115)."""
+    from webextract.options import ConvertOptions
+    lo, hi = (int(x) for x in args.page_range.split(","))
+    return ConvertOptions(
+        from_formats=tuple(f for f in args.from_formats.split(",") if f),
+        to_formats=tuple(f for f in args.to_formats.split(",") if f),
+        max_file_size=args.max_file_size,
+        max_num_pages=args.max_num_pages,
+        page_range=(lo, hi),
+        md_page_break_placeholder=args.md_page_break_placeholder,
+        image_export_mode=args.image_export_mode,
+        include_images=args.include_images,
+        images_scale=args.images_scale,
+        document_timeout=args.document_timeout,
+        abort_on_error=args.abort_on_error,
+        do_ocr=args.do_ocr, force_ocr=args.force_ocr,
+        ocr_engine=args.ocr_engine,
+        ocr_lang=tuple(x for x in args.ocr_lang.split(",") if x),
+        pdf_backend=args.pdf_backend, pipeline=args.pipeline,
+        do_table_structure=args.do_table_structure,
+        table_mode=args.table_mode,
+        table_cell_matching=args.table_cell_matching,
+        do_code_enrichment=args.do_code_enrichment,
+        do_formula_enrichment=args.do_formula_enrichment,
+        do_picture_classification=args.do_picture_classification,
+        do_picture_description=args.do_picture_description,
+        picture_description_area_threshold=args.picture_description_area_threshold,
+        picture_description_local=args.picture_description_local,
+        picture_description_api=args.picture_description_api,
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -51,7 +123,6 @@ def main(argv: list[str] | None = None) -> int:
         print("one of --input / --synth required", file=sys.stderr)
         return 2
 
-    from webextract.options import ConvertOptions
     from webextract.pipeline import run_extract
     from webextract.synth import pages_df
 
@@ -59,10 +130,7 @@ def main(argv: list[str] | None = None) -> int:
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
-    opt = ConvertOptions(
-        from_formats=tuple(args.from_formats.split(",")),
-        to_formats=tuple(args.to_formats.split(",")),
-        max_file_size=args.max_file_size)
+    opt = options_from_args(args)
     pages = (spark.read.parquet(args.input) if args.input
              else pages_df(spark, args.synth, seed=args.seed))
     summary = run_extract(

@@ -396,6 +396,11 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
             return Extracted(status="skipped", fmt=fmt,
                              error=f"format {fmt} not admitted")
         if fmt == "pdf":
+            # max_num_pages admission (reference settings.py:74-75):
+            # header-only peek, refused docs never pay a parse
+            if pdfmini.peek_n_pages(payload) > opt.max_num_pages:
+                return Extracted(status="skipped", fmt=fmt,
+                                 error="too many pages")
             # born-digital PDFs carry no boilerplate: all runs are content
             # (density clustering would truncate multi-page docs)
             main = pdfmini.parse_pdf_blocks(payload, opt.page_range)
@@ -421,7 +426,8 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
         text, spans = serialize_text(main)
         res = Extracted(status="success", fmt=fmt, text=text, spans=spans,
                         n_blocks=len(main),
-                        images=collect_images(main, opt.image_export_mode))
+                        images=(collect_images(main, opt.image_export_mode)
+                                if opt.include_images else []))
         # output-format projection (P5, docs/usage.md:15,408): only the
         # requested formats are populated, others stay empty/null
         if "md" in opt.to_formats:

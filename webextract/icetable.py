@@ -60,6 +60,10 @@ class IceTable:
             sid = s.get("parent_id")
         return out
 
+    def latest_snapshot(self) -> dict | None:
+        sid = self.current_snapshot_id()
+        return self._snapshot(sid) if sid else None
+
     # -- read side ------------------------------------------------------
     def committed_parts(self) -> set[int]:
         return {p["part_id"] for s in self.snapshots()

@@ -58,6 +58,14 @@ def parse_runs(payload: bytes) -> tuple[int, list[tuple[int, int, int, int, str]
     return n_pages, runs
 
 
+def peek_n_pages(payload: bytes) -> int:
+    """Header-only page count — the max_num_pages admission check
+    (reference settings.py:74) must not pay a full parse to refuse."""
+    if not payload.startswith(MAGIC):
+        raise ValueError("not a mini-PDF payload")
+    return struct.unpack_from(">II", payload, len(MAGIC))[0]
+
+
 def reading_order(runs: list[tuple[int, int, int, int, str]]):
     """Reconstruct reading order (operator C4, SURVEY.md §2.3):
     per page, columns by x-range, then top-to-bottom in y bands, then x."""

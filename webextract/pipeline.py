@@ -75,12 +75,14 @@ def extracted_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
 
 
 def chunks_df(extracted: DataFrame, chunker: str = "hybrid",
-              max_tokens: int = 256) -> DataFrame:
+              max_tokens: int = 256, tokenizer: str = "word",
+              merge_peers: bool = True) -> DataFrame:
     """Extracted frame -> exploded chunk rows (K1/K2). Narrow: chunking
     is per-document, no shuffle (SURVEY.md §3.3)."""
     src = extracted.select("url", "text", "spans")
-    return src.mapInArrow(make_chunk_kernel(chunker, max_tokens),
-                          CHUNK_SCHEMA_DDL)
+    return src.mapInArrow(
+        make_chunk_kernel(chunker, max_tokens, tokenizer, merge_peers),
+        CHUNK_SCHEMA_DDL)
 
 
 def write_artifacts(extracted: DataFrame, out_dir: str) -> None:
@@ -176,10 +178,16 @@ def run_extract(spark: SparkSession, pages: DataFrame, table_root: str,
             c["wall_ms"] = wall_ms
             parts_meta.append({"part_id": p, "files": files, "counters": c})
         from . import __version__
+        # lineage records WHICH options produced this snapshot (the
+        # reference persists the request options with the task record);
+        # options_hash is also the converter-cache key (options.py).
         snap = table.commit(run_id, parts_meta,
                             datetime.datetime.utcnow().isoformat(),
                             versions={"webextract": __version__,
-                                      "spark": spark.version})
+                                      "spark": spark.version,
+                                      "options_hash": opt.options_hash(),
+                                      "options": {k: repr(v) for k, v
+                                                  in opt.as_dict().items()}})
         summary["waves"].append({
             "wave": wi, "snapshot_id": snap, "parts": wave_parts,
             "num_docs": sum(m["counters"]["num_docs"] for m in parts_meta),

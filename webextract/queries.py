@@ -191,6 +191,18 @@ def q_chunk_hierarchical(spark, sf_dir):
             .select("doc_id", "chunk_idx", "chunk_text", "heading", "n_tokens"))
 
 
+def q_chunk_hybrid_subword(spark, sf_dir):
+    """K1 tokenizer-aware variant (VERDICT item 6): max_tokens counts
+    BPE-ish subword pieces (ceil(len/4) per word, the token_stats
+    estimator) the way the reference's HybridChunker counts HF tokenizer
+    pieces (datamodel/requests.py:109-130).  Greedy maximal windows
+    under the budget; oracle is a recursive-CTE greedy packer."""
+    out = _extract(spark, sf_dir)
+    return (chunks_df(out, "hybrid", 64, tokenizer="subword")
+            .withColumn("doc_id", F.substring("url", 7, 20).cast("bigint"))
+            .select("doc_id", "chunk_idx", "chunk_text", "heading", "n_tokens"))
+
+
 # ---------------------------------------------------------------------------
 # dedup / similarity family
 # ---------------------------------------------------------------------------
@@ -382,6 +394,7 @@ QUERIES = {
     "extract_json_docling": q_extract_json_docling,
     "extract_mixed_formats": q_extract_mixed_formats,
     "chunk_hybrid": q_chunk_hybrid,
+    "chunk_hybrid_subword": q_chunk_hybrid_subword,
     "chunk_hierarchical": q_chunk_hierarchical,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -584,6 +597,38 @@ ORACLES = {
                'Document ' || doc_id AS heading,
                len(ctoks)::INTEGER AS n_tokens
         FROM w""",
+
+    "chunk_hybrid_subword": """
+        WITH RECURSIVE
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+        e AS (SELECT doc_id, u.i AS i, toks[u.i] AS w,
+                     cast(ceil(length(toks[u.i]) / 4.0) AS BIGINT) AS c
+              FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+        cs AS (SELECT doc_id, i, w, c,
+                      sum(c) OVER (PARTITION BY doc_id ORDER BY i) AS csum
+               FROM e),
+        tot AS (SELECT doc_id, max(csum) AS total FROM cs GROUP BY doc_id),
+        -- greedy packer: each chunk consumes the maximal token prefix
+        -- whose cumulative subword cost stays within base + 64
+        rec AS (
+            SELECT doc_id, 0 AS chunk_idx, cast(0 AS BIGINT) AS base
+            FROM tot
+            UNION ALL
+            SELECT r.doc_id, r.chunk_idx + 1,
+                   (SELECT max(csum) FROM cs
+                    WHERE cs.doc_id = r.doc_id AND cs.csum <= r.base + 64)
+            FROM rec r JOIN tot ON tot.doc_id = r.doc_id
+            WHERE (SELECT max(csum) FROM cs
+                   WHERE cs.doc_id = r.doc_id AND cs.csum <= r.base + 64)
+                  < tot.total)
+        SELECT r.doc_id, r.chunk_idx::INTEGER AS chunk_idx,
+               string_agg(cs.w, ' ' ORDER BY cs.i) AS chunk_text,
+               'Document ' || r.doc_id AS heading,
+               sum(cs.c)::INTEGER AS n_tokens
+        FROM rec r JOIN cs ON cs.doc_id = r.doc_id
+             AND cs.csum > r.base AND cs.csum <= r.base + 64
+        GROUP BY r.doc_id, r.chunk_idx""",
 
     "chunk_hierarchical": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -122,10 +122,13 @@ _CHUNK_ARROW = pa.schema([
     ("n_tokens", pa.int32())])
 
 
-def make_chunk_kernel(chunker: str = "hybrid", max_tokens: int = 256):
+def make_chunk_kernel(chunker: str = "hybrid", max_tokens: int = 256,
+                      tokenizer: str = "word", merge_peers: bool = True):
     """mapInArrow 1->N chunker (operators K1/K2, SURVEY.md §2.4) over the
     extracted frame (columns url, text, spans).  Followed by nothing:
-    the kernel itself emits exploded chunk rows (UDTF-style)."""
+    the kernel itself emits exploded chunk rows (UDTF-style).
+    ``tokenizer``/``merge_peers`` mirror the reference's HybridChunker
+    options (datamodel/requests.py:109-130)."""
 
     def chunk_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -136,7 +139,8 @@ def make_chunk_kernel(chunker: str = "hybrid", max_tokens: int = 256):
                    "heading": [], "n_tokens": []}
             for u, t, sp in zip(urls, texts, spans):
                 for c in chunk_blocks_from_spans(t or "", sp or [], chunker,
-                                                 max_tokens):
+                                                 max_tokens, tokenizer,
+                                                 merge_peers):
                     out["url"].append(u)
                     out["chunk_idx"].append(c.idx)
                     out["chunk_text"].append(c.text)
