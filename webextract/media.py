@@ -1,12 +1,15 @@
 """Multimodal column plumbing: decode / feature-extract / frame-sample.
 
 Images/audio/video ride as opaque `binary` columns with typed metadata
-structs.  The real codecs (PIL/ffmpeg/librosa) are NOT in this
-container, so the decode step is STUBBED behind `WEBEXTRACT_REAL_MEDIA`
-— the deterministic fake derives metadata purely from the payload bytes
-so the Spark-side plumbing (schema, Arrow batch shape, mapInPandas
-signature, partitioning) is real and fully tested, and the fake decode
-is SQL-expressible for the DuckDB oracle.
+structs.  Image HEADER decode (magic bytes + dimensions for
+PNG/JPEG/GIF/BMP/WEBP) is REAL — pure-stdlib struct parsing, no
+codec library needed.  Full raster/audio/video decode would need
+PIL/ffmpeg/librosa which are NOT in this container, so that step is
+STUBBED behind `WEBEXTRACT_REAL_MEDIA` — the deterministic fake derives
+metadata purely from the payload bytes so the Spark-side plumbing
+(schema, Arrow batch shape, mapInPandas signature, partitioning) is
+real and fully tested, and the fake decode is SQL-expressible for the
+DuckDB oracle.
 
 Batch shape: mapInPandas receives pandas DataFrames of (doc_id: int64,
 media: bytes); payload bytes are examined per element with vectorized
@@ -32,6 +35,58 @@ MEDIA_META_SCHEMA = ("doc_id bigint, n_bytes bigint, fmt string, "
 _FMTS = ("jpeg", "png", "webp")
 
 
+def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
+    """REAL image-header decode: (fmt, width, height) from magic bytes,
+    or None if the payload is not a recognized image.  Pure stdlib —
+    the subset of header parsing PIL does before any raster work.
+    Never raises: a truncated/corrupt header returns None."""
+    import struct
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return ("png", w, h)
+        if b[:2] == b"\xff\xd8":                     # JPEG: scan for SOFn
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    return None
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+                # SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC)
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return ("jpeg", w, h)
+                i += 2 + seglen
+            return None
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            return ("gif", w, h)
+        # reserved bytes 6-9 must be zero — also rejects ASCII text
+        # that happens to start with "BM"
+        if b[:2] == b"BM" and len(b) >= 26 and b[6:10] == b"\x00\x00\x00\x00":
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("bmp", w, abs(h))
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+            chunk = b[12:16]
+            if chunk == b"VP8X" and len(b) >= 30:    # 24-bit w-1 / h-1
+                w = int.from_bytes(b[24:27], "little") + 1
+                h = int.from_bytes(b[27:30], "little") + 1
+                return ("webp", w, h)
+            if chunk == b"VP8 " and len(b) >= 30:
+                w, h = struct.unpack("<HH", b[26:30])
+                return ("webp", w & 0x3FFF, h & 0x3FFF)
+            if chunk == b"VP8L" and len(b) >= 25:    # 14-bit packed
+                bits = int.from_bytes(b[21:25], "little")
+                return ("webp", (bits & 0x3FFF) + 1,
+                        ((bits >> 14) & 0x3FFF) + 1)
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
 def fake_decode_meta(payload: bytes) -> dict:
     """Deterministic stand-in for image/video header decode: metadata is
     a pure function of payload length (so the oracle can recompute it
@@ -43,13 +98,26 @@ def fake_decode_meta(payload: bytes) -> dict:
 
 
 def decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (doc_id, media:binary) → metadata rows."""
+    """mapInPandas kernel: (doc_id, media:binary) → metadata rows.
+
+    Recognized image payloads get REAL header decode (magic bytes +
+    dimensions); anything else falls through to the deterministic fake
+    (the full-raster path PIL/ffmpeg would serve is the REAL_MEDIA
+    stub)."""
     if REAL_MEDIA:
         raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg — not in this container")
+            "full raster decode requires PIL/ffmpeg — not in this container")
     for pdf in batches:
-        metas = [fake_decode_meta(m if m is not None else b"")
-                 for m in pdf["media"]]
+        metas = []
+        for m in pdf["media"]:
+            m = m if m is not None else b""
+            hdr = parse_image_header(m)
+            if hdr is not None:
+                fmt, w, h = hdr
+                metas.append({"n_bytes": len(m), "fmt": fmt, "width": w,
+                              "height": h, "n_frames": 1})
+            else:
+                metas.append(fake_decode_meta(m))
         out = pd.DataFrame(metas)
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out
@@ -91,6 +159,42 @@ def frame_sample_batches(stride: int):
 def frame_sample(df: DataFrame, stride: int = 4) -> DataFrame:
     return df.select("doc_id", "media").mapInPandas(
         frame_sample_batches(stride), FRAME_SAMPLE_SCHEMA)
+
+
+def make_image_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID image payload (real header per spec) for the
+    header-decode gate: png/jpeg/gif rotating by doc_id%3, dimensions a
+    pure function of doc_id so the DuckDB oracle recomputes them.
+    Fixed payload sizes (png 64 / jpeg 96 / gif 48 bytes)."""
+    import struct
+    w = 1 + doc_id % 1024
+    h = 1 + (3 * doc_id) % 1024
+    k = doc_id % 3
+    if k == 0:
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        b = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+             + b"\x00\x00\x00\x00")
+        return b.ljust(64, b"\x00")
+    if k == 1:
+        app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+                + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                + struct.pack(">HH", h, w)
+                + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+        return (b"\xff\xd8" + app0 + sof0).ljust(94, b"\x00") + b"\xff\xd9"
+    return (b"GIF89a" + struct.pack("<HH", w, h)).ljust(48, b"\x00")
+
+
+def with_real_image_media(docs: DataFrame) -> DataFrame:
+    """Attach a `media` column of REAL image bytes built from doc_id
+    (the gate input for parse_image_header round-trip)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 "media": [make_image_bytes(int(d)) for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
 
 
 def with_fake_media(docs: DataFrame) -> DataFrame:
