@@ -86,6 +86,50 @@ def test_artifact_sink_invariant(spark, tmp_path):
                 assert os.path.exists(os.path.join(base, rel)), rel
 
 
+def test_zip_sink_invariant(spark, tmp_path):
+    """S6 (VERDICT item 9): ONE zip per partition; every image uri the
+    markdown cites exists in the SAME archive at the relative in-archive
+    path (reference tests/test_fastapi_endpoints.py:181-215)."""
+    import zipfile
+    from webextract.docpages import PAGES_SCHEMA
+    from webextract.pipeline import extracted_df, write_zip_artifacts
+    import pyarrow as pa
+
+    def gen(batches):
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            yield pa.RecordBatch.from_pydict({
+                "url": pa.array([f"zip://{i}" for i in ids], pa.large_string()),
+                "warc_ts": pa.array([None] * len(ids), pa.timestamp("us")),
+                "html": pa.array([PAGE] * len(ids), pa.large_binary()),
+                "text": pa.array([""] * len(ids), pa.large_string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+            })
+
+    pages = spark.range(0, 6, 1, 3).mapInArrow(gen, PAGES_SCHEMA)
+    out = extracted_df(pages, ConvertOptions(image_export_mode="referenced"),
+                       cpus=2)
+    d = str(tmp_path / "zips")
+    write_zip_artifacts(out, d)
+    zips = sorted(glob.glob(os.path.join(d, "part-*.zip")))
+    assert 1 <= len(zips) <= 3                   # one archive per partition
+    assert not glob.glob(os.path.join(d, "*.tmp"))
+    n_docs = 0
+    for zp in zips:
+        with zipfile.ZipFile(zp) as z:
+            names = set(z.namelist())
+            mds = [n for n in names if n.endswith("/doc.md")]
+            n_docs += len(mds)
+            for md_name in mds:
+                base = md_name.rsplit("/", 1)[0]
+                md = z.read(md_name).decode()
+                for part in md.split("("):
+                    if part.startswith("images/"):
+                        rel = part.split(")")[0]
+                        assert f"{base}/{rel}" in names, rel
+    assert n_docs == 6
+
+
 def test_document_timeout():
     r = extract_document(PAGE, ConvertOptions(document_timeout=0.0))
     assert r.status == "failure"

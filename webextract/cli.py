@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", default=None)
     p.add_argument("--fail-after-wave", type=int, default=None,
                    help="inject a crash after wave K (resume testing)")
+    p.add_argument("--split-bytes", type=int, default=None,
+                   help="enable the oversized-PDF page fan-out tier for "
+                        "payloads >= this many bytes (split.py)")
     # --- conversion option surface (reference form fields, usage.md:14-41) ---
     p.add_argument("--to-formats", default=",".join(D.to_formats))
     p.add_argument("--from-formats", default=",".join(D.from_formats))
@@ -136,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
     summary = run_extract(
         spark, pages, args.output, opt=opt, partitions=args.partitions,
         waves=args.waves, cpus=args.cpus, run_id=args.run_id,
-        fail_after_wave=args.fail_after_wave)
+        fail_after_wave=args.fail_after_wave, split_bytes=args.split_bytes)
     print(json.dumps(summary))
     return 0
 

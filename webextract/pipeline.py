@@ -111,6 +111,42 @@ def write_artifacts(extracted: DataFrame, out_dir: str) -> None:
     extracted.select("url", "text_md", "images").foreachPartition(_write)
 
 
+def write_zip_artifacts(extracted: DataFrame, out_dir: str) -> None:
+    """ZipTarget sink (reference response_preparation.py:47-54): ONE zip
+    archive per Spark partition, each document a `<md5(url)>/doc.md`
+    entry plus its referenced image sidecars at the RELATIVE in-archive
+    paths the markdown cites (invariant of reference
+    tests/test_fastapi_endpoints.py:181-215).
+
+    Per-partition bundles are the 10^12-doc shape: a bounded number of
+    archive objects instead of billions of small files; each task
+    streams its rows into its own zip and atomically renames, so a
+    retried task never leaves a torn archive."""
+    def _write(rows) -> None:
+        import hashlib
+        import itertools
+        import os
+        import zipfile
+        from pyspark import TaskContext
+        first = next(rows, None)
+        if first is None:
+            return  # empty partition -> no archive
+        pid = TaskContext.get().partitionId()
+        os.makedirs(out_dir, exist_ok=True)
+        final = os.path.join(out_dir, f"part-{pid:05d}.zip")
+        tmp = final + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for r in itertools.chain([first], rows):
+                d = hashlib.md5(r["url"].encode()).hexdigest()[:16]
+                z.writestr(f"{d}/doc.md", r["text_md"] or "")
+                for im in (r["images"] or []):
+                    if im["data"] is not None and im["uri"]:
+                        z.writestr(f"{d}/{im['uri']}", bytes(im["data"]))
+        os.replace(tmp, final)
+
+    extracted.select("url", "text_md", "images").foreachPartition(_write)
+
+
 def _wave_groups(parts: list[int], waves: int) -> list[list[int]]:
     if not parts:
         return []
@@ -123,10 +159,14 @@ def run_extract(spark: SparkSession, pages: DataFrame, table_root: str,
                 opt: ConvertOptions = DEFAULT_OPTIONS,
                 partitions: int = DEFAULT_PARTITIONS, waves: int = 4,
                 cpus: int = 32, run_id: str | None = None,
-                fail_after_wave: int | None = None) -> dict:
+                fail_after_wave: int | None = None,
+                split_bytes: int | None = None) -> dict:
     """The job driver: wave-committed, resumable extraction run.
 
     ``fail_after_wave`` injects a crash between commits (tests only).
+    ``split_bytes`` enables the oversized-PDF fan-out tier (split.py):
+    payloads >= the threshold are page-split across tasks instead of
+    pinning one task; None keeps the pure no-shuffle plan.
     Returns a summary with per-wave counters.
     """
     table = IceTable(table_root)
@@ -140,7 +180,12 @@ def run_extract(spark: SparkSession, pages: DataFrame, table_root: str,
     for wi, wave_parts in enumerate(_wave_groups(todo, waves)):
         t0 = time.time()
         wave_df = pages_p.filter(F.col("part_id").isin(wave_parts))
-        out = extracted_df(wave_df.drop("part_id"), opt, cpus)
+        if split_bytes is not None:
+            from .split import extracted_split_df
+            out = extracted_split_df(wave_df.drop("part_id"), opt, cpus,
+                                     split_bytes=split_bytes)
+        else:
+            out = extracted_df(wave_df.drop("part_id"), opt, cpus)
         out = with_part_id(out, partitions)
         stage = table.staging_dir(run_id, wi)
         # one shuffle, on the EXTRACTED rows (≈5× smaller than raw

@@ -123,6 +123,20 @@ def q_extract_pdf_text(spark, sf_dir):
             .select("doc_id", "fmt", "text"))
 
 
+def q_extract_pdf_split(spark, sf_dir):
+    """C11 distributed oversized-doc tier (VERDICT item 7): every PDF
+    forced through split -> page fan-out -> merge (split_bytes=1) must
+    reproduce the one-shot conversion byte-identically — same oracle as
+    extract_pdf_text (reference examples/split_processing.py:73-118)."""
+    from .docpages import docs_to_pdf_pages
+    from .split import extracted_split_df
+    pages = docs_to_pdf_pages(_read(spark, sf_dir, "documents"))
+    return (_doc_id(extracted_split_df(pages, cpus=4, split_bytes=1,
+                                       pages_per_seg=2))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
 def q_extract_pdf_page_slice(spark, sf_dir):
     """P2: page_range slice (docs/usage.md:25) — convert only pages 2-3
     of each mini-PDF (runs 21-60 of the reading order)."""
@@ -396,6 +410,7 @@ QUERIES = {
     "extract_doctags": q_extract_doctags,
     "extract_json": q_extract_json,
     "extract_pdf_text": q_extract_pdf_text,
+    "extract_pdf_split": q_extract_pdf_split,
     "extract_pdf_page_slice": q_extract_pdf_page_slice,
     "extract_status_counts": q_extract_status_counts,
     "extract_spans": q_extract_spans,
@@ -506,6 +521,20 @@ ORACLES = {
         FROM esc""",
 
     "extract_pdf_text": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        w AS (SELECT doc_id, i,
+                     array_to_string(
+                       toks[((i-1)*12+1):(least(i*12, len(toks)))], ' ') AS run
+              FROM t, unnest(generate_series(
+                       1, cast(ceil(len(toks)/12.0) AS BIGINT))) AS u(i))
+        SELECT doc_id, 'pdf' AS fmt,
+               string_agg(run, chr(10) || chr(10) ORDER BY i) AS text
+        FROM w GROUP BY doc_id""",
+
+    # identical expected output to extract_pdf_text: the split tier is
+    # an execution strategy, not a semantic change
+    "extract_pdf_split": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                    FROM documents),
         w AS (SELECT doc_id, i,

@@ -1,0 +1,275 @@
+"""Distributed oversized-document tier: page split -> fan-out -> merge.
+
+Operator C11's scale path (SURVEY.md §2.3/§4.1; reference precedent
+examples/split_processing.py:73-118 — page-range fan-out followed by
+``DoclingDocument.concatenate``).  The in-kernel byte-budget rebatcher
+(udfs.py) bounds MEMORY per task, but a single 1 GB PDF still pins one
+task end-to-end; this tier spreads its PAGES across the cluster:
+
+1. split kernel (narrow 1->N mapInArrow): an oversized mini-PDF payload
+   is sliced into per-page-group segment payloads that keep the
+   ORIGINAL page numbers and header, so every downstream stage sees
+   exactly the bytes/pages the unsplit parse would.  Document-level
+   admission (max_file_size, from_formats, max_num_pages — the checks
+   extract_document runs once per doc) happens HERE, once, on the whole
+   payload; refused docs ship one empty segment carrying the verdict.
+2. ``repartition(url, seg_idx)`` — the ONE shuffle that matters: it
+   moves only the oversized docs' payload (by construction a tiny
+   fraction of the corpus; everything under ``split_bytes`` stays on
+   the no-shuffle path) and is what turns a straggler doc into N
+   parallel tasks.
+3. segment extract kernel (narrow): parses each segment into block rows
+   (page, text, heading_level) — per-page reading order is identical to
+   the unsplit parse because ``reading_order`` sorts within pages.
+4. merge (groupBy(url).applyInPandas): reassembles the block list in
+   seg_idx order, renumbers global run indices, and re-serializes with
+   the SAME serializer functions as extract_document — byte-identical
+   output for every to_format, the reference's concatenate semantics.
+
+HTML payloads never take this tier: boilerplate scoring is a
+document-GLOBAL decision (text/link-density over the whole block tree),
+so splitting an HTML doc would change semantics.  Oversized HTML is
+handled by byte-budget rebatching + fine scan splits instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import pdfmini
+from .dom import Block, collapse_ws
+from .options import ConvertOptions, DEFAULT_OPTIONS
+from .udfs import EXTRACT_SCHEMA_DDL, make_extract_kernel
+
+SPLIT_BYTES = 8 * 1024 * 1024        # payloads >= this fan out by page
+
+# segment frame: original header/page numbers preserved in `html`
+_SEG_DDL = ("url string, warc_ts timestamp, lang string, seg_idx int, "
+            "n_segs int, orig_bytes bigint, verdict string, error string, "
+            "html binary")
+_SEG_ARROW = pa.schema([
+    ("url", pa.large_string()), ("warc_ts", pa.timestamp("us")),
+    ("lang", pa.string()), ("seg_idx", pa.int32()), ("n_segs", pa.int32()),
+    ("orig_bytes", pa.int64()), ("verdict", pa.string()),
+    ("error", pa.string()), ("html", pa.large_binary())])
+
+# extracted segment: blocks as structs, payload dropped (rows shrink ~5x
+# before the merge shuffle)
+_SEGX_DDL = ("url string, warc_ts timestamp, lang string, seg_idx int, "
+             "n_segs int, orig_bytes bigint, verdict string, error string, "
+             "blocks array<struct<page:int,text:string,level:int>>")
+_SEGX_ARROW = pa.schema([
+    ("url", pa.large_string()), ("warc_ts", pa.timestamp("us")),
+    ("lang", pa.string()), ("seg_idx", pa.int32()), ("n_segs", pa.int32()),
+    ("orig_bytes", pa.int64()), ("verdict", pa.string()),
+    ("error", pa.string()),
+    ("blocks", pa.list_(pa.struct([("page", pa.int32()),
+                                   ("text", pa.large_string()),
+                                   ("level", pa.int32())])))])
+
+
+def _admit(payload: bytes, opt: ConvertOptions) -> tuple[str, str] | None:
+    """Document-level admission, mirroring extract_document's checks in
+    the same order (extract.py) so refused docs are byte-identical."""
+    if payload is None or len(payload) == 0:
+        return ("skipped", "empty payload")
+    if len(payload) > opt.max_file_size:
+        return ("skipped", "file too large")
+    if "pdf" not in opt.from_formats:
+        return ("skipped", "format pdf not admitted")
+    if pdfmini.peek_n_pages(payload) > opt.max_num_pages:
+        return ("skipped", "too many pages")
+    return None
+
+
+def _slice_pages(payload: bytes, pages_per_seg: int) -> list[bytes]:
+    """Re-pack an admitted mini-PDF into per-page-group payloads that
+    keep the ORIGINAL n_pages and page numbers (so page_range and the
+    pdf/page[N] block paths are unchanged downstream)."""
+    import struct
+    n_pages, runs = pdfmini.parse_runs(payload)
+    by_page: dict[int, list] = {}
+    for r in runs:
+        by_page.setdefault(r[0], []).append(r)
+    pages = sorted(by_page)
+    groups = [pages[i:i + pages_per_seg]
+              for i in range(0, len(pages), pages_per_seg)]
+    out = []
+    for grp in groups:
+        seg_runs = [r for p in grp for r in by_page[p]]
+        buf = [pdfmini.MAGIC, struct.pack(">II", n_pages, len(seg_runs))]
+        for page, x, y, fs, text in seg_runs:
+            tb = text.encode("utf-8")
+            buf.append(pdfmini._HDR.pack(page, x, y, fs, len(tb)))
+            buf.append(tb)
+        out.append(b"".join(buf))
+    return out or [payload]  # zero-run doc: one whole segment
+
+
+def make_split_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
+                      pages_per_seg: int = 1):
+    """mapInArrow 1->N: oversized PDF -> admitted page-group segments."""
+
+    def split_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {n: batch.column(n) for n in batch.schema.names}
+            urls = cols["url"].to_pylist()
+            htmls = cols["html"].to_pylist()
+            ts = cols["warc_ts"].to_pylist() if "warc_ts" in cols \
+                else [None] * len(urls)
+            langs = cols["lang"].to_pylist() if "lang" in cols \
+                else [None] * len(urls)
+            out = {k: [] for k in _SEG_ARROW.names}
+
+            def emit(i, seg_idx, n_segs, verdict, error, payload):
+                out["url"].append(urls[i])
+                out["warc_ts"].append(ts[i])
+                out["lang"].append(langs[i])
+                out["seg_idx"].append(seg_idx)
+                out["n_segs"].append(n_segs)
+                out["orig_bytes"].append(len(htmls[i]) if htmls[i] else 0)
+                out["verdict"].append(verdict)
+                out["error"].append(error)
+                out["html"].append(payload)
+
+            for i, payload in enumerate(htmls):
+                bad = _admit(payload or b"", opt)
+                if bad is not None:
+                    emit(i, 0, 1, bad[0], bad[1], None)
+                    continue
+                segs = _slice_pages(payload, pages_per_seg)
+                for j, seg in enumerate(segs):
+                    emit(i, j, len(segs), "", "", seg)
+            yield pa.RecordBatch.from_pydict(
+                {f.name: pa.array(out[f.name], f.type) for f in _SEG_ARROW})
+
+    return split_batches
+
+
+def make_seg_extract_kernel(opt: ConvertOptions = DEFAULT_OPTIONS):
+    """mapInArrow: parse one segment -> (page, text, level) block rows.
+    Page-sliced by opt.page_range on ORIGINAL page numbers, exactly like
+    parse_pdf_blocks; serialization is deferred to the merge."""
+
+    def seg_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {n: batch.column(n) for n in batch.schema.names}
+            htmls = cols["html"].to_pylist()
+            out = {n: (cols[n].to_pylist() if n != "blocks" and n != "html"
+                       else []) for n in _SEGX_ARROW.names}
+            out["blocks"] = []
+            for i, payload in enumerate(htmls):
+                if out["verdict"][i]:          # admission verdict rides along
+                    out["blocks"].append([])
+                    continue
+                a, b = opt.page_range
+                _, runs = pdfmini.parse_runs(payload)
+                runs = [r for r in runs if a <= r[0] <= b]
+                blocks = []
+                for page, x, y, fs, text in pdfmini.reading_order(runs):
+                    text = collapse_ws(text)
+                    if not text:
+                        continue
+                    level = 1 if fs >= 24 else (2 if fs >= 18 else 0)
+                    blocks.append({"page": page, "text": text,
+                                   "level": level})
+                out["blocks"].append(blocks)
+            yield pa.RecordBatch.from_pydict(
+                {f.name: pa.array(out[f.name], f.type) for f in _SEGX_ARROW})
+
+    return seg_batches
+
+
+def make_merge_fn(opt: ConvertOptions = DEFAULT_OPTIONS):
+    """applyInPandas merge: one group per url; rebuild the global block
+    list in seg_idx order and re-serialize with extract_document's own
+    serializer functions (byte-identity by construction)."""
+    from .extract import (serialize_doctags, serialize_html,
+                          serialize_html_split_page, serialize_json,
+                          serialize_md, serialize_text)
+
+    def merge(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("seg_idx")
+        first = pdf.iloc[0]
+        row = {"url": first["url"], "warc_ts": first["warc_ts"],
+               "lang": first["lang"], "status": "success", "fmt": "pdf",
+               "text": "", "text_md": "", "doctags": "", "text_html": "",
+               "text_html_split": "", "text_json": "", "spans": [],
+               "images": [], "n_blocks": 0,
+               "bytes_in": first["orig_bytes"], "error": None}
+        if first["verdict"]:
+            # mirror extract_document's refused-row shape exactly:
+            # size checks fire BEFORE sniffing (fmt stays the "html"
+            # default), format/page checks after (fmt="pdf")
+            fmt = "html" if first["error"] in ("empty payload",
+                                               "file too large") else "pdf"
+            row.update(status=first["verdict"], error=first["error"],
+                       fmt=fmt)
+            return pd.DataFrame([row])
+        blocks: list[Block] = []
+        for seg_blocks in pdf["blocks"]:
+            for sb in (seg_blocks if seg_blocks is not None else []):
+                level = int(sb["level"])
+                page = int(sb["page"])
+                blocks.append(Block(
+                    idx=len(blocks), tag=f"h{level}" if level else "p",
+                    kind="heading" if level else "para",
+                    path=f"pdf/page[{page}]/run[{len(blocks)}]",
+                    container_path=f"pdf/page[{page}]",
+                    depth=2, text=sb["text"], link_chars=0, boiler=False,
+                    semantic=False, heading_level=level))
+        if not blocks:
+            row.update(status="skipped", error="no content", n_blocks=0)
+            return pd.DataFrame([row])
+        text, spans = serialize_text(blocks)
+        row.update(text=text, n_blocks=len(blocks),
+                   spans=[{"start": s, "end": e, "kind": k, "path": p}
+                          for (s, e, k, p) in spans])
+        if "md" in opt.to_formats:
+            row["text_md"] = serialize_md(blocks,
+                                          opt.md_page_break_placeholder,
+                                          opt.image_export_mode)
+        if "doctags" in opt.to_formats:
+            row["doctags"] = serialize_doctags(blocks)
+        if "html" in opt.to_formats:
+            row["text_html"] = serialize_html(blocks)
+        if "html_split_page" in opt.to_formats:
+            row["text_html_split"] = serialize_html_split_page(blocks)
+        if "json" in opt.to_formats:
+            row["text_json"] = serialize_json(blocks, first["url"])
+        return pd.DataFrame([row])
+
+    return merge
+
+
+def extracted_split_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
+                       cpus: int = 32, split_bytes: int = SPLIT_BYTES,
+                       pages_per_seg: int = 1) -> DataFrame:
+    """Extraction with the oversized-PDF fan-out tier.
+
+    Routing is declarative so Catalyst prunes both branches' scans:
+    payloads under ``split_bytes`` (or non-mini-PDF) take the normal
+    no-shuffle kernel path; oversized mini-PDFs take
+    split -> repartition -> parse -> merge.  The two branches union to
+    the same EXTRACT schema, so downstream (waves, IceTable commit,
+    chunkers) is tier-oblivious."""
+    cols = ["url", "warc_ts", "lang", "html"] \
+        if "lang" in pages.columns else ["url", "warc_ts", "html"]
+    src = pages.select(*cols)
+    is_split = ((F.length("html") >= F.lit(split_bytes))
+                & (F.substring(F.col("html").cast("binary"), 1,
+                               len(pdfmini.MAGIC)) == F.lit(pdfmini.MAGIC)))
+    normal = (src.filter(~is_split)
+              .mapInArrow(make_extract_kernel(opt), EXTRACT_SCHEMA_DDL))
+    segs = (src.filter(is_split)
+            .mapInArrow(make_split_kernel(opt, pages_per_seg), _SEG_DDL)
+            .repartition(cpus * 4, F.col("url"), F.col("seg_idx"))
+            .mapInArrow(make_seg_extract_kernel(opt), _SEGX_DDL))
+    merged = segs.groupBy("url").applyInPandas(make_merge_fn(opt),
+                                               EXTRACT_SCHEMA_DDL)
+    return normal.unionByName(merged)
