@@ -152,3 +152,58 @@ def test_sniff_total_and_extract_total(payload):
     assert isinstance(fmt, str)
     r = extract_document(payload)
     assert r.status in ("success", "skipped", "failure")
+
+
+def test_jats_parser_structure():
+    from webextract.formats import parse_xml_jats_blocks
+    xml = ('<?xml version="1.0"?>'
+           '<article xmlns="https://jats.nlm.nih.gov">'
+           '<front><article-meta><title-group>'
+           '<article-title>Deep &amp; Wide</article-title></title-group>'
+           '<abstract><p>the abstract text</p></abstract>'
+           '</article-meta></front>'
+           '<body><sec><title>Methods</title><p>body para one</p>'
+           '<p>body para two</p></sec></body></article>')
+    blocks = parse_xml_jats_blocks(xml)
+    assert [(b.kind, b.text) for b in blocks] == [
+        ("heading", "Deep & Wide"), ("para", "the abstract text"),
+        ("heading", "Methods"), ("para", "body para one"),
+        ("para", "body para two")]
+    assert blocks[0].heading_level == 1 and blocks[2].heading_level == 2
+
+
+def test_uspto_parser_structure():
+    from webextract.formats import parse_xml_uspto_blocks
+    xml = ('<us-patent-grant><invention-title>Widget</invention-title>'
+           '<abstract><p>a widget</p></abstract>'
+           '<claims><claim><claim-text>1. A widget comprising'
+           '</claim-text></claim></claims></us-patent-grant>')
+    blocks = parse_xml_uspto_blocks(xml)
+    assert [(b.kind, b.text) for b in blocks] == [
+        ("heading", "Widget"), ("para", "a widget"),
+        ("para", "1. A widget comprising")]
+
+
+def test_mets_parser_structure():
+    from webextract.formats import parse_mets_gbs_blocks
+    xml = ('<mets xmlns="http://www.loc.gov/METS/"><dmdSec><mdWrap>'
+           '<xmlData><mods><titleInfo><title>Scanned Book</title>'
+           '</titleInfo><abstract>about the book</abstract></mods>'
+           '</xmlData></mdWrap></dmdSec></mets>')
+    blocks = parse_mets_gbs_blocks(xml)
+    assert [(b.kind, b.text) for b in blocks] == [
+        ("heading", "Scanned Book"), ("para", "about the book")]
+
+
+def test_xml_parsers_reject_wrong_roots():
+    import pytest
+    from webextract.formats import (parse_mets_gbs_blocks,
+                                    parse_xml_jats_blocks,
+                                    parse_xml_uspto_blocks)
+    for fn in (parse_xml_jats_blocks, parse_xml_uspto_blocks,
+               parse_mets_gbs_blocks):
+        with pytest.raises(Exception):
+            fn("<other>doc</other>")
+    # malformed XML becomes status=failure through the kernel wrapper
+    r = extract_document(b'<?xml version="1.0"?><article><unclosed</article>')
+    assert r.status == "failure"

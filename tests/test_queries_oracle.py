@@ -82,6 +82,9 @@ def test_synth_charset_json_safe(spark):
     assert texts
     for t in texts:
         assert not any(ord(c) < 0x20 for c in t), repr(t[:80])
+        # XML-splice oracles (jats/uspto/mets builders) additionally
+        # assume no XML metacharacters in the corpus text
+        assert not any(c in t for c in '<>&"'), repr(t[:80])
 
 
 def test_entry_smoke(spark):

@@ -152,6 +152,40 @@ def build_json_page(doc_id: int, text: str) -> bytes:
     }, ensure_ascii=False, separators=(",", ":")).encode("utf-8")
 
 
+def build_jats_page(doc_id: int, text: str) -> bytes:
+    """JATS article: title + one abstract paragraph (text is
+    XML-metachar-free — asserted by test_synth_charset)."""
+    return (f'<?xml version="1.0"?>\n'
+            f'<article xmlns:x="https://jats.nlm.nih.gov">'
+            f'<front><article-meta><title-group>'
+            f'<article-title>Document {doc_id}</article-title>'
+            f'</title-group><abstract><p>{text}</p></abstract>'
+            f'</article-meta></front></article>').encode("utf-8")
+
+
+def build_uspto_page(doc_id: int, text: str) -> bytes:
+    """USPTO grant: invention-title + abstract paragraph + one claim."""
+    toks = text.split(" ")
+    claim = " ".join(toks[:12])
+    body = " ".join(toks[12:])
+    parts = [f'<?xml version="1.0"?>\n<us-patent-grant>'
+             f'<invention-title>Document {doc_id}</invention-title>'
+             f'<abstract><p>{claim}</p></abstract>']
+    if body:
+        parts.append(f'<description><p>{body}</p></description>')
+    parts.append('</us-patent-grant>')
+    return "".join(parts).encode("utf-8")
+
+
+def build_mets_page(doc_id: int, text: str) -> bytes:
+    """METS/MODS package: title + abstract note."""
+    return (f'<?xml version="1.0"?>\n'
+            f'<mets xmlns="http://www.loc.gov/METS/"><dmdSec><mdWrap>'
+            f'<xmlData><mods><titleInfo><title>Document {doc_id}</title>'
+            f'</titleInfo><abstract>{text}</abstract></mods>'
+            f'</xmlData></mdWrap></dmdSec></mets>').encode("utf-8")
+
+
 def build_mixed_page(doc_id: int, text: str) -> bytes:
     """Round-robin format mix incl. binary junk (doc_id % 4 == 2) — the
     admission gate proving unknown payloads SKIP instead of parsing as
@@ -171,7 +205,9 @@ def docs_to_format_pages(docs: DataFrame, kind: str) -> DataFrame:
     mixed} payloads (same vectorized mapInArrow shape as
     docs_to_pages)."""
     build = {"md": build_md_page, "csv": build_csv_page,
-             "json": build_json_page, "mixed": build_mixed_page}[kind]
+             "json": build_json_page, "mixed": build_mixed_page,
+             "jats": build_jats_page, "uspto": build_uspto_page,
+             "mets": build_mets_page}[kind]
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:

@@ -16,10 +16,13 @@ parser; this module closes that gap:
   round-tripping ``extract.serialize_json``) — so every serializer and
   the byte-identity contract are shared.  ``docx``/``pptx``/``xlsx``
   parse via stdlib ``zipfile`` + tag stripping of the OOXML part XML.
-* ``image``/``audio`` and the XML archive formats
-  (``xml_uspto``/``xml_jats``/``mets_gbs``) are detected and reported
-  honestly; image/audio payloads route to the media operators
-  (webextract/media.py), not the text kernel.
+* The XML archive formats (``xml_uspto``/``xml_jats``/``mets_gbs``)
+  parse via stdlib ElementTree: titles/abstracts/paragraphs/claims to
+  Block rows (mets_gbs covers the inline-metadata subset — the
+  reference also reads companion ALTO OCR files a single payload
+  column cannot carry).  ``image``/``audio`` payloads are detected
+  honestly and route to the media operators (webextract/media.py),
+  not the text kernel.
 
 Everything here is pure Python on bytes/str: it runs identically as
 the row-at-a-time oracle in tests and inside the mapInArrow kernel.
@@ -354,6 +357,95 @@ def parse_json_docling_blocks(text: str) -> list[Block]:
 
 
 # ---------------------------------------------------------------------------
+# XML archive formats (xml_uspto / xml_jats / mets_gbs) via stdlib etree
+# ---------------------------------------------------------------------------
+
+def _local(tag: str) -> str:
+    """Element local name, namespace stripped ('{ns}p' -> 'p')."""
+    return tag.rsplit("}", 1)[-1] if "}" in tag else tag
+
+
+def _etree_root(text: str):
+    import xml.etree.ElementTree as ET
+    return ET.fromstring(text)
+
+
+def _el_text(el) -> str:
+    return collapse_ws("".join(el.itertext()))
+
+
+def parse_xml_jats_blocks(text: str) -> list[Block]:
+    """JATS journal-article XML (reference InputFormat.XML_JATS,
+    docs/usage.md:14): article-title -> h1, abstract paragraphs,
+    sec/title -> h2, body paragraphs.  Namespace-agnostic via local
+    names; raises on non-article roots (kernel maps to failure)."""
+    root = _etree_root(text)
+    if _local(root.tag) != "article":
+        raise ValueError(f"not a JATS article: <{_local(root.tag)}>")
+    blocks: list[Block] = []
+    for el in root.iter():
+        name = _local(el.tag)
+        if name == "article-title":
+            t = _el_text(el)
+            if t:
+                _blk(blocks, "jats", "h1", "heading", t, heading_level=1)
+        elif name == "title":
+            t = _el_text(el)
+            if t:
+                _blk(blocks, "jats", "h2", "heading", t, heading_level=2)
+        elif name == "p":
+            t = _el_text(el)
+            if t:
+                _blk(blocks, "jats", "p", "para", t)
+    return blocks
+
+
+def parse_xml_uspto_blocks(text: str) -> list[Block]:
+    """USPTO patent-grant XML (InputFormat.XML_USPTO):
+    invention-title -> h1; abstract/description paragraphs; claim-text
+    -> paragraphs (document order, like the reference's patent
+    backend's flat text export)."""
+    root = _etree_root(text)
+    if not _local(root.tag).startswith("us-patent"):
+        raise ValueError(f"not a USPTO grant: <{_local(root.tag)}>")
+    blocks: list[Block] = []
+    for el in root.iter():
+        name = _local(el.tag)
+        if name == "invention-title":
+            t = _el_text(el)
+            if t:
+                _blk(blocks, "uspto", "h1", "heading", t, heading_level=1)
+        elif name in ("p", "claim-text"):
+            t = _el_text(el)
+            if t:
+                _blk(blocks, "uspto", "p", "para", t)
+    return blocks
+
+
+def parse_mets_gbs_blocks(text: str) -> list[Block]:
+    """METS (Google Books flavor) descriptive metadata: MODS title ->
+    h1, abstract/note paragraphs.  The reference's mets_gbs backend
+    also reads companion ALTO OCR files; a single-payload column can't
+    carry those, so this parser covers the inline-metadata subset and
+    anything else in the package is ignored (honest partial)."""
+    root = _etree_root(text)
+    if _local(root.tag) != "mets":
+        raise ValueError(f"not a METS document: <{_local(root.tag)}>")
+    blocks: list[Block] = []
+    for el in root.iter():
+        name = _local(el.tag)
+        if name == "title":
+            t = _el_text(el)
+            if t:
+                _blk(blocks, "mets", "h1", "heading", t, heading_level=1)
+        elif name in ("abstract", "note"):
+            t = _el_text(el)
+            if t:
+                _blk(blocks, "mets", "p", "para", t)
+    return blocks
+
+
+# ---------------------------------------------------------------------------
 # OOXML (docx / pptx / xlsx) via stdlib zipfile
 # ---------------------------------------------------------------------------
 
@@ -452,6 +544,9 @@ TEXT_PARSERS = {
     "asciidoc": parse_asciidoc_blocks,
     "vtt": parse_vtt_blocks,
     "json_docling": parse_json_docling_blocks,
+    "xml_jats": parse_xml_jats_blocks,
+    "xml_uspto": parse_xml_uspto_blocks,
+    "mets_gbs": parse_mets_gbs_blocks,
 }
 
 BINARY_PARSERS = {

@@ -180,6 +180,33 @@ def q_extract_json_docling(spark, sf_dir):
             .select("doc_id", "fmt", "text"))
 
 
+def q_extract_jats_source(spark, sf_dir):
+    """xml_jats input format: JATS article-title + abstract parse
+    (reference InputFormat enum, docs/usage.md:14)."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"), "jats")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
+def q_extract_uspto_source(spark, sf_dir):
+    """xml_uspto input format: invention-title + abstract + description
+    paragraphs in document order."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"), "uspto")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
+def q_extract_mets_source(spark, sf_dir):
+    """mets_gbs input format: MODS title + abstract (inline-metadata
+    subset; companion ALTO files are out of payload scope)."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"), "mets")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
 def q_extract_mixed_formats(spark, sf_dir):
     """Admission gate for sniff routing: a corpus mixing html / md /
     binary-junk / csv payloads must route every row to the right
@@ -417,6 +444,9 @@ QUERIES = {
     "extract_md_source": q_extract_md_source,
     "extract_csv_source": q_extract_csv_source,
     "extract_json_docling": q_extract_json_docling,
+    "extract_jats_source": q_extract_jats_source,
+    "extract_uspto_source": q_extract_uspto_source,
+    "extract_mets_source": q_extract_mets_source,
     "extract_mixed_formats": q_extract_mixed_formats,
     "chunk_hybrid": q_chunk_hybrid,
     "chunk_hybrid_subword": q_chunk_hybrid_subword,
@@ -613,6 +643,28 @@ ORACLES = {
 
     "extract_json_docling": """
         SELECT doc_id, 'json_docling' AS fmt,
+               'Document ' || doc_id || chr(10) || chr(10) || text AS text
+        FROM documents""",
+
+    "extract_jats_source": """
+        SELECT doc_id, 'xml_jats' AS fmt,
+               'Document ' || doc_id || chr(10) || chr(10) || text AS text
+        FROM documents""",
+
+    "extract_uspto_source": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents)
+        SELECT doc_id, 'xml_uspto' AS fmt,
+               'Document ' || doc_id || chr(10) || chr(10)
+               || array_to_string(toks[1:least(12, len(toks))], ' ')
+               || CASE WHEN len(toks) > 12
+                       THEN chr(10) || chr(10)
+                            || array_to_string(toks[13:len(toks)], ' ')
+                       ELSE '' END AS text
+        FROM t""",
+
+    "extract_mets_source": """
+        SELECT doc_id, 'mets_gbs' AS fmt,
                'Document ' || doc_id || chr(10) || chr(10) || text AS text
         FROM documents""",
 
