@@ -52,6 +52,18 @@ def get_spark(app: str = "webextract", cpus: int | None = None,
         # sized for throughput; byte-budget rebatching happens in udfs.py
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("WEBEXTRACT_DRIVER_MEM", "48g"))
+        # Broadcast/shuffle blocks are only reclaimed when the JVM GCs,
+        # and a 48g heap can go minutes without one — long sessions
+        # (bench, notebooks) accumulate block-manager debt that shows up
+        # as a multi-query slow window (measured: a contiguous ~4-query
+        # stretch inflated 5-10×, moving run to run).  Trigger the
+        # ContextCleaner's periodic GC every minute (default 30min), and
+        # make System.gc() a CONCURRENT G1 cycle — the default full STW
+        # compaction of a 48g heap full of humongous Arrow/broadcast
+        # allocations pauses for seconds.
+        .config("spark.cleaner.periodicGC.interval", "1min")
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+ExplicitGCInvokesConcurrent")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
