@@ -207,3 +207,21 @@ def test_xml_parsers_reject_wrong_roots():
     # malformed XML becomes status=failure through the kernel wrapper
     r = extract_document(b'<?xml version="1.0"?><article><unclosed</article>')
     assert r.status == "failure"
+
+
+def test_rich_blocks_page_roundtrip():
+    """C6/C8 gate anatomy: code, quote, ul, ol, table and trailing para
+    survive boilerplate stripping byte-exactly (non-Spark twin of the
+    extract_rich_blocks oracle gate)."""
+    from webextract.docpages import build_rich_page
+    txt = "aa bb cc dd ee ff gg hh ii jj kk ll"
+    r = extract_document(build_rich_page(3, txt))
+    assert r.status == "success"
+    assert r.text == ("Document 3\n\naa bb\n\ncc dd\n\nee ff\n\ngg hh\n\n"
+                      "ii | jj\n\nkk ll")
+    assert r.text_md == ("# Document 3\n\n```\naa bb\n```\n\n> cc dd\n\n"
+                         "- ee ff\n1. gg hh\n\n| ii | jj |\n|---|---|\n\n"
+                         "kk ll")
+    assert [s[2] for s in r.spans] == ["heading", "code", "quote",
+                                       "list_item", "list_item", "table",
+                                       "para"]

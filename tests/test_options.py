@@ -119,3 +119,10 @@ def test_options_hash_stable_and_picklable():
     o = ConvertOptions()
     assert pickle.loads(pickle.dumps(o)) == o
     assert o.options_hash() == ConvertOptions().options_hash()
+
+
+def test_format_enums_consistent():
+    """options.INPUT_FORMATS (admission surface) and formats.ALL_FORMATS
+    (sniff surface) must stay the same 15-entry reference enum."""
+    from webextract.formats import ALL_FORMATS
+    assert INPUT_FORMATS == ALL_FORMATS

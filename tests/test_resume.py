@@ -60,6 +60,16 @@ def test_run_commit_resume(spark, tmp_path):
     assert snap["versions"]["options_hash"] == DEFAULT_OPTIONS.options_hash()
     assert "do_ocr" in snap["versions"]["options"]
 
+    # time travel: reading as-of the interrupted run's last snapshot
+    # sees exactly the partitions committed then, not the resumed rest
+    mid = [s for s in tbl.snapshots() if s["run_id"] == s1["run_id"]][0]
+    early = tbl.read(spark, as_of=mid["snapshot_id"])
+    assert 0 < early.count() < N
+    part_ids = {r.p for r in early.select(
+        F.pmod(F.xxhash64("url"), F.lit(PARTS)).cast("int").alias("p"))
+        .distinct().collect()}
+    assert part_ids == set(committed_1)
+
 
 def test_rerun_is_noop_and_orphan_gc(spark, tmp_path):
     pages = pages_df(spark, 60, parallelism=4)

@@ -15,16 +15,21 @@ batch extraction pipeline over Common-Crawl-style page tables:
                     extract -> write + lineage
 * ``icetable.py`` — Iceberg-style table emulation (snapshots, manifests,
                     per-partition commit log, resume)
-* ``chunk.py``    — hybrid/hierarchical chunkers (1->N explode)
+* ``chunk.py``    — hybrid/hierarchical chunkers (1->N explode; word or
+                    subword token measure, merge_peers)
+* ``split.py``    — distributed oversized-PDF tier (page fan-out +
+                    byte-identical merge)
+* ``formats.py``  — sniff + stdlib parsers for all 15 reference formats
+* ``sources.py``  — scheme-agnostic pages reader + object-store configs
 * ``synth.py``    — deterministic Common-Crawl-style page generator
-* ``dedup.py``    — exact/MinHash-LSH/SimHash/Jaccard dedup over documents
-* ``similarity.py`` — cosine top-k / LSH-bucketed ANN over embeddings
-* ``textstats.py``  — lang-ID, quality scoring, token counts, fingerprints
-* ``multimodal.py`` — binary-column decode/feature plumbing (stubbed decode)
+* ``corpus.py``   — dedup (exact/MinHash-LSH/SimHash/Jaccard), cosine
+                    top-k + LSH-ANN, lang-ID, quality, tokens, winnowing
+* ``media.py``    — binary-column plumbing; real image-header decode,
+                    raster codecs stubbed
 
 Design stance (SURVEY.md §1.4, §4): DataFrame end-to-end, Catalyst does
 pruning/pushdown/codegen; the only Python is Arrow-vectorized batch
 kernels; explicit url-hash partitioning with size-tier salting for skew.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -127,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     from webextract.pipeline import run_extract
+    from webextract.sources import read_pages
     from webextract.synth import pages_df
 
     spark = (SparkSession.builder.appName("webextract")
@@ -134,7 +135,8 @@ def main(argv: list[str] | None = None) -> int:
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
     opt = options_from_args(args)
-    pages = (spark.read.parquet(args.input) if args.input
+    # scheme-agnostic (file://, s3a://, ...) with fail-fast contract check
+    pages = (read_pages(spark, args.input) if args.input
              else pages_df(spark, args.synth, seed=args.seed))
     summary = run_extract(
         spark, pages, args.output, opt=opt, partitions=args.partitions,

@@ -152,6 +152,29 @@ def build_json_page(doc_id: int, text: str) -> bytes:
     }, ensure_ascii=False, separators=(",", ":")).encode("utf-8")
 
 
+def build_rich_page(doc_id: int, text: str) -> bytes:
+    """Article exercising the non-para block kinds (C6 tables, C8 code,
+    quotes, both list flavors) with deterministic token slices:
+    code=toks[0:2] quote=[2:4] ul-item=[4:6] ol-item=[6:8]
+    table=1×2 cells [8:10], para=rest (docs have ≥10 tokens)."""
+    t = text.split(" ")
+    para = " ".join(t[10:])
+    body = (f"<pre><code>{_esc(' '.join(t[0:2]))}</code></pre>"
+            f"<blockquote>{_esc(' '.join(t[2:4]))}</blockquote>"
+            f"<ul><li>{_esc(' '.join(t[4:6]))}</li></ul>"
+            f"<ol><li>{_esc(' '.join(t[6:8]))}</li></ol>"
+            f"<table><tr><td>{_esc(t[8])}</td><td>{_esc(t[9])}</td></tr>"
+            f"</table>")
+    if para:
+        body += f"<p>{_esc(para)}</p>"
+    article = f"<article><h1>Document {doc_id}</h1>{body}</article>"
+    return (
+        f"<!DOCTYPE html><html><head><title>Doc {doc_id}</title></head>"
+        f"<body>{_HEADER}{_COOKIE}"
+        f'<div id="page">{_ASIDE}{article}</div>{_FOOTER}</body></html>'
+    ).encode("utf-8")
+
+
 def build_jats_page(doc_id: int, text: str) -> bytes:
     """JATS article: title + one abstract paragraph (text is
     XML-metachar-free — asserted by test_synth_charset)."""
@@ -207,7 +230,7 @@ def docs_to_format_pages(docs: DataFrame, kind: str) -> DataFrame:
     build = {"md": build_md_page, "csv": build_csv_page,
              "json": build_json_page, "mixed": build_mixed_page,
              "jats": build_jats_page, "uspto": build_uspto_page,
-             "mets": build_mets_page}[kind]
+             "mets": build_mets_page, "rich": build_rich_page}[kind]
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:

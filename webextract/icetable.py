@@ -50,10 +50,12 @@ class IceTable:
         with open(os.path.join(self.meta_dir, f"snap-{snap_id}.json")) as f:
             return json.load(f)
 
-    def snapshots(self) -> list[dict]:
-        """Chain from current back to root (newest first)."""
+    def snapshots(self, as_of: str | None = None) -> list[dict]:
+        """Chain from ``as_of`` (default: current) back to root (newest
+        first) — Iceberg's snapshot-id time travel: reading from an
+        older snapshot sees exactly the partitions committed then."""
         out = []
-        sid = self.current_snapshot_id()
+        sid = as_of or self.current_snapshot_id()
         while sid:
             s = self._snapshot(sid)
             out.append(s)
@@ -69,12 +71,15 @@ class IceTable:
         return {p["part_id"] for s in self.snapshots()
                 for p in s["partitions"]}
 
-    def data_files(self) -> list[str]:
-        return [f for s in self.snapshots()
+    def data_files(self, as_of: str | None = None) -> list[str]:
+        return [f for s in self.snapshots(as_of)
                 for p in s["partitions"] for f in p["files"]]
 
-    def read(self, spark):
-        files = self.data_files()
+    def read(self, spark, as_of: str | None = None):
+        """Read the table (optionally time-traveled to snapshot id
+        ``as_of``) — only manifest-listed files, never a directory
+        listing, so orphans from killed runs are invisible."""
+        files = self.data_files(as_of)
         if not files:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         return spark.read.parquet(*files)

@@ -180,6 +180,18 @@ def q_extract_json_docling(spark, sf_dir):
             .select("doc_id", "fmt", "text"))
 
 
+def q_extract_rich_blocks(spark, sf_dir):
+    """C6 table structure + C8 code blocks + quotes + both list flavors
+    in one byte-exact gate: the article wraps deterministic token
+    slices in pre/code, blockquote, ul, ol, and a table; text AND
+    markdown renderings (``` fences, > quotes, -/1. items, md pipes)
+    must match the oracle exactly after boilerplate removal."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"), "rich")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "text", "text_md"))
+
+
 def q_extract_jats_source(spark, sf_dir):
     """xml_jats input format: JATS article-title + abstract parse
     (reference InputFormat enum, docs/usage.md:14)."""
@@ -444,6 +456,7 @@ QUERIES = {
     "extract_md_source": q_extract_md_source,
     "extract_csv_source": q_extract_csv_source,
     "extract_json_docling": q_extract_json_docling,
+    "extract_rich_blocks": q_extract_rich_blocks,
     "extract_jats_source": q_extract_jats_source,
     "extract_uspto_source": q_extract_uspto_source,
     "extract_mets_source": q_extract_mets_source,
@@ -645,6 +658,34 @@ ORACLES = {
         SELECT doc_id, 'json_docling' AS fmt,
                'Document ' || doc_id || chr(10) || chr(10) || text AS text
         FROM documents""",
+
+    "extract_rich_blocks": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS k
+                   FROM documents)
+        SELECT doc_id,
+               'Document ' || doc_id || chr(10) || chr(10)
+               || k[1] || ' ' || k[2] || chr(10) || chr(10)
+               || k[3] || ' ' || k[4] || chr(10) || chr(10)
+               || k[5] || ' ' || k[6] || chr(10) || chr(10)
+               || k[7] || ' ' || k[8] || chr(10) || chr(10)
+               || k[9] || ' | ' || k[10]
+               || CASE WHEN len(k) > 10
+                       THEN chr(10) || chr(10)
+                            || array_to_string(k[11:len(k)], ' ')
+                       ELSE '' END AS text,
+               '# Document ' || doc_id || chr(10) || chr(10)
+               || '```' || chr(10) || k[1] || ' ' || k[2] || chr(10)
+               || '```' || chr(10) || chr(10)
+               || '> ' || k[3] || ' ' || k[4] || chr(10) || chr(10)
+               || '- ' || k[5] || ' ' || k[6] || chr(10)
+               || '1. ' || k[7] || ' ' || k[8] || chr(10) || chr(10)
+               || '| ' || k[9] || ' | ' || k[10] || ' |' || chr(10)
+               || '|---|---|'
+               || CASE WHEN len(k) > 10
+                       THEN chr(10) || chr(10)
+                            || array_to_string(k[11:len(k)], ' ')
+                       ELSE '' END AS text_md
+        FROM t""",
 
     "extract_jats_source": """
         SELECT doc_id, 'xml_jats' AS fmt,
