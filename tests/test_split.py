@@ -128,3 +128,53 @@ def test_split_spreads_segments(spark):
     # every segment is a valid mini-PDF with the ORIGINAL page count
     for r in rows:
         assert pdfmini.peek_n_pages(bytes(r.html)) == 7
+
+
+def test_run_extract_with_split_tier_matches_default(spark, tmp_path):
+    """Pipeline integration: run_extract(split_bytes=...) commits a
+    table byte-identical to the default path, including lineage counts
+    (the tier is an execution strategy, not a semantic change)."""
+    from webextract.icetable import IceTable
+    from webextract.pipeline import run_extract
+    from webextract.synth import pages_df
+    mixed = _pages_df(spark, _mk_pdfs()).unionByName(
+        pages_df(spark, 40, parallelism=2))
+    ref_root, split_root = str(tmp_path / "ref"), str(tmp_path / "split")
+    run_extract(spark, mixed, ref_root, partitions=8, waves=2, cpus=4)
+    run_extract(spark, mixed, split_root, partitions=8, waves=2, cpus=4,
+                split_bytes=1)
+    ref = {r.url: (r.status, r.text, r.text_md, r.bytes_in)
+           for r in IceTable(ref_root).read(spark).collect()}
+    got = {r.url: (r.status, r.text, r.text_md, r.bytes_in)
+           for r in IceTable(split_root).read(spark).collect()}
+    assert got == ref and len(ref) == 45
+
+
+def test_abort_on_error_fails_job_keeps_snapshots(spark, tmp_path):
+    """abort_on_error=true (docs/usage.md:24): the job raises on a wave
+    with failures, committed snapshots survive for resume."""
+    import pytest
+    from webextract.docpages import PAGES_SCHEMA
+    from webextract.icetable import IceTable
+    from webextract.options import ConvertOptions
+    from webextract.pipeline import run_extract
+    # a payload that sniffs as json_docling but fails to parse -> failure
+    bad = b'{"schema_name": "other-schema", "blocks": [}'
+    rows = [(f"doc://{i}",
+             TS,
+             bad if i == 7 else b"<html><body><article><p>"
+             + b"fine words " * 30 + b"</p></article></body></html>",
+             "", "en") for i in range(30)]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA).repartition(4)
+    root = str(tmp_path / "abort")
+    with pytest.raises(Exception, match="abort_on_error"):
+        run_extract(spark, pages, root, partitions=8, waves=8, cpus=4,
+                    opt=ConvertOptions(abort_on_error=True))
+    tbl = IceTable(root)
+    assert 0 < len(tbl.committed_parts()) <= 8   # partial progress kept
+    # default tolerates the failure row and completes
+    root2 = str(tmp_path / "tolerant")
+    s = run_extract(spark, pages, root2, partitions=8, waves=2, cpus=4)
+    assert sorted(IceTable(root2).committed_parts()) == list(range(8))
+    statuses = {r.url: r.status for r in IceTable(root2).read(spark).collect()}
+    assert statuses["doc://7"] == "failure"

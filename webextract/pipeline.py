@@ -237,6 +237,17 @@ def run_extract(spark: SparkSession, pages: DataFrame, table_root: str,
             "wave": wi, "snapshot_id": snap, "parts": wave_parts,
             "num_docs": sum(m["counters"]["num_docs"] for m in parts_meta),
             "wall_ms": wall_ms})
+        # abort_on_error=true (reference docs/usage.md:24): fail the JOB
+        # on the first wave containing a failed document.  The wave's
+        # snapshot is already committed, so a rerun after the fix
+        # resumes from here — abort is a stop, not a rollback.
+        if opt.abort_on_error:
+            n_failed = sum(m["counters"]["num_failed"] for m in parts_meta)
+            if n_failed:
+                raise RuntimeError(
+                    f"abort_on_error: wave {wi} contains {n_failed} "
+                    f"failed document(s); committed snapshots are kept "
+                    f"(resume after fixing the input)")
         if fail_after_wave is not None and wi >= fail_after_wave:
             summary["injected_failure"] = True
             return summary
