@@ -210,3 +210,23 @@ def test_html_split_page_pdf_pages():
     for line in r.text_html.splitlines():
         if line.startswith(("<h", "<p")):
             assert line in inner
+
+
+def test_partial_success_on_undecodable_embedded_image():
+    """ConversionStatus parity: a data: image whose payload doesn't
+    decode while referenced/embedded export needs it -> partial_success
+    (text extraction is complete; the artifact stage failed)."""
+    bad = (b"<html><body><article>"
+           b"<p>" + b"plenty of real content words here " * 8 + b"</p>"
+           b'<img src="data:image/png;base64,@@not-base64@@">'
+           b"</article></body></html>")
+    r = extract_document(bad, ConvertOptions(image_export_mode="referenced"))
+    assert r.status == "partial_success"
+    assert r.text and "decode" in r.error
+    # placeholder mode never touches payloads -> plain success
+    r2 = extract_document(bad, ConvertOptions(image_export_mode="placeholder"))
+    assert r2.status == "success"
+    # include_images=False disables the artifact stage -> success
+    r3 = extract_document(bad, ConvertOptions(image_export_mode="referenced",
+                                              include_images=False))
+    assert r3.status == "success"

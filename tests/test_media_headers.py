@@ -56,3 +56,34 @@ def test_truncated_headers_never_raise():
         full = make_image_bytes(doc_id)
         for cut in range(0, len(full)):
             parse_image_header(full[:cut])  # must not raise
+
+
+def test_wav_header_roundtrip():
+    from webextract.media import make_wav_bytes, parse_wav_header
+    for doc_id in (0, 1, 2, 3, 7, 899, 1234):
+        rate = (8000, 16000, 22050, 44100)[doc_id % 4]
+        ch = 1 + doc_id % 2
+        nf = 100 + doc_id % 900
+        assert parse_wav_header(make_wav_bytes(doc_id)) == (rate, ch, 16, nf)
+
+
+def test_wav_header_rejects_and_never_raises():
+    from webextract.media import make_wav_bytes, parse_wav_header
+    assert parse_wav_header(b"RIFF....WEBP") is None
+    assert parse_wav_header(b"RIFFxxxxWAVE") is None      # no fmt chunk
+    assert parse_wav_header(b"") is None
+    full = make_wav_bytes(5)
+    for cut in range(len(full)):
+        parse_wav_header(full[:cut])                      # total
+
+
+def test_wav_with_extra_chunks():
+    """LIST/INFO chunks before fmt must be skipped (word-aligned)."""
+    import struct
+    from webextract.media import parse_wav_header
+    odd = b"LIST" + struct.pack("<I", 5) + b"INFOx"       # odd size -> pad
+    fmt = (b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100,
+                                 44100 * 4, 4, 16))
+    data = b"data" + struct.pack("<I", 400)
+    wav = b"RIFF" + struct.pack("<I", 0) + b"WAVE" + odd + b"\x00" + fmt + data
+    assert parse_wav_header(wav) == (44100, 2, 16, 100)

@@ -444,6 +444,18 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
         if timed_out():
             return Extracted(status="failure", fmt=fmt,
                              error="document timeout")
+        # partial_success (reference ConversionStatus): the document
+        # converted, but an artifact stage failed — here, a data: image
+        # whose payload doesn't decode while an artifact-producing
+        # export mode needs it.  Text/serialization are complete.
+        if (opt.include_images
+                and opt.image_export_mode in ("embedded", "referenced")
+                and any(b.kind == "image" and b.src
+                        and b.src.startswith("data:")
+                        and decode_data_uri(b.src)[1] is None
+                        for b in main)):
+            res.status = "partial_success"
+            res.error = "one or more embedded images failed to decode"
         return res
     except Exception as e:  # abort_on_error=false semantics
         return Extracted(status="failure", error=f"{type(e).__name__}: {e}")

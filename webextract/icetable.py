@@ -101,7 +101,8 @@ class IceTable:
         return spark.createDataFrame(
             rows or [],
             schema=("run_id string, part_id int, num_docs long, "
-                    "num_processed long, num_succeeded long, num_failed long, "
+                    "num_processed long, num_succeeded long, "
+                    "num_partial long, num_failed long, "
                     "num_skipped long, bytes_in long, bytes_out long, "
                     "wall_ms long, committed_at string, snapshot_id string"))
 

@@ -87,6 +87,54 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
         return None
 
 
+def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """REAL WAV header decode: (sample_rate, channels, bits_per_sample,
+    n_frames) from the RIFF/WAVE fmt + data chunks.  Pure stdlib chunk
+    walk (the subset `wave` does before reading samples); returns None
+    for non-WAV/corrupt payloads, never raises."""
+    import struct
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        i = 12
+        rate = ch = bps = None
+        n_frames = 0
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            size = struct.unpack("<I", b[i + 4:i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(b):
+                ch, rate = struct.unpack("<HI", b[i + 10:i + 16])
+                bps = struct.unpack("<H", b[i + 22:i + 24])[0]
+            elif cid == b"data" and rate is not None:
+                block = max(1, ch * (bps // 8))
+                n_frames = size // block
+            i += 8 + size + (size & 1)        # chunks are word-aligned
+        if rate is None:
+            return None
+        return (rate, ch, bps, n_frames)
+    except (struct.error, IndexError, TypeError):
+        return None
+
+
+def make_wav_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID WAV payload for the header-decode gate:
+    rate/channels/frames are pure functions of doc_id; fixed 128-byte
+    payload (44-byte canonical header + zero samples, truncated data
+    declared honestly in the chunk size)."""
+    import struct
+    rate = (8000, 16000, 22050, 44100)[doc_id % 4]
+    ch = 1 + doc_id % 2
+    bps = 16
+    n_frames = 100 + doc_id % 900
+    data_size = n_frames * ch * (bps // 8)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                   rate * ch * (bps // 8),
+                                   ch * (bps // 8), bps)
+           + b"data" + struct.pack("<I", data_size))
+    return hdr.ljust(128, b"\x00")
+
+
 def fake_decode_meta(payload: bytes) -> dict:
     """Deterministic stand-in for image/video header decode: metadata is
     a pure function of payload length (so the oracle can recompute it
@@ -128,6 +176,45 @@ def media_meta(df: DataFrame) -> DataFrame:
     n_frames).  Narrow mapInPandas pass; Arrow both directions."""
     return df.select("doc_id", "media").mapInPandas(
         decode_meta_batches, MEDIA_META_SCHEMA)
+
+
+AUDIO_META_SCHEMA = ("doc_id bigint, sample_rate int, channels int, "
+                     "bits int, n_frames bigint, duration_ms bigint")
+
+
+def audio_meta(df: DataFrame) -> DataFrame:
+    """df(doc_id, media:binary) → REAL WAV header metadata (non-WAV
+    rows get nulls).  Narrow mapInPandas pass, same plumbing shape as
+    media_meta."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                hdr = parse_wav_header(m if m is not None else b"")
+                if hdr is None:
+                    rows.append({"doc_id": did, "sample_rate": None,
+                                 "channels": None, "bits": None,
+                                 "n_frames": None, "duration_ms": None})
+                else:
+                    rate, ch, bps, nf = hdr
+                    rows.append({"doc_id": did, "sample_rate": rate,
+                                 "channels": ch, "bits": bps,
+                                 "n_frames": nf,
+                                 "duration_ms": nf * 1000 // rate})
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "media").mapInPandas(fn, AUDIO_META_SCHEMA)
+
+
+def with_wav_media(docs: DataFrame) -> DataFrame:
+    """Attach a `media` column of REAL WAV bytes built from doc_id."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 "media": [make_wav_bytes(int(d)) for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
 
 
 FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_off bigint"

@@ -204,6 +204,7 @@ def run_extract(spark: SparkSession, pages: DataFrame, table_root: str,
             F.count("*").alias("num_docs"),
             F.count("*").alias("num_processed"),
             F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("num_succeeded"),
+            F.sum(F.when(F.col("status") == "partial_success", 1).otherwise(0)).alias("num_partial"),
             F.sum(F.when(F.col("status") == "failure", 1).otherwise(0)).alias("num_failed"),
             F.sum(F.when(F.col("status") == "skipped", 1).otherwise(0)).alias("num_skipped"),
             F.sum("bytes_in").alias("bytes_in"),
@@ -216,7 +217,8 @@ def run_extract(spark: SparkSession, pages: DataFrame, table_root: str,
             files = sorted(glob.glob(os.path.join(stage, f"part_id={p}", "*.parquet")))
             c = counters.get(p, {"part_id": p, "num_docs": 0,
                                  "num_processed": 0, "num_succeeded": 0,
-                                 "num_failed": 0, "num_skipped": 0,
+                                 "num_partial": 0, "num_failed": 0,
+                                 "num_skipped": 0,
                                  "bytes_in": 0, "bytes_out": 0})
             c = {k: (v if v is not None else 0) for k, v in c.items()
                  if k != "part_id"}

@@ -317,6 +317,14 @@ def q_media_decode_meta(spark, sf_dir):
     return media.media_meta(docs)
 
 
+def q_media_audio_headers(spark, sf_dir):
+    """REAL WAV-header decode: valid RIFF/WAVE payloads synthesized
+    from doc_id, parsed back chunk-by-chunk (media.parse_wav_header);
+    oracle recomputes rate/channels/frames/duration from doc_id."""
+    docs = media.with_wav_media(_read(spark, sf_dir, "documents"))
+    return media.audio_meta(docs)
+
+
 def q_media_frame_sample(spark, sf_dir):
     docs = media.with_fake_media(_read(spark, sf_dir, "documents"))
     return media.frame_sample(docs, stride=4)
@@ -477,6 +485,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "media_decode_meta": q_media_decode_meta,
     "media_image_headers": q_media_image_headers,
+    "media_audio_headers": q_media_audio_headers,
     "media_frame_sample": q_media_frame_sample,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -976,6 +985,18 @@ ORACLES = {
                (CASE doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 96
                      ELSE 48 END)::BIGINT AS n_bytes
         FROM documents""",
+
+    "media_audio_headers": """
+        WITH m AS (SELECT doc_id,
+                          CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                               WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+                          (1 + doc_id % 2) AS ch,
+                          (100 + doc_id % 900) AS nf
+                   FROM documents)
+        SELECT doc_id, rate::INTEGER AS sample_rate, ch::INTEGER AS channels,
+               16::INTEGER AS bits, nf::BIGINT AS n_frames,
+               (nf * 1000 // rate)::BIGINT AS duration_ms
+        FROM m""",
 
     "media_frame_sample": """
         WITH m AS (SELECT doc_id, 1 + length(text) % 24 AS nf
