@@ -144,6 +144,45 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 MINHASH_P = 536870909   # prime < 2^29: A*h + B stays far below 2^63
 
 
+def contamination(docs: DataFrame, probe_mod: int = 50,
+                  n: int = 3) -> DataFrame:
+    """Benchmark-contamination check: for each PROBE document (the
+    eval/benchmark set), the fraction of its distinct word n-grams that
+    also occur in the TRAINING corpus (every non-probe doc) — the
+    standard n-gram-overlap decontamination measure for training-data
+    pipelines.
+
+    Here the probe set is doc_id % probe_mod == 0 (a stand-in for a
+    real benchmark table — the operator only assumes probes ≪ corpus,
+    which is the real-world shape).
+
+    Scale plan: probe shingles are the SMALL side and are broadcast
+    twice — first to semi-join-filter the corpus's exploded shingle
+    stream down to only probe-relevant shingles (the corpus is scanned
+    once, narrow, and never shuffled on its own cardinality), then the
+    surviving matched-shingle set (≤ |probe shingles|, tiny) broadcasts
+    back to score each probe.  Both joins are broadcast; the only
+    aggregation keys are probe doc_ids."""
+    is_probe = F.col("doc_id") % probe_mod == 0
+    probe_sh = exploded_shingles(docs.filter(is_probe), n)
+    probe_set = probe_sh.select("shingle").distinct()
+    corpus_sh = (exploded_shingles(docs.filter(~is_probe), n)
+                 .select("shingle"))
+    matched = (corpus_sh.join(F.broadcast(probe_set), "shingle",
+                              "left_semi").distinct())
+    hits = (probe_sh.join(F.broadcast(matched), "shingle", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_contaminated")))
+    totals = (probe_sh.groupBy("doc_id")
+              .agg(F.first("n_shingles").cast("long").alias("n_shingles")))
+    return (totals.join(hits, "doc_id", "left")
+            .select(F.col("doc_id").alias("probe_id"), "n_shingles",
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                    .alias("n_contaminated"))
+            .withColumn("rate", F.round(F.col("n_contaminated")
+                                        / F.col("n_shingles"), 4)))
+
+
 def shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, hs: array<bigint>) — one 28-bit base hash per distinct
     shingle (first 7 hex chars of md5, engine-portable).  Materialized
@@ -352,6 +391,102 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
              .select("qid", F.col("vec_id").alias("nid"),
                      F.round(_dot(F.col("qe"), F.col("embedding"))
                              / (F.col("qn") * F.col("norm")), 6).alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "cos", F.col("rank").cast("int").alias("rank")))
+
+
+def _ivf_centroids(emb: DataFrame, n_centroids: int) -> list[list[float]]:
+    """Normalized coarse centroids, computed ONCE driver-side.
+
+    Deterministic 'training' stand-in: centroid j is the embedding of
+    vec_id j (production would run k-means — same contract: a tiny
+    constant centroid set).  At 10^12 rows this is a catalog artifact;
+    the collect here moves n_centroids rows, never the corpus."""
+    import math
+    rows = dict(emb.filter(F.col("vec_id") < n_centroids)
+                .select("vec_id", "embedding").collect())
+    out = []
+    for j in range(n_centroids):
+        v = [float(x) for x in rows[j]]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append([x / n for x in v])
+    return out
+
+
+def _ivf_score_array(chat: list[list[float]]):
+    """array<double> of round(dot(c_hat_j, v), 6) per centroid —
+    constant centroid literals, one narrow codegen'd projection
+    (the same driver-side-constant shape as the SRP sign matrix)."""
+    def score(j):
+        plane = F.array(*[F.lit(x) for x in chat[j]])
+        return F.round(F.aggregate(
+            F.zip_with(F.col("embedding"), plane,
+                       lambda x, c: x.cast("double") * c),
+            F.lit(0.0), lambda acc, v: acc + v), 6)
+    return F.array(*[score(j) for j in range(len(chat))])
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """(vec_id, bucket): IVF coarse quantization — the k-means-family
+    ANN scale path next to the SRP-LSH one (SURVEY: 'IVF or LSH').
+
+    bucket = argmax_j cos(centroid_j, v); ties break to the smallest j
+    (array_position finds the first maximum).  Narrow projection, no
+    join, no shuffle: the scale plan is partition-by-bucket then
+    cosine_topk within buckets."""
+    scores = _ivf_score_array(_ivf_centroids(emb, n_centroids))
+    # bind the (expensive, 2×-referenced) score array to a column:
+    # CollapseProject's non-cheap/multi-reference guard keeps it
+    # evaluated once per row (same reliance as fingerprints)
+    return (emb.select("vec_id", scores.alias("s"))
+            .select("vec_id",
+                    (F.array_position(F.col("s"), F.array_max("s")) - 1)
+                    .cast("int").alias("bucket")))
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF search: each query probes its `nprobe` best centroids and
+    ranks cosine ONLY within vectors assigned to those buckets
+    (deterministic probing contract — the oracle reproduces the same
+    candidate set, so results compare exactly; recall vs exact KNN is
+    the nprobe/n_centroids tradeoff).
+
+    Shape: corpus side gets (bucket, norm) in one narrow projection;
+    the tiny query side (probe arrays) broadcasts into a filtered
+    nested-loop join — the corpus is never shuffled."""
+    chat = _ivf_centroids(emb, n_centroids)
+    scores = _ivf_score_array(chat)
+    side = (emb.select("vec_id", "embedding", scores.alias("s"))
+            .select("vec_id", "embedding",
+                    (F.array_position(F.col("s"), F.array_max("s")) - 1)
+                    .cast("int").alias("bucket"),
+                    F.sqrt(_dot(F.col("embedding"),
+                                F.col("embedding"))).alias("norm")))
+    # per-query probe set: indices of the nprobe best centroid scores
+    # (score array bound to a column first — element_at references it
+    # n_centroids times)
+    ranked = F.transform(
+        F.array_sort(F.transform(
+            F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+            lambda j: F.struct((-F.element_at(F.col("s"), j + 1)).alias("neg"),
+                               j.cast("int").alias("j")))),
+        lambda s: s["j"])
+    q = (emb.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qe"), scores.alias("s"),
+                 F.sqrt(_dot(F.col("embedding"),
+                             F.col("embedding"))).alias("qn"))
+         .select("qid", "qe", "qn", F.slice(ranked, 1, nprobe).alias("probes")))
+    pairs = (side.join(
+        F.broadcast(q),
+        F.array_contains(F.col("probes"), F.col("bucket"))
+        & (F.col("vec_id") != F.col("qid")))
+        .select("qid", F.col("vec_id").alias("nid"),
+                F.round(_dot(F.col("qe"), F.col("embedding"))
+                        / (F.col("qn") * F.col("norm")), 6).alias("cos")))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

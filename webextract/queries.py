@@ -260,6 +260,13 @@ def q_chunk_hybrid_subword(spark, sf_dir):
 # dedup / similarity family
 # ---------------------------------------------------------------------------
 
+def q_dedup_contamination(spark, sf_dir):
+    """Benchmark-contamination measure: per probe doc (doc_id%50==0),
+    the fraction of its distinct 3-grams present anywhere in the
+    non-probe corpus (decontamination pass of a training pipeline)."""
+    return corpus.contamination(_read(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return corpus.dedup_exact(_read(spark, sf_dir, "documents"))
 
@@ -291,6 +298,14 @@ def q_embed_ann_buckets(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # text-analysis family
 # ---------------------------------------------------------------------------
+
+def q_embed_ivf_assign(spark, sf_dir):
+    return corpus.ivf_assign(_read(spark, sf_dir, "embeddings"))
+
+
+def q_embed_ivf_topk(spark, sf_dir):
+    return corpus.ivf_topk(_read(spark, sf_dir, "embeddings"))
+
 
 def q_text_quality(spark, sf_dir):
     return corpus.text_quality(_read(spark, sf_dir, "documents"))
@@ -473,12 +488,15 @@ QUERIES = {
     "chunk_hybrid_subword": q_chunk_hybrid_subword,
     "chunk_hierarchical": q_chunk_hierarchical,
     "dedup_exact": q_dedup_exact,
+    "dedup_contamination": q_dedup_contamination,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ann_buckets": q_embed_ann_buckets,
+    "embed_ivf_assign": q_embed_ivf_assign,
+    "embed_ivf_topk": q_embed_ivf_topk,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
@@ -790,6 +808,23 @@ ORACLES = {
                count(*)::BIGINT AS n_copies
         FROM documents GROUP BY sha256(text)""",
 
+    "dedup_contamination": f"""
+        WITH {_SHINGLES_CTE},
+        probe AS (SELECT doc_id, len(shingles) AS n_sh,
+                         unnest(shingles) AS s
+                  FROM sh WHERE doc_id % 50 = 0 AND len(shingles) > 0),
+        corpus AS (SELECT DISTINCT unnest(shingles) AS s
+                   FROM sh WHERE doc_id % 50 <> 0),
+        hits AS (SELECT p.doc_id, count(*) AS n_cont
+                 FROM probe p JOIN corpus c ON c.s = p.s
+                 GROUP BY p.doc_id),
+        tot AS (SELECT doc_id, any_value(n_sh) AS n_sh FROM probe
+                GROUP BY doc_id)
+        SELECT t.doc_id AS probe_id, t.n_sh::BIGINT AS n_shingles,
+               coalesce(h.n_cont, 0)::BIGINT AS n_contaminated,
+               round(coalesce(h.n_cont, 0) / t.n_sh, 4) AS rate
+        FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id""",
+
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
         e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
@@ -874,6 +909,63 @@ ORACLES = {
                string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
                           '' ORDER BY j) AS simhash
         FROM c GROUP BY doc_id""",
+
+    "embed_ivf_assign": """
+        WITH c AS (SELECT vec_id AS cid,
+                          embedding::DOUBLE[] AS cv,
+                          sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[])) AS cn
+                   FROM embeddings WHERE vec_id < 16),
+        s AS (SELECT e.vec_id, c.cid,
+                     round(list_dot_product(e.embedding::DOUBLE[],
+                                            list_transform(c.cv, x -> x / c.cn)),
+                           6) AS score
+              FROM embeddings e CROSS JOIN c),
+        r AS (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY score DESC, cid) AS rn
+              FROM s)
+        SELECT vec_id, cid::INTEGER AS bucket FROM r WHERE rn = 1""",
+
+    "embed_ivf_topk": """
+        WITH c AS (SELECT vec_id AS cid,
+                          list_transform(embedding::DOUBLE[],
+                              x -> x / sqrt(list_dot_product(
+                                  embedding::DOUBLE[],
+                                  embedding::DOUBLE[]))) AS chat
+                   FROM embeddings WHERE vec_id < 16),
+        n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS nrm
+              FROM embeddings),
+        s AS (SELECT n.vec_id, c.cid, n.v, n.nrm,
+                     round(list_dot_product(n.v, c.chat), 6) AS score
+              FROM n CROSS JOIN c),
+        assign AS (SELECT vec_id, cid AS bucket FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cid) AS rn
+                       FROM s) WHERE rn = 1),
+        probes AS (SELECT vec_id AS qid, cid FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cid) AS rn
+                       FROM s WHERE vec_id < 10) WHERE rn <= 4),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+              WHERE vec_id < 10),
+        cand AS (SELECT q.qid, n.vec_id AS nid,
+                        round(list_dot_product(q.qv, n.v)
+                              / (q.qn * n.nrm), 6) AS cos
+                 FROM q
+                 JOIN assign a ON TRUE
+                 JOIN n ON n.vec_id = a.vec_id
+                 JOIN probes p ON p.qid = q.qid AND p.cid = a.bucket
+                 WHERE n.vec_id <> q.qid),
+        r AS (SELECT qid, nid, cos,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, nid) AS rank
+              FROM cand)
+        SELECT qid, nid, cos, rank::INTEGER AS rank FROM r WHERE rank <= 5""",
 
     "embed_cosine_topk": """
         WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
