@@ -225,3 +225,24 @@ def test_rich_blocks_page_roundtrip():
     assert [s[2] for s in r.spans] == ["heading", "code", "quote",
                                        "list_item", "list_item", "table",
                                        "para"]
+
+
+def test_review_regressions_sniff():
+    """Round-2 review findings: XHTML with <article> is html, BOM'd
+    WEBVTT is vtt, comma-bearing prose is NOT csv."""
+    xhtml = (b'<?xml version="1.0"?><!DOCTYPE html><html xmlns="x">'
+             b'<body><article><p>page body content</p></article>'
+             b'</body></html>')
+    assert sniff(xhtml) == "html"
+    assert extract_document(xhtml).status == "success"
+    bom_vtt = ("﻿WEBVTT\n\n00:00:00.000 --> 00:00:01.000\n"
+               "hello subtitle line\n").encode("utf-8")
+    assert sniff(bom_vtt) == "vtt"
+    r = extract_document(bom_vtt)
+    assert r.status == "success" and "-->" not in r.text \
+        and "WEBVTT" not in r.text
+    prose = b"Hello there, dear reader\nWelcome back, old friend\n"
+    assert sniff(prose) != "csv"
+    # real csv still sniffs, including a ragged last row
+    assert sniff(b"a,b,c\n1,2,3\n4,5\n") == "csv"
+    assert sniff(b"a,b,c\n1,2,3\n") == "csv"

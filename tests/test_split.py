@@ -178,3 +178,28 @@ def test_abort_on_error_fails_job_keeps_snapshots(spark, tmp_path):
     assert sorted(IceTable(root2).committed_parts()) == list(range(8))
     statuses = {r.url: r.status for r in IceTable(root2).read(spark).collect()}
     assert statuses["doc://7"] == "failure"
+
+
+def test_corrupt_oversized_pdf_is_failure_row_not_task_failure(spark):
+    """Round-2 review finding: a corrupt oversized mini-PDF must become
+    a status=failure ROW matching the one-shot kernel byte-for-byte,
+    never a task/job failure (abort_on_error=false contract)."""
+    import struct
+    corrupt = pdfmini.MAGIC + struct.pack(">II", 2, 1) + b"\x00\x01"
+    _assert_identical(spark, _mk_pdfs() + [corrupt], ALL_FORMATS)
+
+
+def test_same_url_different_warc_ts_stay_separate(spark):
+    """Round-2 review finding: a recrawled url (same url, different
+    warc_ts) is two documents through the split tier, like the 1:1
+    normal path."""
+    import datetime
+    docs = _mk_pdfs()
+    rows = [("pdf://same", datetime.datetime(2025, 1, 1), docs[0], "", "en"),
+            ("pdf://same", datetime.datetime(2025, 6, 1), docs[4], "", "en")]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    got = (extracted_split_df(pages, ALL_FORMATS, cpus=2, split_bytes=1)
+           .select("url", "warc_ts", "text").collect())
+    assert len(got) == 2
+    texts = {r.warc_ts.month: r.text for r in got}
+    assert "Title 0" in texts[1] and "p6 r2" in texts[6]

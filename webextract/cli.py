@@ -26,7 +26,14 @@ from pyspark.sql import SparkSession
 
 
 def _bool(v: str) -> bool:
-    return v.lower() in ("1", "true", "yes", "on")
+    """Strict boolean literals — a typo must be a parse error, not a
+    silent False (the reference's form validation 422 analogue)."""
+    low = v.lower()
+    if low in ("1", "true", "yes", "on"):
+        return True
+    if low in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"not a boolean: {v!r}")
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -292,7 +292,13 @@ def lsh_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4,
     O(docs×bands) bucket join; the exact verify touches only candidate
     pairs and is per-pair O(|A|+|B|) array math (no shingle-explode
     self-join, which is what makes the exact kernel quadratic-ish).
-    Output ⊆ ngram_jaccard_pairs (LSH recall is the tunable)."""
+
+    Semantics note: the verify scores FULL per-pair Jaccard, while
+    ngram_jaccard_pairs excludes shingles hotter than its df_cap from
+    intersection counts — so on a corpus with capped (viral) shingles
+    the two kernels can legitimately disagree about pairs whose overlap
+    is mostly boilerplate.  On df-uniform corpora (no shingle above the
+    cap) output ⊆ ngram_jaccard_pairs, LSH recall being the tunable."""
     # Stage the candidate pairs ONCE (localCheckpoint = the staging
     # table between the two passes; a plain persist() would sit in the
     # CacheManager until an explicit unpersist — the round-1 review's
@@ -405,11 +411,15 @@ def _ivf_centroids(emb: DataFrame, n_centroids: int) -> list[list[float]]:
     constant centroid set).  At 10^12 rows this is a catalog artifact;
     the collect here moves n_centroids rows, never the corpus."""
     import math
-    rows = dict(emb.filter(F.col("vec_id") < n_centroids)
-                .select("vec_id", "embedding").collect())
+    rows = (emb.orderBy("vec_id").limit(n_centroids)
+            .select("embedding").collect())
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"IVF needs >= {n_centroids} vectors to seed centroids; "
+            f"corpus has {len(rows)}")
     out = []
-    for j in range(n_centroids):
-        v = [float(x) for x in rows[j]]
+    for (e,) in rows:
+        v = [float(x) for x in e]
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         out.append([x / n for x in v])
     return out

@@ -190,13 +190,17 @@ def decode_data_uri(src: str | None) -> tuple[str | None, bytes | None]:
 
 
 def collect_images(blocks: list[Block], mode: str
-                   ) -> list[tuple[int, str | None, bytes | None]]:
-    """Per-document image artifacts (operator C9).  placeholder: refs
-    only; embedded: inline bytes decoded from data URIs; referenced:
-    deterministic relative sidecar paths (the zip-sink invariant —
-    every referenced uri exists as an artifact — mirrors the reference
-    test, tests/test_fastapi_endpoints.py:181-215)."""
+                   ) -> tuple[list[tuple[int, str | None, bytes | None]], bool]:
+    """Per-document image artifacts (operator C9) + artifact-failure
+    flag.  placeholder: refs only; embedded: inline bytes decoded from
+    data URIs; referenced: deterministic relative sidecar paths (the
+    zip-sink invariant — every referenced uri exists as an artifact —
+    mirrors the reference test, tests/test_fastapi_endpoints.py:181-215).
+    The flag is True when an artifact-producing mode needed a data: URI
+    payload that failed to decode (drives partial_success without a
+    second base64 pass)."""
     out: list[tuple[int, str | None, bytes | None]] = []
+    failed = False
     i = 0
     for b in blocks:
         if b.kind != "image":
@@ -207,10 +211,13 @@ def collect_images(blocks: list[Block], mode: str
         elif mode == "embedded" and data is not None:
             out.append((i, b.src, data))
         else:
+            if (mode in ("referenced", "embedded") and b.src
+                    and b.src.startswith("data:")):
+                failed = True
             out.append((i, b.src if b.src and not b.src.startswith("data:")
                         else None, None))
         i += 1
-    return out
+    return out, failed
 
 
 def _md_image(b: Block, mode: str, img_idx: int) -> str:
@@ -424,10 +431,10 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
             return Extracted(status="skipped", fmt=fmt, n_blocks=0,
                              error="no content")
         text, spans = serialize_text(main)
+        images, img_failed = (collect_images(main, opt.image_export_mode)
+                              if opt.include_images else ([], False))
         res = Extracted(status="success", fmt=fmt, text=text, spans=spans,
-                        n_blocks=len(main),
-                        images=(collect_images(main, opt.image_export_mode)
-                                if opt.include_images else []))
+                        n_blocks=len(main), images=images)
         # output-format projection (P5, docs/usage.md:15,408): only the
         # requested formats are populated, others stay empty/null
         if "md" in opt.to_formats:
@@ -448,12 +455,7 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
         # converted, but an artifact stage failed — here, a data: image
         # whose payload doesn't decode while an artifact-producing
         # export mode needs it.  Text/serialization are complete.
-        if (opt.include_images
-                and opt.image_export_mode in ("embedded", "referenced")
-                and any(b.kind == "image" and b.src
-                        and b.src.startswith("data:")
-                        and decode_data_uri(b.src)[1] is None
-                        for b in main)):
+        if img_failed:
             res.status = "partial_success"
             res.error = "one or more embedded images failed to decode"
         return res

@@ -81,16 +81,21 @@ def sniff(payload: bytes) -> str:
         return "vtt"
     text = decode_html(head)
     stripped = text.lstrip("﻿ \t\r\n")
+    if stripped.startswith("WEBVTT"):        # spec allows a leading BOM
+        return "vtt"
     if stripped.startswith("<?xml"):
         low = stripped.lower()
+        # HTML checks FIRST: an XHTML page may legally contain an HTML5
+        # <article> element anywhere in its body — the archive-format
+        # markers only decide when the payload is definitely not (X)HTML
+        if "<html" in low or "<!doctype html" in low:
+            return "html"
         if "<us-patent" in low:
             return "xml_uspto"
-        if "<article" in low:
-            return "xml_jats"
         if "<mets" in low:
             return "mets_gbs"
-        if "<html" in low:
-            return "html"
+        if "<article" in low:
+            return "xml_jats"
         return "unknown"
     if stripped.startswith("<"):
         return "html"
@@ -100,11 +105,20 @@ def sniff(payload: bytes) -> str:
         return "md"
     if stripped.startswith("= "):
         return "asciidoc"
-    lines = stripped.split("\n", 2)
-    if (len(lines) >= 2 and "," in lines[0] and "<" not in lines[0]
-            and lines[0].count(",") == lines[1].count(",")
-            and lines[1].count(",") >= 1):
-        return "csv"
+    # csv: >=2 commas on the first line (prose sentences rarely carry
+    # two), every interior sampled line agreeing exactly, and the final
+    # sampled line allowed to fall short (ragged last row / 4KB head
+    # truncation).  Heuristic — extension/MIME does this upstream in
+    # the reference; content sniffing can only bound the false-positive
+    # rate, not eliminate it.
+    rows_ = [r for r in stripped.split("\n")[:8] if r]
+    if len(rows_) >= 2 and "<" not in rows_[0]:
+        c0 = rows_[0].count(",")
+        interior, last = rows_[1:-1], rows_[-1]
+        if (c0 >= 2 and all(r.count(",") == c0 for r in interior)
+                and last.count(",") <= c0
+                and (interior or last.count(",") == c0)):
+            return "csv"
     # binary junk: NUL bytes or a high ratio of control bytes
     if b"\x00" in head:
         return "unknown"
@@ -315,6 +329,7 @@ def parse_vtt_blocks(text: str) -> list[Block]:
     """One para block per cue (cue ids / timestamp lines / NOTE and
     STYLE blocks stripped)."""
     blocks: list[Block] = []
+    text = text.lstrip("﻿")     # spec-legal leading BOM
     cues = re.split(r"\n\s*\n", text.replace("\r\n", "\n"))
     for cue in cues:
         lines = [ln for ln in cue.split("\n") if ln.strip()]

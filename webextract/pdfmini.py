@@ -73,6 +73,25 @@ def reading_order(runs: list[tuple[int, int, int, int, str]]):
                                        r[2] // Y_BAND, r[1], r[2]))
 
 
+def run_level(font_size: int) -> int:
+    """Heading classification by font size — the single source of truth
+    shared with the split tier (split.py), so a threshold change can
+    never break split/unsplit byte-identity."""
+    return 1 if font_size >= 24 else (2 if font_size >= 18 else 0)
+
+
+def pdf_block(page: int, text: str, level: int, idx: int) -> Block:
+    """One ordered run -> Block row, shared with the split tier's merge
+    (global run index `idx` is the caller's concern)."""
+    return Block(
+        idx=idx, tag=f"h{level}" if level else "p",
+        kind="heading" if level else "para",
+        path=f"pdf/page[{page}]/run[{idx}]",
+        container_path=f"pdf/page[{page}]",
+        depth=2, text=text, link_chars=0, boiler=False, semantic=False,
+        heading_level=level)
+
+
 def parse_pdf_blocks(payload: bytes,
                      page_range: tuple[int, int] = (1, 10_000)) -> list[Block]:
     """Parse + order + page-slice (P2, docs/usage.md:25) into Block rows
@@ -85,12 +104,5 @@ def parse_pdf_blocks(payload: bytes,
         text = collapse_ws(text)
         if not text:
             continue
-        level = 1 if fs >= 24 else (2 if fs >= 18 else 0)
-        blocks.append(Block(
-            idx=len(blocks), tag=f"h{level}" if level else "p",
-            kind="heading" if level else "para",
-            path=f"pdf/page[{page}]/run[{len(blocks)}]",
-            container_path=f"pdf/page[{page}]",
-            depth=2, text=text, link_chars=0, boiler=False, semantic=False,
-            heading_level=level))
+        blocks.append(pdf_block(page, text, run_level(fs), len(blocks)))
     return blocks

@@ -141,7 +141,16 @@ def make_split_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
                 if bad is not None:
                     emit(i, 0, 1, bad[0], bad[1], None)
                     continue
-                segs = _slice_pages(payload, pages_per_seg)
+                try:
+                    segs = _slice_pages(payload, pages_per_seg)
+                except Exception as e:
+                    # total-function contract (abort_on_error=false):
+                    # a corrupt payload becomes a failure ROW, never a
+                    # task failure.  Same error text as the one-shot
+                    # kernel (parse_runs raises identically there).
+                    emit(i, 0, 1, "failure", f"{type(e).__name__}: {e}",
+                         None)
+                    continue
                 for j, seg in enumerate(segs):
                     emit(i, j, len(segs), "", "", seg)
             yield pa.RecordBatch.from_pydict(
@@ -166,17 +175,21 @@ def make_seg_extract_kernel(opt: ConvertOptions = DEFAULT_OPTIONS):
                 if out["verdict"][i]:          # admission verdict rides along
                     out["blocks"].append([])
                     continue
-                a, b = opt.page_range
-                _, runs = pdfmini.parse_runs(payload)
-                runs = [r for r in runs if a <= r[0] <= b]
-                blocks = []
-                for page, x, y, fs, text in pdfmini.reading_order(runs):
-                    text = collapse_ws(text)
-                    if not text:
-                        continue
-                    level = 1 if fs >= 24 else (2 if fs >= 18 else 0)
-                    blocks.append({"page": page, "text": text,
-                                   "level": level})
+                try:
+                    a, b = opt.page_range
+                    _, runs = pdfmini.parse_runs(payload)
+                    runs = [r for r in runs if a <= r[0] <= b]
+                    blocks = []
+                    for page, x, y, fs, text in pdfmini.reading_order(runs):
+                        text = collapse_ws(text)
+                        if not text:
+                            continue
+                        blocks.append({"page": page, "text": text,
+                                       "level": pdfmini.run_level(fs)})
+                except Exception as e:  # total-function contract
+                    out["verdict"][i] = "failure"
+                    out["error"][i] = f"{type(e).__name__}: {e}"
+                    blocks = []
                 out["blocks"].append(blocks)
             yield pa.RecordBatch.from_pydict(
                 {f.name: pa.array(out[f.name], f.type) for f in _SEGX_ARROW})
@@ -219,28 +232,22 @@ def make_merge_kernel(opt: ConvertOptions = DEFAULT_OPTIONS):
 
             for i in range(len(cols["url"])):
                 if cols["verdict"][i]:
-                    # mirror extract_document's refused-row shape:
-                    # size checks fire BEFORE sniffing (fmt stays the
-                    # "html" default), format/page checks after
-                    fmt = "html" if cols["error"][i] in (
-                        "empty payload", "file too large") else "pdf"
+                    # mirror extract_document's refused/failed-row shape:
+                    # size checks fire BEFORE sniffing and exception rows
+                    # use the Extracted default (fmt "html" both);
+                    # format/page admission checks fire after (fmt "pdf")
+                    fmt = "pdf" if cols["error"][i] in (
+                        "format pdf not admitted", "too many pages") \
+                        else "html"
                     emit(i, status=cols["verdict"][i],
                          error=cols["error"][i], fmt=fmt)
                     continue
                 blocks: list[Block] = []
                 for seg in cols["segs"][i]:          # sorted by seg_idx
                     for sb in (seg["blocks"] or []):
-                        level = int(sb["level"])
-                        page = int(sb["page"])
-                        blocks.append(Block(
-                            idx=len(blocks),
-                            tag=f"h{level}" if level else "p",
-                            kind="heading" if level else "para",
-                            path=f"pdf/page[{page}]/run[{len(blocks)}]",
-                            container_path=f"pdf/page[{page}]",
-                            depth=2, text=sb["text"], link_chars=0,
-                            boiler=False, semantic=False,
-                            heading_level=level))
+                        blocks.append(pdfmini.pdf_block(
+                            int(sb["page"]), sb["text"],
+                            int(sb["level"]), len(blocks)))
                 if not blocks:
                     emit(i, status="skipped", error="no content")
                     continue
@@ -292,13 +299,16 @@ def extracted_split_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
             .repartition(cpus * 4, F.col("url"), F.col("seg_idx"))
             .mapInArrow(make_seg_extract_kernel(opt), _SEGX_DDL))
     # merge shuffle moves BLOCK rows (payload already dropped); one
-    # aggregated row per doc feeds the batched merge kernel
-    agg = (segs.groupBy("url")
-           .agg(F.first("warc_ts").alias("warc_ts"),
-                F.first("lang").alias("lang"),
+    # aggregated row per doc feeds the batched merge kernel.  The doc
+    # key is (url, warc_ts) — the crawl's natural primary key per the
+    # input_hint schema, so a recrawled url is two documents, exactly
+    # like the 1-row-in/1-row-out normal path.  max() over verdict/error
+    # surfaces a failed SEGMENT's verdict over its siblings' "".
+    agg = (segs.groupBy("url", "warc_ts")
+           .agg(F.first("lang").alias("lang"),
                 F.first("orig_bytes").alias("orig_bytes"),
-                F.first("verdict").alias("verdict"),
-                F.first("error").alias("error"),
+                F.max("verdict").alias("verdict"),
+                F.max("error").alias("error"),
                 F.sort_array(F.collect_list(
                     F.struct("seg_idx", "blocks"))).alias("segs")))
     merged = agg.mapInArrow(make_merge_kernel(opt), EXTRACT_SCHEMA_DDL)
