@@ -69,3 +69,28 @@ def test_lsh_bucket_cap_drops_giant_bucket(spark):
     assert (500, 501) in pairs
     assert not any(a < 500 for a, _ in pairs), \
         "giant bucket leaked pairs past the cap"
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """a~b and b~c but NOT a~c: label propagation must still place all
+    three in one cluster (the transitive closure pair lists miss)."""
+    from webextract.corpus import dedup_clusters
+    rows = [(0, "x"), (1, "x"), (2, "x"), (9, "x"), (7, "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (7, 9)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup_clusters(docs, pairs=pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 7: 7, 9: 7}
+
+
+def test_hash_split_stable_under_growth(spark):
+    """A doc's split never changes when the corpus grows (the property
+    RNG sampling lacks)."""
+    from webextract.corpus import hash_split
+    small = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(small).collect()}
+    b = {r.doc_id: r.split for r in hash_split(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    assert set(b.values()) == {"train", "val", "test"}

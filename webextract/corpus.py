@@ -144,6 +144,76 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 MINHASH_P = 536870909   # prime < 2^29: A*h + B stays far below 2^63
 
 
+def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
+                   n: int = 3, threshold: float = 0.4,
+                   max_iters: int = 20) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup pairs —
+    the dedup ENDGAME: pair lists don't dedup a corpus, keeping one doc
+    per transitive cluster does (cluster_id = min doc_id reachable,
+    i.e. the canonical survivor).
+
+    Pregel-style min-label propagation: each round every node takes the
+    min of its own and its neighbors' labels; rounds needed = component
+    diameter (near-dup clusters are small and dense, so 2-4).  The
+    driver loop is the iterative-algorithm pattern Catalyst can't
+    express in one plan: each round is one shuffle-join on the (tiny
+    relative to the corpus) edge set; `localCheckpoint` cuts the
+    growing lineage, and convergence is detected by the monotone label
+    sum (labels only decrease).  At 10^12 docs production would add
+    large-component guards (alternating small-star); near-dup graphs
+    under LSH bucket caps stay small by construction.
+
+    Docs that appear in no pair are their own singleton cluster."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, n, threshold)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst")))
+             .localCheckpoint())
+    labels = (docs.select("doc_id").distinct()
+              .withColumn("label", F.col("doc_id")))
+    prev_sum = None
+    for _ in range(max_iters):
+        neigh = (edges.join(labels,
+                            edges["dst"] == labels["doc_id"])
+                 .groupBy("src").agg(F.min("label").alias("nlabel")))
+        labels = (labels.join(neigh, labels["doc_id"] == neigh["src"],
+                              "left")
+                  .select(labels["doc_id"],
+                          F.least(F.col("label"),
+                                  F.coalesce("nlabel", F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint())
+        s = labels.agg(F.sum("label")).first()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def hash_split(docs: DataFrame, weights: tuple = (0.98, 0.01, 0.01),
+               salt: str = "v1") -> DataFrame:
+    """(doc_id, bucket, split): deterministic train/val/test assignment
+    by content-independent hash — bucket = md5(salt:doc_id)[:8] as int
+    mod 10000 against cumulative weight cutoffs.
+
+    Hash-mod, NOT rng sampling: reproducible across engines, runs, and
+    cluster sizes, and STABLE under corpus growth (a doc never changes
+    split when new docs arrive) — the properties a training pipeline
+    needs that `sampleBy`'s per-partition RNG cannot give.  Pure narrow
+    projection."""
+    h = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8),
+        16, 10).cast("long") % 10000)
+    c_train = int(weights[0] * 10000)
+    c_val = c_train + int(weights[1] * 10000)
+    return docs.select(
+        "doc_id", h.cast("int").alias("bucket"),
+        F.when(h < c_train, "train").when(h < c_val, "val")
+        .otherwise("test").alias("split"))
+
+
 def contamination(docs: DataFrame, probe_mod: int = 50,
                   n: int = 3) -> DataFrame:
     """Benchmark-contamination check: for each PROBE document (the

@@ -267,6 +267,19 @@ def q_dedup_contamination(spark, sf_dir):
     return corpus.contamination(_read(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster formation (connected components over exact
+    n-gram Jaccard pairs, min-id label propagation) — the oracle
+    computes the same components with a recursive transitive closure."""
+    return corpus.dedup_clusters(_read(spark, sf_dir, "documents"))
+
+
+def q_corpus_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by hash-mod bucketing
+    (reproducible + growth-stable, unlike RNG sampling)."""
+    return corpus.hash_split(_read(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return corpus.dedup_exact(_read(spark, sf_dir, "documents"))
 
@@ -488,7 +501,9 @@ QUERIES = {
     "chunk_hybrid_subword": q_chunk_hybrid_subword,
     "chunk_hierarchical": q_chunk_hierarchical,
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_contamination": q_dedup_contamination,
+    "corpus_hash_split": q_corpus_hash_split,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
@@ -807,6 +822,41 @@ ORACLES = {
         SELECT sha256(text) AS text_sha256, min(doc_id) AS canonical_id,
                count(*)::BIGINT AS n_copies
         FROM documents GROUP BY sha256(text)""",
+
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+              FROM sh),
+        e2 AS (SELECT doc_id, n, s FROM
+                 (SELECT doc_id, n, s,
+                         count(*) OVER (PARTITION BY s) AS df FROM e)
+               WHERE df <= 32),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.n AS na, b.n AS nb, count(*) AS i
+                  FROM e2 a JOIN e2 b
+                    ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4),
+        pairs AS (SELECT doc_a, doc_b FROM inter
+                  WHERE i / (na + nb - i) >= 0.4),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT doc_id AS node, doc_id AS r FROM documents
+                  UNION
+                  SELECT e.src, rc.r FROM reach rc
+                  JOIN edges e ON e.dst = rc.node)
+        SELECT node AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY node""",
+
+    "corpus_hash_split": """
+        WITH h AS (SELECT doc_id,
+                          ('0x' || substring(md5('v1:' || doc_id), 1, 8))
+                          ::BIGINT % 10000 AS b
+                   FROM documents)
+        SELECT doc_id, b::INTEGER AS bucket,
+               CASE WHEN b < 9800 THEN 'train'
+                    WHEN b < 9900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h""",
 
     "dedup_contamination": f"""
         WITH {_SHINGLES_CTE},
