@@ -131,3 +131,37 @@ def test_windowed_lang_counts_stream_vs_batch(spark, pages_dir, tmp_path):
     assert got, "no windows emitted"
     for key, val in got.items():
         assert expect[key] == val
+
+
+def test_stream_to_icetable_exactly_once(spark, pages_dir, tmp_path):
+    """Streaming epochs commit atomic IceTable snapshots with lineage
+    counters; restart with no new files adds no snapshots; epoch-keyed
+    run_ids make redelivery a no-op; new files append a new snapshot."""
+    from webextract.docpages import docs_to_pages
+    from webextract.icetable import IceTable
+    from webextract.streaming import stream_extract_to_icetable
+    root = str(tmp_path / "ice")
+    ckpt = str(tmp_path / "ckpt_ice")
+    _await(stream_extract_to_icetable(spark, pages_dir, root, ckpt, cpus=4))
+    tbl = IceTable(root)
+    assert tbl.read(spark).count() == 120
+    snaps1 = tbl.snapshots()
+    assert all(s["run_id"].startswith("stream-") for s in snaps1)
+    lin = tbl.lineage_df(spark)
+    from pyspark.sql import functions as F
+    assert lin.agg(F.sum("num_docs")).first()[0] == 120
+    assert snaps1[0]["versions"]["options_hash"]
+
+    # restart, nothing new: no extra snapshots, count unchanged
+    _await(stream_extract_to_icetable(spark, pages_dir, root, ckpt, cpus=4))
+    assert len(IceTable(root).snapshots()) == len(snaps1)
+    assert tbl.read(spark).count() == 120
+
+    # new crawl files arrive: one more epoch commits, counts add up
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .limit(150).filter("doc_id >= 120")
+    docs_to_pages(docs).repartition(2).write.mode("append").parquet(pages_dir)
+    _await(stream_extract_to_icetable(spark, pages_dir, root, ckpt, cpus=4))
+    n_new = docs.count()
+    assert tbl.read(spark).count() == 120 + n_new
+    assert len(IceTable(root).snapshots()) == len(snaps1) + 1

@@ -155,6 +155,53 @@ def _wave_groups(parts: list[int], waves: int) -> list[list[int]]:
     return [parts[i:i + size] for i in range(0, len(parts), size)]
 
 
+def commit_stage(spark: SparkSession, table: IceTable, run_id: str,
+                 stage: str, expect_parts: list[int],
+                 opt: ConvertOptions, wall_ms: int) -> tuple[str, list[dict]]:
+    """Compute per-partition lineage counters from a written stage dir
+    and commit one atomic snapshot.  Counters come from a columnar scan
+    of the WRITTEN files (status/bytes only, no recompute) —
+    counters ≡ processing_meta
+    (/root/reference/docling_serve/orchestrator_factory.py:104-106).
+    Shared by the batch wave driver and the streaming epoch sink."""
+    written = spark.read.parquet(stage)
+    rows = (written.groupBy("part_id").agg(
+        F.count("*").alias("num_docs"),
+        F.count("*").alias("num_processed"),
+        F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("num_succeeded"),
+        F.sum(F.when(F.col("status") == "partial_success", 1).otherwise(0)).alias("num_partial"),
+        F.sum(F.when(F.col("status") == "failure", 1).otherwise(0)).alias("num_failed"),
+        F.sum(F.when(F.col("status") == "skipped", 1).otherwise(0)).alias("num_skipped"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum(F.length("text").cast("long")).alias("bytes_out"),
+    ).collect())
+    counters = {r["part_id"]: r.asDict() for r in rows}
+    parts_meta = []
+    for p in expect_parts:
+        files = sorted(glob.glob(os.path.join(stage, f"part_id={p}", "*.parquet")))
+        c = counters.get(p, {"part_id": p, "num_docs": 0,
+                             "num_processed": 0, "num_succeeded": 0,
+                             "num_partial": 0, "num_failed": 0,
+                             "num_skipped": 0,
+                             "bytes_in": 0, "bytes_out": 0})
+        c = {k: (v if v is not None else 0) for k, v in c.items()
+             if k != "part_id"}
+        c["wall_ms"] = wall_ms
+        parts_meta.append({"part_id": p, "files": files, "counters": c})
+    from . import __version__
+    # lineage records WHICH options produced this snapshot (the
+    # reference persists the request options with the task record);
+    # options_hash is also the converter-cache key (options.py).
+    snap = table.commit(run_id, parts_meta,
+                        datetime.datetime.utcnow().isoformat(),
+                        versions={"webextract": __version__,
+                                  "spark": spark.version,
+                                  "options_hash": opt.options_hash(),
+                                  "options": {k: repr(v) for k, v
+                                              in opt.as_dict().items()}})
+    return snap, parts_meta
+
+
 def run_extract(spark: SparkSession, pages: DataFrame, table_root: str,
                 opt: ConvertOptions = DEFAULT_OPTIONS,
                 partitions: int = DEFAULT_PARTITIONS, waves: int = 4,
@@ -196,45 +243,9 @@ def run_extract(spark: SparkSession, pages: DataFrame, table_root: str,
         (out.repartition(max(1, len(wave_parts)), F.col("part_id"))
          .write.mode("overwrite").partitionBy("part_id").parquet(stage))
 
-        # lineage counters from the written files (no recompute; columnar
-        # scan of status/bytes only). counters ≡ processing_meta
-        # (/root/reference/docling_serve/orchestrator_factory.py:104-106)
-        written = spark.read.parquet(stage)
-        rows = (written.groupBy("part_id").agg(
-            F.count("*").alias("num_docs"),
-            F.count("*").alias("num_processed"),
-            F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("num_succeeded"),
-            F.sum(F.when(F.col("status") == "partial_success", 1).otherwise(0)).alias("num_partial"),
-            F.sum(F.when(F.col("status") == "failure", 1).otherwise(0)).alias("num_failed"),
-            F.sum(F.when(F.col("status") == "skipped", 1).otherwise(0)).alias("num_skipped"),
-            F.sum("bytes_in").alias("bytes_in"),
-            F.sum(F.length("text").cast("long")).alias("bytes_out"),
-        ).collect())
         wall_ms = int((time.time() - t0) * 1000)
-        counters = {r["part_id"]: r.asDict() for r in rows}
-        parts_meta = []
-        for p in wave_parts:
-            files = sorted(glob.glob(os.path.join(stage, f"part_id={p}", "*.parquet")))
-            c = counters.get(p, {"part_id": p, "num_docs": 0,
-                                 "num_processed": 0, "num_succeeded": 0,
-                                 "num_partial": 0, "num_failed": 0,
-                                 "num_skipped": 0,
-                                 "bytes_in": 0, "bytes_out": 0})
-            c = {k: (v if v is not None else 0) for k, v in c.items()
-                 if k != "part_id"}
-            c["wall_ms"] = wall_ms
-            parts_meta.append({"part_id": p, "files": files, "counters": c})
-        from . import __version__
-        # lineage records WHICH options produced this snapshot (the
-        # reference persists the request options with the task record);
-        # options_hash is also the converter-cache key (options.py).
-        snap = table.commit(run_id, parts_meta,
-                            datetime.datetime.utcnow().isoformat(),
-                            versions={"webextract": __version__,
-                                      "spark": spark.version,
-                                      "options_hash": opt.options_hash(),
-                                      "options": {k: repr(v) for k, v
-                                                  in opt.as_dict().items()}})
+        snap, parts_meta = commit_stage(spark, table, run_id, stage,
+                                        wave_parts, opt, wall_ms)
         summary["waves"].append({
             "wave": wi, "snapshot_id": snap, "parts": wave_parts,
             "num_docs": sum(m["counters"]["num_docs"] for m in parts_meta),

@@ -67,6 +67,55 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
             .start())
 
 
+def stream_extract_to_icetable(spark: SparkSession, input_dir: str,
+                               table_root: str, checkpoint_dir: str,
+                               opt: ConvertOptions = DEFAULT_OPTIONS,
+                               cpus: int = 8, partitions: int = 16):
+    """Continuous ingest committing each micro-batch as an ATOMIC
+    IceTable snapshot with full lineage counters — the streaming twin
+    of run_extract's wave commit (shared commit_stage helper).
+
+    Exactly-once end to end: the streaming checkpoint tracks consumed
+    source files, and each epoch commits under run_id
+    ``stream-<epoch>`` — a redelivered epoch after a crash-restart
+    finds its run_id already in the snapshot chain and becomes a no-op,
+    so rows are never double-committed.  Contract note: unlike a batch
+    table, a stream table legitimately recommits the same part_id
+    across epochs (new data for that url-hash range), so
+    ``committed_parts()`` batch-resume semantics do not apply to it —
+    read it via the manifests like any other IceTable."""
+    import glob as _glob
+    import time as _time
+
+    from .icetable import IceTable
+    from .pipeline import commit_stage, with_part_id
+
+    table = IceTable(table_root)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        run_id = f"stream-{epoch_id:08d}"
+        if any(s["run_id"] == run_id for s in table.snapshots()):
+            return          # redelivered epoch: already committed
+        t0 = _time.time()
+        out = with_part_id(extracted_df(batch_df, opt, cpus=cpus),
+                           partitions)
+        stage = table.staging_dir(run_id, 0)
+        (out.repartition(max(1, partitions // 4), F.col("part_id"))
+         .write.mode("overwrite").partitionBy("part_id").parquet(stage))
+        present = sorted(
+            int(d.rsplit("=", 1)[1])
+            for d in _glob.glob(os.path.join(stage, "part_id=*")))
+        commit_stage(spark, table, run_id, stage, present, opt,
+                     int((_time.time() - t0) * 1000))
+
+    return (pages_stream(spark, input_dir)
+            .writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def windowed_lang_counts(pages: DataFrame, window: str = "1 minute",
                          watermark: str = "2 minutes") -> DataFrame:
     """Watermarked tumbling-window aggregation over crawl time: pages
