@@ -246,3 +246,10 @@ def test_review_regressions_sniff():
     # real csv still sniffs, including a ragged last row
     assert sniff(b"a,b,c\n1,2,3\n4,5\n") == "csv"
     assert sniff(b"a,b,c\n1,2,3\n") == "csv"
+
+
+def test_two_column_csv_still_sniffs():
+    assert sniff(b"name,age\nalice,30\nbob,25\n") == "csv"
+    # prose couplet with one comma per line: still NOT csv
+    assert sniff(b"Hello there, dear reader\nWelcome back, old friend\n") \
+        != "csv"

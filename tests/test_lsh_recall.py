@@ -94,3 +94,30 @@ def test_hash_split_stable_under_growth(spark):
     b = {r.doc_id: r.split for r in hash_split(big).collect()}
     assert all(b[k] == v for k, v in a.items())
     assert set(b.values()) == {"train", "val", "test"}
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iters must raise loudly,
+    never return silently partial clusters."""
+    import pytest
+    chain = [(i, i + 1) for i in range(6)]        # diameter 6 path
+    docs = spark.createDataFrame([(i, "x") for i in range(7)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    from webextract.corpus import dedup_clusters
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, pairs=pairs, max_iters=2)
+    ok = {r.doc_id: r.cluster_id
+          for r in dedup_clusters(docs, pairs=pairs, max_iters=10).collect()}
+    assert set(ok.values()) == {0}
+
+
+def test_hash_split_rounded_cutoffs(spark):
+    """int(round()) cutoffs: 0.29 must map to bucket<2900, not 2899."""
+    from webextract.corpus import hash_split
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(docs, weights=(0.29, 0.01, 0.70)).collect()
+    for r in out:
+        want = ("train" if r.bucket < 2900
+                else "val" if r.bucket < 3000 else "test")
+        assert r.split == want, (r.bucket, r.split)

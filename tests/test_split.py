@@ -203,3 +203,11 @@ def test_same_url_different_warc_ts_stay_separate(spark):
     assert len(got) == 2
     texts = {r.warc_ts.month: r.text for r in got}
     assert "Title 0" in texts[1] and "p6 r2" in texts[6]
+
+
+def test_truncated_magic_payload_is_failure_row(spark):
+    """Second-review finding: a MAGIC-prefixed payload too short for the
+    header must fail as a ROW through the split tier (admission peek
+    raises inside the guard), identical to the one-shot kernel."""
+    _assert_identical(spark, [pdfmini.MAGIC, pdfmini.MAGIC + b"\x00"],
+                      ALL_FORMATS)

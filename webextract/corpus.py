@@ -174,6 +174,7 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
     labels = (docs.select("doc_id").distinct()
               .withColumn("label", F.col("doc_id")))
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         neigh = (edges.join(labels,
                             edges["dst"] == labels["doc_id"])
@@ -187,8 +188,16 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
                   .localCheckpoint())
         s = labels.agg(F.sum("label")).first()[0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # silent partial clusters would dedup wrongly; a >max_iters
+        # diameter (e.g. a long drifting-boilerplate chain) must be
+        # loud, not approximate
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"(component diameter exceeds max_iters; raise it)")
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -206,8 +215,10 @@ def hash_split(docs: DataFrame, weights: tuple = (0.98, 0.01, 0.01),
     h = (F.conv(F.substring(
         F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8),
         16, 10).cast("long") % 10000)
-    c_train = int(weights[0] * 10000)
-    c_val = c_train + int(weights[1] * 10000)
+    # round, don't truncate: 0.29*10000 is 2899.999… in IEEE754 and
+    # int() would shift the cutoff by a bucket
+    c_train = int(round(weights[0] * 10000))
+    c_val = c_train + int(round(weights[1] * 10000))
     return docs.select(
         "doc_id", h.cast("int").alias("bucket"),
         F.when(h < c_train, "train").when(h < c_val, "val")
@@ -477,9 +488,11 @@ def _ivf_centroids(emb: DataFrame, n_centroids: int) -> list[list[float]]:
     """Normalized coarse centroids, computed ONCE driver-side.
 
     Deterministic 'training' stand-in: centroid j is the embedding of
-    vec_id j (production would run k-means — same contract: a tiny
-    constant centroid set).  At 10^12 rows this is a catalog artifact;
-    the collect here moves n_centroids rows, never the corpus."""
+    the j-th SMALLEST vec_id (positional — robust to id gaps/offsets;
+    production would run k-means — same contract: a tiny constant
+    centroid set, buckets numbered 0..n-1).  At 10^12 rows this is a
+    catalog artifact; the collect moves n_centroids rows, never the
+    corpus."""
     import math
     rows = (emb.orderBy("vec_id").limit(n_centroids)
             .select("embedding").collect())

@@ -105,19 +105,23 @@ def sniff(payload: bytes) -> str:
         return "md"
     if stripped.startswith("= "):
         return "asciidoc"
-    # csv: >=2 commas on the first line (prose sentences rarely carry
-    # two), every interior sampled line agreeing exactly, and the final
-    # sampled line allowed to fall short (ragged last row / 4KB head
-    # truncation).  Heuristic — extension/MIME does this upstream in
-    # the reference; content sniffing can only bound the false-positive
-    # rate, not eliminate it.
+    # csv: every interior sampled line agrees exactly with the first
+    # line's comma count, the final sampled line may fall short (ragged
+    # last row / 4KB head truncation).  >=2 commas accepts from two
+    # lines; a 2-column file (1 comma) needs >=3 agreeing lines so a
+    # prose couplet ("Hello there, reader\nWelcome back, friend")
+    # doesn't table-ize.  Heuristic — extension/MIME does this upstream
+    # in the reference; content sniffing can only bound the
+    # false-positive rate, not eliminate it.
     rows_ = [r for r in stripped.split("\n")[:8] if r]
     if len(rows_) >= 2 and "<" not in rows_[0]:
         c0 = rows_[0].count(",")
         interior, last = rows_[1:-1], rows_[-1]
-        if (c0 >= 2 and all(r.count(",") == c0 for r in interior)
-                and last.count(",") <= c0
-                and (interior or last.count(",") == c0)):
+        shape_ok = (all(r.count(",") == c0 for r in interior)
+                    and last.count(",") <= c0
+                    and (interior or last.count(",") == c0))
+        if shape_ok and (c0 >= 2 or (c0 == 1 and len(rows_) >= 3
+                                     and last.count(",") == 1)):
             return "csv"
     # binary junk: NUL bytes or a high ratio of control bytes
     if b"\x00" in head:

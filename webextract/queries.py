@@ -961,11 +961,15 @@ ORACLES = {
         FROM c GROUP BY doc_id""",
 
     "embed_ivf_assign": """
-        WITH c AS (SELECT vec_id AS cid,
+        -- centroid j = j-th smallest vec_id, bucket POSITIONAL 0..15
+        -- (matches _ivf_centroids' order-by-limit contract, which is
+        -- robust to id gaps/offsets)
+        WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                           embedding::DOUBLE[] AS cv,
                           sqrt(list_dot_product(embedding::DOUBLE[],
                                                 embedding::DOUBLE[])) AS cn
-                   FROM embeddings WHERE vec_id < 16),
+                   FROM (SELECT * FROM embeddings
+                         ORDER BY vec_id LIMIT 16)),
         s AS (SELECT e.vec_id, c.cid,
                      round(list_dot_product(e.embedding::DOUBLE[],
                                             list_transform(c.cv, x -> x / c.cn)),
@@ -978,12 +982,13 @@ ORACLES = {
         SELECT vec_id, cid::INTEGER AS bucket FROM r WHERE rn = 1""",
 
     "embed_ivf_topk": """
-        WITH c AS (SELECT vec_id AS cid,
+        WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                           list_transform(embedding::DOUBLE[],
                               x -> x / sqrt(list_dot_product(
                                   embedding::DOUBLE[],
                                   embedding::DOUBLE[]))) AS chat
-                   FROM embeddings WHERE vec_id < 16),
+                   FROM (SELECT * FROM embeddings
+                         ORDER BY vec_id LIMIT 16)),
         n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                      sqrt(list_dot_product(embedding::DOUBLE[],
                                            embedding::DOUBLE[])) AS nrm

@@ -137,19 +137,23 @@ def make_split_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
                 out["html"].append(payload)
 
             for i, payload in enumerate(htmls):
-                bad = _admit(payload or b"", opt)
-                if bad is not None:
-                    emit(i, 0, 1, bad[0], bad[1], None)
-                    continue
                 try:
-                    segs = _slice_pages(payload, pages_per_seg)
+                    # admission INSIDE the guard: peek_n_pages on a
+                    # truncated header raises exactly like it does in
+                    # extract_document's try block
+                    bad = _admit(payload or b"", opt)
+                    segs = (None if bad is not None
+                            else _slice_pages(payload, pages_per_seg))
                 except Exception as e:
                     # total-function contract (abort_on_error=false):
                     # a corrupt payload becomes a failure ROW, never a
                     # task failure.  Same error text as the one-shot
-                    # kernel (parse_runs raises identically there).
+                    # kernel (parse_runs/peek raise identically there).
                     emit(i, 0, 1, "failure", f"{type(e).__name__}: {e}",
                          None)
+                    continue
+                if bad is not None:
+                    emit(i, 0, 1, bad[0], bad[1], None)
                     continue
                 for j, seg in enumerate(segs):
                     emit(i, j, len(segs), "", "", seg)

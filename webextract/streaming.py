@@ -77,25 +77,40 @@ def stream_extract_to_icetable(spark: SparkSession, input_dir: str,
 
     Exactly-once end to end: the streaming checkpoint tracks consumed
     source files, and each epoch commits under run_id
-    ``stream-<epoch>`` — a redelivered epoch after a crash-restart
-    finds its run_id already in the snapshot chain and becomes a no-op,
-    so rows are never double-committed.  Contract note: unlike a batch
+    ``stream-<checkpoint-hash>-<epoch>`` — a redelivered epoch after a
+    crash-restart finds its run_id already committed and becomes a
+    no-op, so rows are never double-committed, while a DIFFERENT query
+    (fresh checkpoint) into the same table gets non-colliding run_ids.  Contract note: unlike a batch
     table, a stream table legitimately recommits the same part_id
     across epochs (new data for that url-hash range), so
     ``committed_parts()`` batch-resume semantics do not apply to it —
     read it via the manifests like any other IceTable."""
     import glob as _glob
+    import hashlib as _hashlib
     import time as _time
 
     from .icetable import IceTable
     from .pipeline import commit_stage, with_part_id
 
     table = IceTable(table_root)
+    # run_id = stream-<checkpoint-hash>-<epoch>: the checkpoint hash
+    # scopes idempotence to THIS query's delivery log — a fresh
+    # checkpoint (new stream into the same table) restarts epochs at 0
+    # and must not collide with an earlier stream's run_ids.
+    qtag = _hashlib.md5(os.path.abspath(checkpoint_dir).encode()) \
+        .hexdigest()[:8]
+    # committed run_ids loaded ONCE per query start (not per epoch —
+    # walking the whole snapshot chain per batch is O(chain) JSON reads
+    # and a stream table's chain grows forever); redelivery only occurs
+    # after a restart, which rebuilds this set.
+    seen = {s["run_id"] for s in table.snapshots()}
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        run_id = f"stream-{epoch_id:08d}"
-        if any(s["run_id"] == run_id for s in table.snapshots()):
+        run_id = f"stream-{qtag}-{epoch_id:08d}"
+        if run_id in seen:
             return          # redelivered epoch: already committed
+        if batch_df.isEmpty():
+            return          # zero-row batch: nothing to stage/commit
         t0 = _time.time()
         out = with_part_id(extracted_df(batch_df, opt, cpus=cpus),
                            partitions)
@@ -107,6 +122,7 @@ def stream_extract_to_icetable(spark: SparkSession, input_dir: str,
             for d in _glob.glob(os.path.join(stage, "part_id=*")))
         commit_stage(spark, table, run_id, stage, present, opt,
                      int((_time.time() - t0) * 1000))
+        seen.add(run_id)
 
     return (pages_stream(spark, input_dir)
             .writeStream
