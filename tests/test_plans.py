@@ -192,3 +192,19 @@ def test_split_tier_plan_shape(spark):
     agg_i = next(i for i, ln in enumerate(lines) if "Aggregate [url" in ln)
     proj = lines[agg_i + 1]
     assert "Project" in proj and "html" not in proj, proj
+
+
+def test_exploded_shingles_no_inlined_gram_filter(spark):
+    """InferFiltersFromGenerate + pushdown must NOT inline the shingle
+    expression into a scan-level Filter (measured 18×): the observe
+    barrier keeps the inferred size(sh)>0 filter against the
+    materialized column.  Guard: no concat_ws inside any Filter of the
+    optimized plan, and the CollectMetrics barrier is present."""
+    from webextract.corpus import exploded_shingles
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    opt = (exploded_shingles(docs)._jdf.queryExecution()
+           .optimizedPlan().toString())
+    assert "CollectMetrics" in opt, opt[:1500]
+    for line in opt.splitlines():
+        if line.strip().startswith(("Filter", "+- Filter")):
+            assert "concat_ws" not in line, line[:300]

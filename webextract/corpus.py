@@ -80,13 +80,31 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             .select("doc_id", shingles_of("toks", n).alias("sh")))
 
 
+_BARRIER_SEQ = __import__("itertools").count()
+
+
 def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle, n_shingles) — one row per distinct doc-shingle.
     Narrow (generate + explode); the downstream groupBy/join shuffles on
-    `shingle`, which is high-cardinality and well-spread → no skew."""
-    return (doc_shingles(docs, n)
-            .select("doc_id", F.size("sh").alias("n_shingles"),
-                    F.explode("sh").alias("shingle")))
+    `shingle`, which is high-cardinality and well-spread → no skew.
+
+    The ``observe`` node is a zero-cost PLAN BARRIER, not telemetry:
+    Catalyst's InferFiltersFromGenerate adds `size(sh)>0 AND
+    isnotnull(sh)` above the explode, and predicate pushdown then
+    INLINES the whole interpreted shingle expression into a scan-level
+    Filter — O(tokens×shingles) per row, measured 18× (7.4s → 0.4s at
+    sf0.1).  Filters cannot cross CollectMetrics, so the inferred
+    filter evaluates against the materialized `sh` column instead.
+    Plan-level fix on purpose: it holds in ANY session (the external
+    correctness harness runs these queries in its own SparkSession
+    where a session-conf rule exclusion would not apply).  Unique name
+    per construction — duplicate observe names in one query are
+    rejected (self-joins build two frames, so each gets its own)."""
+    ds = (doc_shingles(docs, n)
+          .observe(f"shingle_barrier_{next(_BARRIER_SEQ)}",
+                   F.count(F.lit(1))))
+    return ds.select("doc_id", F.size("sh").alias("n_shingles"),
+                     F.explode("sh").alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -245,7 +263,10 @@ def contamination(docs: DataFrame, probe_mod: int = 50,
     back to score each probe.  Both joins are broadcast; the only
     aggregation keys are probe doc_ids."""
     is_probe = F.col("doc_id") % probe_mod == 0
-    probe_sh = exploded_shingles(docs.filter(is_probe), n)
+    # stage the (tiny) probe shingle rows once: three consumers below
+    # (probe_set, hits, totals) would otherwise each re-run the
+    # shingle projection lineage
+    probe_sh = exploded_shingles(docs.filter(is_probe), n).localCheckpoint()
     probe_set = probe_sh.select("shingle").distinct()
     corpus_sh = (exploded_shingles(docs.filter(~is_probe), n)
                  .select("shingle"))
