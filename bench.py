@@ -32,7 +32,9 @@ HEADLINE = [
     "extract_main_text", "extract_pdf_split", "chunk_hybrid",
     "chunk_hybrid_subword", "dedup_exact",
     "dedup_lsh_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "embed_cosine_topk", "embed_ann_buckets", "text_quality",
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_contamination",
+    "embed_cosine_topk", "embed_ann_buckets", "embed_ivf_topk",
+    "text_quality",
     "token_stats", "doc_fingerprints", "media_decode_meta",
     "pricing_summary", "revenue_by_nation", "top_orders_per_cust",
     "events_sessions", "events_hourly",
