@@ -253,3 +253,20 @@ def test_two_column_csv_still_sniffs():
     # prose couplet with one comma per line: still NOT csv
     assert sniff(b"Hello there, dear reader\nWelcome back, old friend\n") \
         != "csv"
+
+
+def test_binary_junk_guard_precedes_text_sniffing():
+    """ADVICE r2 (low): NUL/control-byte junk must sniff 'unknown' even
+    when it contains commas ('csv'-shaped) or '<' ('html'-shaped) —
+    the guard runs before every text-format heuristic."""
+    assert sniff(b"\x00a,b,c\nd,e,f\n") == "unknown"
+    assert sniff(b"\x00<html><body>x</body></html>") == "unknown"
+    assert sniff(b"\x00# heading\n") == "unknown"
+    assert sniff(b"\x00= title\n") == "unknown"
+    assert sniff(b"\x00{\"schema_name\": \"x\"}") == "unknown"
+    # high-control-ratio junk with csv shape
+    assert sniff(b"\x01\x02\x03\x04\x05\x06,a\n\x01\x02\x03\x04\x05\x06,b\n"
+                 ) == "unknown"
+    # NUL-free real text formats are untouched
+    assert sniff(b"a,b,c\n1,2,3\n") == "csv"
+    assert sniff(b"# heading\n\nbody\n") == "md"

@@ -211,3 +211,11 @@ def test_truncated_magic_payload_is_failure_row(spark):
     raises inside the guard), identical to the one-shot kernel."""
     _assert_identical(spark, [pdfmini.MAGIC, pdfmini.MAGIC + b"\x00"],
                       ALL_FORMATS)
+
+
+def test_null_html_row_takes_normal_path(spark):
+    """ADVICE r2 (medium): a NULL html payload made is_split SQL NULL,
+    so BOTH branch filters dropped the row and the document vanished
+    from the committed table.  It must take the normal kernel path and
+    come back as a skipped 'empty payload' row, identical to one-shot."""
+    _assert_identical(spark, _mk_pdfs() + [None, b""], ALL_FORMATS)

@@ -79,6 +79,15 @@ def sniff(payload: bytes) -> str:
             return "audio"
     if head.startswith(b"WEBVTT"):
         return "vtt"
+    # binary junk: NUL bytes or a high ratio of control bytes.  Runs
+    # BEFORE every text-format heuristic (decode_html is utf-8/latin-1
+    # only, so a NUL is never legitimate text) — junk containing commas
+    # or '<' must not table-ize/html-ize.
+    if b"\x00" in head:
+        return "unknown"
+    n_ctl = sum(1 for b in head if b < 9 or 13 < b < 32)
+    if head and n_ctl / len(head) > 0.1:
+        return "unknown"
     text = decode_html(head)
     stripped = text.lstrip("﻿ \t\r\n")
     if stripped.startswith("WEBVTT"):        # spec allows a leading BOM
@@ -123,12 +132,6 @@ def sniff(payload: bytes) -> str:
         if shape_ok and (c0 >= 2 or (c0 == 1 and len(rows_) >= 3
                                      and last.count(",") == 1)):
             return "csv"
-    # binary junk: NUL bytes or a high ratio of control bytes
-    if b"\x00" in head:
-        return "unknown"
-    n_ctl = sum(1 for b in head if b < 9 or 13 < b < 32)
-    if head and n_ctl / len(head) > 0.1:
-        return "unknown"
     return "html"   # plain text falls back to the tolerant HTML parser
 
 

@@ -131,10 +131,16 @@ def write_zip_artifacts(extracted: DataFrame, out_dir: str) -> None:
         first = next(rows, None)
         if first is None:
             return  # empty partition -> no archive
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(out_dir, exist_ok=True)
         final = os.path.join(out_dir, f"part-{pid:05d}.zip")
-        tmp = final + ".tmp"
+        # tmp name unique PER ATTEMPT: with speculative execution or a
+        # zombie retry, two attempts of the same partition run
+        # concurrently — a shared tmp path would interleave writes and
+        # os.replace could publish a torn archive.  Distinct tmp files +
+        # atomic rename = last attempt wins with a complete archive.
+        tmp = f"{final}.{ctx.taskAttemptId()}.tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
             for r in itertools.chain([first], rows):
                 d = hashlib.md5(r["url"].encode()).hexdigest()[:16]

@@ -293,9 +293,14 @@ def extracted_split_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
     cols = ["url", "warc_ts", "lang", "html"] \
         if "lang" in pages.columns else ["url", "warc_ts", "html"]
     src = pages.select(*cols)
-    is_split = ((F.length("html") >= F.lit(split_bytes))
-                & (F.substring(F.col("html").cast("binary"), 1,
-                               len(pdfmini.MAGIC)) == F.lit(pdfmini.MAGIC)))
+    # coalesce: a NULL html payload makes the predicate SQL NULL, which
+    # both filter(~is_split) and filter(is_split) would drop — the row
+    # must take the normal kernel path (which emits its skipped verdict).
+    is_split = F.coalesce(
+        (F.length("html") >= F.lit(split_bytes))
+        & (F.substring(F.col("html").cast("binary"), 1,
+                       len(pdfmini.MAGIC)) == F.lit(pdfmini.MAGIC)),
+        F.lit(False))
     normal = (src.filter(~is_split)
               .mapInArrow(make_extract_kernel(opt), EXTRACT_SCHEMA_DDL))
     segs = (src.filter(is_split)
