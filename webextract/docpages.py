@@ -209,6 +209,101 @@ def build_mets_page(doc_id: int, text: str) -> bytes:
             f'</xmlData></mdWrap></dmdSec></mets>').encode("utf-8")
 
 
+def build_asciidoc_page(doc_id: int, text: str) -> bytes:
+    """AsciiDoc source exercising title, * list items, ---- literal
+    block, and a paragraph with deterministic token slices:
+    li1=toks[0:2] li2=[2:4] code=[4:6] para=rest (docs have ≥10
+    tokens)."""
+    t = text.split(" ")
+    return (f"= Document {doc_id}\n\n"
+            f"* {' '.join(t[0:2])}\n"
+            f"* {' '.join(t[2:4])}\n\n"
+            f"----\n{' '.join(t[4:6])}\n----\n\n"
+            f"{' '.join(t[6:])}\n").encode("utf-8")
+
+
+VTT_CUE_TOKENS = 8
+
+
+def build_vtt_page(doc_id: int, text: str) -> bytes:
+    """WebVTT source: one cue per VTT_CUE_TOKENS tokens, with id +
+    timestamp lines and a NOTE block the parser must strip."""
+    toks = text.split(" ")
+    cues = []
+    for n, i in enumerate(range(0, len(toks), VTT_CUE_TOKENS)):
+        cues.append(f"{n + 1}\n00:{n // 60:02d}:{n % 60:02d}.000 --> "
+                    f"00:{(n + 1) // 60:02d}:{(n + 1) % 60:02d}.000\n"
+                    + " ".join(toks[i:i + VTT_CUE_TOKENS]))
+    return ("WEBVTT\n\nNOTE synthetic cue file\n\n"
+            + "\n\n".join(cues) + "\n").encode("utf-8")
+
+
+def _zip_bytes(parts: dict[str, str]) -> bytes:
+    """Deterministic OOXML container: STORED entries with the ZipInfo
+    default (fixed 1980) timestamp so payloads are pure functions of
+    (doc_id, text); sniff reads part names from the local headers."""
+    import io as _io
+    import zipfile as _zip
+    buf = _io.BytesIO()
+    with _zip.ZipFile(buf, "w", _zip.ZIP_STORED) as z:
+        for name, data in parts.items():
+            z.writestr(_zip.ZipInfo(name), data)
+    return buf.getvalue()
+
+
+def build_docx_page(doc_id: int, text: str) -> bytes:
+    """DOCX source: Heading1 title paragraph + body paragraph split
+    across TWO <w:t> runs (the parser must concatenate runs) + a second
+    paragraph, mirroring the uspto 12-token split."""
+    toks = text.split(" ")
+    head, rest = " ".join(toks[:12]), " ".join(toks[12:])
+    paras = [('<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+              f'<w:r><w:t>Document {doc_id}</w:t></w:r></w:p>'),
+             (f'<w:p><w:r><w:t>{toks[0]}</w:t></w:r>'
+              f'<w:r><w:t> {" ".join(toks[1:12])}</w:t></w:r></w:p>')]
+    if rest:
+        paras.append(f'<w:p><w:r><w:t>{rest}</w:t></w:r></w:p>')
+    xml = ('<?xml version="1.0"?><w:document><w:body>'
+           + "".join(paras) + "</w:body></w:document>")
+    return _zip_bytes({"word/document.xml": xml})
+
+
+def build_pptx_page(doc_id: int, text: str) -> bytes:
+    """PPTX source: two slides (part-name sort order = slide order),
+    first 12 tokens on slide1, the rest on slide2."""
+    toks = text.split(" ")
+    head, rest = " ".join(toks[:12]), " ".join(toks[12:])
+    parts = {"ppt/slides/slide1.xml":
+             f'<p:sld><a:p><a:r><a:t>{head}</a:t></a:r></a:p></p:sld>'}
+    if rest:
+        parts["ppt/slides/slide2.xml"] = \
+            f'<p:sld><a:p><a:r><a:t>{rest}</a:t></a:r></a:p></p:sld>'
+    return _zip_bytes(parts)
+
+
+def build_xlsx_page(doc_id: int, text: str) -> bytes:
+    """XLSX source: header row + CSV_COLS-token rows via sharedStrings
+    (t="s" indirection) plus one final NUMERIC cell row (doc_id) so
+    both cell branches of the parser are exercised."""
+    toks = text.split(" ")
+    shared = [f"c{i}" for i in range(CSV_COLS)] + toks
+    ss = ('<sst>' + "".join(f"<si><t>{s}</t></si>" for s in shared)
+          + "</sst>")
+    rows = ["<row r=\"1\">"
+            + "".join(f'<c t="s"><v>{i}</v></c>' for i in range(CSV_COLS))
+            + "</row>"]
+    for rn, i in enumerate(range(0, len(toks), CSV_COLS), start=2):
+        cells = "".join(f'<c t="s"><v>{CSV_COLS + j}</v></c>'
+                        for j in range(i, min(i + CSV_COLS, len(toks))))
+        rows.append(f'<row r="{rn}">{cells}</row>')
+    rows.append(f'<row r="{len(rows) + 1}"><c t="n"><v>{doc_id}</v></c>'
+                '</row>')
+    sheet = ('<worksheet><sheetData>' + "".join(rows)
+             + "</sheetData></worksheet>")
+    return _zip_bytes({"xl/sharedStrings.xml": ss,
+                       "xl/worksheets/sheet1.xml": sheet})
+
+
 def build_mixed_page(doc_id: int, text: str) -> bytes:
     """Round-robin format mix incl. binary junk (doc_id % 4 == 2) — the
     admission gate proving unknown payloads SKIP instead of parsing as
@@ -230,7 +325,10 @@ def docs_to_format_pages(docs: DataFrame, kind: str) -> DataFrame:
     build = {"md": build_md_page, "csv": build_csv_page,
              "json": build_json_page, "mixed": build_mixed_page,
              "jats": build_jats_page, "uspto": build_uspto_page,
-             "mets": build_mets_page, "rich": build_rich_page}[kind]
+             "mets": build_mets_page, "rich": build_rich_page,
+             "asciidoc": build_asciidoc_page, "vtt": build_vtt_page,
+             "docx": build_docx_page, "pptx": build_pptx_page,
+             "xlsx": build_xlsx_page}[kind]
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:

@@ -219,6 +219,53 @@ def q_extract_mets_source(spark, sf_dir):
             .select("doc_id", "fmt", "text"))
 
 
+def q_extract_asciidoc_source(spark, sf_dir):
+    """asciidoc input format (reference InputFormat enum,
+    docs/usage.md:14): = title, * list items, ---- literal block, and
+    a paragraph must each survive byte-identically."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"),
+                                 "asciidoc")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
+def q_extract_vtt_source(spark, sf_dir):
+    """vtt input format: cue payload text survives; cue ids, timestamp
+    lines, and NOTE blocks are stripped."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"), "vtt")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
+def q_extract_docx_source(spark, sf_dir):
+    """docx input format: OOXML container sniff (word/ part probe),
+    Heading1 style → heading, split <w:t> runs concatenated."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"), "docx")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
+def q_extract_pptx_source(spark, sf_dir):
+    """pptx input format: slides in part-name order, one para per
+    <a:p>."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"), "pptx")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
+def q_extract_xlsx_source(spark, sf_dir):
+    """xlsx input format: sharedStrings (t="s") AND numeric cells in
+    one table block; md-pipe rendering matches the csv table shape."""
+    pages = docs_to_format_pages(_read(spark, sf_dir, "documents"), "xlsx")
+    return (_doc_id(extracted_df(pages, cpus=4))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
 def q_extract_mixed_formats(spark, sf_dir):
     """Admission gate for sniff routing: a corpus mixing html / md /
     binary-junk / csv payloads must route every row to the right
@@ -496,6 +543,11 @@ QUERIES = {
     "extract_jats_source": q_extract_jats_source,
     "extract_uspto_source": q_extract_uspto_source,
     "extract_mets_source": q_extract_mets_source,
+    "extract_asciidoc_source": q_extract_asciidoc_source,
+    "extract_vtt_source": q_extract_vtt_source,
+    "extract_docx_source": q_extract_docx_source,
+    "extract_pptx_source": q_extract_pptx_source,
+    "extract_xlsx_source": q_extract_xlsx_source,
     "extract_mixed_formats": q_extract_mixed_formats,
     "chunk_hybrid": q_chunk_hybrid,
     "chunk_hybrid_subword": q_chunk_hybrid_subword,
@@ -750,6 +802,68 @@ ORACLES = {
         SELECT doc_id, 'mets_gbs' AS fmt,
                'Document ' || doc_id || chr(10) || chr(10) || text AS text
         FROM documents""",
+
+    "extract_asciidoc_source": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS k
+                   FROM documents)
+        SELECT doc_id, 'asciidoc' AS fmt,
+               'Document ' || doc_id || chr(10) || chr(10)
+               || k[1] || ' ' || k[2] || chr(10) || chr(10)
+               || k[3] || ' ' || k[4] || chr(10) || chr(10)
+               || k[5] || ' ' || k[6] || chr(10) || chr(10)
+               || array_to_string(k[7:len(k)], ' ') AS text
+        FROM t""",
+
+    "extract_vtt_source": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        w AS (SELECT doc_id, i,
+                     array_to_string(
+                       toks[((i-1)*8+1):(least(i*8, len(toks)))], ' ') AS cue
+              FROM t, unnest(generate_series(
+                       1, cast(ceil(len(toks)/8.0) AS BIGINT))) AS u(i))
+        SELECT doc_id, 'vtt' AS fmt,
+               string_agg(cue, chr(10) || chr(10) ORDER BY i) AS text
+        FROM w GROUP BY doc_id""",
+
+    "extract_docx_source": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents)
+        SELECT doc_id, 'docx' AS fmt,
+               'Document ' || doc_id || chr(10) || chr(10)
+               || array_to_string(toks[1:least(12, len(toks))], ' ')
+               || CASE WHEN len(toks) > 12
+                       THEN chr(10) || chr(10)
+                            || array_to_string(toks[13:len(toks)], ' ')
+                       ELSE '' END AS text
+        FROM t""",
+
+    "extract_pptx_source": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents)
+        SELECT doc_id, 'pptx' AS fmt,
+               array_to_string(toks[1:least(12, len(toks))], ' ')
+               || CASE WHEN len(toks) > 12
+                       THEN chr(10) || chr(10)
+                            || array_to_string(toks[13:len(toks)], ' ')
+                       ELSE '' END AS text
+        FROM t""",
+
+    "extract_xlsx_source": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        r AS (SELECT doc_id, i,
+                     array_to_string(
+                       toks[((i-1)*{CSV_COLS}+1):
+                            (least(i*{CSV_COLS}, len(toks)))], ' | ') AS row
+              FROM t, unnest(generate_series(
+                       1, cast(ceil(len(toks)/{CSV_COLS}.0) AS BIGINT)))
+                   AS u(i))
+        SELECT doc_id, 'xlsx' AS fmt,
+               'c0 | c1 | c2 | c3 | c4' || chr(10)
+               || string_agg(row, chr(10) ORDER BY i)
+               || chr(10) || doc_id AS text
+        FROM r GROUP BY doc_id""",
 
     "extract_mixed_formats": """
         SELECT fmt, status, count(*)::BIGINT AS n_docs
