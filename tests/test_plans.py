@@ -129,6 +129,26 @@ def test_lsh_verify_plan_prunes_and_broadcasts(spark):
     assert "LeftSemi" in plan
 
 
+def test_lsh_verify_broadcast_fallback_above_cap(spark):
+    """Round-2 review: the verify broadcasts are size-gated.  Above
+    ``broadcast_cap`` (forced here with cap=0) every candidate-side
+    join must fall back to shuffle-hash — no driver-side broadcast of
+    a potentially 10^9-row pair frame, and still no sort-merge."""
+    from webextract.corpus import lsh_jaccard_pairs
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fallback = lsh_jaccard_pairs(docs, broadcast_cap=0)
+    plan = _plan(fallback)
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("ShuffledHashJoin") >= 3, plan[:2000]
+    assert "LeftSemi" in plan
+    # same answer on both paths
+    got = {tuple(r) for r in fallback.collect()}
+    want = {tuple(r) for r in lsh_jaccard_pairs(docs).collect()}
+    assert got == want
+
+
 def test_simhash_plan_is_single_narrow_projection(spark):
     """Array-domain SimHash: no token explode, no groupBy — at most the
     conditional spread exchange (tiny doc rows), zero wide operators."""

@@ -162,24 +162,36 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 MINHASH_P = 536870909   # prime < 2^29: A*h + B stays far below 2^63
 
 
+DEDUP_COMPONENT_CAP = 100_000   # clusters above this quarantine as -1
+
+
 def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
                    n: int = 3, threshold: float = 0.4,
-                   max_iters: int = 20) -> DataFrame:
+                   max_iters: int = 20,
+                   component_cap: int = DEDUP_COMPONENT_CAP) -> DataFrame:
     """(doc_id, cluster_id): connected components over near-dup pairs —
     the dedup ENDGAME: pair lists don't dedup a corpus, keeping one doc
     per transitive cluster does (cluster_id = min doc_id reachable,
     i.e. the canonical survivor).
 
-    Pregel-style min-label propagation: each round every node takes the
-    min of its own and its neighbors' labels; rounds needed = component
-    diameter (near-dup clusters are small and dense, so 2-4).  The
-    driver loop is the iterative-algorithm pattern Catalyst can't
-    express in one plan: each round is one shuffle-join on the (tiny
-    relative to the corpus) edge set; `localCheckpoint` cuts the
-    growing lineage, and convergence is detected by the monotone label
-    sum (labels only decrease).  At 10^12 docs production would add
-    large-component guards (alternating small-star); near-dup graphs
-    under LSH bucket caps stay small by construction.
+    Min-label propagation WITH pointer jumping (the round-2 review's
+    large-component guard, part 1): each round every node takes the min
+    of its own and its neighbors' labels, then shortcuts through its
+    label's label (label(u) ← label(label(u)), the halving step of
+    HashToMin-style CC, Rastogi et al., ICDE'13).  Rounds needed drop
+    from O(diameter) to O(log diameter) — a 10^6-hop drifting-
+    boilerplate chain that defeats the LSH caps converges in ~20 rounds
+    instead of paying max_iters full-corpus joins and dying.  Each
+    round is two joins on the (tiny relative to the corpus) edge/label
+    sets; `localCheckpoint` cuts the growing lineage; convergence is
+    the monotone label sum (labels only decrease).
+
+    Part 2 of the guard: after convergence, components LARGER than
+    ``component_cap`` are routed to quarantine — their rows come back
+    with the sentinel ``cluster_id = -1`` instead of a min-label, so a
+    dedup consumer can never pick one survivor for a million-doc
+    boilerplate blob as if it were a legitimate near-dup cluster (the
+    pathological component is a corpus-quality signal, not a cluster).
 
     Docs that appear in no pair are their own singleton cluster."""
     if pairs is None:
@@ -197,11 +209,22 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
         neigh = (edges.join(labels,
                             edges["dst"] == labels["doc_id"])
                  .groupBy("src").agg(F.min("label").alias("nlabel")))
-        labels = (labels.join(neigh, labels["doc_id"] == neigh["src"],
-                              "left")
-                  .select(labels["doc_id"],
-                          F.least(F.col("label"),
-                                  F.coalesce("nlabel", F.col("label")))
+        l1 = (labels.join(neigh, labels["doc_id"] == neigh["src"],
+                          "left")
+              .select(labels["doc_id"],
+                      F.least(F.col("label"),
+                              F.coalesce("nlabel", F.col("label")))
+                      .alias("label"))
+              .localCheckpoint())  # staged: feeds both sides below
+        # pointer jump: label(u) ← label(label(u)).  Halves the
+        # remaining propagation distance every round, which is what
+        # bounds rounds logarithmically for long-chain components.
+        ptr = l1.select(F.col("doc_id").alias("p_id"),
+                        F.col("label").alias("p_label"))
+        labels = (l1.join(ptr, l1["label"] == ptr["p_id"], "left")
+                  .select(l1["doc_id"],
+                          F.least(l1["label"],
+                                  F.coalesce("p_label", l1["label"]))
                           .alias("label"))
                   .localCheckpoint())
         s = labels.agg(F.sum("label")).first()[0]
@@ -210,13 +233,24 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
             break
         prev_sum = s
     if not converged:
-        # silent partial clusters would dedup wrongly; a >max_iters
-        # diameter (e.g. a long drifting-boilerplate chain) must be
-        # loud, not approximate
+        # silent partial clusters would dedup wrongly; a >2^max_iters
+        # diameter must be loud, not approximate
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds "
-            f"(component diameter exceeds max_iters; raise it)")
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+            f"(component diameter exceeds ~2^{max_iters}; raise it)")
+    out = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    if component_cap:
+        label_t = dict(labels.dtypes)["label"]
+        big = (labels.groupBy("label").agg(F.count("*").alias("sz"))
+               .filter(F.col("sz") > component_cap)
+               .select(F.col("label").alias("big_label")))
+        out = (out.join(big, out["cluster_id"] == big["big_label"], "left")
+               .select("doc_id",
+                       F.when(F.col("big_label").isNull(),
+                              F.col("cluster_id"))
+                       .otherwise(F.lit(-1).cast(label_t))
+                       .alias("cluster_id")))
+    return out
 
 
 def hash_split(docs: DataFrame, weights: tuple = (0.98, 0.01, 0.01),
@@ -385,8 +419,12 @@ def lsh_candidate_pairs(docs: DataFrame, n: int = 3, k: int = 16,
             .distinct())
 
 
+LSH_BROADCAST_CAP = 1_000_000   # candidate pairs above this: no broadcast
+
+
 def lsh_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4,
-                      k: int = 16, rows_per_band: int = 4) -> DataFrame:
+                      k: int = 16, rows_per_band: int = 4,
+                      broadcast_cap: int = LSH_BROADCAST_CAP) -> DataFrame:
     """The production near-dup pipeline: MinHash-LSH candidate pairs,
     verified with EXACT n-gram Jaccard via array_intersect.
 
@@ -409,6 +447,16 @@ def lsh_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4,
     # broadcast and the pair broadcast — would otherwise re-execute the
     # whole shingle+minhash+banding lineage (measured ~2× wall).
     cands = lsh_candidate_pairs(docs, n, k, rows_per_band).localCheckpoint()
+    # Size-gate the broadcast hints (round-2 review): at 10^12 docs even
+    # a 0.1% near-dup rate makes `cands` ~10^9 rows — an impossible
+    # driver-side broadcast.  The count is nearly free (the checkpoint
+    # above just materialized the frame); below the cap we keep the
+    # broadcast plan, above it the joins fall back to shuffle-hash
+    # (hinted — sort-merge would sort the shingle-array rows for
+    # nothing).  Pair keys are two longs, so the default cap ≈ tens of
+    # MB broadcast, autoBroadcastJoinThreshold scale.
+    small = cands.count() <= broadcast_cap
+    hint = F.broadcast if small else (lambda df: df.hint("shuffle_hash"))
     # Semi-join-prune BEFORE shingling (the round-1 review's fix): only
     # candidate docs ever get their shingle arrays built or moved.  The
     # candidate-id set is tiny relative to the corpus → broadcast; the
@@ -419,15 +467,22 @@ def lsh_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4,
     ids = (cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
            .distinct())
     pruned = (docs.select("doc_id", "text")
-              .join(F.broadcast(ids), "doc_id", "left_semi")
+              .join(hint(ids), "doc_id", "left_semi")
               .select("doc_id", TOKENS().alias("toks"))
               .select("doc_id", shingles_of("toks", n).alias("sh")))
     a = pruned.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = pruned.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter / (F.size("sa") + F.size("sb") - inter)
-    return (F.broadcast(cands).join(a, "doc_a").join(b, "doc_b")
-            .filter(jac >= threshold)
+    if small:
+        verified = F.broadcast(cands).join(a, "doc_a").join(b, "doc_b")
+    else:
+        # hint BOTH verify joins: the pruned shingle frames grow with
+        # the candidate set, so the planner's stats could still pick a
+        # broadcast for the second join's small-looking side
+        verified = (cands.hint("shuffle_hash").join(a, "doc_a")
+                    .hint("shuffle_hash").join(b, "doc_b"))
+    return (verified.filter(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
 
