@@ -43,10 +43,12 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     The exchange, when it fires, carries column-pruned (doc_id, text)
     rows only.  Side benefit: a Repartition node is a hard
     CollapseProject barrier, so expensive projections below it can
-    never be inlined into consumers above it."""
-    sc = df.sparkSession.sparkContext
-    p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    never be inlined into consumers above it.  The probe is plan-stats
+    based (session.est_scan_partitions) — no RDD conversion of the
+    analyzed plan at operator-build time (round-2 review item 10)."""
+    from .session import est_scan_partitions
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if est_scan_partitions(df) < p:
         return df.repartition(p * 2, F.col(key))
     return df
 

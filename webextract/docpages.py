@@ -104,9 +104,12 @@ def _spread(docs: DataFrame) -> DataFrame:
     chain otherwise.  The exchange moves ~400-byte rows, the kernel does
     ~10^4× that work per row; at production scale the input layout
     (many files / Iceberg splits) provides this for free and the
-    exchange is skipped for already-parallel inputs."""
+    exchange is skipped for already-parallel inputs.  Plan-stats probe
+    (session.est_scan_partitions), not .rdd — no RDD conversion at
+    build time (round-2 review item 10)."""
+    from .session import est_scan_partitions
     p = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(p) if docs.rdd.getNumPartitions() < p else docs
+    return docs.repartition(p) if est_scan_partitions(docs) < p else docs
 
 
 # ---------------------------------------------------------------------------

@@ -277,6 +277,29 @@ def q_extract_mixed_formats(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n_docs")))
 
 
+def q_stream_window_counts(spark, sf_dir):
+    """Driver gate for the streaming surface (round-2 review item 4):
+    ``streaming.windowed_lang_counts`` is plain SQL over (warc_ts,
+    lang) that runs identically on a stream and on the equivalent
+    batch frame — gated here batch-mode with deterministic crawl
+    timestamps (epoch 2025-01-01 + doc_id%600 s → ten 1-minute
+    windows).  win_start is exported as epoch seconds so the hash
+    compare is timezone-representation-proof (same trick as
+    events_hourly)."""
+    from .streaming import windowed_lang_counts
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), "doc_id").alias("url"),
+        F.timestamp_seconds(F.lit(1735689600)
+                            + F.col("doc_id") % 600).alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+        "text", "lang")
+    return (windowed_lang_counts(pages)
+            .select(F.col("win_start").cast("long").alias("win_start"),
+                    "lang", "n_pages",
+                    F.col("bytes_in").cast("long").alias("bytes_in")))
+
+
 def q_chunk_hybrid(spark, sf_dir):
     out = _extract(spark, sf_dir)
     return (chunks_df(out, "hybrid", 64)
@@ -580,6 +603,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "resume_pending": q_resume_pending,
     "pipeline_counters": q_pipeline_counters,
+    "stream_window_counts": q_stream_window_counts,
 }
 
 # ---------------------------------------------------------------------------
@@ -1322,6 +1346,12 @@ ORACLES = {
                count(*)::BIGINT AS n_events,
                round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2""",
+
+    "stream_window_counts": """
+        SELECT (1735689600 + (doc_id % 600)) // 60 * 60 AS win_start,
+               lang, count(*)::BIGINT AS n_pages,
+               sum(strlen(text))::BIGINT AS bytes_in
+        FROM documents GROUP BY 1, 2""",
 
     "resume_pending": """
         SELECT doc_id % 16 AS part_id, count(*)::BIGINT AS n_pending

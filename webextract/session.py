@@ -72,3 +72,27 @@ def get_spark(app: str = "webextract", cpus: int | None = None,
                       str(8 * 1024 * 1024))
              .config("spark.sql.files.openCostInBytes", str(128 * 1024)))
     return b.getOrCreate()
+
+
+def est_scan_partitions(df) -> int:
+    """Estimated scan-task count for a frame WITHOUT forcing an RDD
+    conversion of the analyzed plan (round-2 review item 10): Catalyst
+    plan-stats sizeInBytes over spark.sql.files.maxPartitionBytes.
+
+    Used only by the conditional spread barriers to decide if a narrow
+    input would under-parallelize the CPU-heavy kernels.  The estimate
+    errs small for tiny single-file test tables (barrier fires — the
+    intended case) and large for production multi-file/Iceberg layouts
+    (barrier skipped — no payload shuffle at scale), which are the safe
+    directions on both sides."""
+    spark = df.sparkSession
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats()
+                       .sizeInBytes()))
+        mpb = int(spark._jvm.org.apache.spark.network.util.JavaUtils
+                  .byteStringAsBytes(
+                      spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                     "128m")))
+        return max(1, -(-size // max(1, mpb)))
+    except Exception:
+        return 1   # unknown layout → spread (the tiny-input default)
