@@ -270,3 +270,28 @@ def test_binary_junk_guard_precedes_text_sniffing():
     # NUL-free real text formats are untouched
     assert sniff(b"a,b,c\n1,2,3\n") == "csv"
     assert sniff(b"# heading\n\nbody\n") == "md"
+
+
+def test_mets_embedded_alto():
+    """Embedded ALTO TextBlocks parse as paragraphs; metadata-only
+    packages keep the subset behavior (r2 item 6)."""
+    from webextract.formats import parse_mets_gbs_blocks
+    m = ('<mets xmlns="http://www.loc.gov/METS/"><dmdSec><mdWrap><xmlData>'
+         '<mods><titleInfo><title>T</title></titleInfo></mods>'
+         '</xmlData></mdWrap></dmdSec><dmdSec><mdWrap><xmlData>'
+         '<alto xmlns="http://www.loc.gov/standards/alto/ns-v2#">'
+         '<Layout><Page><PrintSpace>'
+         '<TextBlock><TextLine><String CONTENT="hello"/>'
+         '<String CONTENT="world"/></TextLine></TextBlock>'
+         '<TextBlock><TextLine><String CONTENT="again"/></TextLine>'
+         '</TextBlock></PrintSpace></Page></Layout></alto>'
+         '</xmlData></mdWrap></dmdSec></mets>')
+    blocks = parse_mets_gbs_blocks(m)
+    assert [(b.kind, b.text) for b in blocks] == [
+        ("heading", "T"), ("para", "hello world"), ("para", "again")]
+    meta_only = ('<mets><dmdSec><mdWrap><xmlData><mods>'
+                 '<titleInfo><title>T</title></titleInfo>'
+                 '<abstract>a b</abstract></mods>'
+                 '</xmlData></mdWrap></dmdSec></mets>')
+    assert [(b.kind, b.text) for b in parse_mets_gbs_blocks(meta_only)] == [
+        ("heading", "T"), ("para", "a b")]

@@ -203,13 +203,33 @@ def build_uspto_page(doc_id: int, text: str) -> bytes:
     return "".join(parts).encode("utf-8")
 
 
+METS_ALTO_BLOCK_TOKENS = 8
+
+
 def build_mets_page(doc_id: int, text: str) -> bytes:
-    """METS/MODS package: title + abstract note."""
+    """METS/MODS package: title + abstract (first 12 tokens) + an
+    embedded ALTO section carrying the remaining tokens as OCR
+    TextBlocks of METS_ALTO_BLOCK_TOKENS words each."""
+    toks = text.split(" ")
+    abstract, rest = " ".join(toks[:12]), toks[12:]
+    alto = ""
+    if rest:
+        tb = []
+        for i in range(0, len(rest), METS_ALTO_BLOCK_TOKENS):
+            words = "".join(f'<String CONTENT="{w}"/>'
+                            for w in rest[i:i + METS_ALTO_BLOCK_TOKENS])
+            tb.append(f"<TextBlock><TextLine>{words}</TextLine>"
+                      "</TextBlock>")
+        alto = ('<dmdSec><mdWrap><xmlData>'
+                '<alto xmlns="http://www.loc.gov/standards/alto/ns-v2#">'
+                '<Layout><Page><PrintSpace>' + "".join(tb)
+                + '</PrintSpace></Page></Layout></alto>'
+                '</xmlData></mdWrap></dmdSec>')
     return (f'<?xml version="1.0"?>\n'
             f'<mets xmlns="http://www.loc.gov/METS/"><dmdSec><mdWrap>'
             f'<xmlData><mods><titleInfo><title>Document {doc_id}</title>'
-            f'</titleInfo><abstract>{text}</abstract></mods>'
-            f'</xmlData></mdWrap></dmdSec></mets>').encode("utf-8")
+            f'</titleInfo><abstract>{abstract}</abstract></mods>'
+            f'</xmlData></mdWrap></dmdSec>{alto}</mets>').encode("utf-8")
 
 
 def build_asciidoc_page(doc_id: int, text: str) -> bytes:

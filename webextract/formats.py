@@ -445,11 +445,15 @@ def parse_xml_uspto_blocks(text: str) -> list[Block]:
 
 
 def parse_mets_gbs_blocks(text: str) -> list[Block]:
-    """METS (Google Books flavor) descriptive metadata: MODS title ->
-    h1, abstract/note paragraphs.  The reference's mets_gbs backend
-    also reads companion ALTO OCR files; a single-payload column can't
-    carry those, so this parser covers the inline-metadata subset and
-    anything else in the package is ignored (honest partial)."""
+    """METS (Google Books flavor): MODS title -> h1, abstract/note
+    paragraphs, PLUS embedded ALTO OCR content (round-2 review item 6)
+    — one para block per ALTO <TextBlock>, its <String CONTENT=...>
+    words joined in document order.  The reference's mets_gbs backend
+    reads companion ALTO page FILES; a single-payload column can't
+    carry those, so ALTO embedded in the package's <xmlData> sections
+    is the payload-column-shaped equivalent, and packages with only
+    descriptive metadata keep the metadata-subset behavior (honest
+    partial for the external-file case)."""
     root = _etree_root(text)
     if _local(root.tag) != "mets":
         raise ValueError(f"not a METS document: <{_local(root.tag)}>")
@@ -462,6 +466,12 @@ def parse_mets_gbs_blocks(text: str) -> list[Block]:
                 _blk(blocks, "mets", "h1", "heading", t, heading_level=1)
         elif name in ("abstract", "note"):
             t = _el_text(el)
+            if t:
+                _blk(blocks, "mets", "p", "para", t)
+        elif name == "TextBlock":
+            words = [s.get("CONTENT", "") for s in el.iter()
+                     if _local(s.tag) == "String"]
+            t = collapse_ws(" ".join(w for w in words if w))
             if t:
                 _blk(blocks, "mets", "p", "para", t)
     return blocks

@@ -823,9 +823,24 @@ ORACLES = {
         FROM t""",
 
     "extract_mets_source": """
-        SELECT doc_id, 'mets_gbs' AS fmt,
-               'Document ' || doc_id || chr(10) || chr(10) || text AS text
-        FROM documents""",
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        w AS (SELECT doc_id, i,
+                     array_to_string(
+                       toks[(12+(i-1)*8+1):(least(12+i*8, len(toks)))],
+                       ' ') AS blk
+              FROM t, unnest(generate_series(
+                       1, cast(ceil(greatest(len(toks)-12, 0)/8.0)
+                               AS BIGINT))) AS u(i)),
+        alto AS (SELECT doc_id,
+                        string_agg(blk, chr(10) || chr(10) ORDER BY i)
+                          AS ocr
+                 FROM w GROUP BY doc_id)
+        SELECT t.doc_id, 'mets_gbs' AS fmt,
+               'Document ' || t.doc_id || chr(10) || chr(10)
+               || array_to_string(toks[1:least(12, len(toks))], ' ')
+               || coalesce(chr(10) || chr(10) || ocr, '') AS text
+        FROM t LEFT JOIN alto ON t.doc_id = alto.doc_id""",
 
     "extract_asciidoc_source": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS k
