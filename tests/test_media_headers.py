@@ -87,3 +87,24 @@ def test_wav_with_extra_chunks():
     data = b"data" + struct.pack("<I", 400)
     wav = b"RIFF" + struct.pack("<I", 0) + b"WAVE" + odd + b"\x00" + fmt + data
     assert parse_wav_header(wav) == (44100, 2, 16, 100)
+
+
+def test_bmp_raster_stats_edges():
+    """Pixel-level BMP decode (r2 item 7): round-trips the synthetic
+    pattern; rejects compressed/non-24bpp/truncated payloads with None
+    instead of raising."""
+    from webextract.media import bmp_raster_stats, make_bmp_bytes
+    b = make_bmp_bytes(7)
+    st = bmp_raster_stats(b)
+    w, h = 4 + 7 % 5, 3 + 7 % 4
+    assert st["n_px"] == w * h
+    rs = [(7 * 11 + x * 13 + y * 17) % 256
+          for x in range(w) for y in range(h)]
+    assert st["r_min"] == min(rs) and st["r_max"] == max(rs)
+    assert st["r_mean"] == round(sum(rs) / len(rs), 4)
+    assert bmp_raster_stats(b"") is None
+    assert bmp_raster_stats(b[:40]) is None                 # truncated
+    assert bmp_raster_stats(b[:54] + b"\x00") is None       # short data
+    import struct
+    comp = b[:30] + struct.pack("<I", 1) + b[34:]           # RLE flag
+    assert bmp_raster_stats(comp) is None

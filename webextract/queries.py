@@ -438,6 +438,15 @@ def q_media_image_headers(spark, sf_dir):
             .select("doc_id", "fmt", "width", "height", "n_bytes"))
 
 
+def q_media_raster_stats(spark, sf_dir):
+    """REAL pixel-level raster decode (round-2 review item 7): valid
+    uncompressed 24-bit BMPs synthesized from doc_id, decoded back to
+    per-channel min/max/mean — the oracle recomputes every pixel from
+    the (doc_id, x, y) formula."""
+    docs = media.with_bmp_media(_read(spark, sf_dir, "documents"))
+    return media.raster_stats(docs)
+
+
 # ---------------------------------------------------------------------------
 # relational family (joins / aggs / windows / semi-anti / sessionization)
 # ---------------------------------------------------------------------------
@@ -595,6 +604,7 @@ QUERIES = {
     "media_image_headers": q_media_image_headers,
     "media_audio_headers": q_media_audio_headers,
     "media_frame_sample": q_media_frame_sample,
+    "media_raster_stats": q_media_raster_stats,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -1305,6 +1315,25 @@ ORACLES = {
                ((i-1) * 4 * 4096)::BIGINT AS frame_off
         FROM m, unnest(generate_series(
                  1, cast(ceil(nf / 4.0) AS BIGINT))) AS u(i)""",
+
+    "media_raster_stats": """
+        WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                   FROM documents),
+        px AS (SELECT doc_id,
+                      (doc_id + x.i + y.i) % 256 AS bc,
+                      (doc_id * 3 + x.i * 5 + y.i * 7) % 256 AS gc,
+                      (doc_id * 11 + x.i * 13 + y.i * 17) % 256 AS rc
+               FROM d,
+                    unnest(generate_series(0, w - 1)) AS x(i),
+                    unnest(generate_series(0, h - 1)) AS y(i))
+        SELECT doc_id, count(*)::BIGINT AS n_px,
+               min(rc)::INTEGER AS r_min, max(rc)::INTEGER AS r_max,
+               round(avg(rc), 4) AS r_mean,
+               min(gc)::INTEGER AS g_min, max(gc)::INTEGER AS g_max,
+               round(avg(gc), 4) AS g_mean,
+               min(bc)::INTEGER AS b_min, max(bc)::INTEGER AS b_max,
+               round(avg(bc), 4) AS b_mean
+        FROM px GROUP BY doc_id""",
 
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
