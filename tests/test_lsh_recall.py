@@ -158,3 +158,17 @@ def test_dedup_clusters_component_cap_quarantines(spark):
     assert all(got[i] == -1 for i in range(n))        # oversize chain
     assert got[100] == 100 and got[101] == 100        # small cluster kept
     assert got[200] == 200                            # singleton kept
+
+
+def test_ivf_trained_centroids_balance_buckets(spark):
+    """r2 item 8: Lloyd-trained centroids must fill every bucket with
+    reasonable balance (the property positional seeding lacked), and
+    training must be deterministic across invocations."""
+    from webextract.corpus import _ivf_centroids, ivf_assign
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    counts = {r["bucket"]: r["count"]
+              for r in ivf_assign(emb).groupBy("bucket").count().collect()}
+    assert len(counts) == 16                      # every bucket occupied
+    mean = sum(counts.values()) / 16
+    assert max(counts.values()) <= 2 * mean, counts
+    assert _ivf_centroids(emb, 16) == _ivf_centroids(emb, 16)

@@ -562,28 +562,61 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
             .select("qid", "nid", "cos", F.col("rank").cast("int").alias("rank")))
 
 
-def _ivf_centroids(emb: DataFrame, n_centroids: int) -> list[list[float]]:
-    """Normalized coarse centroids, computed ONCE driver-side.
+IVF_SAMPLE = 256      # deterministic training sample (smallest vec_ids)
+IVF_ITERS = 2         # Lloyd iterations over the sample
 
-    Deterministic 'training' stand-in: centroid j is the embedding of
-    the j-th SMALLEST vec_id (positional — robust to id gaps/offsets;
-    production would run k-means — same contract: a tiny constant
-    centroid set, buckets numbered 0..n-1).  At 10^12 rows this is a
-    catalog artifact; the collect moves n_centroids rows, never the
-    corpus."""
+
+def _ivf_centroids(emb: DataFrame, n_centroids: int,
+                   sample_n: int = IVF_SAMPLE,
+                   iters: int = IVF_ITERS) -> list[list[float]]:
+    """Trained normalized coarse centroids, computed ONCE driver-side
+    (round-2 review item 8: real k-means, not positional seeding).
+
+    Deterministic protocol, mirrored component-for-component by the
+    DuckDB oracle: seeds = the n_centroids smallest vec_ids normalized;
+    then `iters` Lloyd rounds over the `sample_n` smallest vec_ids —
+    assign each sample vector to argmax round6(dot(v, chat_j)) (ties →
+    smallest j), new centroid = element-wise mean of its members
+    (empty cluster keeps its previous centroid), re-normalized.  Every
+    centroid COMPONENT is rounded to 6 decimals after each round, so
+    both engines feed bit-identical centroids into the next stage and
+    float summation order cannot flip an argmax.
+
+    At 10^12 rows this stays a catalog artifact: the collect moves
+    sample_n rows, never the corpus, and the trained array ships to
+    executors as plan literals exactly like the seed version did."""
     import math
-    rows = (emb.orderBy("vec_id").limit(n_centroids)
+    rows = (emb.orderBy("vec_id").limit(max(n_centroids, sample_n))
             .select("embedding").collect())
     if len(rows) < n_centroids:
         raise ValueError(
             f"IVF needs >= {n_centroids} vectors to seed centroids; "
             f"corpus has {len(rows)}")
-    out = []
-    for (e,) in rows:
-        v = [float(x) for x in e]
+
+    def norm_round(v: list[float]) -> list[float]:
         n = math.sqrt(sum(x * x for x in v)) or 1.0
-        out.append([x / n for x in v])
-    return out
+        return [round(x / n, 6) for x in v]
+
+    sample = [[float(x) for x in e] for (e,) in rows]
+    chat = [norm_round(sample[j]) for j in range(n_centroids)]
+    for _ in range(iters):
+        sums: list[list[float] | None] = [None] * n_centroids
+        counts = [0] * n_centroids
+        for v in sample:
+            scores = [round(sum(a * b for a, b in zip(v, c)), 6)
+                      for c in chat]
+            best = max(range(n_centroids),
+                       key=lambda j: (scores[j], -j))
+            if sums[best] is None:
+                sums[best] = [0.0] * len(v)
+            acc = sums[best]
+            for d, x in enumerate(v):
+                acc[d] += x
+            counts[best] += 1
+        chat = [norm_round([s / counts[j] for s in sums[j]])
+                if counts[j] else chat[j]
+                for j in range(n_centroids)]
+    return chat
 
 
 def _ivf_score_array(chat: list[list[float]]):

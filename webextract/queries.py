@@ -620,6 +620,57 @@ QUERIES = {
 # DuckDB oracles — same semantics, same column names/types/rounding
 # ---------------------------------------------------------------------------
 
+# Deterministic k-means centroid training, the SQL mirror of
+# corpus._ivf_centroids: seeds = 16 smallest vec_ids normalized+rounded,
+# two Lloyd rounds over the 256 smallest vec_ids, components rounded to
+# 6dp after every round so both engines feed identical literals forward.
+_IVF_KMEANS_CTE = """
+        seedc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                         embedding::DOUBLE[] AS cv
+                  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        c0 AS (SELECT cid, list_transform(cv,
+                   x -> round(x / sqrt(list_dot_product(cv, cv)), 6)) AS chat
+               FROM seedc),
+        samp AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings ORDER BY vec_id LIMIT 256),
+        s1 AS (SELECT sa.vec_id, sa.v, c.cid,
+                      round(list_dot_product(sa.v, c.chat), 6) AS score
+               FROM samp sa CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, v, cid FROM (
+                 SELECT vec_id, v, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cid) AS rn
+                 FROM s1) WHERE rn = 1),
+        m1 AS (SELECT cid, i, avg(v[i]) AS mu
+               FROM a1, unnest(generate_series(1, len(v))) AS u(i)
+               GROUP BY cid, i),
+        g1 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM m1 GROUP BY cid),
+        c1 AS (SELECT c0.cid,
+                      CASE WHEN g1.cv IS NULL THEN c0.chat
+                           ELSE list_transform(g1.cv, x -> round(x /
+                               sqrt(list_dot_product(g1.cv, g1.cv)), 6))
+                      END AS chat
+               FROM c0 LEFT JOIN g1 ON c0.cid = g1.cid),
+        s2 AS (SELECT sa.vec_id, sa.v, c.cid,
+                      round(list_dot_product(sa.v, c.chat), 6) AS score
+               FROM samp sa CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, v, cid FROM (
+                 SELECT vec_id, v, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cid) AS rn
+                 FROM s2) WHERE rn = 1),
+        m2 AS (SELECT cid, i, avg(v[i]) AS mu
+               FROM a2, unnest(generate_series(1, len(v))) AS u(i)
+               GROUP BY cid, i),
+        g2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM m2 GROUP BY cid),
+        cfin AS (SELECT c1.cid,
+                        CASE WHEN g2.cv IS NULL THEN c1.chat
+                             ELSE list_transform(g2.cv, x -> round(x /
+                                 sqrt(list_dot_product(g2.cv, g2.cv)), 6))
+                        END AS chat
+                 FROM c1 LEFT JOIN g2 ON c1.cid = g2.cid),
+"""
+
 _SHINGLES_CTE = """
 tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh AS (SELECT doc_id,
@@ -1123,35 +1174,25 @@ ORACLES = {
                           '' ORDER BY j) AS simhash
         FROM c GROUP BY doc_id""",
 
-    "embed_ivf_assign": """
-        -- centroid j = j-th smallest vec_id, bucket POSITIONAL 0..15
-        -- (matches _ivf_centroids' order-by-limit contract, which is
-        -- robust to id gaps/offsets)
-        WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-                          embedding::DOUBLE[] AS cv,
-                          sqrt(list_dot_product(embedding::DOUBLE[],
-                                                embedding::DOUBLE[])) AS cn
-                   FROM (SELECT * FROM embeddings
-                         ORDER BY vec_id LIMIT 16)),
+    # k-means-trained centroids (2 deterministic Lloyd rounds over the
+    # 256 smallest vec_ids, seeds = 16 smallest; every centroid
+    # component rounded to 6dp per round — the exact _ivf_centroids
+    # protocol)
+    "embed_ivf_assign": f"""
+        WITH {_IVF_KMEANS_CTE}
         s AS (SELECT e.vec_id, c.cid,
-                     round(list_dot_product(e.embedding::DOUBLE[],
-                                            list_transform(c.cv, x -> x / c.cn)),
+                     round(list_dot_product(e.embedding::DOUBLE[], c.chat),
                            6) AS score
-              FROM embeddings e CROSS JOIN c),
+              FROM embeddings e CROSS JOIN cfin c),
         r AS (SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id
                                         ORDER BY score DESC, cid) AS rn
               FROM s)
         SELECT vec_id, cid::INTEGER AS bucket FROM r WHERE rn = 1""",
 
-    "embed_ivf_topk": """
-        WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-                          list_transform(embedding::DOUBLE[],
-                              x -> x / sqrt(list_dot_product(
-                                  embedding::DOUBLE[],
-                                  embedding::DOUBLE[]))) AS chat
-                   FROM (SELECT * FROM embeddings
-                         ORDER BY vec_id LIMIT 16)),
+    "embed_ivf_topk": f"""
+        WITH {_IVF_KMEANS_CTE}
+        c AS (SELECT cid, chat FROM cfin),
         n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                      sqrt(list_dot_product(embedding::DOUBLE[],
                                            embedding::DOUBLE[])) AS nrm
