@@ -427,37 +427,47 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
         if timed_out():
             return Extracted(status="failure", fmt=fmt,
                              error="document timeout")
-        if not main:
-            return Extracted(status="skipped", fmt=fmt, n_blocks=0,
-                             error="no content")
-        text, spans = serialize_text(main)
-        images, img_failed = (collect_images(main, opt.image_export_mode)
-                              if opt.include_images else ([], False))
-        res = Extracted(status="success", fmt=fmt, text=text, spans=spans,
-                        n_blocks=len(main), images=images)
-        # output-format projection (P5, docs/usage.md:15,408): only the
-        # requested formats are populated, others stay empty/null
-        if "md" in opt.to_formats:
-            res.text_md = serialize_md(main, opt.md_page_break_placeholder,
-                                       opt.image_export_mode)
-        if "doctags" in opt.to_formats:
-            res.doctags = serialize_doctags(main)
-        if "html" in opt.to_formats:
-            res.text_html = serialize_html(main)
-        if "html_split_page" in opt.to_formats:
-            res.text_html_split = serialize_html_split_page(main)
-        if "json" in opt.to_formats:
-            res.text_json = serialize_json(main, url)
-        if timed_out():
-            return Extracted(status="failure", fmt=fmt,
-                             error="document timeout")
-        # partial_success (reference ConversionStatus): the document
-        # converted, but an artifact stage failed — here, a data: image
-        # whose payload doesn't decode while an artifact-producing
-        # export mode needs it.  Text/serialization are complete.
-        if img_failed:
-            res.status = "partial_success"
-            res.error = "one or more embedded images failed to decode"
-        return res
+        return finish_blocks(main, fmt, opt, url, timed_out)
     except Exception as e:  # abort_on_error=false semantics
         return Extracted(status="failure", error=f"{type(e).__name__}: {e}")
+
+
+def finish_blocks(main: list[Block], fmt: str,
+                  opt: ConvertOptions = DEFAULT_OPTIONS, url: str = "",
+                  timed_out=lambda: False) -> Extracted:
+    """Selected blocks -> Extracted: the shared post-parse tail of
+    extract_document (serialize + images + output-format projection).
+    Factored out so the oversized-HTML split tier's merge produces
+    byte-identical rows by running the SAME code, not a copy."""
+    if not main:
+        return Extracted(status="skipped", fmt=fmt, n_blocks=0,
+                         error="no content")
+    text, spans = serialize_text(main)
+    images, img_failed = (collect_images(main, opt.image_export_mode)
+                          if opt.include_images else ([], False))
+    res = Extracted(status="success", fmt=fmt, text=text, spans=spans,
+                    n_blocks=len(main), images=images)
+    # output-format projection (P5, docs/usage.md:15,408): only the
+    # requested formats are populated, others stay empty/null
+    if "md" in opt.to_formats:
+        res.text_md = serialize_md(main, opt.md_page_break_placeholder,
+                                   opt.image_export_mode)
+    if "doctags" in opt.to_formats:
+        res.doctags = serialize_doctags(main)
+    if "html" in opt.to_formats:
+        res.text_html = serialize_html(main)
+    if "html_split_page" in opt.to_formats:
+        res.text_html_split = serialize_html_split_page(main)
+    if "json" in opt.to_formats:
+        res.text_json = serialize_json(main, url)
+    if timed_out():
+        return Extracted(status="failure", fmt=fmt,
+                         error="document timeout")
+    # partial_success (reference ConversionStatus): the document
+    # converted, but an artifact stage failed — here, a data: image
+    # whose payload doesn't decode while an artifact-producing
+    # export mode needs it.  Text/serialization are complete.
+    if img_failed:
+        res.status = "partial_success"
+        res.error = "one or more embedded images failed to decode"
+    return res

@@ -1,0 +1,385 @@
+"""Oversized-HTML split tier: cut-point scan -> fan-out -> global merge.
+
+Closes the last r2 "What's missing" item: boilerplate scoring is a
+document-GLOBAL decision, so a 1 GB HTML page used to pin one task for
+its whole parse.  This tier splits the work in the only place HTML can
+be split without changing semantics — BETWEEN tag tokens, with the full
+parser state that crosses the cut carried along:
+
+1. scan pass (one task, the oversized doc): a structural token scan —
+   the SAME regex tokenizer and the SAME ``_Parser`` handlers as the
+   real parse, but skipping every text token, so it costs a fraction of
+   a full parse.  At candidate cut tags (block/container start tags,
+   outside script/style/tables) it snapshots the crossing state: open
+   element stack with per-element child counts (sibling numbering!),
+   a/pre/blockquote depths, root counts.
+2. ``repartition(url, seg_idx)`` — the one payload shuffle; each
+   segment is a substring of the decoded document plus its ~1 KB state.
+3. segment parse (parallel): a ``_Parser`` SEEDED with the snapshot
+   parses its slice; because the tokenizer restarts cleanly at a token
+   boundary and flush-at-tag == flush-at-EOF for the block open across
+   the cut, the concatenated block lists are IDENTICAL to the one-shot
+   parse (asserted by the byte-identity tests, including paths, sibling
+   indexes, li numbering, boiler/semantic flags).
+4. merge (one small task per doc): reassemble blocks in seg order,
+   renumber idx, then run the SAME ``select_main`` (global density
+   scoring over the full block list) and the SAME ``finish_blocks``
+   serializer tail as extract_document — byte-identity by construction,
+   payload long gone (only block structs cross the merge shuffle).
+
+Non-HTML oversized payloads that route here (e.g. a giant CSV — the
+SQL router can't sniff) take a fallback lane: one segment carries the
+raw payload to the merge, which runs plain ``extract_document``.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dom import (Block, _Parser, _RAWTEXT, _TAGNAME, _TOKEN, _WANT_ATTRS,
+                  _BLOCK, _CONTAINER, _parse_attrs, decode_html)
+from .extract import extract_document, finish_blocks, select_main
+from .formats import sniff
+from .options import ConvertOptions, DEFAULT_OPTIONS
+from .udfs import (EXTRACT_SCHEMA_DDL, _EXTRACT_ARROW, append_extracted,
+                   new_extract_out)
+
+HTML_TARGET_CHARS = 1 * 1024 * 1024   # aim for ~1 MB decoded per segment
+
+CUT_TAGS = (_BLOCK | _CONTAINER) - {"html"}
+
+
+def snapshot_state(p: _Parser) -> str:
+    """JSON snapshot of the parser state that crosses a cut point.
+    Only called when skip == 0, tables empty (cut preconditions), and
+    cur/pending need not be carried: the cut tag would flush them in
+    the one-shot parse, and segment-EOF finalize flushes them with the
+    identical captured metadata."""
+    return json.dumps({
+        "stack": [[e[0], e[1], e[2], e[3], bool(e[4]), bool(e[5]), e[6]]
+                  for e in p.stack],
+        "root": p._root_counts,
+        "a": p.a_depth, "pre": p.pre_depth, "bq": p.bq_depth,
+    }, separators=(",", ":"))
+
+
+def seed_parser(state_json: str | None) -> _Parser:
+    """A _Parser positioned as if it had just parsed everything before
+    the cut (minus flushed content): stack, sibling counters, li
+    numbering, boiler/semantic depths, list flavor stack."""
+    p = _Parser()
+    p._root_counts = {}
+    if state_json:
+        st = json.loads(state_json)
+        p._root_counts = st["root"]
+        for tag, seg, counts, li, boiler_inc, sem_inc, fpath in st["stack"]:
+            p.stack.append([tag, seg, counts, li, boiler_inc, sem_inc,
+                            fpath])
+            if boiler_inc:
+                p.boiler_depth += 1
+            if sem_inc:
+                p.semantic_depth += 1
+            if tag in ("ul", "ol"):
+                p.ol_stack.append(tag == "ol")
+        p.a_depth = st["a"]
+        p.pre_depth = st["pre"]
+        p.bq_depth = st["bq"]
+    return p
+
+
+def scan_cuts(text: str, target_chars: int) -> list[tuple[int, str]]:
+    """[(cut_pos, state_json)] — structural pass over the token stream.
+
+    A positionally-aware variant of dom._fast_feed that SKIPS text
+    tokens (no unescape, no block assembly — the expensive 40%+ of a
+    real parse) and drives the genuine _Parser handlers for tags only,
+    so stack/sibling/flag bookkeeping cannot drift from the real parse
+    (test_htmlsplit parity tests pin this).  Cuts land on start tags of
+    block/container elements at least ``target_chars`` apart, never
+    inside script/style/svg (skip), rawtext, or tables."""
+    p = _Parser()
+    p._root_counts = {}
+    cuts: list[tuple[int, str]] = []
+    n = len(text)
+    pos = 0
+    low = None
+    last_cut = 0
+    while pos < n:
+        restart = False
+        for m in _TOKEN.finditer(text, pos):
+            tok = m.group(0)
+            s = m.start()
+            pos = m.end()
+            if tok[0] != "<":
+                continue                      # text: structural no-op
+            c1 = tok[1]
+            if c1 == "!" or c1 == "?":
+                continue
+            tm = _TAGNAME.match(tok)
+            if tm is None or "<" in tok[1:]:
+                continue
+            name = tm.group(1).lower()
+            if c1 == "/":
+                p.handle_endtag(name)
+                continue
+            if (s - last_cut >= target_chars and name in CUT_TAGS
+                    and not p.skip and not p.tables):
+                cuts.append((s, snapshot_state(p)))
+                last_cut = s
+            attrs = (_parse_attrs(tok[tm.end():-1])
+                     if name in _WANT_ATTRS else [])
+            p.handle_starttag(name, attrs)
+            if name in _RAWTEXT and not tok.endswith("/>"):
+                if low is None:
+                    low = text.lower()
+                end = low.find("</" + name, pos)
+                if end == -1:
+                    pos = n
+                else:
+                    close = low.find(">", end)
+                    pos = n if close == -1 else close + 1
+                p.handle_endtag(name)
+                restart = True
+                break
+        if not restart:
+            pos = n
+    return cuts
+
+
+def parse_blocks_seeded(text: str, state_json: str | None) -> list[Block]:
+    """Parse one segment with the crossing state seeded; never raises
+    (same guarantee as dom.parse_blocks)."""
+    from .dom import _fast_feed
+    p = seed_parser(state_json)
+    try:
+        _fast_feed(p, text)
+        p._finalize()
+    except Exception:
+        try:
+            p._finalize()
+        except Exception:
+            pass
+    return p.blocks
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+_HSEG_DDL = ("url string, warc_ts timestamp, lang string, seg_idx int, "
+             "n_segs int, orig_bytes bigint, verdict string, fmt string, "
+             "error string, state string, seg string, payload binary")
+_HSEG_ARROW = pa.schema([
+    ("url", pa.large_string()), ("warc_ts", pa.timestamp("us")),
+    ("lang", pa.string()), ("seg_idx", pa.int32()), ("n_segs", pa.int32()),
+    ("orig_bytes", pa.int64()), ("verdict", pa.string()),
+    ("fmt", pa.string()), ("error", pa.string()), ("state", pa.string()),
+    ("seg", pa.large_string()), ("payload", pa.large_binary())])
+
+_BLOCK_STRUCT = pa.struct([
+    ("tag", pa.string()), ("kind", pa.string()), ("path", pa.large_string()),
+    ("cpath", pa.large_string()), ("depth", pa.int32()),
+    ("text", pa.large_string()), ("link_chars", pa.int32()),
+    ("boiler", pa.bool_()), ("semantic", pa.bool_()),
+    ("hlevel", pa.int32()), ("li_index", pa.int32()),
+    ("cells", pa.list_(pa.list_(pa.large_string()))),
+    ("src", pa.large_string())])
+
+_HSEGX_DDL = ("url string, warc_ts timestamp, lang string, seg_idx int, "
+              "n_segs int, orig_bytes bigint, verdict string, fmt string, "
+              "error string, payload binary, blocks array<struct<"
+              "tag:string,kind:string,path:string,cpath:string,depth:int,"
+              "text:string,link_chars:int,boiler:boolean,semantic:boolean,"
+              "hlevel:int,li_index:int,cells:array<array<string>>,"
+              "src:string>>")
+_HSEGX_ARROW = pa.schema([
+    ("url", pa.large_string()), ("warc_ts", pa.timestamp("us")),
+    ("lang", pa.string()), ("seg_idx", pa.int32()), ("n_segs", pa.int32()),
+    ("orig_bytes", pa.int64()), ("verdict", pa.string()),
+    ("fmt", pa.string()), ("error", pa.string()),
+    ("payload", pa.large_binary()), ("blocks", pa.list_(_BLOCK_STRUCT))])
+
+
+def _admit_html(payload: bytes, opt: ConvertOptions):
+    """(verdict, fmt, error) mirroring extract_document's admission
+    order for the non-PDF path, or None when payload is extractable
+    html; ('fallback', fmt, None) for admitted non-html formats."""
+    if payload is None or len(payload) == 0:
+        return ("skipped", "html", "empty payload")
+    if len(payload) > opt.max_file_size:
+        return ("skipped", "html", "file too large")
+    fmt = sniff(payload)
+    if fmt == "unknown":
+        return ("skipped", "unknown", "unknown format")
+    if fmt not in opt.from_formats:
+        return ("skipped", fmt, f"format {fmt} not admitted")
+    if fmt != "html":
+        return ("fallback", fmt, None)
+    return None
+
+
+def make_html_split_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
+                           target_chars: int = HTML_TARGET_CHARS):
+    """mapInArrow 1->N: oversized payload -> (state, slice) segments."""
+
+    def split_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {n: batch.column(n) for n in batch.schema.names}
+            urls = cols["url"].to_pylist()
+            htmls = cols["html"].to_pylist()
+            ts = cols["warc_ts"].to_pylist() if "warc_ts" in cols \
+                else [None] * len(urls)
+            langs = cols["lang"].to_pylist() if "lang" in cols \
+                else [None] * len(urls)
+            out = {f.name: [] for f in _HSEG_ARROW}
+
+            def emit(i, seg_idx, n_segs, verdict, fmt, error, state, seg,
+                     payload):
+                out["url"].append(urls[i])
+                out["warc_ts"].append(ts[i])
+                out["lang"].append(langs[i])
+                out["seg_idx"].append(seg_idx)
+                out["n_segs"].append(n_segs)
+                out["orig_bytes"].append(len(htmls[i]) if htmls[i] else 0)
+                out["verdict"].append(verdict)
+                out["fmt"].append(fmt)
+                out["error"].append(error)
+                out["state"].append(state)
+                out["seg"].append(seg)
+                out["payload"].append(payload)
+
+            for i, payload in enumerate(htmls):
+                try:
+                    bad = _admit_html(payload or b"", opt)
+                    if bad is not None:
+                        verdict, fmt, error = bad
+                        emit(i, 0, 1, verdict, fmt, error, None, None,
+                             payload if verdict == "fallback" else None)
+                        continue
+                    text = decode_html(payload)
+                    cuts = scan_cuts(text, target_chars)
+                    bounds = [(0, None)] + cuts + [(len(text), None)]
+                    n_segs = len(bounds) - 1
+                    for j in range(n_segs):
+                        start, state = bounds[j]
+                        end = bounds[j + 1][0]
+                        emit(i, j, n_segs, "", "html", "", state,
+                             text[start:end], None)
+                except Exception as e:  # total-function contract
+                    emit(i, 0, 1, "failure", "html",
+                         f"{type(e).__name__}: {e}", None, None, None)
+            yield pa.RecordBatch.from_pydict(
+                {f.name: pa.array(out[f.name], f.type)
+                 for f in _HSEG_ARROW})
+
+    return split_batches
+
+
+def make_html_seg_kernel(opt: ConvertOptions = DEFAULT_OPTIONS):
+    """mapInArrow: seeded-parse one segment -> block structs (payload
+    slice dropped; raw payload rides along for fallback rows only)."""
+
+    def seg_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {n: batch.column(n).to_pylist()
+                    for n in batch.schema.names}
+            out = {n: (cols[n] if n not in ("blocks", "state", "seg")
+                       else []) for n in _HSEGX_ARROW.names}
+            out["blocks"] = []
+            for i, seg in enumerate(cols["seg"]):
+                if cols["verdict"][i] or seg is None:
+                    out["blocks"].append([])
+                    continue
+                blocks = parse_blocks_seeded(seg, cols["state"][i])
+                out["blocks"].append([
+                    {"tag": b.tag, "kind": b.kind, "path": b.path,
+                     "cpath": b.container_path, "depth": b.depth,
+                     "text": b.text, "link_chars": b.link_chars,
+                     "boiler": b.boiler, "semantic": b.semantic,
+                     "hlevel": b.heading_level, "li_index": b.li_index,
+                     "cells": [list(r) for r in b.cells]
+                     if b.cells is not None else None,
+                     "src": b.src} for b in blocks])
+            yield pa.RecordBatch.from_pydict(
+                {f.name: pa.array(out[f.name], f.type)
+                 for f in _HSEGX_ARROW})
+
+    return seg_batches
+
+
+def make_html_merge_kernel(opt: ConvertOptions = DEFAULT_OPTIONS):
+    """mapInArrow merge over pre-aggregated rows: concatenated block
+    list -> global select_main -> finish_blocks (the one-shot path's
+    own functions, so output is byte-identical)."""
+
+    def merge_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .extract import Extracted
+        for batch in batches:
+            cols = {n: batch.column(n).to_pylist()
+                    for n in batch.schema.names}
+            out = new_extract_out()
+            for i in range(len(cols["url"])):
+                url, ts, lang = (cols["url"][i], cols["warc_ts"][i],
+                                 cols["lang"][i])
+                nb = cols["orig_bytes"][i]
+                verdict, fmt, err = (cols["verdict"][i], cols["fmt"][i],
+                                     cols["error"][i])
+                if verdict == "fallback":
+                    r = extract_document(bytes(cols["payload"][i]), opt, url)
+                    append_extracted(out, r, url, ts, lang, nb)
+                    continue
+                if verdict:
+                    append_extracted(
+                        out, Extracted(status=verdict, fmt=fmt, error=err),
+                        url, ts, lang, nb)
+                    continue
+                blocks: list[Block] = []
+                for seg in cols["segs"][i]:          # sorted by seg_idx
+                    for sb in (seg["blocks"] or []):
+                        blocks.append(Block(
+                            idx=len(blocks), tag=sb["tag"], kind=sb["kind"],
+                            path=sb["path"], container_path=sb["cpath"],
+                            depth=sb["depth"], text=sb["text"],
+                            link_chars=sb["link_chars"],
+                            boiler=sb["boiler"], semantic=sb["semantic"],
+                            heading_level=sb["hlevel"],
+                            li_index=sb["li_index"],
+                            cells=tuple(tuple(r) for r in sb["cells"])
+                            if sb["cells"] is not None else None,
+                            src=sb["src"]))
+                main = select_main(blocks, opt)
+                r = finish_blocks(main, "html", opt, url)
+                append_extracted(out, r, url, ts, lang, nb)
+            yield pa.RecordBatch.from_pydict(
+                {f.name: pa.array(out[f.name], f.type)
+                 for f in _EXTRACT_ARROW})
+
+    return merge_batches
+
+
+def extracted_html_split_branch(src: DataFrame,
+                                opt: ConvertOptions = DEFAULT_OPTIONS,
+                                cpus: int = 32,
+                                target_chars: int = HTML_TARGET_CHARS) -> DataFrame:
+    """The html fan-out branch (callers route oversized non-PDF rows
+    here; see split.extracted_split_df).  One payload repartition;
+    payload dropped before the merge aggregate except fallback rows."""
+    segs = (src.mapInArrow(make_html_split_kernel(opt, target_chars),
+                           _HSEG_DDL)
+            .repartition(cpus * 4, F.col("url"), F.col("seg_idx"))
+            .mapInArrow(make_html_seg_kernel(opt), _HSEGX_DDL))
+    agg = (segs.groupBy("url", "warc_ts")
+           .agg(F.first("lang").alias("lang"),
+                F.first("orig_bytes").alias("orig_bytes"),
+                F.max("verdict").alias("verdict"),
+                F.max("fmt").alias("fmt"),
+                F.max("error").alias("error"),
+                F.first("payload", ignorenulls=True).alias("payload"),
+                F.sort_array(F.collect_list(
+                    F.struct("seg_idx", "blocks"))).alias("segs")))
+    return agg.mapInArrow(make_html_merge_kernel(opt), EXTRACT_SCHEMA_DDL)

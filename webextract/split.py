@@ -281,27 +281,33 @@ def make_merge_kernel(opt: ConvertOptions = DEFAULT_OPTIONS):
 
 def extracted_split_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
                        cpus: int = 32, split_bytes: int = SPLIT_BYTES,
-                       pages_per_seg: int = 1) -> DataFrame:
-    """Extraction with the oversized-PDF fan-out tier.
+                       pages_per_seg: int = 1,
+                       html_split: bool = False,
+                       html_target_chars: int | None = None) -> DataFrame:
+    """Extraction with the oversized-document fan-out tiers.
 
-    Routing is declarative so Catalyst prunes both branches' scans:
-    payloads under ``split_bytes`` (or non-mini-PDF) take the normal
-    no-shuffle kernel path; oversized mini-PDFs take
-    split -> repartition -> parse -> merge.  The two branches union to
-    the same EXTRACT schema, so downstream (waves, IceTable commit,
-    chunkers) is tier-oblivious."""
+    Routing is declarative so Catalyst prunes every branch's scan:
+    payloads under ``split_bytes`` take the normal no-shuffle kernel
+    path; oversized mini-PDFs take page split -> repartition -> parse
+    -> merge; with ``html_split=True`` oversized NON-PDF payloads take
+    the cut-point tier (htmlsplit.py: structural scan -> seeded
+    segment parses -> global select_main merge) instead of pinning one
+    task.  All branches union to the same EXTRACT schema, so
+    downstream (waves, IceTable commit, chunkers) is tier-oblivious."""
     cols = ["url", "warc_ts", "lang", "html"] \
         if "lang" in pages.columns else ["url", "warc_ts", "html"]
     src = pages.select(*cols)
-    # coalesce: a NULL html payload makes the predicate SQL NULL, which
-    # both filter(~is_split) and filter(is_split) would drop — the row
-    # must take the normal kernel path (which emits its skipped verdict).
-    is_split = F.coalesce(
-        (F.length("html") >= F.lit(split_bytes))
-        & (F.substring(F.col("html").cast("binary"), 1,
-                       len(pdfmini.MAGIC)) == F.lit(pdfmini.MAGIC)),
-        F.lit(False))
-    normal = (src.filter(~is_split)
+    # coalesce: a NULL html payload makes the predicates SQL NULL, which
+    # every branch filter would drop — the row must take the normal
+    # kernel path (which emits its skipped verdict).
+    is_big = F.coalesce(F.length("html") >= F.lit(split_bytes),
+                        F.lit(False))
+    is_pdf = (F.substring(F.col("html").cast("binary"), 1,
+                          len(pdfmini.MAGIC)) == F.lit(pdfmini.MAGIC))
+    is_split = F.coalesce(is_big & is_pdf, F.lit(False))
+    is_html_split = (F.coalesce(is_big & ~is_pdf, F.lit(False))
+                     if html_split else F.lit(False))
+    normal = (src.filter(~is_split & ~is_html_split)
               .mapInArrow(make_extract_kernel(opt), EXTRACT_SCHEMA_DDL))
     segs = (src.filter(is_split)
             .mapInArrow(make_split_kernel(opt, pages_per_seg), _SEG_DDL)
@@ -321,4 +327,11 @@ def extracted_split_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
                 F.sort_array(F.collect_list(
                     F.struct("seg_idx", "blocks"))).alias("segs")))
     merged = agg.mapInArrow(make_merge_kernel(opt), EXTRACT_SCHEMA_DDL)
-    return normal.unionByName(merged)
+    out = normal.unionByName(merged)
+    if html_split:
+        from .htmlsplit import (HTML_TARGET_CHARS,
+                                extracted_html_split_branch)
+        out = out.unionByName(extracted_html_split_branch(
+            src.filter(is_html_split), opt, cpus,
+            html_target_chars or HTML_TARGET_CHARS))
+    return out

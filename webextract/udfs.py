@@ -52,6 +52,35 @@ _EXTRACT_ARROW = pa.schema([
     ("bytes_in", pa.int64()), ("error", pa.string())])
 
 
+def new_extract_out() -> dict:
+    """Fresh column-list dict for the EXTRACT schema."""
+    return {f.name: [] for f in _EXTRACT_ARROW}
+
+
+def append_extracted(out: dict, r, url, ts, lang, bytes_in) -> None:
+    """Append one Extracted result as a row into the column lists —
+    the single place an Extracted becomes an EXTRACT-schema row (the
+    batch kernel and the split tiers' merge kernels all call this)."""
+    out["url"].append(url)
+    out["warc_ts"].append(ts)
+    out["lang"].append(lang)
+    out["status"].append(r.status)
+    out["fmt"].append(r.fmt)
+    out["text"].append(r.text)
+    out["text_md"].append(r.text_md)
+    out["doctags"].append(r.doctags)
+    out["text_html"].append(r.text_html)
+    out["text_html_split"].append(r.text_html_split)
+    out["text_json"].append(r.text_json)
+    out["spans"].append([{"start": s, "end": e, "kind": k, "path": p}
+                         for (s, e, k, p) in r.spans])
+    out["images"].append([{"idx": i, "uri": u, "data": d}
+                          for (i, u, d) in r.images])
+    out["n_blocks"].append(r.n_blocks)
+    out["bytes_in"].append(bytes_in)
+    out["error"].append(r.error)
+
+
 def _split_by_budget(htmls: list, budget: int) -> Iterator[tuple[int, int]]:
     """Yield (start, end) slices whose summed payload <= budget
     (single oversized rows get their own slice)."""
@@ -79,33 +108,11 @@ def make_extract_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
             ts = cols["warc_ts"].to_pylist() if "warc_ts" in cols else [None] * len(urls)
             langs = cols["lang"].to_pylist() if "lang" in cols else [None] * len(urls)
             for lo, hi in _split_by_budget(htmls, budget):
-                out = {"url": [], "warc_ts": [], "lang": [], "status": [],
-                       "fmt": [], "text": [], "text_md": [], "doctags": [],
-                       "text_html": [], "text_html_split": [],
-                       "text_json": [], "spans": [], "images": [],
-                       "n_blocks": [], "bytes_in": [], "error": []}
+                out = new_extract_out()
                 for i in range(lo, hi):
                     r = extract_document(htmls[i], opt, urls[i])
-                    out["url"].append(urls[i])
-                    out["warc_ts"].append(ts[i])
-                    out["lang"].append(langs[i])
-                    out["status"].append(r.status)
-                    out["fmt"].append(r.fmt)
-                    out["text"].append(r.text)
-                    out["text_md"].append(r.text_md)
-                    out["doctags"].append(r.doctags)
-                    out["text_html"].append(r.text_html)
-                    out["text_html_split"].append(r.text_html_split)
-                    out["text_json"].append(r.text_json)
-                    out["spans"].append(
-                        [{"start": s, "end": e, "kind": k, "path": p}
-                         for (s, e, k, p) in r.spans])
-                    out["images"].append(
-                        [{"idx": i, "uri": u, "data": d}
-                         for (i, u, d) in r.images])
-                    out["n_blocks"].append(r.n_blocks)
-                    out["bytes_in"].append(len(htmls[i]) if htmls[i] else 0)
-                    out["error"].append(r.error)
+                    append_extracted(out, r, urls[i], ts[i], langs[i],
+                                     len(htmls[i]) if htmls[i] else 0)
                 yield pa.RecordBatch.from_pydict(
                     {f.name: pa.array(out[f.name], f.type)
                      for f in _EXTRACT_ARROW})
