@@ -219,6 +219,22 @@ def q_extract_mets_source(spark, sf_dir):
             .select("doc_id", "fmt", "text"))
 
 
+def q_extract_html_split_tier(spark, sf_dir):
+    """C11 html flavor (round-2 review item 9): the whole corpus forced
+    through the oversized-HTML cut tier — structural scan, seeded
+    segment parses, global-score merge — with split_bytes=1 and a cut
+    every 256 chars.  Byte-identical to the one-shot kernel, so the
+    oracle is extract_main_text's (the tier is an execution strategy,
+    not a semantic change)."""
+    from .split import extracted_split_df
+    pages = docs_to_pages(_read(spark, sf_dir, "documents"))
+    out = _doc_id(extracted_split_df(pages, cpus=4, split_bytes=1,
+                                     html_split=True,
+                                     html_target_chars=256))
+    return (out.filter(F.col("status") == "success")
+            .select("doc_id", "text"))
+
+
 def q_extract_asciidoc_source(spark, sf_dir):
     """asciidoc input format (reference InputFormat enum,
     docs/usage.md:14): = title, * list items, ---- literal block, and
@@ -575,6 +591,7 @@ QUERIES = {
     "extract_jats_source": q_extract_jats_source,
     "extract_uspto_source": q_extract_uspto_source,
     "extract_mets_source": q_extract_mets_source,
+    "extract_html_split_tier": q_extract_html_split_tier,
     "extract_asciidoc_source": q_extract_asciidoc_source,
     "extract_vtt_source": q_extract_vtt_source,
     "extract_docx_source": q_extract_docx_source,
@@ -902,6 +919,13 @@ ORACLES = {
                || array_to_string(toks[1:least(12, len(toks))], ' ')
                || coalesce(chr(10) || chr(10) || ocr, '') AS text
         FROM t LEFT JOIN alto ON t.doc_id = alto.doc_id""",
+
+    # identical expected output to extract_main_text: the html cut tier
+    # is an execution strategy, not a semantic change
+    "extract_html_split_tier": """
+        SELECT doc_id,
+               'Document ' || doc_id || chr(10) || chr(10) || text AS text
+        FROM documents""",
 
     "extract_asciidoc_source": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS k
