@@ -362,22 +362,32 @@ def lsh_band_keys(docs: DataFrame, n: int = 3, k: int = 16,
     """(doc_id, band, band_key): LSH banding of the MinHash signature.
     band_key = md5 of the band's minhashes joined in seed order.
 
-    Shape: the signature array is posexploded (Generate evaluates it
-    exactly once per row — building band keys with element_at() in a
-    sibling projection lets CollapseProject inline the signature into
-    every band, recomputing it ~4×, measured 38 s vs 9 s) and banded
-    with one small groupBy of k rows per doc."""
+    Shape (round-3 fix for the r2 bench regression): ZERO shuffle — the
+    signature stays an array and each band key is md5(array_join(
+    slice(sig))), posexploded to (band, band_key) rows.  The r2 shape
+    posexploded the k seed rows and re-collected them with a
+    groupBy(doc_id, band) — a whole extra exchange stage that cost
+    ~0.5 s of fixed scheduling at bench scale and an 80k-row shuffle
+    per 20k docs at any scale, for keys that are a pure per-row
+    function of the signature.  The observe() CollectMetrics barrier
+    stops CollapseProject from inlining the expensive signature HOF
+    into the band transform (interpreted lambdas re-evaluate inlined
+    inputs PER ELEMENT — the n_bands× recompute trap; plan test pins
+    the two-projection shape)."""
     r = rows_per_band
+    n_bands = -(-k // r)
     sig = (shingle_hashes(docs, n)
-           .select("doc_id",
-                   F.posexplode(minhash_sig_expr(k)).alias("seed", "mh")))
-    return (sig.withColumn("band", F.expr(f"seed div {r}").cast("int"))
-            .groupBy("doc_id", "band")
-            .agg(F.md5(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x["mh"].cast("string")),
-                ",")).alias("band_key")))
+           .select("doc_id", minhash_sig_expr(k).alias("sig"))
+           .observe(f"mh_barrier_{next(_BARRIER_SEQ)}",
+                    F.count(F.lit(1))))
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(F.array_join(
+            F.transform(F.slice(F.col("sig"), b * r + 1, r),
+                        lambda m: m.cast("string")), ",")))
+    return sig.select(
+        "doc_id",
+        F.posexplode(band_keys).alias("band", "band_key"))
 
 
 LSH_BUCKET_CAP = 64   # buckets larger than this are skipped (skew guard)
