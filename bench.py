@@ -29,7 +29,8 @@ import time
 N_SYNTH = {"0.001": 500, "0.01": 2000, "0.1": 20000}
 
 HEADLINE = [
-    "extract_main_text", "extract_pdf_split", "chunk_hybrid",
+    "extract_main_text", "extract_pdf_split", "extract_html_split_tier",
+    "media_raster_stats", "stream_window_counts", "chunk_hybrid",
     "chunk_hybrid_subword", "dedup_exact",
     "dedup_lsh_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_contamination",
@@ -99,11 +100,17 @@ def main() -> None:
     docs_per_sec = round(n_synth / extract_sec, 1)
 
     # -- registry queries over the sf tables ------------------------------
-    for name in HEADLINE:
-        q = QUERIES[name]
-        spark.catalog.clearCache()   # isolate: drop persisted frames of
-        timings[name] = round(       # earlier queries (LSH signatures)
-            _timed(lambda: q(spark, sf_dir)), 3)
+    # TWO full sweeps, min per query across sweeps: the host's slow
+    # windows span multi-second stretches (r2/r3 finding: a query read
+    # 2-3x its capability when the window covered all of its
+    # consecutive passes), so consecutive-pass min-of-N alone is not
+    # robust — separating the retries by a whole sweep is.
+    for _sweep in range(2):
+        for name in HEADLINE:
+            q = QUERIES[name]
+            spark.catalog.clearCache()  # isolate: drop persisted frames
+            t = round(_timed(lambda: q(spark, sf_dir), passes=2), 3)
+            timings[name] = min(timings.get(name, float("inf")), t)
 
     total = round(sum(timings.values()), 3)
     cpu1 = _cpu_times()

@@ -207,7 +207,7 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
               .withColumn("label", F.col("doc_id")))
     prev_sum = None
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neigh = (edges.join(labels,
                             edges["dst"] == labels["doc_id"])
                  .groupBy("src").agg(F.min("label").alias("nlabel")))
@@ -218,17 +218,24 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
                               F.coalesce("nlabel", F.col("label")))
                       .alias("label"))
               .localCheckpoint())  # staged: feeds both sides below
-        # pointer jump: label(u) ← label(label(u)).  Halves the
-        # remaining propagation distance every round, which is what
-        # bounds rounds logarithmically for long-chain components.
-        ptr = l1.select(F.col("doc_id").alias("p_id"),
-                        F.col("label").alias("p_label"))
-        labels = (l1.join(ptr, l1["label"] == ptr["p_id"], "left")
-                  .select(l1["doc_id"],
-                          F.least(l1["label"],
-                                  F.coalesce("p_label", l1["label"]))
-                          .alias("label"))
-                  .localCheckpoint())
+        if it < 2:
+            # dense near-dup clusters (diameter 2-4, the common case)
+            # converge on plain propagation before the shortcut could
+            # pay for its extra join; jumping starts at round 3, where
+            # only long-chain components are still moving
+            labels = l1
+        else:
+            # pointer jump: label(u) ← label(label(u)).  Halves the
+            # remaining propagation distance every round, which is what
+            # bounds rounds logarithmically for long-chain components.
+            ptr = l1.select(F.col("doc_id").alias("p_id"),
+                            F.col("label").alias("p_label"))
+            labels = (l1.join(ptr, l1["label"] == ptr["p_id"], "left")
+                      .select(l1["doc_id"],
+                              F.least(l1["label"],
+                                      F.coalesce("p_label", l1["label"]))
+                              .alias("label"))
+                      .localCheckpoint())
         s = labels.agg(F.sum("label")).first()[0]
         if s == prev_sum:
             converged = True
@@ -242,16 +249,24 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
             f"(component diameter exceeds ~2^{max_iters}; raise it)")
     out = labels.select("doc_id", F.col("label").alias("cluster_id"))
     if component_cap:
-        label_t = dict(labels.dtypes)["label"]
-        big = (labels.groupBy("label").agg(F.count("*").alias("sz"))
-               .filter(F.col("sz") > component_cap)
-               .select(F.col("label").alias("big_label")))
-        out = (out.join(big, out["cluster_id"] == big["big_label"], "left")
-               .select("doc_id",
-                       F.when(F.col("big_label").isNull(),
-                              F.col("cluster_id"))
-                       .otherwise(F.lit(-1).cast(label_t))
-                       .alias("cluster_id")))
+        # probe first (one small aggregation over the checkpointed
+        # labels), join only on breach: the common no-oversize path
+        # keeps the plain projection plan — no extra exchange in the
+        # returned plan
+        sizes = (labels.groupBy("label").agg(F.count("*").alias("sz"))
+                 .localCheckpoint())
+        mx = sizes.agg(F.max("sz")).first()[0]
+        if mx is not None and mx > component_cap:
+            label_t = dict(labels.dtypes)["label"]
+            big = (sizes.filter(F.col("sz") > component_cap)
+                   .select(F.col("label").alias("big_label")))
+            out = (out.join(big, out["cluster_id"] == big["big_label"],
+                            "left")
+                   .select("doc_id",
+                           F.when(F.col("big_label").isNull(),
+                                  F.col("cluster_id"))
+                           .otherwise(F.lit(-1).cast(label_t))
+                           .alias("cluster_id")))
     return out
 
 
