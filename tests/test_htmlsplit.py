@@ -162,3 +162,33 @@ def test_pdf_tier_still_works_with_html_split_on(spark):
                                       split_bytes=40, html_split=True,
                                       html_target_chars=64))
     assert got == ref
+
+
+def test_html_split_tier_plan_shape(spark):
+    """Scale shape pinned: normal branch no-shuffle; each tier crosses
+    exactly ONE payload repartition; the decoded segment text and state
+    are DROPPED before the merge aggregate's exchange (only block
+    structs + the rare fallback payload cross it)."""
+    from webextract.synth import pages_df
+    pages = pages_df(spark, 50, parallelism=4)
+    opt = (extracted_split_df(pages, cpus=4, split_bytes=1024,
+                              html_split=True)
+           ._jdf.queryExecution().optimizedPlan().toString())
+    # one payload repartition per tier (pdf + html), none elsewhere
+    assert opt.count("RepartitionByExpression") == 2, opt[:2000]
+    # normal branch (first union child, ':-' prefixed lines before the
+    # first merge) carries no exchange
+    first_merge = opt.index("merge_batches")
+    normal = [ln for ln in opt[:first_merge].splitlines()
+              if ln.startswith(":")]
+    assert normal and not any("Repartition" in ln or "Exchange" in ln
+                              for ln in normal), normal
+    # every merge Aggregate's input projection excludes the segment
+    # text and parser state
+    lines = opt.splitlines()
+    agg_is = [i for i, ln in enumerate(lines) if "Aggregate [url" in ln]
+    assert len(agg_is) == 2
+    for i in agg_is:
+        proj = lines[i + 1]
+        assert "Project" in proj, proj
+        assert " seg#" not in proj and "state#" not in proj, proj
