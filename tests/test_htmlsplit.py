@@ -192,3 +192,23 @@ def test_html_split_tier_plan_shape(spark):
         proj = lines[i + 1]
         assert "Project" in proj, proj
         assert " seg#" not in proj and "state#" not in proj, proj
+
+
+def test_run_extract_with_html_tier_matches_default(spark, tmp_path):
+    """Product surface: run_extract(html_split=True) commits the same
+    table as the default pipeline (synth corpus incl. skew bombs)."""
+    from webextract.icetable import IceTable
+    from webextract.pipeline import run_extract
+    from webextract.synth import pages_df
+    pages = pages_df(spark, 120, parallelism=4)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    run_extract(spark, pages, a, partitions=8, waves=2, cpus=4)
+    run_extract(spark, pages, b, partitions=8, waves=2, cpus=4,
+                split_bytes=2048, html_split=True)
+    ra = {r["url"]: r.asDict(recursive=True)
+          for r in IceTable(a).read(spark).collect()}
+    rb = {r["url"]: r.asDict(recursive=True)
+          for r in IceTable(b).read(spark).collect()}
+    assert set(ra) == set(rb)
+    for url in ra:
+        assert ra[url] == rb[url], url

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split-bytes", type=int, default=None,
                    help="enable the oversized-PDF page fan-out tier for "
                         "payloads >= this many bytes (split.py)")
+    p.add_argument("--html-split", action="store_true",
+                   help="with --split-bytes: also fan out oversized "
+                        "HTML via the cut-point tier (htmlsplit.py)")
     # --- conversion option surface (reference form fields, usage.md:14-41) ---
     p.add_argument("--to-formats", default=",".join(D.to_formats))
     p.add_argument("--from-formats", default=",".join(D.from_formats))
@@ -148,7 +151,8 @@ def main(argv: list[str] | None = None) -> int:
     summary = run_extract(
         spark, pages, args.output, opt=opt, partitions=args.partitions,
         waves=args.waves, cpus=args.cpus, run_id=args.run_id,
-        fail_after_wave=args.fail_after_wave, split_bytes=args.split_bytes)
+        fail_after_wave=args.fail_after_wave, split_bytes=args.split_bytes,
+        html_split=args.html_split)
     print(json.dumps(summary))
     return 0
 

@@ -213,13 +213,16 @@ def run_extract(spark: SparkSession, pages: DataFrame, table_root: str,
                 partitions: int = DEFAULT_PARTITIONS, waves: int = 4,
                 cpus: int = 32, run_id: str | None = None,
                 fail_after_wave: int | None = None,
-                split_bytes: int | None = None) -> dict:
+                split_bytes: int | None = None,
+                html_split: bool = False) -> dict:
     """The job driver: wave-committed, resumable extraction run.
 
     ``fail_after_wave`` injects a crash between commits (tests only).
-    ``split_bytes`` enables the oversized-PDF fan-out tier (split.py):
-    payloads >= the threshold are page-split across tasks instead of
-    pinning one task; None keeps the pure no-shuffle plan.
+    ``split_bytes`` enables the oversized-document fan-out tiers:
+    payloads >= the threshold are page-split (mini-PDF, split.py) —
+    and, with ``html_split`` also set, cut-point-split (HTML,
+    htmlsplit.py) — across tasks instead of pinning one task; None
+    keeps the pure no-shuffle plan.
     Returns a summary with per-wave counters.
     """
     table = IceTable(table_root)
@@ -236,7 +239,8 @@ def run_extract(spark: SparkSession, pages: DataFrame, table_root: str,
         if split_bytes is not None:
             from .split import extracted_split_df
             out = extracted_split_df(wave_df.drop("part_id"), opt, cpus,
-                                     split_bytes=split_bytes)
+                                     split_bytes=split_bytes,
+                                     html_split=html_split)
         else:
             out = extracted_df(wave_df.drop("part_id"), opt, cpus)
         out = with_part_id(out, partitions)
