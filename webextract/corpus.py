@@ -763,6 +763,47 @@ def lsh_ann_buckets(emb: DataFrame, bits: int = 16,
         F.concat(*[plane_bit(j) for j in range(bits)]).alias("bucket"))
 
 
+ANN_BUCKET_CAP = 1024   # SRP buckets larger than this are skipped
+
+
+def embed_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
+                         bits: int = 8,
+                         bucket_cap: int = ANN_BUCKET_CAP) -> DataFrame:
+    """(vec_a, vec_b, cos): embedding-cosine NEAR-DUP pairs — the
+    vector twin of lsh_jaccard_pairs, completing the dedup family
+    (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding).
+
+    Sub-quadratic shape: vectors are SRP-LSH bucketed (each vector in
+    exactly ONE bucket = its full `bits` signature, so pairs emerge
+    once — no distinct needed) and exact cosine runs only INSIDE a
+    bucket via an equi-join on the bucket key.  Recall is the
+    bits/threshold tradeoff (P[same bucket] = (1 - θ/π)^bits — the
+    deterministic contract, mirrored by the oracle); production layers
+    multiple tables (re-run with rotated seeds) for recall, same plan.
+
+    ``bucket_cap`` is the skew guard: the bucket universe is bounded
+    (≤ 2^bits keys) so the cap frame always broadcasts."""
+    b = lsh_ann_buckets(emb, bits)
+    norms = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"))
+    side = b.join(norms, "vec_id")
+    ok = (b.groupBy("bucket").count()
+          .filter(F.col("count") <= bucket_cap).select("bucket"))
+    side = side.join(F.broadcast(ok), "bucket", "left_semi")
+    a = side.select(F.col("bucket"), F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"), F.col("norm").alias("na"))
+    c = side.select(F.col("bucket"), F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
+    cos = F.round(_dot(F.col("ea"), F.col("eb"))
+                  / (F.col("na") * F.col("nb")), 6)
+    return (a.join(c, "bucket")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cos", cos)
+            .filter(F.col("cos") >= threshold)
+            .select("vec_a", "vec_b", "cos"))
+
+
 def ann_bucket_stats(emb: DataFrame, bits: int = 8) -> DataFrame:
     """Bucket occupancy histogram — the skew diagnostic for the ANN path."""
     return (lsh_ann_buckets(emb, bits)

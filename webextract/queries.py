@@ -408,6 +408,16 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
     return corpus.lsh_jaccard_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (completes the dedup family):
+    SRP-bucketed, exact cosine inside buckets only.  threshold=0.3 is
+    calibrated to the synthetic embeddings (near-random, top-1 cos
+    ≈ 0.37) so the gate exercises non-empty output; the operator
+    default is 0.9 for real near-dup corpora."""
+    return corpus.embed_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return corpus.simhash(_read(spark, sf_dir, "documents"))
 
@@ -634,6 +644,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+    "dedup_embed_cosine": q_dedup_embed_cosine,
     "dedup_simhash": q_dedup_simhash,
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ann_buckets": q_embed_ann_buckets,
@@ -1292,6 +1303,30 @@ ORACLES = {
                                         ORDER BY cos DESC, nid) AS rank
               FROM p)
         SELECT qid, nid, cos, rank::INTEGER AS rank FROM r WHERE rank <= 5""",
+
+    "dedup_embed_cosine": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, j,
+                     list_sum(list_transform(generate_series(1, len(v)),
+                       d -> CASE WHEN substr(md5(j || ':' || (d-1)), 1, 1) >= '8'
+                                 THEN v[d] ELSE -v[d] END)) AS dot
+              FROM e CROSS JOIN
+                   (SELECT unnest(generate_series(0, 7)) AS j) js),
+        b AS (SELECT vec_id,
+                     string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END,
+                                '' ORDER BY j) AS bucket
+              FROM s GROUP BY vec_id),
+        ok AS (SELECT bucket FROM b GROUP BY bucket
+               HAVING count(*) <= 1024),
+        n AS (SELECT e.vec_id, b.bucket, e.v,
+                     sqrt(list_dot_product(e.v, e.v)) AS nrm
+              FROM e JOIN b ON e.vec_id = b.vec_id
+                     JOIN ok ON b.bucket = ok.bucket)
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cos
+        FROM n a JOIN n c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6)
+              >= 0.3""",
 
     "embed_ann_buckets": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
