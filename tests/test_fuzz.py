@@ -78,3 +78,32 @@ def test_span_offsets_index_text(doc_id):
         assert 0 <= s <= e <= len(r.text)
         seg = r.text[s:e]
         assert "\n\n" not in seg or kind == "code"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(html_chunk, max_size=30).map("".join))
+def test_seeded_split_parse_matches_one_shot(doc):
+    """r3 html split tier: for ANY tokenizable document, cutting at
+    every eligible tag and concatenating the seeded segment parses
+    must reproduce the one-shot block list exactly (idx renumbered;
+    a mid-feed raise stops both paths at the same point)."""
+    from webextract.htmlsplit import _parse_seeded, scan_cuts
+    want = parse_blocks(doc, engine="fast")
+    try:
+        cuts = scan_cuts(doc, 1)
+    except Exception:
+        cuts = []
+    bounds = [(0, None)] + cuts + [(len(doc), None)]
+    got = []
+    for j in range(len(bounds) - 1):
+        blocks, ok = _parse_seeded(doc[bounds[j][0]:bounds[j + 1][0]],
+                                   bounds[j][1])
+        got.extend(blocks)
+        if not ok:
+            break
+    assert [(b.tag, b.kind, b.path, b.container_path, b.depth, b.text,
+             b.link_chars, b.boiler, b.semantic, b.heading_level,
+             b.li_index, b.cells, b.src) for b in got] \
+        == [(b.tag, b.kind, b.path, b.container_path, b.depth, b.text,
+             b.link_chars, b.boiler, b.semantic, b.heading_level,
+             b.li_index, b.cells, b.src) for b in want]

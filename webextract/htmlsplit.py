@@ -50,6 +50,7 @@ from .udfs import (EXTRACT_SCHEMA_DDL, _EXTRACT_ARROW, append_extracted,
                    new_extract_out)
 
 HTML_TARGET_CHARS = 1 * 1024 * 1024   # aim for ~1 MB decoded per segment
+SPLIT_FLUSH_BYTES = 64 * 1024 * 1024  # split-kernel output batch budget
 
 CUT_TAGS = (_BLOCK | _CONTAINER) - {"html"}
 
@@ -151,20 +152,30 @@ def scan_cuts(text: str, target_chars: int) -> list[tuple[int, str]]:
     return cuts
 
 
-def parse_blocks_seeded(text: str, state_json: str | None) -> list[Block]:
-    """Parse one segment with the crossing state seeded; never raises
-    (same guarantee as dom.parse_blocks)."""
+def _parse_seeded(text: str, state_json: str | None) -> tuple[list[Block], bool]:
+    """(blocks, ok) for one seeded segment; never raises (same
+    guarantee as dom.parse_blocks).  ok=False means the feed raised
+    mid-segment — the one-shot parse would have stopped THERE, so the
+    merge must drop every later segment's blocks to stay
+    byte-identical."""
     from .dom import _fast_feed
     p = seed_parser(state_json)
+    ok = True
     try:
         _fast_feed(p, text)
         p._finalize()
     except Exception:
+        ok = False
         try:
             p._finalize()
         except Exception:
             pass
-    return p.blocks
+    return p.blocks, ok
+
+
+def parse_blocks_seeded(text: str, state_json: str | None) -> list[Block]:
+    """Blocks of one seeded segment (test/identity surface)."""
+    return _parse_seeded(text, state_json)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -192,7 +203,8 @@ _BLOCK_STRUCT = pa.struct([
 
 _HSEGX_DDL = ("url string, warc_ts timestamp, lang string, seg_idx int, "
               "n_segs int, orig_bytes bigint, verdict string, fmt string, "
-              "error string, payload binary, blocks array<struct<"
+              "error string, payload binary, perr boolean, "
+              "blocks array<struct<"
               "tag:string,kind:string,path:string,cpath:string,depth:int,"
               "text:string,link_chars:int,boiler:boolean,semantic:boolean,"
               "hlevel:int,li_index:int,cells:array<array<string>>,"
@@ -202,7 +214,8 @@ _HSEGX_ARROW = pa.schema([
     ("lang", pa.string()), ("seg_idx", pa.int32()), ("n_segs", pa.int32()),
     ("orig_bytes", pa.int64()), ("verdict", pa.string()),
     ("fmt", pa.string()), ("error", pa.string()),
-    ("payload", pa.large_binary()), ("blocks", pa.list_(_BLOCK_STRUCT))])
+    ("payload", pa.large_binary()), ("perr", pa.bool_()),
+    ("blocks", pa.list_(_BLOCK_STRUCT))])
 
 
 def _admit_html(payload: bytes, opt: ConvertOptions):
@@ -237,9 +250,12 @@ def make_html_split_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
             langs = cols["lang"].to_pylist() if "lang" in cols \
                 else [None] * len(urls)
             out = {f.name: [] for f in _HSEG_ARROW}
+            acc = 0   # pending output bytes; bounds worker memory to
+            #           ~one oversized doc's segments, not a whole batch
 
             def emit(i, seg_idx, n_segs, verdict, fmt, error, state, seg,
                      payload):
+                nonlocal acc
                 out["url"].append(urls[i])
                 out["warc_ts"].append(ts[i])
                 out["lang"].append(langs[i])
@@ -252,6 +268,17 @@ def make_html_split_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
                 out["state"].append(state)
                 out["seg"].append(seg)
                 out["payload"].append(payload)
+                acc += (len(seg) if seg else 0) \
+                    + (len(payload) if payload else 0)
+
+            def flush():
+                nonlocal out, acc
+                b = pa.RecordBatch.from_pydict(
+                    {f.name: pa.array(out[f.name], f.type)
+                     for f in _HSEG_ARROW})
+                out = {f.name: [] for f in _HSEG_ARROW}
+                acc = 0
+                return b
 
             for i, payload in enumerate(htmls):
                 try:
@@ -260,22 +287,32 @@ def make_html_split_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
                         verdict, fmt, error = bad
                         emit(i, 0, 1, verdict, fmt, error, None, None,
                              payload if verdict == "fallback" else None)
-                        continue
-                    text = decode_html(payload)
-                    cuts = scan_cuts(text, target_chars)
-                    bounds = [(0, None)] + cuts + [(len(text), None)]
-                    n_segs = len(bounds) - 1
-                    for j in range(n_segs):
-                        start, state = bounds[j]
-                        end = bounds[j + 1][0]
-                        emit(i, j, n_segs, "", "html", "", state,
-                             text[start:end], None)
+                    else:
+                        text = decode_html(payload)
+                        try:
+                            cuts = scan_cuts(text, target_chars)
+                        except Exception:
+                            # the one-shot parse SWALLOWS handler
+                            # exceptions (no-raise contract); a scan
+                            # failure must therefore degrade to "no
+                            # cuts" (single seeded-less segment =
+                            # exactly the one-shot parse), never to a
+                            # failure row one-shot wouldn't produce
+                            cuts = []
+                        bounds = [(0, None)] + cuts + [(len(text), None)]
+                        n_segs = len(bounds) - 1
+                        for j in range(n_segs):
+                            start, state = bounds[j]
+                            end = bounds[j + 1][0]
+                            emit(i, j, n_segs, "", "html", "", state,
+                                 text[start:end], None)
                 except Exception as e:  # total-function contract
                     emit(i, 0, 1, "failure", "html",
                          f"{type(e).__name__}: {e}", None, None, None)
-            yield pa.RecordBatch.from_pydict(
-                {f.name: pa.array(out[f.name], f.type)
-                 for f in _HSEG_ARROW})
+                if acc >= SPLIT_FLUSH_BYTES:
+                    yield flush()
+            if out["url"]:
+                yield flush()
 
     return split_batches
 
@@ -288,14 +325,18 @@ def make_html_seg_kernel(opt: ConvertOptions = DEFAULT_OPTIONS):
         for batch in batches:
             cols = {n: batch.column(n).to_pylist()
                     for n in batch.schema.names}
-            out = {n: (cols[n] if n not in ("blocks", "state", "seg")
+            out = {n: (cols[n] if n not in ("blocks", "perr", "state",
+                                            "seg")
                        else []) for n in _HSEGX_ARROW.names}
             out["blocks"] = []
+            out["perr"] = []
             for i, seg in enumerate(cols["seg"]):
                 if cols["verdict"][i] or seg is None:
                     out["blocks"].append([])
+                    out["perr"].append(False)
                     continue
-                blocks = parse_blocks_seeded(seg, cols["state"][i])
+                blocks, ok = _parse_seeded(seg, cols["state"][i])
+                out["perr"].append(not ok)
                 out["blocks"].append([
                     {"tag": b.tag, "kind": b.kind, "path": b.path,
                      "cpath": b.container_path, "depth": b.depth,
@@ -339,7 +380,14 @@ def make_html_merge_kernel(opt: ConvertOptions = DEFAULT_OPTIONS):
                         url, ts, lang, nb)
                     continue
                 blocks: list[Block] = []
+                stop = False
                 for seg in cols["segs"][i]:          # sorted by seg_idx
+                    if stop:
+                        # a prior segment's feed raised: the one-shot
+                        # parse would have stopped there, so later
+                        # segments contribute nothing
+                        break
+                    stop = bool(seg["perr"])
                     for sb in (seg["blocks"] or []):
                         blocks.append(Block(
                             idx=len(blocks), tag=sb["tag"], kind=sb["kind"],
@@ -381,5 +429,5 @@ def extracted_html_split_branch(src: DataFrame,
                 F.max("error").alias("error"),
                 F.first("payload", ignorenulls=True).alias("payload"),
                 F.sort_array(F.collect_list(
-                    F.struct("seg_idx", "blocks"))).alias("segs")))
+                    F.struct("seg_idx", "perr", "blocks"))).alias("segs")))
     return agg.mapInArrow(make_html_merge_kernel(opt), EXTRACT_SCHEMA_DDL)
