@@ -834,6 +834,44 @@ def text_quality(docs: DataFrame) -> DataFrame:
         F.round(score, 4).alias("quality_score"))
 
 
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al. 2021, the standard
+    web-corpus admission ruleset): per-doc rule features plus the
+    combined pass flag — word-count bounds, mean-word-length bounds,
+    #-symbol and ellipsis word ratios, minimum stopword evidence.
+
+    Pure narrow projection (HOF filters over the token array, zero
+    shuffle) — the 100 TB shape for an admission filter is a WHERE
+    clause, and this is one."""
+    docs = _spread(docs.select("doc_id", "text"))
+    t = docs.select("doc_id", TOKENS().alias("toks"))
+    n = F.size("toks")
+    total_chars = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter("toks",
+                             lambda x: F.array_contains(stop_arr, x)))
+    n_hash = F.size(F.filter("toks", lambda x: x.contains("#")))
+    n_ell = F.size(F.filter("toks", lambda x: x.endswith("...")))
+    mwl = total_chars / n
+    out = t.select(
+        "doc_id", n.cast("long").alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        n_stop.cast("long").alias("stop_hits"),
+        F.round(n_hash / n, 4).alias("hash_ratio"),
+        F.round(n_ell / n, 4).alias("ellipsis_ratio"))
+    ok = (F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+          & F.col("mean_word_len").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+          & (F.col("stop_hits") >= 2)
+          & (F.col("hash_ratio") < 0.1)
+          & (F.col("ellipsis_ratio") < 0.3))
+    return out.withColumn("pass_quality", ok)
+
+
 LANG_MARKERS = {
     "de": ("der", "die", "das", "und", "ist", "nicht"),
     "fr": ("le", "les", "et", "est", "dans", "pour"),

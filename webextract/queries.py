@@ -446,6 +446,13 @@ def q_text_quality(spark, sf_dir):
     return corpus.text_quality(_read(spark, sf_dir, "documents"))
 
 
+def q_quality_gopher(spark, sf_dir):
+    """Gopher-rule admission filter (Rae et al. 2021): word-count and
+    mean-word-length bounds, symbol/ellipsis ratios, stopword evidence,
+    combined pass flag — all HOF array math, zero shuffle."""
+    return corpus.gopher_quality(_read(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark, sf_dir):
     return corpus.lang_id(_read(spark, sf_dir, "documents"))
 
@@ -651,6 +658,7 @@ QUERIES = {
     "embed_ivf_assign": q_embed_ivf_assign,
     "embed_ivf_topk": q_embed_ivf_topk,
     "text_quality": q_text_quality,
+    "quality_gopher": q_quality_gopher,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1357,6 +1365,30 @@ ORACLES = {
                      * (0.5 + 0.5 * least(1.0, (ns / nt) * 10.0)), 4)
                  AS quality_score
         FROM m""",
+
+    "quality_gopher": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        m AS (SELECT doc_id, len(toks) AS n,
+                     list_sum(list_transform(toks, x -> length(x))) AS tc,
+                     len(list_filter(toks, x -> x IN
+                       ('the','a','of','and','to','in','is','it'))) AS ns,
+                     len(list_filter(toks, x -> contains(x, '#'))) AS nh,
+                     len(list_filter(toks, x -> ends_with(x, '...'))) AS ne
+              FROM t),
+        f AS (SELECT doc_id, n::BIGINT AS n_words,
+                     round(tc / n, 4) AS mean_word_len,
+                     ns::BIGINT AS stop_hits,
+                     round(nh / n, 4) AS hash_ratio,
+                     round(ne / n, 4) AS ellipsis_ratio
+              FROM m)
+        SELECT *,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND stop_hits >= 2
+                AND hash_ratio < 0.1
+                AND ellipsis_ratio < 0.3) AS pass_quality
+        FROM f""",
 
     "lang_id": """
         WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
