@@ -834,6 +834,40 @@ def text_quality(docs: DataFrame) -> DataFrame:
         F.round(score, 4).alias("quality_score"))
 
 
+def source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source (host-level) corpus accounting — the aggregation a
+    web pipeline runs for host quotas and per-host dedup pressure:
+    doc/char totals, within-source exact-duplicate count, language
+    spread, dominant language (deterministic smallest-lang tiebreak).
+
+    Shape: one shuffle on (source, sha) with map-side partials, then
+    source-level re-aggregation of the ALREADY-REDUCED frame (rows =
+    distinct shas, not docs) — the classic two-level rollup; the lang
+    mode is a per-source window over the (source, lang) counts."""
+    d = docs.select(
+        "source", "lang", "n_chars",
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha"))
+    per_sha = (d.groupBy("source", "sha")
+               .agg(F.count("*").alias("k"),
+                    F.sum("n_chars").alias("ch"),
+                    F.first("lang").alias("lang")))
+    base = (per_sha.groupBy("source")
+            .agg(F.sum("k").cast("long").alias("n_docs"),
+                 F.sum("ch").cast("long").alias("n_chars"),
+                 F.sum(F.when(F.col("k") > 1, F.col("k"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("n_dup_docs")))
+    lc = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(),
+                                             F.col("lang"))
+    langs = (lc.withColumn("rn", F.row_number().over(w))
+             .groupBy("source")
+             .agg(F.count("*").cast("long").alias("n_langs"),
+                  F.max(F.when(F.col("rn") == 1, F.col("lang")))
+                  .alias("top_lang")))
+    return base.join(langs, "source")
+
+
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
 GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
 

@@ -446,6 +446,14 @@ def q_text_quality(spark, sf_dir):
     return corpus.text_quality(_read(spark, sf_dir, "documents"))
 
 
+def q_source_stats(spark, sf_dir):
+    """Host-level rollup: per-source doc/char totals, within-source
+    exact-dup count, language spread + dominant language (two-level
+    aggregation with map-side partials; deterministic mode
+    tiebreak)."""
+    return corpus.source_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_quality_gopher(spark, sf_dir):
     """Gopher-rule admission filter (Rae et al. 2021): word-count and
     mean-word-length bounds, symbol/ellipsis ratios, stopword evidence,
@@ -658,6 +666,7 @@ QUERIES = {
     "embed_ivf_assign": q_embed_ivf_assign,
     "embed_ivf_topk": q_embed_ivf_topk,
     "text_quality": q_text_quality,
+    "source_stats": q_source_stats,
     "quality_gopher": q_quality_gopher,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
@@ -1365,6 +1374,29 @@ ORACLES = {
                      * (0.5 + 0.5 * least(1.0, (ns / nt) * 10.0)), 4)
                  AS quality_score
         FROM m""",
+
+    "source_stats": """
+        WITH d AS (SELECT source, lang, n_chars,
+                          sha256(text) AS sha FROM documents),
+        per_sha AS (SELECT source, sha, count(*) AS k,
+                           sum(n_chars) AS ch
+                    FROM d GROUP BY source, sha),
+        base AS (SELECT source, sum(k)::BIGINT AS n_docs,
+                        sum(ch)::BIGINT AS n_chars,
+                        sum(CASE WHEN k > 1 THEN k ELSE 0 END)::BIGINT
+                          AS n_dup_docs
+                 FROM per_sha GROUP BY source),
+        lc AS (SELECT source, lang, count(*) AS n
+               FROM d GROUP BY source, lang),
+        langs AS (SELECT source, count(*)::BIGINT AS n_langs,
+                         max(CASE WHEN rn = 1 THEN lang END) AS top_lang
+                  FROM (SELECT source, lang, n,
+                               row_number() OVER (PARTITION BY source
+                                 ORDER BY n DESC, lang) AS rn
+                        FROM lc)
+                  GROUP BY source)
+        SELECT base.source, n_docs, n_chars, n_dup_docs, n_langs, top_lang
+        FROM base JOIN langs ON base.source = langs.source""",
 
     "quality_gopher": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
