@@ -172,3 +172,19 @@ def test_ivf_trained_centroids_balance_buckets(spark):
     mean = sum(counts.values()) / 16
     assert max(counts.values()) <= 2 * mean, counts
     assert _ivf_centroids(emb, 16) == _ivf_centroids(emb, 16)
+
+
+def test_repetition_fold_flags_spam(spark):
+    """The in-array mode fold: a phrase-spam doc must fail the 0.2
+    top-2gram bound; clean prose and sub-n docs must pass."""
+    from webextract.corpus import repetition_stats
+    rows = [(0, "buy cheap pills " * 20), (1, "a b c d e f g h i j"),
+            (2, "one"), (3, "")]
+    docs = spark.createDataFrame([(i, t.strip()) for i, t in rows],
+                                 "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[0].pass_repetition is False
+    assert got[0].top_gram_count >= 19          # "pills buy" x19 runs
+    assert got[1].pass_repetition is True
+    assert got[2].n_grams == 0 and got[2].pass_repetition is True
+    assert got[3].n_grams == 0 and got[3].pass_repetition is True

@@ -834,6 +834,50 @@ def text_quality(docs: DataFrame) -> DataFrame:
         F.round(score, 4).alias("quality_score"))
 
 
+REPETITION_TOP_FRAC = 0.2    # Gopher: top-2gram fraction bound
+
+
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher repetition rule: fraction of the document occupied by its
+    most frequent word n-gram (boilerplate/spam repeats phrases; clean
+    prose doesn't).  pass_repetition = top fraction <= 0.2.
+
+    Zero shuffle: NON-distinct n-grams built per row, array_sort, then
+    ONE aggregate fold counting the longest run of equal neighbors —
+    the mode of an array without any explode/groupBy.  (The sort is
+    per-document in-memory; at 100 TB this stays a narrow projection.)
+    """
+    docs = _spread(docs.select("doc_id", "text"))
+    t = docs.select("doc_id", TOKENS().alias("toks"))
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + k)
+                       for k in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", F.array_sort(grams).alias("g"))
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("best"))
+    run = lambda a, x: F.when(x == a["prev"], a["run"] + 1).otherwise(
+        F.lit(1).cast("long"))
+    folded = F.aggregate(
+        "g", acc0,
+        lambda a, x: F.struct(x.alias("prev"), run(a, x).alias("run"),
+                              F.greatest(a["best"], run(a, x))
+                              .alias("best")))
+    out = g.select("doc_id", F.size("g").cast("long").alias("n_grams"),
+                   folded["best"].alias("top_gram_count"))
+    frac = F.when(F.col("n_grams") > 0,
+                  F.round(F.col("top_gram_count") / F.col("n_grams"), 4)
+                  ).otherwise(F.lit(0.0))
+    return (out.withColumn("top_gram_frac", frac)
+            .withColumn("pass_repetition",
+                        F.col("top_gram_frac") <= REPETITION_TOP_FRAC))
+
+
 def source_stats(docs: DataFrame) -> DataFrame:
     """Per-source (host-level) corpus accounting — the aggregation a
     web pipeline runs for host quotas and per-host dedup pressure:

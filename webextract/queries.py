@@ -446,6 +446,13 @@ def q_text_quality(spark, sf_dir):
     return corpus.text_quality(_read(spark, sf_dir, "documents"))
 
 
+def q_quality_repetition(spark, sf_dir):
+    """Gopher repetition rule: top-2gram fraction per doc, computed as
+    an in-array fold (sorted n-grams, longest equal-neighbor run) —
+    mode of an array with zero explode/shuffle."""
+    return corpus.repetition_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_source_stats(spark, sf_dir):
     """Host-level rollup: per-source doc/char totals, within-source
     exact-dup count, language spread + dominant language (two-level
@@ -666,6 +673,7 @@ QUERIES = {
     "embed_ivf_assign": q_embed_ivf_assign,
     "embed_ivf_topk": q_embed_ivf_topk,
     "text_quality": q_text_quality,
+    "quality_repetition": q_quality_repetition,
     "source_stats": q_source_stats,
     "quality_gopher": q_quality_gopher,
     "lang_id": q_lang_id,
@@ -1374,6 +1382,25 @@ ORACLES = {
                      * (0.5 + 0.5 * least(1.0, (ns / nt) * 10.0)), 4)
                  AS quality_score
         FROM m""",
+
+    "quality_repetition": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+              FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+              WHERE len(toks) >= 2),
+        c AS (SELECT doc_id, gram, count(*) AS k
+              FROM g GROUP BY doc_id, gram),
+        m AS (SELECT doc_id, sum(k) AS ng, max(k) AS top
+              FROM c GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(ng, 0)::BIGINT AS n_grams,
+               coalesce(top, 0)::BIGINT AS top_gram_count,
+               CASE WHEN coalesce(ng, 0) > 0
+                    THEN round(top / ng, 4) ELSE 0.0 END AS top_gram_frac,
+               (CASE WHEN coalesce(ng, 0) > 0
+                     THEN round(top / ng, 4) ELSE 0.0 END) <= 0.2
+                 AS pass_repetition
+        FROM t LEFT JOIN m ON t.doc_id = m.doc_id""",
 
     "source_stats": """
         WITH d AS (SELECT source, lang, n_chars,
