@@ -834,6 +834,26 @@ def text_quality(docs: DataFrame) -> DataFrame:
         F.round(score, 4).alias("quality_score"))
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction (training-data hygiene): emails → <EMAIL>, simple
+    phone patterns → <PHONE>, with per-doc match counts.  Pure
+    JVM-side regexp projection, zero shuffle; the patterns are kept to
+    the RE2/Java-common subset so the DuckDB oracle runs the SAME
+    regexes (engine-portable contract, like the md5 rules)."""
+    t = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        scrubbed.alias("text_scrubbed"))
+
+
 REPETITION_TOP_FRAC = 0.2    # Gopher: top-2gram fraction bound
 
 

@@ -446,6 +446,20 @@ def q_text_quality(spark, sf_dir):
     return corpus.text_quality(_read(spark, sf_dir, "documents"))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction gate: deterministic emails/phones injected from
+    doc_id (both engines build the identical augmented text), scrubbed
+    back out with the same RE2/Java-common regexes."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or 555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+                 ).alias("text"))
+    return corpus.pii_scrub(docs)
+
+
 def q_quality_repetition(spark, sf_dir):
     """Gopher repetition rule: top-2gram fraction per doc, computed as
     an in-array fold (sorted n-grams, longest equal-neighbor run) —
@@ -673,6 +687,7 @@ QUERIES = {
     "embed_ivf_assign": q_embed_ivf_assign,
     "embed_ivf_topk": q_embed_ivf_topk,
     "text_quality": q_text_quality,
+    "pii_scrub": q_pii_scrub,
     "quality_repetition": q_quality_repetition,
     "source_stats": q_source_stats,
     "quality_gopher": q_quality_gopher,
@@ -1382,6 +1397,25 @@ ORACLES = {
                      * (0.5 + 0.5 * least(1.0, (ns / nt) * 10.0)), 4)
                  AS quality_score
         FROM m""",
+
+    "pii_scrub": """
+        WITH a AS (SELECT doc_id,
+                          text || ' contact user' || doc_id
+                          || '@example.com or 555-'
+                          || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                            AS text
+                   FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+                 AS n_emails,
+               len(regexp_extract_all(text,
+                 '\\b\\d{3}-\\d{4}\\b'))::BIGINT AS n_phones,
+               regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'), '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')
+                 AS text_scrubbed
+        FROM a""",
 
     "quality_repetition": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
