@@ -590,6 +590,13 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
 IVF_SAMPLE = 256      # deterministic training sample (smallest vec_ids)
 IVF_ITERS = 2         # Lloyd iterations over the sample
 
+# trained-centroid cache: the catalog-artifact contract made literal —
+# centroids are a pure function of (corpus, k, sample, iters), so two
+# operator builds over the semantically-identical frame reuse one
+# training run (keyed by DataFrame.semanticHash + input file set; no
+# Spark job to probe)
+_IVF_CACHE: dict = {}
+
 
 def _ivf_centroids(emb: DataFrame, n_centroids: int,
                    sample_n: int = IVF_SAMPLE,
@@ -611,6 +618,13 @@ def _ivf_centroids(emb: DataFrame, n_centroids: int,
     sample_n rows, never the corpus, and the trained array ships to
     executors as plan literals exactly like the seed version did."""
     import math
+    try:
+        key = (emb.semanticHash(), tuple(sorted(emb.inputFiles())),
+               n_centroids, sample_n, iters)
+    except Exception:
+        key = None
+    if key is not None and key in _IVF_CACHE:
+        return _IVF_CACHE[key]
     rows = (emb.orderBy("vec_id").limit(max(n_centroids, sample_n))
             .select("embedding").collect())
     if len(rows) < n_centroids:
@@ -641,6 +655,8 @@ def _ivf_centroids(emb: DataFrame, n_centroids: int,
         chat = [norm_round([s / counts[j] for s in sums[j]])
                 if counts[j] else chat[j]
                 for j in range(n_centroids)]
+    if key is not None:
+        _IVF_CACHE[key] = chat
     return chat
 
 
