@@ -408,6 +408,19 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
     return corpus.lsh_jaccard_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """The dedup ENDGAME composed end-to-end — the production pipeline
+    in one gate: MinHash-LSH candidates → exact-Jaccard verify →
+    connected components (pointer-jump) → survivor flag (keep = the
+    min-id representative of each near-dup cluster)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = corpus.lsh_jaccard_pairs(docs).select("doc_a", "doc_b")
+    clusters = corpus.dedup_clusters(docs, pairs=pairs)
+    return clusters.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"))
+
+
 def q_dedup_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (completes the dedup family):
     SRP-bucketed, exact cosine inside buckets only.  threshold=0.3 is
@@ -680,6 +693,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+    "dedup_survivors": q_dedup_survivors,
     "dedup_embed_cosine": q_dedup_embed_cosine,
     "dedup_simhash": q_dedup_simhash,
     "embed_cosine_topk": q_embed_cosine_topk,
@@ -1343,6 +1357,45 @@ ORACLES = {
                                         ORDER BY cos DESC, nid) AS rank
               FROM p)
         SELECT qid, nid, cos, rank::INTEGER AS rank FROM r WHERE rank <= 5""",
+
+    "dedup_survivors": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        h2 AS (SELECT doc_id, list_transform(shingles,
+                 s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
+               FROM sh WHERE len(shingles) > 0),
+        m AS (SELECT doc_id, list_transform(generate_series(0, 15),
+                j -> list_min(list_transform(hs,
+                  h -> (h * (j*7919 + 1) + (j*104729 + 1)) % 536870909)))
+                AS mh
+              FROM h2),
+        b AS (SELECT doc_id, band,
+                     md5(mh[band*4+1] || ',' || mh[band*4+2] || ',' ||
+                         mh[band*4+3] || ',' || mh[band*4+4]) AS band_key
+              FROM m, unnest(generate_series(0, 3)) AS u(band)),
+        bc AS (SELECT doc_id, band, band_key,
+                      count(*) OVER (PARTITION BY band, band_key) AS c
+               FROM b),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                 FROM bc a JOIN bc b2
+                   ON a.band = b2.band AND a.band_key = b2.band_key
+                  AND a.doc_id < b2.doc_id
+                 WHERE a.c <= 64),
+        jv AS (SELECT doc_a, doc_b,
+                      len(list_intersect(sa.shingles, sb.shingles)) AS i,
+                      len(sa.shingles) AS na, len(sb.shingles) AS nb
+               FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+                         JOIN sh sb ON sb.doc_id = cand.doc_b),
+        pairs AS (SELECT doc_a, doc_b FROM jv
+                  WHERE i / (na + nb - i) >= 0.4),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT doc_id AS node, doc_id AS r FROM documents
+                  UNION
+                  SELECT e.src, rc.r FROM reach rc
+                  JOIN edges e ON e.dst = rc.node)
+        SELECT node AS doc_id, min(r) AS cluster_id,
+               (node = min(r)) AS keep
+        FROM reach GROUP BY node""",
 
     "dedup_embed_cosine": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
