@@ -228,3 +228,19 @@ def test_exploded_shingles_no_inlined_gram_filter(spark):
     for line in opt.splitlines():
         if line.strip().startswith(("Filter", "+- Filter")):
             assert "concat_ws" not in line, line[:300]
+
+
+def test_quality_ops_are_narrow_projections(spark):
+    """gopher_quality / repetition_stats / pii_scrub are admission
+    filters — their 100TB shape is a WHERE clause: at most the spread
+    barrier exchange, no joins, no aggregates beyond the fold."""
+    from webextract.corpus import gopher_quality, pii_scrub, repetition_stats
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for make in (lambda: gopher_quality(docs),
+                 lambda: repetition_stats(docs),
+                 lambda: pii_scrub(docs.select("doc_id", "text"))):
+        plan = _plan(make())
+        tree = plan.split("\n\n")[0]
+        assert "Join" not in tree, tree
+        assert "HashAggregate" not in tree, tree
+        assert tree.count("Exchange") <= 1, tree

@@ -624,6 +624,18 @@ def q_events_hourly(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_events_props(spark, sf_dir):
+    """Semi-structured path: the events `props` column is a JSON string;
+    extract $.k schema-on-read (from_json), bucket it, aggregate —
+    the JSON-parse stays JVM-side (no Python)."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select("event_type", (k % 10).alias("k_bucket"), "value")
+            .groupBy("event_type", "k_bucket")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 def q_pipeline_counters(spark, sf_dir):
     """End-to-end wave pipeline over documents-derived pages (incl. the
     IceTable snapshot commit protocol), verified through the committed
@@ -719,6 +731,7 @@ QUERIES = {
     "priority_big_orders": q_priority_big_orders,
     "events_sessions": q_events_sessions,
     "events_hourly": q_events_hourly,
+    "events_props": q_events_props,
     "resume_pending": q_resume_pending,
     "pipeline_counters": q_pipeline_counters,
     "stream_window_counts": q_stream_window_counts,
@@ -1708,6 +1721,13 @@ ORACLES = {
                lang, count(*)::BIGINT AS n_pages,
                sum(strlen(text))::BIGINT AS bytes_in
         FROM documents GROUP BY 1, 2""",
+
+    "events_props": """
+        SELECT event_type,
+               (json_extract(props, '$.k')::INTEGER % 10) AS k_bucket,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2""",
 
     "resume_pending": """
         SELECT doc_id % 16 AS part_id, count(*)::BIGINT AS n_pending
