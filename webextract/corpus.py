@@ -1029,6 +1029,60 @@ def token_stats(docs: DataFrame) -> DataFrame:
             .select("lang", "n_docs", "n_tokens", "n_subwords"))
 
 
+def substring_dup_candidates(docs: DataFrame, gram: int = 5,
+                             window: int = 4, min_shared: int = 2,
+                             df_cap: int = 32) -> DataFrame:
+    """(doc_a, doc_b, n_shared): pairs of documents sharing >=
+    ``min_shared`` winnowing fingerprints — SUBSTRING-level duplication
+    evidence (the distributed approximation of suffix-array exact
+    substring dedup, Lee et al. 2022: winnowing guarantees any shared
+    run of ≥ gram+window-1 tokens yields a shared fingerprint).
+
+    Shape mirrors lsh_candidate_pairs: narrow per-doc fingerprint
+    arrays (the winnowing math never shuffles), ONE exchange on the
+    fingerprint key into a bucket groupBy emitting in-array i<j pairs,
+    then a pair-count aggregate.  ``df_cap`` bounds both fingerprint
+    document-frequency and bucket fan-out in one filter (boilerplate
+    fingerprints shared by everything are dup-signal-free and would
+    cost df² pairs)."""
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (gram - 1)),
+        lambda i: F.md5(F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(gram)])))
+    width = docs.sparkSession.sparkContext.defaultParallelism * 2
+    g = (docs.select("doc_id", TOKENS().alias("toks"))
+         .filter(F.size("toks") >= gram + window - 1)
+         .repartition(width, F.col("doc_id"))
+         .select("doc_id", grams.alias("g")))
+    wmins = F.transform(
+        F.sequence(F.lit(1), F.size("g") - (window - 1)),
+        lambda i: F.least(*[F.element_at(F.col("g"), i + k)
+                            for k in range(window)]))
+    fps = (g.select("doc_id", F.array_distinct(wmins).alias("fps"))
+           # observe barrier: InferFiltersFromGenerate would otherwise
+           # inline the winnowing HOF into a scan filter (the 18× trap)
+           .observe(f"ssd_barrier_{next(_BARRIER_SEQ)}",
+                    F.count(F.lit(1))))
+    fp = fps.select("doc_id", F.explode("fps").alias("fp"))
+    buckets = (fp.groupBy("fp")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter((F.size("ids") >= 2) & (F.size("ids") <= df_cap)))
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(2), F.size("ids")),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), i - 1),
+            lambda j: F.struct(
+                F.element_at(F.col("ids"), j).alias("doc_a"),
+                F.element_at(F.col("ids"), i).alias("doc_b")))))
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.doc_a").alias("doc_a"),
+                    F.col("p.doc_b").alias("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def fingerprints(docs: DataFrame, gram: int = 5, window: int = 4) -> DataFrame:
     """Document fingerprints: whole-text md5 + winnowing count.
 

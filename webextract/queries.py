@@ -408,6 +408,15 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
     return corpus.lsh_jaccard_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Substring-level dup candidates: pairs sharing >= 2 winnowing
+    fingerprints (any shared run of >= 8 tokens guarantees a shared
+    fingerprint) — the distributed stand-in for suffix-array substring
+    dedup."""
+    return corpus.substring_dup_candidates(
+        _read(spark, sf_dir, "documents"))
+
+
 def q_dedup_survivors(spark, sf_dir):
     """The dedup ENDGAME composed end-to-end — the production pipeline
     in one gate: MinHash-LSH candidates → exact-Jaccard verify →
@@ -705,6 +714,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+    "dedup_substring": q_dedup_substring,
     "dedup_survivors": q_dedup_survivors,
     "dedup_embed_cosine": q_dedup_embed_cosine,
     "dedup_simhash": q_dedup_simhash,
@@ -1370,6 +1380,29 @@ ORACLES = {
                                         ORDER BY cos DESC, nid) AS rank
               FROM p)
         SELECT qid, nid, cos, rank::INTEGER AS rank FROM r WHERE rank <= 5""",
+
+    "dedup_substring": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, i AS pos, len(toks) - 4 AS m,
+                     md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4]) AS h
+              FROM t, unnest(generate_series(
+                       1, greatest(len(toks) - 4, 0))) AS u(i)),
+        w AS (SELECT doc_id, pos, m,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+              FROM g),
+        f AS (SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= m - 3),
+        fc AS (SELECT doc_id, wmin FROM
+                 (SELECT doc_id, wmin,
+                         count(*) OVER (PARTITION BY wmin) AS df FROM f)
+               WHERE df BETWEEN 2 AND 32)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*)::BIGINT AS n_shared
+        FROM fc a JOIN fc b
+          ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2""",
 
     "dedup_survivors": f"""
         WITH RECURSIVE {_SHINGLES_CTE},
