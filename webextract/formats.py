@@ -43,6 +43,8 @@ ALL_FORMATS = ("docx", "pptx", "html", "image", "pdf", "asciidoc", "md",
                "json_docling", "audio", "vtt")
 
 _MD_HEAD = re.compile(r"^#{1,6} \S")
+# control bytes counted by the binary-junk guard: 0-8 and 14-31
+_CTRL_DELETE = bytes(list(range(0, 9)) + list(range(14, 32)))
 _AUDIO_MAGIC = (b"ID3", b"OggS", b"fLaC", b"\xff\xfb", b"\xff\xf3",
                 b"\xff\xf2")
 _IMAGE_MAGIC = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a",
@@ -85,7 +87,10 @@ def sniff(payload: bytes) -> str:
     # or '<' must not table-ize/html-ize.
     if b"\x00" in head:
         return "unknown"
-    n_ctl = sum(1 for b in head if b < 9 or 13 < b < 32)
+    # control count via C-speed translate-delete (this runs for EVERY
+    # text document now that the guard precedes the heuristics; the
+    # per-byte Python genexpr it replaces was 2.4% of kernel time)
+    n_ctl = len(head) - len(head.translate(None, _CTRL_DELETE))
     if head and n_ctl / len(head) > 0.1:
         return "unknown"
     text = decode_html(head)
