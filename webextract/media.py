@@ -395,6 +395,166 @@ def with_bmp_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
 
 
+def picture_classify(df: DataFrame) -> DataFrame:
+    """Operator C7's deterministic stand-in: classify each image by its
+    DOMINANT COLOR CHANNEL computed from real decoded pixels
+    (raster_stats) — the classify-stage plumbing (decode → feature →
+    label) with a rule in place of the ML model.  Deterministic
+    tiebreak r ≥ g ≥ b; undecodable payloads label 'unknown'."""
+    st = raster_stats(df)
+    label = (F.when(F.col("r_mean").isNull(), "unknown")
+             .when((F.col("r_mean") >= F.col("g_mean"))
+                   & (F.col("r_mean") >= F.col("b_mean")), "red")
+             .when(F.col("g_mean") >= F.col("b_mean"), "green")
+             .otherwise("blue"))
+    return st.select("doc_id", label.alias("label"),
+                     "r_mean", "g_mean", "b_mean")
+
+
+# ---------------------------------------------------------------------------
+# deterministic OCR pipeline (operator C5's deterministic stand-in):
+# render text into a REAL uncompressed BMP with a 3x5 bitmap font, then
+# OCR it back by glyph matching — actual pixel-level processing end to
+# end (the reference's OCR stage shape without the ML model), pure
+# stdlib, byte-exact round-trip gated against the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_FONT = {
+    "0": ("###", "###", "# #", "###", "###"),
+    "1": (" # ", "## ", " # ", " # ", "###"),
+    "2": ("###", "  #", "###", "#  ", "###"),
+    "3": ("###", "  #", "###", "  #", "###"),
+    "4": ("# #", "# #", "###", "  #", "  #"),
+    "5": ("###", "#  ", "###", "  #", "###"),
+    "6": ("###", "#  ", "###", "# #", "###"),
+    "7": ("###", "  #", "  #", "  #", "  #"),
+    "8": ("###", "# #", "###", "# #", "###"),
+    "9": ("###", "# #", "###", "  #", "###"),
+    "a": ("###", "# #", "###", "# #", "# #"),
+    "b": ("## ", "# #", "## ", "# #", "## "),
+    "c": ("###", "#  ", "#  ", "#  ", "###"),
+    "d": ("## ", "# #", "# #", "# #", "## "),
+    "e": ("###", "#  ", "###", "#  ", "###"),
+    "f": ("###", "#  ", "###", "#  ", "#  "),
+    "g": ("###", "#  ", "# #", "# #", "###"),
+    "h": ("# #", "# #", "###", "# #", "# #"),
+    "i": ("###", " # ", " # ", " # ", "###"),
+    "j": ("  #", "  #", "  #", "# #", "###"),
+    "k": ("# #", "## ", "#  ", "## ", "# #"),
+    "l": ("#  ", "#  ", "#  ", "#  ", "###"),
+    "m": ("# #", "###", "###", "# #", "# #"),
+    "n": ("## ", "# #", "# #", "# #", "# #"),
+    "o": (" # ", "# #", "# #", "# #", " # "),
+    "p": ("###", "# #", "###", "#  ", "#  "),
+    "q": (" ##", "# #", "###", "  #", "  #"),
+    "r": ("## ", "# #", "## ", "# #", "# #"),
+    "s": (" ##", "#  ", " # ", "  #", "## "),
+    "t": ("###", " # ", " # ", " # ", " # "),
+    "u": ("# #", "# #", "# #", "# #", "###"),
+    "v": ("# #", "# #", "# #", " # ", " # "),
+    "w": ("# #", "# #", "###", "###", "# #"),
+    "x": ("# #", "# #", " # ", "# #", "# #"),
+    "y": ("# #", "# #", " # ", " # ", " # "),
+    "z": ("###", "  #", " # ", "#  ", "###"),
+    " ": ("   ", "   ", "   ", "   ", "   "),
+}
+_FONT_REV = {v: k for k, v in _FONT.items()}
+OCR_COLS = 32            # glyph cells per image row
+OCR_MAX_CHARS = 128      # rendered text cap (mirrored by the oracle)
+_CELL_W, _CELL_H = 4, 6  # 3x5 glyph + 1px spacing
+
+
+def render_text_bmp(text: str) -> bytes:
+    """Render up to OCR_MAX_CHARS of [a-z0-9 ] text as black 3x5
+    glyphs on white in a REAL uncompressed 24-bit BMP (spec-valid:
+    bottom-up rows, 4-byte stride)."""
+    import struct
+    s = text[:OCR_MAX_CHARS]
+    n_rows = max(1, -(-len(s) // OCR_COLS))
+    w, h = OCR_COLS * _CELL_W, n_rows * _CELL_H
+    px = [[255] * (3 * w) for _ in range(h)]   # white canvas, BGR
+    for idx, ch in enumerate(s):
+        glyph = _FONT.get(ch)
+        if glyph is None:
+            continue                           # unsupported: blank cell
+        cy, cx = divmod(idx, OCR_COLS)
+        for gy, row in enumerate(glyph):
+            for gx, ink in enumerate(row):
+                if ink == "#":
+                    x = cx * _CELL_W + gx
+                    y = cy * _CELL_H + gy
+                    px[y][3 * x:3 * x + 3] = [0, 0, 0]
+    stride = (3 * w + 3) & ~3
+    pad = b"\x00" * (stride - 3 * w)
+    img = b"".join(bytes(px[y]) + pad for y in range(h - 1, -1, -1))
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img),
+                         2835, 2835, 0, 0))
+    return hdr + img
+
+
+def ocr_bmp(b: bytes) -> str | None:
+    """OCR the glyph grid back out of a rendered BMP: slice each cell's
+    3x5 pixel block, threshold, reverse-match against the font.
+    Returns None for non-BMP/foreign payloads; unknown glyph patterns
+    decode as '?'."""
+    import struct
+    try:
+        if b[:2] != b"BM" or len(b) < 54:
+            return None
+        off = struct.unpack("<I", b[10:14])[0]
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        if bpp != 24 or w % _CELL_W or h % _CELL_H or w <= 0 or h <= 0:
+            return None
+        stride = (3 * w + 3) & ~3
+        rows = [b[off + r * stride: off + r * stride + 3 * w]
+                for r in range(abs(h) - 1, -1, -1)]   # back to top-down
+        out = []
+        for cy in range(abs(h) // _CELL_H):
+            for cx in range(w // _CELL_W):
+                pat = []
+                for gy in range(5):
+                    row = rows[cy * _CELL_H + gy]
+                    bits = "".join(
+                        "#" if row[3 * (cx * _CELL_W + gx)] < 128 else " "
+                        for gx in range(3))
+                    pat.append(bits)
+                out.append(_FONT_REV.get(tuple(pat), "?"))
+        return "".join(out).rstrip()
+    except (struct.error, IndexError):
+        return None
+
+
+def with_text_bmp_media(docs: DataFrame) -> DataFrame:
+    """Attach rendered-text BMPs built from a [a-z0-9 ]-canonicalized
+    `text` column (callers canonicalize; the renderer blanks anything
+    else)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 "media": [render_text_bmp(t or "")
+                           for t in pdf["text"]]})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, media binary")
+
+
+def media_ocr(df: DataFrame) -> DataFrame:
+    """df(doc_id, media:binary) → (doc_id, ocr_text).  Narrow
+    mapInPandas, same plumbing as the other media kernels."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 "ocr_text": [ocr_bmp(m if m is not None else b"")
+                              for m in pdf["media"]]})
+
+    return df.select("doc_id", "media").mapInPandas(
+        fn, "doc_id bigint, ocr_text string")
+
+
 def with_fake_media(docs: DataFrame) -> DataFrame:
     """Attach a deterministic binary `media` column derived from text
     (stands in for a crawled image payload; ASCII text → n_bytes ==

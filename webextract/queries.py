@@ -548,6 +548,25 @@ def q_media_image_headers(spark, sf_dir):
             .select("doc_id", "fmt", "width", "height", "n_bytes"))
 
 
+def q_media_picture_classify(spark, sf_dir):
+    """C7 stand-in: dominant-channel labels from REAL decoded pixels
+    (rule in place of the ML model; same decode→feature→label
+    plumbing)."""
+    docs = media.with_bmp_media(_read(spark, sf_dir, "documents"))
+    return media.picture_classify(docs)
+
+
+def q_media_ocr(spark, sf_dir):
+    """Deterministic OCR pipeline (C5's stand-in, REAL pixel work):
+    canonicalized text rendered into 3x5-glyph BMPs, then OCR'd back by
+    per-cell pixel matching — the oracle asserts the byte-exact
+    round-trip against the source text."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "").alias("text"))
+    return media.media_ocr(media.with_text_bmp_media(docs))
+
+
 def q_media_raster_stats(spark, sf_dir):
     """REAL pixel-level raster decode (round-2 review item 7): valid
     uncompressed 24-bit BMPs synthesized from doc_id, decoded back to
@@ -735,6 +754,8 @@ QUERIES = {
     "media_audio_headers": q_media_audio_headers,
     "media_frame_sample": q_media_frame_sample,
     "media_raster_stats": q_media_raster_stats,
+    "media_ocr": q_media_ocr,
+    "media_picture_classify": q_media_picture_classify,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -1666,6 +1687,33 @@ ORACLES = {
                ((i-1) * 4 * 4096)::BIGINT AS frame_off
         FROM m, unnest(generate_series(
                  1, cast(ceil(nf / 4.0) AS BIGINT))) AS u(i)""",
+
+    "media_picture_classify": """
+        WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                   FROM documents),
+        px AS (SELECT doc_id,
+                      (doc_id + x.i + y.i) % 256 AS bc,
+                      (doc_id * 3 + x.i * 5 + y.i * 7) % 256 AS gc,
+                      (doc_id * 11 + x.i * 13 + y.i * 17) % 256 AS rc
+               FROM d,
+                    unnest(generate_series(0, w - 1)) AS x(i),
+                    unnest(generate_series(0, h - 1)) AS y(i)),
+        m AS (SELECT doc_id, round(avg(rc), 4) AS r_mean,
+                     round(avg(gc), 4) AS g_mean,
+                     round(avg(bc), 4) AS b_mean
+              FROM px GROUP BY doc_id)
+        SELECT doc_id,
+               CASE WHEN r_mean >= g_mean AND r_mean >= b_mean THEN 'red'
+                    WHEN g_mean >= b_mean THEN 'green'
+                    ELSE 'blue' END AS label,
+               r_mean, g_mean, b_mean
+        FROM m""",
+
+    "media_ocr": """
+        SELECT doc_id,
+               rtrim(substr(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                           '', 'g'), 1, 128)) AS ocr_text
+        FROM documents""",
 
     "media_raster_stats": """
         WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
