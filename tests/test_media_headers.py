@@ -108,3 +108,33 @@ def test_bmp_raster_stats_edges():
     import struct
     comp = b[:30] + struct.pack("<I", 1) + b[34:]           # RLE flag
     assert bmp_raster_stats(comp) is None
+
+
+def test_ocr_font_roundtrip():
+    """C5 stand-in: glyph patterns are unique (decodability) and the
+    render→OCR round-trip is exact for the supported alphabet; foreign
+    payloads decode to None, unknown glyphs to '?'."""
+    from webextract.media import (_FONT, _FONT_REV, ocr_bmp,
+                                  render_text_bmp, make_bmp_bytes)
+    assert len(_FONT_REV) == len(_FONT) == 37
+    for s in ("hello world 42", "pack my box with five dozen jugs 019",
+              "", "a", "x" * 200):
+        assert ocr_bmp(render_text_bmp(s)) == s[:128].rstrip()
+    assert ocr_bmp(b"") is None
+    assert ocr_bmp(b"not a bmp at all") is None
+    assert ocr_bmp(make_bmp_bytes(3)) is None   # wrong cell geometry
+    # glyph from outside the font renders blank -> decodes as space
+    assert ocr_bmp(render_text_bmp("a!b")) == "a b"
+
+
+def test_picture_classify_labels(spark):
+    """C7 stand-in: labels follow the dominant channel means with the
+    documented r>=g>=b tiebreak."""
+    from webextract.media import picture_classify, with_bmp_media
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    rows = picture_classify(with_bmp_media(docs)).collect()
+    assert len(rows) == 40
+    for r in rows:
+        want = ("red" if r.r_mean >= r.g_mean and r.r_mean >= r.b_mean
+                else "green" if r.g_mean >= r.b_mean else "blue")
+        assert r.label == want
