@@ -419,9 +419,25 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
             main = TEXT_PARSERS[fmt](decode_html(payload))
         elif fmt in BINARY_PARSERS:
             main = BINARY_PARSERS[fmt](payload)
+        elif fmt == "image" and opt.do_ocr:
+            # C5 OCR stage, deterministic subset: glyph-grid BMPs
+            # (media.render_text_bmp's output) are recognized
+            # pixel-exactly; any other codec/layout is an honest skip
+            # (the ML-OCR slot).  '?' marks an unrecognized glyph —
+            # garbage, not text.
+            from .formats import _blk
+            from .media import ocr_bmp
+            t = ocr_bmp(payload)
+            if t is None or "?" in t:
+                return Extracted(status="skipped", fmt=fmt,
+                                 error="image OCR found no "
+                                       "recognizable text")
+            main = []
+            if t:
+                _blk(main, "ocr", "p", "para", t)
         else:
-            # image/audio route to the media operators (webextract/
-            # media.py); xml archive formats have no text backend here
+            # audio (and images with do_ocr=false) route to the media
+            # operators (webextract/media.py)
             return Extracted(status="skipped", fmt=fmt,
                              error=f"no text backend for format {fmt}")
         if timed_out():

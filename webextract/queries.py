@@ -548,6 +548,27 @@ def q_media_image_headers(spark, sf_dir):
             .select("doc_id", "fmt", "width", "height", "n_bytes"))
 
 
+def q_extract_image_ocr(spark, sf_dir):
+    """C5 wired into the EXTRACTION kernel: image payloads (rendered
+    glyph BMPs) flow through sniff → do_ocr → blocks → serializers
+    like any other format; extracted text must round-trip the
+    canonicalized source byte-exactly."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "").alias("text"))
+    bmps = media.with_text_bmp_media(docs)
+    pages = bmps.select(
+        F.concat(F.lit("doc://"), "doc_id").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col("media").alias("html"),
+        F.lit("").alias("text"), F.lit("en").alias("lang"))
+    out = extracted_df(pages, cpus=4)
+    return (out.withColumn("doc_id",
+                           F.substring("url", 7, 20).cast("bigint"))
+            .filter(F.col("status") == "success")
+            .select("doc_id", "fmt", "text"))
+
+
 def q_media_picture_classify(spark, sf_dir):
     """C7 stand-in: dominant-channel labels from REAL decoded pixels
     (rule in place of the ML model; same decode→feature→label
@@ -756,6 +777,7 @@ QUERIES = {
     "media_raster_stats": q_media_raster_stats,
     "media_ocr": q_media_ocr,
     "media_picture_classify": q_media_picture_classify,
+    "extract_image_ocr": q_extract_image_ocr,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -1687,6 +1709,14 @@ ORACLES = {
                ((i-1) * 4 * 4096)::BIGINT AS frame_off
         FROM m, unnest(generate_series(
                  1, cast(ceil(nf / 4.0) AS BIGINT))) AS u(i)""",
+
+    "extract_image_ocr": """
+        SELECT doc_id, 'image' AS fmt,
+               rtrim(substr(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                           '', 'g'), 1, 128)) AS text
+        FROM documents
+        WHERE rtrim(substr(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                          '', 'g'), 1, 128)) <> ''""",
 
     "media_picture_classify": """
         WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
