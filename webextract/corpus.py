@@ -294,6 +294,27 @@ def hash_split(docs: DataFrame, weights: tuple = (0.98, 0.01, 0.01),
         .otherwise("test").alias("split"))
 
 
+def source_mix(docs: DataFrame, weights: dict[str, float],
+               salt: str = "mix1") -> DataFrame:
+    """Deterministic data-mixing: keep each document with its source's
+    target probability via content-independent hash-mod (same
+    engine-portable rule as hash_split) — the training-mix primitive
+    (upsample/downsample per source) with hash_split's guarantees:
+    reproducible across engines/runs and stable under corpus growth.
+    Sources absent from ``weights`` keep weight 1.0.  Pure narrow
+    filter (broadcast-free: the weight map ships as plan literals)."""
+    h = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8),
+        16, 10).cast("long") % 10000)
+    cut = F.lit(10000)
+    for src, wt in sorted(weights.items()):
+        cut = F.when(F.col("source") == src,
+                     F.lit(int(round(wt * 10000)))).otherwise(cut)
+    return (docs.select("doc_id", "source", h.alias("h"))
+            .filter(F.col("h") < cut)
+            .select("doc_id", "source"))
+
+
 def contamination(docs: DataFrame, probe_mod: int = 50,
                   n: int = 3) -> DataFrame:
     """Benchmark-contamination check: for each PROBE document (the

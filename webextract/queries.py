@@ -489,6 +489,15 @@ def q_quality_repetition(spark, sf_dir):
     return corpus.repetition_stats(_read(spark, sf_dir, "documents"))
 
 
+def q_source_mix(spark, sf_dir):
+    """Deterministic training-mix sampling: src0 halved, src1 kept at
+    10%, src2 dropped, everything else kept — hash-mod rule mirrored
+    by the oracle."""
+    return corpus.source_mix(
+        _read(spark, sf_dir, "documents"),
+        {"src0": 0.5, "src1": 0.1, "src2": 0.0})
+
+
 def q_source_stats(spark, sf_dir):
     """Host-level rollup: per-source doc/char totals, within-source
     exact-dup count, language spread + dominant language (two-level
@@ -765,6 +774,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "pii_scrub": q_pii_scrub,
     "quality_repetition": q_quality_repetition,
+    "source_mix": q_source_mix,
     "source_stats": q_source_stats,
     "quality_gopher": q_quality_gopher,
     "lang_id": q_lang_id,
@@ -1577,6 +1587,17 @@ ORACLES = {
                      THEN round(top / ng, 4) ELSE 0.0 END) <= 0.2
                  AS pass_repetition
         FROM t LEFT JOIN m ON t.doc_id = m.doc_id""",
+
+    "source_mix": """
+        WITH h AS (SELECT doc_id, source,
+                          ('0x' || substring(md5('mix1:' || doc_id), 1, 8))
+                          ::BIGINT % 10000 AS hh
+                   FROM documents)
+        SELECT doc_id, source FROM h
+        WHERE hh < CASE source WHEN 'src0' THEN 5000
+                               WHEN 'src1' THEN 1000
+                               WHEN 'src2' THEN 0
+                               ELSE 10000 END""",
 
     "source_stats": """
         WITH d AS (SELECT source, lang, n_chars,
