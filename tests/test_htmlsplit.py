@@ -212,3 +212,25 @@ def test_run_extract_with_html_tier_matches_default(spark, tmp_path):
     assert set(ra) == set(rb)
     for url in ra:
         assert ra[url] == rb[url], url
+
+
+def test_exact_duplicate_rows_stay_separate(spark):
+    """r3 review finding: two input rows with the SAME (url, warc_ts)
+    — an outright duplicate crawl record — must come out as two rows
+    through BOTH fan-out tiers (the rid uniquifier in the merge key),
+    exactly like the 1:1 normal path."""
+    from webextract import pdfmini
+    pdf = pdfmini.write_pdf([[(10, 10, 11, "dup page words")]])
+    rows = [("dup://x", TS, NASTY[0], "", "en"),
+            ("dup://x", TS, NASTY[0], "", "en"),
+            ("dup://p", TS, pdf, "", "en"),
+            ("dup://p", TS, pdf, "", "en")]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA).repartition(2)
+    ref = sorted((r["url"], r["status"], r["text"]) for r in
+                 extracted_df(pages, ALL_FORMATS, cpus=2).collect())
+    got = sorted((r["url"], r["status"], r["text"]) for r in
+                 extracted_split_df(pages, ALL_FORMATS, cpus=2,
+                                    split_bytes=1, html_split=True,
+                                    html_target_chars=64).collect())
+    assert len(got) == 4
+    assert got == ref

@@ -298,11 +298,18 @@ def source_mix(docs: DataFrame, weights: dict[str, float],
                salt: str = "mix1") -> DataFrame:
     """Deterministic data-mixing: keep each document with its source's
     target probability via content-independent hash-mod (same
-    engine-portable rule as hash_split) — the training-mix primitive
-    (upsample/downsample per source) with hash_split's guarantees:
+    engine-portable rule as hash_split) — the per-source DOWNSAMPLING
+    primitive of a training mix, with hash_split's guarantees:
     reproducible across engines/runs and stable under corpus growth.
-    Sources absent from ``weights`` keep weight 1.0.  Pure narrow
-    filter (broadcast-free: the weight map ships as plan literals)."""
+    Sources absent from ``weights`` keep weight 1.0.  Weights above
+    1.0 (upsampling = row duplication) are a different operator and
+    are rejected loudly rather than silently clamped (round-3 review).
+    Pure narrow filter (broadcast-free: the weight map ships as plan
+    literals)."""
+    bad = {s: w for s, w in weights.items() if not 0.0 <= w <= 1.0}
+    if bad:
+        raise ValueError(f"source_mix downsamples only; weights must "
+                         f"be in [0, 1], got {bad}")
     h = (F.conv(F.substring(
         F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8),
         16, 10).cast("long") % 10000)
@@ -824,8 +831,12 @@ def embed_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     norms = emb.select(
         "vec_id", "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"))
-    side = b.join(norms, "vec_id")
-    ok = (b.groupBy("bucket").count()
+    # stage (bucket, embedding, norm) ONCE: the cap aggregate and both
+    # self-join sides below would otherwise each re-run the SRP
+    # bits×dims dot-product lineage (round-3 review; same rationale as
+    # lsh_jaccard_pairs' candidate staging)
+    side = b.join(norms, "vec_id").localCheckpoint()
+    ok = (side.groupBy("bucket").count()
           .filter(F.col("count") <= bucket_cap).select("bucket"))
     side = side.join(F.broadcast(ok), "bucket", "left_semi")
     a = side.select(F.col("bucket"), F.col("vec_id").alias("vec_a"),
@@ -950,8 +961,7 @@ def source_stats(docs: DataFrame) -> DataFrame:
         F.sha2(F.col("text").cast("binary"), 256).alias("sha"))
     per_sha = (d.groupBy("source", "sha")
                .agg(F.count("*").alias("k"),
-                    F.sum("n_chars").alias("ch"),
-                    F.first("lang").alias("lang")))
+                    F.sum("n_chars").alias("ch")))
     base = (per_sha.groupBy("source")
             .agg(F.sum("k").cast("long").alias("n_docs"),
                  F.sum("ch").cast("long").alias("n_chars"),

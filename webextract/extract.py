@@ -376,6 +376,28 @@ def serialize_json(blocks: list[Block], url: str = "") -> str:
 # top-level per-document extraction (the oracle AND the batch kernel body)
 # ---------------------------------------------------------------------------
 
+def admit_payload(payload: bytes,
+                  opt: ConvertOptions) -> tuple[str, Extracted | None]:
+    """(fmt, refusal) — the format-independent admission chain (empty,
+    max_file_size, sniff, from_formats) in its canonical order.  THE
+    single copy: the one-shot kernel and the split tiers' routers all
+    call this, so a new/reordered check or changed error string can
+    never silently break the tiers' row-identity contract (round-3
+    review)."""
+    if payload is None or len(payload) == 0:
+        return "html", Extracted(status="skipped", error="empty payload")
+    if len(payload) > opt.max_file_size:
+        return "html", Extracted(status="skipped", error="file too large")
+    fmt = sniff_format(payload)
+    if fmt == "unknown":
+        return fmt, Extracted(status="skipped", fmt="unknown",
+                              error="unknown format")
+    if fmt not in opt.from_formats:
+        return fmt, Extracted(status="skipped", fmt=fmt,
+                              error=f"format {fmt} not admitted")
+    return fmt, None
+
+
 def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
                      url: str = "") -> Extracted:
     """bytes -> Extracted. Deterministic, total (never raises).
@@ -391,17 +413,9 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
         return (time.monotonic() - t0) > opt.document_timeout
 
     try:
-        if payload is None or len(payload) == 0:
-            return Extracted(status="skipped", error="empty payload")
-        if len(payload) > opt.max_file_size:
-            return Extracted(status="skipped", error="file too large")
-        fmt = sniff_format(payload)
-        if fmt == "unknown":
-            return Extracted(status="skipped", fmt="unknown",
-                             error="unknown format")
-        if fmt not in opt.from_formats:
-            return Extracted(status="skipped", fmt=fmt,
-                             error=f"format {fmt} not admitted")
+        fmt, refused = admit_payload(payload, opt)
+        if refused is not None:
+            return refused
         if fmt == "pdf":
             # max_num_pages admission (reference settings.py:74-75):
             # header-only peek, refused docs never pay a parse

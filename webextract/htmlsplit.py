@@ -44,7 +44,6 @@ from pyspark.sql import DataFrame, functions as F
 from .dom import (Block, _Parser, _RAWTEXT, _TAGNAME, _TOKEN, _WANT_ATTRS,
                   _BLOCK, _CONTAINER, _parse_attrs, decode_html)
 from .extract import extract_document, finish_blocks, select_main
-from .formats import sniff
 from .options import ConvertOptions, DEFAULT_OPTIONS
 from .udfs import (EXTRACT_SCHEMA_DDL, _EXTRACT_ARROW, append_extracted,
                    new_extract_out)
@@ -182,12 +181,13 @@ def parse_blocks_seeded(text: str, state_json: str | None) -> list[Block]:
 # kernels
 # ---------------------------------------------------------------------------
 
-_HSEG_DDL = ("url string, warc_ts timestamp, lang string, seg_idx int, "
-             "n_segs int, orig_bytes bigint, verdict string, fmt string, "
-             "error string, state string, seg string, payload binary")
+_HSEG_DDL = ("url string, warc_ts timestamp, rid bigint, lang string, "
+             "seg_idx int, n_segs int, orig_bytes bigint, verdict string, "
+             "fmt string, error string, state string, seg string, "
+             "payload binary")
 _HSEG_ARROW = pa.schema([
     ("url", pa.large_string()), ("warc_ts", pa.timestamp("us")),
-    ("lang", pa.string()), ("seg_idx", pa.int32()), ("n_segs", pa.int32()),
+    ("rid", pa.int64()), ("lang", pa.string()), ("seg_idx", pa.int32()), ("n_segs", pa.int32()),
     ("orig_bytes", pa.int64()), ("verdict", pa.string()),
     ("fmt", pa.string()), ("error", pa.string()), ("state", pa.string()),
     ("seg", pa.large_string()), ("payload", pa.large_binary())])
@@ -197,12 +197,13 @@ _HSEG_ARROW = pa.schema([
 # SQL either way, and to_pylist() on 13-field struct lists measured
 # ~4 s per 34k segments at sf0.1 vs near-free binary + C-speed
 # json loads/dumps
-_HSEGX_DDL = ("url string, warc_ts timestamp, lang string, seg_idx int, "
-              "n_segs int, orig_bytes bigint, verdict string, fmt string, "
-              "error string, payload binary, perr boolean, blocks binary")
+_HSEGX_DDL = ("url string, warc_ts timestamp, rid bigint, lang string, "
+              "seg_idx int, n_segs int, orig_bytes bigint, verdict string, "
+              "fmt string, error string, payload binary, perr boolean, "
+              "blocks binary")
 _HSEGX_ARROW = pa.schema([
     ("url", pa.large_string()), ("warc_ts", pa.timestamp("us")),
-    ("lang", pa.string()), ("seg_idx", pa.int32()), ("n_segs", pa.int32()),
+    ("rid", pa.int64()), ("lang", pa.string()), ("seg_idx", pa.int32()), ("n_segs", pa.int32()),
     ("orig_bytes", pa.int64()), ("verdict", pa.string()),
     ("fmt", pa.string()), ("error", pa.string()),
     ("payload", pa.large_binary()), ("perr", pa.bool_()),
@@ -210,18 +211,14 @@ _HSEGX_ARROW = pa.schema([
 
 
 def _admit_html(payload: bytes, opt: ConvertOptions):
-    """(verdict, fmt, error) mirroring extract_document's admission
-    order for the non-PDF path, or None when payload is extractable
-    html; ('fallback', fmt, None) for admitted non-html formats."""
-    if payload is None or len(payload) == 0:
-        return ("skipped", "html", "empty payload")
-    if len(payload) > opt.max_file_size:
-        return ("skipped", "html", "file too large")
-    fmt = sniff(payload)
-    if fmt == "unknown":
-        return ("skipped", "unknown", "unknown format")
-    if fmt not in opt.from_formats:
-        return ("skipped", fmt, f"format {fmt} not admitted")
+    """(verdict, fmt, error) from the SHARED admission chain
+    (extract.admit_payload — one copy, round-3 review), or None when
+    the payload is extractable html; ('fallback', fmt, None) for
+    admitted non-html formats."""
+    from .extract import admit_payload
+    fmt, refused = admit_payload(payload, opt)
+    if refused is not None:
+        return (refused.status, refused.fmt, refused.error)
     if fmt != "html":
         return ("fallback", fmt, None)
     return None
@@ -240,6 +237,8 @@ def make_html_split_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
                 else [None] * len(urls)
             langs = cols["lang"].to_pylist() if "lang" in cols \
                 else [None] * len(urls)
+            rids = cols["rid"].to_pylist() if "rid" in cols \
+                else [None] * len(urls)
             out = {f.name: [] for f in _HSEG_ARROW}
             acc = 0   # pending output bytes; bounds worker memory to
             #           ~one oversized doc's segments, not a whole batch
@@ -249,6 +248,7 @@ def make_html_split_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
                 nonlocal acc
                 out["url"].append(urls[i])
                 out["warc_ts"].append(ts[i])
+                out["rid"].append(rids[i])
                 out["lang"].append(langs[i])
                 out["seg_idx"].append(seg_idx)
                 out["n_segs"].append(n_segs)
@@ -408,11 +408,14 @@ def extracted_html_split_branch(src: DataFrame,
     """The html fan-out branch (callers route oversized non-PDF rows
     here; see split.extracted_split_df).  One payload repartition;
     payload dropped before the merge aggregate except fallback rows."""
-    segs = (src.mapInArrow(make_html_split_kernel(opt, target_chars),
-                           _HSEG_DDL)
+    segs = (src.withColumn("rid", F.monotonically_increasing_id())
+            # rid uniquifies exact-duplicate (url, warc_ts) input rows
+            # through the merge key (round-3 review finding)
+            .mapInArrow(make_html_split_kernel(opt, target_chars),
+                        _HSEG_DDL)
             .repartition(cpus * 4, F.col("url"), F.col("seg_idx"))
             .mapInArrow(make_html_seg_kernel(opt), _HSEGX_DDL))
-    agg = (segs.groupBy("url", "warc_ts")
+    agg = (segs.groupBy("url", "warc_ts", "rid")
            .agg(F.first("lang").alias("lang"),
                 F.first("orig_bytes").alias("orig_bytes"),
                 F.max("verdict").alias("verdict"),

@@ -149,6 +149,16 @@ def write_zip_artifacts(extracted: DataFrame, out_dir: str) -> None:
                     if im["data"] is not None and im["uri"]:
                         z.writestr(f"{d}/{im['uri']}", bytes(im["data"]))
         os.replace(tmp, final)
+        # reap tmp files orphaned by killed/lost attempts of THIS
+        # partition (round-3 review): a still-running speculative
+        # loser whose tmp vanishes fails its os.replace and retries —
+        # harmless, its output is redundant by definition
+        import glob
+        for stale in glob.glob(f"{final}.*.tmp"):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
 
     extracted.select("url", "text_md", "images").foreachPartition(_write)
 

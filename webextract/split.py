@@ -48,22 +48,25 @@ from .udfs import EXTRACT_SCHEMA_DDL, make_extract_kernel
 SPLIT_BYTES = 8 * 1024 * 1024        # payloads >= this fan out by page
 
 # segment frame: original header/page numbers preserved in `html`
-_SEG_DDL = ("url string, warc_ts timestamp, lang string, seg_idx int, "
-            "n_segs int, orig_bytes bigint, verdict string, error string, "
-            "html binary")
+_SEG_DDL = ("url string, warc_ts timestamp, rid bigint, lang string, "
+            "seg_idx int, n_segs int, orig_bytes bigint, verdict string, "
+            "error string, html binary")
 _SEG_ARROW = pa.schema([
     ("url", pa.large_string()), ("warc_ts", pa.timestamp("us")),
+    ("rid", pa.int64()),
     ("lang", pa.string()), ("seg_idx", pa.int32()), ("n_segs", pa.int32()),
     ("orig_bytes", pa.int64()), ("verdict", pa.string()),
     ("error", pa.string()), ("html", pa.large_binary())])
 
 # extracted segment: blocks as structs, payload dropped (rows shrink ~5x
 # before the merge shuffle)
-_SEGX_DDL = ("url string, warc_ts timestamp, lang string, seg_idx int, "
-             "n_segs int, orig_bytes bigint, verdict string, error string, "
+_SEGX_DDL = ("url string, warc_ts timestamp, rid bigint, lang string, "
+             "seg_idx int, n_segs int, orig_bytes bigint, verdict string, "
+             "error string, "
              "blocks array<struct<page:int,text:string,level:int>>")
 _SEGX_ARROW = pa.schema([
     ("url", pa.large_string()), ("warc_ts", pa.timestamp("us")),
+    ("rid", pa.int64()),
     ("lang", pa.string()), ("seg_idx", pa.int32()), ("n_segs", pa.int32()),
     ("orig_bytes", pa.int64()), ("verdict", pa.string()),
     ("error", pa.string()),
@@ -123,11 +126,14 @@ def make_split_kernel(opt: ConvertOptions = DEFAULT_OPTIONS,
                 else [None] * len(urls)
             langs = cols["lang"].to_pylist() if "lang" in cols \
                 else [None] * len(urls)
+            rids = cols["rid"].to_pylist() if "rid" in cols \
+                else [None] * len(urls)
             out = {k: [] for k in _SEG_ARROW.names}
 
             def emit(i, seg_idx, n_segs, verdict, error, payload):
                 out["url"].append(urls[i])
                 out["warc_ts"].append(ts[i])
+                out["rid"].append(rids[i])
                 out["lang"].append(langs[i])
                 out["seg_idx"].append(seg_idx)
                 out["n_segs"].append(n_segs)
@@ -310,16 +316,23 @@ def extracted_split_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
     normal = (src.filter(~is_split & ~is_html_split)
               .mapInArrow(make_extract_kernel(opt), EXTRACT_SCHEMA_DDL))
     segs = (src.filter(is_split)
+            # rid: a physical per-row uniquifier for the merge key —
+            # (url, warc_ts) alone would COLLAPSE exact-duplicate input
+            # rows (same url AND same timestamp) into one corrupted
+            # merged doc, where the 1-row-in/1-row-out normal path
+            # emits two rows (round-3 review finding)
+            .withColumn("rid", F.monotonically_increasing_id())
             .mapInArrow(make_split_kernel(opt, pages_per_seg), _SEG_DDL)
             .repartition(cpus * 4, F.col("url"), F.col("seg_idx"))
             .mapInArrow(make_seg_extract_kernel(opt), _SEGX_DDL))
     # merge shuffle moves BLOCK rows (payload already dropped); one
     # aggregated row per doc feeds the batched merge kernel.  The doc
-    # key is (url, warc_ts) — the crawl's natural primary key per the
-    # input_hint schema, so a recrawled url is two documents, exactly
-    # like the 1-row-in/1-row-out normal path.  max() over verdict/error
-    # surfaces a failed SEGMENT's verdict over its siblings' "".
-    agg = (segs.groupBy("url", "warc_ts")
+    # key is (url, warc_ts, rid): the crawl's natural primary key per
+    # the input_hint schema plus the physical uniquifier, so a
+    # recrawled url — or an outright duplicate row — is two documents,
+    # exactly like the normal path.  max() over verdict/error surfaces
+    # a failed SEGMENT's verdict over its siblings' "".
+    agg = (segs.groupBy("url", "warc_ts", "rid")
            .agg(F.first("lang").alias("lang"),
                 F.first("orig_bytes").alias("orig_bytes"),
                 F.max("verdict").alias("verdict"),
