@@ -188,3 +188,15 @@ def test_repetition_fold_flags_spam(spark):
     assert got[1].pass_repetition is True
     assert got[2].n_grams == 0 and got[2].pass_repetition is True
     assert got[3].n_grams == 0 and got[3].pass_repetition is True
+
+
+def test_source_mix_rejects_upsampling(spark):
+    """r3 review: weights above 1.0 (row duplication) are a different
+    operator — loud rejection, never a silent clamp."""
+    import pytest
+    from webextract.corpus import source_mix
+    docs = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="downsamples only"):
+        source_mix(docs, {"s": 2.0})
+    with pytest.raises(ValueError, match="downsamples only"):
+        source_mix(docs, {"s": -0.1})
