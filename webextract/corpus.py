@@ -322,6 +322,23 @@ def source_mix(docs: DataFrame, weights: dict[str, float],
             .select("doc_id", "source"))
 
 
+def corpus_card(docs: DataFrame,
+                weights: tuple = (0.98, 0.01, 0.01)) -> DataFrame:
+    """The training data card: docs / tokens / chars per (split,
+    source) cell — hash_split composed with token accounting, the
+    rollup every run report starts from.  One narrow projection into
+    one small-keyed aggregation."""
+    h = hash_split(docs, weights).select("doc_id", "split")
+    t = docs.select("doc_id", "source",
+                    F.size(TOKENS()).alias("n_tokens"),
+                    F.length("text").alias("n_chars"))
+    return (t.join(h, "doc_id")
+            .groupBy("split", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.sum("n_chars").cast("long").alias("n_chars")))
+
+
 def contamination(docs: DataFrame, probe_mod: int = 50,
                   n: int = 3) -> DataFrame:
     """Benchmark-contamination check: for each PROBE document (the

@@ -489,6 +489,12 @@ def q_quality_repetition(spark, sf_dir):
     return corpus.repetition_stats(_read(spark, sf_dir, "documents"))
 
 
+def q_corpus_card(spark, sf_dir):
+    """Data card: docs/tokens/chars per (split, source) — hash_split
+    composed with token accounting."""
+    return corpus.corpus_card(_read(spark, sf_dir, "documents"))
+
+
 def q_source_mix(spark, sf_dir):
     """Deterministic training-mix sampling: src0 halved, src1 kept at
     10%, src2 dropped, everything else kept — hash-mod rule mirrored
@@ -774,6 +780,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "pii_scrub": q_pii_scrub,
     "quality_repetition": q_quality_repetition,
+    "corpus_card": q_corpus_card,
     "source_mix": q_source_mix,
     "source_stats": q_source_stats,
     "quality_gopher": q_quality_gopher,
@@ -1587,6 +1594,20 @@ ORACLES = {
                      THEN round(top / ng, 4) ELSE 0.0 END) <= 0.2
                  AS pass_repetition
         FROM t LEFT JOIN m ON t.doc_id = m.doc_id""",
+
+    "corpus_card": """
+        WITH h AS (SELECT doc_id, source,
+                          string_split(text, ' ') AS toks,
+                          length(text) AS nc,
+                          ('0x' || substring(md5('v1:' || doc_id), 1, 8))
+                          ::BIGINT % 10000 AS b
+                   FROM documents)
+        SELECT CASE WHEN b < 9800 THEN 'train'
+                    WHEN b < 9900 THEN 'val' ELSE 'test' END AS split,
+               source, count(*)::BIGINT AS n_docs,
+               sum(len(toks))::BIGINT AS n_tokens,
+               sum(nc)::BIGINT AS n_chars
+        FROM h GROUP BY 1, 2""",
 
     "source_mix": """
         WITH h AS (SELECT doc_id, source,
