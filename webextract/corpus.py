@@ -57,22 +57,24 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
 # shingling (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
 
-def shingles_of(col: str = "toks", n: int = 3):
-    """array<string> of word n-grams (distinct) over a MATERIALIZED token
-    array column.  The column must be a real projection (not the split()
-    expression inline): higher-order-function lambdas are interpreted,
-    so an inlined split() would re-tokenize the document once per
-    element_at — O(tokens × shingles) per row, measured 50×
-    slower at sf0.1.  Guarded: Spark sequence(1, 0) counts DOWN, so
-    short docs get an explicit empty array."""
+def shingles_of(col: str = "toks", n: int = 3, distinct: bool = True):
+    """array<string> of word n-grams (distinct by default; pass
+    distinct=False for occurrence-preserving grams, e.g. the
+    repetition-rule mode fold) over a MATERIALIZED token array column.
+    The column must be a real projection (not the split() expression
+    inline): higher-order-function lambdas are interpreted, so an
+    inlined split() would re-tokenize the document once per element_at
+    — O(tokens × shingles) per row, measured 50× slower at sf0.1.
+    Guarded: Spark sequence(1, 0) counts DOWN, so short docs get an
+    explicit empty array."""
     toks = F.col(col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + k) for k in range(n)]))
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams)
-        .otherwise(F.array().cast("array<string>")))
+    guarded = (F.when(F.size(toks) >= n, grams)
+               .otherwise(F.array().cast("array<string>")))
+    return F.array_distinct(guarded) if distinct else guarded
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -236,7 +238,11 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
                                       F.coalesce("p_label", l1["label"]))
                               .alias("label"))
                       .localCheckpoint())
-        s = labels.agg(F.sum("label")).first()[0]
+        # decimal(38,0): exact and overflow-free — sum(bigint) would
+        # overflow at 10^12 hash-style doc_ids (ANSI mode throws,
+        # legacy mode silently wraps and could fake convergence)
+        s = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         if s == prev_sum:
             converged = True
             break
@@ -281,6 +287,10 @@ def hash_split(docs: DataFrame, weights: tuple = (0.98, 0.01, 0.01),
     split when new docs arrive) — the properties a training pipeline
     needs that `sampleBy`'s per-partition RNG cannot give.  Pure narrow
     projection."""
+    if (any(not 0.0 <= w <= 1.0 for w in weights)
+            or sum(weights) > 1.0 + 1e-9):
+        raise ValueError(f"hash_split weights must each be in [0, 1] "
+                         f"and sum to <= 1, got {weights}")
     h = (F.conv(F.substring(
         F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8),
         16, 10).cast("long") % 10000)
@@ -934,15 +944,8 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     """
     docs = _spread(docs.select("doc_id", "text"))
     t = docs.select("doc_id", TOKENS().alias("toks"))
-    grams = F.when(
-        F.size("toks") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("toks"), i + k)
-                       for k in range(n)]))
-    ).otherwise(F.array().cast("array<string>"))
-    g = t.select("doc_id", F.array_sort(grams).alias("g"))
+    g = t.select("doc_id", F.array_sort(
+        shingles_of("toks", n, distinct=False)).alias("g"))
     zero = F.lit(0).cast("long")
     acc0 = F.struct(F.lit("").alias("prev"), zero.alias("run"),
                     zero.alias("best"))

@@ -47,16 +47,23 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
             return ("png", w, h)
         if b[:2] == b"\xff\xd8":                     # JPEG: scan for SOFn
             i = 2
-            while i + 9 < len(b):
+            while i + 2 <= len(b):
                 if b[i] != 0xFF:
                     return None
                 marker = b[i + 1]
+                if marker == 0xFF:
+                    i += 1          # spec-legal fill byte before marker
+                    continue
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue
+                if i + 4 > len(b):
+                    return None     # truncated before segment length
                 seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
                 # SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC)
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if i + 9 > len(b):
+                        return None  # SOF dims truncated
                     h, w = struct.unpack(">HH", b[i + 5:i + 9])
                     return ("jpeg", w, h)
                 i += 2 + seglen
@@ -109,7 +116,10 @@ def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
                 block = max(1, ch * (bps // 8))
                 n_frames = size // block
             i += 8 + size + (size & 1)        # chunks are word-aligned
-        if rate is None:
+        if not rate:
+            # rate None (no fmt chunk) or 0 (corrupt header): a zero
+            # rate would ZeroDivisionError the duration math downstream
+            # and kill the task (round-3 review) — nulls, not a crash
             return None
         return (rate, ch, bps, n_frames)
     except (struct.error, IndexError, TypeError):
@@ -231,8 +241,14 @@ def frame_sample_batches(stride: int):
         for pdf in batches:
             ids, idxs, offs = [], [], []
             for did, m in zip(pdf["doc_id"], pdf["media"]):
-                n = len(m) if m is not None else 0
-                n_frames = 1 + n % 24
+                m = m if m is not None else b""
+                # single source of truth with media_meta (round-3
+                # review): recognized still images really have ONE
+                # frame; everything else gets fake_decode_meta's
+                # formula — never two contradicting frame counts for
+                # the same payload
+                n_frames = (1 if parse_image_header(m) is not None
+                            else fake_decode_meta(m)["n_frames"])
                 for j in range(0, n_frames, stride):
                     ids.append(did)
                     idxs.append(j)
@@ -505,8 +521,10 @@ def ocr_bmp(b: bytes) -> str | None:
         off = struct.unpack("<I", b[10:14])[0]
         w, h = struct.unpack("<ii", b[18:26])
         bpp = struct.unpack("<H", b[28:30])[0]
-        if bpp != 24 or w % _CELL_W or h % _CELL_H or w <= 0 or h <= 0:
-            return None
+        comp = struct.unpack("<I", b[30:34])[0]
+        if (bpp != 24 or comp != 0 or w % _CELL_W or h % _CELL_H
+                or w <= 0 or h <= 0):
+            return None    # compressed/foreign BMPs: None, not garbage
         stride = (3 * w + 3) & ~3
         rows = [b[off + r * stride: off + r * stride + 3 * w]
                 for r in range(abs(h) - 1, -1, -1)]   # back to top-down

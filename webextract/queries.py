@@ -704,15 +704,20 @@ def q_pipeline_counters(spark, sf_dir):
     """End-to-end wave pipeline over documents-derived pages (incl. the
     IceTable snapshot commit protocol), verified through the committed
     LINEAGE counters (T10: counters ≡ processing_meta,
-    orchestrator_factory.py:104-106).  A fresh table root per call keeps
-    the query idempotent."""
-    import tempfile
+    orchestrator_factory.py:104-106).  A deterministic sf-keyed root,
+    reaped before each run, keeps the query idempotent WITHOUT leaking
+    a full extraction output to /tmp per invocation (round-3 review;
+    same recipe as q_stream_epoch_sink)."""
+    import hashlib
+    import shutil
 
     from .icetable import IceTable
     from .pipeline import run_extract
 
     pages = docs_to_pages(_read(spark, sf_dir, "documents"), empty_mod=50)
-    root = tempfile.mkdtemp(prefix="wx_counters_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/wx_counters_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
     run_extract(spark, pages, root, partitions=8, waves=2, cpus=4)
     lin = IceTable(root).lineage_df(spark)
     return lin.agg(
