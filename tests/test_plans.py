@@ -104,13 +104,18 @@ def test_fingerprints_gram_hash_not_recomputed(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     opt = (fingerprints(docs)._jdf.queryExecution()
            .optimizedPlan().toString())
-    # two distinct Project nodes must survive above the exchange: the
-    # gram-hash projection and the window-min projection.  If
-    # CollapseProject ever merges them, the gram md5 array is inlined
-    # into every element_at of the window-min pass (3× recompute).
+    # the gram-hash transform must appear in exactly ONE Project: if
+    # CollapseProject ever merges the gram projection into the
+    # window-min consumer, the md5 array is inlined into every
+    # element_at of the window-min pass (3× recompute)
+    assert opt.count("md5(cast(concat_ws") == 1, opt
+    # the (conditional, fired-here) spread exchange must carry only
+    # raw (doc_id, text) rows — never materialized token/gram arrays
+    # (round-3 review: payload-array shuffle at production scale)
     assert "Repartition" in opt, opt
-    above_exchange = opt[:opt.index("Repartition")]
-    assert above_exchange.count("Project") == 2, opt
+    below = opt[opt.index("Repartition"):]
+    first_proj = below[below.index("Project"):below.index("\n", below.index("Project"))]
+    assert "toks" not in first_proj and " g#" not in first_proj, first_proj
 
 
 def test_lsh_verify_plan_prunes_and_broadcasts(spark):

@@ -485,9 +485,19 @@ def lsh_candidate_pairs(docs: DataFrame, n: int = 3, k: int = 16,
     DuckDB oracle.  Sub-quadratic replacement for ngram_jaccard_pairs
     at 10^12 docs."""
     bk = lsh_band_keys(docs, n, k, rows_per_band)
-    buckets = (bk.groupBy("band", "band_key")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-               .filter((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap)))
+    return (_bucket_pairs(bk, ["band", "band_key"], "doc_id", bucket_cap)
+            .distinct())
+
+
+def _bucket_pairs(rows: DataFrame, keys: list, id_col: str,
+                  cap: int) -> DataFrame:
+    """(doc_a, doc_b): bucket groupBy collecting ids + in-array i<j
+    pair emission — the shared no-self-join candidate-pair shape of
+    lsh_candidate_pairs and substring_dup_candidates (one exchange on
+    the bucket key; ``cap`` is the skew guard on bucket fan-out)."""
+    buckets = (rows.groupBy(*keys)
+               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+               .filter((F.size("ids") >= 2) & (F.size("ids") <= cap)))
     pairs = F.flatten(F.transform(
         F.sequence(F.lit(2), F.size("ids")),
         lambda i: F.transform(
@@ -497,8 +507,7 @@ def lsh_candidate_pairs(docs: DataFrame, n: int = 3, k: int = 16,
                 F.element_at(F.col("ids"), i).alias("doc_b")))))
     return (buckets.select(F.explode(pairs).alias("p"))
             .select(F.col("p.doc_a").alias("doc_a"),
-                    F.col("p.doc_b").alias("doc_b"))
-            .distinct())
+                    F.col("p.doc_b").alias("doc_b")))
 
 
 LSH_BROADCAST_CAP = 1_000_000   # candidate pairs above this: no broadcast
@@ -1096,79 +1105,65 @@ def substring_dup_candidates(docs: DataFrame, gram: int = 5,
     document-frequency and bucket fan-out in one filter (boilerplate
     fingerprints shared by everything are dup-signal-free and would
     cost df² pairs)."""
-    toks = F.col("toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (gram - 1)),
-        lambda i: F.md5(F.concat_ws(
-            " ", *[F.element_at(toks, i + k) for k in range(gram)])))
-    width = docs.sparkSession.sparkContext.defaultParallelism * 2
-    g = (docs.select("doc_id", TOKENS().alias("toks"))
-         .filter(F.size("toks") >= gram + window - 1)
-         .repartition(width, F.col("doc_id"))
-         .select("doc_id", grams.alias("g")))
-    wmins = F.transform(
-        F.sequence(F.lit(1), F.size("g") - (window - 1)),
-        lambda i: F.least(*[F.element_at(F.col("g"), i + k)
-                            for k in range(window)]))
-    fps = (g.select("doc_id", F.array_distinct(wmins).alias("fps"))
+    fps = (_winnow_frame(docs, gram, window)
+           .select("doc_id", F.array_distinct("wm").alias("fps"))
            # observe barrier: InferFiltersFromGenerate would otherwise
            # inline the winnowing HOF into a scan filter (the 18× trap)
            .observe(f"ssd_barrier_{next(_BARRIER_SEQ)}",
                     F.count(F.lit(1))))
     fp = fps.select("doc_id", F.explode("fps").alias("fp"))
-    buckets = (fp.groupBy("fp")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-               .filter((F.size("ids") >= 2) & (F.size("ids") <= df_cap)))
-    pairs = F.flatten(F.transform(
-        F.sequence(F.lit(2), F.size("ids")),
-        lambda i: F.transform(
-            F.sequence(F.lit(1), i - 1),
-            lambda j: F.struct(
-                F.element_at(F.col("ids"), j).alias("doc_a"),
-                F.element_at(F.col("ids"), i).alias("doc_b")))))
-    return (buckets.select(F.explode(pairs).alias("p"))
-            .select(F.col("p.doc_a").alias("doc_a"),
-                    F.col("p.doc_b").alias("doc_b"))
+    return (_bucket_pairs(fp, ["fp"], "doc_id", df_cap)
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").cast("long").alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
 
 
-def fingerprints(docs: DataFrame, gram: int = 5, window: int = 4) -> DataFrame:
-    """Document fingerprints: whole-text md5 + winnowing count.
+def _winnow_frame(docs: DataFrame, gram: int, window: int,
+                  with_md5: bool = False) -> DataFrame:
+    """(doc_id[, fp_md5], wm: array<string>) — md5 token-gram hashes
+    window-min'd entirely in the array domain; THE winnowing
+    construction (Schleimer et al., SIGMOD'03), shared by
+    ``fingerprints`` and ``substring_dup_candidates`` (round-3 review:
+    they had drifted into near-identical copies).
 
-    Winnowing (Schleimer et al., SIGMOD'03): hash every token `gram`-gram,
-    keep the min hash of each sliding window of `window` positions, count
-    distinct kept hashes.  Computed entirely in the array domain (pure
-    projection, zero payload shuffle) — the posexplode + bounded-frame
-    window-min alternative shuffles every gram row and measured ~10 s at
-    sf0.1 vs <1 s for this shape.  Docs with no full window are excluded
-    (operator contract, mirrored in the oracle).
-
-    Plan order matters: the admission filter runs on the CHEAP token
-    count (size(toks) >= gram+window-1 ⟺ n_grams >= window) BEFORE the
-    gram projection, and the exchange barrier sits between tokenization
-    and gram-hashing.  Filtering on size(g) instead evaluated the md5
-    gram expression once in the pushed-down predicate and again in the
-    projection (measured 7 s vs 0.6 s at sf0.1 — a 10× recompute+
-    pushdown trap).  The barrier also keeps the CPU-heavy gram/window
-    pass spread over 64 tasks (AQE would coalesce this small-bytes
-    frame to ~1 partition)."""
+    Plan notes: the admission filter runs on the CHEAP token count
+    (size(toks) >= gram+window-1 ⟺ n_grams >= window) BEFORE the gram
+    projection — filtering on size(g) instead evaluates the md5 gram
+    expression in the pushed-down predicate AND the projection
+    (measured 7 s vs 0.6 s at sf0.1).  The spread barrier is
+    CONDITIONAL and sits on the raw (doc_id, text) rows (round-3
+    review: the old unconditional repartition exchanged materialized
+    token arrays even on already-parallel production layouts).
+    CollapseProject cannot inline toks into grams or grams into wmins:
+    both consumers reference their input many times and the
+    expressions are non-cheap, which trips the collapse guard — the
+    plan test pins the resulting single-evaluation shape."""
     toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (gram - 1)),
         lambda i: F.md5(F.concat_ws(
             " ", *[F.element_at(toks, i + k) for k in range(gram)])))
-    width = docs.sparkSession.sparkContext.defaultParallelism * 2
-    g = (docs.select("doc_id", F.md5("text").alias("fp_md5"),
-                     TOKENS().alias("toks"))
+    extra = [F.md5("text").alias("fp_md5")] if with_md5 else []
+    cols = ["doc_id"] + (["fp_md5"] if with_md5 else [])
+    g = (_spread(docs.select("doc_id", "text"))
+         .select("doc_id", *extra, TOKENS().alias("toks"))
          .filter(F.size("toks") >= gram + window - 1)
-         .repartition(width, F.col("doc_id"))
-         .select("doc_id", "fp_md5", grams.alias("g")))
+         .select(*cols, grams.alias("g")))
     wmins = F.transform(
         F.sequence(F.lit(1), F.size("g") - (window - 1)),
         lambda i: F.least(*[F.element_at(F.col("g"), i + k)
                             for k in range(window)]))
-    return g.select("doc_id", "fp_md5",
-                    F.size(F.array_distinct(wmins)).cast("long")
-                    .alias("n_winnow"))
+    return g.select(*cols, wmins.alias("wm"))
+
+
+def fingerprints(docs: DataFrame, gram: int = 5, window: int = 4) -> DataFrame:
+    """Document fingerprints: whole-text md5 + winnowing count.
+
+    Pure array-domain projection (zero payload shuffle beyond the
+    conditional spread) — the posexplode + bounded-frame window-min
+    alternative shuffles every gram row and measured ~10 s at sf0.1 vs
+    <1 s for this shape.  Docs with no full window are excluded
+    (operator contract, mirrored in the oracle)."""
+    return _winnow_frame(docs, gram, window, with_md5=True).select(
+        "doc_id", "fp_md5",
+        F.size(F.array_distinct("wm")).cast("long").alias("n_winnow"))
