@@ -82,3 +82,30 @@ def test_rerun_is_noop_and_orphan_gc(spark, tmp_path):
     assert len(tbl.data_files()) == n_files
     assert tbl.expire_orphans() == 0            # nothing dangling
     assert tbl.read(spark).count() == 60
+
+
+def test_all_empty_wave_commits_and_completes(spark, tmp_path):
+    """r3 review: a wave whose part_ids all hold zero rows writes no
+    parquet files; the commit must record the parts as done (zero
+    counters), not crash on schema inference — and the run completes."""
+    pages = pages_df(spark, 3, parallelism=2)   # 3 docs over 16 parts
+    root = str(tmp_path / "sparse")
+    s = run_extract(spark, pages, root, partitions=16, waves=8, cpus=2)
+    tbl = IceTable(root)
+    assert sorted(tbl.committed_parts()) == list(range(16))
+    assert tbl.read(spark).count() == 3
+    assert s["skipped_parts"] == []
+
+
+def test_expire_orphans_path_normalization(spark, tmp_path):
+    """r3 review: opening the table through a different root spelling
+    (symlink/relative) must not classify every live file as an orphan
+    and delete the table."""
+    import os
+    pages = pages_df(spark, 40, parallelism=4)
+    real = str(tmp_path / "realtbl")
+    run_extract(spark, pages, real, partitions=4, waves=2, cpus=2)
+    link = str(tmp_path / "linktbl")
+    os.symlink(real, link)
+    assert IceTable(link).expire_orphans() == 0
+    assert IceTable(real).read(spark).count() == 40

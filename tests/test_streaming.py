@@ -165,3 +165,23 @@ def test_stream_to_icetable_exactly_once(spark, pages_dir, tmp_path):
     n_new = docs.count()
     assert tbl.read(spark).count() == 120 + n_new
     assert len(IceTable(root).snapshots()) == len(snaps1) + 1
+
+
+def test_checkpoint_reset_recommits_fresh_run_ids(spark, pages_dir, tmp_path):
+    """r3 review: deleting the checkpoint restarts epochs at 0 — the
+    sink's query tag must be checkpoint-LIFETIME-scoped so the replay
+    commits under fresh run_ids instead of silently dropping every
+    batch against the old epoch-0 run_id."""
+    import shutil
+    from webextract.icetable import IceTable
+    from webextract.streaming import stream_extract_to_icetable
+    root = str(tmp_path / "ice_reset")
+    ckpt = str(tmp_path / "ckpt_reset")
+    _await(stream_extract_to_icetable(spark, pages_dir, root, ckpt, cpus=4))
+    n1 = IceTable(root).read(spark).count()
+    assert n1 > 0
+    shutil.rmtree(ckpt)    # operator resets the checkpoint, table kept
+    _await(stream_extract_to_icetable(spark, pages_dir, root, ckpt, cpus=4))
+    # the replayed input COMMITS (fresh run_ids) — a stream table
+    # legitimately holds both deliveries; silent drop was the bug
+    assert IceTable(root).read(spark).count() == 2 * n1

@@ -110,38 +110,83 @@ class IceTable:
     def staging_dir(self, run_id: str, wave: int) -> str:
         return os.path.join(self.files_dir, run_id, f"wave-{wave:04d}")
 
+    def _commit_lock(self):
+        """Advisory O_EXCL lock around the _CURRENT read-modify-write:
+        two concurrent writers (multiple streams, stream + batch — an
+        explicitly supported shape) would otherwise both read the same
+        parent and one snapshot would fall off the chain, making its
+        committed files look like orphans (round-3 review).  Stale
+        locks (crashed writer) are stolen after 60 s.  A real catalog
+        would use its conditional-swap primitive here."""
+        import time as _time
+        lock = os.path.join(self.meta_dir, "_COMMIT_LOCK")
+        deadline = _time.time() + 120
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(_time.time()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    age = _time.time() - float(open(lock).read() or 0)
+                except (OSError, ValueError):
+                    age = 0.0
+                if age > 60:
+                    try:
+                        os.remove(lock)   # stale: writer died mid-commit
+                    except OSError:
+                        pass
+                    continue
+                if _time.time() > deadline:
+                    raise TimeoutError(f"commit lock busy: {lock}")
+                _time.sleep(0.05)
+
     def commit(self, run_id: str, partitions: list[dict],
                committed_at: str, versions: dict | None = None) -> str:
         """partitions: [{part_id, files: [...], counters: {...}}].
         Atomic snapshot append; returns the new snapshot id.
         ``versions`` records component versions in the snapshot (the
         reference's /version endpoint analogue, helper_functions.py:12-21)."""
-        snap_id = uuid.uuid4().hex[:16]
-        snap = {"snapshot_id": snap_id,
-                "parent_id": self.current_snapshot_id(),
-                "run_id": run_id,
-                "committed_at": committed_at,
-                "versions": versions or {},
-                "partitions": partitions}
-        path = os.path.join(self.meta_dir, f"snap-{snap_id}.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
-        ptmp = self._current_path + ".tmp"
-        with open(ptmp, "w") as f:
-            f.write(snap_id)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(ptmp, self._current_path)  # the atomic swap
-        return snap_id
+        lock = self._commit_lock()
+        try:
+            snap_id = uuid.uuid4().hex[:16]
+            snap = {"snapshot_id": snap_id,
+                    "parent_id": self.current_snapshot_id(),
+                    "run_id": run_id,
+                    "committed_at": committed_at,
+                    "versions": versions or {},
+                    "partitions": partitions}
+            path = os.path.join(self.meta_dir, f"snap-{snap_id}.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(snap, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+            ptmp = self._current_path + ".tmp"
+            with open(ptmp, "w") as f:
+                f.write(snap_id)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(ptmp, self._current_path)  # the atomic swap
+            return snap_id
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     def expire_orphans(self, keep_run_ids: set[str] | None = None) -> int:
         """Maintenance: delete data files not referenced by any snapshot
-        (the reference's result-GC analogue, response_preparation.py:71-80)."""
-        referenced = set(self.data_files())
+        (the reference's result-GC analogue, response_preparation.py:71-80).
+
+        Paths are realpath-normalized on BOTH sides before comparing:
+        manifests record paths as the writer spelled its table root
+        (relative, symlinked, ...), and a raw string compare against
+        the walked paths would classify every live file as an orphan
+        and delete the whole table (round-3 review)."""
+        referenced = {os.path.realpath(p) for p in self.data_files()}
         removed = 0
         for dirpath, _, files in os.walk(self.files_dir):
             # keep-filter matches the run_id as a whole path COMPONENT
@@ -153,7 +198,7 @@ class IceTable:
             for fn in files:
                 if not fn.endswith(".parquet") or fn.startswith((".", "_")):
                     continue  # _SUCCESS / .crc markers are not data files
-                p = os.path.join(dirpath, fn)
+                p = os.path.realpath(os.path.join(dirpath, fn))
                 if p not in referenced:
                     os.remove(p)
                     removed += 1

@@ -99,7 +99,7 @@ def write_artifacts(extracted: DataFrame, out_dir: str) -> None:
         import os
         for r in rows:
             d = os.path.join(out_dir,
-                             hashlib.md5(r["url"].encode()).hexdigest()[:16])
+                             hashlib.md5((r["url"] or "").encode()).hexdigest()[:16])
             os.makedirs(os.path.join(d, "images"), exist_ok=True)
             with open(os.path.join(d, "doc.md"), "w") as f:
                 f.write(r["text_md"] or "")
@@ -143,7 +143,7 @@ def write_zip_artifacts(extracted: DataFrame, out_dir: str) -> None:
         tmp = f"{final}.{ctx.taskAttemptId()}.tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
             for r in itertools.chain([first], rows):
-                d = hashlib.md5(r["url"].encode()).hexdigest()[:16]
+                d = hashlib.md5((r["url"] or "").encode()).hexdigest()[:16]
                 z.writestr(f"{d}/doc.md", r["text_md"] or "")
                 for im in (r["images"] or []):
                     if im["data"] is not None and im["uri"]:
@@ -180,21 +180,44 @@ def commit_stage(spark: SparkSession, table: IceTable, run_id: str,
     counters ≡ processing_meta
     (/root/reference/docling_serve/orchestrator_factory.py:104-106).
     Shared by the batch wave driver and the streaming epoch sink."""
-    written = spark.read.parquet(stage)
-    rows = (written.groupBy("part_id").agg(
-        F.count("*").alias("num_docs"),
-        F.count("*").alias("num_processed"),
-        F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("num_succeeded"),
-        F.sum(F.when(F.col("status") == "partial_success", 1).otherwise(0)).alias("num_partial"),
-        F.sum(F.when(F.col("status") == "failure", 1).otherwise(0)).alias("num_failed"),
-        F.sum(F.when(F.col("status") == "skipped", 1).otherwise(0)).alias("num_skipped"),
-        F.sum("bytes_in").alias("bytes_in"),
-        F.sum(F.length("text").cast("long")).alias("bytes_out"),
-    ).collect())
-    counters = {r["part_id"]: r.asDict() for r in rows}
+    # an ALL-empty wave writes only _SUCCESS (partitionBy emits no
+    # files for zero rows) and spark.read.parquet would fail schema
+    # inference — and a resume would rebuild the identical wave and
+    # crash forever (round-3 review).  Zero rows still means the wave's
+    # parts are DONE: commit them with zero counters.
+    any_parquet = any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(stage) for f in fs)
+    if any_parquet:
+        written = spark.read.parquet(stage)
+        rows = (written.groupBy("part_id").agg(
+            F.count("*").alias("num_docs"),
+            # processed ≡ attempted = every non-skipped row (skips are
+            # admission refusals that never entered a parse stage)
+            F.sum(F.when(F.col("status") != "skipped", 1).otherwise(0))
+            .alias("num_processed"),
+            F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("num_succeeded"),
+            F.sum(F.when(F.col("status") == "partial_success", 1).otherwise(0)).alias("num_partial"),
+            F.sum(F.when(F.col("status") == "failure", 1).otherwise(0)).alias("num_failed"),
+            F.sum(F.when(F.col("status") == "skipped", 1).otherwise(0)).alias("num_skipped"),
+            F.sum("bytes_in").alias("bytes_in"),
+            # octet_length: BYTES out, not codepoints (round-3 review —
+            # F.length undercounts non-ASCII corpora up to 4x)
+            F.sum(F.octet_length(F.col("text").cast("binary"))
+                  .cast("long")).alias("bytes_out"),
+        ).collect())
+        counters = {r["part_id"]: r.asDict() for r in rows}
+    else:
+        counters = {}
     parts_meta = []
     for p in expect_parts:
-        files = sorted(glob.glob(os.path.join(stage, f"part_id={p}", "*.parquet")))
+        # glob.escape: a table root containing glob metacharacters
+        # ('[..]', '*') must not silently match nothing — empty
+        # manifests would later read as an empty table and let
+        # expire_orphans delete live data (round-3 review)
+        files = sorted(glob.glob(os.path.join(
+            glob.escape(os.path.join(stage, f"part_id={p}")),
+            "*.parquet")))
         c = counters.get(p, {"part_id": p, "num_docs": 0,
                              "num_processed": 0, "num_succeeded": 0,
                              "num_partial": 0, "num_failed": 0,

@@ -86,19 +86,32 @@ def stream_extract_to_icetable(spark: SparkSession, input_dir: str,
     ``committed_parts()`` batch-resume semantics do not apply to it —
     read it via the manifests like any other IceTable."""
     import glob as _glob
-    import hashlib as _hashlib
     import time as _time
 
     from .icetable import IceTable
     from .pipeline import commit_stage, with_part_id
 
     table = IceTable(table_root)
-    # run_id = stream-<checkpoint-hash>-<epoch>: the checkpoint hash
-    # scopes idempotence to THIS query's delivery log — a fresh
-    # checkpoint (new stream into the same table) restarts epochs at 0
-    # and must not collide with an earlier stream's run_ids.
-    qtag = _hashlib.md5(os.path.abspath(checkpoint_dir).encode()) \
-        .hexdigest()[:8]
+    # run_id = stream-<checkpoint-tag>-<epoch>: the tag scopes
+    # idempotence to THIS query's delivery log.  The tag is a uuid
+    # SENTINEL STORED INSIDE the checkpoint dir, not a hash of its
+    # path (round-3 review): deleting/recreating the checkpoint at the
+    # same path restarts epochs at 0, and a path-hash tag would
+    # collide with the old run_ids — every new micro-batch silently
+    # dropped while the source marked its files consumed.  The
+    # sentinel dies with the checkpoint, so a reset gets fresh
+    # run_ids; a RESUMED checkpoint keeps it, preserving redelivery
+    # idempotence.
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tagf = os.path.join(checkpoint_dir, "webextract-query-tag")
+    if not os.path.exists(tagf):
+        import uuid as _uuid
+        tmp = f"{tagf}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            f.write(_uuid.uuid4().hex[:12])
+        os.replace(tmp, tagf)
+    with open(tagf) as f:
+        qtag = f.read().strip()
     # committed run_ids loaded ONCE per query start (not per epoch —
     # walking the whole snapshot chain per batch is O(chain) JSON reads
     # and a stream table's chain grows forever); redelivery only occurs
@@ -119,7 +132,8 @@ def stream_extract_to_icetable(spark: SparkSession, input_dir: str,
          .write.mode("overwrite").partitionBy("part_id").parquet(stage))
         present = sorted(
             int(d.rsplit("=", 1)[1])
-            for d in _glob.glob(os.path.join(stage, "part_id=*")))
+            for d in _glob.glob(os.path.join(_glob.escape(stage),
+                                             "part_id=*")))
         commit_stage(spark, table, run_id, stage, present, opt,
                      int((_time.time() - t0) * 1000))
         seen.add(run_id)
@@ -192,9 +206,16 @@ def first_seen_only(pages: DataFrame) -> DataFrame:
         best = None
         for pdf in pdfs:  # iterator must be fully drained either way
             if new and len(pdf):
-                cand = pdf.loc[[pdf["url"].idxmin()],
-                               ["url", "content_sha", "lang"]]
-                if best is None or cand["url"].iloc[0] < best["url"].iloc[0]:
+                # sort_values, not idxmin: idxmin on an object column
+                # with a NULL url raises TypeError and kills the query
+                # (round-3 review); na_position='last' keeps the min
+                # non-null url as survivor, all-null groups keep a row
+                cand = pdf.sort_values("url", na_position="last") \
+                    .iloc[[0]][["url", "content_sha", "lang"]]
+                cu, bu = cand["url"].iloc[0], \
+                    (best["url"].iloc[0] if best is not None else None)
+                if best is None or (cu is not None
+                                    and (bu is None or cu < bu)):
                     best = cand
         if new:
             state.update((1,))
@@ -204,7 +225,10 @@ def first_seen_only(pages: DataFrame) -> DataFrame:
 
     keyed = pages.select(
         "url", "lang",
-        F.sha2(F.col("text").cast("binary"), 256).alias("content_sha"))
+        # coalesce: null-text pages hash as empty-content duplicates
+        # (one survivor) instead of collapsing under a NULL group key
+        F.sha2(F.coalesce(F.col("text"), F.lit("")).cast("binary"),
+               256).alias("content_sha"))
     return (keyed.groupBy("content_sha")
             .applyInPandasWithState(emit_first, DEDUP_OUT_DDL,
                                     DEDUP_STATE_DDL, "append",
