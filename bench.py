@@ -34,7 +34,8 @@ HEADLINE = [
     "chunk_hybrid_subword", "dedup_exact",
     "dedup_lsh_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_contamination",
-    "dedup_embed_cosine", "quality_repetition", "source_stats",
+    "dedup_embed_cosine", "dedup_substring", "quality_repetition",
+    "source_stats",
     "embed_cosine_topk", "embed_ann_buckets", "embed_ivf_topk",
     "text_quality",
     "token_stats", "doc_fingerprints", "media_decode_meta",

@@ -249,3 +249,18 @@ def test_quality_ops_are_narrow_projections(spark):
         assert "Join" not in tree, tree
         assert "HashAggregate" not in tree, tree
         assert tree.count("Exchange") <= 1, tree
+
+
+def test_embed_near_dup_plan_shape(spark):
+    """Embedding near-dup: staged SRP lineage (no recompute per join
+    side), bucket-key equi-join only — never a sort-merge join, and
+    the bounded bucket-cap frame broadcasts."""
+    from webextract.corpus import embed_near_dup_pairs
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embed_near_dup_pairs(emb, threshold=0.3))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan       # cap semi-join
+    # the expensive SRP projection lineage is checkpointed: the plan
+    # scans the staged RDD, not the parquet relation, for both sides
+    assert plan.count("Scan ExistingRDD") >= 2, plan[:2000]
