@@ -260,6 +260,7 @@ def test_embed_near_dup_plan_shape(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _plan(embed_near_dup_pairs(emb, threshold=0.3))
     assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "ShuffledHashJoin" in plan        # bucket-key pair join
     assert "BroadcastHashJoin" in plan       # cap semi-join
     # the expensive SRP projection lineage is checkpointed: the plan
     # scans the staged RDD, not the parquet relation, for both sides

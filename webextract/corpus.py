@@ -881,7 +881,10 @@ def embed_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                     F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
     cos = F.round(_dot(F.col("ea"), F.col("eb"))
                   / (F.col("na") * F.col("nb")), 6)
-    return (a.join(c, "bucket")
+    # shuffle-hash, not sort-merge: the join key has ≤ 2^bits distinct
+    # values, so sorting embedding-array rows buys nothing and the
+    # per-partition build side is bounded by bucket_cap × buckets
+    return (a.join(c.hint("shuffle_hash"), "bucket")
             .filter(F.col("vec_a") < F.col("vec_b"))
             .withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)
