@@ -349,6 +349,22 @@ def q_chunk_hybrid(spark, sf_dir):
             .select("doc_id", "chunk_idx", "chunk_text", "heading", "n_tokens"))
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-granularity exact dedup — the stage a pipeline runs
+    BEFORE paying for embeddings: sha the chunk text, count copies,
+    keep the min-doc canonical (map-side-combined groupBy over the
+    narrow chunk stream)."""
+    out = _extract(spark, sf_dir)
+    ch = chunks_df(out, "hybrid", 64)
+    return (ch.select(
+                F.sha2(F.col("chunk_text").cast("binary"), 256)
+                .alias("chunk_sha"),
+                F.substring("url", 7, 20).cast("bigint").alias("doc_id"))
+            .groupBy("chunk_sha")
+            .agg(F.count("*").cast("long").alias("n_copies"),
+                 F.min("doc_id").alias("canonical_doc")))
+
+
 def q_chunk_hierarchical(spark, sf_dir):
     out = _extract(spark, sf_dir, para_tokens=40)
     return (chunks_df(out, "hierarchical", 64)
@@ -766,6 +782,7 @@ QUERIES = {
     "extract_mixed_formats": q_extract_mixed_formats,
     "chunk_hybrid": q_chunk_hybrid,
     "chunk_hybrid_subword": q_chunk_hybrid_subword,
+    "chunk_dedup": q_chunk_dedup,
     "chunk_hierarchical": q_chunk_hierarchical,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -1222,6 +1239,20 @@ ORACLES = {
         FROM rec r JOIN cs ON cs.doc_id = r.doc_id
              AND cs.csum > r.base AND cs.csum <= r.base + 64
         GROUP BY r.doc_id, r.chunk_idx""",
+
+    "chunk_dedup": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        w AS (SELECT doc_id, i,
+                     toks[((i-1)*64+1):(least(i*64, len(toks)))] AS ctoks
+              FROM t, unnest(generate_series(
+                       1, cast(ceil(len(toks)/64.0) AS BIGINT))) AS u(i)),
+        c AS (SELECT doc_id, array_to_string(ctoks, ' ') AS chunk_text
+              FROM w)
+        SELECT sha256(chunk_text) AS chunk_sha,
+               count(*)::BIGINT AS n_copies,
+               min(doc_id) AS canonical_doc
+        FROM c GROUP BY 1""",
 
     "chunk_hierarchical": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
