@@ -755,21 +755,79 @@ def q_resume_pending(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n_pending")))
 
 
+# Registry ORDER is the driver-coverage rotation schedule: the driver's
+# CORRECTNESS gate checks exactly the FIRST 50 entries per round (the
+# pytest rehearsal above always runs ALL of them).  Round-robin scheme:
+# each round, entries that have never earned a driver row — plus any
+# entry whose implementation changed this round — move INTO the first
+# 50; long-stable gates (green in two consecutive driver rounds with
+# unchanged code) rotate past the cap.  Round 4 rotation: the 7
+# never-checked (media pixel ops, streaming, events_props) + the 15
+# r2-only entries lead; one representative per extract/chunk/dedup/
+# embed/quality family stays in-window; the 20 stable r3-green extract
+# gates and 9 stable corpus gates rotate out.
 QUERIES = {
+    # --- never driver-checked before round 4 (VERDICT r3 item 1) ---
+    "media_raster_stats": q_media_raster_stats,
+    "media_ocr": q_media_ocr,
+    "media_picture_classify": q_media_picture_classify,
+    "extract_image_ocr": q_extract_image_ocr,
+    "events_props": q_events_props,
+    "stream_window_counts": q_stream_window_counts,
+    "stream_epoch_sink": q_stream_epoch_sink,
+    # --- r2-green entries pushed past the cap in r3 ---
+    "lang_id": q_lang_id,
+    "token_stats": q_token_stats,
+    "doc_fingerprints": q_doc_fingerprints,
+    "media_decode_meta": q_media_decode_meta,
+    "media_image_headers": q_media_image_headers,
+    "media_audio_headers": q_media_audio_headers,
+    "media_frame_sample": q_media_frame_sample,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "priority_big_orders": q_priority_big_orders,
+    "events_sessions": q_events_sessions,
+    "events_hourly": q_events_hourly,
+    "resume_pending": q_resume_pending,
+    "pipeline_counters": q_pipeline_counters,
+    # --- changed this round (real subword tokenizer) ---
+    "chunk_hybrid_subword": q_chunk_hybrid_subword,
+    # --- family representatives kept in-window ---
     "extract_main_text": q_extract_main_text,
+    "extract_pdf_split": q_extract_pdf_split,
+    "extract_rich_blocks": q_extract_rich_blocks,
+    "extract_mixed_formats": q_extract_mixed_formats,
+    "chunk_hybrid": q_chunk_hybrid,
+    "chunk_hierarchical": q_chunk_hierarchical,
+    "chunk_dedup": q_chunk_dedup,
+    "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
+    "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+    "dedup_embed_cosine": q_dedup_embed_cosine,
+    "embed_ivf_topk": q_embed_ivf_topk,
+    "embed_ann_buckets": q_embed_ann_buckets,
+    "text_quality": q_text_quality,
+    "quality_gopher": q_quality_gopher,
+    "pii_scrub": q_pii_scrub,
+    "corpus_card": q_corpus_card,
+    "source_stats": q_source_stats,
+    "corpus_hash_split": q_corpus_hash_split,
+    # ---- driver cap boundary is position 50; new round-4 gates are
+    # inserted ABOVE this line as they land ----
+    # --- stable r3-green gates rotated past the cap (pytest-covered) ---
     "extract_markdown": q_extract_markdown,
     "extract_html_split": q_extract_html_split,
     "extract_doctags": q_extract_doctags,
     "extract_json": q_extract_json,
     "extract_pdf_text": q_extract_pdf_text,
-    "extract_pdf_split": q_extract_pdf_split,
     "extract_pdf_page_slice": q_extract_pdf_page_slice,
     "extract_status_counts": q_extract_status_counts,
     "extract_spans": q_extract_spans,
     "extract_md_source": q_extract_md_source,
     "extract_csv_source": q_extract_csv_source,
     "extract_json_docling": q_extract_json_docling,
-    "extract_rich_blocks": q_extract_rich_blocks,
     "extract_jats_source": q_extract_jats_source,
     "extract_uspto_source": q_extract_uspto_source,
     "extract_mets_source": q_extract_mets_source,
@@ -779,55 +837,15 @@ QUERIES = {
     "extract_docx_source": q_extract_docx_source,
     "extract_pptx_source": q_extract_pptx_source,
     "extract_xlsx_source": q_extract_xlsx_source,
-    "extract_mixed_formats": q_extract_mixed_formats,
-    "chunk_hybrid": q_chunk_hybrid,
-    "chunk_hybrid_subword": q_chunk_hybrid_subword,
-    "chunk_dedup": q_chunk_dedup,
-    "chunk_hierarchical": q_chunk_hierarchical,
-    "dedup_exact": q_dedup_exact,
-    "dedup_clusters": q_dedup_clusters,
     "dedup_contamination": q_dedup_contamination,
-    "corpus_hash_split": q_corpus_hash_split,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_substring": q_dedup_substring,
-    "dedup_survivors": q_dedup_survivors,
-    "dedup_embed_cosine": q_dedup_embed_cosine,
     "dedup_simhash": q_dedup_simhash,
     "embed_cosine_topk": q_embed_cosine_topk,
-    "embed_ann_buckets": q_embed_ann_buckets,
     "embed_ivf_assign": q_embed_ivf_assign,
-    "embed_ivf_topk": q_embed_ivf_topk,
-    "text_quality": q_text_quality,
-    "pii_scrub": q_pii_scrub,
     "quality_repetition": q_quality_repetition,
-    "corpus_card": q_corpus_card,
     "source_mix": q_source_mix,
-    "source_stats": q_source_stats,
-    "quality_gopher": q_quality_gopher,
-    "lang_id": q_lang_id,
-    "token_stats": q_token_stats,
-    "doc_fingerprints": q_doc_fingerprints,
-    "media_decode_meta": q_media_decode_meta,
-    "media_image_headers": q_media_image_headers,
-    "media_audio_headers": q_media_audio_headers,
-    "media_frame_sample": q_media_frame_sample,
-    "media_raster_stats": q_media_raster_stats,
-    "media_ocr": q_media_ocr,
-    "media_picture_classify": q_media_picture_classify,
-    "extract_image_ocr": q_extract_image_ocr,
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "top_orders_per_cust": q_top_orders_per_cust,
-    "priority_big_orders": q_priority_big_orders,
-    "events_sessions": q_events_sessions,
-    "events_hourly": q_events_hourly,
-    "events_props": q_events_props,
-    "resume_pending": q_resume_pending,
-    "pipeline_counters": q_pipeline_counters,
-    "stream_window_counts": q_stream_window_counts,
-    "stream_epoch_sink": q_stream_epoch_sink,
 }
 
 # ---------------------------------------------------------------------------
