@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import corpus, media
+from .chunk import SUBWORD_REGEX as _SUBWORD_REGEX
 from .docpages import (CSV_COLS, N_BOILER_BLOCKS as _N_BOILER,
                        docs_to_format_pages, docs_to_pages)
 from .pipeline import chunks_df, extracted_df
@@ -373,11 +374,14 @@ def q_chunk_hierarchical(spark, sf_dir):
 
 
 def q_chunk_hybrid_subword(spark, sf_dir):
-    """K1 tokenizer-aware variant (VERDICT item 6): max_tokens counts
-    BPE-ish subword pieces (ceil(len/4) per word, the token_stats
-    estimator) the way the reference's HybridChunker counts HF tokenizer
-    pieces (datamodel/requests.py:109-130).  Greedy maximal windows
-    under the budget; oracle is a recursive-CTE greedy packer."""
+    """K1 tokenizer-aware variant: max_tokens counts REAL subword
+    pieces — greedy longest-match against the fixed BPE-style merge
+    table (chunk.SUBWORD_PIECES) — the way the reference's
+    HybridChunker counts HF tokenizer pieces (app.py:1145-1150,
+    datamodel/requests.py:109-130).  Greedy maximal windows under the
+    budget; oracle is a recursive-CTE greedy packer whose per-word cost
+    is the regexp_replace piece count (identical greedy semantics in
+    RE2 — longest-first alternation)."""
     out = _extract(spark, sf_dir)
     return (chunks_df(out, "hybrid", 64, tokenizer="subword")
             .withColumn("doc_id", F.substring("url", 7, 20).cast("bigint"))
@@ -1226,12 +1230,16 @@ ORACLES = {
                len(ctoks)::INTEGER AS n_tokens
         FROM w""",
 
-    "chunk_hybrid_subword": """
+    # per-word cost = the REAL subword tokenizer: longest-first
+    # alternation under RE2's leftmost-first semantics == greedy
+    # longest-match at each position (chunk.subword_count)
+    "chunk_hybrid_subword": f"""
         WITH RECURSIVE
         t AS (SELECT doc_id, string_split(text, ' ') AS toks
               FROM documents),
         e AS (SELECT doc_id, u.i AS i, toks[u.i] AS w,
-                     cast(ceil(length(toks[u.i]) / 4.0) AS BIGINT) AS c
+                     length(regexp_replace(toks[u.i], '{_SUBWORD_REGEX}',
+                                           chr(1), 'g'))::BIGINT AS c
               FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
         cs AS (SELECT doc_id, i, w, c,
                       sum(c) OVER (PARTITION BY doc_id ORDER BY i) AS csum
