@@ -434,14 +434,14 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
         elif fmt in BINARY_PARSERS:
             main = BINARY_PARSERS[fmt](payload)
         elif fmt == "image" and opt.do_ocr:
-            # C5 OCR stage, deterministic subset: glyph-grid BMPs
-            # (media.render_text_bmp's output) are recognized
-            # pixel-exactly; any other codec/layout is an honest skip
-            # (the ML-OCR slot).  '?' marks an unrecognized glyph —
-            # garbage, not text.
+            # C5 OCR stage, deterministic subset: glyph-grid rasters in
+            # BMP or PNG containers (media.render_text_bmp/_png output)
+            # are recognized pixel-exactly; any other codec/layout is an
+            # honest skip (the ML-OCR slot).  '?' marks an unrecognized
+            # glyph — garbage, not text.
             from .formats import _blk
-            from .media import ocr_bmp
-            t = ocr_bmp(payload)
+            from .media import ocr_image
+            t = ocr_image(payload)
             if t is None or "?" in t:
                 return Extracted(status="skipped", fmt=fmt,
                                  error="image OCR found no "

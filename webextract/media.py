@@ -301,17 +301,137 @@ def with_real_image_media(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# real raster path: uncompressed 24-bit BMP pixel decode (round-2 review
-# item 7) — the first pixel-level feature extractor behind the header
-# layer, pure stdlib (BMP stores raw BGR rows; no codec needed)
+# real raster path: pixel decode for uncompressed 24-bit BMP (round-2
+# review item 7) AND 8-bit RGB PNG (round-3 verdict item 3 — zlib is
+# stdlib: inflate + per-scanline unfilter, all five PNG filter types).
+# Everything downstream (raster stats, OCR, classify) runs on the
+# shared decode_rgb() so compressed-codec coverage extends the whole
+# pixel family at once.
 # ---------------------------------------------------------------------------
 
-def bmp_raster_stats(b: bytes) -> dict | None:
-    """REAL pixel decode for uncompressed 24-bit BMPs: per-channel
-    min/max/mean over every pixel (the shape of PIL's
-    ImageStat.Stat).  Returns None for non-BMP / compressed / non-24bpp
-    payloads; never raises.  Channel slicing is bytes-level
-    (row[0::3]) — C-speed, no per-pixel Python."""
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
+    """REAL PNG pixel decode for 8-bit RGB (color type 2, no
+    interlace): concatenate IDAT chunks, zlib-inflate, undo the
+    per-scanline filter (all 5 types), return (w, h, top-down RGB
+    rows).  Returns None for non-PNG / unsupported subformats /
+    corrupt streams; never raises."""
+    import struct
+    import zlib
+    try:
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        i, w, h, ok = 8, 0, 0, False
+        idat = bytearray()
+        while i + 8 <= len(b):
+            ln = struct.unpack(">I", b[i:i + 4])[0]
+            typ = b[i + 4:i + 8]
+            data = b[i + 8:i + 8 + ln]
+            if len(data) < ln:
+                return None                      # truncated chunk
+            if typ == b"IHDR":
+                w, h = struct.unpack(">II", data[:8])
+                depth, ctype, comp, filt, ilace = data[8:13]
+                if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                    return None                  # only 8-bit RGB
+                ok = True
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            i += 12 + ln                         # len+type+data+crc
+        if not ok or w <= 0 or h <= 0:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = 3 * w
+        if len(raw) < h * (1 + stride):
+            return None
+        rows: list[bytes] = []
+        prior = bytes(stride)
+        for y in range(h):
+            off = y * (1 + stride)
+            ft = raw[off]
+            line = bytearray(raw[off + 1: off + 1 + stride])
+            if ft == 1:                          # Sub
+                for k in range(3, stride):
+                    line[k] = (line[k] + line[k - 3]) & 0xFF
+            elif ft == 2:                        # Up
+                for k in range(stride):
+                    line[k] = (line[k] + prior[k]) & 0xFF
+            elif ft == 3:                        # Average
+                for k in range(stride):
+                    left = line[k - 3] if k >= 3 else 0
+                    line[k] = (line[k] + ((left + prior[k]) >> 1)) & 0xFF
+            elif ft == 4:                        # Paeth
+                for k in range(stride):
+                    left = line[k - 3] if k >= 3 else 0
+                    ul = prior[k - 3] if k >= 3 else 0
+                    line[k] = (line[k] + _paeth(left, prior[k], ul)) & 0xFF
+            elif ft != 0:
+                return None                      # invalid filter type
+            prior = bytes(line)
+            rows.append(prior)
+        return (w, h, rows)
+    except (struct.error, IndexError, zlib.error):
+        return None
+
+
+def png_encode_rgb(w: int, h: int, rows: list[bytes]) -> bytes:
+    """Spec-valid 8-bit RGB PNG from top-down RGB rows.  Each scanline
+    is filtered with type y % 5 — cycling through all five filters so
+    the decoder's unfilter paths are exercised by every synthetic
+    payload, not just filter 0."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    stride = 3 * w
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(h):
+        line = rows[y]
+        ft = y % 5
+        out = bytearray(line)
+        if ft == 1:
+            for k in range(stride - 1, 2, -1):
+                out[k] = (line[k] - line[k - 3]) & 0xFF
+        elif ft == 2:
+            for k in range(stride):
+                out[k] = (line[k] - prior[k]) & 0xFF
+        elif ft == 3:
+            for k in range(stride):
+                left = line[k - 3] if k >= 3 else 0
+                out[k] = (line[k] - ((left + prior[k]) >> 1)) & 0xFF
+        elif ft == 4:
+            for k in range(stride):
+                left = line[k - 3] if k >= 3 else 0
+                ul = prior[k - 3] if k >= 3 else 0
+                out[k] = (line[k] - _paeth(left, prior[k], ul)) & 0xFF
+        raw.append(ft)
+        raw += out
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
+def bmp_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Uncompressed 24-bit BMP → (w, h, top-down RGB rows); None for
+    non-BMP / compressed / non-24bpp payloads, never raises."""
     import struct
     try:
         if b[:2] != b"BM" or len(b) < 54:
@@ -320,32 +440,68 @@ def bmp_raster_stats(b: bytes) -> dict | None:
         w, h = struct.unpack("<ii", b[18:26])
         bpp = struct.unpack("<H", b[28:30])[0]
         comp = struct.unpack("<I", b[30:34])[0]
+        topdown = h < 0
         h = abs(h)
         if bpp != 24 or comp != 0 or w <= 0 or h == 0:
             return None
         stride = (3 * w + 3) & ~3
         if off + stride * h > len(b):
             return None
-        mins = [255, 255, 255]   # B, G, R
-        maxs = [0, 0, 0]
-        sums = [0, 0, 0]
-        for r in range(h):
+        rows: list[bytes] = []
+        order = range(h) if topdown else range(h - 1, -1, -1)
+        for r in order:
             row = b[off + r * stride: off + r * stride + 3 * w]
-            for c in range(3):
-                ch = row[c::3]
-                mins[c] = min(mins[c], min(ch))
-                maxs[c] = max(maxs[c], max(ch))
-                sums[c] = sums[c] + sum(ch)
-        n = w * h
-        return {"n_px": n,
-                "r_min": mins[2], "r_max": maxs[2],
-                "r_mean": round(sums[2] / n, 4),
-                "g_min": mins[1], "g_max": maxs[1],
-                "g_mean": round(sums[1] / n, 4),
-                "b_min": mins[0], "b_max": maxs[0],
-                "b_mean": round(sums[0] / n, 4)}
+            rgb = bytearray(3 * w)
+            rgb[0::3] = row[2::3]                # R <- slot 2
+            rgb[1::3] = row[1::3]                # G
+            rgb[2::3] = row[0::3]                # B <- slot 0
+            rows.append(bytes(rgb))
+        return (w, h, rows)
     except (struct.error, IndexError, ValueError):
         return None
+
+
+def decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Container-agnostic raster decode: BMP24 or PNG RGB8 → (w, h,
+    top-down RGB rows).  The single entry point every pixel-level
+    operator (raster stats / OCR / classify) goes through."""
+    out = bmp_decode_rgb(b)
+    if out is None:
+        out = png_decode_rgb(b)
+    return out
+
+
+def image_raster_stats(b: bytes) -> dict | None:
+    """REAL pixel statistics over any decode_rgb-supported container
+    (BMP24, PNG RGB8): per-channel min/max/mean over every pixel (the
+    shape of PIL's ImageStat.Stat).  Returns None for undecodable
+    payloads; never raises.  Channel slicing is bytes-level
+    (row[0::3]) — C-speed, no per-pixel Python."""
+    dec = decode_rgb(b)
+    if dec is None:
+        return None
+    w, h, rows = dec
+    mins = [255, 255, 255]   # R, G, B
+    maxs = [0, 0, 0]
+    sums = [0, 0, 0]
+    for row in rows:
+        for c in range(3):
+            ch = row[c::3]
+            mins[c] = min(mins[c], min(ch))
+            maxs[c] = max(maxs[c], max(ch))
+            sums[c] = sums[c] + sum(ch)
+    n = w * h
+    return {"n_px": n,
+            "r_min": mins[0], "r_max": maxs[0],
+            "r_mean": round(sums[0] / n, 4),
+            "g_min": mins[1], "g_max": maxs[1],
+            "g_mean": round(sums[1] / n, 4),
+            "b_min": mins[2], "b_max": maxs[2],
+            "b_mean": round(sums[2] / n, 4)}
+
+
+# back-compat name (pre-round-4 the stats path was BMP-only)
+bmp_raster_stats = image_raster_stats
 
 
 RASTER_STATS_SCHEMA = ("doc_id bigint, n_px bigint, r_min int, r_max int, "
@@ -359,13 +515,13 @@ _NULL_STATS = {k: None for k in
 
 def raster_stats(df: DataFrame) -> DataFrame:
     """df(doc_id, media:binary) → per-channel pixel statistics for
-    uncompressed-BMP payloads (nulls otherwise).  Same narrow
+    BMP24 / PNG-RGB8 payloads (nulls otherwise).  Same narrow
     mapInPandas plumbing as media_meta."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, m in zip(pdf["doc_id"], pdf["media"]):
-                st = bmp_raster_stats(m if m is not None else b"")
+                st = image_raster_stats(m if m is not None else b"")
                 row = {"doc_id": did}
                 row.update(st if st is not None else _NULL_STATS)
                 rows.append(row)
@@ -411,12 +567,43 @@ def with_bmp_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
 
 
+def make_png_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID 8-bit RGB PNG: same (doc_id, x, y) pixel
+    formula and dimensions as make_bmp_bytes, so the DuckDB oracle for
+    the PNG raster gate reuses the BMP formula verbatim — but the bytes
+    go through real zlib deflate + per-row filtering (type y % 5)."""
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 4
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row.append((doc_id * 11 + x * 13 + y * 17) % 256)  # R
+            row.append((doc_id * 3 + x * 5 + y * 7) % 256)     # G
+            row.append((doc_id + x + y) % 256)                 # B
+        rows.append(bytes(row))
+    return png_encode_rgb(w, h, rows)
+
+
+def with_png_media(docs: DataFrame) -> DataFrame:
+    """Attach a `media` column of REAL zlib-compressed PNG bytes built
+    from doc_id (gate input for the compressed-raster round-trip)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 "media": [make_png_bytes(int(d)) for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
+
+
 def picture_classify(df: DataFrame) -> DataFrame:
     """Operator C7's deterministic stand-in: classify each image by its
     DOMINANT COLOR CHANNEL computed from real decoded pixels
-    (raster_stats) — the classify-stage plumbing (decode → feature →
-    label) with a rule in place of the ML model.  Deterministic
-    tiebreak r ≥ g ≥ b; undecodable payloads label 'unknown'."""
+    (raster_stats — BMP or PNG container) — the classify-stage plumbing
+    (decode → feature → label) with a rule in place of the ML model.
+    Deterministic tiebreak r ≥ g ≥ b; undecodable payloads label
+    'unknown'."""
     st = raster_stats(df)
     label = (F.when(F.col("r_mean").isNull(), "unknown")
              .when((F.col("r_mean") >= F.col("g_mean"))
@@ -480,15 +667,14 @@ OCR_MAX_CHARS = 128      # rendered text cap (mirrored by the oracle)
 _CELL_W, _CELL_H = 4, 6  # 3x5 glyph + 1px spacing
 
 
-def render_text_bmp(text: str) -> bytes:
-    """Render up to OCR_MAX_CHARS of [a-z0-9 ] text as black 3x5
-    glyphs on white in a REAL uncompressed 24-bit BMP (spec-valid:
-    bottom-up rows, 4-byte stride)."""
-    import struct
+def _render_glyph_rows(text: str) -> tuple[int, int, list[bytes]]:
+    """Rasterize up to OCR_MAX_CHARS of [a-z0-9 ] text as black 3x5
+    glyphs on white: (w, h, top-down RGB rows) — the container-neutral
+    canvas both the BMP and PNG writers serialize."""
     s = text[:OCR_MAX_CHARS]
     n_rows = max(1, -(-len(s) // OCR_COLS))
     w, h = OCR_COLS * _CELL_W, n_rows * _CELL_H
-    px = [[255] * (3 * w) for _ in range(h)]   # white canvas, BGR
+    px = [bytearray(b"\xff" * (3 * w)) for _ in range(h)]  # white canvas
     for idx, ch in enumerate(s):
         glyph = _FONT.get(ch)
         if glyph is None:
@@ -499,49 +685,59 @@ def render_text_bmp(text: str) -> bytes:
                 if ink == "#":
                     x = cx * _CELL_W + gx
                     y = cy * _CELL_H + gy
-                    px[y][3 * x:3 * x + 3] = [0, 0, 0]
+                    px[y][3 * x:3 * x + 3] = b"\x00\x00\x00"
+    return (w, h, [bytes(r) for r in px])
+
+
+def render_text_bmp(text: str) -> bytes:
+    """Rendered glyph canvas in a REAL uncompressed 24-bit BMP
+    (spec-valid: bottom-up rows, 4-byte stride).  Black-on-white is
+    channel-symmetric, so RGB rows serialize as BGR unchanged."""
+    import struct
+    w, h, rows = _render_glyph_rows(text)
     stride = (3 * w + 3) & ~3
     pad = b"\x00" * (stride - 3 * w)
-    img = b"".join(bytes(px[y]) + pad for y in range(h - 1, -1, -1))
+    img = b"".join(rows[y] + pad for y in range(h - 1, -1, -1))
     hdr = (b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img),
                          2835, 2835, 0, 0))
     return hdr + img
 
 
-def ocr_bmp(b: bytes) -> str | None:
-    """OCR the glyph grid back out of a rendered BMP: slice each cell's
-    3x5 pixel block, threshold, reverse-match against the font.
-    Returns None for non-BMP/foreign payloads; unknown glyph patterns
-    decode as '?'."""
-    import struct
-    try:
-        if b[:2] != b"BM" or len(b) < 54:
-            return None
-        off = struct.unpack("<I", b[10:14])[0]
-        w, h = struct.unpack("<ii", b[18:26])
-        bpp = struct.unpack("<H", b[28:30])[0]
-        comp = struct.unpack("<I", b[30:34])[0]
-        if (bpp != 24 or comp != 0 or w % _CELL_W or h % _CELL_H
-                or w <= 0 or h <= 0):
-            return None    # compressed/foreign BMPs: None, not garbage
-        stride = (3 * w + 3) & ~3
-        rows = [b[off + r * stride: off + r * stride + 3 * w]
-                for r in range(abs(h) - 1, -1, -1)]   # back to top-down
-        out = []
-        for cy in range(abs(h) // _CELL_H):
-            for cx in range(w // _CELL_W):
-                pat = []
-                for gy in range(5):
-                    row = rows[cy * _CELL_H + gy]
-                    bits = "".join(
-                        "#" if row[3 * (cx * _CELL_W + gx)] < 128 else " "
-                        for gx in range(3))
-                    pat.append(bits)
-                out.append(_FONT_REV.get(tuple(pat), "?"))
-        return "".join(out).rstrip()
-    except (struct.error, IndexError):
+def render_text_png(text: str) -> bytes:
+    """Rendered glyph canvas in a REAL zlib-compressed 8-bit RGB PNG —
+    the compressed-codec flavor of the OCR round-trip."""
+    w, h, rows = _render_glyph_rows(text)
+    return png_encode_rgb(w, h, rows)
+
+
+def ocr_image(b: bytes) -> str | None:
+    """OCR the glyph grid back out of a rendered image (BMP or PNG via
+    decode_rgb): slice each cell's 3x5 pixel block, threshold,
+    reverse-match against the font.  Returns None for undecodable /
+    wrong-geometry payloads; unknown glyph patterns decode as '?'."""
+    dec = decode_rgb(b)
+    if dec is None:
         return None
+    w, h, rows = dec
+    if w % _CELL_W or h % _CELL_H:
+        return None        # foreign raster, not a glyph grid
+    out = []
+    for cy in range(h // _CELL_H):
+        for cx in range(w // _CELL_W):
+            pat = []
+            for gy in range(5):
+                row = rows[cy * _CELL_H + gy]
+                bits = "".join(
+                    "#" if row[3 * (cx * _CELL_W + gx)] < 128 else " "
+                    for gx in range(3))
+                pat.append(bits)
+            out.append(_FONT_REV.get(tuple(pat), "?"))
+    return "".join(out).rstrip()
+
+
+# back-compat name (pre-round-4 the OCR path was BMP-only)
+ocr_bmp = ocr_image
 
 
 def with_text_bmp_media(docs: DataFrame) -> DataFrame:
@@ -559,14 +755,29 @@ def with_text_bmp_media(docs: DataFrame) -> DataFrame:
         gen, "doc_id bigint, media binary")
 
 
+def with_text_png_media(docs: DataFrame) -> DataFrame:
+    """PNG flavor of with_text_bmp_media: rendered-text PNGs built from
+    a canonicalized `text` column."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 "media": [render_text_png(t or "")
+                           for t in pdf["text"]]})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, media binary")
+
+
 def media_ocr(df: DataFrame) -> DataFrame:
-    """df(doc_id, media:binary) → (doc_id, ocr_text).  Narrow
-    mapInPandas, same plumbing as the other media kernels."""
+    """df(doc_id, media:binary) → (doc_id, ocr_text); BMP and PNG
+    containers both decode.  Narrow mapInPandas, same plumbing as the
+    other media kernels."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"],
-                 "ocr_text": [ocr_bmp(m if m is not None else b"")
+                 "ocr_text": [ocr_image(m if m is not None else b"")
                               for m in pdf["media"]]})
 
     return df.select("doc_id", "media").mapInPandas(

@@ -632,6 +632,27 @@ def q_media_raster_stats(spark, sf_dir):
     return media.raster_stats(docs)
 
 
+def q_media_raster_png(spark, sf_dir):
+    """Compressed-codec raster decode (round-3 verdict item 3): the
+    SAME pixel formula as media_raster_stats, but the payloads are
+    real zlib-deflated PNGs whose scanlines cycle through all five PNG
+    filter types — the stats only match the oracle if inflate +
+    per-row unfilter reconstruct every pixel exactly."""
+    docs = media.with_png_media(_read(spark, sf_dir, "documents"))
+    return media.raster_stats(docs)
+
+
+def q_media_ocr_png(spark, sf_dir):
+    """OCR over PNG payloads: canonicalized text rendered into
+    zlib-compressed glyph PNGs, decoded (inflate + unfilter) and OCR'd
+    back by per-cell pixel matching — byte-exact round-trip, same
+    oracle contract as media_ocr."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "").alias("text"))
+    return media.media_ocr(media.with_text_png_media(docs))
+
+
 # ---------------------------------------------------------------------------
 # relational family (joins / aggs / windows / semi-anti / sessionization)
 # ---------------------------------------------------------------------------
@@ -818,6 +839,9 @@ QUERIES = {
     "corpus_card": q_corpus_card,
     "source_stats": q_source_stats,
     "corpus_hash_split": q_corpus_hash_split,
+    # --- new round-4 gates ---
+    "media_raster_png": q_media_raster_png,
+    "media_ocr_png": q_media_ocr_png,
     # ---- driver cap boundary is position 50; new round-4 gates are
     # inserted ABOVE this line as they land ----
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
@@ -1849,7 +1873,37 @@ ORACLES = {
                                            '', 'g'), 1, 128)) AS ocr_text
         FROM documents""",
 
+    # identical contract to media_ocr: the PNG container must be
+    # transparent to the round-trip
+    "media_ocr_png": """
+        SELECT doc_id,
+               rtrim(substr(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                           '', 'g'), 1, 128)) AS ocr_text
+        FROM documents""",
+
     "media_raster_stats": """
+        WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                   FROM documents),
+        px AS (SELECT doc_id,
+                      (doc_id + x.i + y.i) % 256 AS bc,
+                      (doc_id * 3 + x.i * 5 + y.i * 7) % 256 AS gc,
+                      (doc_id * 11 + x.i * 13 + y.i * 17) % 256 AS rc
+               FROM d,
+                    unnest(generate_series(0, w - 1)) AS x(i),
+                    unnest(generate_series(0, h - 1)) AS y(i))
+        SELECT doc_id, count(*)::BIGINT AS n_px,
+               min(rc)::INTEGER AS r_min, max(rc)::INTEGER AS r_max,
+               round(avg(rc), 4) AS r_mean,
+               min(gc)::INTEGER AS g_min, max(gc)::INTEGER AS g_max,
+               round(avg(gc), 4) AS g_mean,
+               min(bc)::INTEGER AS b_min, max(bc)::INTEGER AS b_max,
+               round(avg(bc), 4) AS b_mean
+        FROM px GROUP BY doc_id""",
+
+    # make_png_bytes pins the SAME pixel formula as make_bmp_bytes, so
+    # the PNG gate's oracle is the BMP one verbatim — deflate +
+    # filtering must be lossless
+    "media_raster_png": """
         WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
                    FROM documents),
         px AS (SELECT doc_id,
