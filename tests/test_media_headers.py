@@ -190,3 +190,45 @@ def test_png_raster_and_ocr_match_bmp():
         assert ocr_image(render_text_png(s)) == \
             ocr_image(render_text_bmp(s))
     assert ocr_image(make_png_bytes(3)) is None    # wrong cell geometry
+
+
+def test_wav_pcm_roundtrip():
+    """PCM decode (r3 verdict item 5): every synthesized sample
+    reconstructs exactly; summary string is deterministic; corrupt /
+    non-16-bit payloads return None instead of raising."""
+    from webextract.media import (make_wav_bytes, make_wav_pcm_bytes,
+                                  parse_wav_pcm, wav_pcm_summary)
+    for did in (0, 1, 2, 3, 5, 63, 64):
+        b = make_wav_pcm_bytes(did)
+        rate, ch, nf, chans = parse_wav_pcm(b)
+        assert rate == (8000, 16000, 22050, 44100)[did % 4]
+        assert ch == 1 + did % 2
+        assert nf == 64 + did % 64
+        for c in range(ch):
+            for i in range(nf):
+                want = ((did * 131 + i * 17 + c * 7919) % 65536) - 32768
+                assert chans[c][i] == want
+        s = wav_pcm_summary(b)
+        assert s.startswith(f"audio {rate} hz {ch} ch {nf} frames")
+        assert s.count("channel") == ch
+    assert parse_wav_pcm(b"") is None
+    assert parse_wav_pcm(b"RIFF1234WAVE") is None
+    # header-only WAV (zero-sample payload from the header gate): the
+    # declared frames are not present -> honest None, not garbage
+    assert wav_pcm_summary(make_wav_bytes(3)) is None
+    b = make_wav_pcm_bytes(7)
+    assert parse_wav_pcm(b[:60]) is None          # truncated data
+
+
+def test_extract_audio_kernel():
+    """The extraction kernel routes WAV payloads through the PCM
+    transcript path (fmt=audio, status=success); compressed audio
+    magic is an honest skip."""
+    from webextract.extract import extract_document
+    from webextract.media import make_wav_pcm_bytes, wav_pcm_summary
+    b = make_wav_pcm_bytes(11)
+    out = extract_document(b)
+    assert out.status == "success" and out.fmt == "audio"
+    assert out.text == wav_pcm_summary(b)
+    ogg = extract_document(b"OggS" + b"\x00" * 64)
+    assert ogg.status == "skipped" and ogg.fmt == "audio"

@@ -449,9 +449,23 @@ def extract_document(payload: bytes, opt: ConvertOptions = DEFAULT_OPTIONS,
             main = []
             if t:
                 _blk(main, "ocr", "p", "para", t)
+        elif fmt == "audio":
+            # audio InputFormat content path (reference docs/usage.md:14
+            # routes audio to an ASR pipeline): 16-bit PCM WAVs decode
+            # to a deterministic signal-stats transcript stand-in (the
+            # ASR-model slot); compressed codecs are an honest skip.
+            from .formats import _blk
+            from .media import wav_pcm_summary
+            t = wav_pcm_summary(payload)
+            if t is None:
+                return Extracted(status="skipped", fmt=fmt,
+                                 error="no PCM decode for this audio "
+                                       "payload")
+            main = []
+            _blk(main, "audio", "p", "para", t)
         else:
-            # audio (and images with do_ocr=false) route to the media
-            # operators (webextract/media.py)
+            # images with do_ocr=false route to the media operators
+            # (webextract/media.py)
             return Extracted(status="skipped", fmt=fmt,
                              error=f"no text backend for format {fmt}")
         if timed_out():
