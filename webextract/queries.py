@@ -650,6 +650,21 @@ def q_extract_audio_source(spark, sf_dir):
             .select("doc_id", "fmt", "text"))
 
 
+def q_picture_describe_api(spark, sf_dir):
+    """Batched-inference stage slot (round-3 verdict item 4; reference
+    picture_description_api with concurrency knob, docs/usage.md:37-41):
+    pixel features POSTed in micro-batches to a deterministic
+    in-process HTTP endpoint (4 in-flight per task) and joined back —
+    the full async-enrichment plumbing with a mock in the VLM slot.
+    The oracle recomputes the description from the pixel formula, so
+    the gate only passes if the HTTP round-trip preserves every row."""
+    from .infer import picture_describe, start_mock_describer
+    endpoint, _srv = start_mock_describer()      # daemon; dies with proc
+    docs = media.with_bmp_media(_read(spark, sf_dir, "documents"))
+    return picture_describe(docs, endpoint=endpoint, concurrency=4,
+                            batch_size=32)
+
+
 def q_media_raster_stats(spark, sf_dir):
     """REAL pixel-level raster decode (round-2 review item 7): valid
     uncompressed 24-bit BMPs synthesized from doc_id, decoded back to
@@ -871,6 +886,7 @@ QUERIES = {
     "media_ocr_png": q_media_ocr_png,
     "media_audio_pcm": q_media_audio_pcm,
     "extract_audio_source": q_extract_audio_source,
+    "picture_describe_api": q_picture_describe_api,
     # ---- driver cap boundary is position 50; new round-4 gates are
     # inserted ABOVE this line as they land ----
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
@@ -1920,6 +1936,34 @@ ORACLES = {
         FROM documents
         WHERE rtrim(substr(regexp_replace(lower(text), '[^a-z0-9 ]',
                                           '', 'g'), 1, 128)) <> ''""",
+
+    # description recomputed from the pixel formula (shared
+    # describe_from_features contract: 'a <label> picture of <n> px')
+    "picture_describe_api": """
+        WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                   FROM documents),
+        px AS (SELECT doc_id,
+                      (doc_id + x.i + y.i) % 256 AS bc,
+                      (doc_id * 3 + x.i * 5 + y.i * 7) % 256 AS gc,
+                      (doc_id * 11 + x.i * 13 + y.i * 17) % 256 AS rc
+               FROM d,
+                    unnest(generate_series(0, w - 1)) AS x(i),
+                    unnest(generate_series(0, h - 1)) AS y(i)),
+        m AS (SELECT doc_id, count(*) AS n_px,
+                     round(avg(rc), 4) AS r_mean,
+                     round(avg(gc), 4) AS g_mean,
+                     round(avg(bc), 4) AS b_mean
+              FROM px GROUP BY doc_id),
+        lbl AS (SELECT doc_id, n_px,
+                       CASE WHEN r_mean >= g_mean AND r_mean >= b_mean
+                            THEN 'red'
+                            WHEN g_mean >= b_mean THEN 'green'
+                            ELSE 'blue' END AS label
+                FROM m)
+        SELECT doc_id, label, n_px::BIGINT AS n_px,
+               'a ' || label || ' picture of ' || n_px || ' px'
+                 AS description
+        FROM lbl""",
 
     "media_picture_classify": """
         WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
