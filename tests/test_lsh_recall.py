@@ -200,3 +200,40 @@ def test_source_mix_rejects_upsampling(spark):
         source_mix(docs, {"s": 2.0})
     with pytest.raises(ValueError, match="downsamples only"):
         source_mix(docs, {"s": -0.1})
+
+
+def test_embed_multitable_recall(spark):
+    """r3 verdict item 6: multi-table SRP recall must improve
+    monotonically with R (union of candidate sets — superset by
+    construction) and strictly recover pairs the single table missed
+    on this corpus; everything found must be a true pair (exact cosine
+    verify inside buckets => perfect precision)."""
+    from webextract.corpus import embed_near_dup_pairs
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    thr = 0.3
+    # brute-force truth: all pairs with cos >= thr
+    n = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(F.aggregate(F.zip_with("embedding", "embedding",
+                                      lambda a, b: a.cast("double") * b),
+                           F.lit(0.0), lambda s, v: s + v)).alias("nrm"))
+    a = n.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("ea", "eb",
+                                 lambda x, y: x.cast("double") * y),
+                      F.lit(0.0), lambda s, v: s + v)
+    truth = {(r.vec_a, r.vec_b) for r in
+             a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
+             .filter(F.col("cos") >= thr).collect()}
+    assert truth, "corpus should contain near-dup embedding pairs"
+    found = {}
+    for r in (1, 2, 3):
+        found[r] = {(p.vec_a, p.vec_b) for p in embed_near_dup_pairs(
+            emb, threshold=thr, tables=r).collect()}
+        assert found[r] <= truth          # perfect precision
+    assert found[1] <= found[2] <= found[3]       # monotone recall
+    assert len(found[3]) > len(found[1]), \
+        "extra tables recovered no new pairs — layering is dead code"

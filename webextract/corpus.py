@@ -802,14 +802,33 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
             .select("qid", "nid", "cos", F.col("rank").cast("int").alias("rank")))
 
 
-def _srp_sign_matrix(bits: int, dims: int) -> list[list[float]]:
+def _srp_sign_matrix(bits: int, dims: int,
+                     table: int = 0) -> list[list[float]]:
     """The constant bits×dims hyperplane sign matrix, computed ONCE on
     the driver (sign of plane j at dim d = high bit of the first hex
-    digit of md5(f"{j}:{d}") — identical rule to the DuckDB oracle)."""
+    digit of md5(f"{j}:{d}") — identical rule to the DuckDB oracle).
+    ``table`` rotates the hash family for multi-table recall layering:
+    table t > 0 seeds the digest with f"t{t}:" so each table is an
+    independent set of hyperplanes."""
     import hashlib
-    return [[1.0 if int(hashlib.md5(f"{j}:{d}".encode())
+    pre = f"t{table}:" if table else ""
+    return [[1.0 if int(hashlib.md5(f"{pre}{j}:{d}".encode())
                         .hexdigest()[0], 16) >= 8 else -1.0
              for d in range(dims)] for j in range(bits)]
+
+
+def _srp_bucket_col(signs: list[list[float]]):
+    """SRP bucket key as a pure projection Column over `embedding`
+    (one codegen'd zip_with dot product per plane)."""
+    def plane_bit(plane_signs):
+        plane = F.array(*[F.lit(s) for s in plane_signs])
+        s = F.aggregate(
+            F.zip_with(F.col("embedding"), plane,
+                       lambda x, sg: x.cast("double") * sg),
+            F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[plane_bit(p) for p in signs])
 
 
 def lsh_ann_buckets(emb: DataFrame, bits: int = 16,
@@ -829,18 +848,7 @@ def lsh_ann_buckets(emb: DataFrame, bits: int = 16,
     if dims is None:
         dims = emb.select(F.size("embedding")).first()[0]
     signs = _srp_sign_matrix(bits, dims)
-
-    def plane_bit(j: int):
-        plane = F.array(*[F.lit(s) for s in signs[j]])
-        s = F.aggregate(
-            F.zip_with(F.col("embedding"), plane,
-                       lambda x, sg: x.cast("double") * sg),
-            F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
-
-    return emb.select(
-        "vec_id",
-        F.concat(*[plane_bit(j) for j in range(bits)]).alias("bucket"))
+    return emb.select("vec_id", _srp_bucket_col(signs).alias("bucket"))
 
 
 ANN_BUCKET_CAP = 1024   # SRP buckets larger than this are skipped
@@ -848,47 +856,72 @@ ANN_BUCKET_CAP = 1024   # SRP buckets larger than this are skipped
 
 def embed_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                          bits: int = 8,
-                         bucket_cap: int = ANN_BUCKET_CAP) -> DataFrame:
+                         bucket_cap: int = ANN_BUCKET_CAP,
+                         tables: int = 1) -> DataFrame:
     """(vec_a, vec_b, cos): embedding-cosine NEAR-DUP pairs — the
     vector twin of lsh_jaccard_pairs, completing the dedup family
     (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding).
 
     Sub-quadratic shape: vectors are SRP-LSH bucketed (each vector in
-    exactly ONE bucket = its full `bits` signature, so pairs emerge
-    once — no distinct needed) and exact cosine runs only INSIDE a
-    bucket via an equi-join on the bucket key.  Recall is the
-    bits/threshold tradeoff (P[same bucket] = (1 - θ/π)^bits — the
-    deterministic contract, mirrored by the oracle); production layers
-    multiple tables (re-run with rotated seeds) for recall, same plan.
+    exactly ONE bucket per table = its full `bits` signature) and exact
+    cosine runs only INSIDE a bucket via an equi-join on the bucket
+    key.  Single-table recall is the bits/threshold tradeoff
+    (P[same bucket] = (1 - θ/π)^bits — the deterministic contract,
+    mirrored by the oracle); ``tables`` R > 1 layers R independent
+    rotated hash families (round-3 verdict item 6): a true pair is
+    found if ANY table co-buckets it, P = 1 - (1 - p)^R, so recall
+    improves monotonically in R by construction (union of candidate
+    sets) — pinned by test_embed_multitable_recall.
 
-    ``bucket_cap`` is the skew guard: the bucket universe is bounded
-    (≤ 2^bits keys) so the cap frame always broadcasts."""
-    b = lsh_ann_buckets(emb, bits)
+    Scale shape per table: one shuffle on that table's bucket key over
+    the STAGED (vec_id, embedding, norm) side — the SRP projections
+    never re-read the source.  The cross-table union dedups on the
+    pair frame (threshold-filtered, ≪ corpus), never on raw vectors.
+
+    ``bucket_cap`` is the per-table skew guard: the bucket universe is
+    bounded (≤ 2^bits keys) so the cap frame always broadcasts."""
+    dims = emb.select(F.size("embedding")).first()[0]
     norms = emb.select(
         "vec_id", "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"))
-    # stage (bucket, embedding, norm) ONCE: the cap aggregate and both
-    # self-join sides below would otherwise each re-run the SRP
-    # bits×dims dot-product lineage (round-3 review; same rationale as
-    # lsh_jaccard_pairs' candidate staging)
-    side = b.join(norms, "vec_id").localCheckpoint()
-    ok = (side.groupBy("bucket").count()
-          .filter(F.col("count") <= bucket_cap).select("bucket"))
-    side = side.join(F.broadcast(ok), "bucket", "left_semi")
-    a = side.select(F.col("bucket"), F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("ea"), F.col("norm").alias("na"))
-    c = side.select(F.col("bucket"), F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
-    cos = F.round(_dot(F.col("ea"), F.col("eb"))
-                  / (F.col("na") * F.col("nb")), 6)
-    # shuffle-hash, not sort-merge: the join key has ≤ 2^bits distinct
-    # values, so sorting embedding-array rows buys nothing and the
-    # per-partition build side is bounded by bucket_cap × buckets
-    return (a.join(c.hint("shuffle_hash"), "bucket")
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .withColumn("cos", cos)
-            .filter(F.col("cos") >= threshold)
-            .select("vec_a", "vec_b", "cos"))
+    # stage (embedding, norm) ONCE: every table's cap aggregate and
+    # both self-join sides read this frame — without it each consumer
+    # re-runs the norm lineage per table (round-3 review; same
+    # rationale as lsh_jaccard_pairs' candidate staging)
+    staged = norms.localCheckpoint()
+
+    def table_pairs(t: int) -> DataFrame:
+        signs = _srp_sign_matrix(bits, dims, table=t)
+        side = staged.withColumn("bucket", _srp_bucket_col(signs))
+        ok = (side.groupBy("bucket").count()
+              .filter(F.col("count") <= bucket_cap).select("bucket"))
+        side_ok = side.join(F.broadcast(ok), "bucket", "left_semi")
+        a = side_ok.select(F.col("bucket"),
+                           F.col("vec_id").alias("vec_a"),
+                           F.col("embedding").alias("ea"),
+                           F.col("norm").alias("na"))
+        c = side_ok.select(F.col("bucket"),
+                           F.col("vec_id").alias("vec_b"),
+                           F.col("embedding").alias("eb"),
+                           F.col("norm").alias("nb"))
+        cos = F.round(_dot(F.col("ea"), F.col("eb"))
+                      / (F.col("na") * F.col("nb")), 6)
+        # shuffle-hash, not sort-merge: the join key has ≤ 2^bits
+        # distinct values, so sorting embedding-array rows buys nothing
+        # and the per-partition build side is bounded by bucket_cap ×
+        # buckets
+        return (a.join(c.hint("shuffle_hash"), "bucket")
+                .filter(F.col("vec_a") < F.col("vec_b"))
+                .withColumn("cos", cos)
+                .filter(F.col("cos") >= threshold)
+                .select("vec_a", "vec_b", "cos"))
+
+    out = table_pairs(0)
+    for t in range(1, tables):
+        out = out.unionByName(table_pairs(t))
+    # cos is a pure function of the pair (same rounding every table),
+    # so distinct() on all three columns dedups cross-table hits
+    return out.distinct() if tables > 1 else out
 
 
 def ann_bucket_stats(emb: DataFrame, bits: int = 8) -> DataFrame:

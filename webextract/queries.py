@@ -460,6 +460,15 @@ def q_dedup_embed_cosine(spark, sf_dir):
         _read(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_dedup_embed_multiprobe(spark, sf_dir):
+    """Multi-table SRP recall layering (round-3 verdict item 6): the
+    same near-dup operator with TWO independent rotated hyperplane
+    tables — a pair survives if ANY table co-buckets it, so the result
+    is a strict superset of the single-table gate (recall 1-(1-p)^R)."""
+    return corpus.embed_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.3, tables=2)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return corpus.simhash(_read(spark, sf_dir, "documents"))
 
@@ -887,6 +896,7 @@ QUERIES = {
     "media_audio_pcm": q_media_audio_pcm,
     "extract_audio_source": q_extract_audio_source,
     "picture_describe_api": q_picture_describe_api,
+    "dedup_embed_multiprobe": q_dedup_embed_multiprobe,
     # ---- driver cap boundary is position 50; new round-4 gates are
     # inserted ABOVE this line as they land ----
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
@@ -1657,6 +1667,61 @@ ORACLES = {
         FROM n a JOIN n c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         WHERE round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6)
               >= 0.3""",
+
+    # two independent hyperplane tables (seed '' and 't1:'), per-table
+    # cap, union + distinct — mirrors embed_near_dup_pairs(tables=2)
+    "dedup_embed_multiprobe": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_dot_product(v, v)) AS nrm
+              FROM e),
+        js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        s0 AS (SELECT vec_id, j,
+                      list_sum(list_transform(generate_series(1, len(v)),
+                        d -> CASE WHEN substr(md5(j || ':' || (d-1)), 1, 1)
+                                       >= '8'
+                                  THEN v[d] ELSE -v[d] END)) AS dot
+               FROM e CROSS JOIN js),
+        b0 AS (SELECT vec_id,
+                      string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END,
+                                 '' ORDER BY j) AS bucket
+               FROM s0 GROUP BY vec_id),
+        ok0 AS (SELECT bucket FROM b0 GROUP BY bucket
+                HAVING count(*) <= 1024),
+        n0 AS (SELECT n.vec_id, b0.bucket, n.v, n.nrm
+               FROM n JOIN b0 ON n.vec_id = b0.vec_id
+                      JOIN ok0 ON b0.bucket = ok0.bucket),
+        p0 AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                      round(list_dot_product(a.v, c.v)
+                            / (a.nrm * c.nrm), 6) AS cos
+               FROM n0 a JOIN n0 c
+                 ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+               WHERE round(list_dot_product(a.v, c.v)
+                           / (a.nrm * c.nrm), 6) >= 0.3),
+        s1 AS (SELECT vec_id, j,
+                      list_sum(list_transform(generate_series(1, len(v)),
+                        d -> CASE WHEN substr(md5('t1:' || j || ':'
+                                                  || (d-1)), 1, 1) >= '8'
+                                  THEN v[d] ELSE -v[d] END)) AS dot
+               FROM e CROSS JOIN js),
+        b1 AS (SELECT vec_id,
+                      string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END,
+                                 '' ORDER BY j) AS bucket
+               FROM s1 GROUP BY vec_id),
+        ok1 AS (SELECT bucket FROM b1 GROUP BY bucket
+                HAVING count(*) <= 1024),
+        n1 AS (SELECT n.vec_id, b1.bucket, n.v, n.nrm
+               FROM n JOIN b1 ON n.vec_id = b1.vec_id
+                      JOIN ok1 ON b1.bucket = ok1.bucket),
+        p1 AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                      round(list_dot_product(a.v, c.v)
+                            / (a.nrm * c.nrm), 6) AS cos
+               FROM n1 a JOIN n1 c
+                 ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+               WHERE round(list_dot_product(a.v, c.v)
+                           / (a.nrm * c.nrm), 6) >= 0.3)
+        SELECT DISTINCT vec_a, vec_b, cos FROM
+          (SELECT * FROM p0 UNION ALL SELECT * FROM p1)""",
 
     "embed_ann_buckets": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
