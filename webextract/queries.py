@@ -343,6 +343,35 @@ def q_stream_epoch_sink(spark, sf_dir):
                  F.sum("n_blocks").cast("long").alias("n_blocks")))
 
 
+def q_stream_neardup(spark, sf_dir):
+    """Third streaming gate (round-3 verdict item 8): a REAL
+    Structured Streaming run of the stateful MinHash near-dup operator
+    — pages stream → JVM-side band keys → applyInPandasWithState
+    bucket-min state → parquet sink — then doc-level near-dup flags
+    reduced from the sink.  Input is ONE file (one micro-batch), so
+    the in-batch id-ordered semantics equal the order-independent
+    batch truth the oracle computes; cross-batch state mechanics are
+    pinned by test_streaming's multi-batch identity test."""
+    import hashlib
+    import shutil
+
+    from .streaming import stream_near_dup
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/wx_neardup_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    pages = docs_to_pages(_read(spark, sf_dir, "documents"))
+    pages.coalesce(1).write.parquet(in_dir)
+    q = stream_near_dup(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    return (out.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bands"),
+                 F.max(F.col("dup_in_band").cast("int")).cast("boolean")
+                 .alias("is_near_dup")))
+
+
 def q_chunk_hybrid(spark, sf_dir):
     out = _extract(spark, sf_dir)
     return (chunks_df(out, "hybrid", 64)
@@ -897,6 +926,7 @@ QUERIES = {
     "extract_audio_source": q_extract_audio_source,
     "picture_describe_api": q_picture_describe_api,
     "dedup_embed_multiprobe": q_dedup_embed_multiprobe,
+    "stream_neardup": q_stream_neardup,
     # ---- driver cap boundary is position 50; new round-4 gates are
     # inserted ABOVE this line as they land ----
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
@@ -2168,6 +2198,31 @@ ORACLES = {
         SELECT lang, 'success' AS status, count(*)::BIGINT AS n_docs,
                (2 * count(*))::BIGINT AS n_blocks
         FROM documents GROUP BY lang""",
+
+    # batch truth for the streaming near-dup operator: a doc is a
+    # near-dup iff ANY of its LSH bands contains a smaller doc_id
+    # (same minhash family as dedup_minhash_lsh)
+    "stream_neardup": f"""
+        WITH {_SHINGLES_CTE},
+        hs AS (SELECT doc_id, list_transform(shingles,
+                 s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
+               FROM sh WHERE len(shingles) > 0),
+        m AS (SELECT doc_id, list_transform(generate_series(0, 15),
+                j -> list_min(list_transform(hs,
+                  h -> (h * (j*7919 + 1) + (j*104729 + 1)) % 536870909)))
+                AS mh
+              FROM hs),
+        b AS (SELECT doc_id, band,
+                     md5(mh[band*4+1] || ',' || mh[band*4+2] || ',' ||
+                         mh[band*4+3] || ',' || mh[band*4+4]) AS band_key
+              FROM m, unnest(generate_series(0, 3)) AS u(band)),
+        mins AS (SELECT band, band_key, min(doc_id) AS bmin
+                 FROM b GROUP BY band, band_key)
+        SELECT b.doc_id, count(*)::BIGINT AS n_bands,
+               bool_or(mins.bmin < b.doc_id) AS is_near_dup
+        FROM b JOIN mins ON b.band = mins.band
+                        AND b.band_key = mins.band_key
+        GROUP BY b.doc_id""",
 
     "stream_window_counts": """
         SELECT (1735689600 + (doc_id % 600)) // 60 * 60 AS win_start,
