@@ -41,7 +41,35 @@ HEADLINE = [
     "token_stats", "doc_fingerprints", "media_decode_meta",
     "pricing_summary", "revenue_by_nation", "top_orders_per_cust",
     "events_sessions", "events_hourly",
+    # round-4 additions
+    "media_raster_png", "media_audio_pcm", "extract_audio_source",
+    "dedup_embed_multiprobe",
 ]
+
+# one 25%-of-corpus boilerplate family: every 4th doc becomes a
+# near-identical copy (shared 24-token base, 2 unique tail tokens) —
+# at sf0.1 that is a single ~5000-member near-dup cluster, the
+# worst-case shape the LSH bucket cap + component quarantine guard
+SKEW_BOILER = ("subscribe to our newsletter for daily updates and "
+               "follow us on social media for the latest breaking "
+               "news coverage from around the world today")
+
+
+def skew_docs_path(spark, sf_dir: str, sf_tag: str) -> str:
+    """Materialize the skewed twin of the sf documents table once per
+    sf (same row count, same schema; generation not timed)."""
+    from pyspark.sql import functions as F
+    path = f"/tmp/webextract_bench/skewdocs_sf{sf_tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        boiler = F.concat(F.lit(SKEW_BOILER + " tail"),
+                          (F.col("doc_id") % 97).cast("string"),
+                          F.lit(" v"), F.col("doc_id").cast("string"))
+        (docs.withColumn(
+            "text", F.when(F.col("doc_id") % 4 == 1, boiler)
+            .otherwise(F.col("text")))
+         .write.mode("overwrite").parquet(path))
+    return path
 
 
 def _force(df) -> int:
@@ -114,6 +142,32 @@ def main() -> None:
             t = round(_timed(lambda: q(spark, sf_dir), passes=2), 3)
             timings[name] = min(timings.get(name, float("inf")), t)
 
+    # -- skewed-corpus stress scenario (round-3 verdict item 7) ----------
+    # the full near-dup pipeline (LSH candidates → exact verify →
+    # connected components → survivors) on the uniform corpus vs the
+    # one-giant-boilerplate-family twin: the bucket cap + component
+    # quarantine must keep the skewed run within 2× of uniform
+    from pyspark.sql import functions as F
+    from webextract import corpus
+
+    def neardup_pipeline(path: str):
+        docs = spark.read.parquet(path)
+        pairs = corpus.lsh_jaccard_pairs(docs).select("doc_a", "doc_b")
+        cl = corpus.dedup_clusters(docs, pairs=pairs)
+        return cl.select(
+            "doc_id", "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"))
+
+    skew_path = skew_docs_path(spark, sf_dir, sf_tag)
+    spark.catalog.clearCache()
+    t_uni = _timed(lambda: neardup_pipeline(f"{sf_dir}/documents.parquet"),
+                   passes=2)
+    spark.catalog.clearCache()
+    t_skew = _timed(lambda: neardup_pipeline(skew_path), passes=2)
+    timings["skew_neardup_uniform"] = round(t_uni, 3)
+    timings["skew_neardup_skewed"] = round(t_skew, 3)
+    skew_ratio = round(t_skew / t_uni, 3)
+
     total = round(sum(timings.values()), 3)
     cpu1 = _cpu_times()
     d = [b - a for a, b in zip(cpu0, cpu1)]
@@ -126,6 +180,7 @@ def main() -> None:
         "sf": sf_tag,
         "extract_docs_per_sec": docs_per_sec,
         "extract_n_docs": n_synth,
+        "skew_blowup_ratio": skew_ratio,
         "cpus": cpus,
         "host_steal_pct": steal_pct,
     }))
