@@ -107,3 +107,58 @@ def test_seeded_split_parse_matches_one_shot(doc):
         == [(b.tag, b.kind, b.path, b.container_path, b.depth, b.text,
              b.link_chars, b.boiler, b.semantic, b.heading_level,
              b.li_index, b.cells, b.src) for b in want]
+
+
+# --- round-4 codec totality: decode paths never raise -----------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_raster_decode_total_on_garbage(b):
+    from webextract.media import decode_rgb, image_raster_stats, ocr_image
+    for fn in (decode_rgb, image_raster_stats, ocr_image):
+        out = fn(b)                 # must not raise
+        assert out is None or out
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(0, 5000), st.integers(0, 400))
+def test_png_truncation_total(doc_id, cut):
+    """Every prefix of a valid PNG decodes to the full pixels or None —
+    never an exception, never garbage pixels."""
+    from webextract.media import make_png_bytes, png_decode_rgb
+    b = make_png_bytes(doc_id)
+    out = png_decode_rgb(b[:cut] if cut < len(b) else b)
+    if cut >= len(b):
+        assert out is not None
+    # truncated: either None or (only when the cut is past all IDAT
+    # bytes) the complete image — partial pixels are impossible because
+    # zlib streams fail to decompress when cut
+    if out is not None:
+        w, h, rows = out
+        assert len(rows) == h and all(len(r) == 3 * w for r in rows)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(0, 5000), st.binary(max_size=60), st.integers(0, 200))
+def test_wav_pcm_mutation_total(doc_id, junk, cut):
+    from webextract.media import (make_wav_pcm_bytes, parse_wav_pcm,
+                                  wav_pcm_summary)
+    b = make_wav_pcm_bytes(doc_id)
+    for payload in (b[:cut], junk, b[:20] + junk + b[20:], junk + b):
+        out = parse_wav_pcm(payload)       # must not raise
+        if out is not None:
+            rate, ch, nf, chans = out
+            assert rate > 0 and len(chans) == ch
+            assert all(len(c) == nf for c in chans)
+        assert wav_pcm_summary(payload) is None or out is not None
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=30))
+def test_subword_tokenizer_total_and_bounded(w):
+    from webextract.chunk import subword_count
+    if not w:
+        return
+    n = subword_count(w)
+    assert 1 <= n <= len(w)
