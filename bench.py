@@ -158,12 +158,20 @@ def main() -> None:
             "doc_id", "cluster_id",
             (F.col("doc_id") == F.col("cluster_id")).alias("keep"))
 
+    # interleaved A/B (round-4 review): a host slow window covering one
+    # variant's consecutive passes would fake a blowup (or hide one) —
+    # alternate uniform/skew passes and take per-variant minima, the
+    # same drift guard as the registry sweep above
     skew_path = skew_docs_path(spark, sf_dir, sf_tag)
-    spark.catalog.clearCache()
-    t_uni = _timed(lambda: neardup_pipeline(f"{sf_dir}/documents.parquet"),
-                   passes=2)
-    spark.catalog.clearCache()
-    t_skew = _timed(lambda: neardup_pipeline(skew_path), passes=2)
+    t_uni = t_skew = float("inf")
+    for _sweep in range(2):
+        spark.catalog.clearCache()
+        t_uni = min(t_uni, _timed(
+            lambda: neardup_pipeline(f"{sf_dir}/documents.parquet"),
+            passes=1))
+        spark.catalog.clearCache()
+        t_skew = min(t_skew, _timed(
+            lambda: neardup_pipeline(skew_path), passes=1))
     timings["skew_neardup_uniform"] = round(t_uni, 3)
     timings["skew_neardup_skewed"] = round(t_skew, 3)
     skew_ratio = round(t_skew / t_uni, 3)

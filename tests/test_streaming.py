@@ -203,9 +203,10 @@ def test_stream_neardup_matches_batch(spark, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(150)
     pages = docs_to_pages(docs).withColumn(
         "doc_id", F.substring("url", 7, 20).cast("bigint"))
-    # three ordered drops -> three micro-batches (files named in order;
-    # each written sequentially so mtime order matches id order)
-    for lo, hi in ((0, 50), (50, 100), (100, 100000)):
+    # three UNORDERED drops -> three micro-batches: the middle id range
+    # arrives first, so smaller ids land AFTER larger ones and the
+    # retroactive-correction path is exercised for real (r4 review)
+    for lo, hi in ((50, 100), (0, 50), (100, 100000)):
         (pages.filter(f"doc_id >= {lo} and doc_id < {hi}")
          .drop("doc_id").coalesce(1)
          .write.mode("append").parquet(in_dir))
@@ -250,9 +251,12 @@ def test_stream_neardup_state_survives_restart(spark, tmp_path):
     first.coalesce(1).write.mode("append").parquet(in_dir)
     _await(stream_near_dup(spark, in_dir, out, ckpt))
 
-    # restart with a near-copy of doc 1 under a LARGER id
+    # restart with a near-copy of doc 1 under a LARGER id, plus a
+    # near-copy under a SMALLER id (id 0) — the smaller arrival must
+    # retroactively flag doc 1, the old bucket minimum (r4 review)
     second = spark.createDataFrame(
-        [(f"doc://{900}", None, None, f"{base} tail1 x1 y1 q900", "en")],
+        [(f"doc://{900}", None, None, f"{base} tail1 x1 y1 q900", "en"),
+         (f"doc://{0}", None, None, f"{base} tail1 x1 y1 z1", "en")],
         "url string, warc_ts timestamp, html binary, text string, lang string")
     second.coalesce(1).write.mode("append").parquet(in_dir)
     _await(stream_near_dup(spark, in_dir, out, ckpt))
@@ -262,4 +266,5 @@ def test_stream_neardup_state_survives_restart(spark, tmp_path):
            .agg(F.max(F.col("dup_in_band").cast("int")).cast("boolean")
                 .alias("dup")).collect()}
     assert got[900] is True, "cross-restart state lost"
-    assert got[1] is False
+    assert got[1] is True, "retroactive correction missing"
+    assert got[0] is False, "new bucket minimum must stay unflagged"

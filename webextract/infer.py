@@ -130,10 +130,13 @@ def picture_descriptions_for(df: DataFrame, opt,
     """Options wiring for the reference's do_picture_description knob:
     route through the configured API endpoint
     (opt.picture_description_api, the reference's
-    picture_description_api option) or the local deterministic engine
-    when no endpoint is set (the picture_description_local slot).
-    Raises ValueError if the stage is not enabled — callers gate on
-    opt.do_picture_description exactly like the reference pipeline."""
+    picture_description_api option); with no endpoint set, the built-in
+    deterministic engine runs — it IS this engine's local model (the
+    opt.picture_description_local model NAME is recorded in the options
+    hash for lineage but selects no alternative implementation; there
+    is exactly one local engine).  Raises ValueError if the stage is
+    not enabled — callers gate on opt.do_picture_description exactly
+    like the reference pipeline."""
     if not opt.do_picture_description:
         raise ValueError("do_picture_description is not enabled")
     return picture_describe(

@@ -94,36 +94,47 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
         return None
 
 
-def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
-    """REAL WAV header decode: (sample_rate, channels, bits_per_sample,
-    n_frames) from the RIFF/WAVE fmt + data chunks.  Pure stdlib chunk
-    walk (the subset `wave` does before reading samples); returns None
-    for non-WAV/corrupt payloads, never raises."""
+def _wav_chunk_walk(b: bytes) -> tuple | None:
+    """ONE chunk walk shared by header and PCM decode (round-4 review:
+    the two previously walked independently and could disagree about
+    WHICH data chunk defined the frame count).  Returns (rate, ch, bps,
+    n_frames, data_off, data_size) using the FIRST data chunk following
+    a valid fmt chunk — the `wave` module's convention — or None."""
     import struct
     try:
         if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
             return None
         i = 12
         rate = ch = bps = None
-        n_frames = 0
+        data_off = data_size = None
         while i + 8 <= len(b):
             cid = b[i:i + 4]
             size = struct.unpack("<I", b[i + 4:i + 8])[0]
             if cid == b"fmt " and i + 24 <= len(b):
                 ch, rate = struct.unpack("<HI", b[i + 10:i + 16])
                 bps = struct.unpack("<H", b[i + 22:i + 24])[0]
-            elif cid == b"data" and rate is not None:
-                block = max(1, ch * (bps // 8))
-                n_frames = size // block
+            elif (cid == b"data" and rate is not None
+                  and data_off is None):
+                data_off, data_size = i + 8, size
             i += 8 + size + (size & 1)        # chunks are word-aligned
-        if not rate:
+        if not rate or data_off is None:
             # rate None (no fmt chunk) or 0 (corrupt header): a zero
             # rate would ZeroDivisionError the duration math downstream
             # and kill the task (round-3 review) — nulls, not a crash
             return None
-        return (rate, ch, bps, n_frames)
+        block = max(1, ch * (bps // 8))
+        return (rate, ch, bps, data_size // block, data_off, data_size)
     except (struct.error, IndexError, TypeError):
         return None
+
+
+def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """REAL WAV header decode: (sample_rate, channels, bits_per_sample,
+    n_frames) from the RIFF/WAVE fmt + data chunks.  Pure stdlib chunk
+    walk (the subset `wave` does before reading samples); returns None
+    for non-WAV/corrupt payloads, never raises."""
+    out = _wav_chunk_walk(b)
+    return None if out is None else out[:4]
 
 
 def make_wav_bytes(doc_id: int) -> bytes:
@@ -172,27 +183,18 @@ def parse_wav_pcm(b: bytes) -> tuple[int, int, int, list[list[int]]] | None:
     non-16-bit / truncated payloads, never raises."""
     import struct
     try:
-        hdr = parse_wav_header(b)
-        if hdr is None:
+        walk = _wav_chunk_walk(b)
+        if walk is None:
             return None
-        rate, ch, bps, nf = hdr
+        rate, ch, bps, nf, data_off, data_size = walk
         if bps != 16 or ch < 1 or nf == 0:
             return None
-        # locate the data chunk
-        i = 12
-        while i + 8 <= len(b):
-            cid = b[i:i + 4]
-            size = struct.unpack("<I", b[i + 4:i + 8])[0]
-            if cid == b"data":
-                data = b[i + 8:i + 8 + size]
-                if len(data) < nf * ch * 2:
-                    return None     # truncated: honest None, not a
-                                    # silently partial decode
-                flat = struct.unpack(f"<{nf * ch}h", data[:2 * nf * ch])
-                return (rate, ch, nf,
-                        [list(flat[c::ch]) for c in range(ch)])
-            i += 8 + size + (size & 1)
-        return None
+        data = b[data_off:data_off + data_size]
+        if len(data) < nf * ch * 2:
+            return None     # truncated: honest None, not a silently
+                            # partial decode
+        flat = struct.unpack(f"<{nf * ch}h", data[:2 * nf * ch])
+        return (rate, ch, nf, [list(flat[c::ch]) for c in range(ch)])
     except (struct.error, IndexError, ValueError):
         return None
 
@@ -456,6 +458,8 @@ def png_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
             if len(data) < ln:
                 return None                      # truncated chunk
             if typ == b"IHDR":
+                if ln < 13:
+                    return None                  # short IHDR declaration
                 w, h = struct.unpack(">II", data[:8])
                 depth, ctype, comp, filt, ilace = data[8:13]
                 if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
@@ -498,7 +502,7 @@ def png_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
             prior = bytes(line)
             rows.append(prior)
         return (w, h, rows)
-    except (struct.error, IndexError, zlib.error):
+    except (struct.error, IndexError, ValueError, zlib.error):
         return None
 
 

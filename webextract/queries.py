@@ -366,8 +366,10 @@ def q_stream_neardup(spark, sf_dir):
     q = stream_near_dup(spark, in_dir, out_dir, ckpt)
     q.awaitTermination()
     out = spark.read.parquet(out_dir)
+    # countDistinct(band), not count(*): out-of-order arrivals add
+    # retroactive correction rows that duplicate (doc, band)
     return (out.groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_bands"),
+            .agg(F.countDistinct("band").cast("long").alias("n_bands"),
                  F.max(F.col("dup_in_band").cast("int")).cast("boolean")
                  .alias("is_near_dup")))
 
@@ -688,6 +690,19 @@ def q_extract_audio_source(spark, sf_dir):
             .select("doc_id", "fmt", "text"))
 
 
+_MOCK_DESCRIBER: list = []
+
+
+def _mock_describe_endpoint() -> str:
+    """ONE mock describer per process, reused across invocations —
+    bench runs the gate warm + 2 passes × 2 sweeps, and a server per
+    call would leak a listener socket + thread each time (r4 review)."""
+    from .infer import start_mock_describer
+    if not _MOCK_DESCRIBER:
+        _MOCK_DESCRIBER.append(start_mock_describer())
+    return _MOCK_DESCRIBER[0][0]
+
+
 def q_picture_describe_api(spark, sf_dir):
     """Batched-inference stage slot (round-3 verdict item 4; reference
     picture_description_api with concurrency knob, docs/usage.md:37-41):
@@ -696,11 +711,10 @@ def q_picture_describe_api(spark, sf_dir):
     the full async-enrichment plumbing with a mock in the VLM slot.
     The oracle recomputes the description from the pixel formula, so
     the gate only passes if the HTTP round-trip preserves every row."""
-    from .infer import picture_describe, start_mock_describer
-    endpoint, _srv = start_mock_describer()      # daemon; dies with proc
+    from .infer import picture_describe
     docs = media.with_bmp_media(_read(spark, sf_dir, "documents"))
-    return picture_describe(docs, endpoint=endpoint, concurrency=4,
-                            batch_size=32)
+    return picture_describe(docs, endpoint=_mock_describe_endpoint(),
+                            concurrency=4, batch_size=32)
 
 
 def q_media_raster_stats(spark, sf_dir):

@@ -268,10 +268,15 @@ def near_dup_flags(pages: DataFrame) -> DataFrame:
     (band, band_key) keeps ONE bigint of state per LSH bucket: the
     minimum doc_id ever seen in that bucket across ALL micro-batches.
     Each row emits (doc_id, band, band_key, dup_in_band) where
-    dup_in_band = a smaller doc_id was already seen in this bucket
-    (prior batches via state, or earlier in this batch by id order —
-    deterministic, not arrival order).  Doc-level near-dup = ANY band
-    flagged, an ordinary aggregation over this operator's sink.
+    dup_in_band = a smaller doc_id was already seen in this bucket.
+    When a SMALLER doc_id arrives after a larger one (out-of-order
+    streams — round-4 review), the operator emits a retroactive
+    correction row flagging the dethroned bucket minimum, so the
+    doc-level aggregation max(dup_in_band) over the append sink equals
+    the order-independent batch truth (doc ≠ global bucket min)
+    REGARDLESS of arrival order.  Doc-level near-dup = ANY band
+    flagged; aggregate bands with count(DISTINCT band) — correction
+    rows duplicate (doc, band).
 
     Scale shape: the state shuffle moves 4 band rows of ~40 bytes per
     doc (never text or signatures); per-bucket state is ONE bigint, so
@@ -292,19 +297,32 @@ def near_dup_flags(pages: DataFrame) -> DataFrame:
             ids.extend(int(x) for x in pdf["doc_id"])
         if not ids:
             return
-        prior = state.get[0] if state.exists else None
+        seen_min = state.get[0] if state.exists else None
         ids.sort()
-        flags = []
-        seen_min = prior
+        out_ids: list[int] = []
+        flags: list[bool] = []
         for d in ids:
-            flags.append(seen_min is not None and seen_min < d)
-            if seen_min is None or d < seen_min:
+            if seen_min is None:
+                out_ids.append(d)
+                flags.append(False)
+                seen_min = d
+            elif d > seen_min:
+                out_ids.append(d)
+                flags.append(True)
+            elif d == seen_min:          # re-delivery: not its own dup
+                out_ids.append(d)
+                flags.append(False)
+            else:                        # d < seen_min: new champion —
+                out_ids.append(seen_min)  # retro-flag the old minimum
+                flags.append(True)
+                out_ids.append(d)
+                flags.append(False)
                 seen_min = d
         state.update((int(seen_min),))
         import pandas as pd_
-        yield pd_.DataFrame({"doc_id": ids,
-                             "band": [int(key[0])] * len(ids),
-                             "band_key": [key[1]] * len(ids),
+        yield pd_.DataFrame({"doc_id": out_ids,
+                             "band": [int(key[0])] * len(out_ids),
+                             "band_key": [key[1]] * len(out_ids),
                              "dup_in_band": flags})
 
     return (bk.groupBy("band", "band_key")
