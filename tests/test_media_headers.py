@@ -232,3 +232,27 @@ def test_extract_audio_kernel():
     assert out.text == wav_pcm_summary(b)
     ogg = extract_document(b"OggS" + b"\x00" * 64)
     assert ogg.status == "skipped" and ogg.fmt == "audio"
+
+
+def test_avi_frame_walk_roundtrip():
+    """RIFF/AVI container walk (r4): real frame offsets match the fixed
+    layout formula; truncated/corrupt payloads return None."""
+    from webextract.media import make_avi_bytes, parse_avi_frames
+    for did in (0, 1, 5, 7, 23):
+        b = make_avi_bytes(did)
+        w, h, nf = 4 + did % 5, 3 + did % 4, 3 + did % 6
+        fs = ((3 * w + 3) & ~3) * h
+        frames = parse_avi_frames(b)
+        assert len(frames) == nf
+        for k, (idx, off, sz) in enumerate(frames):
+            assert idx == k and sz == fs
+            assert off == 232 + k * (8 + fs)
+            # the offset really points at the frame payload
+            assert b[off - 8:off - 4] == b"00db"
+    assert parse_avi_frames(b"") is None
+    assert parse_avi_frames(b"RIFF\x00\x00\x00\x00WAVE") is None
+    b = make_avi_bytes(3)
+    assert parse_avi_frames(b[:100]) is None        # no movi reached
+    # truncated mid-frame: earlier complete frames still walk
+    cut = parse_avi_frames(b[:240])
+    assert cut is None or all(o + s <= 240 for _, o, s in cut)

@@ -345,13 +345,82 @@ def with_wav_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
 
 
+def make_avi_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID uncompressed AVI (RIFF 'AVI ' with hdrl +
+    movi lists, '00db' raw BGR frames): dimensions reuse the BMP
+    formulas, n_frames = 3 + doc_id % 6.  The fixed header layout puts
+    frame k's data at byte 232 + k*(8 + stride*h) — the formula the
+    DuckDB oracle recomputes, while the PARSER below finds frames by
+    really walking the RIFF tree."""
+    import struct
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 4
+    nf = 3 + doc_id % 6
+    stride = (3 * w + 3) & ~3
+    fs = stride * h
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data \
+            + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
+
+    avih = struct.pack("<14I", 33367, fs * 30, 0, 0, nf, 0, 1, fs, w, h,
+                       0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<12I", 0, 0, 0, 1, 30, 0,
+                                            nf, fs, 0, 0, 0, 0))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fs,
+                       2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    frames = b"".join(
+        chunk(b"00db", bytes((doc_id + k + i) % 256
+                             for i in range(fs)))
+        for k in range(nf))
+    movi = lst(b"movi", frames)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_frames(b: bytes) -> list[tuple[int, int, int]] | None:
+    """REAL RIFF/AVI container walk: [(frame_idx, data_offset,
+    data_size)] for every '00db'/'00dc' chunk inside the movi list.
+    Pure-stdlib tree walk (the index a demuxer builds before seeking);
+    None for non-AVI/corrupt payloads, never raises."""
+    import struct
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+            return None
+        out: list[tuple[int, int, int]] = []
+
+        def walk(i: int, end: int) -> None:
+            while i + 8 <= end:
+                cid = b[i:i + 4]
+                size = struct.unpack("<I", b[i + 4:i + 8])[0]
+                if i + 8 + size > end:
+                    return                    # truncated chunk: stop
+                if cid == b"LIST":
+                    walk(i + 12, i + 8 + size)
+                elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                    out.append((len(out), i + 8, size))
+                i += 8 + size + (size & 1)
+
+        walk(12, 8 + struct.unpack("<I", b[4:8])[0])
+        return out if out else None
+    except (struct.error, IndexError):
+        return None
+
+
 FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_off bigint"
 
 
 def frame_sample_batches(stride: int):
-    """UDTF-style 1→N frame sampler: emit every `stride`-th frame offset.
-    The fake treats the payload as fixed-size 4 KiB frames; a real
-    decoder would emit keyframe byte offsets."""
+    """UDTF-style 1→N frame sampler: emit every `stride`-th frame's
+    byte offset.  AVI payloads get REAL offsets from the RIFF
+    container walk (parse_avi_frames); other payloads fall through to
+    the deterministic fake (fixed-size 4 KiB frames) standing in for
+    codecs that need ffmpeg."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if REAL_MEDIA:
@@ -360,6 +429,13 @@ def frame_sample_batches(stride: int):
             ids, idxs, offs = [], [], []
             for did, m in zip(pdf["doc_id"], pdf["media"]):
                 m = m if m is not None else b""
+                frames = parse_avi_frames(m)
+                if frames is not None:        # REAL container offsets
+                    for j, off, _sz in frames[::stride]:
+                        ids.append(did)
+                        idxs.append(j)
+                        offs.append(off)
+                    continue
                 # single source of truth with media_meta (round-3
                 # review): recognized still images really have ONE
                 # frame; everything else gets fake_decode_meta's
@@ -375,6 +451,18 @@ def frame_sample_batches(stride: int):
                                 "frame_off": offs})
 
     return fn
+
+
+def with_avi_media(docs: DataFrame) -> DataFrame:
+    """Attach a `media` column of REAL AVI bytes built from doc_id
+    (gate input for the container frame-walk round-trip)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 "media": [make_avi_bytes(int(d)) for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
 
 
 def frame_sample(df: DataFrame, stride: int = 4) -> DataFrame:

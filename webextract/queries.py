@@ -613,6 +613,16 @@ def q_media_frame_sample(spark, sf_dir):
     return media.frame_sample(docs, stride=4)
 
 
+def q_media_frame_avi(spark, sf_dir):
+    """REAL video-container frame sampling: valid RIFF/AVI payloads
+    (hdrl + movi lists, raw '00db' frames) synthesized from doc_id;
+    frame_sample walks the RIFF tree for actual byte offsets of every
+    2nd frame — the oracle recomputes offsets from the fixed header
+    layout (232 + k*(8 + stride*h))."""
+    docs = media.with_avi_media(_read(spark, sf_dir, "documents"))
+    return media.frame_sample(docs, stride=2)
+
+
 def q_media_image_headers(spark, sf_dir):
     """REAL image-header decode (VERDICT item 10): valid PNG/JPEG/GIF
     payloads synthesized from doc_id, parsed back by magic-byte +
@@ -932,7 +942,6 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "corpus_card": q_corpus_card,
     "source_stats": q_source_stats,
-    "corpus_hash_split": q_corpus_hash_split,
     # --- new round-4 gates ---
     "media_raster_png": q_media_raster_png,
     "media_ocr_png": q_media_ocr_png,
@@ -941,9 +950,12 @@ QUERIES = {
     "picture_describe_api": q_picture_describe_api,
     "dedup_embed_multiprobe": q_dedup_embed_multiprobe,
     "stream_neardup": q_stream_neardup,
+    "media_frame_avi": q_media_frame_avi,
     # ---- driver cap boundary is position 50; new round-4 gates are
-    # inserted ABOVE this line as they land ----
+    # inserted ABOVE this line as they land (corpus_hash_split rotated
+    # out to make room — r3-green stable) ----
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
+    "corpus_hash_split": q_corpus_hash_split,
     "extract_markdown": q_extract_markdown,
     "extract_html_split": q_extract_html_split,
     "extract_doctags": q_extract_doctags,
@@ -2037,6 +2049,19 @@ ORACLES = {
                ((i-1) * 4 * 4096)::BIGINT AS frame_off
         FROM m, unnest(generate_series(
                  1, cast(ceil(nf / 4.0) AS BIGINT))) AS u(i)""",
+
+    # fixed AVI header layout (RIFF 12 + hdrl 200 + movi header 12 +
+    # chunk header 8): frame k data at 232 + k*(8 + stride*h)
+    "media_frame_avi": """
+        WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS w,
+                          3 + doc_id % 4 AS h, 3 + doc_id % 6 AS nf
+                   FROM documents),
+        s AS (SELECT doc_id, nf, ((3 * w + 3) // 4) * 4 * h AS fs
+              FROM m)
+        SELECT doc_id, k.i::INTEGER AS frame_idx,
+               (232 + k.i * (8 + fs))::BIGINT AS frame_off
+        FROM s, unnest(generate_series(0, nf - 1)) AS k(i)
+        WHERE k.i % 2 = 0""",
 
     "extract_image_ocr": """
         SELECT doc_id, 'image' AS fmt,
