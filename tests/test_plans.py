@@ -265,3 +265,25 @@ def test_embed_near_dup_plan_shape(spark):
     # the expensive SRP projection lineage is checkpointed: the plan
     # scans the staged RDD, not the parquet relation, for both sides
     assert plan.count("Scan ExistingRDD") >= 2, plan[:2000]
+
+
+def test_embed_multiprobe_plan_shape(spark):
+    """Multi-table SRP (r4): per table ONE shuffle-hash self-join on
+    the bucket key (never sort-merge on embedding-array rows), cap
+    frames broadcast, and the cross-table dedup shuffles only the
+    threshold-filtered pair frame — the staged (embedding, norm) side
+    is a checkpoint scan, not a re-read of the source."""
+    from webextract.corpus import embed_near_dup_pairs
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    import re
+    plan = _plan(embed_near_dup_pairs(emb, threshold=0.3, tables=2))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # exactly one INNER bucket self-join per table; the cap prunes are
+    # LeftSemi (broadcast or shuffle-hash depending on stats mode)
+    assert len(re.findall(r"ShuffledHashJoin Inner", plan)) == 2, \
+        plan[:2000]
+    assert "LeftSemi" in plan
+    # the parquet source is scanned zero times in the final plan — all
+    # consumers read the staged checkpoint
+    assert "Scan parquet" not in plan, plan[:2000]
