@@ -256,3 +256,37 @@ def test_avi_frame_walk_roundtrip():
     # truncated mid-frame: earlier complete frames still walk
     cut = parse_avi_frames(b[:240])
     assert cut is None or all(o + s <= 240 for _, o, s in cut)
+
+
+def test_gif_lzw_roundtrip():
+    """GIF LZW decode (r4): full variable-width LZW with clear/end
+    codes reconstructs every pixel, including images long enough to
+    exercise the encoder's periodic-clear cadence; corrupt payloads
+    return None."""
+    from webextract.media import (gif_decode_rgb, gif_encode_gray,
+                                  make_gif_bytes, parse_image_header)
+    for did in (0, 1, 5, 7, 19, 23):
+        b = make_gif_bytes(did)
+        assert parse_image_header(b)[0] == "gif"
+        w, h, rows = gif_decode_rgb(b)
+        assert (w, h) == (4 + did % 5, 3 + did % 4)
+        for y in range(h):
+            for x in range(w):
+                v = (did * 7 + x * 13 + y * 17) % 256
+                assert rows[y][3 * x:3 * x + 3] == bytes((v, v, v))
+    # > 253 pixels forces mid-stream CLEAR codes
+    big = gif_encode_gray(40, 30, [bytes((x + y) % 256 for x in range(40))
+                                   for y in range(30)])
+    w, h, rows = gif_decode_rgb(big)
+    assert (w, h) == (40, 30)
+    assert all(rows[y][3 * x] == (x + y) % 256
+               for y in range(30) for x in range(40))
+    # totality
+    assert gif_decode_rgb(b"") is None
+    assert gif_decode_rgb(b"GIF89a") is None
+    from webextract.media import make_image_bytes
+    assert gif_decode_rgb(make_image_bytes(2)) is None   # header-only GIF
+    full = make_gif_bytes(7)
+    for cut in range(len(full)):
+        r = gif_decode_rgb(full[:cut])
+        assert r is None or (len(r[2]) == r[1])

