@@ -854,6 +854,33 @@ def q_events_props(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_events_rollup(spark, sf_dir):
+    """Grouping-sets aggregation (rollup): per (event_type, k_bucket)
+    subtotals + per-event_type totals + grand total in one pass —
+    Catalyst expands to a single Expand+Aggregate, one shuffle."""
+    ev = _read(spark, sf_dir, "events")
+    k = (F.get_json_object("props", "$.k").cast("int") % 4)
+    return (ev.select("event_type", k.alias("k_bucket"), "value")
+            .rollup("event_type", "k_bucket")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_events_range_window(spark, sf_dir):
+    """RANGE-frame window: per event, the count and value-sum of the
+    same user's events in the trailing 30-minute interval (inclusive)
+    — the time-decayed-feature shape; rangeBetween on epoch seconds
+    mirrors DuckDB's RANGE BETWEEN frame exactly."""
+    ev = _read(spark, sf_dir, "events")
+    sec = F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(1000.0)
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-1800, 0))
+    return (ev.withColumn("sec", sec)
+            .select("event_id", "user_id",
+                    F.count("*").over(w).cast("long").alias("n_trail"),
+                    F.round(F.sum("value").over(w), 4).alias("sum_trail")))
+
+
 def q_pipeline_counters(spark, sf_dir):
     """End-to-end wave pipeline over documents-derived pages (incl. the
     IceTable snapshot commit protocol), verified through the committed
@@ -964,6 +991,10 @@ QUERIES = {
     # inserted ABOVE this line as they land (corpus_hash_split and
     # embed_ann_buckets rotated out to make room — r3-green stable) ----
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
+    # (new round-4 relational-breadth gates start here too: rollup and
+    # range-frame window — pytest-oracle-green, next rotation's window)
+    "events_rollup": q_events_rollup,
+    "events_range_window": q_events_range_window,
     "corpus_hash_split": q_corpus_hash_split,
     "embed_ann_buckets": q_embed_ann_buckets,
     "extract_markdown": q_extract_markdown,
@@ -2296,6 +2327,29 @@ ORACLES = {
                lang, count(*)::BIGINT AS n_pages,
                sum(strlen(text))::BIGINT AS bytes_in
         FROM documents GROUP BY 1, 2""",
+
+    "events_rollup": """
+        WITH e AS (SELECT event_type,
+                          json_extract(props, '$.k')::INTEGER % 4
+                            AS k_bucket,
+                          value
+                   FROM events)
+        SELECT event_type, k_bucket, count(*)::BIGINT AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM e GROUP BY ROLLUP (event_type, k_bucket)""",
+
+    "events_range_window": """
+        WITH e AS (SELECT event_id, user_id, value,
+                          epoch_ms(ts) / 1000.0 AS sec
+                   FROM events),
+        w AS (SELECT event_id, user_id,
+                     count(*) OVER win AS n_trail,
+                     sum(value) OVER win AS s_trail
+              FROM e WINDOW win AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, n_trail::BIGINT AS n_trail,
+               round(s_trail, 4) AS sum_trail
+        FROM w""",
 
     "events_props": """
         SELECT event_type,
