@@ -287,3 +287,33 @@ def test_embed_multiprobe_plan_shape(spark):
     # the parquet source is scanned zero times in the final plan — all
     # consumers read the staged checkpoint
     assert "Scan parquet" not in plan, plan[:2000]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Scale evidence for co-located joins (brief: 'bucketing for
+    co-located joins'): two tables bucketed by the join key must join
+    with ZERO Exchange operators — the shape a 100 TB fact-dim join
+    relies on to skip the terabyte shuffle.  (IceTable carries data;
+    this pins the Spark-side mechanics used when tables are written
+    bucketed.)"""
+    import uuid
+    db = f"wx_bucket_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id") \
+            .withColumn("v", F.col("doc_id") * 3)
+        meta = spark.range(0, 2000).withColumnRenamed("id", "doc_id") \
+            .withColumn("m", F.col("doc_id") % 7)
+        for name, df in (("t_docs", docs), ("t_meta", meta)):
+            (df.write.format("parquet").bucketBy(8, "doc_id")
+             .sortBy("doc_id").saveAsTable(f"{db}.{name}"))
+        joined = (spark.table(f"{db}.t_docs")
+                  .join(spark.table(f"{db}.t_meta"), "doc_id")
+                  .groupBy("m").agg(F.sum("v").alias("sv")))
+        plan = _plan(joined.select("m", "sv"))
+        # the JOIN itself reads pre-bucketed sides: no Exchange below it
+        join_part = plan.split("HashAggregate")[-1]
+        assert "Exchange" not in join_part, plan[:2000]
+        assert joined.count() == 7
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
