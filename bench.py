@@ -43,7 +43,8 @@ HEADLINE = [
     "events_sessions", "events_hourly",
     # round-4 additions
     "media_raster_png", "media_audio_pcm", "extract_audio_source",
-    "dedup_embed_multiprobe",
+    "dedup_embed_multiprobe", "media_raster_gif", "media_frame_avi",
+    "events_rollup", "events_range_window",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

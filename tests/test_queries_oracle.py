@@ -9,13 +9,16 @@ HERE before the real gate runs.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.01"
+# override to rehearse the whole sweep at another scale factor (the
+# per-round verification runs it at sf0.1 = 10× the driver gate scale)
+SF_DIR = os.environ.get("WEBEXTRACT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
