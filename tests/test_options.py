@@ -126,3 +126,23 @@ def test_format_enums_consistent():
     (sniff surface) must stay the same 15-entry reference enum."""
     from webextract.formats import ALL_FORMATS
     assert INPUT_FORMATS == ALL_FORMATS
+
+
+def test_cli_chunk_stage(spark, tmp_path):
+    """CLI chunker surface (r4): --chunk emits chunk parquet under
+    <output>/chunks with the requested tokenizer/budget honored."""
+    from webextract.cli import main
+    out = str(tmp_path / "cli_table")
+    rc = main(["--synth", "40", "--output", out, "--partitions", "4",
+               "--waves", "1", "--cpus", "4",
+               "--chunk", "hybrid", "--chunk-max-tokens", "32",
+               "--chunk-tokenizer", "subword"])
+    assert rc == 0
+    ch = spark.read.parquet(f"{out}/chunks")
+    assert ch.count() > 0
+    from pyspark.sql import functions as F
+    assert ch.agg(F.max("n_tokens")).first()[0] <= 32
+    # subword counts, not word counts: at least one chunk has
+    # n_tokens above its whitespace word count
+    rows = ch.select("chunk_text", "n_tokens").collect()
+    assert any(r.n_tokens > len(r.chunk_text.split()) for r in rows)

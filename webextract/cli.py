@@ -8,9 +8,10 @@ FormDepends maps pydantic fields to CLI-ish form fields
 (/root/reference/docling_serve/helper_functions.py:46-115).
 
 Usage:
-    spark-submit --py-files /tmp/pkg.zip -m webextract.cli \\
+    spark-submit --py-files /tmp/pkg.zip webextract/cli.py \\
         --input /path/pages_parquet --output /path/ice_table \\
-        --partitions 256 --waves 8 [--synth N] [--to-formats md,text]
+        --partitions 256 --waves 8 [--synth N] [--to-formats md,text] \\
+        [--chunk hybrid --chunk-tokenizer subword --chunk-max-tokens 256]
 
 Either --input (a parquet dir with the input_hint schema) or --synth N
 (generate N deterministic pages executor-side) must be given.
@@ -93,6 +94,17 @@ def build_parser() -> argparse.ArgumentParser:
                    default=D.picture_description_area_threshold)
     p.add_argument("--picture-description-local", default=None)
     p.add_argument("--picture-description-api", default=None)
+    # --- chunker surface (reference chunker endpoints' option family,
+    # app.py:1145-1150, datamodel/requests.py:109-130) ---
+    p.add_argument("--chunk", default="none",
+                   choices=("none", "hybrid", "hierarchical"),
+                   help="also emit chunks (written under <output>/chunks)")
+    p.add_argument("--chunk-max-tokens", type=int, default=256)
+    p.add_argument("--chunk-tokenizer", default="word",
+                   choices=("word", "subword"),
+                   help="subword = the fixed-merge-table tokenizer "
+                        "(chunk.SUBWORD_PIECES)")
+    p.add_argument("--chunk-merge-peers", type=_bool, default=True)
     return p
 
 
@@ -153,6 +165,19 @@ def main(argv: list[str] | None = None) -> int:
         waves=args.waves, cpus=args.cpus, run_id=args.run_id,
         fail_after_wave=args.fail_after_wave, split_bytes=args.split_bytes,
         html_split=args.html_split)
+    if args.chunk != "none":
+        # chunk stage over the COMMITTED table (reads manifests, so a
+        # resumed/partial run never chunks uncommitted rows); chunks
+        # land as parquet under <output>/chunks
+        from webextract.icetable import IceTable
+        from webextract.pipeline import chunks_df
+        ch = chunks_df(IceTable(args.output).read(spark),
+                       args.chunk, args.chunk_max_tokens,
+                       args.chunk_tokenizer, args.chunk_merge_peers)
+        chunks_dir = f"{args.output}/chunks"
+        ch.write.mode("overwrite").parquet(chunks_dir)
+        summary["chunks_dir"] = chunks_dir
+        summary["n_chunks"] = spark.read.parquet(chunks_dir).count()
     print(json.dumps(summary))
     return 0
 
