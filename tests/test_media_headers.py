@@ -253,9 +253,28 @@ def test_avi_frame_walk_roundtrip():
     assert parse_avi_frames(b"RIFF\x00\x00\x00\x00WAVE") is None
     b = make_avi_bytes(3)
     assert parse_avi_frames(b[:100]) is None        # no movi reached
-    # truncated mid-frame: earlier complete frames still walk
-    cut = parse_avi_frames(b[:240])
-    assert cut is None or all(o + s <= 240 for _, o, s in cut)
+    # r4 review: at EVERY truncation point, returned offsets must stay
+    # inside the actual buffer (the declared RIFF size lies past a cut)
+    for cut in range(len(b)):
+        got = parse_avi_frames(b[:cut])
+        assert got is None or all(o + sz <= cut for _, o, sz in got), cut
+    # adversarial deep LIST nesting must return, not RecursionError
+    import struct
+    deep = b"".join(b"LIST" + struct.pack("<I", 4 + 12 * (3000 - k))
+                    + b"hdrl" for k in range(3000))
+    payload = b"RIFF" + struct.pack("<I", 4 + len(deep)) + b"AVI " + deep
+    assert parse_avi_frames(payload) is None
+    # LZW bomb guard: a 1x1 GIF towing megabytes of codes must not
+    # inflate — decode returns promptly with the 1-pixel raster
+    from webextract.media import gif_decode_rgb, gif_encode_gray
+    bomb = gif_encode_gray(1, 1, [b"\x05"])
+    big_tail = gif_encode_gray(200, 200, [bytes(range(200))] * 200)
+    # graft the big image's LZW stream onto the 1x1 header: fixed
+    # layout = 6 (sig) + 7 (LSD) + 768 (palette) + 10 (descriptor)
+    crafted = bomb[:791] + big_tail[791:]
+    out = gif_decode_rgb(crafted)
+    assert out is not None and (out[0], out[1]) == (1, 1)
+    assert len(out[2]) == 1 and len(out[2][0]) == 3  # exactly 1 px
 
 
 def test_gif_lzw_roundtrip():

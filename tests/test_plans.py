@@ -299,6 +299,10 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     import uuid
     db = f"wx_bucket_{uuid.uuid4().hex[:8]}"
     spark.sql(f"CREATE DATABASE {db}")
+    # force the join itself to be exercised (r4 review: at this size
+    # the dim auto-broadcasts and the test pinned nothing)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id") \
             .withColumn("v", F.col("doc_id") * 3)
@@ -310,10 +314,19 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         joined = (spark.table(f"{db}.t_docs")
                   .join(spark.table(f"{db}.t_meta"), "doc_id")
                   .groupBy("m").agg(F.sum("v").alias("sv")))
-        plan = _plan(joined.select("m", "sv"))
-        # the JOIN itself reads pre-bucketed sides: no Exchange below it
-        join_part = plan.split("HashAggregate")[-1]
-        assert "Exchange" not in join_part, plan[:2000]
+        tree = _plan(joined).split("\n\n")[0]      # plan tree only, not
+        # the numbered detail section (r4 review: a detail-slice made
+        # the old assertion vacuously true)
+        assert "SortMergeJoin" in tree, tree
+        # the ONLY exchange is the 7-group aggregation above the join —
+        # neither bucketed side shuffles
+        assert tree.count("Exchange") == 1, tree
         assert joined.count() == 7
+        # control: the same join over non-bucketed frames shuffles BOTH
+        # join sides plus the aggregation
+        ctrl = _plan(docs.join(meta, "doc_id").groupBy("m")
+                     .agg(F.sum("v"))).split("\n\n")[0]
+        assert ctrl.count("Exchange") >= 3, ctrl
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP DATABASE {db} CASCADE")

@@ -29,6 +29,38 @@ from pyspark.sql import DataFrame, functions as F
 
 REAL_MEDIA = os.environ.get("WEBEXTRACT_REAL_MEDIA", "") == "1"
 
+
+def _media_from_doc_id(make_fn):
+    """Factory for the with_X_media gate-input generators (r4 review:
+    the per-codec wrappers were N copies of one closure): attach a
+    `media` column of make_fn(doc_id) bytes via a narrow mapInPandas."""
+    def attach(docs: DataFrame) -> DataFrame:
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"],
+                     "media": [make_fn(int(d)) for d in pdf["doc_id"]]})
+
+        return docs.select("doc_id").mapInPandas(
+            gen, "doc_id bigint, media binary")
+
+    return attach
+
+
+def _media_from_text(render_fn):
+    """Same factory for text-rendered payloads: media = render_fn(text)."""
+    def attach(docs: DataFrame) -> DataFrame:
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"],
+                     "media": [render_fn(t or "") for t in pdf["text"]]})
+
+        return docs.select("doc_id", "text").mapInPandas(
+            gen, "doc_id bigint, media binary")
+
+    return attach
+
 MEDIA_META_SCHEMA = ("doc_id bigint, n_bytes bigint, fmt string, "
                      "width int, height int, n_frames int")
 
@@ -250,17 +282,8 @@ def audio_pcm_stats(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "media").mapInPandas(fn, AUDIO_PCM_SCHEMA)
 
 
-def with_pcm_wav_media(docs: DataFrame) -> DataFrame:
-    """Attach a `media` column of REAL 16-bit-PCM WAV bytes built from
-    doc_id (gate input for the PCM decode round-trip)."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"],
-                 "media": [make_wav_pcm_bytes(int(d))
-                           for d in pdf["doc_id"]]})
-
-    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
+# Attach a `media` column of REAL 16-bit-PCM WAV bytes built from
+with_pcm_wav_media = _media_from_doc_id(make_wav_pcm_bytes)
 
 
 def fake_decode_meta(payload: bytes) -> dict:
@@ -334,15 +357,8 @@ def audio_meta(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "media").mapInPandas(fn, AUDIO_META_SCHEMA)
 
 
-def with_wav_media(docs: DataFrame) -> DataFrame:
-    """Attach a `media` column of REAL WAV bytes built from doc_id."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"],
-                 "media": [make_wav_bytes(int(d)) for d in pdf["doc_id"]]})
-
-    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
+# Attach a `media` column of REAL WAV bytes built from doc_id.
+with_wav_media = _media_from_doc_id(make_wav_bytes)
 
 
 def make_avi_bytes(doc_id: int) -> bytes:
@@ -393,20 +409,26 @@ def parse_avi_frames(b: bytes) -> list[tuple[int, int, int]] | None:
         if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
             return None
         out: list[tuple[int, int, int]] = []
-
-        def walk(i: int, end: int) -> None:
+        # declared extents are clamped to the REAL buffer (r4 review:
+        # a mid-frame truncation must not yield offsets past len(b)),
+        # and the walk is an explicit stack, not recursion (a payload
+        # of thousands of nested LISTs must return, not RecursionError)
+        top_end = min(8 + struct.unpack("<I", b[4:8])[0], len(b))
+        stack: list[tuple[int, int]] = [(12, top_end)]
+        while stack:
+            i, end = stack.pop()
             while i + 8 <= end:
                 cid = b[i:i + 4]
                 size = struct.unpack("<I", b[i + 4:i + 8])[0]
                 if i + 8 + size > end:
-                    return                    # truncated chunk: stop
+                    break                     # truncated chunk: stop
                 if cid == b"LIST":
-                    walk(i + 12, i + 8 + size)
-                elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                    stack.append((i + 8 + size + (size & 1), end))
+                    i, end = i + 12, i + 8 + size
+                    continue
+                if cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
                     out.append((len(out), i + 8, size))
                 i += 8 + size + (size & 1)
-
-        walk(12, 8 + struct.unpack("<I", b[4:8])[0])
         return out if out else None
     except (struct.error, IndexError):
         return None
@@ -453,16 +475,8 @@ def frame_sample_batches(stride: int):
     return fn
 
 
-def with_avi_media(docs: DataFrame) -> DataFrame:
-    """Attach a `media` column of REAL AVI bytes built from doc_id
-    (gate input for the container frame-walk round-trip)."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"],
-                 "media": [make_avi_bytes(int(d)) for d in pdf["doc_id"]]})
-
-    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
+# Attach a `media` column of REAL AVI bytes built from doc_id
+with_avi_media = _media_from_doc_id(make_avi_bytes)
 
 
 def frame_sample(df: DataFrame, stride: int = 4) -> DataFrame:
@@ -494,16 +508,8 @@ def make_image_bytes(doc_id: int) -> bytes:
     return (b"GIF89a" + struct.pack("<HH", w, h)).ljust(48, b"\x00")
 
 
-def with_real_image_media(docs: DataFrame) -> DataFrame:
-    """Attach a `media` column of REAL image bytes built from doc_id
-    (the gate input for parse_image_header round-trip)."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"],
-                 "media": [make_image_bytes(int(d)) for d in pdf["doc_id"]]})
-
-    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
+# Attach a `media` column of REAL image bytes built from doc_id
+with_real_image_media = _media_from_doc_id(make_image_bytes)
 
 
 # ---------------------------------------------------------------------------
@@ -713,6 +719,11 @@ def gif_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
             else:
                 return None
             out += entry
+            if len(out) >= w * h:
+                break        # frame complete — never expand past the
+                             # declared raster (LZW-bomb guard, r4
+                             # review: a 1×1 header over megabytes of
+                             # codes must not inflate to gigabytes)
             if prev is not None and next_code < 4096:
                 table[next_code] = prev + entry[:1]
                 next_code += 1
@@ -837,21 +848,14 @@ def make_gif_bytes(doc_id: int) -> bytes:
     return gif_encode_gray(w, h, rows)
 
 
-def with_gif_media(docs: DataFrame) -> DataFrame:
-    """Attach a `media` column of REAL LZW-coded GIF bytes built from
-    doc_id (gate input for the GIF decode round-trip)."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"],
-                 "media": [make_gif_bytes(int(d)) for d in pdf["doc_id"]]})
-
-    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
+# Attach a `media` column of REAL LZW-coded GIF bytes built from
+with_gif_media = _media_from_doc_id(make_gif_bytes)
 
 
 def image_raster_stats(b: bytes) -> dict | None:
     """REAL pixel statistics over any decode_rgb-supported container
-    (BMP24, PNG RGB8): per-channel min/max/mean over every pixel (the
+    (BMP24, PNG RGB8, paletted GIF): per-channel min/max/mean over
+    every pixel (the
     shape of PIL's ImageStat.Stat).  Returns None for undecodable
     payloads; never raises.  Channel slicing is bytes-level
     (row[0::3]) — C-speed, no per-pixel Python."""
@@ -893,7 +897,7 @@ _NULL_STATS = {k: None for k in
 
 def raster_stats(df: DataFrame) -> DataFrame:
     """df(doc_id, media:binary) → per-channel pixel statistics for
-    BMP24 / PNG-RGB8 payloads (nulls otherwise).  Same narrow
+    BMP24 / PNG-RGB8 / paletted-GIF payloads (nulls otherwise).  Same narrow
     mapInPandas plumbing as media_meta."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -933,16 +937,8 @@ def make_bmp_bytes(doc_id: int) -> bytes:
     return hdr + b"".join(rows)
 
 
-def with_bmp_media(docs: DataFrame) -> DataFrame:
-    """Attach a `media` column of REAL uncompressed-BMP bytes built
-    from doc_id (gate input for the raster-stats round-trip)."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"],
-                 "media": [make_bmp_bytes(int(d)) for d in pdf["doc_id"]]})
-
-    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
+# Attach a `media` column of REAL uncompressed-BMP bytes built
+with_bmp_media = _media_from_doc_id(make_bmp_bytes)
 
 
 def make_png_bytes(doc_id: int) -> bytes:
@@ -963,16 +959,8 @@ def make_png_bytes(doc_id: int) -> bytes:
     return png_encode_rgb(w, h, rows)
 
 
-def with_png_media(docs: DataFrame) -> DataFrame:
-    """Attach a `media` column of REAL zlib-compressed PNG bytes built
-    from doc_id (gate input for the compressed-raster round-trip)."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"],
-                 "media": [make_png_bytes(int(d)) for d in pdf["doc_id"]]})
-
-    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, media binary")
+# Attach a `media` column of REAL zlib-compressed PNG bytes built
+with_png_media = _media_from_doc_id(make_png_bytes)
 
 
 def picture_classify(df: DataFrame) -> DataFrame:
@@ -1118,33 +1106,12 @@ def ocr_image(b: bytes) -> str | None:
 ocr_bmp = ocr_image
 
 
-def with_text_bmp_media(docs: DataFrame) -> DataFrame:
-    """Attach rendered-text BMPs built from a [a-z0-9 ]-canonicalized
-    `text` column (callers canonicalize; the renderer blanks anything
-    else)."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"],
-                 "media": [render_text_bmp(t or "")
-                           for t in pdf["text"]]})
-
-    return docs.select("doc_id", "text").mapInPandas(
-        gen, "doc_id bigint, media binary")
+# Attach rendered-text BMPs built from a [a-z0-9 ]-canonicalized
+with_text_bmp_media = _media_from_text(render_text_bmp)
 
 
-def with_text_png_media(docs: DataFrame) -> DataFrame:
-    """PNG flavor of with_text_bmp_media: rendered-text PNGs built from
-    a canonicalized `text` column."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"],
-                 "media": [render_text_png(t or "")
-                           for t in pdf["text"]]})
-
-    return docs.select("doc_id", "text").mapInPandas(
-        gen, "doc_id bigint, media binary")
+# PNG flavor of with_text_bmp_media: rendered-text PNGs built from
+with_text_png_media = _media_from_text(render_text_png)
 
 
 def media_ocr(df: DataFrame) -> DataFrame:
