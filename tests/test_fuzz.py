@@ -163,3 +163,33 @@ def test_subword_tokenizer_total_and_bounded(w):
         return
     n = subword_count(w)
     assert 1 <= n <= len(w)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+                        min_size=1, max_size=12),
+                max_size=60),
+       st.integers(1, 20),
+       st.sampled_from(["word", "subword"]),
+       st.booleans())
+def test_chunker_partition_invariants(words, max_tokens, tokenizer,
+                                      merge_peers):
+    """Hybrid chunking is a PARTITION of the input: concatenating the
+    chunks reproduces every word in order (nothing dropped or
+    duplicated), every multi-word chunk respects the budget, and
+    n_tokens equals the measure of the chunk's own words."""
+    from webextract.chunk import chunk_blocks_from_spans, subword_count
+    text = " ".join(words)
+    spans = ([{"start": 0, "end": len(text), "kind": "para", "path": "p"}]
+             if text else [])
+    ch = chunk_blocks_from_spans(text, spans, "hybrid", max_tokens,
+                                 tokenizer, merge_peers)
+    got = [w for c in ch for w in c.text.split()]
+    assert got == words
+    for c in ch:
+        toks = c.text.split()
+        cost = (len(toks) if tokenizer == "word"
+                else sum(subword_count(w) for w in toks))
+        assert c.n_tokens == cost
+        if len(toks) > 1:
+            assert c.n_tokens <= max_tokens
