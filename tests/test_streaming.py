@@ -268,3 +268,64 @@ def test_stream_neardup_state_survives_restart(spark, tmp_path):
     assert got[900] is True, "cross-restart state lost"
     assert got[1] is True, "retroactive correction missing"
     assert got[0] is False, "new bucket minimum must stay unflagged"
+
+
+def test_stream_neardup_ttl_horizon(spark, tmp_path):
+    """TTL-bounded state (r4): a bucket FORGETS its minimum once event
+    time advances ttl past its last arrival, so a near-copy arriving
+    beyond the horizon is NOT flagged; within the horizon it is.
+    Three micro-batches: seed doc -> watermark-advancing filler (the
+    seed's bucket times out) -> near-copy."""
+    from pyspark.sql import functions as F
+    from webextract.streaming import stream_near_dup
+
+    in_dir = str(tmp_path / "ttl_in")
+    out = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        _await(stream_near_dup(spark, in_dir, out, ckpt,
+                               max_files_per_trigger=1,
+                               ttl_seconds=60))
+
+    import datetime as dt
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    # batch 1: the seed doc
+    drop([("doc://1", t0, None, f"{base} tail1 x1 y1 z1", "en")])
+    # batch 2: unrelated doc 10 minutes later -> watermark advances
+    # far past the seed bucket's ttl, expiring its state
+    drop([("doc://50", t0 + dt.timedelta(minutes=10), None,
+           "completely different words entirely unrelated content "
+           "nothing shared here at all zzz qqq www", "en")])
+    # batch 3: near-copy of the seed, beyond the horizon -> NOT a dup
+    drop([("doc://900", t0 + dt.timedelta(minutes=11), None,
+           f"{base} tail1 x1 y1 q900", "en")])
+    got = {r.doc_id: r.dup for r in
+           spark.read.parquet(out).groupBy("doc_id")
+           .agg(F.max(F.col("dup_in_band").cast("int")).cast("boolean")
+                .alias("dup")).collect()}
+    assert got[900] is False, "expired bucket still flagged"
+    assert got[1] is False
+
+    # control: same drops with NO ttl -> the copy IS flagged
+    in2, out2, ck2 = (str(tmp_path / "nt_in"), str(tmp_path / "nt_out"),
+                      str(tmp_path / "nt_ckpt"))
+    for rows in (
+        [("doc://1", t0, None, f"{base} tail1 x1 y1 z1", "en")],
+        [("doc://900", t0 + dt.timedelta(minutes=11), None,
+          f"{base} tail1 x1 y1 q900", "en")],
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(in2)
+        _await(stream_near_dup(spark, in2, out2, ck2,
+                               max_files_per_trigger=1))
+    got2 = {r.doc_id: r.dup for r in
+            spark.read.parquet(out2).groupBy("doc_id")
+            .agg(F.max(F.col("dup_in_band").cast("int")).cast("boolean")
+                 .alias("dup")).collect()}
+    assert got2[900] is True

@@ -391,20 +391,23 @@ def contamination(docs: DataFrame, probe_mod: int = 50,
                                         / F.col("n_shingles"), 4)))
 
 
-def shingle_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, hs: array<bigint>) — one 28-bit base hash per distinct
-    shingle (first 7 hex chars of md5, engine-portable).  Materialized
-    as its own projection so the k permutations below reuse it instead
-    of re-hashing (HOF lambdas inline their inputs — an md5 inside the
-    permutation loop would run k× per shingle)."""
+def shingle_hashes(docs: DataFrame, n: int = 3,
+                   carry_cols: tuple = ()) -> DataFrame:
+    """(doc_id [, *carry_cols], hs: array<bigint>) — one 28-bit base
+    hash per distinct shingle (first 7 hex chars of md5,
+    engine-portable).  Materialized as its own projection so the k
+    permutations below reuse it instead of re-hashing (HOF lambdas
+    inline their inputs — an md5 inside the permutation loop would run
+    k× per shingle)."""
+    cc = list(carry_cols)
     # admission predicate on the CHEAP column: size(sh) > 0 ⟺
     # size(toks) >= n, and the latter doesn't re-evaluate the shingle
     # expression when Catalyst pushes the filter below the projection
-    return (_spread(docs.select("doc_id", "text"))
-            .select("doc_id", TOKENS().alias("toks"))
+    return (_spread(docs.select("doc_id", *cc, "text"))
+            .select("doc_id", *cc, TOKENS().alias("toks"))
             .filter(F.size("toks") >= n)
-            .select("doc_id", shingles_of("toks", n).alias("sh"))
-            .select("doc_id", F.transform(
+            .select("doc_id", *cc, shingles_of("toks", n).alias("sh"))
+            .select("doc_id", *cc, F.transform(
                 "sh",
                 lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
                 .cast("bigint")).alias("hs")))
@@ -428,9 +431,13 @@ def minhash_sig_expr(k: int = 16):
 
 
 def lsh_band_keys(docs: DataFrame, n: int = 3, k: int = 16,
-                  rows_per_band: int = 4) -> DataFrame:
-    """(doc_id, band, band_key): LSH banding of the MinHash signature.
-    band_key = md5 of the band's minhashes joined in seed order.
+                  rows_per_band: int = 4,
+                  carry_cols: tuple = ()) -> DataFrame:
+    """(doc_id, band, band_key [, *carry_cols]): LSH banding of the
+    MinHash signature.  band_key = md5 of the band's minhashes joined
+    in seed order.  ``carry_cols`` rides extra doc columns through the
+    projections (e.g. the streaming TTL variant carries warc_ts for
+    event-time state expiry) — still zero shuffle.
 
     Shape (round-3 fix for the r2 bench regression): ZERO shuffle — the
     signature stays an array and each band key is md5(array_join(
@@ -446,8 +453,9 @@ def lsh_band_keys(docs: DataFrame, n: int = 3, k: int = 16,
     the two-projection shape)."""
     r = rows_per_band
     n_bands = -(-k // r)
-    sig = (shingle_hashes(docs, n)
-           .select("doc_id", minhash_sig_expr(k).alias("sig"))
+    cc = list(carry_cols)
+    sig = (shingle_hashes(docs, n, carry_cols)
+           .select("doc_id", *cc, minhash_sig_expr(k).alias("sig"))
            .observe(f"mh_barrier_{next(_BARRIER_SEQ)}",
                     F.count(F.lit(1))))
     band_keys = F.transform(
@@ -456,7 +464,7 @@ def lsh_band_keys(docs: DataFrame, n: int = 3, k: int = 16,
             F.transform(F.slice(F.col("sig"), b * r + 1, r),
                         lambda m: m.cast("string")), ",")))
     return sig.select(
-        "doc_id",
+        "doc_id", *cc,
         F.posexplode(band_keys).alias("band", "band_key"))
 
 

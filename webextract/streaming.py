@@ -257,7 +257,8 @@ NEARDUP_OUT_DDL = "doc_id bigint, band int, band_key string, dup_in_band boolean
 NEARDUP_STATE_DDL = "min_doc bigint"
 
 
-def near_dup_flags(pages: DataFrame) -> DataFrame:
+def near_dup_flags(pages: DataFrame, ttl_seconds: int | None = None,
+                   watermark: str = "10 seconds") -> DataFrame:
     """Stateful streaming NEAR-dup detection (round-3 verdict item 8):
     the corpus family's flagship capability on the streaming surface.
 
@@ -279,24 +280,44 @@ def near_dup_flags(pages: DataFrame) -> DataFrame:
     rows duplicate (doc, band).
 
     Scale shape: the state shuffle moves 4 band rows of ~40 bytes per
-    doc (never text or signatures); per-bucket state is ONE bigint, so
-    a 10^12-doc stream holds |distinct buckets| longs in the state
-    store — the same band-key cardinality the batch shuffle pays."""
+    doc (never text or signatures); per-bucket state is ONE bigint.
+    With ``ttl_seconds=None`` state is kept forever — a 10^12-doc
+    stream holds |distinct buckets| longs in the state store (the same
+    band-key cardinality the batch shuffle pays).  With a TTL, a
+    bucket FORGETS its minimum once event time advances ttl past its
+    last arrival (EventTimeTimeout against the ``watermark``): the
+    sliding dedup horizon that bounds state for an infinite crawl —
+    dup flags become "near-dup of anything seen within the horizon",
+    the standard production tradeoff."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from .corpus import lsh_band_keys
 
-    docs = pages.select(
+    carry = ("warc_ts",) if ttl_seconds is not None else ()
+    src = (pages.withWatermark("warc_ts", watermark)
+           if ttl_seconds is not None else pages)
+    docs = src.select(
         F.substring("url", 7, 20).cast("bigint").alias("doc_id"),
+        *([F.col("warc_ts")] if carry else []),
         F.coalesce(F.col("text"), F.lit("")).alias("text"))
-    bk = lsh_band_keys(docs)
+    bk = lsh_band_keys(docs, carry_cols=carry)
 
     def emit(key, pdfs, state):
+        if ttl_seconds is not None and state.hasTimedOut:
+            state.remove()        # horizon passed: bucket forgets
+            return
         ids: list[int] = []
+        max_ts_ms = None
         for pdf in pdfs:
             ids.extend(int(x) for x in pdf["doc_id"])
+            if ttl_seconds is not None and len(pdf):
+                m = pdf["warc_ts"].max()
+                ms = int(m.timestamp() * 1000)
+                max_ts_ms = ms if max_ts_ms is None else max(max_ts_ms, ms)
         if not ids:
             return
+        if ttl_seconds is not None and max_ts_ms is not None:
+            state.setTimeoutTimestamp(max_ts_ms + ttl_seconds * 1000)
         seen_min = state.get[0] if state.exists else None
         ids.sort()
         out_ids: list[int] = []
@@ -325,20 +346,26 @@ def near_dup_flags(pages: DataFrame) -> DataFrame:
                              "band_key": [key[1]] * len(out_ids),
                              "dup_in_band": flags})
 
+    timeout = (GroupStateTimeout.EventTimeTimeout
+               if ttl_seconds is not None else GroupStateTimeout.NoTimeout)
+    # warc_ts stays on the grouped rows: EventTimeTimeout needs the
+    # watermark column to survive to the stateful operator
     return (bk.groupBy("band", "band_key")
             .applyInPandasWithState(emit, NEARDUP_OUT_DDL,
-                                    NEARDUP_STATE_DDL, "append",
-                                    GroupStateTimeout.NoTimeout))
+                                    NEARDUP_STATE_DDL, "append", timeout))
 
 
 def stream_near_dup(spark: SparkSession, input_dir: str, output_dir: str,
-                    checkpoint_dir: str, max_files_per_trigger: int = 64):
+                    checkpoint_dir: str, max_files_per_trigger: int = 64,
+                    ttl_seconds: int | None = None):
     """readStream → stateful MinHash near-dup flags → parquet append
     sink (availableNow).  ``max_files_per_trigger=1`` makes each input
     file its own micro-batch — the cross-batch state exercise the
-    identity test uses."""
+    identity test uses; ``ttl_seconds`` bounds state via the
+    event-time dedup horizon."""
     return (near_dup_flags(
-                pages_stream(spark, input_dir, max_files_per_trigger))
+                pages_stream(spark, input_dir, max_files_per_trigger),
+                ttl_seconds=ttl_seconds)
             .writeStream
             .outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
