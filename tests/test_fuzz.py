@@ -122,6 +122,22 @@ def test_raster_decode_total_on_garbage(b):
 
 
 @settings(max_examples=120, deadline=None)
+@given(st.integers(0, 5000), st.integers(0, 600), st.integers(0, 7))
+def test_jpeg_mutation_total(doc_id, pos, bit):
+    """Single-bit corruption anywhere in a valid baseline JPEG either
+    decodes (to the declared geometry) or returns None — never raises,
+    never returns malformed rows."""
+    from webextract.jpegmini import jpeg_decode_rgb
+    from webextract.media import make_jpeg_raster_bytes
+    b = bytearray(make_jpeg_raster_bytes(doc_id))
+    b[pos % len(b)] ^= 1 << bit
+    out = jpeg_decode_rgb(bytes(b))
+    if out is not None:
+        w, h, rows = out
+        assert len(rows) == h and all(len(r) == 3 * w for r in rows)
+
+
+@settings(max_examples=120, deadline=None)
 @given(st.integers(0, 5000), st.integers(0, 400))
 def test_png_truncation_total(doc_id, cut):
     """Every prefix of a valid PNG decodes to the full pixels or None —

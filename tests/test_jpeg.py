@@ -1,0 +1,130 @@
+"""Baseline JPEG codec (jpegmini): round-trips, error bounds, hostile
+bytes, and the decode_rgb / OCR integration.
+
+Parity target: the reference converts real raster images through its
+OCR/classify stages (reference docs/usage.md:16-20); JPEG is the
+dominant web raster format, so the pixel-operator family needs a real
+baseline-JPEG path.
+"""
+import random
+
+from webextract import jpegmini as J
+
+
+def _block_solid(w, h, f):
+    return [bytes(f(x // 8, y // 8) for x in range(w)) for y in range(h)]
+
+
+def test_gray_block_solid_exact():
+    """Per-8x8-block-solid content is DC-only under q=1: decode must be
+    byte-exact, including with restart intervals."""
+    rng = random.Random(1)
+    for _ in range(8):
+        bw, bh = rng.randint(1, 5), rng.randint(1, 4)
+        w, h = bw * 8, bh * 8
+        vals = {(x, y): rng.randint(0, 255)
+                for x in range(bw) for y in range(bh)}
+        rows = _block_solid(w, h, lambda bx, by: vals[(bx, by)])
+        enc = J.jpeg_encode_gray(w, h, rows, color=False,
+                                 restart=rng.choice([0, 1, 3]))
+        got = J.jpeg_decode_rgb(enc)
+        assert got is not None and got[:2] == (w, h)
+        for y in range(h):
+            exp = bytes(c for x in range(w) for c in [rows[y][x]] * 3)
+            assert got[2][y] == exp
+
+
+def test_color_420_block_solid_exact():
+    """3-component 4:2:0 interleaved MCUs with constant chroma decode
+    byte-exactly (chroma DC=0 -> 128; upsample is replication)."""
+    rng = random.Random(2)
+    for _ in range(8):
+        bw, bh = rng.randint(1, 5), rng.randint(1, 4)
+        w, h = bw * 8, bh * 8       # often NOT multiples of 16: pads MCUs
+        vals = {(x, y): rng.randint(0, 255)
+                for x in range(bw) for y in range(bh)}
+        rows = _block_solid(w, h, lambda bx, by: vals[(bx, by)])
+        enc = J.jpeg_encode_gray(w, h, rows, color=True,
+                                 restart=rng.choice([0, 2]))
+        got = J.jpeg_decode_rgb(enc)
+        assert got is not None and got[:2] == (w, h)
+        for y in range(h):
+            exp = bytes(c for x in range(w) for c in [rows[y][x]] * 3)
+            assert got[2][y] == exp
+
+
+def test_arbitrary_content_error_bound():
+    """Arbitrary (non-block-solid) images exercise the AC run/ZRL/EOB
+    Huffman paths; with q=1 the only loss is FDCT rounding — max
+    per-pixel error must stay tiny (and far below the OCR threshold)."""
+    rng = random.Random(3)
+    for _ in range(5):
+        w, h = rng.randint(5, 40), rng.randint(5, 40)  # non-multiple dims
+        rows = [bytes(rng.randint(0, 255) for _ in range(w))
+                for _ in range(h)]
+        enc = J.jpeg_encode_gray(w, h, rows, color=False, restart=3)
+        got = J.jpeg_decode_rgb(enc)
+        assert got is not None and got[:2] == (w, h)
+        maxerr = max(abs(got[2][y][3 * x] - rows[y][x])
+                     for y in range(h) for x in range(w))
+        assert maxerr <= 4
+
+
+def test_restart_markers_on_wire():
+    """restart=1 must put real RSTn markers in the stream and still
+    round-trip (DC predictors reset at every boundary)."""
+    rows = _block_solid(32, 8, lambda bx, by: 40 * bx + 7)
+    enc = J.jpeg_encode_gray(32, 8, rows, color=False, restart=1)
+    assert b"\xff\xd0" in enc and b"\xff\xd1" in enc
+    got = J.jpeg_decode_rgb(enc)
+    assert got is not None
+    assert got[2][0] == bytes(c for x in range(32)
+                              for c in [rows[0][x]] * 3)
+
+
+def test_hostile_bytes_never_raise():
+    enc = J.jpeg_encode_gray(16, 16, [bytes(range(16))] * 16, color=True)
+    for cut in range(0, len(enc), 5):
+        J.jpeg_decode_rgb(enc[:cut])
+    rng = random.Random(4)
+    for _ in range(300):
+        bb = bytearray(enc)
+        bb[rng.randrange(len(bb))] ^= 1 << rng.randrange(8)
+        J.jpeg_decode_rgb(bytes(bb))
+    assert J.jpeg_decode_rgb(b"") is None
+    assert J.jpeg_decode_rgb(b"\xff\xd8\xff\xd9") is None
+    assert J.jpeg_decode_rgb(b"not a jpeg at all") is None
+
+
+def test_progressive_rejected():
+    """SOF2 (progressive) streams are out of scope and must return
+    None, not garbage."""
+    enc = bytearray(J.jpeg_encode_gray(8, 8, [bytes(range(8))] * 8))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    assert J.jpeg_decode_rgb(bytes(enc)) is None
+
+
+def test_decode_rgb_dispatch_and_gate_formula():
+    """media.decode_rgb routes JPEG payloads; the gate payload's pixels
+    match the oracle's block formula exactly."""
+    from webextract.media import decode_rgb, make_jpeg_raster_bytes
+    for doc_id in (0, 1, 2, 7, 123):
+        b = make_jpeg_raster_bytes(doc_id)
+        dec = decode_rgb(b)
+        assert dec is not None
+        w, h, rows = dec
+        assert (w, h) == (8 * (2 + doc_id % 3), 8 * (1 + doc_id % 3))
+        for y in range(h):
+            for x in range(w):
+                v = (doc_id * 11 + (x // 8) * 29 + (y // 8) * 37) % 256
+                assert rows[y][3 * x:3 * x + 3] == bytes([v, v, v])
+
+
+def test_ocr_jpeg_roundtrip():
+    """Lossy-container OCR: the rendered glyph canvas survives JPEG
+    encode/decode byte-exactly at the text level."""
+    from webextract.media import ocr_image, render_text_jpeg
+    for text in ("hello world 42", "", "z" * 130, "the quick brown fox"):
+        got = ocr_image(render_text_jpeg(text))
+        assert got == text[:128].rstrip()

@@ -1,0 +1,550 @@
+"""Minimal baseline JPEG codec — pure stdlib + numpy, no PIL.
+
+Reference parity: docling-serve pipelines rasterize and OCR real images
+(reference docs/usage.md:16-20,29-30); JPEG is the dominant raster
+format on the web, so the pixel-operator family (raster stats / OCR /
+classify in media.py) needs a real JPEG path, not just PNG/GIF/BMP.
+
+Scope is baseline sequential DCT (ITU-T T.81, SOF0):
+
+- decoder: marker walk (APPn/COM skip, DQT 8/16-bit, DHT built from the
+  stream's own BITS/HUFFVAL, SOF0, DRI), entropy decode with 0xFF00
+  unstuffing and RSTn restart handling, DC prediction, AC run/ZRL/EOB,
+  dequantize, vectorized numpy IDCT over all blocks of a component at
+  once, chroma upsample by replication, JFIF YCbCr->RGB.  Returns
+  ``(w, h, top-down RGB rows)`` or None — same contract as the other
+  ``media.decode_rgb`` codecs; never raises on hostile bytes.
+- encoder: deterministic writer used to synthesize gate payloads — real
+  FDCT, flat quantization (q=1), canonical Huffman coding, byte
+  stuffing, optional restart intervals, grayscale (1x1) or YCbCr 4:2:0
+  color.  With q=1 a per-8x8-block-solid image is DC-only and decodes
+  byte-exactly, which is what lets the DuckDB oracle recompute raster
+  stats from a (doc_id, bx, by) formula while the wire bytes still
+  exercise the full Huffman/bitstream machinery.
+
+Everything here derives from the public JPEG spec; the Huffman tables
+are our own canonical construction (EOB at 2 bits, ZRL at 6, the 160
+run/size symbols at 10), not a copy of any implementation's tables.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag index -> raster index (T.81 Figure A.6)
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# 8x8 DCT-II basis matrix: M[u,x] = c(u)/2 * cos((2x+1) u pi / 16).
+# FDCT: S = M @ s @ M.T ; IDCT: s = M.T @ S @ M.
+_DCTM = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCTM[_u, _x] = (_c / 2.0) * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+# --- Huffman tables (our own canonical layout, valid per T.81 Annex C) ---
+# DC: 12 category symbols, lengths 2,3,3,3,3,3,4,5,6,7,8,9 (Kraft-valid).
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+# AC: EOB at 2 bits, ZRL at 6 bits, the 160 (run,size) symbols at 10.
+AC_BITS = [0, 1, 0, 0, 0, 1, 0, 0, 0, 160, 0, 0, 0, 0, 0, 0]
+AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                          for s in range(1, 11)]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 Annex C code assignment: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_ENC_DC = _canonical_codes(DC_BITS, DC_VALS)
+_ENC_AC = _canonical_codes(AC_BITS, AC_VALS)
+
+
+def _mag_category(v: int) -> int:
+    """Size category of a coefficient (number of magnitude bits)."""
+    return int(abs(v)).bit_length()
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF -> 0xFF 0x00 stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def pad_align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
+        if self._n:
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+def _encode_block(w: _BitWriter, coefs: np.ndarray, dc_pred: int) -> int:
+    """Huffman-encode one quantized 8x8 block (raster order); returns
+    the new DC predictor."""
+    flat = coefs.reshape(64)
+    zz = flat[list(ZIGZAG)]
+    dc = int(zz[0])
+    diff = dc - dc_pred
+    size = _mag_category(diff)
+    code, ln = _ENC_DC[size]
+    w.put(code, ln)
+    if size:
+        bits = diff if diff >= 0 else diff + (1 << size) - 1
+        w.put(bits, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            zc, zl = _ENC_AC[0xF0]
+            w.put(zc, zl)
+            run -= 16
+        size = _mag_category(v)
+        ac, al = _ENC_AC[(run << 4) | size]
+        w.put(ac, al)
+        bits = v if v >= 0 else v + (1 << size) - 1
+        w.put(bits, size)
+        run = 0
+    if run:
+        ec, el = _ENC_AC[0x00]
+        w.put(ec, el)
+    return dc
+
+
+def _pad_plane(plane: np.ndarray, bw: int, bh: int) -> np.ndarray:
+    """Edge-replicate a plane up to (bh, bw) multiples-of-8... actually
+    to exactly (bh, bw) which the caller sizes to the MCU grid."""
+    h, w = plane.shape
+    if h == bh and w == bw:
+        return plane
+    out = np.empty((bh, bw), dtype=plane.dtype)
+    out[:h, :w] = plane
+    if w < bw:
+        out[:h, w:] = plane[:, w - 1:w]
+    if h < bh:
+        out[h:, :] = out[h - 1:h, :]
+    return out
+
+
+def _fdct_quant(plane: np.ndarray) -> np.ndarray:
+    """(H,W) uint8 plane -> (H//8, W//8, 8, 8) int32 quantized (q=1)
+    DCT coefficients.  Vectorized across all blocks."""
+    h, w = plane.shape
+    blocks = (plane.astype(np.float64) - 128.0).reshape(
+        h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ux,byxz,vz->byuv", _DCTM, blocks, _DCTM)
+    return np.rint(coefs).astype(np.int32)
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def jpeg_encode_gray(w: int, h: int, rows: list[bytes], *,
+                     color: bool = False, restart: int = 0) -> bytes:
+    """Encode a grayscale raster as a baseline JPEG.
+
+    ``color=False`` writes a 1-component (luma only) stream; ``True``
+    writes a 3-component YCbCr 4:2:0 stream with constant-128 chroma
+    (gray content has Cb=Cr=128 exactly, so decode returns R=G=B).
+    ``restart`` > 0 writes DRI and emits RSTn every ``restart`` MCUs.
+    Quantization is flat q=1 on table 0 for all components.
+    """
+    plane = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w)
+    out = bytearray()
+    out += b"\xff\xd8"                                        # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"  # APP0
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64  # DQT
+    if color:
+        comps = [(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)]
+    else:
+        comps = [(1, 0x11, 0)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, samp, tq in comps:
+        sof += bytes([cid, samp, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof  # SOF0
+    out += _dht_segment(0, 0, DC_BITS, DC_VALS)
+    out += _dht_segment(1, 0, AC_BITS, AC_VALS)
+    if color:
+        out += _dht_segment(0, 1, DC_BITS, DC_VALS)
+        out += _dht_segment(1, 1, AC_BITS, AC_VALS)
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)    # DRI
+    sos = bytes([len(comps)])
+    for cid, _samp, _tq in comps:
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos  # SOS
+
+    if color:
+        mcu_w, mcu_h = 16, 16
+        mcus_x = (w + mcu_w - 1) // mcu_w
+        mcus_y = (h + mcu_h - 1) // mcu_h
+        luma = _pad_plane(plane, mcus_x * 16, mcus_y * 16)
+        ycoef = _fdct_quant(luma)
+        # chroma planes are constant 128 -> all-zero coefficient blocks
+        zero = np.zeros((8, 8), dtype=np.int32)
+        writer = _BitWriter()
+        preds = [0, 0, 0]
+        rst, mcu_i = 0, 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    writer.pad_align()
+                    writer.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    preds = [0, 0, 0]
+                for by in range(2):
+                    for bx in range(2):
+                        preds[0] = _encode_block(
+                            writer, ycoef[my * 2 + by, mx * 2 + bx], preds[0])
+                preds[1] = _encode_block(writer, zero, preds[1])
+                preds[2] = _encode_block(writer, zero, preds[2])
+                mcu_i += 1
+        writer.pad_align()
+    else:
+        mcus_x = (w + 7) // 8
+        mcus_y = (h + 7) // 8
+        luma = _pad_plane(plane, mcus_x * 8, mcus_y * 8)
+        ycoef = _fdct_quant(luma)
+        writer = _BitWriter()
+        pred = 0
+        rst, mcu_i = 0, 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    writer.pad_align()
+                    writer.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    pred = 0
+                pred = _encode_block(writer, ycoef[my, mx], pred)
+                mcu_i += 1
+        writer.pad_align()
+    out += writer.out
+    out += b"\xff\xd9"                                        # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+class _HuffTable:
+    """Decode side of a DHT: (length, code) -> symbol."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.lut: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lut[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        self.max_len = max((ln for ln, _ in self.lut), default=0)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None    # marker that ended the segment
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                return False
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+                self._acc = (self._acc << 8) | 0xFF
+                self._n += 8
+                return True
+            self.marker = nxt
+            return False                  # a real marker ends the segment
+        self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self._n == 0 and not self._fill():
+            raise EOFError
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: _HuffTable) -> int:
+        code, length = 0, 0
+        while length <= table.max_len:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+    def restart_sync(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 E.2.4)."""
+        self._acc = 0
+        self._n = 0
+        if self.marker is None:
+            # marker not yet seen: it must be the next bytes
+            if (self.pos + 1 < len(self.data)
+                    and self.data[self.pos] == 0xFF
+                    and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+                self.pos += 2
+                return
+            raise ValueError("missing restart marker")
+        if 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2                 # consume the 0xFF 0xDn pair
+            self.marker = None
+            return
+        raise ValueError("expected RSTn")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: magnitude bits -> signed coefficient."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n,8,8) float coefficients -> (n,8,8) uint8 samples."""
+    spatial = np.einsum("xu,nuv,vz->nxz", _DCTM.T, coefs, _DCTM)
+    return np.clip(np.rint(spatial + 128.0), 0, 255).astype(np.uint8)
+
+
+def jpeg_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Decode a baseline JPEG to (w, h, top-down interleaved RGB rows).
+
+    Supports SOF0 streams with 1 or 3 components, sampling factors in
+    {1,2}, 8/16-bit DQT, DRI/RSTn, and any spec-valid Huffman tables
+    (read from the stream).  Returns None for non-JPEG, progressive
+    (SOF2), arithmetic, 12-bit, or corrupt input; never raises.
+    """
+    try:
+        return _decode(b)
+    except Exception:
+        return None
+
+
+def _decode(b: bytes) -> tuple[int, int, list[bytes]] | None:
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffTable] = {}
+    ac_tabs: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None        # (h, w, [(cid, hs, vs, tq), ...])
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xFF:                     # fill byte
+            i += 1
+            continue
+        if marker == 0xD9:                     # EOI before SOS
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2                             # standalone marker
+            continue
+        seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            return None
+        i += 2 + seg_len
+        if marker == 0xDB:                     # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tab = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                    p += 64
+                else:
+                    tab = np.frombuffer(seg[p:p + 128],
+                                        dtype=">u2").astype(np.int64)
+                    p += 128
+                if tab.size != 64:
+                    return None
+                raster = np.zeros(64, dtype=np.int64)
+                raster[list(ZIGZAG)] = tab
+                qt[tq] = raster.reshape(8, 8)
+        elif marker == 0xC4:                   # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                cnt = sum(bits)
+                vals = list(seg[p + 17:p + 17 + cnt])
+                if len(vals) != cnt:
+                    return None
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffTable(bits, vals)
+                p += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / extended seq.
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or nc not in (1, 3) or fh == 0 or fw == 0:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+                hs, vs = samp >> 4, samp & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    return None
+                comps.append((cid, hs, vs, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None                        # progressive / arithmetic
+        elif marker == 0xDD:                   # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:                   # SOS — entropy data follows
+            if frame is None:
+                return None
+            return _decode_scan(b, i, seg, frame, qt, dc_tabs, ac_tabs,
+                                restart_interval)
+        # APPn / COM / anything else: skipped via seg_len
+    return None
+
+
+def _decode_scan(b, pos, sos, frame, qt, dc_tabs, ac_tabs, restart_interval):
+    fh, fw, comps = frame
+    ns = sos[0]
+    if ns != len(comps):
+        return None                            # single interleaved scan only
+    scan_tabs = {}
+    for c in range(ns):
+        cid, tt = sos[1 + 2 * c], sos[2 + 2 * c]
+        scan_tabs[cid] = (tt >> 4, tt & 0x0F)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component coefficient stores, sized to the MCU grid
+    stores = []
+    for cid, hs, vs, tq in comps:
+        if tq not in qt or cid not in scan_tabs:
+            return None
+        td, ta = scan_tabs[cid]
+        if td not in dc_tabs or ta not in ac_tabs:
+            return None
+        stores.append(np.zeros((mcus_y * vs, mcus_x * hs, 8, 8),
+                               dtype=np.float64))
+
+    reader = _BitReader(b, pos)
+    preds = [0] * len(comps)
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                reader.restart_sync()
+                preds = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                td, ta = scan_tabs[cid]
+                dct, act = dc_tabs[td], ac_tabs[ta]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = np.zeros(64, dtype=np.float64)
+                        size = reader.decode_huff(dct)
+                        if size > 11:
+                            return None
+                        diff = _extend(reader.receive(size), size)
+                        preds[ci] += diff
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16    # ZRL
+                                    continue
+                                break          # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            blk[ZIGZAG[k]] = _extend(reader.receive(s), s)
+                            k += 1
+                        stores[ci][my * vs + by, mx * hs + bx] = (
+                            blk.reshape(8, 8))
+            mcu_i += 1
+
+    # dequantize + IDCT per component, assemble planes
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        coefs = stores[ci] * qt[tq][None, None, :, :]
+        by, bx = coefs.shape[:2]
+        pix = _idct_blocks(coefs.reshape(-1, 8, 8)).reshape(by, bx, 8, 8)
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # upsample to full-frame resolution, then crop
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        y = planes[0].astype(np.uint8)
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        y = planes[0].astype(np.float64)
+        cb = planes[1].astype(np.float64) - 128.0
+        cr = planes[2].astype(np.float64) - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        bl = y + 1.772 * cb
+        rgb = np.clip(np.rint(np.stack([r, g, bl], axis=-1)),
+                      0, 255).astype(np.uint8)
+    rows = [rgb[yy].tobytes() for yy in range(fh)]
+    return (fw, fh, rows)

@@ -27,6 +27,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from webextract import jpegmini
+
 REAL_MEDIA = os.environ.get("WEBEXTRACT_REAL_MEDIA", "") == "1"
 
 
@@ -824,15 +826,17 @@ def bmp_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
 
 
 def decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
-    """Container-agnostic raster decode: BMP24, PNG RGB8, or paletted
-    GIF (full LZW) → (w, h, top-down RGB rows).  The single entry
-    point every pixel-level operator (raster stats / OCR / classify)
-    goes through."""
+    """Container-agnostic raster decode: BMP24, PNG RGB8, paletted GIF
+    (full LZW), or baseline JPEG (full Huffman + IDCT) → (w, h,
+    top-down RGB rows).  The single entry point every pixel-level
+    operator (raster stats / OCR / classify) goes through."""
     out = bmp_decode_rgb(b)
     if out is None:
         out = png_decode_rgb(b)
     if out is None:
         out = gif_decode_rgb(b)
+    if out is None:
+        out = jpegmini.jpeg_decode_rgb(b)
     return out
 
 
@@ -850,6 +854,25 @@ def make_gif_bytes(doc_id: int) -> bytes:
 
 # Attach a `media` column of REAL LZW-coded GIF bytes built from
 with_gif_media = _media_from_doc_id(make_gif_bytes)
+
+
+def make_jpeg_raster_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID baseline JPEG (4th real codec): YCbCr 4:2:0
+    color, restart interval 2, per-8x8-block SOLID gray value
+    (doc_id*11 + bx*29 + by*37) % 256.  Solid blocks are DC-only under
+    flat q=1 quantization, so decode is byte-exact and the DuckDB
+    oracle recomputes the stats from the block formula — while the wire
+    bytes still run the full Huffman / bitstream / RST / IDCT path."""
+    bw = 2 + doc_id % 3
+    bh = 1 + doc_id % 3
+    w, h = bw * 8, bh * 8
+    rows = [bytes((doc_id * 11 + (x // 8) * 29 + (y // 8) * 37) % 256
+                  for x in range(w)) for y in range(h)]
+    return jpegmini.jpeg_encode_gray(w, h, rows, color=True, restart=2)
+
+
+# Attach a `media` column of REAL entropy-coded JPEG bytes built from
+with_jpeg_media = _media_from_doc_id(make_jpeg_raster_bytes)
 
 
 def image_raster_stats(b: bytes) -> dict | None:
@@ -1114,10 +1137,25 @@ with_text_bmp_media = _media_from_text(render_text_bmp)
 with_text_png_media = _media_from_text(render_text_png)
 
 
+def render_text_jpeg(text: str) -> bytes:
+    """Rendered glyph canvas in a REAL baseline JPEG (grayscale,
+    1-component, restart interval 3).  JPEG is lossy, but with flat
+    q=1 quantization the reconstruction error is bounded well below
+    the OCR threshold (ink<128 on a 0/255 canvas), so the glyph
+    round-trip stays byte-exact end to end."""
+    w, h, rows = _render_glyph_rows(text)
+    gray = [bytes(r[0::3]) for r in rows]   # canvas is channel-symmetric
+    return jpegmini.jpeg_encode_gray(w, h, gray, color=False, restart=3)
+
+
+# JPEG flavor: rendered-text JPEGs exercise lossy-codec OCR
+with_text_jpeg_media = _media_from_text(render_text_jpeg)
+
+
 def media_ocr(df: DataFrame) -> DataFrame:
-    """df(doc_id, media:binary) → (doc_id, ocr_text); BMP and PNG
-    containers both decode.  Narrow mapInPandas, same plumbing as the
-    other media kernels."""
+    """df(doc_id, media:binary) → (doc_id, ocr_text); any decode_rgb
+    container (BMP/PNG/GIF/JPEG) decodes.  Narrow mapInPandas, same
+    plumbing as the other media kernels."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(

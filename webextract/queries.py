@@ -622,6 +622,27 @@ def q_media_raster_gif(spark, sf_dir):
     return media.raster_stats(docs)
 
 
+def q_media_raster_jpeg(spark, sf_dir):
+    """Fourth real codec (baseline JPEG): per-8x8-block-solid grayscale
+    content in a YCbCr 4:2:0 stream with restart markers — solid
+    blocks are DC-only under flat q=1, so the full Huffman / RST /
+    IDCT / chroma-upsample decode is byte-exact and the oracle
+    recomputes the stats from the (doc_id, bx, by) block formula."""
+    docs = media.with_jpeg_media(_read(spark, sf_dir, "documents"))
+    return media.raster_stats(docs)
+
+
+def q_media_ocr_jpeg(spark, sf_dir):
+    """OCR over LOSSY payloads: glyph canvases entropy-coded as
+    grayscale baseline JPEGs; flat q=1 bounds reconstruction error far
+    below the ink threshold, so the round-trip stays byte-exact —
+    same oracle contract as media_ocr / media_ocr_png."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "").alias("text"))
+    return media.media_ocr(media.with_text_jpeg_media(docs))
+
+
 def q_media_frame_avi(spark, sf_dir):
     """REAL video-container frame sampling: valid RIFF/AVI payloads
     (hdrl + movi lists, raw '00db' frames) synthesized from doc_id;
@@ -960,8 +981,6 @@ QUERIES = {
     "chunk_hybrid_subword": q_chunk_hybrid_subword,
     # --- family representatives kept in-window ---
     "extract_main_text": q_extract_main_text,
-    "extract_pdf_split": q_extract_pdf_split,
-    "extract_rich_blocks": q_extract_rich_blocks,
     "extract_mixed_formats": q_extract_mixed_formats,
     "chunk_hybrid": q_chunk_hybrid,
     "chunk_hierarchical": q_chunk_hierarchical,
@@ -987,9 +1006,12 @@ QUERIES = {
     "stream_neardup": q_stream_neardup,
     "media_frame_avi": q_media_frame_avi,
     "media_raster_gif": q_media_raster_gif,
+    "media_raster_jpeg": q_media_raster_jpeg,
+    "media_ocr_jpeg": q_media_ocr_jpeg,
     # ---- driver cap boundary is position 50; new round-4 gates are
-    # inserted ABOVE this line as they land (corpus_hash_split and
-    # embed_ann_buckets rotated out to make room — r3-green stable) ----
+    # inserted ABOVE this line as they land (corpus_hash_split,
+    # embed_ann_buckets, extract_pdf_split, extract_rich_blocks rotated
+    # out to make room — all r3-green stable) ----
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
     # (new round-4 relational-breadth gates start here too: rollup and
     # range-frame window — pytest-oracle-green, next rotation's window)
@@ -997,6 +1019,8 @@ QUERIES = {
     "events_range_window": q_events_range_window,
     "corpus_hash_split": q_corpus_hash_split,
     "embed_ann_buckets": q_embed_ann_buckets,
+    "extract_pdf_split": q_extract_pdf_split,
+    "extract_rich_blocks": q_extract_rich_blocks,
     "extract_markdown": q_extract_markdown,
     "extract_html_split": q_extract_html_split,
     "extract_doctags": q_extract_doctags,
@@ -2192,6 +2216,34 @@ ORACLES = {
                rtrim(substr(regexp_replace(lower(text), '[^a-z0-9 ]',
                                            '', 'g'), 1, 128)) AS ocr_text
         FROM documents""",
+
+    # identical contract again for the LOSSY container: flat q=1
+    # bounds JPEG reconstruction error far below the ink threshold
+    "media_ocr_jpeg": """
+        SELECT doc_id,
+               rtrim(substr(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                           '', 'g'), 1, 128)) AS ocr_text
+        FROM documents""",
+
+    # per-8x8-block solid gray values: each block contributes 64 equal
+    # pixels, so pixel-level min/max/mean == block-level min/max/mean
+    # and every channel equals the luma formula (Cb=Cr=128 exactly)
+    "media_raster_jpeg": """
+        WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + doc_id % 3 AS bh
+                   FROM documents),
+        blk AS (SELECT doc_id,
+                       (doc_id * 11 + x.i * 29 + y.i * 37) % 256 AS v
+                FROM d,
+                     unnest(generate_series(0, bw - 1)) AS x(i),
+                     unnest(generate_series(0, bh - 1)) AS y(i))
+        SELECT doc_id, (count(*) * 64)::BIGINT AS n_px,
+               min(v)::INTEGER AS r_min, max(v)::INTEGER AS r_max,
+               round(avg(v), 4) AS r_mean,
+               min(v)::INTEGER AS g_min, max(v)::INTEGER AS g_max,
+               round(avg(v), 4) AS g_mean,
+               min(v)::INTEGER AS b_min, max(v)::INTEGER AS b_max,
+               round(avg(v), 4) AS b_mean
+        FROM blk GROUP BY doc_id""",
 
     "media_raster_stats": """
         WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
