@@ -45,6 +45,7 @@ HEADLINE = [
     "media_raster_png", "media_audio_pcm", "extract_audio_source",
     "dedup_embed_multiprobe", "media_raster_gif", "media_frame_avi",
     "events_rollup", "events_range_window",
+    "media_raster_jpeg",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

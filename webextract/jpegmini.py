@@ -29,6 +29,7 @@ run/size symbols at 10), not a copy of any implementation's tables.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -39,6 +40,7 @@ ZIGZAG = (
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 )
+_ZZ_IDX = np.array(ZIGZAG)
 
 # 8x8 DCT-II basis matrix: M[u,x] = c(u)/2 * cos((2x+1) u pi / 16).
 # FDCT: S = M @ s @ M.T ; IDCT: s = M.T @ S @ M.
@@ -108,9 +110,8 @@ class _BitWriter:
 
 def _encode_block(w: _BitWriter, coefs: np.ndarray, dc_pred: int) -> int:
     """Huffman-encode one quantized 8x8 block (raster order); returns
-    the new DC predictor."""
-    flat = coefs.reshape(64)
-    zz = flat[list(ZIGZAG)]
+    the new DC predictor.  Iterates only the nonzero AC positions."""
+    zz = coefs.reshape(64)[_ZZ_IDX]
     dc = int(zz[0])
     diff = dc - dc_pred
     size = _mag_category(diff)
@@ -119,23 +120,22 @@ def _encode_block(w: _BitWriter, coefs: np.ndarray, dc_pred: int) -> int:
     if size:
         bits = diff if diff >= 0 else diff + (1 << size) - 1
         w.put(bits, size)
-    run = 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    nz = np.nonzero(zz[1:])[0]
+    prev = 0                              # next unencoded AC position - 1
+    for p in nz:
+        run = int(p) - prev
+        prev = int(p) + 1
         while run >= 16:
             zc, zl = _ENC_AC[0xF0]
             w.put(zc, zl)
             run -= 16
+        v = int(zz[1 + p])
         size = _mag_category(v)
         ac, al = _ENC_AC[(run << 4) | size]
         w.put(ac, al)
         bits = v if v >= 0 else v + (1 << size) - 1
         w.put(bits, size)
-        run = 0
-    if run:
+    if prev < 63:
         ec, el = _ENC_AC[0x00]
         w.put(ec, el)
     return dc
@@ -262,18 +262,32 @@ def jpeg_encode_gray(w: int, h: int, rows: list[bytes], *,
 # --------------------------------------------------------------------------
 
 class _HuffTable:
-    """Decode side of a DHT: (length, code) -> symbol."""
+    """Decode side of a DHT: a flat fast-LUT indexed by the next
+    ``max_len`` bits of the stream -> (symbol, code_length)."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
-        self.lut: dict[tuple[int, int], int] = {}
+        pairs: list[tuple[int, int, int]] = []     # (code, length, symbol)
         code, k = 0, 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
-                self.lut[(length, code)] = vals[k]
+                pairs.append((code, length, vals[k]))
                 code += 1
                 k += 1
             code <<= 1
-        self.max_len = max((ln for ln, _ in self.lut), default=0)
+        self.max_len = max((ln for _, ln, _ in pairs), default=0)
+        L = self.max_len
+        self.fast: list[tuple[int, int] | None] = [None] * (1 << L)
+        for code, length, sym in pairs:
+            base = code << (L - length)
+            for s in range(1 << (L - length)):
+                self.fast[base + s] = (sym, length)
+
+
+@lru_cache(maxsize=64)
+def _huff_table_cached(bits: bytes, vals: bytes) -> _HuffTable:
+    """DHT payloads repeat across a corpus of same-encoder images;
+    cache the (expensive) fast-LUT build per distinct table."""
+    return _HuffTable(list(bits), list(vals))
 
 
 class _BitReader:
@@ -288,24 +302,29 @@ class _BitReader:
 
     def _fill(self) -> bool:
         d = self.data
-        if self.pos >= len(d):
+        p = self.pos
+        if p >= len(d):
             return False
-        b = d[self.pos]
-        if b == 0xFF:
-            if self.pos + 1 >= len(d):
-                return False
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-                self._acc = (self._acc << 8) | 0xFF
-                self._n += 8
-                return True
-            self.marker = nxt
-            return False                  # a real marker ends the segment
-        self.pos += 1
-        self._acc = (self._acc << 8) | b
-        self._n += 8
-        return True
+        if d[p] != 0xFF:
+            # consume a clean run (no stuffing/marker) in one chunk
+            stop = d.find(0xFF, p, p + 8)
+            end = stop if stop != -1 else min(p + 8, len(d))
+            self.pos = end
+            span = end - p
+            self._acc = ((self._acc << (8 * span))
+                         | int.from_bytes(d[p:end], "big"))
+            self._n += 8 * span
+            return True
+        if p + 1 >= len(d):
+            return False
+        nxt = d[p + 1]
+        if nxt == 0x00:
+            self.pos = p + 2
+            self._acc = (self._acc << 8) | 0xFF
+            self._n += 8
+            return True
+        self.marker = nxt
+        return False                      # a real marker ends the segment
 
     def read_bit(self) -> int:
         if self._n == 0 and not self._fill():
@@ -314,20 +333,37 @@ class _BitReader:
         return (self._acc >> self._n) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        while self._n < n:
+            if not self._fill():
+                raise EOFError
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
         return v
 
     def decode_huff(self, table: _HuffTable) -> int:
-        code, length = 0, 0
-        while length <= table.max_len:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = table.lut.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad huffman code")
+        """LUT decode: peek max_len bits (zero-padded near the segment
+        end), one lookup, consume the matched code's length."""
+        L = table.max_len
+        while self._n < L:
+            if not self._fill():
+                break
+        n = self._n
+        if n >= L:
+            prefix = (self._acc >> (n - L)) & ((1 << L) - 1)
+        elif n > 0:
+            prefix = (self._acc << (L - n)) & ((1 << L) - 1)
+        else:
+            raise EOFError
+        hit = table.fast[prefix]
+        if hit is None:
+            raise ValueError("bad huffman code")
+        sym, length = hit
+        if length > n:
+            raise EOFError               # code ran past the segment end
+        self._n = n - length
+        self._acc &= (1 << self._n) - 1
+        return sym
 
     def restart_sync(self) -> None:
         """Byte-align and consume an RSTn marker (T.81 E.2.4)."""
@@ -430,7 +466,8 @@ def _decode(b: bytes) -> tuple[int, int, list[bytes]] | None:
                 vals = list(seg[p + 17:p + 17 + cnt])
                 if len(vals) != cnt:
                     return None
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffTable(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_table_cached(
+                    bytes(bits), bytes(vals))
                 p += 17 + cnt
         elif marker == 0xC0 or marker == 0xC1:  # SOF0 / extended seq.
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
@@ -496,7 +533,8 @@ def _decode_scan(b, pos, sos, frame, qt, dc_tabs, ac_tabs, restart_interval):
                 dct, act = dc_tabs[td], ac_tabs[ta]
                 for by in range(vs):
                     for bx in range(hs):
-                        blk = np.zeros(64, dtype=np.float64)
+                        blk = stores[ci][my * vs + by,
+                                         mx * hs + bx].reshape(64)
                         size = reader.decode_huff(dct)
                         if size > 11:
                             return None
@@ -517,8 +555,6 @@ def _decode_scan(b, pos, sos, frame, qt, dc_tabs, ac_tabs, restart_interval):
                                 return None
                             blk[ZIGZAG[k]] = _extend(reader.receive(s), s)
                             k += 1
-                        stores[ci][my * vs + by, mx * hs + bx] = (
-                            blk.reshape(8, 8))
             mcu_i += 1
 
     # dequantize + IDCT per component, assemble planes
