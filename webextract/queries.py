@@ -930,6 +930,31 @@ def q_pipeline_counters(spark, sf_dir):
         F.sum("bytes_out").cast("long").alias("bytes_out"))
 
 
+def q_extract_warc_source(spark, sf_dir):
+    """S-family WARC wire-format round-trip: the documents-derived
+    pages are serialized into per-partition .warc.gz shards (one gzip
+    member per WARC/1.0 response record — the Common Crawl layout),
+    read back through the streaming member-splitting reader
+    (sources.read_warc), and pushed through the full extraction
+    kernel.  Extracted text must equal the extract_main_text oracle —
+    the WARC writer/reader pair must be byte-transparent for that to
+    hold."""
+    import hashlib
+    import shutil
+
+    from .sources import read_warc, write_warc
+
+    pages = docs_to_pages(_read(spark, sf_dir, "documents"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/wx_warc_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    write_warc(pages, root)
+    back = read_warc(spark, f"{root}/*.warc.gz")
+    out = _doc_id(extracted_df(back, cpus=4))
+    return (out.filter(F.col("status") == "success")
+            .select("doc_id", "text"))
+
+
 def q_resume_pending(spark, sf_dir):
     """Checkpoint-resume anti-join shape (T10): committed partitions are
     skipped via a broadcast left-anti join on part_id."""
@@ -983,7 +1008,6 @@ QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_mixed_formats": q_extract_mixed_formats,
     "chunk_hybrid": q_chunk_hybrid,
-    "chunk_hierarchical": q_chunk_hierarchical,
     "chunk_dedup": q_chunk_dedup,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -1008,10 +1032,12 @@ QUERIES = {
     "media_raster_gif": q_media_raster_gif,
     "media_raster_jpeg": q_media_raster_jpeg,
     "media_ocr_jpeg": q_media_ocr_jpeg,
+    "extract_warc_source": q_extract_warc_source,
     # ---- driver cap boundary is position 50; new round-4 gates are
     # inserted ABOVE this line as they land (corpus_hash_split,
-    # embed_ann_buckets, extract_pdf_split, extract_rich_blocks rotated
-    # out to make room — all r3-green stable) ----
+    # embed_ann_buckets, extract_pdf_split, extract_rich_blocks,
+    # chunk_hierarchical rotated out to make room — all r3-green
+    # stable) ----
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
     # (new round-4 relational-breadth gates start here too: rollup and
     # range-frame window — pytest-oracle-green, next rotation's window)
@@ -1021,6 +1047,7 @@ QUERIES = {
     "embed_ann_buckets": q_embed_ann_buckets,
     "extract_pdf_split": q_extract_pdf_split,
     "extract_rich_blocks": q_extract_rich_blocks,
+    "chunk_hierarchical": q_chunk_hierarchical,
     "extract_markdown": q_extract_markdown,
     "extract_html_split": q_extract_html_split,
     "extract_doctags": q_extract_doctags,
@@ -1119,6 +1146,13 @@ sh AS (SELECT doc_id,
 
 ORACLES = {
     "extract_main_text": """
+        SELECT doc_id,
+               'Document ' || doc_id || chr(10) || chr(10) || text AS text
+        FROM documents""",
+
+    # WARC round-trip must be byte-transparent: same oracle as
+    # extract_main_text
+    "extract_warc_source": """
         SELECT doc_id,
                'Document ' || doc_id || chr(10) || chr(10) || text AS text
         FROM documents""",
