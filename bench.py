@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_embed_multiprobe", "media_raster_gif", "media_frame_avi",
     "events_rollup", "events_range_window",
     "media_raster_jpeg",
+    "line_dedup", "lm_perplexity", "pack_sequences", "url_dedup",
+    "embed_pq_refine",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -285,3 +285,87 @@ def test_pq_topk_recall_vs_exact_l2(spark):
     assert adc >= 0.25, adc
     assert ref >= 0.8, ref
     assert ref > adc, (ref, adc)
+
+
+def test_line_dedup_removes_boilerplate_keeps_order(spark):
+    """A 10-word segment shared by many docs vanishes; unique segments
+    survive in original order; a doc that is ALL boilerplate keeps its
+    row with clean_text '' (the left-join-not-anti-join invariant)."""
+    from webextract.corpus import line_dedup
+    boiler = " ".join(["cookie"] * 10)
+    rows = [(i, boiler + " " + " ".join([f"u{i}w{j}" for j in range(10)])
+             + " " + " ".join([f"v{i}w{j}" for j in range(10)]))
+            for i in range(20)]
+    rows.append((99, boiler))                     # all-boilerplate doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(docs, df_cap=8).collect()}
+    assert len(got) == 21                          # every doc kept a row
+    assert got[99].clean_text == ""
+    assert got[99].kept_segs == 0 and got[99].dropped_segs == 1
+    r0 = got[0]
+    assert "cookie" not in r0.clean_text
+    assert r0.clean_text == (" ".join([f"u0w{j}" for j in range(10)])
+                             + " " + " ".join([f"v0w{j}" for j in range(10)]))
+    assert r0.kept_segs == 2 and r0.dropped_segs == 1
+
+
+def test_lm_perplexity_orders_rare_above_common(spark):
+    """Docs made of corpus-rare tokens must score strictly higher
+    perplexity than docs of corpus-common tokens, and a hand-computed
+    two-token corpus pins the smoothing arithmetic."""
+    import math
+    from webextract.corpus import lm_perplexity
+    rows = ([(i, "common common common") for i in range(20)]
+            + [(100, "common common rare")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_perplexity(docs).collect()}
+    assert got[100].ppl > got[0].ppl
+    # hand-pin doc 0: c_common=62, c_rare=1, N=63, V=2, k=0.5
+    lp = -math.log((62 + 0.5) / (63 + 0.5 * 2))
+    micro = round(lp * 1e6)
+    want = round(micro * 3 / 1e6 / 3, 6)
+    assert abs(got[0].mean_nll - want) < 1e-9
+    assert got[0].n_tok == 3
+
+
+def test_pack_sequences_contiguous_and_bounded(spark):
+    """Within every shard the packed stream is gapless (each doc
+    starts where the previous ended), offsets stay under the budget,
+    and seq_first/seq_last bracket the doc's token span."""
+    from webextract.corpus import pack_sequences
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text"))
+    rows = sorted(pack_sequences(docs, budget=100, shards=4).collect(),
+                  key=lambda r: (r.shard, r.doc_id))
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r.shard < 4
+        assert 0 <= r.seq_offset < 100
+        assert r.seq_first <= r.seq_last
+        before = by_shard.get(r.shard, 0)
+        assert r.seq_first == before // 100
+        assert r.seq_offset == before % 100
+        assert r.seq_last == (before + r.n_tok - 1) // 100
+        by_shard[r.shard] = before + r.n_tok
+    assert len(by_shard) == 4
+
+
+def test_canonical_url_table(spark):
+    """Spelling variants that MUST collapse, and ones that must not."""
+    from webextract.corpus import canonical_url
+    cases = [
+        ("http://Ex.COM/a", "http://ex.com/a"),
+        ("HTTP://EX.COM:80/a/", "http://ex.com/a"),
+        ("http://ex.com/a#frag", "http://ex.com/a"),
+        ("https://ex.com:443/", "https://ex.com/"),
+        ("https://ex.com:8443/", "https://ex.com:8443/"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com/a?b=2&a=1", "http://ex.com/a?a=1&b=2"),
+        ("http://ex.com/a?b=2&a=1#f", "http://ex.com/a?a=1&b=2"),
+        ("http://ex.com//", "http://ex.com/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]

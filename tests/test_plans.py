@@ -330,3 +330,65 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_pq_plan_shapes(spark):
+    """PQ at 10^12 rows: encode is a pure narrow projection (codebooks
+    are plan literals — no exchange, no join); ADC search broadcasts
+    the query distance tables over the codes frame (BNLJ) and the only
+    exchange is the per-query top-k window."""
+    from webextract.corpus import pq_encode, pq_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    enc = _plan(pq_encode(emb))
+    tree = enc.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+    topk = _plan(pq_topk(emb))
+    assert "BroadcastNestedLoopJoin" in topk, topk[:2000]
+    assert "SortMergeJoin" not in topk
+    # one shuffle exchange total: hashpartitioning(qid) for the rank
+    # window (the query side's BroadcastExchange is not a shuffle)
+    tree = topk.split("\n\n")[0]
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 1, tree
+
+
+def test_line_dedup_plan_shape(spark):
+    """Boilerplate removal: the hot set (df>cap tail) is staged and
+    BROADCAST against the segment stream — the segment payload never
+    shuffles for the membership test, only for the df agg and the
+    per-doc reassembly."""
+    from webextract.corpus import line_dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(line_dedup(docs))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_perplexity_plan_shape(spark):
+    """LM scoring: vocab joins the (doc_id, tok, tf) term frame via
+    shuffle-hash (web-scale vocab is beyond any broadcast); totals ride
+    as a broadcast 1-row frame; no sort-merge anywhere."""
+    from webextract.corpus import lm_perplexity
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(lm_perplexity(docs))
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan   # totals cross-ride
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_and_url_plans_single_exchange(spark):
+    """pack_sequences: ONE exchange on shard (the parallel packing
+    streams) + its window sort — never a global single-partition
+    window.  url_dedup: ONE exchange on canon_url."""
+    from webextract.corpus import pack_sequences, url_dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_sequences(docs))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "SinglePartition" not in tree, tree
+    pages = docs.selectExpr("doc_id", "concat('http://h/', doc_id) AS url")
+    plan = _plan(url_dedup(pages))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "SinglePartition" not in tree, tree

@@ -1388,3 +1388,212 @@ def fingerprints(docs: DataFrame, gram: int = 5, window: int = 4) -> DataFrame:
     return _winnow_frame(docs, gram, window, with_md5=True).select(
         "doc_id", "fp_md5",
         F.size(F.array_distinct("wm")).cast("long").alias("n_winnow"))
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal (the CCNet/RefinedWeb pass: drop text
+# units that recur across many documents — nav bars, cookie banners,
+# footers).  This corpus is single-space-normalized with no newlines,
+# so the "line" unit is a fixed-width word block; at extraction scale
+# the same operator runs over serializer line breaks.
+# ---------------------------------------------------------------------------
+
+LINE_BLOCK = 10            # words per segment (the "line" unit here)
+LINE_DF_CAP = 8            # segments in more docs than this = boilerplate
+LINE_BROADCAST_CAP = 1_000_000   # hot-set rows above this: no broadcast
+
+
+def doc_segments(docs: DataFrame, block: int = LINE_BLOCK) -> DataFrame:
+    """(doc_id, pos, seg): text cut into consecutive ``block``-word
+    segments — one narrow projection + posexplode, no shuffle."""
+    toks = TOKENS()
+    nseg = F.ceil(F.size(toks) / F.lit(block)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(toks, i * block + 1, block), " "))
+    return docs.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
+
+
+def line_dedup(docs: DataFrame, block: int = LINE_BLOCK,
+               df_cap: int = LINE_DF_CAP,
+               broadcast_cap: int = LINE_BROADCAST_CAP) -> DataFrame:
+    """(doc_id, clean_text, kept_segs, dropped_segs): remove segments
+    whose document frequency exceeds ``df_cap`` and reassemble the
+    survivors in document order.
+
+    Scale shape: the segment stream shuffles ONCE on segment hash for
+    the df agg (two-phase: per-doc distinct first, so a segment
+    repeated inside one doc counts once); the hot set is the df>cap
+    TAIL of that agg — heavy hitters, by construction a tiny fraction
+    of distinct segments — staged via localCheckpoint and size-gated:
+    broadcast below the cap, shuffle-hash fallback above (same
+    protocol as lsh_jaccard_pairs).  Reassembly is one groupBy doc_id
+    with an in-array sort — no window, no second pass over text."""
+    segs = doc_segments(_spread(docs), block)
+    with_h = segs.select("doc_id", "pos", "seg", F.md5("seg").alias("h"))
+    hot = (with_h.select("doc_id", "h").distinct()
+           .groupBy("h").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > df_cap)
+           .select("h").localCheckpoint())
+    small = hot.count() <= broadcast_cap
+    hint = F.broadcast if small else (lambda df: df.hint("shuffle_hash"))
+    marked = with_h.join(hint(hot.withColumn("hot", F.lit(1))), "h", "left")
+    kept = F.when(F.col("hot").isNull(), F.struct("pos", "seg"))
+    return (marked.groupBy("doc_id")
+            .agg(F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept)),
+                                 lambda s: s["seg"]), " ")
+                 .alias("clean_text"),
+                 F.sum(F.when(F.col("hot").isNull(), 1).otherwise(0))
+                 .cast("int").alias("kept_segs"),
+                 F.sum(F.when(F.col("hot").isNotNull(), 1).otherwise(0))
+                 .cast("int").alias("dropped_segs")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM perplexity scoring (the CCNet quality filter: score every
+# document under a language model estimated from the corpus itself,
+# then keep the low-perplexity head).  Unigram with add-k smoothing —
+# deterministic, engine-portable, and the exact shape a KenLM-backed
+# production pass has: a (token -> logprob) table joined against the
+# document term stream.
+# ---------------------------------------------------------------------------
+
+LM_K = 0.5                 # add-k smoothing mass
+
+
+def lm_perplexity(docs: DataFrame, k: float = LM_K) -> DataFrame:
+    """(doc_id, n_tok, mean_nll, ppl): mean negative log-likelihood and
+    perplexity of each document under the corpus unigram LM,
+    p(t) = (c_t + k) / (N + k*V).
+
+    Cross-engine determinism: per-token NLL is fixed to integer
+    micro-nats (round(-ln(p)*1e6) as bigint) BEFORE summation, so the
+    per-doc sum is order-independent — a double sum would expose
+    Spark's partial-agg addition order vs the oracle's.  mean_nll
+    divides the exact bigint; ppl = exp of the already-rounded mean.
+
+    Scale shape: the term stream aggregates to (doc_id, tok, tf) in
+    one shuffle (partial map-side combine), the vocab table joins on
+    tok (shuffle-hash hinted — at web scale V ~ 10^8 rows is beyond
+    any broadcast), and the final per-doc sum moves 3-column rows.
+    Raw text never enters an exchange; N and V ride along as a
+    broadcast 1-row frame, never a driver collect."""
+    tf = (_spread(docs)
+          .select("doc_id", F.explode(TOKENS()).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    counts = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    totals = counts.agg(F.sum("c").alias("n_total"),
+                        F.count("*").alias("vocab"))
+    lp = (counts.crossJoin(F.broadcast(totals))
+          .select("tok",
+                  F.round(-F.log((F.col("c") + F.lit(k))
+                                 / (F.col("n_total") + F.lit(k)
+                                    * F.col("vocab"))) * 1e6, 0)
+                  .cast("long").alias("nll_micro")))
+    scored = (tf.join(lp.hint("shuffle_hash"), "tok")
+              .groupBy("doc_id")
+              .agg(F.sum("tf").alias("n_tok"),
+                   F.sum(F.col("tf") * F.col("nll_micro")).alias("s")))
+    mean_nll = F.round(F.col("s") / 1e6 / F.col("n_tok"), 6)
+    return scored.select("doc_id", F.col("n_tok").cast("int").alias("n_tok"),
+                         mean_nll.alias("mean_nll"),
+                         F.round(F.exp(mean_nll), 4).alias("ppl"))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: the last hop before the trainer — concatenate the
+# token stream into fixed-budget training sequences (GPT-style packing
+# where documents straddle sequence boundaries).
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048         # tokens per training sequence
+PACK_SHARDS = 8            # parallel packing streams
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
+                   shards: int = PACK_SHARDS,
+                   salt: str = "pack1") -> DataFrame:
+    """(doc_id, shard, n_tok, seq_first, seq_last, seq_offset): each
+    document's place in its shard's packed token stream — the sequence
+    it starts in, the sequence it ends in, and its token offset within
+    the first.
+
+    Packing is per-SHARD (hash_split's content-independent md5-mod
+    rule), not global: a global cumulative sum is a single-partition
+    window — the classic scale-killer — while per-shard windows run
+    ``shards``-wide in parallel and each stream stays orders of
+    magnitude below 2^53 tokens (exact double floor) at any real
+    scale; production runs raise ``shards`` with the cluster.
+    Deterministic: same corpus -> same packing, independent of
+    partitioning, because the within-shard order is doc_id."""
+    h = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8),
+        16, 10).cast("long") % shards)
+    base = docs.select("doc_id", h.cast("int").alias("shard"),
+                       F.size(TOKENS()).cast("long").alias("n_tok"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    before = F.sum("n_tok").over(w) - F.col("n_tok")
+    return base.select(
+        "doc_id", "shard", F.col("n_tok").cast("int").alias("n_tok"),
+        F.floor(before / budget).cast("int").alias("seq_first"),
+        F.floor((before + F.col("n_tok") - 1) / budget).cast("int")
+        .alias("seq_last"),
+        (before % budget).cast("int").alias("seq_offset"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup: the Common-Crawl frontier pass — the
+# same page arrives under scheme/host case variants, default ports,
+# fragments, trailing slashes, and shuffled query params; canonicalize
+# before any content work so exact-dup detection keys on identity, not
+# spelling.  Engine-portable regex subset (Java regex == RE2 here).
+# ---------------------------------------------------------------------------
+
+def canonical_url(col) -> "F.Column":
+    """Canonical form of a URL column: fragment stripped, scheme+host
+    lowercased, default port dropped (http:80 / https:443), empty path
+    -> '/', trailing slashes trimmed (except root), query params
+    sorted.  Pure narrow projection — safe inside any scan."""
+    u = F.regexp_replace(col, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, "^([^/?]*)", 1)
+    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    host = F.lower(F.regexp_extract(hostport, "^([^:]*)", 1))
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    keep_port = ((port != "")
+                 & ~((scheme == "http") & (port == "80"))
+                 & ~((scheme == "https") & (port == "443")))
+    hostc = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    trimmed = F.regexp_replace(path, "/+$", "")
+    pathc = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+    qc = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"),
+                 F.array_join(F.array_sort(F.split(query, "&")), "&")))
+    return F.concat(scheme, F.lit("://"), hostc, pathc, qc)
+
+
+def url_dedup(pages: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(canon_url, doc_id, n_variants): one survivor per canonical URL
+    (smallest id — deterministic) plus how many raw spellings mapped
+    onto it.
+
+    Scale shape: canonicalization is narrow (runs inside the scan);
+    the dedup is ONE shuffle on canon_url with a row_number window —
+    the same per-key top-1 idiom as survivor selection.  No raw html
+    column should be selected into this op; it moves (url, id) pairs
+    only."""
+    canon = pages.select(canonical_url(F.col("url")).alias("canon_url"),
+                         F.col(id_col).alias("doc_id"))
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
+    return (canon
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_variants",
+                        F.count("*").over(Window.partitionBy("canon_url"))
+                        .cast("int"))
+            .filter(F.col("rn") == 1)
+            .select("canon_url", "doc_id", "n_variants"))

@@ -548,6 +548,52 @@ def q_embed_pq_refine(spark, sf_dir):
     return corpus.pq_refine_topk(_read(spark, sf_dir, "embeddings"))
 
 
+def q_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal (CCNet/RefinedWeb pass): fixed
+    10-word segments whose document frequency exceeds LINE_DF_CAP are
+    dropped, survivors reassembled in order."""
+    return corpus.line_dedup(_read(spark, sf_dir, "documents"))
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring: per-doc perplexity under the
+    corpus unigram LM with add-k smoothing, micro-nat integer NLLs for
+    order-independent cross-engine summation."""
+    return corpus.lm_perplexity(_read(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing: each doc's (seq_first, seq_last,
+    offset) in its shard's concatenated 2048-token sequence stream —
+    per-shard windows, never a global single-partition cumsum."""
+    return corpus.pack_sequences(_read(spark, sf_dir, "documents"))
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + frontier dedup: five deterministic messy
+    spellings per underlying page (case, default port, fragment,
+    trailing slash, shuffled query) built identically by both engines;
+    canonicalize, then keep one survivor per canonical URL."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    base = F.floor(F.col("doc_id") / 5).cast("long")
+    g = (base % 7).cast("string")
+    b = base.cast("string")
+    v = F.col("doc_id") % 5
+    url = (F.when(v == 0, F.concat(F.lit("http://site"), g,
+                                   F.lit(".example.com/a/"), b))
+           .when(v == 1, F.concat(F.lit("HTTP://SITE"), g,
+                                  F.lit(".EXAMPLE.COM:80/a/"), b, F.lit("/")))
+           .when(v == 2, F.concat(F.lit("http://site"), g,
+                                  F.lit(".example.com/a/"), b, F.lit("#frag"),
+                                  F.col("doc_id").cast("string")))
+           .when(v == 3, F.concat(F.lit("http://site"), g,
+                                  F.lit(".example.com/a/"), b,
+                                  F.lit("?b=2&a=1")))
+           .otherwise(F.concat(F.lit("https://site"), g,
+                               F.lit(".example.com:443/a/"), b)))
+    return corpus.url_dedup(d.select("doc_id", url.alias("url")))
+
+
 def q_text_quality(spark, sf_dir):
     return corpus.text_quality(_read(spark, sf_dir, "documents"))
 
@@ -1035,15 +1081,15 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
-    "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_embed_cosine": q_dedup_embed_cosine,
-    "embed_ivf_topk": q_embed_ivf_topk,
     "embed_pq_codes": q_embed_pq_codes,
     "embed_pq_topk": q_embed_pq_topk,
     "embed_pq_refine": q_embed_pq_refine,
-    "text_quality": q_text_quality,
     "quality_gopher": q_quality_gopher,
-    "corpus_card": q_corpus_card,
+    "line_dedup": q_line_dedup,
+    "lm_perplexity": q_lm_perplexity,
+    "pack_sequences": q_pack_sequences,
+    "url_dedup": q_url_dedup,
     # --- new round-4 gates ---
     "media_raster_png": q_media_raster_png,
     "media_ocr_png": q_media_ocr_png,
@@ -1060,8 +1106,9 @@ QUERIES = {
     # ---- driver cap boundary is position 50; new round-4 gates are
     # inserted ABOVE this line as they land (corpus_hash_split,
     # embed_ann_buckets, extract_pdf_split, extract_rich_blocks,
-    # chunk_hierarchical, dedup_survivors, source_stats rotated out to
-    # make room — all r3-green stable) ----
+    # chunk_hierarchical, dedup_survivors, source_stats,
+    # dedup_lsh_jaccard, text_quality, corpus_card, embed_ivf_topk
+    # rotated out to make room — all r3-green stable) ----
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
     # (new round-4 relational-breadth gates start here too: rollup and
     # range-frame window — pytest-oracle-green, next rotation's window)
@@ -1104,6 +1151,10 @@ QUERIES = {
     "dedup_survivors": q_dedup_survivors,
     "source_stats": q_source_stats,
     "pii_scrub": q_pii_scrub,
+    "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+    "text_quality": q_text_quality,
+    "corpus_card": q_corpus_card,
+    "embed_ivf_topk": q_embed_ivf_topk,
 }
 
 # ---------------------------------------------------------------------------
@@ -2088,6 +2139,124 @@ ORACLES = {
               FROM s GROUP BY vec_id)
         SELECT bucket, count(*)::BIGINT AS n_vecs, min(vec_id) AS min_vec_id
         FROM b GROUP BY bucket""",
+
+    "line_dedup": """
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+        seg AS (SELECT doc_id, u.i AS pos,
+                       array_to_string(
+                           list_slice(toks, u.i * 10 + 1, u.i * 10 + 10),
+                           ' ') AS seg
+                FROM tok,
+                     unnest(generate_series(
+                         0, cast(ceil(len(toks) / 10.0) AS INT) - 1))
+                     AS u(i)),
+        sh AS (SELECT doc_id, pos, seg, md5(seg) AS h FROM seg),
+        hot AS (SELECT h FROM (
+                    SELECT h, count(DISTINCT doc_id) AS df
+                    FROM sh GROUP BY h) WHERE df > 8),
+        m AS (SELECT s.doc_id, s.pos, s.seg,
+                     CASE WHEN hot.h IS NULL THEN 0 ELSE 1 END AS is_hot
+              FROM sh s LEFT JOIN hot ON hot.h = s.h)
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN is_hot = 0 THEN seg END,
+                                   ' ' ORDER BY pos), '') AS clean_text,
+               sum(CASE WHEN is_hot = 0 THEN 1 ELSE 0 END)::INTEGER
+                   AS kept_segs,
+               sum(is_hot)::INTEGER AS dropped_segs
+        FROM m GROUP BY doc_id""",
+
+    "lm_perplexity": """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf
+               FROM tok GROUP BY doc_id, tok),
+        cnt AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY tok),
+        tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM cnt),
+        lp AS (SELECT tok,
+                      round(-ln((c + 0.5) / (n_total + 0.5 * vocab))
+                            * 1e6, 0)::BIGINT AS nll_micro
+               FROM cnt, tot),
+        sc AS (SELECT doc_id, sum(tf) AS n_tok, sum(tf * nll_micro) AS s
+               FROM tf JOIN lp USING (tok) GROUP BY doc_id),
+        m AS (SELECT doc_id, n_tok::INTEGER AS n_tok,
+                     round(s / 1e6 / n_tok, 6) AS mean_nll
+              FROM sc)
+        SELECT doc_id, n_tok, mean_nll,
+               round(exp(mean_nll), 4) AS ppl
+        FROM m""",
+
+    "pack_sequences": """
+        WITH b AS (SELECT doc_id,
+                          (('0x' || substring(md5('pack1:' || doc_id), 1, 8))
+                           ::BIGINT % 8)::INTEGER AS shard,
+                          len(string_split(text, ' '))::BIGINT AS n_tok
+                   FROM documents),
+        c AS (SELECT doc_id, shard, n_tok,
+                     sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok AS bef
+              FROM b)
+        SELECT doc_id, shard, n_tok::INTEGER AS n_tok,
+               floor(bef / 2048.0)::INTEGER AS seq_first,
+               floor((bef + n_tok - 1) / 2048.0)::INTEGER AS seq_last,
+               (bef % 2048)::INTEGER AS seq_offset
+        FROM c""",
+
+    "url_dedup": """
+        WITH ids AS (SELECT doc_id, doc_id // 5 AS base,
+                            (doc_id // 5) % 7 AS g, doc_id % 5 AS v
+                     FROM documents),
+        raw AS (SELECT doc_id, CASE v
+                   WHEN 0 THEN 'http://site' || g || '.example.com/a/' || base
+                   WHEN 1 THEN 'HTTP://SITE' || g || '.EXAMPLE.COM:80/a/'
+                               || base || '/'
+                   WHEN 2 THEN 'http://site' || g || '.example.com/a/'
+                               || base || '#frag' || doc_id
+                   WHEN 3 THEN 'http://site' || g || '.example.com/a/'
+                               || base || '?b=2&a=1'
+                   ELSE 'https://site' || g || '.example.com:443/a/' || base
+                 END AS url FROM ids),
+        p0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+        p1 AS (SELECT doc_id, u,
+                      lower(regexp_extract(u,
+                          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                      regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+                          AS rest
+               FROM p0),
+        p2 AS (SELECT doc_id, scheme,
+                      regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+                      regexp_replace(rest, '^[^/?]*', '') AS pathq
+               FROM p1),
+        p3 AS (SELECT doc_id, scheme,
+                      lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+                      regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                      regexp_extract(pathq, '^([^?]*)', 1) AS path,
+                      regexp_extract(pathq, '\\?(.*)$', 1) AS query
+               FROM p2),
+        p4 AS (SELECT doc_id, scheme,
+                      CASE WHEN port <> ''
+                                AND NOT (scheme = 'http' AND port = '80')
+                                AND NOT (scheme = 'https' AND port = '443')
+                           THEN host || ':' || port ELSE host END AS hostc,
+                      CASE WHEN regexp_replace(path, '/+$', '') = ''
+                           THEN '/'
+                           ELSE regexp_replace(path, '/+$', '') END AS pathc,
+                      CASE WHEN query = '' THEN ''
+                           ELSE '?' || array_to_string(
+                               list_sort(string_split(query, '&')), '&')
+                      END AS qc
+               FROM p3),
+        canon AS (SELECT scheme || '://' || hostc || pathc || qc
+                         AS canon_url, doc_id
+                  FROM p4),
+        r AS (SELECT canon_url, doc_id,
+                     row_number() OVER (PARTITION BY canon_url
+                                        ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY canon_url)::INTEGER
+                         AS n_variants
+              FROM canon)
+        SELECT canon_url, doc_id, n_variants FROM r WHERE rn = 1""",
 
     "text_quality": """
         WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
