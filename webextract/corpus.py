@@ -1495,7 +1495,16 @@ def lm_perplexity(docs: DataFrame, k: float = LM_K) -> DataFrame:
               .groupBy("doc_id")
               .agg(F.sum("tf").alias("n_tok"),
                    F.sum(F.col("tf") * F.col("nll_micro")).alias("s")))
-    mean_nll = F.round(F.col("s") / 1e6 / F.col("n_tok"), 6)
+    # Mean in EXACT integer micro-nats: floor((2s+n)/(2n)) is s/n
+    # rounded half-up without ever forming the double s/1e6/n — whose
+    # round(.,6) is engine-divergent exactly at half-micro boundaries
+    # (hit at sf0.1: Spark's BigDecimal sees the double just under .5,
+    # the oracle's scaled round lands on it).  All terms stay < 2^53,
+    # and a non-integer quotient sits >= 1/(2n) from any integer, so
+    # the double division inside floor() is exact-safe.
+    m_micro = F.floor((2 * F.col("s") + F.col("n_tok"))
+                      / (2 * F.col("n_tok")))
+    mean_nll = m_micro.cast("double") / F.lit(1e6)
     return scored.select("doc_id", F.col("n_tok").cast("int").alias("n_tok"),
                          mean_nll.alias("mean_nll"),
                          F.round(F.exp(mean_nll), 4).alias("ppl"))

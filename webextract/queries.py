@@ -2180,7 +2180,7 @@ ORACLES = {
         sc AS (SELECT doc_id, sum(tf) AS n_tok, sum(tf * nll_micro) AS s
                FROM tf JOIN lp USING (tok) GROUP BY doc_id),
         m AS (SELECT doc_id, n_tok::INTEGER AS n_tok,
-                     round(s / 1e6 / n_tok, 6) AS mean_nll
+                     floor((2 * s + n_tok) / (2 * n_tok)) / 1e6 AS mean_nll
               FROM sc)
         SELECT doc_id, n_tok, mean_nll,
                round(exp(mean_nll), 4) AS ppl
