@@ -20,6 +20,8 @@ broadcasts, and how the shape survives 1000 executors.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 # Tokens: documents.text is single-space-normalized; the token rule is
@@ -888,36 +890,78 @@ def _pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     return books
 
 
-def _pq_dist_array(col, s: int, dsub: int, cb_s: list[list[float]]):
-    """array<double> of round-6 squared-L2 distances from ``col``'s
-    s-th subvector to each of the subspace's centroids — centroid
-    literals, one codegen'd projection (no UDF, no shuffle)."""
-    vs = F.slice(col, s * dsub + 1, dsub)
-    dvv = _dot(vs, vs)
-    out = []
-    for c in cb_s:
-        plane = F.array(*[F.lit(x) for x in c])
-        dcc = sum(b * b for b in c)
-        out.append(F.round(dvv - F.lit(2.0) * _dot(vs, plane)
-                           + F.lit(dcc), 6))
-    return F.array(*out)
+def _pq_raw_dists_kernel(books: list[list[list[float]]]):
+    """Arrow-vectorized pandas UDF: embedding -> flat array<double> of
+    m*k RAW (unrounded) squared-L2 subvector distances, laid out
+    [s*k + cid].  The ROUND stays Spark-side (round-6 semantics must
+    come from the engine, same as the oracle's round()).
+
+    Why a kernel and not expressions: the expression form is either
+    zip_with/aggregate HOFs (interpreted per evaluation — 18 s /
+    5000 rows for 16×16 of them) or a fully unrolled scalar tree,
+    whose single whole-stage method exceeds janino's 64 KB limit
+    (ColumnarToRow input pins expressions to local variables, so
+    codegen cannot split methods) and falls back to an interpreted
+    ~5000-node tree — 6× WORSE.  The kernel does the identical
+    arithmetic in vectorized float64 numpy at C speed.
+
+    Bit-identity contract with the previous expression form (and so
+    with the DuckDB oracle): float32 elements widen exactly to
+    float64; dvv and each dot accumulate in the SAME left-fold order
+    as _dot (0.0 + e1*b1 + e2*b2 + …) via sequential vectorized adds;
+    dist evaluates as ((dvv - (2.0*dot)) + dcc) with dcc pre-folded in
+    Python floats exactly as the old F.lit(dcc).  Every step is a
+    single IEEE-754 op in both forms, so the doubles match bitwise."""
+    import numpy as np
+
+    m, k, dsub = len(books), len(books[0]), len(books[0][0])
+    dcc = [[sum(b * b for b in c) for c in books[s]] for s in range(m)]
+
+    @F.pandas_udf("array<double>")
+    def kern(e: pd.Series) -> pd.Series:
+        x = np.vstack(e.to_numpy()).astype(np.float64)
+        n = x.shape[0]
+        out = np.empty((n, m * k), dtype=np.float64)
+        for s in range(m):
+            sub = x[:, s * dsub:(s + 1) * dsub]
+            dvv = np.zeros(n)
+            for j in range(dsub):
+                dvv = dvv + sub[:, j] * sub[:, j]
+            for ci, c in enumerate(books[s]):
+                dot = np.zeros(n)
+                for j in range(dsub):
+                    dot = dot + sub[:, j] * c[j]
+                out[:, s * k + ci] = dvv - 2.0 * dot + dcc[s][ci]
+        return pd.Series(list(out))
+
+    return kern
+
+
+def _pq_rounded_arrays(dd, m: int, k: int, prefix: str):
+    """m array<double> columns of round-6 distances from the kernel's
+    flat raw-distance column ``dd`` — unrolled F.get (0-based, no ANSI
+    error branch), compact enough to stay inside one codegen method."""
+    return [F.array(*[F.round(F.get(dd, s * k + c), 6)
+                      for c in range(k)]).alias(f"{prefix}{s}")
+            for s in range(m)]
 
 
 def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
     """(vec_id, codes array<int> length m): product quantization —
     code_s = argmin centroid distance (ties -> smallest cid).
 
-    Narrow projection over the corpus, codebooks as plan literals; the
-    per-subspace distance arrays are bound to columns first so the
-    argmin's double reference (array_position + array_min) evaluates
-    each array once (CollapseProject's non-cheap guard, same reliance
-    as ivf_assign)."""
+    Narrow over the corpus (kernel stage + projection — no exchange,
+    no join); codebook constants live in the kernel closure and the
+    round-6/argmin stay engine-side.  The raw-distance column is
+    materialized once by the ArrowEvalPython node, and the per-subspace
+    rounded arrays are bound to columns so the argmin's double
+    reference (array_position + array_min) evaluates each array once
+    (CollapseProject's non-cheap guard, same reliance as ivf_assign)."""
     books = _pq_codebooks(emb, m, k)
-    dsub = len(books[0][0])
-    with_d = emb.select(
-        "vec_id", *[_pq_dist_array(F.col("embedding"), s, dsub,
-                                   books[s]).alias(f"d{s}")
-                    for s in range(m)])
+    kern = _pq_raw_dists_kernel(books)
+    raw = emb.select("vec_id", kern("embedding").alias("dd"))
+    with_d = raw.select(
+        "vec_id", *_pq_rounded_arrays(F.col("dd"), m, k, "d"))
     return with_d.select(
         "vec_id",
         F.array(*[(F.array_position(F.col(f"d{s}"),
@@ -937,13 +981,12 @@ def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     table lookups (identical evaluation order to the oracle, so the
     doubles match bitwise).  Corpus is never shuffled."""
     books = _pq_codebooks(emb, m, kc)
-    dsub = len(books[0][0])
+    kern = _pq_raw_dists_kernel(books)
     enc = pq_encode(emb, m, kc)
-    q = (emb.filter(F.col("vec_id") < n_queries)
-         .select(F.col("vec_id").alias("qid"),
-                 *[_pq_dist_array(F.col("embedding"), s, dsub,
-                                  books[s]).alias(f"qd{s}")
-                   for s in range(m)]))
+    qraw = (emb.filter(F.col("vec_id") < n_queries)
+            .select(F.col("vec_id").alias("qid"),
+                    kern("embedding").alias("dd")))
+    q = qraw.select("qid", *_pq_rounded_arrays(F.col("dd"), m, kc, "qd"))
     adist = F.element_at(F.col("qd0"),
                          F.element_at(F.col("codes"), 1) + 1)
     for s in range(1, m):

@@ -530,6 +530,12 @@ def q_embed_pq_codes(spark, sf_dir):
     round-6 training protocol — the 32x memory squeeze that makes a
     10^12-row ANN index RAM-resident."""
     enc = corpus.pq_encode(_read(spark, sf_dir, "embeddings"))
+    # observe barrier: InferFiltersFromGenerate adds size(codes)>0
+    # above the explode, and pushdown would re-evaluate the whole
+    # rounded-argmin projection inside a Filter (the corpus.py
+    # exploded_shingles trap); filters cannot cross CollectMetrics
+    enc = enc.observe(f"pq_barrier_{next(corpus._BARRIER_SEQ)}",
+                      F.count(F.lit(1)))
     return enc.select("vec_id",
                       F.posexplode("codes").alias("sub", "code"))
 
