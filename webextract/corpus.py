@@ -919,6 +919,8 @@ def _pq_raw_dists_kernel(books: list[list[list[float]]]):
 
     @F.pandas_udf("array<double>")
     def kern(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype=object)
         x = np.vstack(e.to_numpy()).astype(np.float64)
         n = x.shape[0]
         out = np.empty((n, m * k), dtype=np.float64)
