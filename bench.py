@@ -48,6 +48,8 @@ HEADLINE = [
     "media_raster_jpeg",
     "line_dedup", "lm_perplexity", "pack_sequences", "url_dedup",
     "embed_pq_refine",
+    "pagerank", "heavy_hitters", "dedup_semantic", "bpe_pair_counts",
+    "extract_links",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

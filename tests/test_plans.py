@@ -392,3 +392,77 @@ def test_pack_and_url_plans_single_exchange(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
     assert "SinglePartition" not in tree, tree
+
+
+def test_pagerank_plan_shape(spark):
+    """3 unrolled integer rounds: equi-joins only (no cartesian, no
+    nested-loop), bounded exchange count (edges+degrees staged once —
+    per-round cost is the rank join + one groupBy(dst))."""
+    from webextract.queries import q_pagerank
+    plan = _plan(q_pagerank(spark, SF))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 20, plan.count("Exchange")
+
+
+def test_heavy_hitters_plan_shape(spark):
+    """Exact-recount phase: candidate membership is a BroadcastHashJoin
+    (the MG candidate set is bounded by construction); the ONLY
+    nested-loop is the 1-row token-total crossJoin; the token stream
+    itself is never shuffled raw — the single real exchange is the
+    partial-aggregated recount."""
+    from webextract.queries import q_heavy_hitters
+    plan = _plan(q_heavy_hitters(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # one BNLJ node (formatted explain names it twice: tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 1
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # shuffle exchanges (not broadcast): recount agg only
+    shuffles = [l for l in plan.splitlines()
+                if "Exchange hashpartitioning" in l]
+    assert len(shuffles) <= 2, shuffles
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """Within-cluster pairs only: the pair join is shuffle-hash on the
+    cluster key (no sort of embedding rows), the cap frame broadcasts,
+    and no cartesian/nested-loop appears anywhere."""
+    from webextract.queries import q_dedup_semantic
+    plan = _plan(q_dedup_semantic(spark, SF))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_bpe_pair_counts_plan_shape(spark):
+    """Corpus shuffles once into the distinct-word frame; the pair
+    explode and second agg run over vocab-sized data; the only global
+    sort is the final window over the pair-count frame."""
+    from webextract.queries import q_bpe_pair_counts
+    plan = _plan(q_bpe_pair_counts(spark, SF))
+    assert "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # Catalyst rewrites the rank<=20 window into a distributed top-k
+    # (TakeOrderedAndProject): per-partition heads + one tiny merge,
+    # no SinglePartition exchange of the pair frame at all
+    assert ("TakeOrderedAndProject" in plan
+            or plan.count("Exchange SinglePartition") == 1)
+
+
+def test_links_plan_is_narrow(spark, tmp_path):
+    """links_df over a pages scan is a pure narrow map like extraction:
+    raw HTML never exchanges, and only (url, html) are read."""
+    from webextract.docpages import docs_to_pages
+    from webextract.pipeline import links_df
+    pages_dir = str(tmp_path / "pages_links")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    docs_to_pages(docs, article_links=2).write.mode("overwrite") \
+        .parquet(pages_dir)
+    out = links_df(spark.read.parquet(pages_dir))
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    scan = plan[plan.index("Scan parquet"):]
+    schema_line = next(l for l in scan.splitlines()
+                       if l.startswith("ReadSchema"))
+    assert "html" in schema_line and "url" in schema_line
+    assert "text" not in schema_line, schema_line

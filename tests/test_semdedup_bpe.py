@@ -1,0 +1,71 @@
+"""semantic_dedup + bpe_pair_counts unit tests: survivor rule on
+hand-built clusters, quarantine cap, BPE counts vs a hand reference."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webextract import corpus
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_min_id_survivor(spark):
+    """Three exact copies of one direction + one orthogonal vector:
+    the smallest vec_id of the duplicate set survives, the orthogonal
+    vector is untouched, clusters come from the IVF quantizer."""
+    rows = [(1, [1, 0, 0, 0]), (2, [1, 0, 0, 0]), (3, [1, 0, 0, 0]),
+            (9, [0, 1, 0, 0])]
+    out = {r["vec_id"]: r["keep"] for r in
+           corpus.semantic_dedup(_emb_df(spark, rows), n_centroids=2,
+                                 threshold=0.9).collect()}
+    assert out == {1: True, 2: False, 3: False, 9: True}
+
+
+def test_semantic_dedup_chain_rule(spark):
+    """Greedy min-id semantics: b drops because of a even when b's own
+    duplicate c is also dropped through b (chain a~b, b~c, a!~c)."""
+    # unit vectors at 0deg, 25deg, 50deg: cos(25deg)=0.906 >= 0.9,
+    # cos(50deg)=0.643 < 0.9
+    import math
+    rows = [(1, [1.0, 0.0]),
+            (2, [math.cos(math.radians(25)), math.sin(math.radians(25))]),
+            (3, [math.cos(math.radians(50)), math.sin(math.radians(50))])]
+    out = {r["vec_id"]: r["keep"] for r in
+           corpus.semantic_dedup(_emb_df(spark, rows), n_centroids=1,
+                                 threshold=0.9).collect()}
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_semantic_dedup_cap_quarantines(spark):
+    """A cluster over bucket_cap generates NO pairs — all its members
+    keep=true (the m^2 guard), instead of a silent partial answer."""
+    rows = [(i, [1, 0, 0, 0]) for i in range(10)]
+    out = corpus.semantic_dedup(_emb_df(spark, rows), n_centroids=1,
+                                threshold=0.9, bucket_cap=4).collect()
+    assert all(r["keep"] for r in out)
+    assert len(out) == 10
+
+
+def test_bpe_pair_counts_hand_reference(spark):
+    """'low low lower' -> word freqs {low:2, lower:1}; pairs lo:3,
+    ow:3, we:1, er:1 — ranks by (weight desc, pair asc)."""
+    docs = spark.createDataFrame([(0, "low low lower")],
+                                 "doc_id long, text string")
+    got = [(r["pair"], r["weight"], r["rank"])
+           for r in corpus.bpe_pair_counts(docs).orderBy("rank").collect()]
+    assert got == [("lo", 3, 1), ("ow", 3, 2), ("er", 1, 3), ("we", 1, 4)]
+
+
+def test_bpe_pair_counts_short_and_multibyte(spark):
+    """1-char words contribute no pairs (sequence(1,0) guard); CJK
+    pairs are character-based, not byte-based."""
+    docs = spark.createDataFrame([(0, "a b 数据表 数据")],
+                                 "doc_id long, text string")
+    got = {r["pair"]: r["weight"]
+           for r in corpus.bpe_pair_counts(docs).collect()}
+    assert got == {"数据": 2, "据表": 1}

@@ -1651,3 +1651,258 @@ def url_dedup(pages: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         .cast("int"))
             .filter(F.col("rn") == 1)
             .select("canon_url", "doc_id", "n_variants"))
+
+
+# ---------------------------------------------------------------------------
+# link-graph PageRank (crawl-quality weighting)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS,
+             damping_num: int = 85, damping_den: int = 100) -> DataFrame:
+    """(node, rank_micro): damped PageRank after ``iters`` synchronous
+    rounds over a directed multigraph, in EXACT integer micro-units —
+    the host-graph quality weight CommonCrawl-style pipelines attach to
+    pages before sampling (harmonic/pagerank centrality per host).
+
+    Exactness contract (what makes this oracle-able): ranks live in
+    integer micro-units (start 10^6 per node); each edge contributes
+    ``(rank[src] * damping_num) div (outdeg[src] * damping_den)`` —
+    integer division per EDGE, then integer sums, so the result is
+    bit-identical in any engine and any aggregation order (no float
+    mass, no order-dependent rounding).  Per-round base is
+    ``(PR_SCALE * (den-num)) div den``.  Dangling nodes (no out-edges)
+    simply drop their mass — the standard simplification, deterministic.
+    Self-loops are removed; parallel edges each carry a contribution
+    (multigraph semantics).
+
+    Scale shape (10^9-node host graph, 10^11 edges): the edge table is
+    joined with out-degrees ONCE and staged (localCheckpoint) — one
+    shuffle to build ``deg`` plus the join; after that every round is
+    (a) edges ⋈ ranks on src — ranks is the nodes-sized side, orders of
+    magnitude under the edge table, so AQE picks shuffle-hash with the
+    staged edges never re-shuffled — and (b) ONE groupBy(dst) with
+    map-side partial sums.  Iteration count is a fixed constant (the
+    classic 3–5 sweep captures the centrality signal used for
+    sampling weights), so total cost is O(iters) shuffles of
+    nodes-sized frames, never of raw pages.  Hub skew (every page
+    linking to a few mega-hosts) lands in the groupBy's partial
+    aggregation, not in a reducer hot key: contributions pre-combine
+    per map partition."""
+    e = (edges.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"))
+         .filter(F.col("src") != F.col("dst")))
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    base = (PR_SCALE * (damping_den - damping_num)) // damping_den
+    ranks = nodes.withColumn("rank_micro",
+                             F.lit(PR_SCALE).cast("long"))
+    for _ in range(iters):
+        contrib = F.expr(
+            f"(rank_micro * {int(damping_num)}) div "
+            f"(outdeg * {int(damping_den)})")
+        inflow = (ed.join(ranks, ed["src"] == ranks["node"])
+                  .select(ed["dst"].alias("dst"), contrib.alias("c"))
+                  .groupBy("dst").agg(F.sum("c").alias("infl")))
+        ranks = (nodes.join(inflow, nodes["node"] == inflow["dst"],
+                            "left")
+                 .select("node",
+                         (F.lit(base)
+                          + F.coalesce("infl", F.lit(0)))
+                         .cast("long").alias("rank_micro")))
+    return ranks
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+HH_CAPACITY = 512
+
+
+def mg_candidates(docs: DataFrame, capacity: int) -> DataFrame:
+    """(token): per-partition Misra-Gries summaries of the token
+    stream — AT MOST ``capacity`` rows leave each partition no matter
+    how many distinct tokens it holds.  Per-batch counting is
+    vectorized (pandas split/explode/value_counts at C speed); batch
+    summaries merge under MG compression (add counts; if over
+    capacity, subtract the (capacity+1)-st largest from all and keep
+    strictly-positive remainders — Agarwal et al., "Mergeable
+    Summaries", PODS'12, so the per-partition undercount bound
+    n_p/(capacity+1) survives any merge order)."""
+
+    def mg(batches):
+        counts: dict = {}
+        for pdf in batches:
+            vc = pdf["text"].str.split(" ").explode().value_counts()
+            for t, c in vc.items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > capacity:
+                kth = sorted(counts.values(), reverse=True)[capacity]
+                counts = {t: c - kth for t, c in counts.items()
+                          if c > kth}
+        yield pd.DataFrame({"token": list(counts.keys())})
+
+    spread = _spread(docs.select("doc_id", "text"))
+    return spread.select("text").mapInPandas(mg, "token string")
+
+
+def heavy_hitters(docs: DataFrame, capacity: int = HH_CAPACITY,
+                  min_share_den: int = 100) -> DataFrame:
+    """(token, freq): every token whose corpus frequency f satisfies
+    ``f * min_share_den >= total_tokens`` (share >= 1/min_share_den),
+    with its EXACT global count — the frequency-sketch pattern for
+    vocabulary/stopword/contamination-marker mining over a token
+    stream whose distinct tail is too large to shuffle.
+
+    Two phases, candidates-then-exact-verify (the same shape as
+    LSH -> exact Jaccard):
+
+    1. Per-partition Misra-Gries summaries (Arrow kernel, vectorized
+       per-batch ``value_counts`` merged under MG compression —
+       Agarwal et al., "Mergeable Summaries", PODS'12): at most
+       ``capacity`` candidate tokens leave each partition, REGARDLESS
+       of how many distinct tokens it holds.  A plain
+       groupBy(token).count() would shuffle one partial-count row per
+       distinct token per partition — at 10^12 docs with 10^9 distinct
+       tokens that exchange is the job; MG caps it at
+       capacity x n_partitions rows total.
+    2. Exact recount of candidates only: the token stream is
+       semi-joined against the (tiny, bounded-by-construction)
+       candidate set via broadcast, one groupBy over surviving tokens,
+       then the share filter against the corpus token total
+       (a 1-row crossJoin — no driver collect).
+
+    Why the output is EXACT and partitioning-independent: the merged
+    MG(k) summary of partition p undercounts any token by at most
+    n_p/(k+1), so a token ABSENT from p's summary has f_p <=
+    n_p/(k+1).  Summing over partitions, a token absent from every
+    summary has f <= n/(capacity+1) < n/min_share_den <= any
+    qualifying frequency (enforced: capacity >= min_share_den), so
+    every qualifying token IS a candidate; the recount then restores
+    exact counts and drops false positives.  The final frame therefore
+    equals the brute-force groupBy HAVING answer row-for-row."""
+    if capacity < min_share_den:
+        raise ValueError(
+            f"heavy_hitters needs capacity >= min_share_den for the "
+            f"no-false-negative guarantee, got capacity={capacity} "
+            f"< min_share_den={min_share_den}")
+    cands = mg_candidates(docs, capacity).distinct().localCheckpoint()
+    toks = docs.select(F.explode(TOKENS()).alias("token"))
+    total = docs.agg(F.sum(F.size(TOKENS())).alias("total"))
+    counted = (toks.join(F.broadcast(cands), "token")
+               .groupBy("token").agg(F.count("*").alias("freq")))
+    return (counted.crossJoin(F.broadcast(total))
+            .filter(F.col("freq") * min_share_den >= F.col("total"))
+            .select("token", "freq"))
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: k-means clusters + within-cluster cosine)
+# ---------------------------------------------------------------------------
+
+SEM_BUCKET_CAP = 4096
+
+
+def semantic_dedup(emb: DataFrame, n_centroids: int = 16,
+                   threshold: float = 0.9,
+                   bucket_cap: int = SEM_BUCKET_CAP) -> DataFrame:
+    """(vec_id, bucket, keep): SemDeDup (Abbas et al.,
+    arXiv:2303.09540) — cluster the embedding space with the IVF
+    coarse quantizer (deterministic 2-round Lloyd centroids as plan
+    literals), run exact pairwise cosine ONLY inside clusters, and
+    mark every vector that has a >= threshold neighbor with a SMALLER
+    vec_id as a semantic duplicate (keep = false).  The survivor rule
+    is deterministic and non-iterative: the min-id member of each
+    within-cluster duplicate neighborhood survives (a chain a<b<c with
+    cos(a,b) and cos(b,c) over threshold but cos(a,c) under drops both
+    b and c — the standard greedy approximation of SemDeDup's
+    one-per-epsilon-ball selection, made id-ordered so both engines
+    agree bit-exactly).
+
+    Scale shape: the cluster assignment is the SAME narrow
+    centroid-literal projection as ivf_assign (no join, no shuffle —
+    the corpus is annotated in place and staged once); pairwise cosine
+    is confined to equi-joins on the cluster key with a shuffle-hash
+    hint (cluster count is small, sorting embedding rows buys
+    nothing); clusters over ``bucket_cap`` are quarantined out of pair
+    generation (their members all keep=true) so one degenerate
+    mega-cluster can never create an m² pair explosion — the identical
+    guard-and-shape as embed_near_dup_pairs, with the k-means
+    partition replacing the SRP bucket."""
+    chat = _ivf_centroids(emb, n_centroids)
+    scores = _ivf_score_array(chat)
+    side = (emb.select("vec_id", "embedding", scores.alias("s"))
+            .select("vec_id", "embedding",
+                    (F.array_position(F.col("s"), F.array_max("s")) - 1)
+                    .cast("int").alias("bucket"),
+                    F.sqrt(_dot(F.col("embedding"),
+                                F.col("embedding"))).alias("norm"))
+            .localCheckpoint())
+    ok = (side.groupBy("bucket").count()
+          .filter(F.col("count") <= bucket_cap).select("bucket"))
+    inb = side.join(F.broadcast(ok), "bucket", "left_semi")
+    a = inb.select("bucket", F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("ea"),
+                   F.col("norm").alias("na"))
+    b = inb.select("bucket", F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("eb"),
+                   F.col("norm").alias("nb"))
+    cos = F.round(_dot(F.col("ea"), F.col("eb"))
+                  / (F.col("na") * F.col("nb")), 6)
+    dups = (a.join(b.hint("shuffle_hash"), "bucket")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cos", cos)
+            .filter(F.col("cos") >= threshold)
+            .select(F.col("vec_b").alias("dup_id")).distinct())
+    return (side.join(dups, side["vec_id"] == dups["dup_id"], "left")
+            .select("vec_id", "bucket",
+                    F.col("dup_id").isNull().alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (the distributed step of tokenizer training)
+# ---------------------------------------------------------------------------
+
+BPE_TOP = 20
+
+
+def bpe_pair_counts(docs: DataFrame, top: int = BPE_TOP) -> DataFrame:
+    """(pair, weight, rank): the counting step of one BPE merge round
+    (Sennrich et al., ACL'16) — adjacent character-pair frequencies
+    over the corpus, weighted by word frequency, top-``top`` ranked by
+    (weight desc, pair asc).  This is the part of tokenizer training
+    that must be distributed: everything after it (the merge itself)
+    operates on the returned vocab-sized table.
+
+    Scale shape: the token stream collapses to the DISTINCT-WORD
+    frequency frame first (ONE shuffle with map-side combine — the
+    same reason single-node BPE trainers count over word-frequency
+    dicts, not raw text); the pair explode then runs over distinct
+    words only (vocab-sized, orders of magnitude under the corpus);
+    one more vocab-sized shuffle sums pair weights.  The final
+    row_number window is a SinglePartition sort over the PAIR-COUNT
+    frame — bounded by the distinct observed character bigrams of the
+    vocabulary (the table a BPE trainer holds in RAM), never
+    corpus-sized."""
+    words = (docs.select(F.explode(TOKENS()).alias("word"))
+             .groupBy("word").agg(F.count("*").alias("freq")))
+    n = F.length("word")
+    # sequence(1, 0) counts DOWN (the shingles_of gotcha): guard short
+    # words to an empty pair array explicitly
+    pair_arr = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.col("word").substr(i, F.lit(2)))
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = (words.select("freq", F.explode(pair_arr).alias("pair"))
+             .groupBy("pair").agg(F.sum("freq").alias("weight")))
+    w = Window.orderBy(F.col("weight").desc(), F.col("pair"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top)
+            .select("pair", "weight", "rank"))

@@ -48,10 +48,15 @@ def _esc(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def build_page(doc_id: int, text: str, para_tokens: int = 0) -> bytes:
+def build_page(doc_id: int, text: str, para_tokens: int = 0,
+               article_links: int = 0) -> bytes:
     """One Common-Crawl-style page wrapping `text` as the main content.
     para_tokens=0 → a single <p>; >0 → paragraphs of that many tokens
-    (multi-block variant for span/chunk operators)."""
+    (multi-block variant for span/chunk operators).  article_links>0
+    appends that many per-doc IN-CONTENT anchors after the content
+    (href/anchor derived from doc_id — the link-extraction gate's
+    oracle-reproducible out-link signal, distinct from the constant
+    boilerplate link farm)."""
     if para_tokens > 0:
         toks = text.split(" ")
         paras = ["<p>%s</p>" % _esc(" ".join(toks[i:i + para_tokens]))
@@ -59,7 +64,11 @@ def build_page(doc_id: int, text: str, para_tokens: int = 0) -> bytes:
         content = "".join(paras)
     else:
         content = f"<p>{_esc(text)}</p>"
-    article = f"<article><h1>Document {doc_id}</h1>{content}</article>"
+    refs = "".join(
+        f'<p>see <a href="/d{doc_id}x{j}">ref {doc_id} {j}</a></p>'
+        for j in range(article_links))
+    article = (f"<article><h1>Document {doc_id}</h1>{content}{refs}"
+               "</article>")
     return (
         f"<!DOCTYPE html><html><head><title>Doc {doc_id}</title>"
         f"<script>var t={doc_id};</script><style>body{{margin:0}}</style></head>"
@@ -69,7 +78,7 @@ def build_page(doc_id: int, text: str, para_tokens: int = 0) -> bytes:
 
 
 def docs_to_pages(docs: DataFrame, para_tokens: int = 0,
-                  empty_mod: int = 0) -> DataFrame:
+                  empty_mod: int = 0, article_links: int = 0) -> DataFrame:
     """documents(doc_id, text, lang, ...) → input_hint page frame.
 
     empty_mod>0 injects empty payloads for doc_id % empty_mod == 3
@@ -83,7 +92,7 @@ def docs_to_pages(docs: DataFrame, para_tokens: int = 0,
             texts = b.column("text").to_pylist()
             langs = b.column("lang").to_pylist()
             html = [b"" if empty_mod and i % empty_mod == 3
-                    else build_page(i, t, para_tokens)
+                    else build_page(i, t, para_tokens, article_links)
                     for i, t in zip(ids, texts)]
             yield pa.RecordBatch.from_pydict({
                 "url": pa.array([f"doc://{i}" for i in ids], pa.large_string()),

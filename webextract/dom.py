@@ -80,9 +80,18 @@ class Block:
 
 
 class _Parser(HTMLParser):
-    def __init__(self) -> None:
+    def __init__(self, capture_anchors: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[Block] = []
+        # opt-in anchor capture (parse_anchors): OFF on the extraction
+        # hot path so the fast tokenizer keeps skipping <a> attribute
+        # parsing there.  anchors = (href, text, boiler, semantic) in
+        # document order; nested <a> (invalid HTML) flows into the
+        # outermost anchor's text, matching a_depth semantics.
+        self.capture_anchors = capture_anchors
+        self.anchors: list[tuple] = []
+        self._a_href: str | None = None
+        self._a_buf: list | None = None
         # element stack entries: [tag, path_seg, child_counts, li_counter,
         # boiler_inc, semantic_inc, full_path] — full_path caches the
         # "/".join of segs up to this entry (O(1) _path instead of a
@@ -194,6 +203,13 @@ class _Parser(HTMLParser):
             self.skip += 1
             return
         if tag == "a":
+            if self.capture_anchors and self.a_depth == 0:
+                href = ""
+                for name, val in attrs or ():
+                    if name == "href":
+                        href = val or ""
+                        break
+                self._a_href, self._a_buf = href, []
             self.a_depth += 1
             return
         if tag in ("b", "i", "em", "strong", "span", "u", "s", "small",
@@ -252,6 +268,8 @@ class _Parser(HTMLParser):
             return
         if tag == "a":
             self.a_depth = max(0, self.a_depth - 1)
+            if self.a_depth == 0 and self._a_buf is not None:
+                self._close_anchor()
             return
         if self.tables and tag in ("td", "th", "tr", "thead", "tbody",
                                    "tfoot", "table"):
@@ -320,9 +338,18 @@ class _Parser(HTMLParser):
                 del self.stack[i:]
                 return
 
+    def _close_anchor(self) -> None:
+        self.anchors.append((self._a_href,
+                             collapse_ws("".join(self._a_buf)),
+                             self.boiler_depth > 0,
+                             self.semantic_depth > 0))
+        self._a_href = self._a_buf = None
+
     def handle_data(self, data: str) -> None:
         if self.skip or not data:
             return
+        if self._a_buf is not None:
+            self._a_buf.append(data)
         if self.tables and self.tables[-1][4]:
             self.tables[-1][2].append(data)
             if self.a_depth:
@@ -350,6 +377,8 @@ class _Parser(HTMLParser):
         below would never terminate (found by fuzzing: an open <table>
         followed by an unterminated rawtext/skip element)."""
         self.skip = 0
+        if self._a_buf is not None:  # unterminated <a>
+            self._close_anchor()
         self._flush_pending()
         self._flush_cur()
         while self.tables:
@@ -411,6 +440,10 @@ def _fast_feed(p: _Parser, text: str) -> None:
     n = len(text)
     pos = 0
     low = None  # lazily lowered copy for rawtext end scan
+    # anchor capture needs <a href> parsed; the default extraction path
+    # keeps skipping anchor attributes (hot-path cost)
+    want_attrs = (_WANT_ATTRS | {"a"}) if p.capture_anchors \
+        else _WANT_ATTRS
     handle_data = p.handle_data
     handle_start = p.handle_starttag
     handle_end = p.handle_endtag
@@ -445,7 +478,7 @@ def _fast_feed(p: _Parser, text: str) -> None:
                 handle_end(name)
                 continue
             attrs = (_parse_attrs(tok[tm.end():-1])
-                     if name in _WANT_ATTRS else [])
+                     if name in want_attrs else [])
             handle_start(name, attrs)
             if name in _RAWTEXT and not tok.endswith("/>"):
                 # rawtext mode: no tags/entities until the end tag;
@@ -472,15 +505,10 @@ def _fast_feed(p: _Parser, text: str) -> None:
 import html as _html_mod  # noqa: E402  (entity table shared with html.parser)
 
 
-def parse_blocks(payload: bytes | str, engine: str = "fast") -> list[Block]:
-    """Parse HTML into the flat block list. Never raises on bad markup.
-
-    engine="fast" (default): regex bulk tokenizer, ~2× the stdlib path.
-    engine="stdlib": html.parser feed — the reference implementation the
-    parity test compares against.
-    """
+def _run_parser(payload: bytes | str, engine: str,
+                capture_anchors: bool = False) -> _Parser:
     text = decode_html(payload) if isinstance(payload, bytes) else payload
-    p = _Parser()
+    p = _Parser(capture_anchors=capture_anchors)
     p._root_counts = {}
     try:
         if engine == "fast":
@@ -495,4 +523,24 @@ def parse_blocks(payload: bytes | str, engine: str = "fast") -> list[Block]:
             p._finalize()
         except Exception:
             pass
-    return p.blocks
+    return p
+
+
+def parse_blocks(payload: bytes | str, engine: str = "fast") -> list[Block]:
+    """Parse HTML into the flat block list. Never raises on bad markup.
+
+    engine="fast" (default): regex bulk tokenizer, ~2× the stdlib path.
+    engine="stdlib": html.parser feed — the reference implementation the
+    parity test compares against.
+    """
+    return _run_parser(payload, engine).blocks
+
+
+def parse_anchors(payload: bytes | str,
+                  engine: str = "fast") -> list[tuple]:
+    """(href, anchor_text, boiler, semantic) per <a>, in document order
+    — the WAT-extraction primitive (out-link graph + anchor text).
+    boiler = under nav/header/footer/aside/form or a boiler-class
+    container (the cookie-banner rule); semantic = under article/main.
+    Same tolerant never-raise contract as parse_blocks."""
+    return _run_parser(payload, engine, capture_anchors=True).anchors

@@ -74,6 +74,58 @@ def extracted_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
     return small.unionByName(big)
 
 
+LINKS_SCHEMA_DDL = ("url string, link_no int, href string, "
+                    "anchor string, boiler boolean, semantic boolean")
+
+
+def links_df(pages: DataFrame) -> DataFrame:
+    """pages -> exploded out-link rows (url, link_no, href, anchor,
+    boiler, semantic): the WAT-extraction pass of a crawl pipeline —
+    the out-link graph (corpus.pagerank's edge feed) plus anchor text,
+    with the DOM's boilerplate classification attached so nav/footer
+    link farms are separable from in-content citations.
+
+    Same narrow shape as extracted_df: scan splits feed ONE Arrow
+    kernel, raw HTML never shuffles, and the output rows are ~100
+    bytes (the payload is dropped in-kernel), so the link table of a
+    100 TB crawl is a small fraction of its input.  link_no is the
+    document-order index (reference conversion keeps hyperlinks inside
+    its document items; here the link surface is a first-class
+    extraction output)."""
+    import pyarrow as pa
+
+    from .dom import parse_anchors
+
+    src = pages.select("url", "html")
+
+    def kern(batches):
+        for b in batches:
+            urls = b.column("url").to_pylist()
+            htmls = b.column("html").to_pylist()
+            u_o, n_o, h_o, a_o, b_o, s_o = [], [], [], [], [], []
+            for u, payload in zip(urls, htmls):
+                if not payload:
+                    continue
+                for i, (href, anchor, boiler, sem) in enumerate(
+                        parse_anchors(payload)):
+                    u_o.append(u)
+                    n_o.append(i)
+                    h_o.append(href)
+                    a_o.append(anchor)
+                    b_o.append(boiler)
+                    s_o.append(sem)
+            yield pa.RecordBatch.from_pydict({
+                "url": pa.array(u_o, pa.large_string()),
+                "link_no": pa.array(n_o, pa.int32()),
+                "href": pa.array(h_o, pa.large_string()),
+                "anchor": pa.array(a_o, pa.large_string()),
+                "boiler": pa.array(b_o, pa.bool_()),
+                "semantic": pa.array(s_o, pa.bool_()),
+            })
+
+    return src.mapInArrow(kern, LINKS_SCHEMA_DDL)
+
+
 def chunks_df(extracted: DataFrame, chunker: str = "hybrid",
               max_tokens: int = 256, tokenizer: str = "word",
               merge_peers: bool = True) -> DataFrame:
