@@ -466,3 +466,15 @@ def test_links_plan_is_narrow(spark, tmp_path):
                        if l.startswith("ReadSchema"))
     assert "html" in schema_line and "url" in schema_line
     assert "text" not in schema_line, schema_line
+
+
+def test_dsir_plan_shape(spark):
+    """Hashed-feature DSIR: the bounded distribution table broadcasts
+    (both the log-ratio join and the totals crossJoin); no sort-merge
+    join anywhere; the term frame is staged so its lineage isn't
+    re-executed per consumer."""
+    from webextract.queries import q_dsir_weights
+    plan = _plan(q_dsir_weights(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan

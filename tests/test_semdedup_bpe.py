@@ -69,3 +69,43 @@ def test_bpe_pair_counts_short_and_multibyte(spark):
     got = {r["pair"]: r["weight"]
            for r in corpus.bpe_pair_counts(docs).collect()}
     assert got == {"数据": 2, "据表": 1}
+
+
+# ------------------------------------------------------------------ DSIR
+
+def _dsir_docs(spark):
+    """Two near-disjoint vocab domains: target docs (is_t) speak
+    'physics quantum field', raw background speaks 'buy cheap pills'."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "physics quantum field theory lattice gauge",
+                     "sci"))
+    for i in range(40, 160):
+        rows.append((i, "buy cheap pills now best price offer", "spam"))
+    return spark.createDataFrame(rows,
+                                 "doc_id long, text string, source string")
+
+
+def test_dsir_separates_domains(spark):
+    """Target-domain docs must score positive mean log-importance,
+    background docs negative — and the flag must equal sign(s)."""
+    docs = _dsir_docs(spark)
+    out = {r["doc_id"]: r for r in
+           corpus.dsir_weights(docs, F.col("source") == "sci").collect()}
+    assert len(out) == 160
+    assert all(out[i]["target_like"] and out[i]["mean_lw"] > 0
+               for i in range(40))
+    assert all(not out[i]["target_like"] and out[i]["mean_lw"] < 0
+               for i in range(40, 160))
+
+
+def test_dsir_partitioning_invariant(spark):
+    """Integer micro-nat sums: identical scores at any parallelism."""
+    docs = _dsir_docs(spark)
+    a = {(r["doc_id"], r["mean_lw"]) for r in
+         corpus.dsir_weights(docs.coalesce(1),
+                             F.col("source") == "sci").collect()}
+    b = {(r["doc_id"], r["mean_lw"]) for r in
+         corpus.dsir_weights(docs.repartition(16),
+                             F.col("source") == "sci").collect()}
+    assert a == b

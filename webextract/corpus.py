@@ -1906,3 +1906,75 @@ def bpe_pair_counts(docs: DataFrame, top: int = BPE_TOP) -> DataFrame:
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top)
             .select("pair", "weight", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_K = 0.5
+
+
+def dsir_weights(docs: DataFrame, is_target,
+                 buckets: int = DSIR_BUCKETS,
+                 k: float = DSIR_K) -> DataFrame:
+    """(doc_id, n_feat, mean_lw, target_like): DSIR importance scores
+    (Xie et al., NeurIPS'23 — "Data Selection for Language Models via
+    Importance Resampling"): per-document mean log importance
+    log p_target(f) - log p_raw(f) under hashed-n-gram bag models
+    (word unigrams + bigrams hashed into ``buckets`` features, add-k
+    smoothing on both distributions).  ``is_target`` is a boolean
+    Column marking the target-domain rows; selection downstream is a
+    deterministic threshold on mean_lw (scale-safe), not a global
+    rank.
+
+    Cross-engine determinism (the lm_perplexity contract): each
+    bucket's two NLLs are independently fixed to integer micro-nats
+    (round(-ln(p) * 1e6) — the exact expression shape already proven
+    portable), their difference is an exact integer, per-doc sums are
+    order-independent integer sums, and the mean uses the
+    floor((2s+n)/(2n)) half-up idiom (sign-safe: floor rounds half
+    toward +inf in both engines).
+
+    Scale shape: the term stream collapses to (doc_id, bucket, tf) in
+    ONE map-side-combined shuffle and is staged (three consumers: raw
+    counts, target counts, scoring).  Because features are HASHED into
+    a fixed universe, the distribution table is bounded at ``buckets``
+    rows — it always broadcasts (unlike lm_perplexity's open
+    vocabulary, which must shuffle-hash).  The per-doc score is one
+    more 3-column shuffle; raw text never enters an exchange."""
+    base = (_spread(docs.select("doc_id", "text",
+                                is_target.alias("is_t")))
+            .select("doc_id", "is_t", TOKENS().alias("toks")))
+    feats = F.concat(F.col("toks"),
+                     shingles_of("toks", 2, distinct=False))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("dsir:"), F.col("f"))), 1, 8), 16, 10)
+        .cast("long") % buckets)
+    tf = (base.select("doc_id", "is_t", F.explode(feats).alias("f"))
+          .select("doc_id", "is_t", bucket.alias("b"))
+          .groupBy("doc_id", "is_t", "b").agg(F.count("*").alias("tf"))
+          .localCheckpoint())
+    raw = tf.groupBy("b").agg(F.sum("tf").alias("cr"))
+    tgt = tf.filter("is_t").groupBy("b").agg(F.sum("tf").alias("ct"))
+    dist = (raw.join(tgt, "b", "left")
+            .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")))
+    totals = dist.agg(F.sum("cr").alias("rt"), F.sum("ct").alias("tt"))
+    kb = k * buckets
+    nll = lambda c, t: F.round(  # noqa: E731 — the lm micro-nat shape
+        -F.log((c + F.lit(k)) / (t + F.lit(kb))) * 1e6, 0).cast("long")
+    lr = (dist.crossJoin(F.broadcast(totals))
+          .select("b", (nll(F.col("cr"), F.col("rt"))
+                        - nll(F.col("ct"), F.col("tt")))
+                  .alias("lr_micro")))
+    scored = (tf.join(F.broadcast(lr), "b")
+              .groupBy("doc_id")
+              .agg(F.sum("tf").alias("n_feat"),
+                   F.sum(F.col("tf") * F.col("lr_micro")).alias("s")))
+    m = F.floor((2 * F.col("s") + F.col("n_feat"))
+                / (2 * F.col("n_feat")))
+    return scored.select(
+        "doc_id", F.col("n_feat").cast("int").alias("n_feat"),
+        (m.cast("double") / F.lit(1e6)).alias("mean_lw"),
+        (F.col("s") > 0).alias("target_like"))

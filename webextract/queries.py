@@ -669,6 +669,15 @@ def q_dedup_semantic(spark, sf_dir):
                                  threshold=0.3)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance scoring with source='src0' as the target
+    domain: every doc scored by how src0-like its hashed unigram+
+    bigram distribution is; integer-micro-nat arithmetic end-to-end so
+    the oracle matches bit-exactly."""
+    return corpus.dsir_weights(_read(spark, sf_dir, "documents"),
+                               F.col("source") == "src0")
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """Distributed BPE merge-round statistics: word-frequency frame ->
     adjacent char-pair weights -> top-20 (weight desc, pair asc)."""
@@ -1147,7 +1156,6 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
-    "top_orders_per_cust": q_top_orders_per_cust,
     "events_sessions": q_events_sessions,
     "events_hourly": q_events_hourly,
     "resume_pending": q_resume_pending,
@@ -1184,6 +1192,7 @@ QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "bpe_pair_counts": q_bpe_pair_counts,
     "extract_links": q_extract_links,
+    "dsir_weights": q_dsir_weights,
     # ---- driver cap boundary is position 50; new round-4 gates are
     # inserted ABOVE this line as they land (corpus_hash_split,
     # embed_ann_buckets, extract_pdf_split, extract_rich_blocks,
@@ -1206,10 +1215,12 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "extract_mixed_formats": q_extract_mixed_formats,
     "dedup_embed_cosine": q_dedup_embed_cosine,
-    # (priority_big_orders rotated out for extract_links — r1/r2-green
-    # relational gate; pricing_summary / revenue_by_nation /
-    # top_orders_per_cust keep the TPC-H family in-window)
+    # (priority_big_orders / top_orders_per_cust rotated out for
+    # extract_links + dsir_weights — r1/r2-green relational gates;
+    # pricing_summary / revenue_by_nation keep the TPC-H family
+    # in-window)
     "priority_big_orders": q_priority_big_orders,
+    "top_orders_per_cust": q_top_orders_per_cust,
     "corpus_hash_split": q_corpus_hash_split,
     "embed_ann_buckets": q_embed_ann_buckets,
     "extract_pdf_split": q_extract_pdf_split,
@@ -2416,6 +2427,42 @@ ORACLES = {
         c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
         SELECT token, freq FROM c, tot
         WHERE freq * 100 >= total""",
+
+    "dsir_weights": """
+        WITH tok AS (SELECT doc_id, source = 'src0' AS is_t,
+                            string_split(text, ' ') AS toks
+                     FROM documents),
+        fe AS (SELECT doc_id, is_t,
+                      list_concat(toks,
+                        CASE WHEN len(toks) >= 2 THEN
+                          list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1])
+                        ELSE [] END) AS feats
+               FROM tok),
+        tf AS (SELECT doc_id, is_t,
+                      ('0x' || substring(md5('dsir:' || f), 1, 8))
+                          ::BIGINT % 4096 AS b,
+                      count(*) AS tf
+               FROM (SELECT doc_id, is_t, unnest(feats) AS f FROM fe)
+               GROUP BY doc_id, is_t, b),
+        raw AS (SELECT b, sum(tf) AS cr FROM tf GROUP BY b),
+        tgt AS (SELECT b, sum(tf) AS ct FROM tf WHERE is_t GROUP BY b),
+        dist AS (SELECT raw.b, cr, coalesce(ct, 0) AS ct
+                 FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+        tot AS (SELECT sum(cr) AS rt, sum(ct) AS tt FROM dist),
+        lr AS (SELECT b,
+                      round(-ln((cr + 0.5) / (rt + 0.5 * 4096))
+                            * 1e6, 0)::BIGINT
+                      - round(-ln((ct + 0.5) / (tt + 0.5 * 4096))
+                              * 1e6, 0)::BIGINT AS lr_micro
+               FROM dist, tot),
+        sc AS (SELECT doc_id, sum(tf) AS n_feat,
+                      sum(tf * lr_micro) AS s
+               FROM tf JOIN lr USING (b) GROUP BY doc_id)
+        SELECT doc_id, n_feat::INTEGER AS n_feat,
+               floor((2 * s + n_feat) / (2 * n_feat)) / 1e6 AS mean_lw,
+               (s > 0) AS target_like
+        FROM sc""",
 
     "extract_links": """
         WITH l AS (SELECT doc_id, i::INTEGER AS link_no
