@@ -49,7 +49,7 @@ HEADLINE = [
     "line_dedup", "lm_perplexity", "pack_sequences", "url_dedup",
     "embed_pq_refine",
     "pagerank", "heavy_hitters", "dedup_semantic", "bpe_pair_counts",
-    "extract_links", "dsir_weights",
+    "extract_links", "dsir_weights", "frontier_filter",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -109,3 +109,32 @@ def test_dsir_partitioning_invariant(spark):
          corpus.dsir_weights(docs.repartition(16),
                              F.col("source") == "sci").collect()}
     assert a == b
+
+
+# ------------------------------------------------------------- frontier
+
+def test_frontier_filter_rule_semantics(spark):
+    """Domain block covers subdomains via the suffix equi-join; the
+    path prefix is a residual; unrelated hosts sharing a suffix label
+    ('xh3.example.com') must NOT match."""
+    from pyspark.sql import functions as F
+    pages = spark.createDataFrame(
+        [(1, "http://h3.example.com/x"),
+         (2, "http://deep.sub.h3.example.com/y"),
+         (3, "http://xh3.example.com/x"),
+         (4, "http://h7.example.com/ads/1"),
+         (5, "http://h7.example.com/adstext"),
+         (6, "http://h7.example.com/a/1"),
+         (7, "http://h7.example.com"),
+         (8, "HTTP-check://ignored"),
+         ],
+        "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [("h3.example.com", ""), ("h7.example.com", "/ads")],
+        "rule_host string, path_prefix string")
+    from webextract import corpus
+    got = {r["doc_id"]: r["blocked"]
+           for r in corpus.frontier_filter(pages, rules).collect()}
+    assert got == {1: True, 2: True, 3: False, 4: True,
+                   5: True,  # prefix semantics: '/adstext' starts '/ads'
+                   6: False, 7: False, 8: False}

@@ -1978,3 +1978,62 @@ def dsir_weights(docs: DataFrame, is_target,
         "doc_id", F.col("n_feat").cast("int").alias("n_feat"),
         (m.cast("double") / F.lit(1e6)).alias("mean_lw"),
         (F.col("s") > 0).alias("target_like"))
+
+
+# ---------------------------------------------------------------------------
+# crawl-frontier URL filtering (robots/blocklist politeness pass)
+# ---------------------------------------------------------------------------
+
+def _host_suffixes(host):
+    """array<string> of the dot-suffixes of a host ('a.b.com' ->
+    ['a.b.com', 'b.com', 'com']) — the equi-join key trick that turns
+    'host matches rule-domain or any subdomain of it' into a JOIN ON
+    suffix = rule_host instead of an unjoinable endswith theta-join.
+    Bounded: a hostname has <= ~10 labels, so the explode is O(1) per
+    url."""
+    parts = F.split(host, "\\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."))
+
+
+def frontier_filter(pages: DataFrame, rules: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url, blocked): crawl-frontier politeness filtering —
+    a url is blocked iff some rule (rule_host, path_prefix) matches:
+    its host equals the rule host OR is a subdomain of it, AND its
+    path starts with the rule's prefix ('' blocks the whole domain).
+    This is the robots/blocklist pass every crawl pipeline runs before
+    fetch AND before training-data admission (licensed/opted-out
+    domains).
+
+    Scale shape: the rule table is small by nature (registry-of-domains
+    sized) and BROADCASTS; the url side explodes into its bounded
+    host-suffix set (<= label-count rows per url, a narrow generate —
+    never a payload) so domain-suffix matching becomes a broadcast
+    EQUI-join on the suffix, with the path-prefix test as the join
+    residual.  One aggregation back to url granularity.  No shuffle of
+    the corpus beyond the group-back; no theta-join, no regex over
+    rules."""
+    host = F.lower(F.regexp_extract(
+        F.regexp_replace(F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://",
+                         ""), "^([^/:?]*)", 1))
+    path = F.regexp_extract(
+        F.regexp_replace(F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://",
+                         ""), "^[^/?]*(/[^?]*)?", 1)
+    pathc = F.when(path == "", F.lit("/")).otherwise(path)
+    base = pages.select(F.col(id_col).alias("doc_id"), "url",
+                        host.alias("host"), pathc.alias("path"))
+    sufs = base.select("doc_id", "url", "path",
+                       F.explode(_host_suffixes(F.col("host")))
+                       .alias("suf"))
+    r = rules.select(F.col("rule_host").alias("suf"),
+                     F.col("path_prefix"))
+    hits = (sufs.join(F.broadcast(r), "suf")
+            .filter(F.col("path").startswith(F.col("path_prefix")))
+            .select("doc_id").distinct()
+            .withColumn("hit", F.lit(True)))
+    return (base.join(hits, "doc_id", "left")
+            .select("doc_id", "url",
+                    F.coalesce("hit", F.lit(False)).alias("blocked")))

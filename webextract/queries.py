@@ -669,6 +669,32 @@ def q_dedup_semantic(spark, sf_dir):
                                  threshold=0.3)
 
 
+def q_frontier_filter(spark, sf_dir):
+    """Robots/blocklist politeness pass: deterministic urls over 13
+    hosts (every 3rd on a subdomain, every 5th under /ads/), three
+    literal rules — whole-domain block on h3 (subdomains included via
+    the host-suffix equi-join), /ads prefix block on h7, and an /a/1
+    prefix block on h11.  The oracle evaluates the same rule semantics
+    in closed form."""
+    spark_ = spark
+    d = _read(spark_, sf_dir, "documents").select("doc_id")
+    sub = F.when(F.col("doc_id") % 3 == 0, F.lit("sub.")).otherwise(
+        F.lit(""))
+    pth = F.when(F.col("doc_id") % 5 == 0,
+                 F.concat(F.lit("/ads/"),
+                          F.col("doc_id").cast("string"))).otherwise(
+        F.concat(F.lit("/a/"), F.col("doc_id").cast("string")))
+    url = F.concat(F.lit("http://"), sub, F.lit("h"),
+                   (F.col("doc_id") % 13).cast("string"),
+                   F.lit(".example.com"), pth)
+    rules = spark_.createDataFrame(
+        [("h3.example.com", ""), ("h7.example.com", "/ads"),
+         ("h11.example.com", "/a/1")],
+        "rule_host string, path_prefix string")
+    return corpus.frontier_filter(d.select("doc_id", url.alias("url")),
+                                  rules)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance scoring with source='src0' as the target
     domain: every doc scored by how src0-like its hashed unigram+
@@ -1151,7 +1177,6 @@ QUERIES = {
     "token_stats": q_token_stats,
     "doc_fingerprints": q_doc_fingerprints,
     "media_decode_meta": q_media_decode_meta,
-    "media_image_headers": q_media_image_headers,
     "media_audio_headers": q_media_audio_headers,
     "media_frame_sample": q_media_frame_sample,
     "pricing_summary": q_pricing_summary,
@@ -1193,6 +1218,7 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "extract_links": q_extract_links,
     "dsir_weights": q_dsir_weights,
+    "frontier_filter": q_frontier_filter,
     # ---- driver cap boundary is position 50; new round-4 gates are
     # inserted ABOVE this line as they land (corpus_hash_split,
     # embed_ann_buckets, extract_pdf_split, extract_rich_blocks,
@@ -1221,6 +1247,10 @@ QUERIES = {
     # in-window)
     "priority_big_orders": q_priority_big_orders,
     "top_orders_per_cust": q_top_orders_per_cust,
+    # (media_image_headers rotated out for frontier_filter — r2-green;
+    # the media-header family stays represented by media_decode_meta +
+    # media_audio_headers, and the raster/OCR gates cover the decoders)
+    "media_image_headers": q_media_image_headers,
     "corpus_hash_split": q_corpus_hash_split,
     "embed_ann_buckets": q_embed_ann_buckets,
     "extract_pdf_split": q_extract_pdf_split,
@@ -2427,6 +2457,22 @@ ORACLES = {
         c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
         SELECT token, freq FROM c, tot
         WHERE freq * 100 >= total""",
+
+    "frontier_filter": """
+        WITH u AS (SELECT doc_id,
+                'http://'
+                  || CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END
+                  || 'h' || (doc_id % 13) || '.example.com'
+                  || CASE WHEN doc_id % 5 = 0 THEN '/ads/' || doc_id
+                          ELSE '/a/' || doc_id END AS url,
+                doc_id % 13 AS h, doc_id % 5 = 0 AS ads,
+                doc_id::VARCHAR AS ds
+            FROM documents)
+        SELECT doc_id, url,
+               (h = 3
+                OR (h = 7 AND ads)
+                OR (h = 11 AND NOT ads AND ds LIKE '1%')) AS blocked
+        FROM u""",
 
     "dsir_weights": """
         WITH tok AS (SELECT doc_id, source = 'src0' AS is_t,
