@@ -50,6 +50,7 @@ HEADLINE = [
     "embed_pq_refine",
     "pagerank", "heavy_hitters", "dedup_semantic", "bpe_pair_counts",
     "extract_links", "dsir_weights", "frontier_filter",
+    "stream_heavy_hitters",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

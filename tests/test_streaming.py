@@ -329,3 +329,53 @@ def test_stream_neardup_ttl_horizon(spark, tmp_path):
             .agg(F.max(F.col("dup_in_band").cast("int")).cast("boolean")
                  .alias("dup")).collect()}
     assert got2[900] is True
+
+
+def test_streaming_hh_matches_batch(spark, tmp_path):
+    """Stream≡batch identity for the MG frequency sketch: three
+    micro-batches of token-disjoint heavy/tail mixes; the final
+    max-version sketch per group + exact recount must equal the batch
+    heavy_hitters frame, and every group's summary stays bounded at
+    capacity through the cross-batch merges."""
+    from pyspark.sql import functions as F
+    from webextract import corpus
+    from webextract.streaming import stream_heavy_hitters
+
+    in_dir = str(tmp_path / "hh_in")
+    out = str(tmp_path / "hh_out")
+    ckpt = str(tmp_path / "hh_ckpt")
+    rows = []
+    for i in range(150):
+        head = ["alpha"] * 6 + ["beta"] * 4 + ["gamma"] * 2 + ["eps"]
+        tail = [f"u{i}x{j}" for j in range(6)]
+        rows.append((i, " ".join(head + tail)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pages = docs_to_pages(docs.withColumn("lang", F.lit("en")))
+    pages_id = pages.withColumn(
+        "doc_id", F.substring("url", 7, 20).cast("bigint"))
+    for lo, hi in ((50, 100), (0, 50), (100, 100000)):
+        (pages_id.filter(f"doc_id >= {lo} and doc_id < {hi}")
+         .drop("doc_id").coalesce(1)
+         .write.mode("append").parquet(in_dir))
+        q = stream_heavy_hitters(spark, in_dir, out, ckpt,
+                                 max_files_per_trigger=1,
+                                 groups=8, capacity=16)
+        q.awaitTermination()
+
+    sk = spark.read.parquet(out)
+    # bounded state: every (grp, ver) snapshot is <= capacity rows
+    snap = sk.groupBy("grp", "ver").count().collect()
+    assert max(r["count"] for r in snap) <= 16
+    live = (sk.join(sk.groupBy("grp").agg(F.max("ver").alias("ver")),
+                    ["grp", "ver"]).select("token").distinct())
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    total = toks.count()
+    got = {(r["token"], r["freq"]) for r in
+           (toks.join(F.broadcast(live), "token")
+            .groupBy("token").agg(F.count("*").alias("freq"))
+            .filter(F.col("freq") * 10 >= F.lit(total))).collect()}
+    want = {(r["token"], r["freq"]) for r in
+            corpus.heavy_hitters(docs, capacity=16,
+                                 min_share_den=10).collect()}
+    assert got == want
+    assert {t for t, _ in got} == {"alpha", "beta", "gamma"}

@@ -669,6 +669,51 @@ def q_dedup_semantic(spark, sf_dir):
                                  threshold=0.3)
 
 
+def q_stream_heavy_hitters(spark, sf_dir):
+    """Streaming MG heavy hitters, gate-checked against the SAME
+    brute-force oracle as the batch operator: a REAL Structured
+    Streaming run (pages stream → per-hash-group Misra-Gries state →
+    parquet append sink), then the sink's live sketch (max-version
+    rows per group) becomes the candidate set for the batch exact
+    recount.  The gate passes only if the streamed sketch lost no
+    above-threshold token — the mergeable-summaries guarantee, end to
+    end through the state store.  Cross-batch merge mechanics are
+    pinned by test_streaming_hh's multi-batch identity test."""
+    import hashlib
+    import shutil
+
+    from .streaming import stream_heavy_hitters
+
+    tag = hashlib.md5(("hh" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_streamhh_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text",
+                                                 "lang")
+    s = F.col("doc_id").cast("string")
+    tail = F.concat(
+        F.col("text"),
+        F.lit(" t0x"), s, F.lit(" t1x"), s, F.lit(" t2x"), s,
+        F.lit(" t3x"), s, F.lit(" t4x"), s, F.lit(" t5x"), s,
+        F.lit(" t6x"), s, F.lit(" t7x"), s)
+    aug = d.select("doc_id", tail.alias("text"), "lang")
+    docs_to_pages(aug).coalesce(1).write.parquet(in_dir)
+    q = stream_heavy_hitters(spark, in_dir, out_dir, ckpt,
+                             capacity=512)
+    q.awaitTermination()
+    sk = spark.read.parquet(out_dir)
+    live = (sk.join(sk.groupBy("grp").agg(F.max("ver").alias("ver")),
+                    ["grp", "ver"])
+            .select("token").distinct())
+    toks = aug.select(F.explode(F.split("text", " ")).alias("token"))
+    total = aug.agg(F.sum(F.size(F.split("text", " "))).alias("total"))
+    counted = (toks.join(F.broadcast(live), "token")
+               .groupBy("token").agg(F.count("*").alias("freq")))
+    return (counted.crossJoin(F.broadcast(total))
+            .filter(F.col("freq") * 100 >= F.col("total"))
+            .select("token", "freq"))
+
+
 def q_frontier_filter(spark, sf_dir):
     """Robots/blocklist politeness pass: deterministic urls over 13
     hosts (every 3rd on a subdomain, every 5th under /ads/), three
@@ -1177,7 +1222,6 @@ QUERIES = {
     "token_stats": q_token_stats,
     "doc_fingerprints": q_doc_fingerprints,
     "media_decode_meta": q_media_decode_meta,
-    "media_audio_headers": q_media_audio_headers,
     "media_frame_sample": q_media_frame_sample,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1219,6 +1263,7 @@ QUERIES = {
     "extract_links": q_extract_links,
     "dsir_weights": q_dsir_weights,
     "frontier_filter": q_frontier_filter,
+    "stream_heavy_hitters": q_stream_heavy_hitters,
     # ---- driver cap boundary is position 50; new round-4 gates are
     # inserted ABOVE this line as they land (corpus_hash_split,
     # embed_ann_buckets, extract_pdf_split, extract_rich_blocks,
@@ -1247,10 +1292,13 @@ QUERIES = {
     # in-window)
     "priority_big_orders": q_priority_big_orders,
     "top_orders_per_cust": q_top_orders_per_cust,
-    # (media_image_headers rotated out for frontier_filter — r2-green;
-    # the media-header family stays represented by media_decode_meta +
-    # media_audio_headers, and the raster/OCR gates cover the decoders)
+    # (media_image_headers / media_audio_headers rotated out for
+    # frontier_filter + stream_heavy_hitters — r2-green; the
+    # media-header family stays represented by media_decode_meta, the
+    # raster/OCR gates cover the image decoders, and media_audio_pcm +
+    # extract_audio_source cover audio)
     "media_image_headers": q_media_image_headers,
+    "media_audio_headers": q_media_audio_headers,
     "corpus_hash_split": q_corpus_hash_split,
     "embed_ann_buckets": q_embed_ann_buckets,
     "extract_pdf_split": q_extract_pdf_split,
@@ -3122,6 +3170,11 @@ ORACLES = {
                  AS bytes_out
         FROM documents""",
 }
+
+# stream_heavy_hitters must end at the exact frame the batch operator
+# produces (the streamed sketch only supplies candidates; the recount
+# is exact) — one oracle text, zero drift.
+ORACLES["stream_heavy_hitters"] = ORACLES["heavy_hitters"]
 
 # dedup_semantic reuses the embed_ivf_assign oracle verbatim as its
 # cluster-assignment stage (same centroids, same argmax rule), then

@@ -373,3 +373,103 @@ def stream_near_dup(spark: SparkSession, input_dir: str, output_dir: str,
             .format("parquet")
             .option("path", output_dir)
             .start())
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming heavy hitters (Misra-Gries sketch per hash group)
+# ---------------------------------------------------------------------------
+
+HH_OUT_DDL = "grp int, ver int, token string, cnt bigint"
+HH_STATE_DDL = "toks array<string>, cnts array<bigint>, ver int"
+
+
+def heavy_hitter_summaries(pages: DataFrame, groups: int = 64,
+                           capacity: int = 64) -> DataFrame:
+    """Stateful streaming Misra-Gries heavy hitters — the frequency
+    sketch on the streaming surface (batch twin: corpus.mg_candidates
+    + corpus.heavy_hitters).
+
+    Tokens route to ``groups`` hash groups by the engine-portable
+    md5-mod family (ALL occurrences of a token land in ONE group);
+    each group's state is a single bounded MG summary (at most
+    ``capacity`` (token, count) pairs plus a version counter).  Per
+    micro-batch a group folds its new tokens in (vectorized
+    value_counts, MG merge-compress) and emits the UPDATED summary
+    tagged with the incremented version — the append sink is a log
+    whose max-version rows per group are the live sketch.
+
+    Guarantee carried across batches (mergeable summaries, same bound
+    as the batch kernel): a token absent from its group's final
+    summary has true in-group frequency <= n_grp/(capacity+1) — and a
+    token's group sees ALL its occurrences, so any token with corpus
+    share >= 1/min_share_den survives whenever capacity >=
+    min_share_den.  Exact-recount verification downstream is the batch
+    operator's phase 2, unchanged.
+
+    Scale shape: the state shuffle moves (grp, token) occurrence rows
+    (never documents or text blobs); state is bounded at
+    groups x capacity entries TOTAL for an infinite stream — this is
+    the operator that watches token drift on a crawl without ever
+    growing state."""
+
+    def emit(key, pdfs, state):
+        import pandas as pd_
+        if state.exists:
+            toks, cnts, ver = state.get
+            counts = {t: int(c) for t, c in zip(toks, cnts)}
+        else:
+            counts, ver = {}, 0
+        n_new = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vc = pdf["token"].value_counts()
+            n_new += int(vc.sum())
+            for t, c in vc.items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > capacity:
+                kth = sorted(counts.values(), reverse=True)[capacity]
+                counts = {t: c - kth for t, c in counts.items()
+                          if c > kth}
+        if not n_new:
+            return
+        ver += 1
+        state.update((list(counts.keys()),
+                      [int(c) for c in counts.values()], int(ver)))
+        if counts:
+            yield pd_.DataFrame({
+                "grp": [int(key[0])] * len(counts),
+                "ver": [int(ver)] * len(counts),
+                "token": list(counts.keys()),
+                "cnt": [int(c) for c in counts.values()]})
+
+    grp = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("hhg:"), F.col("token"))), 1, 8), 16, 10)
+        .cast("long") % groups).cast("int")
+    toks = (pages.select(F.explode(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .alias("token"))
+        .select(grp.alias("grp"), "token"))
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return toks.groupBy("grp").applyInPandasWithState(
+        emit, HH_OUT_DDL, HH_STATE_DDL, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+def stream_heavy_hitters(spark: SparkSession, input_dir: str,
+                         output_dir: str, checkpoint_dir: str,
+                         max_files_per_trigger: int = 64,
+                         groups: int = 64, capacity: int = 64):
+    """readStream → per-group MG summaries → parquet append sink
+    (availableNow).  max_files_per_trigger=1 makes each file its own
+    micro-batch — the cross-batch merge path the identity test pins."""
+    return (heavy_hitter_summaries(
+                pages_stream(spark, input_dir, max_files_per_trigger),
+                groups=groups, capacity=capacity)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", output_dir)
+            .start())
