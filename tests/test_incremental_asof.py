@@ -1,0 +1,92 @@
+"""Unit + plan tests for the round-4 late gates: incremental snapshot
+dedup (new-vs-committed asymmetric MinHash) and the as-of attribution
+join (union + running window, zero joins)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from webextract.corpus import incremental_dedup
+
+SF = "/root/testdata/sf0.01"
+
+BASE = ("the quick brown fox jumps over the lazy dog while seventeen "
+        "green bottles hang quietly on the old stone wall near the "
+        "river bend waiting for the evening train to pass")
+OTHER = ("completely different content about spark physical plans and "
+         "shuffle exchanges that shares no shingles with the base text "
+         "at all because every token here is from another domain")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_semantics(spark):
+    old = _docs(spark, [(1, BASE), (2, BASE), (3, OTHER)])
+    new = _docs(spark, [
+        (101, BASE),                 # exact dup of old 1 and 2
+        (102, "utterly novel words never seen before in any committed "
+              "document anywhere with many unique tokens to shingle"),
+        (104, "shared boilerplate tail " + BASE),  # near-dup of old 1/2
+        (105, "shared boilerplate tail " + BASE),  # in-batch dup of 104
+    ])
+    got = {r["doc_id"]: (r["dup_of"], r["jaccard"])
+           for r in incremental_dedup(old, new).collect()}
+    # dup_of picks the SMALLEST committed id; exact dup scores 1.0
+    assert got[101] == (1, 1.0)
+    # novel doc emits no row
+    assert 102 not in got
+    # near-dup still attributed to the committed corpus
+    assert got[104][0] == 1 and got[104][1] >= 0.4
+    # in-batch duplicates (104~105) are NOT each other's dup_of — both
+    # match only committed docs (lsh_jaccard_pairs owns in-batch pairs)
+    assert got[105][0] == 1
+
+
+def test_incremental_dedup_plan_shape(spark):
+    """The committed side must never shuffle on its own cardinality:
+    the band-key candidate join broadcasts the NEW side into a
+    BroadcastHashJoin probed by the committed scan, and no sort-merge
+    join appears anywhere (shingle-array rows must not be sorted)."""
+    from tests.test_plans import _plan
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    plan = _plan(incremental_dedup(old, new))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # committed band keys flow scan -> projection -> BHJ: the new
+    # side enters through a broadcast exchange
+    assert "BroadcastExchange" in plan, plan[:2000]
+
+
+def _events(spark, rows):
+    base = datetime.datetime(2024, 1, 1)
+    data = [(eid, base + datetime.timedelta(seconds=s), uid, et, 1.0, "{}")
+            for (eid, s, uid, et) in rows]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+
+
+def test_events_asof_semantics(spark, tmp_path):
+    ev = _events(spark, [
+        (1, 10, 1, "click"),
+        (2, 10, 1, "click"),      # same ts as e1: tie -> higher id
+        (3, 10, 1, "purchase"),   # equal-ts click IS visible
+        (4, 5, 2, "purchase"),    # no prior click -> null attribution
+        (5, 20, 1, "purchase"),   # latest click still e2
+        (6, 15, 1, "view"),       # other types never attribute
+    ])
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    from webextract.queries import q_events_asof
+    got = {r["event_id"]: (r["click_id"], r["gap_us"])
+           for r in q_events_asof(spark, str(tmp_path)).collect()}
+    assert got[3] == (2, 0)
+    assert got[4] == (None, None)
+    assert got[5] == (2, 10_000_000)
+    assert set(got) == {3, 4, 5}

@@ -587,6 +587,76 @@ def lsh_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4,
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
 
+INC_CAND_CAP = 256   # committed-side candidates verified per new doc
+
+
+def incremental_dedup(old: DataFrame, new: DataFrame, n: int = 3,
+                      threshold: float = 0.4, k: int = 16,
+                      rows_per_band: int = 4,
+                      cand_cap: int = INC_CAND_CAP,
+                      broadcast_cap: int = LSH_BROADCAST_CAP) -> DataFrame:
+    """(doc_id, dup_of, jaccard): near-dup admission of a NEW snapshot
+    against the COMMITTED corpus — the per-crawl production pass (each
+    incoming Common-Crawl snapshot is deduped against every previous
+    one before admission; reference precedent: per-request idempotent
+    result store, docling_serve/orchestrator_factory.py:190-218).
+    In-batch duplicates are lsh_jaccard_pairs' job; this operator only
+    answers "is this new page already in the corpus, and where".
+
+    Asymmetric shape (the point at 10^12 committed rows): the NEW
+    side's band keys — 32 bytes × n_bands per incoming doc — are
+    broadcast; the committed corpus' band-key frame is a narrow
+    projection probed by a broadcast-hash join, so the committed side
+    is NEVER shuffled on its own cardinality (same asymmetry as
+    dedup_contamination).  Candidates then collapse per new doc with
+    ONE exchange of (new_id, old_id) longs: collect_set → sorted →
+    slice(cand_cap) keeps the smallest ``cand_cap`` committed ids (a
+    boilerplate page matching a million committed copies verifies
+    against 256 of them — plenty to prove it's a dup, and the id-order
+    rule keeps the cap engine-exact).  Exact-Jaccard verify reuses the
+    lsh_jaccard_pairs staging: candidate ids semi-join-prune BOTH
+    shingle builds, broadcasts size-gated with shuffle-hash fallback.
+    dup_of = the smallest committed id whose verified Jaccard clears
+    the threshold."""
+    new_bk = (lsh_band_keys(new, n, k, rows_per_band)
+              .select(F.col("doc_id").alias("new_id"), "band", "band_key"))
+    old_bk = (lsh_band_keys(old, n, k, rows_per_band)
+              .select(F.col("doc_id").alias("old_id"), "band", "band_key"))
+    cands = (old_bk.join(F.broadcast(new_bk), ["band", "band_key"])
+             .groupBy("new_id")
+             .agg(F.slice(F.sort_array(F.collect_set("old_id")), 1,
+                          cand_cap).alias("olds"))
+             .select("new_id", F.explode("olds").alias("old_id"))
+             .localCheckpoint())
+    small = cands.count() <= broadcast_cap
+    hint = F.broadcast if small else (lambda df: df.hint("shuffle_hash"))
+
+    def _pruned(docs: DataFrame, side: str, out: str) -> DataFrame:
+        ids = cands.select(F.col(side).alias("doc_id")).distinct()
+        return (docs.select("doc_id", "text")
+                .join(hint(ids), "doc_id", "left_semi")
+                .select("doc_id", TOKENS().alias("toks"))
+                .select(F.col("doc_id").alias(side),
+                        shingles_of("toks", n).alias(out)))
+
+    a = _pruned(new, "new_id", "sa")
+    b = _pruned(old, "old_id", "sb")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    if small:
+        verified = F.broadcast(cands).join(a, "new_id").join(b, "old_id")
+    else:
+        verified = (cands.hint("shuffle_hash").join(a, "new_id")
+                    .hint("shuffle_hash").join(b, "old_id"))
+    scored = (verified.filter(jac >= threshold)
+              .select("new_id", "old_id", F.round(jac, 4).alias("jaccard")))
+    w = Window.partitionBy("new_id").orderBy("old_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("new_id").alias("doc_id"),
+                    F.col("old_id").alias("dup_of"), "jaccard"))
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash): SimHash over token frequencies.
 

@@ -1133,6 +1133,52 @@ def q_events_range_window(spark, sf_dir):
                     F.round(F.sum("value").over(w), 4).alias("sum_trail")))
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: purchase→click attribution — for each purchase, the
+    same user's most recent click at-or-before the purchase timestamp
+    (tie-break: latest ts, then highest event_id).
+
+    Spark-first shape: NOT a range/theta join (which Catalyst can only
+    execute as a nested loop or an interval-bucket explosion).  The two
+    event streams are tagged and UNIONED, then ONE running-window pass
+    per user carries the last non-null click forward — last(click_id)
+    IGNORE NULLS over (ts, event_type, event_id) row ordering, where
+    'click' < 'purchase' lexically makes equal-ts clicks visible to the
+    purchase.  One shuffle on user_id, zero joins, linear in events —
+    the classic distributed as-of shape (DuckDB's native ASOF JOIN has
+    the same semantics; the oracle mirrors this window formulation so
+    the tie-break is engine-exact).  Purchases with no prior click keep
+    their row with null attribution (left as-of)."""
+    ev = _read(spark, sf_dir, "events")
+    base = (ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select("event_id", "ts", "user_id", "event_type",
+                    F.when(F.col("event_type") == "click",
+                           F.col("event_id")).alias("cid"),
+                    F.when(F.col("event_type") == "click",
+                           F.col("ts")).alias("cts")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_type", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base
+            .withColumn("click_id", F.last("cid", ignorenulls=True).over(w))
+            .withColumn("click_ts", F.last("cts", ignorenulls=True).over(w))
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "click_id",
+                    (F.unix_micros(F.col("ts").cast("timestamp"))
+                     - F.unix_micros(F.col("click_ts").cast("timestamp")))
+                    .alias("gap_us")))
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental snapshot admission: docs with doc_id % 5 == 4 play
+    the incoming crawl, the rest the committed corpus; each new doc is
+    flagged with the smallest committed near-dup (jaccard >= 0.4)."""
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    return corpus.incremental_dedup(old, new)
+
+
 def q_pipeline_counters(spark, sf_dir):
     """End-to-end wave pipeline over documents-derived pages (incl. the
     IceTable snapshot commit protocol), verified through the committed
@@ -1232,13 +1278,17 @@ QUERIES = {
     # --- changed this round (real subword tokenizer) ---
     "chunk_hybrid_subword": q_chunk_hybrid_subword,
     # --- family representatives kept in-window ---
+    # (chunk_hybrid / quality_gopher rotated past the cap late in
+    # round 4 for dedup_incremental + events_asof — both r3-green with
+    # unchanged code; chunking stays represented by
+    # chunk_hybrid_subword, quality by lm_perplexity + dsir_weights)
     "extract_main_text": q_extract_main_text,
-    "chunk_hybrid": q_chunk_hybrid,
     "dedup_clusters": q_dedup_clusters,
     "embed_pq_codes": q_embed_pq_codes,
     "embed_pq_topk": q_embed_pq_topk,
     "embed_pq_refine": q_embed_pq_refine,
-    "quality_gopher": q_quality_gopher,
+    "dedup_incremental": q_dedup_incremental,
+    "events_asof": q_events_asof,
     "line_dedup": q_line_dedup,
     "lm_perplexity": q_lm_perplexity,
     "pack_sequences": q_pack_sequences,
@@ -1282,6 +1332,8 @@ QUERIES = {
     # stay represented in-window by chunk_hybrid/chunk_hybrid_subword,
     # dedup_clusters, extract_main_text + the per-format source gates,
     # and dedup_embed_multiprobe + the PQ gates)
+    "chunk_hybrid": q_chunk_hybrid,
+    "quality_gopher": q_quality_gopher,
     "chunk_dedup": q_chunk_dedup,
     "dedup_exact": q_dedup_exact,
     "extract_mixed_formats": q_extract_mixed_formats,
@@ -3144,6 +3196,61 @@ ORACLES = {
         SELECT event_id, user_id, n_trail::BIGINT AS n_trail,
                round(s_trail, 4) AS sum_trail
         FROM w""",
+
+    "events_asof": """
+        WITH b AS (SELECT event_id, ts, user_id, event_type,
+                          CASE WHEN event_type = 'click'
+                               THEN event_id END AS cid,
+                          CASE WHEN event_type = 'click'
+                               THEN ts END AS cts
+                   FROM events
+                   WHERE event_type IN ('click', 'purchase')),
+        w AS (SELECT event_id, user_id, event_type, ts,
+                     last_value(cid IGNORE NULLS) OVER win AS click_id,
+                     last_value(cts IGNORE NULLS) OVER win AS click_ts
+              FROM b WINDOW win AS
+                (PARTITION BY user_id ORDER BY ts, event_type, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, click_id,
+               epoch_us(ts) - epoch_us(click_ts) AS gap_us
+        FROM w WHERE event_type = 'purchase'""",
+
+    "dedup_incremental": f"""
+        WITH {_SHINGLES_CTE},
+        h2 AS (SELECT doc_id, list_transform(shingles,
+                 s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
+               FROM sh WHERE len(shingles) > 0),
+        m AS (SELECT doc_id, list_transform(generate_series(0, 15),
+                j -> list_min(list_transform(hs,
+                  h -> (h * (j*7919 + 1) + (j*104729 + 1)) % 536870909)))
+                AS mh
+              FROM h2),
+        b AS (SELECT doc_id, band,
+                     md5(mh[band*4+1] || ',' || mh[band*4+2] || ',' ||
+                         mh[band*4+3] || ',' || mh[band*4+4]) AS band_key
+              FROM m, unnest(generate_series(0, 3)) AS u(band)),
+        nb AS (SELECT doc_id AS new_id, band, band_key FROM b
+               WHERE doc_id % 5 = 4),
+        ob AS (SELECT doc_id AS old_id, band, band_key FROM b
+               WHERE doc_id % 5 <> 4),
+        c0 AS (SELECT DISTINCT new_id, old_id
+               FROM nb JOIN ob USING (band, band_key)),
+        c AS (SELECT new_id, old_id FROM
+                (SELECT new_id, old_id, row_number() OVER
+                   (PARTITION BY new_id ORDER BY old_id) AS rn FROM c0)
+              WHERE rn <= 256),
+        j AS (SELECT new_id, old_id,
+                     len(list_intersect(sa.shingles, sb.shingles)) AS i,
+                     len(sa.shingles) AS na, len(sb.shingles) AS nb2
+              FROM c JOIN sh sa ON sa.doc_id = c.new_id
+                     JOIN sh sb ON sb.doc_id = c.old_id),
+        s AS (SELECT new_id, old_id, round(i / (na + nb2 - i), 4)
+                       AS jaccard
+              FROM j WHERE i / (na + nb2 - i) >= 0.4)
+        SELECT new_id AS doc_id, old_id AS dup_of, jaccard FROM
+          (SELECT new_id, old_id, jaccard, row_number() OVER
+             (PARTITION BY new_id ORDER BY old_id) AS rn FROM s)
+        WHERE rn = 1""",
 
     "events_props": """
         SELECT event_type,
