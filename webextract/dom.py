@@ -179,7 +179,8 @@ class _Parser(HTMLParser):
 
     # -- HTMLParser hooks -----------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
-        tag = tag.lower()
+        # tag arrives lowercase from BOTH engines (html.parser lowers
+        # in goahead; _fast_feed lowers at the call site)
         if tag in _VOID:
             if tag == "br" and self.cur is not None:
                 self.cur[5].append("\n")
@@ -261,7 +262,6 @@ class _Parser(HTMLParser):
         # unknown tag: ignore
 
     def handle_endtag(self, tag: str) -> None:
-        tag = tag.lower()
         if self.skip:
             if tag in _SKIP:
                 self.skip -= 1
@@ -410,10 +410,16 @@ _TOKEN = re.compile(
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<![^>]*>"                 # doctype / declarations
     r"|<\?[^>]*>"                # processing instructions
-    r"|</?[a-zA-Z][^>]*>"        # start/end tags
+    # start tag: name + body captured in place, so the scan loop never
+    # re-matches the token with a second regex (the old _TAGNAME pass
+    # cost one extra regex match per tag)
+    r"|<(?P<s>[a-zA-Z][a-zA-Z0-9:-]*)(?P<sb>[^>]*)>"
+    # end tag: html.parser accepts whitespace after '</' and an
+    # unterminated '</name' at EOF still fires the event
+    r"|</\s*(?P<e>[a-zA-Z][a-zA-Z0-9:-]*)[^>]*(?:>|$)"
     r"|</[^>]*(?:>|$)"           # bogus end tag ('</' + non-letter):
                                  # html5 bogus comment, consumed silently
-    r"|[^<]+",                   # text runs
+    r"|(?P<t>[^<]+)",            # text runs
     re.S)
 _TAGNAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
 _ATTR = re.compile(
@@ -448,39 +454,36 @@ def _fast_feed(p: _Parser, text: str) -> None:
     handle_start = p.handle_starttag
     handle_end = p.handle_endtag
     unescape = _html_mod.unescape
-    tagname_match = _TAGNAME.match
     while pos < n:
         restart = False
         for m in _TOKEN.finditer(text, pos):
             s = m.start()
             if s > pos:         # lone '<'s matching no alternative
                 handle_data(text[pos:s])
-            tok = m.group(0)
             pos = m.end()
-            if tok[0] != "<":
+            lg = m.lastgroup
+            if lg == "t":       # text run
+                tok = m.group()
                 handle_data(unescape(tok) if "&" in tok else tok)
                 continue
-            c1 = tok[1]
-            if c1 == "!" or c1 == "?":
-                continue        # comment / doctype / decl / PI
-            tm = tagname_match(tok)
-            if tm is None:
-                if c1 == "/":
-                    continue    # bogus comment: swallowed, no event
-                handle_data(tok)   # '<' + non-letter: literal text
+            if lg == "e":       # end tag
+                if "<" in m.group()[1:]:
+                    # malformed tag containing '<' (e.g. '</p<q>'):
+                    # html.parser swallows the slice without an event
+                    continue
+                handle_end(m.group("e").lower())
                 continue
-            if "<" in tok[1:]:
+            if lg != "sb":      # start tags report their LAST group
+                continue        # comment / doctype / decl / PI / bogus
+            body = m.group("sb")
+            if "<" in body:
                 # malformed tag containing '<' (e.g. '<a<p>'):
                 # html.parser swallows the slice without an event
                 continue
-            name = tm.group(1).lower()
-            if c1 == "/":
-                handle_end(name)
-                continue
-            attrs = (_parse_attrs(tok[tm.end():-1])
-                     if name in want_attrs else [])
+            name = m.group("s").lower()
+            attrs = _parse_attrs(body) if name in want_attrs else []
             handle_start(name, attrs)
-            if name in _RAWTEXT and not tok.endswith("/>"):
+            if name in _RAWTEXT and not body.endswith("/"):
                 # rawtext mode: no tags/entities until the end tag;
                 # jump + restart the scanner at the new position
                 if low is None:
