@@ -64,6 +64,20 @@ def test_incremental_dedup_plan_shape(spark):
     assert "BroadcastExchange" in plan, plan[:2000]
 
 
+def test_incremental_dedup_broadcast_fallback(spark):
+    """Above the size gate every join — band-key candidates AND the
+    verify stage — falls back to shuffle-hash; nothing sort-merges."""
+    from tests.test_plans import _plan
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    plan = _plan(incremental_dedup(old, new, broadcast_cap=1))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+
 def _events(spark, rows):
     base = datetime.datetime(2024, 1, 1)
     data = [(eid, base + datetime.timedelta(seconds=s), uid, et, 1.0, "{}")

@@ -334,6 +334,38 @@ def source_mix(docs: DataFrame, weights: dict[str, float],
             .select("doc_id", "source"))
 
 
+def stratified_sample(docs: DataFrame, per_group: int = 10,
+                      by: str = "source",
+                      salt: str = "samp1") -> DataFrame:
+    """(doc_id, <by>, rank): deterministic uniform sample of exactly
+    ``per_group`` docs per stratum — the eval-set / inspection-sample
+    primitive (a reproducible "reservoir" without RNG state: the k
+    kept docs are the k smallest salted content-independent hashes, so
+    the sample is stable across engines, runs, AND corpus re-shuffles,
+    and changing ``salt`` redraws it).
+
+    Skew shape: a single window over partitionBy(<by>) would shuffle
+    EVERY row of a hot stratum into one reducer.  Instead stage 1 ranks
+    within (stratum, spark_partition_id()) — the exchange key carries
+    the physical partition id, so a 10^11-row stratum spreads over all
+    reducers — and keeps each partition's local top-k.  Stage 2 ranks
+    the survivors (≤ k rows per stratum per partition) globally per
+    stratum; its exchange moves k×P rows per stratum, not the corpus.
+    The final k-smallest-hash set is invariant to the stage-1 pid
+    layout: global winners are local winners everywhere.  Ties broken
+    by doc_id; the oracle mirrors only the stage-2 rule."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id")))
+    local = Window.partitionBy(by, F.spark_partition_id()).orderBy(
+        "h", "doc_id")
+    final = Window.partitionBy(by).orderBy("h", "doc_id")
+    return (docs.select("doc_id", by, h.alias("h"))
+            .withColumn("lr", F.row_number().over(local))
+            .filter(F.col("lr") <= per_group)
+            .withColumn("rank", F.row_number().over(final))
+            .filter(F.col("rank") <= per_group)
+            .select("doc_id", by, F.col("rank").cast("int").alias("rank")))
+
+
 def corpus_card(docs: DataFrame,
                 weights: tuple = (0.98, 0.01, 0.01)) -> DataFrame:
     """The training data card: docs / tokens / chars per (split,
@@ -622,7 +654,17 @@ def incremental_dedup(old: DataFrame, new: DataFrame, n: int = 3,
               .select(F.col("doc_id").alias("new_id"), "band", "band_key"))
     old_bk = (lsh_band_keys(old, n, k, rows_per_band)
               .select(F.col("doc_id").alias("old_id"), "band", "band_key"))
-    cands = (old_bk.join(F.broadcast(new_bk), ["band", "band_key"])
+    # size-gate the new-side broadcast (repo rule: every broadcast is
+    # gated with a shuffle fallback): a normal incoming snapshot is
+    # tiny next to the committed corpus, but a backfill-sized new side
+    # falls back to ONE shuffle-hash exchange on the band key — the
+    # batch-LSH cost, still never a sort
+    n_bands = -(-k // rows_per_band)
+    if new.count() * n_bands <= broadcast_cap:
+        new_side = F.broadcast(new_bk)
+    else:
+        new_side = new_bk.hint("shuffle_hash")
+    cands = (old_bk.join(new_side, ["band", "band_key"])
              .groupBy("new_id")
              .agg(F.slice(F.sort_array(F.collect_set("old_id")), 1,
                           cand_cap).alias("olds"))

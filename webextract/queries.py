@@ -1169,6 +1169,13 @@ def q_events_asof(spark, sf_dir):
                     .alias("gap_us")))
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-source inspection sample: 7 docs per source,
+    k-smallest-salted-hash rule (two-stage skew-proof top-k)."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.stratified_sample(docs, per_group=7)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental snapshot admission: docs with doc_id % 5 == 4 play
     the incoming crawl, the rest the committed corpus; each new doc is
@@ -1272,9 +1279,12 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "events_sessions": q_events_sessions,
-    "events_hourly": q_events_hourly,
     "resume_pending": q_resume_pending,
     "pipeline_counters": q_pipeline_counters,
+    # (events_hourly rotated past the cap late in round 4 for
+    # sample_stratified — r2-green unchanged; the events family stays
+    # in-window via events_sessions + events_asof)
+    "sample_stratified": q_sample_stratified,
     # --- changed this round (real subword tokenizer) ---
     "chunk_hybrid_subword": q_chunk_hybrid_subword,
     # --- family representatives kept in-window ---
@@ -1325,6 +1335,7 @@ QUERIES = {
     # range-frame window — pytest-oracle-green, next rotation's window)
     "events_rollup": q_events_rollup,
     "events_range_window": q_events_range_window,
+    "events_hourly": q_events_hourly,
     # (chunk_dedup / dedup_exact / extract_mixed_formats /
     # dedup_embed_cosine rotated out late in round 4 to make room for
     # the pagerank, heavy_hitters, dedup_semantic, bpe_pair_counts
@@ -3251,6 +3262,16 @@ ORACLES = {
           (SELECT new_id, old_id, jaccard, row_number() OVER
              (PARTITION BY new_id ORDER BY old_id) AS rn FROM s)
         WHERE rn = 1""",
+
+    "sample_stratified": """
+        WITH h AS (SELECT doc_id, source,
+                          md5('samp1:' || doc_id) AS h
+                   FROM documents),
+        r AS (SELECT doc_id, source, row_number() OVER
+                (PARTITION BY source ORDER BY h, doc_id) AS rank
+              FROM h)
+        SELECT doc_id, source, rank::INTEGER AS rank
+        FROM r WHERE rank <= 7""",
 
     "events_props": """
         SELECT event_type,
