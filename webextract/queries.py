@@ -1169,6 +1169,27 @@ def q_events_asof(spark, sf_dir):
                     .alias("gap_us")))
 
 
+def q_source_quantiles(spark, sf_dir):
+    """Exact distributed percentiles of document length per source —
+    the corpus-profiling agg behind admission-threshold choices.
+
+    `percentile()` is Catalyst's exact implementation (per-group value
+    buffer + interpolation at rank (n-1)p, the same rule as DuckDB's
+    quantile_cont, so the oracle matches bitwise after round-4).  The
+    exact form buffers each group's values — fine for bounded groups
+    (sources, hosts); at 10^12 rows per group the production swap is
+    `approx_percentile` (KLL-sketch, mergeable map-side partials whose
+    exact outputs are implementation-defined, hence not the oracle
+    gate)."""
+    docs = _read(spark, sf_dir, "documents")
+    pct = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9),
+                                          F.lit(0.99)))
+    return (docs.groupBy("source")
+            .agg(F.round(F.get(pct, 0), 4).alias("p50"),
+                 F.round(F.get(pct, 1), 4).alias("p90"),
+                 F.round(F.get(pct, 2), 4).alias("p99")))
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-source inspection sample: 7 docs per source,
     k-smallest-salted-hash rule (two-stage skew-proof top-k)."""
@@ -1336,6 +1357,7 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "events_range_window": q_events_range_window,
     "events_hourly": q_events_hourly,
+    "source_quantiles": q_source_quantiles,
     # (chunk_dedup / dedup_exact / extract_mixed_formats /
     # dedup_embed_cosine rotated out late in round 4 to make room for
     # the pagerank, heavy_hitters, dedup_semantic, bpe_pair_counts
@@ -3262,6 +3284,13 @@ ORACLES = {
           (SELECT new_id, old_id, jaccard, row_number() OVER
              (PARTITION BY new_id ORDER BY old_id) AS rn FROM s)
         WHERE rn = 1""",
+
+    "source_quantiles": """
+        SELECT source,
+               round(quantile_cont(n_chars, 0.5), 4) AS p50,
+               round(quantile_cont(n_chars, 0.9), 4) AS p90,
+               round(quantile_cont(n_chars, 0.99), 4) AS p99
+        FROM documents GROUP BY source""",
 
     "sample_stratified": """
         WITH h AS (SELECT doc_id, source,
