@@ -203,9 +203,21 @@ engine rather than the host; 8→32 is bounded above by the control
 value.  Control numbers vary run-to-run with host load — they are a
 same-run snapshot, not a constant.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
-    print("wrote BENCH.md")
+    # Replace ONLY the scaling sections; everything after the hardware
+    # control's trailing paragraph (headline snapshots, skew scenarios,
+    # drift notes appended by other tooling) is preserved verbatim.
+    path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        marker = "not a constant.\n"
+        cut = old.find(marker)
+        if cut != -1:
+            tail = old[cut + len(marker):]
+    with open(path, "w") as f:
+        f.write(md + tail)
+    print("wrote BENCH.md (scaling sections replaced, "
+          f"{len(tail)} bytes of other sections preserved)")
 
 
 if __name__ == "__main__":
