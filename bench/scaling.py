@@ -32,6 +32,11 @@ if REPO not in sys.path:        # script runs as bench/scaling.py
     sys.path.insert(0, REPO)
 
 
+# end-of-scaling-sections marker: written by the template below and used
+# by the splice that preserves non-scaling BENCH.md sections
+_SECTION_END = "<!-- scaling-sections-end -->\n"
+
+
 def sh(cmd: list[str]) -> str:
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     if r.returncode != 0:
@@ -202,18 +207,24 @@ memory subsystem and host co-tenancy), so the 4→16 pair measures the
 engine rather than the host; 8→32 is bounded above by the control
 value.  Control numbers vary run-to-run with host load — they are a
 same-run snapshot, not a constant.
-"""
-    # Replace ONLY the scaling sections; everything after the hardware
-    # control's trailing paragraph (headline snapshots, skew scenarios,
-    # drift notes appended by other tooling) is preserved verbatim.
+""" + _SECTION_END
+    # Replace ONLY the scaling sections; everything after the marker
+    # (headline snapshots, skew scenarios, drift notes appended by
+    # other tooling) is preserved verbatim.  The marker is a single
+    # constant shared with the template above so a prose reword cannot
+    # silently break the splice; a missing marker aborts instead of
+    # wiping the file.
     path = os.path.join(REPO, "BENCH.md")
     tail = ""
     if os.path.exists(path):
         old = open(path).read()
-        marker = "not a constant.\n"
-        cut = old.find(marker)
-        if cut != -1:
-            tail = old[cut + len(marker):]
+        cut = old.find(_SECTION_END)
+        if cut == -1:
+            raise SystemExit(
+                "BENCH.md exists but has no scaling-section end marker; "
+                "refusing to overwrite it — splice the new scaling "
+                "sections in by hand")
+        tail = old[cut + len(_SECTION_END):]
     with open(path, "w") as f:
         f.write(md + tail)
     print("wrote BENCH.md (scaling sections replaced, "

@@ -32,7 +32,13 @@ html_chunk = st.one_of(
                     + ["&amp;", "&#x41;", "&bogus;", "<!-- c -->",
                        "<!doctype html>", "<p class='nav'>", '<img src="x">',
                        "<a href='/y'>", "<![CDATA[z]]>", "<?pi?>",
-                       "<ol><li>", "</b>", "<table><tr><td>x</td>"]))
+                       "<ol><li>", "</b>", "<table><tr><td>x</td>",
+                       # startend + whitespace-end-tag + rawtext-close
+                       # parity (round-4 review fixes)
+                       "<script/>", "<a href=u/>", "<div/>", "<p/>",
+                       "<br disabled/>", "<script src=/j/x/>",
+                       "</ script>", "</ p>", "</SCRIPT>", "</STYLE >",
+                       "</scripty>", "</script x>"]))
 
 
 @settings(max_examples=200, deadline=None)

@@ -46,36 +46,49 @@ def test_incremental_dedup_semantics(spark):
     assert got[105][0] == 1
 
 
-def test_incremental_dedup_plan_shape(spark):
-    """The committed side must never shuffle on its own cardinality:
-    the band-key candidate join broadcasts the NEW side into a
-    BroadcastHashJoin probed by the committed scan, and no sort-merge
-    join appears anywhere (shingle-array rows must not be sorted)."""
+def test_incremental_candidates_plan_shape(spark):
+    """The candidate stage is where the scaling claim lives, and it is
+    checkpoint-truncated out of incremental_dedup's final plan — so pin
+    it on incremental_candidates directly (the r4 review's fix for the
+    vacuous assertion): committed band keys flow staged-scan →
+    broadcast anti (hot buckets) → broadcast inner (new side) with the
+    per-new-doc aggregate as the ONLY hash exchange; nothing
+    sort-merges."""
+    import re
     from tests.test_plans import _plan
+    from webextract.corpus import incremental_candidates
     spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     new = docs.filter(F.col("doc_id") % 5 == 4)
     old = docs.filter(F.col("doc_id") % 5 != 4)
-    plan = _plan(incremental_dedup(old, new))
+    plan = _plan(incremental_candidates(old, new))
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
-    # committed band keys flow scan -> projection -> BHJ: the new
-    # side enters through a broadcast exchange
-    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]          # hot-bucket guard
+    # committed rows enter NO hash exchange: the only one is the
+    # (new_id) candidate aggregate (formatted explain prints the
+    # partitioning in the node's Arguments detail)
+    assert len(re.findall(r"hashpartitioning\(new_id", plan)) == 1, \
+        plan[:3000]
+    assert len(re.findall(r"hashpartitioning\(old_id", plan)) == 0, \
+        plan[:3000]
 
 
 def test_incremental_dedup_broadcast_fallback(spark):
-    """Above the size gate every join — band-key candidates AND the
-    verify stage — falls back to shuffle-hash; nothing sort-merges."""
+    """Above the size gate the new-side band join and the verify joins
+    fall back to shuffle-hash; nothing sort-merges in either stage."""
     from tests.test_plans import _plan
+    from webextract.corpus import incremental_candidates
     spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     new = docs.filter(F.col("doc_id") % 5 == 4)
     old = docs.filter(F.col("doc_id") % 5 != 4)
-    plan = _plan(incremental_dedup(old, new, broadcast_cap=1))
-    assert "SortMergeJoin" not in plan, plan[:2000]
-    assert "ShuffledHashJoin" in plan, plan[:2000]
-    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    cand_plan = _plan(incremental_candidates(old, new, broadcast_cap=1))
+    assert "SortMergeJoin" not in cand_plan, cand_plan[:2000]
+    assert "ShuffledHashJoin Inner" in cand_plan, cand_plan[:2000]
+    full_plan = _plan(incremental_dedup(old, new, broadcast_cap=1))
+    assert "SortMergeJoin" not in full_plan, full_plan[:2000]
+    assert "ShuffledHashJoin" in full_plan, full_plan[:2000]
 
 
 def _events(spark, rows):

@@ -622,11 +622,61 @@ def lsh_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4,
 INC_CAND_CAP = 256   # committed-side candidates verified per new doc
 
 
+def incremental_candidates(old: DataFrame, new: DataFrame, n: int = 3,
+                           k: int = 16, rows_per_band: int = 4,
+                           cand_cap: int = INC_CAND_CAP,
+                           broadcast_cap: int = LSH_BROADCAST_CAP,
+                           bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """(new_id, old_id): the LSH band-key candidate stage of the
+    admission pass, factored out of incremental_dedup so plan tests
+    can pin the pre-checkpoint join shape.
+
+    Committed band keys are staged ONCE (localCheckpoint) and feed two
+    consumers — the hot-bucket counts and the candidate probe — without
+    re-shingling the corpus; at production scale this staged frame is
+    the per-snapshot-commit catalog artifact (band keys are a pure
+    function of committed docs, computed when each snapshot lands, not
+    per admission run).  Committed buckets with more than ``bucket_cap``
+    members are dropped BEFORE the join (the r4 review's skew guard —
+    the same contract as lsh_candidate_pairs: a viral bucket's members
+    are near-certain exact duplicates, dedup_exact's job — otherwise
+    one boilerplate band key × 10^6 committed members floods the
+    per-new-doc collect_set).  The count agg moves only map-side
+    combined 32-byte (band, band_key) partials, never documents.  With
+    the bucket cap in place the per-new-doc candidate set is bounded by
+    n_bands × bucket_cap (= 256 at the defaults), so the ``cand_cap``
+    slice is a belt-and-suspenders bound, not a recall-losing prune.
+    Both small sides (hot buckets, new band keys) broadcast behind size
+    gates with shuffle-hash fallbacks."""
+    new_bk = (lsh_band_keys(new, n, k, rows_per_band)
+              .select(F.col("doc_id").alias("new_id"), "band", "band_key")
+              .localCheckpoint())
+    old_bk = (lsh_band_keys(old, n, k, rows_per_band)
+              .select(F.col("doc_id").alias("old_id"), "band", "band_key")
+              .localCheckpoint())
+    hot = (old_bk.groupBy("band", "band_key")
+           .agg(F.count("*").alias("c"))
+           .filter(F.col("c") > bucket_cap)
+           .select("band", "band_key").localCheckpoint())
+    hot_hint = F.broadcast if hot.count() <= broadcast_cap \
+        else (lambda df: df.hint("shuffle_hash"))
+    ok = old_bk.join(hot_hint(hot), ["band", "band_key"], "left_anti")
+    new_side = (F.broadcast(new_bk)
+                if new_bk.count() <= broadcast_cap
+                else new_bk.hint("shuffle_hash"))
+    return (ok.join(new_side, ["band", "band_key"])
+            .groupBy("new_id")
+            .agg(F.slice(F.sort_array(F.collect_set("old_id")), 1,
+                         cand_cap).alias("olds"))
+            .select("new_id", F.explode("olds").alias("old_id")))
+
+
 def incremental_dedup(old: DataFrame, new: DataFrame, n: int = 3,
                       threshold: float = 0.4, k: int = 16,
                       rows_per_band: int = 4,
                       cand_cap: int = INC_CAND_CAP,
-                      broadcast_cap: int = LSH_BROADCAST_CAP) -> DataFrame:
+                      broadcast_cap: int = LSH_BROADCAST_CAP,
+                      bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """(doc_id, dup_of, jaccard): near-dup admission of a NEW snapshot
     against the COMMITTED corpus — the per-crawl production pass (each
     incoming Common-Crawl snapshot is deduped against every previous
@@ -637,39 +687,21 @@ def incremental_dedup(old: DataFrame, new: DataFrame, n: int = 3,
 
     Asymmetric shape (the point at 10^12 committed rows): the NEW
     side's band keys — 32 bytes × n_bands per incoming doc — are
-    broadcast; the committed corpus' band-key frame is a narrow
-    projection probed by a broadcast-hash join, so the committed side
-    is NEVER shuffled on its own cardinality (same asymmetry as
-    dedup_contamination).  Candidates then collapse per new doc with
-    ONE exchange of (new_id, old_id) longs: collect_set → sorted →
-    slice(cand_cap) keeps the smallest ``cand_cap`` committed ids (a
-    boilerplate page matching a million committed copies verifies
-    against 256 of them — plenty to prove it's a dup, and the id-order
-    rule keeps the cap engine-exact).  Exact-Jaccard verify reuses the
-    lsh_jaccard_pairs staging: candidate ids semi-join-prune BOTH
-    shingle builds, broadcasts size-gated with shuffle-hash fallback.
-    dup_of = the smallest committed id whose verified Jaccard clears
-    the threshold."""
-    new_bk = (lsh_band_keys(new, n, k, rows_per_band)
-              .select(F.col("doc_id").alias("new_id"), "band", "band_key"))
-    old_bk = (lsh_band_keys(old, n, k, rows_per_band)
-              .select(F.col("doc_id").alias("old_id"), "band", "band_key"))
-    # size-gate the new-side broadcast (repo rule: every broadcast is
-    # gated with a shuffle fallback): a normal incoming snapshot is
-    # tiny next to the committed corpus, but a backfill-sized new side
-    # falls back to ONE shuffle-hash exchange on the band key — the
-    # batch-LSH cost, still never a sort
-    n_bands = -(-k // rows_per_band)
-    if new.count() * n_bands <= broadcast_cap:
-        new_side = F.broadcast(new_bk)
-    else:
-        new_side = new_bk.hint("shuffle_hash")
-    cands = (old_bk.join(new_side, ["band", "band_key"])
-             .groupBy("new_id")
-             .agg(F.slice(F.sort_array(F.collect_set("old_id")), 1,
-                          cand_cap).alias("olds"))
-             .select("new_id", F.explode("olds").alias("old_id"))
-             .localCheckpoint())
+    broadcast; the committed corpus' band-key frame (a per-snapshot
+    catalog artifact, see incremental_candidates) is probed by a
+    broadcast-hash join, so committed documents are NEVER shuffled on
+    their own cardinality (same asymmetry as dedup_contamination).
+    Viral committed buckets are dropped by the bucket_cap guard before
+    the join; surviving candidates collapse per new doc with ONE
+    exchange of (new_id, old_id) longs, bounded at n_bands × bucket_cap
+    per new doc.  Exact-Jaccard verify reuses the lsh_jaccard_pairs
+    staging: candidate ids semi-join-prune BOTH shingle builds,
+    broadcasts size-gated with shuffle-hash fallback.  dup_of = the
+    smallest committed id whose verified Jaccard clears the
+    threshold."""
+    cands = incremental_candidates(old, new, n, k, rows_per_band,
+                                   cand_cap, broadcast_cap,
+                                   bucket_cap).localCheckpoint()
     small = cands.count() <= broadcast_cap
     hint = F.broadcast if small else (lambda df: df.hint("shuffle_hash"))
 

@@ -414,10 +414,11 @@ _TOKEN = re.compile(
     # re-matches the token with a second regex (the old _TAGNAME pass
     # cost one extra regex match per tag)
     r"|<(?P<s>[a-zA-Z][a-zA-Z0-9:-]*)(?P<sb>[^>]*)>"
-    # end tag: html.parser accepts whitespace after '</' and an
-    # unterminated '</name' at EOF still fires the event
-    r"|</\s*(?P<e>[a-zA-Z][a-zA-Z0-9:-]*)[^>]*(?:>|$)"
-    r"|</[^>]*(?:>|$)"           # bogus end tag ('</' + non-letter):
+    # end tag: html.parser accepts whitespace after '</'; an
+    # unterminated '</name' at EOF is NOT an event — like html.parser,
+    # the unmatched tail falls through to the gap/text path as data
+    r"|</\s*(?P<e>[a-zA-Z][a-zA-Z0-9:-]*)[^>]*>"
+    r"|</[^>]*>"                 # bogus end tag ('</' + non-letter):
                                  # html5 bogus comment, consumed silently
     r"|(?P<t>[^<]+)",            # text runs
     re.S)
@@ -427,6 +428,22 @@ _ATTR = re.compile(
 # only these tags' attributes are ever read by the handlers
 _WANT_ATTRS = _CONTAINER | {"img"}
 _RAWTEXT = {"script", "style"}
+# rawtext close: html.parser ends CDATA mode only on a FULL
+# '</ name >' end tag (name-boundary junk like '</scripty>' or
+# '</script x>' stays data) — one faithful regex per rawtext element
+_RAWTEXT_END = {t: re.compile(r"</\s*" + t + r"\s*>", re.I)
+                for t in _RAWTEXT}
+
+
+def _is_startend(body: str) -> bool:
+    """Mirrors html.parser's '<t .../>' rule: the tag is start+end only
+    when the trailing '/' is NOT consumed by an unquoted attribute
+    value (attrfind eats 'src=/x/' whole, so that tag is a plain
+    start).  Called only for the rare bodies that end in '/'."""
+    last_end = 0
+    for m in _ATTR.finditer(body):
+        last_end = m.end()
+    return last_end < len(body)
 
 
 def _parse_attrs(tag_body: str):
@@ -445,7 +462,6 @@ def _parse_attrs(tag_body: str):
 def _fast_feed(p: _Parser, text: str) -> None:
     n = len(text)
     pos = 0
-    low = None  # lazily lowered copy for rawtext end scan
     # anchor capture needs <a href> parsed; the default extraction path
     # keeps skipping anchor attributes (hot-path cost)
     want_attrs = (_WANT_ATTRS | {"a"}) if p.capture_anchors \
@@ -483,19 +499,26 @@ def _fast_feed(p: _Parser, text: str) -> None:
             name = m.group("s").lower()
             attrs = _parse_attrs(body) if name in want_attrs else []
             handle_start(name, attrs)
-            if name in _RAWTEXT and not body.endswith("/"):
-                # rawtext mode: no tags/entities until the end tag;
-                # jump + restart the scanner at the new position
-                if low is None:
-                    low = text.lower()
-                end = low.find("</" + name, pos)
-                if end == -1:
+            if body.endswith("/") and _is_startend(body):
+                # '<t .../>': html.parser fires handle_startendtag,
+                # whose default is start+end — without the end event a
+                # self-closed <script/> or <a/> leaks skip/a_depth
+                # state over the rest of the document
+                handle_end(name)
+                continue
+            if name in _RAWTEXT:
+                # rawtext mode: no tags/entities until the FULL end
+                # tag; jump + restart the scanner at the new position
+                mm = _RAWTEXT_END[name].search(text, pos)
+                if mm is None:
+                    # unterminated rawtext: everything to EOF is data
+                    # (the synthetic end event is normalized away by
+                    # _finalize on the stdlib path too)
                     handle_data(text[pos:])
                     pos = n
                 else:
-                    handle_data(text[pos:end])
-                    close = low.find(">", end)
-                    pos = n if close == -1 else close + 1
+                    handle_data(text[pos:mm.start()])
+                    pos = mm.end()
                 handle_end(name)
                 restart = True
                 break

@@ -41,8 +41,9 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dom import (Block, _Parser, _RAWTEXT, _TAGNAME, _TOKEN, _WANT_ATTRS,
-                  _BLOCK, _CONTAINER, _parse_attrs, decode_html)
+from .dom import (Block, _Parser, _RAWTEXT, _RAWTEXT_END, _TAGNAME, _TOKEN,
+                  _WANT_ATTRS, _BLOCK, _CONTAINER, _is_startend,
+                  _parse_attrs, decode_html)
 from .extract import extract_document, finish_blocks, select_main
 from .options import ConvertOptions, DEFAULT_OPTIONS
 from .udfs import (EXTRACT_SCHEMA_DDL, _EXTRACT_ARROW, append_extracted,
@@ -107,7 +108,6 @@ def scan_cuts(text: str, target_chars: int) -> list[tuple[int, str]]:
     cuts: list[tuple[int, str]] = []
     n = len(text)
     pos = 0
-    low = None
     last_cut = 0
     while pos < n:
         restart = False
@@ -134,15 +134,14 @@ def scan_cuts(text: str, target_chars: int) -> list[tuple[int, str]]:
             attrs = (_parse_attrs(tok[tm.end():-1])
                      if name in _WANT_ATTRS else [])
             p.handle_starttag(name, attrs)
-            if name in _RAWTEXT and not tok.endswith("/>"):
-                if low is None:
-                    low = text.lower()
-                end = low.find("</" + name, pos)
-                if end == -1:
-                    pos = n
-                else:
-                    close = low.find(">", end)
-                    pos = n if close == -1 else close + 1
+            body = tok[tm.end():-1]
+            if body.endswith("/") and _is_startend(body):
+                # '<t .../>': start+end, same rule as dom._fast_feed
+                p.handle_endtag(name)
+                continue
+            if name in _RAWTEXT:
+                mm = _RAWTEXT_END[name].search(text, pos)
+                pos = n if mm is None else mm.end()
                 p.handle_endtag(name)
                 restart = True
                 break

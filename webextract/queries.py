@@ -3264,8 +3264,12 @@ ORACLES = {
               FROM m, unnest(generate_series(0, 3)) AS u(band)),
         nb AS (SELECT doc_id AS new_id, band, band_key FROM b
                WHERE doc_id % 5 = 4),
-        ob AS (SELECT doc_id AS old_id, band, band_key FROM b
-               WHERE doc_id % 5 <> 4),
+        ob AS (SELECT old_id, band, band_key FROM
+                 (SELECT doc_id AS old_id, band, band_key,
+                         count(*) OVER (PARTITION BY band, band_key)
+                           AS c
+                  FROM b WHERE doc_id % 5 <> 4)
+               WHERE c <= 64),
         c0 AS (SELECT DISTINCT new_id, old_id
                FROM nb JOIN ob USING (band, band_key)),
         c AS (SELECT new_id, old_id FROM
