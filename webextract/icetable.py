@@ -53,11 +53,16 @@ class IceTable:
     def snapshots(self, as_of: str | None = None) -> list[dict]:
         """Chain from ``as_of`` (default: current) back to root (newest
         first) — Iceberg's snapshot-id time travel: reading from an
-        older snapshot sees exactly the partitions committed then."""
+        older snapshot sees exactly the partitions committed then.
+        A parent pruned by expire_snapshots ends the walk (Iceberg:
+        expired history is simply gone)."""
         out = []
         sid = as_of or self.current_snapshot_id()
         while sid:
-            s = self._snapshot(sid)
+            try:
+                s = self._snapshot(sid)
+            except FileNotFoundError:
+                break
             out.append(s)
             sid = s.get("parent_id")
         return out
@@ -68,12 +73,27 @@ class IceTable:
 
     # -- read side ------------------------------------------------------
     def committed_parts(self) -> set[int]:
-        return {p["part_id"] for s in self.snapshots()
-                for p in s["partitions"]}
+        """Part ids covered by the table — the resume anti-join's right
+        side.  Rewrite (compaction) snapshots carry the part ids they
+        replaced forward, so resume survives history expiry."""
+        parts: set[int] = set()
+        for s in self.snapshots():
+            parts.update(p["part_id"] for p in s["partitions"])
+            parts.update(s.get("carried_parts", ()))
+        parts.discard(-1)   # the rewrite snapshot's synthetic part
+        return parts
 
     def data_files(self, as_of: str | None = None) -> list[str]:
-        return [f for s in self.snapshots(as_of)
-                for p in s["partitions"] for f in p["files"]]
+        """Live data files at a snapshot.  A rewrite (compaction)
+        snapshot's file list REPLACES everything older, so the walk
+        stops there — exactly Iceberg's rewrite_data_files semantics."""
+        out = []
+        for s in self.snapshots(as_of):
+            for p in s["partitions"]:
+                out.extend(p["files"])
+            if s.get("rewrite"):
+                break
+        return out
 
     def read(self, spark, as_of: str | None = None):
         """Read the table (optionally time-traveled to snapshot id
@@ -85,9 +105,14 @@ class IceTable:
         return spark.read.parquet(*files)
 
     def lineage(self) -> list[dict]:
-        """Per-partition lineage rows (FIXTURES.md §5) across snapshots."""
+        """Per-partition lineage rows (FIXTURES.md §5) across snapshots.
+        Rewrite snapshots move no documents and carry no counters —
+        skipped (their history lives in the snapshots they replaced,
+        until expiry)."""
         rows = []
         for s in self.snapshots():
+            if s.get("rewrite"):
+                continue
             for p in s["partitions"]:
                 r = dict(p["counters"])
                 r.update(run_id=s["run_id"], part_id=p["part_id"],
@@ -143,11 +168,16 @@ class IceTable:
                 _time.sleep(0.05)
 
     def commit(self, run_id: str, partitions: list[dict],
-               committed_at: str, versions: dict | None = None) -> str:
+               committed_at: str, versions: dict | None = None,
+               rewrite: bool = False,
+               carried_parts: list[int] | None = None) -> str:
         """partitions: [{part_id, files: [...], counters: {...}}].
         Atomic snapshot append; returns the new snapshot id.
         ``versions`` records component versions in the snapshot (the
-        reference's /version endpoint analogue, helper_functions.py:12-21)."""
+        reference's /version endpoint analogue, helper_functions.py:12-21).
+        ``rewrite=True`` marks a compaction snapshot whose file list
+        replaces all older snapshots' files; ``carried_parts`` preserves
+        the replaced part ids for resume."""
         lock = self._commit_lock()
         try:
             snap_id = uuid.uuid4().hex[:16]
@@ -157,6 +187,9 @@ class IceTable:
                     "committed_at": committed_at,
                     "versions": versions or {},
                     "partitions": partitions}
+            if rewrite:
+                snap["rewrite"] = True
+                snap["carried_parts"] = sorted(carried_parts or [])
             path = os.path.join(self.meta_dir, f"snap-{snap_id}.json")
             tmp = path + ".tmp"
             with open(tmp, "w") as f:
@@ -177,6 +210,77 @@ class IceTable:
             except OSError:
                 pass
 
+    # -- maintenance ------------------------------------------------------
+    def compact(self, spark, target_file_bytes: int = 128 << 20,
+                committed_at: str = "",
+                versions: dict | None = None) -> dict:
+        """Maintenance: rewrite small data files into ~target-size ones
+        (Iceberg's rewrite_data_files — the small-files problem: a
+        wave-per-commit pipeline at 10^12 docs accretes millions of
+        sub-split files whose per-file open/footer costs dominate scan
+        time).  Files under target/2 are read back (only those — files
+        already at size are carried by reference, never rewritten),
+        coalesced to ceil(bytes/target) outputs, and committed as a
+        REWRITE snapshot under the same advisory commit lock as data
+        commits, so readers see the old or the new file list atomically
+        and a concurrent wave commit cannot be orphaned.  Old files stay
+        on disk for time travel until expire_snapshots."""
+        files = self.data_files()
+        sizes = {f: os.path.getsize(f) for f in files}
+        small = [f for f in files if sizes[f] < target_file_bytes // 2]
+        if len(small) < 2:
+            return {"rewritten": 0, "kept": len(files),
+                    "snapshot_id": None}
+        keep = [f for f in files if f not in set(small)]
+        n_out = max(1, -(-sum(sizes[f] for f in small)
+                         // target_file_bytes))
+        run_id = "compact-" + uuid.uuid4().hex[:8]
+        out_dir = self.staging_dir(run_id, 0)
+        (spark.read.parquet(*small).coalesce(n_out)
+         .write.mode("overwrite").parquet(out_dir))
+        new_files = sorted(
+            os.path.join(out_dir, fn) for fn in os.listdir(out_dir)
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")))
+        snap_id = self.commit(
+            run_id,
+            [{"part_id": -1, "files": keep + new_files, "counters": {}}],
+            committed_at, versions, rewrite=True,
+            carried_parts=sorted(self.committed_parts()))
+        return {"rewritten": len(small), "kept": len(keep),
+                "new_files": len(new_files), "snapshot_id": snap_id}
+
+    def expire_snapshots(self, keep: int = 2) -> dict:
+        """Maintenance: drop snapshot history beyond the newest ``keep``
+        chain entries, then GC data files no surviving snapshot
+        references (Iceberg's expire_snapshots).  After a compaction,
+        this is what actually reclaims the rewritten small files —
+        until then they back time travel."""
+        chain = self.snapshots()
+        expired = chain[keep:]
+        for s in expired:
+            try:
+                os.remove(os.path.join(
+                    self.meta_dir, f"snap-{s['snapshot_id']}.json"))
+            except FileNotFoundError:
+                pass
+        return {"expired_snapshots": len(expired),
+                "removed_files": self.expire_orphans()}
+
+    def _all_referenced(self) -> set[str]:
+        """realpaths referenced by ANY snapshot file in the metadata dir
+        — not just the current chain: files behind a rewrite snapshot
+        are invisible to data_files() but still back time travel until
+        their snapshots are expired, so orphan GC must honor them."""
+        referenced: set[str] = set()
+        for fn in os.listdir(self.meta_dir):
+            if not (fn.startswith("snap-") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.meta_dir, fn)) as f:
+                s = json.load(f)
+            for p in s["partitions"]:
+                referenced.update(os.path.realpath(x) for x in p["files"])
+        return referenced
+
     def expire_orphans(self, keep_run_ids: set[str] | None = None) -> int:
         """Maintenance: delete data files not referenced by any snapshot
         (the reference's result-GC analogue, response_preparation.py:71-80).
@@ -186,7 +290,7 @@ class IceTable:
         (relative, symlinked, ...), and a raw string compare against
         the walked paths would classify every live file as an orphan
         and delete the whole table (round-3 review)."""
-        referenced = {os.path.realpath(p) for p in self.data_files()}
+        referenced = self._all_referenced()
         removed = 0
         for dirpath, _, files in os.walk(self.files_dir):
             # keep-filter matches the run_id as a whole path COMPONENT
