@@ -105,6 +105,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="subword = the fixed-merge-table tokenizer "
                         "(chunk.SUBWORD_PIECES)")
     p.add_argument("--chunk-merge-peers", type=_bool, default=True)
+
+    # -- table maintenance (run INSTEAD of extraction when given;
+    #    the reference's /v1/clear endpoints analogue, app.py:1540-1564)
+    p.add_argument("--maintenance", default=None,
+                   choices=("compact", "expire"),
+                   help="run a maintenance pass on --output instead of "
+                        "extracting: compact = rewrite small data files "
+                        "(Iceberg rewrite_data_files), expire = drop old "
+                        "snapshot history + GC unreferenced files")
+    p.add_argument("--target-file-bytes", type=int, default=128 << 20,
+                   help="compact: output file size target")
+    p.add_argument("--keep-snapshots", type=int, default=2,
+                   help="expire: newest chain entries to keep")
     return p
 
 
@@ -144,6 +157,21 @@ def options_from_args(args) -> "ConvertOptions":
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.maintenance:
+        from webextract.icetable import IceTable
+        spark = (SparkSession.builder.appName("webextract-maint")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .getOrCreate())
+        tbl = IceTable(args.output)
+        if args.maintenance == "compact":
+            import datetime
+            out = tbl.compact(spark, args.target_file_bytes,
+                              committed_at=datetime.datetime.now(
+                                  datetime.timezone.utc).isoformat())
+        else:
+            out = tbl.expire_snapshots(keep=args.keep_snapshots)
+        print(json.dumps(out))
+        return 0
     if not args.input and not args.synth:
         print("one of --input / --synth required", file=sys.stderr)
         return 2
