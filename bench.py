@@ -51,7 +51,7 @@ HEADLINE = [
     "pagerank", "heavy_hitters", "dedup_semantic", "bpe_pair_counts",
     "extract_links", "dsir_weights", "frontier_filter",
     "stream_heavy_hitters",
-    "dedup_incremental", "events_asof",
+    "dedup_incremental", "events_asof", "bm25_topk",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

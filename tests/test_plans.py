@@ -478,3 +478,16 @@ def test_dsir_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Cartesian" not in plan
+
+
+def test_bm25_plan_query_vocab_filtered_before_agg(spark):
+    """bm25_topk: the query vocabulary is a plan-literal isin filter on
+    the exploded token stream, so the (doc, tok) groupBy shuffles
+    query-term postings only — and nothing sort-merges."""
+    from webextract.corpus import bm25_topk
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_topk(docs))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert " IN (" in plan, plan[:2000]         # literal vocab filter
+    assert "BroadcastHashJoin" in plan          # qt/idf/stats sides

@@ -1699,6 +1699,74 @@ def lm_perplexity(docs: DataFrame, k: float = LM_K) -> DataFrame:
                          F.round(F.exp(mean_nll), 4).alias("ppl"))
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERIES = {1: ("table", "scan"),
+                2: ("spark", "merge", "hash"),
+                3: ("window", "sort")}
+
+
+def bm25_topk(docs: DataFrame, queries: dict | None = None, k: int = 5,
+              k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """(query_id, doc_id, score, rank): BM25 top-k retrieval — the
+    search/curation scorer (Robertson-Spärck Jones idf, Okapi tf
+    saturation with length normalization).
+
+    Cross-engine determinism (the lm_perplexity contract): idf is fixed
+    to integer micro-nats immediately after the ln, each (doc, term)
+    contribution is rounded to an integer micro before summation, and
+    ranking orders by the EXACT integer sum — double addition order can
+    never flip a rank between engines.
+
+    Scale shape: the query vocabulary is a PLAN LITERAL, so the isin
+    filter sits directly on the exploded token stream — the only
+    corpus-wide work is a narrow explode+filter, and the (doc, tok,
+    tf, dl) groupBy shuffles query-term occurrences only, never the
+    corpus's token stream.  df/idf aggregate that tiny postings frame,
+    and the final per-(query, doc) sum + top-k window move integer
+    rows only.  Corpus stats (N, avgdl) ride as a broadcast 1-row
+    frame — no driver collect."""
+    queries = BM25_QUERIES if queries is None else queries
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(int(q), t) for q, ts in queries.items() for t in ts],
+        "query_id int, tok string")
+    terms = sorted({t for ts in queries.values() for t in ts})
+    matched = (_spread(docs)
+               .select("doc_id", F.size(TOKENS()).alias("dl"),
+                       F.explode(TOKENS()).alias("tok"))
+               .filter(F.col("tok").isin(terms))
+               .groupBy("doc_id", "tok")
+               .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))
+    stats = (docs.select(F.size(TOKENS()).alias("dl"))
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("dl").alias("sum_dl")))
+    idf = (matched.groupBy("tok").agg(F.count("*").alias("df"))
+           .crossJoin(F.broadcast(stats))
+           .select("tok", F.round(F.log(
+               F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+               / (F.col("df") + 0.5)) * 1e6, 0)
+               .cast("long").alias("idf_micro"),
+               (F.col("sum_dl").cast("double")
+                / F.col("n_docs")).alias("avgdl")))
+    w = (F.col("tf") * (k1 + 1.0)
+         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                / F.col("avgdl"))))
+    term_micro = F.round(F.col("idf_micro") * w, 0).cast("long")
+    scored = (matched.join(F.broadcast(idf), "tok")
+              .select("doc_id", "tok", term_micro.alias("m"))
+              .join(F.broadcast(qt), "tok")
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("m").alias("s")))
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), "doc_id")
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id",
+                    F.round(F.col("s") / 1e6, 4).alias("score"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
 # ---------------------------------------------------------------------------
 # sequence packing: the last hop before the trainer — concatenate the
 # token stream into fixed-budget training sequences (GPT-style packing

@@ -568,6 +568,13 @@ def q_lm_perplexity(spark, sf_dir):
     return corpus.lm_perplexity(_read(spark, sf_dir, "documents"))
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-5 retrieval for three fixed queries over the corpus —
+    query-term postings isolated by a broadcast semi-join before any
+    aggregation, scores summed in exact integer micros."""
+    return corpus.bm25_topk(_read(spark, sf_dir, "documents"))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Training-sequence packing: each doc's (seq_first, seq_last,
     offset) in its shard's concatenated 2048-token sequence stream —
@@ -1296,7 +1303,10 @@ QUERIES = {
     "token_stats": q_token_stats,
     "doc_fingerprints": q_doc_fingerprints,
     "media_decode_meta": q_media_decode_meta,
-    "media_frame_sample": q_media_frame_sample,
+    # (media_frame_sample rotated past the cap late in round 4 for
+    # bm25_topk — r2-green unchanged; frame walking stays in-window
+    # via media_frame_avi)
+    "bm25_topk": q_bm25_topk,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "events_sessions": q_events_sessions,
@@ -1384,6 +1394,7 @@ QUERIES = {
     # extract_audio_source cover audio)
     "media_image_headers": q_media_image_headers,
     "media_audio_headers": q_media_audio_headers,
+    "media_frame_sample": q_media_frame_sample,
     "corpus_hash_split": q_corpus_hash_split,
     "embed_ann_buckets": q_embed_ann_buckets,
     "extract_pdf_split": q_extract_pdf_split,
@@ -2455,6 +2466,41 @@ ORACLES = {
         SELECT doc_id, n_tok, mean_nll,
                round(exp(mean_nll), 4) AS ppl
         FROM m""",
+
+    "bm25_topk": """
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+        tfx AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok
+                FROM tok),
+        tf AS (SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+               FROM tfx GROUP BY doc_id, tok),
+        qt(query_id, tok) AS (VALUES (1, 'table'), (1, 'scan'),
+                                     (2, 'spark'), (2, 'merge'),
+                                     (2, 'hash'), (3, 'window'),
+                                     (3, 'sort')),
+        m AS (SELECT tf.* FROM tf
+              JOIN (SELECT DISTINCT tok FROM qt) q USING (tok)),
+        st AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl
+               FROM tok),
+        idf AS (SELECT tok,
+                       round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                             * 1e6, 0)::BIGINT AS idf_micro,
+                       sum_dl::DOUBLE / n_docs AS avgdl
+                FROM (SELECT tok, count(*) AS df FROM m GROUP BY tok),
+                     st),
+        sc AS (SELECT q.query_id, m.doc_id,
+                      sum(round(idf_micro * (m.tf * 2.2
+                            / (m.tf + 1.2 * (0.25 + 0.75 * m.dl
+                                             / avgdl))), 0)::BIGINT)
+                        AS s
+               FROM m JOIN idf USING (tok) JOIN qt q USING (tok)
+               GROUP BY q.query_id, m.doc_id),
+        r AS (SELECT query_id, doc_id, s, row_number() OVER
+                (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+              FROM sc)
+        SELECT query_id, doc_id, round(s / 1e6, 4) AS score,
+               rank::INTEGER AS rank
+        FROM r WHERE rank <= 5""",
 
     "pack_sequences": """
         WITH b AS (SELECT doc_id,
