@@ -52,3 +52,31 @@ def test_compaction_roundtrip_and_expiry(spark, tmp_path):
     res2 = tbl.compact(spark, target_file_bytes=64 << 20,
                        committed_at="t-compact-2")
     assert res2["rewritten"] == 0 and res2["snapshot_id"] is None
+
+
+def test_incremental_read_changes(spark, tmp_path):
+    """CDC surface: a consumer holding the last-seen snapshot id reads
+    exactly the newer rows; crossing a rewrite raises instead of
+    double-counting."""
+    import pytest
+    root = str(tmp_path / "tbl")
+    pages = pages_df(spark, 200, parallelism=8)
+    run_extract(spark, pages, root, partitions=4, waves=4, cpus=8)
+    tbl = IceTable(root)
+    chain = tbl.snapshots()          # newest first
+    assert len(chain) == 4
+    mid = chain[2]["snapshot_id"]    # after wave 2 of 4
+    inc = tbl.read_changes(spark, since=mid)
+    full = _urls(tbl.read(spark))
+    upto_mid = _urls(tbl.read(spark, as_of=mid))
+    assert sorted(set(full) - set(upto_mid)) == _urls(inc)
+    # since=None reads everything; since=current reads nothing
+    assert _urls(tbl.read_changes(spark, since=None)) == full
+    assert tbl.read_changes(spark, tbl.current_snapshot_id()) is None
+    # an unknown 'since' is an error, not an empty increment
+    with pytest.raises(ValueError, match="not in the current chain"):
+        tbl.changed_files("nonexistent-snap")
+    # a rewrite inside the window invalidates the increment
+    tbl.compact(spark, target_file_bytes=64 << 20, committed_at="t")
+    with pytest.raises(ValueError, match="rewrite"):
+        tbl.changed_files(mid)

@@ -210,6 +210,40 @@ class IceTable:
             except OSError:
                 pass
 
+    def changed_files(self, since: str | None,
+                      as_of: str | None = None) -> list[str]:
+        """Data files committed AFTER snapshot ``since`` up to ``as_of``
+        (default current) — Iceberg's incremental append scan, the
+        pull-based CDC surface: a downstream consumer remembers the
+        last snapshot id it processed and reads only newer files.
+        ``since=None`` means everything.  A rewrite snapshot in the
+        window raises: compaction rewrites history, so file-level
+        increments across it double-count — the consumer must fall back
+        to a full read (the same contract Iceberg enforces)."""
+        out = []
+        for s in self.snapshots(as_of):
+            if s["snapshot_id"] == since:
+                return out
+            if s.get("rewrite"):
+                raise ValueError(
+                    f"snapshot window crosses rewrite "
+                    f"{s['snapshot_id']}; incremental read is invalid — "
+                    f"re-read the full table")
+            for p in s["partitions"]:
+                out.extend(p["files"])
+        if since is not None:
+            raise ValueError(f"snapshot {since} not in the current "
+                             f"chain (expired?)")
+        return out
+
+    def read_changes(self, spark, since: str | None,
+                     as_of: str | None = None):
+        """Incremental read: rows appended after snapshot ``since``."""
+        files = self.changed_files(since, as_of)
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
     # -- maintenance ------------------------------------------------------
     def compact(self, spark, target_file_bytes: int = 128 << 20,
                 committed_at: str = "",
