@@ -5,6 +5,8 @@ orphan GC never eats files that only historical snapshots reference."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from webextract.icetable import IceTable
 from webextract.pipeline import run_extract
 from webextract.synth import pages_df
@@ -80,3 +82,114 @@ def test_incremental_read_changes(spark, tmp_path):
     tbl.compact(spark, target_file_bytes=64 << 20, committed_at="t")
     with pytest.raises(ValueError, match="rewrite"):
         tbl.changed_files(mid)
+
+
+def test_expire_refuses_delta_only_history(spark, tmp_path):
+    """Round-4 review: snapshots are delta manifests, so on a table
+    that has never been compacted there is NO safely-expirable history
+    — dropping an ancestor delta removes the only references to its
+    files and the orphan GC then deletes committed rows."""
+    root = str(tmp_path / "tbl")
+    run_extract(spark, pages_df(spark, 200, parallelism=8), root,
+                partitions=4, waves=4, cpus=8)
+    tbl = IceTable(root)
+    before = _urls(tbl.read(spark))
+    out = tbl.expire_snapshots(keep=2)       # the CLI default
+    assert out["expired_snapshots"] == 0 and out["removed_files"] == 0
+    assert out["skipped_unsafe"] == 2
+    assert _urls(tbl.read(spark)) == before
+    assert len(tbl.committed_parts()) == 4
+
+
+def test_expire_clamps_to_newest_rewrite(spark, tmp_path):
+    """With waves appended AFTER a compaction, expiry may only reach
+    history strictly below the rewrite snapshot: the post-rewrite
+    deltas are not superseded by any full manifest."""
+    root = str(tmp_path / "tbl")
+    run_extract(spark, pages_df(spark, 200, parallelism=8), root,
+                partitions=4, waves=2, cpus=8, run_id="r1")
+    tbl = IceTable(root)
+    tbl.compact(spark, target_file_bytes=64 << 20, committed_at="t-c")
+    run_extract(spark, pages_df(spark, 320, parallelism=8), root,
+                partitions=8, waves=2, cpus=8, run_id="r2")
+    before = _urls(tbl.read(spark))
+    parts = tbl.committed_parts()
+    # keep=1 would cut into the post-rewrite deltas; the clamp holds
+    out = tbl.expire_snapshots(keep=1)
+    assert out["skipped_unsafe"] == 2        # the two r2 wave deltas
+    assert _urls(tbl.read(spark)) == before
+    assert tbl.committed_parts() == parts
+
+
+def test_compact_cas_folds_interleaved_wave(spark, tmp_path, monkeypatch):
+    """Round-4 review (TOCTOU): a wave committed between compact's scan
+    and its rewrite commit must surface in the rewrite's replacement
+    file list, not silently vanish from the live view."""
+    from webextract.icetable import IceTable as IT
+    import os
+    root = str(tmp_path / "tbl")
+    run_extract(spark, pages_df(spark, 200, parallelism=8), root,
+                partitions=4, waves=4, cpus=8)
+    tbl = IT(root)
+    before = _urls(tbl.read(spark))
+
+    # stage a real extra wave file to interleave
+    race_dir = tbl.staging_dir("race-run", 0)
+    (tbl.read(spark).limit(7).withColumn("url", F.concat(F.lit("race:"),
+                                                         F.col("url")))
+     .coalesce(1).write.mode("overwrite").parquet(race_dir))
+    race_files = sorted(
+        os.path.join(race_dir, fn) for fn in os.listdir(race_dir)
+        if fn.endswith(".parquet") and not fn.startswith((".", "_")))
+
+    orig_commit, fired = IT.commit, {"n": 0}
+
+    def racy_commit(self, *a, **kw):
+        if kw.get("rewrite") and fired["n"] == 0:
+            fired["n"] += 1
+            orig_commit(self, "race-run",
+                        [{"part_id": 99, "files": race_files,
+                          "counters": {}}], "t-race")
+        return orig_commit(self, *a, **kw)
+
+    monkeypatch.setattr(IT, "commit", racy_commit)
+    res = tbl.compact(spark, target_file_bytes=64 << 20,
+                      committed_at="t-compact")
+    assert res["snapshot_id"] and fired["n"] == 1
+    after = _urls(tbl.read(spark))
+    assert after == sorted(before + [u for u in after
+                                     if u.startswith("race:")])
+    assert sum(u.startswith("race:") for u in after) == 7
+    assert 99 in tbl.committed_parts()
+    # and the raced rows survive history expiry (full-manifest rewrite
+    # folded them in, carried part id preserved)
+    tbl.expire_snapshots(keep=1)
+    assert _urls(tbl.read(spark)) == after
+    assert 99 in tbl.committed_parts()
+
+
+def test_read_changes_none_after_compaction(spark, tmp_path):
+    """since=None is the bootstrap read — it must short-circuit to the
+    live file set, not trip the rewrite guard (round-4 review)."""
+    root = str(tmp_path / "tbl")
+    run_extract(spark, pages_df(spark, 200, parallelism=8), root,
+                partitions=4, waves=4, cpus=8)
+    tbl = IceTable(root)
+    tbl.compact(spark, target_file_bytes=64 << 20, committed_at="t")
+    assert _urls(tbl.read_changes(spark, since=None)) == \
+        _urls(tbl.read(spark))
+
+
+def test_orphan_gc_grace_window(spark, tmp_path):
+    """Iceberg older_than contract: a just-staged (uncommitted) wave
+    file sits inside the grace window and survives GC; with no grace
+    it is reclaimed."""
+    root = str(tmp_path / "tbl")
+    run_extract(spark, pages_df(spark, 100, parallelism=8), root,
+                partitions=4, waves=1, cpus=8)
+    tbl = IceTable(root)
+    staged = tbl.staging_dir("live-run", 0)
+    (tbl.read(spark).limit(3).coalesce(1)
+     .write.mode("overwrite").parquet(staged))
+    assert tbl.expire_orphans(grace_seconds=3600) == 0
+    assert tbl.expire_orphans() == 1

@@ -118,6 +118,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compact: output file size target")
     p.add_argument("--keep-snapshots", type=int, default=2,
                    help="expire: newest chain entries to keep")
+    p.add_argument("--orphan-grace", type=float, default=86400.0,
+                   help="expire: never GC unreferenced files younger "
+                        "than this many seconds (Iceberg's older_than "
+                        "contract) — a live run's staged wave files are "
+                        "unreferenced until their commit, and deleting "
+                        "them mid-run silently empties the part")
     return p
 
 
@@ -159,17 +165,20 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.maintenance:
         from webextract.icetable import IceTable
-        spark = (SparkSession.builder.appName("webextract-maint")
-                 .config("spark.sql.session.timeZone", "UTC")
-                 .getOrCreate())
         tbl = IceTable(args.output)
         if args.maintenance == "compact":
             import datetime
+            # only the compact path reads data through Spark; expire is
+            # pure metadata/filesystem work and skips the JVM entirely
+            spark = (SparkSession.builder.appName("webextract-maint")
+                     .config("spark.sql.session.timeZone", "UTC")
+                     .getOrCreate())
             out = tbl.compact(spark, args.target_file_bytes,
                               committed_at=datetime.datetime.now(
                                   datetime.timezone.utc).isoformat())
         else:
-            out = tbl.expire_snapshots(keep=args.keep_snapshots)
+            out = tbl.expire_snapshots(keep=args.keep_snapshots,
+                                       grace_seconds=args.orphan_grace)
         print(json.dumps(out))
         return 0
     if not args.input and not args.synth:

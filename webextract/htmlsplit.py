@@ -131,10 +131,9 @@ def scan_cuts(text: str, target_chars: int) -> list[tuple[int, str]]:
                     and not p.skip and not p.tables):
                 cuts.append((s, snapshot_state(p)))
                 last_cut = s
-            attrs = (_parse_attrs(tok[tm.end():-1])
-                     if name in _WANT_ATTRS else [])
-            p.handle_starttag(name, attrs)
             body = tok[tm.end():-1]
+            attrs = _parse_attrs(body) if name in _WANT_ATTRS else []
+            p.handle_starttag(name, attrs)
             if body.endswith("/") and _is_startend(body):
                 # '<t .../>': start+end, same rule as dom._fast_feed
                 p.handle_endtag(name)

@@ -23,7 +23,14 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
+
+
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: the table head moved between a
+    writer's read of the chain and its commit (Iceberg's
+    CommitFailedException).  The writer must re-read and retry."""
 
 
 class IceTable:
@@ -72,12 +79,12 @@ class IceTable:
         return self._snapshot(sid) if sid else None
 
     # -- read side ------------------------------------------------------
-    def committed_parts(self) -> set[int]:
+    def committed_parts(self, as_of: str | None = None) -> set[int]:
         """Part ids covered by the table — the resume anti-join's right
         side.  Rewrite (compaction) snapshots carry the part ids they
         replaced forward, so resume survives history expiry."""
         parts: set[int] = set()
-        for s in self.snapshots():
+        for s in self.snapshots(as_of):
             parts.update(p["part_id"] for p in s["partitions"])
             parts.update(s.get("carried_parts", ()))
         parts.discard(-1)   # the rewrite snapshot's synthetic part
@@ -170,16 +177,26 @@ class IceTable:
     def commit(self, run_id: str, partitions: list[dict],
                committed_at: str, versions: dict | None = None,
                rewrite: bool = False,
-               carried_parts: list[int] | None = None) -> str:
+               carried_parts: list[int] | None = None,
+               expected_parent: str | None | type(...) = ...) -> str:
         """partitions: [{part_id, files: [...], counters: {...}}].
         Atomic snapshot append; returns the new snapshot id.
         ``versions`` records component versions in the snapshot (the
         reference's /version endpoint analogue, helper_functions.py:12-21).
         ``rewrite=True`` marks a compaction snapshot whose file list
         replaces all older snapshots' files; ``carried_parts`` preserves
-        the replaced part ids for resume."""
+        the replaced part ids for resume.  ``expected_parent`` (when
+        given, including None-for-empty-table) makes the commit a
+        compare-and-swap: if the head moved since the caller read the
+        chain, raise CommitConflict under the lock instead of silently
+        dropping the interleaved snapshot's files from a rewrite's
+        replacement list (round-4 review: compact TOCTOU)."""
         lock = self._commit_lock()
         try:
+            if expected_parent is not ... and (
+                    self.current_snapshot_id() != expected_parent):
+                raise CommitConflict(
+                    f"table head moved past {expected_parent!r}")
             snap_id = uuid.uuid4().hex[:16]
             snap = {"snapshot_id": snap_id,
                     "parent_id": self.current_snapshot_id(),
@@ -219,7 +236,12 @@ class IceTable:
         ``since=None`` means everything.  A rewrite snapshot in the
         window raises: compaction rewrites history, so file-level
         increments across it double-count — the consumer must fall back
-        to a full read (the same contract Iceberg enforces)."""
+        to a full read (the same contract Iceberg enforces).  The
+        ``since=None`` bootstrap short-circuits to the live file set:
+        a consumer that has seen nothing cannot double-count, so the
+        rewrite guard must not fire (round-4 review)."""
+        if since is None:
+            return self.data_files(as_of)
         out = []
         for s in self.snapshots(as_of):
             if s["snapshot_id"] == since:
@@ -255,11 +277,17 @@ class IceTable:
         time).  Files under target/2 are read back (only those — files
         already at size are carried by reference, never rewritten),
         coalesced to ceil(bytes/target) outputs, and committed as a
-        REWRITE snapshot under the same advisory commit lock as data
-        commits, so readers see the old or the new file list atomically
-        and a concurrent wave commit cannot be orphaned.  Old files stay
-        on disk for time travel until expire_snapshots."""
-        files = self.data_files()
+        REWRITE snapshot via compare-and-swap on the snapshot the scan
+        saw: if a wave commits while the rewrite is being written (its
+        files would otherwise silently fall out of the replacement file
+        list — round-4 review), the CAS fails and the new wave's files
+        are folded into the kept set before retrying.  A concurrent
+        COMPACTION surfaces as a rewrite inside the retry window and
+        aborts this one (the other rewrite already solved the
+        small-files problem).  Old files stay on disk for time travel
+        until expire_snapshots."""
+        base = self.current_snapshot_id()
+        files = self.data_files(as_of=base)
         sizes = {f: os.path.getsize(f) for f in files}
         small = [f for f in files if sizes[f] < target_file_bytes // 2]
         if len(small) < 2:
@@ -275,22 +303,50 @@ class IceTable:
         new_files = sorted(
             os.path.join(out_dir, fn) for fn in os.listdir(out_dir)
             if fn.endswith(".parquet") and not fn.startswith((".", "_")))
-        snap_id = self.commit(
-            run_id,
-            [{"part_id": -1, "files": keep + new_files, "counters": {}}],
-            committed_at, versions, rewrite=True,
-            carried_parts=sorted(self.committed_parts()))
+        while True:
+            try:
+                snap_id = self.commit(
+                    run_id,
+                    [{"part_id": -1, "files": keep + new_files,
+                      "counters": {}}],
+                    committed_at, versions, rewrite=True,
+                    carried_parts=sorted(self.committed_parts(as_of=base)),
+                    expected_parent=base)
+                break
+            except CommitConflict:
+                head = self.current_snapshot_id()
+                # raises ValueError if a concurrent rewrite landed —
+                # correct: that rewrite already replaced history, ours
+                # is stale; the staged outputs stay orphans until GC
+                keep.extend(self.changed_files(base, as_of=head))
+                base = head
         return {"rewritten": len(small), "kept": len(keep),
                 "new_files": len(new_files), "snapshot_id": snap_id}
 
-    def expire_snapshots(self, keep: int = 2) -> dict:
+    def expire_snapshots(self, keep: int = 2,
+                         grace_seconds: float = 0.0) -> dict:
         """Maintenance: drop snapshot history beyond the newest ``keep``
         chain entries, then GC data files no surviving snapshot
         references (Iceberg's expire_snapshots).  After a compaction,
         this is what actually reclaims the rewritten small files —
-        until then they back time travel."""
+        until then they back time travel.
+
+        Safety horizon (round-4 review): ordinary snapshots are DELTA
+        manifests — only a rewrite snapshot lists the complete live
+        file set.  Expiring a delta that no kept rewrite supersedes
+        removes the only references to its files and the orphan GC
+        then deletes committed data.  So expiry never reaches above
+        the newest rewrite snapshot: with no rewrite in the chain
+        nothing is safely expirable (run compact() first), and
+        ``keep`` can only widen the kept window, never narrow it past
+        that rewrite.  Real Iceberg has no such clamp because every
+        snapshot there carries a full manifest list."""
         chain = self.snapshots()
-        expired = chain[keep:]
+        rewrite_idx = next((i for i, s in enumerate(chain)
+                            if s.get("rewrite")), None)
+        cut = (len(chain) if rewrite_idx is None
+               else max(keep, rewrite_idx + 1))
+        expired = chain[cut:]
         for s in expired:
             try:
                 os.remove(os.path.join(
@@ -298,7 +354,9 @@ class IceTable:
             except FileNotFoundError:
                 pass
         return {"expired_snapshots": len(expired),
-                "removed_files": self.expire_orphans()}
+                "skipped_unsafe": max(0, min(cut, len(chain)) - keep),
+                "removed_files": self.expire_orphans(
+                    grace_seconds=grace_seconds)}
 
     def _all_referenced(self) -> set[str]:
         """realpaths referenced by ANY snapshot file in the metadata dir
@@ -315,7 +373,8 @@ class IceTable:
                 referenced.update(os.path.realpath(x) for x in p["files"])
         return referenced
 
-    def expire_orphans(self, keep_run_ids: set[str] | None = None) -> int:
+    def expire_orphans(self, keep_run_ids: set[str] | None = None,
+                       grace_seconds: float = 0.0) -> int:
         """Maintenance: delete data files not referenced by any snapshot
         (the reference's result-GC analogue, response_preparation.py:71-80).
 
@@ -323,8 +382,17 @@ class IceTable:
         manifests record paths as the writer spelled its table root
         (relative, symlinked, ...), and a raw string compare against
         the walked paths would classify every live file as an orphan
-        and delete the whole table (round-3 review)."""
+        and delete the whole table (round-3 review).
+
+        ``grace_seconds`` skips files younger than the horizon —
+        Iceberg's remove_orphan_files ``older_than`` contract: a live
+        run's staged-but-uncommitted wave files are unreferenced by
+        construction, and GC'ing them mid-run makes the eventual
+        commit glob an empty staging dir and mark the part done with
+        no files (round-4 review).  Callers that cannot enumerate live
+        run_ids (the CLI) pass a grace window instead."""
         referenced = self._all_referenced()
+        horizon = time.time() - grace_seconds
         removed = 0
         for dirpath, _, files in os.walk(self.files_dir):
             # keep-filter matches the run_id as a whole path COMPONENT
@@ -338,6 +406,11 @@ class IceTable:
                     continue  # _SUCCESS / .crc markers are not data files
                 p = os.path.realpath(os.path.join(dirpath, fn))
                 if p not in referenced:
-                    os.remove(p)
+                    try:
+                        if os.path.getmtime(p) > horizon:
+                            continue    # inside the grace window
+                        os.remove(p)
+                    except FileNotFoundError:
+                        continue        # raced with another GC
                     removed += 1
         return removed
