@@ -1,0 +1,112 @@
+"""Mergeable-sketch family: HLL cardinality + Bloom membership.
+
+The properties that make these SKETCHES rather than queries: bounded
+state, mergeability across corpus slices, one-sided error — each
+pinned here; engine-exactness is the oracle gates' job
+(sketch_hll_distinct, url_seen_bloom)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webextract import corpus
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    s = F.col("doc_id").cast("string")
+    aug = F.concat(F.col("text"), *[x for i in range(32)
+                                    for x in (F.lit(f" u{i}x"), s)])
+    return d.select("doc_id", "source", aug.alias("text"))
+
+
+def _urls(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    url = F.concat(F.lit("http://h"), (F.col("doc_id") % 13).cast("string"),
+                   F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+    return d.select("doc_id", url.alias("url"))
+
+
+def test_hll_registers_merge(spark):
+    """Mergeability (Agarwal et al. PODS'12): registers built on two
+    disjoint halves, unioned and max-merged by (source, idx), equal
+    the registers of the whole corpus — so per-snapshot register
+    tables compose incrementally."""
+    docs = _docs(spark)
+    full = corpus.hll_registers(docs)
+    h1 = corpus.hll_registers(docs.filter(F.col("doc_id") % 2 == 0))
+    h2 = corpus.hll_registers(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = (h1.unionByName(h2).groupBy("source", "idx")
+              .agg(F.max("m_j").alias("m_j")))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))
+
+
+def test_hll_state_bound_and_accuracy(spark):
+    """State: <= sources x 256 register rows regardless of corpus
+    size; raw estimate within ~4 sigma (26%) of exact in its valid
+    regime, with the small-range flag off."""
+    out = corpus.hll_distinct(_docs(spark)).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["registers_set"] <= 256
+        assert not r["small_range"]
+        assert r["rel_err_bp"] < 2600, r
+
+
+def test_hll_small_range_flag(spark):
+    """Below 2.5m the raw estimate enters HLL's bias regime: the flag
+    must fire (the ln() correction is left to the consumer — libm
+    last-ulp behavior is not engine-portable) while the raw estimate
+    is still returned."""
+    tiny = (_docs(spark).limit(4)
+            .select("doc_id", F.lit("one two three").alias("text"),
+                    F.lit("s").alias("source")))
+    r = corpus.hll_distinct(tiny).collect()
+    assert len(r) == 1 and r[0]["small_range"]
+    assert r[0]["exact_distinct"] == 3 and r[0]["est_distinct"] >= 1
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """One-sided error: every inserted url probes true.  Bitmaps of
+    two halves OR-merge into the full bitmap (word-wise bit_or), the
+    incremental-build contract."""
+    urls = _urls(spark)
+    committed = urls.filter(F.col("doc_id") % 3 == 0)
+    bloom = corpus.bloom_build(committed)
+    assert bloom.count() <= corpus.BLOOM_M_BITS // 63 + 1
+    probed = corpus.bloom_probe(committed, bloom)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+    b1 = corpus.bloom_build(committed.filter(F.col("doc_id") % 2 == 0))
+    b2 = corpus.bloom_build(committed.filter(F.col("doc_id") % 2 == 1))
+    merged = (b1.unionByName(b2).groupBy("word_idx")
+              .agg(F.expr("bit_or(bits)").alias("bits")))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, bloom.collect()))
+
+
+def test_bloom_probe_plan_zero_shuffle(spark):
+    """Scale shape: probing never shuffles the candidate batch — k
+    broadcast hash joins against the staged bitmap, no
+    hashpartitioning exchange anywhere in the probe plan."""
+    urls = _urls(spark)
+    bloom = corpus.bloom_build(urls.filter(F.col("doc_id") % 3 == 0))
+    probe = corpus.bloom_probe(urls, bloom)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted")
+    assert "hashpartitioning" not in plan    # formatted mode spells
+    # shuffles as `Exchange (n)` + an Arguments: hashpartitioning line
+    assert plan.count("BroadcastHashJoin") >= corpus.BLOOM_K
+
+
+def test_hll_partial_agg_bounds_shuffle(spark):
+    """The register build must carry a map-side partial max so at most
+    sources x 256 rows leave any partition: two HashAggregates around
+    the exchange (partial_max then max)."""
+    regs = corpus.hll_registers(_docs(spark))
+    plan = regs._sc._jvm.PythonSQLUtils.explainString(
+        regs._jdf.queryExecution(), "formatted")
+    assert "partial_max" in plan and "hashpartitioning" in plan

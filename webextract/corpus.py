@@ -2249,3 +2249,166 @@ def frontier_filter(pages: DataFrame, rules: DataFrame,
     return (base.join(hits, "doc_id", "left")
             .select("doc_id", "url",
                     F.coalesce("hit", F.lit(False)).alias("blocked")))
+
+
+# ---------------------------------------------------------------------------
+# mergeable cardinality + membership sketches (HLL, Bloom)
+# ---------------------------------------------------------------------------
+
+HLL_P_BITS = 8          # 256 registers: stderr ~1.04/16 = 6.5%
+
+
+def hll_registers(docs: DataFrame, p_bits: int = HLL_P_BITS,
+                  salt: str = "hll1") -> DataFrame:
+    """(source, idx, m_j): the HLL register table — the sketch
+    ARTIFACT.  Bounded at sources x 2^p_bits rows however large the
+    corpus, and mergeable under max(m_j) by (source, idx): registers
+    built per snapshot / per stream epoch union-and-max into the
+    registers of the combined corpus (pinned by test), so cardinality
+    tracking composes incrementally like the Bloom bitmap and the MG
+    summaries.  rho = 57 - bit_length(56-bit hash suffix) via
+    length(bin(w)) — pure string/integer ops, identical in Spark and
+    DuckDB."""
+    if 256 % (1 << p_bits) or p_bits > 8:
+        raise ValueError("p_bits must keep the register index inside "
+                         "the first hash byte (<= 8, power of 2)")
+    m = 1 << p_bits
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    hx = F.md5(F.concat_ws(":", F.lit(salt), F.col("token")))
+    idx = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % m)
+    w = F.conv(F.substring(hx, 3, 14), 16, 10).cast("long")
+    rho = F.when(w == F.lit(0), F.lit(57)).otherwise(
+        F.lit(57) - F.length(F.bin(w))).cast("int")
+    return (tok.select("source", idx.alias("idx"), rho.alias("rho"))
+            .groupBy("source", "idx").agg(F.max("rho").alias("m_j")))
+
+
+def hll_distinct(docs: DataFrame, p_bits: int = HLL_P_BITS,
+                 salt: str = "hll1") -> DataFrame:
+    """(source, registers_set, est_distinct, small_range,
+    exact_distinct, rel_err_bp): HyperLogLog per-source distinct-token
+    cardinality (Flajolet et al. 2007) — the third mergeable-summary
+    primitive next to Misra-Gries (heavy_hitters) and the Bloom filter
+    (bloom_build): COUNT(DISTINCT token) over a 10^12-doc corpus
+    shuffles one row per distinct (source, token) pair per partition,
+    while the HLL register table is bounded at sources x 2^p_bits rows
+    leaving ANY partition after map-side partial max — the exchange no
+    longer scales with the vocabulary.  Registers merge under max, so
+    the same frame composes across snapshots/streams (mergeable
+    summaries, Agarwal et al. PODS'12).
+
+    Engine-exactness contract (the repo-wide integer discipline):
+    register index = first hex byte of md5, rho = 57 - bit_length of
+    the next 56 hash bits via length(bin(w)) — pure string/integer ops
+    identical in Spark and DuckDB; the harmonic denominator is an
+    EXACT integer sum(2^(60-M_j)) in decimal(38,0) (never a float
+    sum, whose rounding is order-dependent), and only the final
+    alpha*m^2*2^60 / denom division runs in IEEE doubles — both
+    engines parse the same 17-digit literal and divide the same two
+    doubles, so floor() agrees bitwise.
+
+    ``small_range`` flags estimates in HLL's documented bias regime
+    (raw <= 2.5m with empty registers); the linear-counting correction
+    needs ln() whose last-ulp behavior is libm-specific, so the raw
+    estimate is returned unconditionally and the flag tells the
+    consumer to apply m*ln(m/V) themselves.  ``exact_distinct`` /
+    ``rel_err_bp`` (basis points, integer floor-div) evidence the
+    sketch against ground truth at gate scale; production drops them
+    (the exact side IS the shuffle the sketch avoids).
+    """
+    m = 1 << p_bits
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << 60)    # exact-double numerator
+
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    regs = hll_registers(docs, p_bits, salt)
+    per_src = regs.groupBy("source").agg(
+        F.count("*").cast("int").alias("registers_set"),
+        F.sum(F.expr("cast(shiftleft(1L, 60 - m_j) as decimal(38,0))"))
+        .alias("d_set"))
+    two60 = F.lit(1 << 60).cast("decimal(38,0)")
+    denom = (F.col("d_set")
+             + (F.lit(m) - F.col("registers_set")).cast("decimal(38,0)")
+             * two60).cast("double")
+    est = F.floor(F.lit(num) / denom).cast("long")
+    exact = (tok.groupBy("source")
+             .agg(F.countDistinct("token").alias("exact_distinct")))
+    return (per_src.join(exact, "source")
+            .select(
+                "source", "registers_set",
+                est.alias("est_distinct"),
+                ((est <= F.lit(float(2.5 * m)))
+                 & (F.col("registers_set") < m)).alias("small_range"),
+                "exact_distinct",
+                (F.abs(est - F.col("exact_distinct")) * 10000
+                 / F.col("exact_distinct")).cast("long")
+                .alias("rel_err_bp")))
+
+
+BLOOM_M_BITS = 1 << 14
+BLOOM_K = 3
+
+
+def bloom_build(urls: DataFrame, m_bits: int = BLOOM_M_BITS,
+                k: int = BLOOM_K, salt: str = "bl1") -> DataFrame:
+    """(word_idx, bits): Bloom filter over ``urls.url`` packed into
+    64-bit words — the crawl frontier's seen-set: membership for 10^12
+    committed urls in m_bits of state instead of a url-keyed join
+    against the committed table.  Each url sets k md5-derived bits;
+    words aggregate under bit_or (map-side partials bound the exchange
+    at m_bits/64 rows per partition, like the HLL register table) and
+    two filters union by the same bit_or — a mergeable summary, so
+    per-snapshot filters compose incrementally.  Deterministic hashing
+    (no RNG, no JVM hashCode) keeps the bitmap — and therefore every
+    false positive — bit-identical across engines and runs."""
+    pos = [(F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.lit(i), F.col("url"))),
+        1, 12), 16, 10).cast("long") % m_bits) for i in range(k)]
+    # 63 bits per word, not 64: bit 63 is the sign bit, and a checked
+    # engine (DuckDB) rejects 1<<63 while Java wraps it negative —
+    # staying in [0, 62] keeps every mask positive and portable
+    bits = urls.select(F.explode(F.array(*pos)).alias("pos"))
+    # staged ONCE (the per-snapshot catalog artifact, same contract as
+    # the incremental-dedup band keys): bloom_probe broadcasts the
+    # bitmap k times, and without the stage each broadcast would
+    # re-scan + re-aggregate the committed corpus
+    return (bits
+            .select((F.col("pos") / 63).cast("int").alias("word_idx"),
+                    F.expr("shiftleft(1L, cast(pos % 63 as int))")
+                    .alias("mask"))
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(mask)").alias("bits"))
+            .localCheckpoint())
+
+
+def bloom_probe(cands: DataFrame, bloom: DataFrame,
+                m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K,
+                salt: str = "bl1", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url, maybe_seen): probe the Bloom filter with ZERO
+    shuffles on the candidate batch — the bitmap is at most m_bits/64
+    rows, so each of the k bit tests is a broadcast hash join and the
+    AND-fold is a narrow projection (no explode + re-group on url).  A
+    word absent from the bitmap has no set bits: coalesce(bits, 0).
+    maybe_seen=false is EXACT (no false negatives); true is
+    probabilistic with the standard (1-e^(-kn/m))^k rate."""
+    out = cands.select(id_col, "url")
+    hits = []
+    for i in range(k):
+        pos = (F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.lit(i),
+                              F.col("url"))), 1, 12), 16, 10)
+            .cast("long") % m_bits)
+        b = bloom.select(F.col("word_idx").alias(f"_w{i}"),
+                         F.col("bits").alias(f"_b{i}"))
+        out = (out.withColumn(f"_p{i}", pos)
+               .withColumn(f"_w{i}", (F.col(f"_p{i}") / 63).cast("int"))
+               .join(F.broadcast(b), f"_w{i}", "left"))
+        hits.append(
+            F.coalesce(F.col(f"_b{i}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(1L, cast(_p{i} % 63 as int))")) != 0)
+    seen = hits[0]
+    for h in hits[1:]:
+        seen = seen & h
+    return out.select(id_col, "url", seen.alias("maybe_seen"))

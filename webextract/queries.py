@@ -629,6 +629,38 @@ def q_pagerank(spark, sf_dir):
     return corpus.pagerank(e1.unionByName(e2))
 
 
+def q_sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog per-source distinct-token cardinality, the third
+    mergeable sketch (after Misra-Gries and Bloom).  Each doc carries
+    32 unique tail tokens so per-source cardinality (~831 at sf0.01)
+    sits in HLL's raw-estimate regime, clear of the small-range
+    correction boundary (2.5m = 640) whose ln() is libm-specific.
+    The oracle recomputes registers, the exact integer harmonic
+    denominator, AND the final IEEE division bit-for-bit; exact
+    distinct + integer-bp relative error ride along as evidence."""
+    d = _read(spark, sf_dir, "documents")
+    s = F.col("doc_id").cast("string")
+    aug = F.concat(F.col("text"), *[x for i in range(32)
+                                    for x in (F.lit(f" u{i}x"), s)])
+    return corpus.hll_distinct(d.select("source", aug.alias("text")))
+
+
+def q_url_seen_bloom(spark, sf_dir):
+    """Crawl-frontier seen-set: Bloom filter built over the committed
+    third of the urls (doc_id % 3 == 0), probed by ALL urls with zero
+    shuffles on the candidate batch (k broadcast bit-tests against the
+    staged bitmap).  Deterministic md5 bit positions make the bitmap —
+    and every false positive — engine-exact, so the oracle replays the
+    identical build+probe and the per-url maybe_seen column must match
+    row-for-row (no false negatives by construction)."""
+    d = _read(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://h"), (F.col("doc_id") % 13).cast("string"),
+                   F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+    pages = d.select("doc_id", url.alias("url"))
+    bloom = corpus.bloom_build(pages.filter(F.col("doc_id") % 3 == 0))
+    return corpus.bloom_probe(pages, bloom)
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Frequency-sketch heavy hitters: the corpus token stream plus 8
     unique per-doc tail tokens (thousands of distinct one-off tokens —
@@ -1300,14 +1332,18 @@ QUERIES = {
     "stream_epoch_sink": q_stream_epoch_sink,
     # --- r2-green entries pushed past the cap in r3 ---
     "lang_id": q_lang_id,
-    "token_stats": q_token_stats,
+    # (token_stats / pricing_summary rotated past the cap late in
+    # round 4 for the two sketch gates — both r2/r3-green with
+    # unchanged code; their families stay in-window via lang_id /
+    # doc_fingerprints and revenue_by_nation)
+    "sketch_hll_distinct": q_sketch_hll_distinct,
     "doc_fingerprints": q_doc_fingerprints,
     "media_decode_meta": q_media_decode_meta,
     # (media_frame_sample rotated past the cap late in round 4 for
     # bm25_topk — r2-green unchanged; frame walking stays in-window
     # via media_frame_avi)
     "bm25_topk": q_bm25_topk,
-    "pricing_summary": q_pricing_summary,
+    "url_seen_bloom": q_url_seen_bloom,
     "revenue_by_nation": q_revenue_by_nation,
     "events_sessions": q_events_sessions,
     "resume_pending": q_resume_pending,
@@ -1364,6 +1400,8 @@ QUERIES = {
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
     # (new round-4 relational-breadth gates start here too: rollup and
     # range-frame window — pytest-oracle-green, next rotation's window)
+    "token_stats": q_token_stats,
+    "pricing_summary": q_pricing_summary,
     "events_rollup": q_events_rollup,
     "events_range_window": q_events_range_window,
     "events_hourly": q_events_hourly,
@@ -2636,6 +2674,68 @@ ORACLES = {
         c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
         SELECT token, freq FROM c, tot
         WHERE freq * 100 >= total""",
+
+    "sketch_hll_distinct": f"""
+        WITH aug AS (SELECT source, text
+                {"".join(f" || ' u{i}x' || doc_id" for i in range(32))}
+                    AS text
+            FROM documents),
+        tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM aug),
+        h AS (SELECT source, token, md5('hll1:' || token) AS hx FROM tok),
+        rw AS (SELECT source,
+                      ('0x' || substring(hx, 1, 2))::INT % 256 AS idx,
+                      ('0x' || substring(hx, 3, 14))::BIGINT AS w
+               FROM h),
+        r AS (SELECT source, idx,
+                     max(CASE WHEN w = 0 THEN 57
+                         ELSE 57 - length(bin(w)) END) AS m_j
+              FROM rw GROUP BY source, idx),
+        agg AS (SELECT source, count(*)::INT AS registers_set,
+                       sum((1::BIGINT << (60 - m_j))::HUGEINT) AS d_set
+                FROM r GROUP BY source),
+        ex AS (SELECT source, count(DISTINCT token) AS exact_distinct
+               FROM tok GROUP BY source),
+        est AS (SELECT a.source, a.registers_set,
+                       floor({0.7213 / (1.0 + 1.079 / 256)
+                              * 256 * 256 * float(1 << 60)!r}
+                             / (a.d_set
+                                + (256 - a.registers_set)::HUGEINT
+                                * (1::BIGINT << 60)::HUGEINT)::DOUBLE
+                             )::BIGINT AS est_distinct,
+                       e.exact_distinct
+                FROM agg a JOIN ex e ON a.source = e.source)
+        SELECT source, registers_set, est_distinct,
+               (est_distinct <= 640.0 AND registers_set < 256)
+                   AS small_range,
+               exact_distinct,
+               (abs(est_distinct - exact_distinct) * 10000
+                // exact_distinct)::BIGINT AS rel_err_bp
+        FROM est""",
+
+    "url_seen_bloom": """
+        WITH u AS (SELECT doc_id,
+                'http://h' || (doc_id % 13) || '.example.com/p/'
+                    || doc_id AS url
+            FROM documents),
+        pos AS (SELECT ('0x' || substring(
+                    md5('bl1:' || i || ':' || url), 1, 12))::BIGINT
+                    % 16384 AS p
+            FROM u, generate_series(0, 2) g(i) WHERE doc_id % 3 = 0),
+        bm AS (SELECT (p // 63)::INT AS word_idx,
+                      bit_or(1::BIGINT << (p % 63)::INT) AS bits
+               FROM pos GROUP BY 1),
+        cp AS (SELECT doc_id, url, ('0x' || substring(
+                    md5('bl1:' || i || ':' || url), 1, 12))::BIGINT
+                    % 16384 AS p
+            FROM u, generate_series(0, 2) g(i)),
+        hit AS (SELECT c.doc_id, c.url,
+                       (coalesce(b.bits, 0)
+                        & (1::BIGINT << (c.p % 63)::INT)) <> 0 AS h
+                FROM cp c
+                LEFT JOIN bm b ON (c.p // 63)::INT = b.word_idx)
+        SELECT doc_id, url, bool_and(h) AS maybe_seen
+        FROM hit GROUP BY doc_id, url""",
 
     "frontier_filter": """
         WITH u AS (SELECT doc_id,
