@@ -52,7 +52,8 @@ HEADLINE = [
     "extract_links", "dsir_weights", "frontier_filter",
     "stream_heavy_hitters",
     "dedup_incremental", "events_asof", "bm25_topk",
-    "sketch_hll_distinct", "url_seen_bloom",
+    "sketch_hll_distinct", "url_seen_bloom", "robots_filter",
+    "stream_hll",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

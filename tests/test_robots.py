@@ -1,0 +1,93 @@
+"""RFC 9309 robots.txt parsing + longest-match admission.
+
+Edge semantics pinned here; engine-exactness is the robots_filter
+oracle gate's job."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webextract import corpus
+
+BODY = """# comment line
+User-agent: FooBot
+Disallow: /foo
+
+User-agent: WebExtract
+User-agent: BarBot
+Disallow: /private
+Allow: /private/pub
+disallow: /case
+Disallow:
+
+User-agent: *
+Disallow: /
+"""
+
+
+def _robots(spark, body=BODY, host="a.example.com"):
+    return spark.createDataFrame([(host, body)],
+                                 "host string, robots_txt string")
+
+
+def test_robots_rules_named_group(spark):
+    """The agent's named group wins over `*`; consecutive UA lines
+    share one group; lowercase field names parse; the EMPTY Disallow
+    is dropped (RFC 9309: no restriction)."""
+    rules = corpus.robots_rules(_robots(spark)).collect()
+    got = sorted((r["allow"], r["prefix"]) for r in rules)
+    assert got == [(False, "/case"), (False, "/private"),
+                   (True, "/private/pub")]
+
+
+def test_robots_rules_star_fallback(spark):
+    """With no group naming the agent, the `*` group applies."""
+    body = "User-agent: FooBot\nDisallow: /foo\n\n" \
+           "User-agent: *\nDisallow: /all\n"
+    rules = corpus.robots_rules(_robots(spark, body)).collect()
+    assert [(r["allow"], r["prefix"]) for r in rules] == \
+        [(False, "/all")]
+
+
+def test_robots_filter_precedence(spark):
+    """Longest prefix wins; Allow beats Disallow on a length tie;
+    unmatched paths and hosts with no robots.txt are allowed."""
+    body = ("User-agent: *\n"
+            "Disallow: /a\n"
+            "Allow: /a/pub\n"
+            "Allow: /tie\n"
+            "Disallow: /tie\n")
+    pages = spark.createDataFrame(
+        [(1, "http://a.example.com/a/x"),        # /a disallow
+         (2, "http://a.example.com/a/pub/x"),    # longer allow wins
+         (3, "http://a.example.com/tie/x"),      # tie -> allow
+         (4, "http://a.example.com/other"),      # unmatched -> allowed
+         (5, "http://norobots.example.com/a/x"), # no robots -> allowed
+         ], "doc_id long, url string")
+    out = {r["doc_id"]: r["blocked"]
+           for r in corpus.robots_filter(
+               pages, _robots(spark, body)).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+def test_robots_ua_value_case_insensitive(spark):
+    """`User-agent: WEBEXTRACT` selects the named group (UA values
+    compare case-insensitively; rule PREFIXES stay case-sensitive)."""
+    body = ("User-agent: WEBEXTRACT\nDisallow: /x\n\n"
+            "User-agent: *\nDisallow: /\n")
+    pages = spark.createDataFrame(
+        [(1, "http://a.example.com/y")], "doc_id long, url string")
+    out = corpus.robots_filter(pages, _robots(spark, body)).collect()
+    assert out[0]["blocked"] is False   # named group has only /x
+
+
+def test_robots_filter_admission_has_no_window(spark):
+    """Scale shape: the per-url precedence fold is a hash aggregate
+    with map-side partial max (order-independent), never a sort-based
+    window over the corpus."""
+    pages = spark.createDataFrame(
+        [(1, "http://a.example.com/a/x")], "doc_id long, url string")
+    out = corpus.robots_filter(pages, _robots(spark))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "partial_max" in plan

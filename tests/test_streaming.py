@@ -379,3 +379,51 @@ def test_streaming_hh_matches_batch(spark, tmp_path):
                                  min_share_den=10).collect()}
     assert got == want
     assert {t for t, _ in got} == {"alpha", "beta", "gamma"}
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """Stream≡batch identity for the HLL cardinality sketch: three
+    unordered micro-batches; the sink's max-per-register live table
+    must EQUAL the batch register table exactly (monotone max needs no
+    version column), and replaying the whole input into the same sink
+    must not change it (idempotence under at-least-once)."""
+    from pyspark.sql import functions as F
+    from webextract import corpus
+    from webextract.streaming import stream_hll_registers
+
+    in_dir = str(tmp_path / "hll_in")
+    out = str(tmp_path / "hll_out")
+    ckpt = str(tmp_path / "hll_ckpt")
+    rows = [(i, " ".join(f"w{i % 40}x{j}" for j in range(8)),
+             "en" if i % 3 else "de") for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    pages = docs_to_pages(docs)
+    pages_id = pages.withColumn(
+        "doc_id", F.substring("url", 7, 20).cast("bigint"))
+    for lo, hi in ((40, 80), (0, 40), (80, 100000)):
+        (pages_id.filter(f"doc_id >= {lo} and doc_id < {hi}")
+         .drop("doc_id").coalesce(1)
+         .write.mode("append").parquet(in_dir))
+        q = stream_hll_registers(spark, in_dir, out, ckpt,
+                                 max_files_per_trigger=1)
+        q.awaitTermination()
+
+    sink = spark.read.parquet(out)
+    live = sink.groupBy("lang", "idx").agg(F.max("m_j").alias("m_j"))
+    batch = corpus.hll_registers(
+        docs.select(F.col("lang").alias("source"), "text")).select(
+        F.col("source").alias("lang"), "idx", "m_j")
+    assert sorted(map(tuple, live.collect())) == \
+        sorted(map(tuple, batch.collect()))
+
+    # replay the full input through a FRESH checkpoint into the SAME
+    # sink: max-merge must leave the live registers unchanged
+    q = stream_hll_registers(spark, in_dir, out,
+                             str(tmp_path / "hll_ckpt2"),
+                             max_files_per_trigger=1)
+    q.awaitTermination()
+    live2 = (spark.read.parquet(out)
+             .groupBy("lang", "idx").agg(F.max("m_j").alias("m_j")))
+    assert sorted(map(tuple, live2.collect())) == \
+        sorted(map(tuple, batch.collect()))

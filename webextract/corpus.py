@@ -2317,14 +2317,32 @@ def hll_distinct(docs: DataFrame, p_bits: int = HLL_P_BITS,
     sketch against ground truth at gate scale; production drops them
     (the exact side IS the shuffle the sketch avoids).
     """
-    m = 1 << p_bits
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    num = alpha * m * m * float(1 << 60)    # exact-double numerator
-
     tok = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("token"))
     regs = hll_registers(docs, p_bits, salt)
-    per_src = regs.groupBy("source").agg(
+    exact = (tok.groupBy("source")
+             .agg(F.countDistinct("token").alias("exact_distinct")))
+    est = hll_estimate(regs, group_col="source", p_bits=p_bits)
+    return (est.join(exact, "source")
+            .select(
+                "source", "registers_set", "est_distinct", "small_range",
+                "exact_distinct",
+                (F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                 * 10000 / F.col("exact_distinct")).cast("long")
+                .alias("rel_err_bp")))
+
+
+def hll_estimate(regs: DataFrame, group_col: str = "source",
+                 p_bits: int = HLL_P_BITS) -> DataFrame:
+    """(group, registers_set, est_distinct, small_range) from a
+    register table (group, idx, m_j) — shared by the batch operator
+    and the streaming register sink, so stream == batch is exact by
+    construction.  See hll_distinct for the integer-exactness
+    contract (decimal(38,0) harmonic sum, one final IEEE division)."""
+    m = 1 << p_bits
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << 60)    # exact-double numerator
+    per = regs.groupBy(group_col).agg(
         F.count("*").cast("int").alias("registers_set"),
         F.sum(F.expr("cast(shiftleft(1L, 60 - m_j) as decimal(38,0))"))
         .alias("d_set"))
@@ -2333,18 +2351,10 @@ def hll_distinct(docs: DataFrame, p_bits: int = HLL_P_BITS,
              + (F.lit(m) - F.col("registers_set")).cast("decimal(38,0)")
              * two60).cast("double")
     est = F.floor(F.lit(num) / denom).cast("long")
-    exact = (tok.groupBy("source")
-             .agg(F.countDistinct("token").alias("exact_distinct")))
-    return (per_src.join(exact, "source")
-            .select(
-                "source", "registers_set",
-                est.alias("est_distinct"),
-                ((est <= F.lit(float(2.5 * m)))
-                 & (F.col("registers_set") < m)).alias("small_range"),
-                "exact_distinct",
-                (F.abs(est - F.col("exact_distinct")) * 10000
-                 / F.col("exact_distinct")).cast("long")
-                .alias("rel_err_bp")))
+    return per.select(
+        group_col, "registers_set", est.alias("est_distinct"),
+        ((est <= F.lit(float(2.5 * m)))
+         & (F.col("registers_set") < m)).alias("small_range"))
 
 
 BLOOM_M_BITS = 1 << 14
@@ -2412,3 +2422,109 @@ def bloom_probe(cands: DataFrame, bloom: DataFrame,
     for h in hits[1:]:
         seen = seen & h
     return out.select(id_col, "url", seen.alias("maybe_seen"))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) parsing + admission
+# ---------------------------------------------------------------------------
+
+ROBOTS_AGENT = "webextract"
+
+
+def robots_rules(robots: DataFrame, agent: str = ROBOTS_AGENT) -> DataFrame:
+    """(host, allow, prefix, prefix_len): the effective rule set per
+    host for ``agent``, parsed from raw robots.txt bodies per RFC 9309
+    — the REAL-protocol feed for the frontier admission pass
+    (frontier_filter takes a curated blocklist; this parses what sites
+    actually serve).
+
+    Grammar subset (RFC 9309 §2.2): lines are `field: value` with
+    `#`-comments; field names case-insensitive; consecutive
+    `User-agent` lines open ONE group and a rule line closes the
+    accumulation (the next UA line starts a new group); `Allow` /
+    `Disallow` rules attach to the current group; an EMPTY Disallow
+    value means "no restriction" and is dropped.  Group selection:
+    groups naming ``agent`` exactly, else the `*` groups, else no
+    rules (everything allowed).
+
+    Everything is built-ins — posexplode of split lines, two window
+    passes partitioned BY HOST (robots bodies are KB-sized, hosts are
+    many: the parallelism unit is the host, never a global order), one
+    aggregation for group selection.  The output is rule-table-sized
+    (hosts x ~dozens), the natural shuffle-hash join feed for
+    robots_filter."""
+    lines = robots.select(
+        "host", F.posexplode(F.split(F.col("robots_txt"), "\n"))
+        .alias("line_no", "raw"))
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    field = F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    p = lines.select(
+        "host", "line_no", field.alias("field"), value.alias("value"))
+    w = Window.partitionBy("host").orderBy("line_no")
+    grouped = p.withColumn(
+        "group_id",
+        F.sum(((F.col("field") == "user-agent")
+               & ~F.coalesce(F.lag(F.col("field") == "user-agent")
+                             .over(w), F.lit(False))).cast("int"))
+        .over(w))
+    uas = (grouped.filter(F.col("field") == "user-agent")
+           .groupBy("host", "group_id")
+           .agg(F.max((F.lower(F.col("value")) == agent.lower())
+                      .cast("int")).alias("named"),
+                F.max((F.col("value") == "*").cast("int"))
+                .alias("star")))
+    # per host: named groups win over star groups (RFC 9309 §2.2.1)
+    pick = uas.groupBy("host").agg(
+        F.max("named").alias("has_named"))
+    chosen = (uas.join(pick, "host")
+              .filter((F.col("has_named") == 1) & (F.col("named") == 1)
+                      | (F.col("has_named") == 0) & (F.col("star") == 1))
+              .select("host", "group_id"))
+    rules = (grouped
+             .filter(F.col("field").isin("allow", "disallow")
+                     & (F.col("value") != ""))
+             .select("host", "group_id",
+                     (F.col("field") == "allow").alias("allow"),
+                     F.col("value").alias("prefix"),
+                     F.length("value").alias("prefix_len")))
+    return (rules.join(chosen, ["host", "group_id"])
+            .select("host", "allow", "prefix", "prefix_len"))
+
+
+def robots_filter(pages: DataFrame, robots: DataFrame,
+                  agent: str = ROBOTS_AGENT,
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url, blocked): RFC 9309 admission — for each url, of
+    all rules of its host's selected group whose prefix matches the
+    path, the LONGEST prefix wins; on a length tie Allow beats
+    Disallow (§2.2.2); no matching rule (or no robots.txt) means
+    allowed.
+
+    The precedence rule is ONE order-independent integer aggregate:
+    score = prefix_len * 2 + allow, blocked = max(score) is even —
+    prefix_len dominates (longest match) and the low bit breaks ties
+    toward Allow, with no window, no sort, no struct-comparison
+    semantics to align across engines, and map-side partials.  The
+    rule table (hosts x dozens) joins the corpus on the host equi-key;
+    at frontier scale both sides co-partition on host, the corpus is
+    never re-keyed twice (the group-back agg reuses doc granularity)."""
+    host = F.lower(F.regexp_extract(
+        F.regexp_replace(F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://",
+                         ""), "^([^/:?]*)", 1))
+    path = F.regexp_extract(
+        F.regexp_replace(F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://",
+                         ""), "^[^/?]*(/[^?]*)?", 1)
+    pathc = F.when(path == "", F.lit("/")).otherwise(path)
+    base = pages.select(F.col(id_col).alias("doc_id"), "url",
+                        host.alias("host"), pathc.alias("path"))
+    rules = robots_rules(robots, agent)
+    best = (base.join(rules, "host")
+            .filter(F.col("path").startswith(F.col("prefix")))
+            .groupBy("doc_id")
+            .agg(F.max(F.col("prefix_len") * 2
+                       + F.col("allow").cast("int")).alias("best")))
+    return (base.join(best, "doc_id", "left")
+            .select("doc_id", "url",
+                    F.coalesce(F.col("best") % 2 == 0, F.lit(False))
+                    .alias("blocked")))

@@ -661,6 +661,88 @@ def q_url_seen_bloom(spark, sf_dir):
     return corpus.bloom_probe(pages, bloom)
 
 
+def q_stream_hll(spark, sf_dir):
+    """Streaming HLL distinct-count, gate-checked against the SAME
+    estimator + oracle contract as the batch sketch: a REAL Structured
+    Streaming run (pages stream → per-(lang, register) int state →
+    parquet append sink), the sink's live registers (max per key —
+    monotone, so no version column) feed corpus.hll_estimate, and the
+    result must match the batch registers' estimate bit-for-bit.
+    Cross-batch growth mechanics are pinned in test_streaming."""
+    import hashlib
+    import shutil
+
+    from .streaming import stream_hll_registers
+
+    tag = hashlib.md5(("hll" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_streamhll_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    d = _read(spark, sf_dir, "documents")
+    s = F.col("doc_id").cast("string")
+    aug = F.concat(F.col("text"), *[x for i in range(32)
+                                    for x in (F.lit(f" u{i}x"), s)])
+    docs_to_pages(d.select("doc_id", aug.alias("text"), "lang")
+                  ).coalesce(1).write.parquet(in_dir)
+    q = stream_hll_registers(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination()
+    sink = spark.read.parquet(out_dir)
+    live = (sink.groupBy("lang", "idx")
+            .agg(F.max("m_j").alias("m_j")))
+    est = corpus.hll_estimate(live, group_col="lang")
+    exact = (d.select(F.col("lang"),
+                      F.explode(F.split(aug, " ")).alias("token"))
+             .groupBy("lang")
+             .agg(F.countDistinct("token").alias("exact_distinct")))
+    return (est.join(exact, "lang")
+            .select("lang", "registers_set", "est_distinct",
+                    "small_range", "exact_distinct",
+                    (F.abs(F.col("est_distinct")
+                           - F.col("exact_distinct")) * 10000
+                     / F.col("exact_distinct")).cast("long")
+                    .alias("rel_err_bp")))
+
+
+def q_robots_filter(spark, sf_dir):
+    """RFC 9309 robots.txt parse + longest-match admission.  Each of
+    the 13 hosts serves a deterministic robots body: a `*` group
+    (Disallow /private, Allow /private/pub, plus per-host variants: a
+    /tmp rule, an EMPTY Disallow that must be dropped), and every 4th
+    host adds a named group (`User-agent: WebExtract` — case test —
+    stacked with a second UA line) that OVERRIDES the `*` group per
+    the RFC, flipping /private back to allowed there.  Urls spread
+    over 7 path shapes hitting every precedence branch (longer Allow
+    under a shorter Disallow, ties, unmatched, root).  The oracle
+    re-parses the same bodies line-by-line in SQL."""
+    d = _read(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 13
+    s = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), k.cast("string"), F.lit(".example.com"))
+    body = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\n"
+              "Disallow: /private\nAllow: /private/pub\n"),
+        F.when(k % 3 == 0, F.lit("Disallow: /tmp\n")).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit("Disallow:\n")).otherwise(F.lit("")),
+        F.when(k % 4 == 0,
+               F.lit("\nUser-agent: WebExtract\nUser-agent: otherbot\n"
+                     "Disallow: /crawl\nAllow: /crawl/ok\n"))
+        .otherwise(F.lit("")))
+    robots = (d.select(k.alias("kk")).distinct()
+              .withColumn("doc_id", F.col("kk"))
+              .select(host.alias("host"), body.alias("robots_txt")))
+    p = F.col("doc_id") % 7
+    path = (F.when(p == 0, F.concat(F.lit("/private/x"), s))
+            .when(p == 1, F.concat(F.lit("/private/pub/x"), s))
+            .when(p == 2, F.concat(F.lit("/tmp/x"), s))
+            .when(p == 3, F.concat(F.lit("/crawl/x"), s))
+            .when(p == 4, F.concat(F.lit("/crawl/ok/x"), s))
+            .when(p == 5, F.concat(F.lit("/a/x"), s))
+            .otherwise(F.lit("/")))
+    pages = d.select("doc_id",
+                     F.concat(F.lit("http://"), host, path).alias("url"))
+    return corpus.robots_filter(pages, robots)
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Frequency-sketch heavy hitters: the corpus token stream plus 8
     unique per-doc tail tokens (thousands of distinct one-off tokens —
@@ -1331,7 +1413,10 @@ QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_epoch_sink": q_stream_epoch_sink,
     # --- r2-green entries pushed past the cap in r3 ---
-    "lang_id": q_lang_id,
+    # (lang_id / events_sessions rotated past the cap for stream_hll
+    # — both r2-green unchanged; lang coverage stays via source_stats'
+    # lang spread + the stream_hll per-lang grouping, events via
+    # events_asof in-window)
     # (token_stats / pricing_summary rotated past the cap late in
     # round 4 for the two sketch gates — both r2/r3-green with
     # unchanged code; their families stay in-window via lang_id /
@@ -1344,8 +1429,10 @@ QUERIES = {
     # via media_frame_avi)
     "bm25_topk": q_bm25_topk,
     "url_seen_bloom": q_url_seen_bloom,
-    "revenue_by_nation": q_revenue_by_nation,
-    "events_sessions": q_events_sessions,
+    # (revenue_by_nation rotated past the cap for robots_filter —
+    # r1..r3-green unchanged TPC-H relational gate)
+    "robots_filter": q_robots_filter,
+
     "resume_pending": q_resume_pending,
     "pipeline_counters": q_pipeline_counters,
     # (events_hourly rotated past the cap late in round 4 for
@@ -1378,6 +1465,7 @@ QUERIES = {
     "picture_describe_api": q_picture_describe_api,
     "dedup_embed_multiprobe": q_dedup_embed_multiprobe,
     "stream_neardup": q_stream_neardup,
+    "stream_hll": q_stream_hll,
     "media_frame_avi": q_media_frame_avi,
     "media_raster_gif": q_media_raster_gif,
     "media_raster_jpeg": q_media_raster_jpeg,
@@ -1400,8 +1488,11 @@ QUERIES = {
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
     # (new round-4 relational-breadth gates start here too: rollup and
     # range-frame window — pytest-oracle-green, next rotation's window)
+    "lang_id": q_lang_id,
+    "events_sessions": q_events_sessions,
     "token_stats": q_token_stats,
     "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
     "events_rollup": q_events_rollup,
     "events_range_window": q_events_range_window,
     "events_hourly": q_events_hourly,
@@ -2713,6 +2804,89 @@ ORACLES = {
                 // exact_distinct)::BIGINT AS rel_err_bp
         FROM est""",
 
+    "robots_filter": r"""
+        WITH ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
+        rb AS (SELECT 'h' || k || '.example.com' AS host,
+                      '# synthetic robots' || chr(10)
+                      || 'User-agent: *' || chr(10)
+                      || 'Disallow: /private' || chr(10)
+                      || 'Allow: /private/pub' || chr(10)
+                      || CASE WHEN k % 3 = 0
+                              THEN 'Disallow: /tmp' || chr(10)
+                              ELSE '' END
+                      || CASE WHEN k % 5 = 0
+                              THEN 'Disallow:' || chr(10) ELSE '' END
+                      || CASE WHEN k % 4 = 0 THEN chr(10)
+                              || 'User-agent: WebExtract' || chr(10)
+                              || 'User-agent: otherbot' || chr(10)
+                              || 'Disallow: /crawl' || chr(10)
+                              || 'Allow: /crawl/ok' || chr(10)
+                              ELSE '' END AS txt
+               FROM ks),
+        lines AS (SELECT host, s.i AS line_no,
+                         trim(regexp_replace(s.ln, '#.*', '')) AS ln
+                  FROM (SELECT host,
+                               unnest(list_transform(
+                                   string_split(txt, chr(10)),
+                                   (x, i) -> struct_pack(ln := x,
+                                                         i := i))) AS s
+                        FROM rb)),
+        fv AS (SELECT host, line_no,
+                      lower(regexp_extract(ln, '^([A-Za-z-]+)\s*:', 1))
+                          AS field,
+                      trim(regexp_extract(
+                          ln, '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS value
+               FROM lines),
+        lagd AS (SELECT *, field = 'user-agent' AS is_ua,
+                        coalesce(lag(field = 'user-agent') OVER
+                            (PARTITION BY host ORDER BY line_no),
+                            false) AS prev_ua
+                 FROM fv),
+        grp AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua
+                                   THEN 1 ELSE 0 END) OVER
+                    (PARTITION BY host ORDER BY line_no) AS group_id
+                FROM lagd),
+        uas AS (SELECT host, group_id,
+                       max(CASE WHEN lower(value) = 'webextract'
+                                THEN 1 ELSE 0 END) AS named,
+                       max(CASE WHEN value = '*' THEN 1 ELSE 0 END)
+                           AS star
+                FROM grp WHERE is_ua GROUP BY host, group_id),
+        pick AS (SELECT host, max(named) AS has_named FROM uas
+                 GROUP BY host),
+        chosen AS (SELECT u.host, u.group_id
+                   FROM uas u JOIN pick p ON u.host = p.host
+                   WHERE (p.has_named = 1 AND u.named = 1)
+                      OR (p.has_named = 0 AND u.star = 1)),
+        rules AS (SELECT g.host, g.field = 'allow' AS allow,
+                         g.value AS prefix,
+                         length(g.value) AS prefix_len
+                  FROM grp g JOIN chosen c
+                    ON g.host = c.host AND g.group_id = c.group_id
+                  WHERE g.field IN ('allow', 'disallow')
+                    AND g.value <> ''),
+        u AS (SELECT doc_id,
+                     'h' || (doc_id % 13) || '.example.com' AS host,
+                     CASE doc_id % 7
+                       WHEN 0 THEN '/private/x' || doc_id
+                       WHEN 1 THEN '/private/pub/x' || doc_id
+                       WHEN 2 THEN '/tmp/x' || doc_id
+                       WHEN 3 THEN '/crawl/x' || doc_id
+                       WHEN 4 THEN '/crawl/ok/x' || doc_id
+                       WHEN 5 THEN '/a/x' || doc_id
+                       ELSE '/' END AS path
+              FROM documents),
+        best AS (SELECT u.doc_id,
+                        max(r.prefix_len * 2
+                            + CASE WHEN r.allow THEN 1 ELSE 0 END)
+                            AS best
+                 FROM u JOIN rules r ON u.host = r.host
+                 WHERE u.path LIKE r.prefix || '%'
+                 GROUP BY u.doc_id)
+        SELECT u.doc_id, 'http://' || u.host || u.path AS url,
+               coalesce(b.best % 2 = 0, false) AS blocked
+        FROM u LEFT JOIN best b ON u.doc_id = b.doc_id""",
+
     "url_seen_bloom": """
         WITH u AS (SELECT doc_id,
                 'http://h' || (doc_id % 13) || '.example.com/p/'
@@ -3482,6 +3656,12 @@ ORACLES = {
 # produces (the streamed sketch only supplies candidates; the recount
 # is exact) — one oracle text, zero drift.
 ORACLES["stream_heavy_hitters"] = ORACLES["heavy_hitters"]
+# stream == batch by construction: the streamed register sink must
+# reproduce the batch HLL bit-for-bit, so the oracle is the batch SQL
+# with the grouping column swapped (the word `source` appears in that
+# SQL only as the column name)
+ORACLES["stream_hll"] = ORACLES["sketch_hll_distinct"].replace(
+    "source", "lang")
 
 # dedup_semantic reuses the embed_ivf_assign oracle verbatim as its
 # cluster-assignment stage (same centroids, same argmax rule), then

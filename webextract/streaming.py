@@ -473,3 +473,75 @@ def stream_heavy_hitters(spark: SparkSession, input_dir: str,
             .format("parquet")
             .option("path", output_dir)
             .start())
+
+
+HLLS_OUT_DDL = "lang string, idx int, m_j int"
+HLLS_STATE_DDL = "m_j int"
+
+
+def hll_register_stream(pages: DataFrame, p_bits: int = 8,
+                        salt: str = "hll1") -> DataFrame:
+    """Stateful streaming HyperLogLog registers — the cardinality
+    sketch on the streaming surface (batch twin: corpus.hll_registers
+    + corpus.hll_estimate): per-language distinct-token tracking over
+    an unbounded crawl with langs x 2^p ints of state, TOTAL, forever.
+
+    Each (lang, register-idx) group holds ONE int (its max rho); a
+    micro-batch folds its rows in with a vectorized max and emits the
+    register only when it GREW.  Because registers are monotone under
+    max, the append sink needs no version column: the live register
+    table is max(m_j) per key over the sink — idempotent under batch
+    replays (exactly-once not even required), and the same
+    union-and-max that merges batch register tables merges the sink
+    into them (mergeable summaries end to end).
+
+    The rho computation (md5 -> first-byte index, 57 - bit_length of
+    the 56-bit suffix) happens BEFORE the state shuffle as narrow
+    engine expressions, so the exchange moves (lang, idx, rho) triples
+    — never text."""
+    m = 1 << p_bits
+    tok = pages.select(
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .alias("token"))
+    hx = F.md5(F.concat_ws(":", F.lit(salt), F.col("token")))
+    idx = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % m)
+    w = F.conv(F.substring(hx, 3, 14), 16, 10).cast("long")
+    rho = F.when(w == F.lit(0), F.lit(57)).otherwise(
+        F.lit(57) - F.length(F.bin(w))).cast("int")
+    rows = tok.select("lang", idx.alias("idx"), rho.alias("rho"))
+
+    def emit(key, pdfs, state):
+        import pandas as pd_
+        cur = int(state.get[0]) if state.exists else 0
+        mx = cur
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, int(pdf["rho"].max()))
+        if mx > cur:
+            state.update((int(mx),))
+            yield pd_.DataFrame({"lang": [key[0]], "idx": [int(key[1])],
+                                 "m_j": [int(mx)]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return rows.groupBy("lang", "idx").applyInPandasWithState(
+        emit, HLLS_OUT_DDL, HLLS_STATE_DDL, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+def stream_hll_registers(spark: SparkSession, input_dir: str,
+                         output_dir: str, checkpoint_dir: str,
+                         max_files_per_trigger: int = 64,
+                         p_bits: int = 8):
+    """readStream → stateful HLL registers → parquet append sink
+    (availableNow)."""
+    return (hll_register_stream(
+                pages_stream(spark, input_dir, max_files_per_trigger),
+                p_bits=p_bits)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", output_dir)
+            .start())
