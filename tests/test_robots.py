@@ -91,3 +91,51 @@ def test_robots_filter_admission_has_no_window(spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
     assert "partial_max" in plan
+
+
+def test_robots_blank_line_does_not_split_ua_group(spark):
+    """RFC 9309 ABNF: group = startgroupline *(startgroupline /
+    emptyline) *(rule / emptyline) — a blank (or comment-only, or
+    unknown-field) line between consecutive User-agent lines stays
+    INSIDE the group, so the named agent keeps the group's rules
+    (round-4 review)."""
+    body = ("User-agent: WebExtract\n"
+            "\n"
+            "# interleaved comment\n"
+            "Sitemap: http://e.com/s.xml\n"
+            "User-agent: OtherBot\n"
+            "Disallow: /private\n\n"
+            "User-agent: *\nAllow: /\n")
+    rules = corpus.robots_rules(_robots(spark, body)).collect()
+    assert [(r["allow"], r["prefix"]) for r in rules] == \
+        [(False, "/private")]
+
+
+def test_robots_wildcard_and_anchor(spark):
+    """RFC 9309 §2.2.3 MUST-level special characters: '*' spans any
+    octets, trailing '$' anchors end-of-path; regex metachars in
+    rule paths stay literal; longest-PATTERN precedence includes
+    wildcard rules."""
+    body = ("User-agent: *\n"
+            "Disallow: /*.zip$\n"
+            "Allow: /dl/*.zip$\n"
+            "Disallow: /lit.x\n")
+    pages = spark.createDataFrame(
+        [(1, "http://a.example.com/x.zip"),        # wildcard hit
+         (2, "http://a.example.com/x.zip.html"),   # $ anchors -> miss
+         (3, "http://a.example.com/dl/y.zip"),     # longer allow wins
+         (4, "http://a.example.com/litAx"),        # '.' stays literal
+         ], "doc_id long, url string")
+    out = {r["doc_id"]: r["blocked"] for r in
+           corpus.robots_filter(pages, _robots(spark, body)).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_robots_crlf_body(spark):
+    """HTTP-served robots bodies are CRLF: values must not carry a
+    trailing carriage return (round-4 review — Java and RE2 disagree
+    on '.' vs \\r, so the parse strips \\r up front)."""
+    body = "User-agent: *\r\nDisallow: /private\r\n"
+    rules = corpus.robots_rules(_robots(spark, body)).collect()
+    assert [(r["allow"], r["prefix"]) for r in rules] == \
+        [(False, "/private")]

@@ -2269,19 +2269,31 @@ def hll_registers(docs: DataFrame, p_bits: int = HLL_P_BITS,
     summaries.  rho = 57 - bit_length(56-bit hash suffix) via
     length(bin(w)) — pure string/integer ops, identical in Spark and
     DuckDB."""
+    tok = docs.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"))
+    idx, rho = hll_idx_rho(F.col("token"), p_bits, salt)
+    return (tok.select("source", idx.alias("idx"), rho.alias("rho"))
+            .groupBy("source", "idx").agg(F.max("rho").alias("m_j")))
+
+
+def hll_idx_rho(token_col, p_bits: int = HLL_P_BITS,
+                salt: str = "hll1"):
+    """The ONE definition of the HLL hash recipe — register index
+    (first md5 byte) and rho (57 - bit_length of the 56-bit suffix) —
+    shared by the batch register build and the streaming state
+    operator, so the advertised bit-for-bit stream==batch contract
+    cannot drift (round-4 review)."""
     if 256 % (1 << p_bits) or p_bits > 8:
         raise ValueError("p_bits must keep the register index inside "
                          "the first hash byte (<= 8, power of 2)")
     m = 1 << p_bits
-    tok = docs.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    hx = F.md5(F.concat_ws(":", F.lit(salt), F.col("token")))
+    hx = F.md5(F.concat_ws(":", F.lit(salt), token_col))
     idx = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % m)
     w = F.conv(F.substring(hx, 3, 14), 16, 10).cast("long")
     rho = F.when(w == F.lit(0), F.lit(57)).otherwise(
         F.lit(57) - F.length(F.bin(w))).cast("int")
-    return (tok.select("source", idx.alias("idx"), rho.alias("rho"))
-            .groupBy("source", "idx").agg(F.max("rho").alias("m_j")))
+    return idx, rho
 
 
 def hll_distinct(docs: DataFrame, p_bits: int = HLL_P_BITS,
@@ -2318,7 +2330,8 @@ def hll_distinct(docs: DataFrame, p_bits: int = HLL_P_BITS,
     (the exact side IS the shuffle the sketch avoids).
     """
     tok = docs.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"))
     regs = hll_registers(docs, p_bits, salt)
     exact = (tok.groupBy("source")
              .agg(F.countDistinct("token").alias("exact_distinct")))
@@ -2327,9 +2340,8 @@ def hll_distinct(docs: DataFrame, p_bits: int = HLL_P_BITS,
             .select(
                 "source", "registers_set", "est_distinct", "small_range",
                 "exact_distinct",
-                (F.abs(F.col("est_distinct") - F.col("exact_distinct"))
-                 * 10000 / F.col("exact_distinct")).cast("long")
-                .alias("rel_err_bp")))
+                F.expr("abs(est_distinct - exact_distinct) * 10000 "
+                       "div exact_distinct").alias("rel_err_bp")))
 
 
 def hll_estimate(regs: DataFrame, group_col: str = "source",
@@ -2453,14 +2465,25 @@ def robots_rules(robots: DataFrame, agent: str = ROBOTS_AGENT) -> DataFrame:
     aggregation for group selection.  The output is rule-table-sized
     (hosts x ~dozens), the natural shuffle-hash join feed for
     robots_filter."""
+    # CRLF bodies are the HTTP norm: strip \r up front so values never
+    # carry a trailing carriage return (round-4 review — Java and RE2
+    # disagree on whether '.' crosses \r, so parity demands removal)
     lines = robots.select(
-        "host", F.posexplode(F.split(F.col("robots_txt"), "\n"))
+        "host", F.posexplode(F.split(
+            F.regexp_replace(F.col("robots_txt"), "\r", ""), "\n"))
         .alias("line_no", "raw"))
     clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
     field = F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1))
     value = F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
-    p = lines.select(
+    # only UA and rule lines participate in group assembly: blank,
+    # comment-only, unparseable, and unknown-field (sitemap,
+    # crawl-delay) lines are TRANSPARENT per the RFC 9309 ABNF —
+    # a blank line between two UA lines must NOT split the group
+    # (round-4 review).  An empty-valued Disallow IS a rule line (it
+    # closes UA accumulation) even though it yields no rule below.
+    p = (lines.select(
         "host", "line_no", field.alias("field"), value.alias("value"))
+        .filter(F.col("field").isin("user-agent", "allow", "disallow")))
     w = Window.partitionBy("host").orderBy("line_no")
     grouped = p.withColumn(
         "group_id",
@@ -2519,8 +2542,27 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
     base = pages.select(F.col(id_col).alias("doc_id"), "url",
                         host.alias("host"), pathc.alias("path"))
     rules = robots_rules(robots, agent)
+    # RFC 9309 §2.2.3 special characters (MUST level): '*' matches any
+    # octet sequence, a TRAILING '$' anchors end-of-path.  Literal
+    # rules (the overwhelming majority) keep the cheap startswith fast
+    # path; wildcard rules compile to an anchored regex built
+    # engine-side — escape every regex metachar, then un-escape '*'
+    # into '.*' and a trailing '$' into the anchor.  Precedence length
+    # stays the raw PATTERN length (most-octets rule, wildcards
+    # included), matching the RFC.
+    esc = F.regexp_replace(F.col("prefix"),
+                           r"([.\[\]{}()*+?^$|\\])", "\\\\$1")
+    rx = F.regexp_replace(esc, r"\\\*", ".*")
+    rx = F.regexp_replace(rx, r"\\\$$", "\\$")
+    rules = rules.select(
+        "host", "allow", "prefix", "prefix_len",
+        (F.col("prefix").contains("*")
+         | F.col("prefix").endswith("$")).alias("wild"),
+        F.concat(F.lit("^"), rx).alias("rx"))
+    hit = (F.when(F.col("wild"), F.expr("path rlike rx"))
+           .otherwise(F.col("path").startswith(F.col("prefix"))))
     best = (base.join(rules, "host")
-            .filter(F.col("path").startswith(F.col("prefix")))
+            .filter(hit)
             .groupBy("doc_id")
             .agg(F.max(F.col("prefix_len") * 2
                        + F.col("allow").cast("int")).alias("best")))

@@ -697,46 +697,54 @@ def q_stream_hll(spark, sf_dir):
     return (est.join(exact, "lang")
             .select("lang", "registers_set", "est_distinct",
                     "small_range", "exact_distinct",
-                    (F.abs(F.col("est_distinct")
-                           - F.col("exact_distinct")) * 10000
-                     / F.col("exact_distinct")).cast("long")
+                    F.expr("abs(est_distinct - exact_distinct) "
+                           "* 10000 div exact_distinct")
                     .alias("rel_err_bp")))
 
 
 def q_robots_filter(spark, sf_dir):
     """RFC 9309 robots.txt parse + longest-match admission.  Each of
     the 13 hosts serves a deterministic robots body: a `*` group
-    (Disallow /private, Allow /private/pub, plus per-host variants: a
-    /tmp rule, an EMPTY Disallow that must be dropped), and every 4th
-    host adds a named group (`User-agent: WebExtract` — case test —
-    stacked with a second UA line) that OVERRIDES the `*` group per
-    the RFC, flipping /private back to allowed there.  Urls spread
-    over 7 path shapes hitting every precedence branch (longer Allow
-    under a shorter Disallow, ties, unmatched, root).  The oracle
-    re-parses the same bodies line-by-line in SQL."""
+    (Disallow /private, Allow /private/pub, a transparent Sitemap
+    line, CRLF on the first lines, plus per-host variants: a /tmp
+    rule, an EMPTY Disallow that must be dropped, a `/*.zip$` WILDCARD
+    rule on even hosts), and every 4th host adds a named group
+    (`User-agent: WebExtract` — case test — stacked with a second UA
+    line SEPARATED BY A BLANK LINE, which per the RFC ABNF must not
+    split the group) that OVERRIDES the `*` group, flipping /private
+    back to allowed there.  Urls spread over 9 path shapes hitting
+    every precedence branch (longer Allow under a shorter Disallow,
+    ties, unmatched, root, `$`-anchored wildcard hit and miss).  The
+    oracle re-parses the same bodies line-by-line in SQL."""
     d = _read(spark, sf_dir, "documents")
     k = F.col("doc_id") % 13
     s = F.col("doc_id").cast("string")
     host = F.concat(F.lit("h"), k.cast("string"), F.lit(".example.com"))
     body = F.concat(
-        F.lit("# synthetic robots\nUser-agent: *\n"
-              "Disallow: /private\nAllow: /private/pub\n"),
+        F.lit("# synthetic robots\r\nUser-agent: *\r\n"
+              "Disallow: /private\nAllow: /private/pub\n"
+              "Sitemap: http://example.com/s.xml\n"),
         F.when(k % 3 == 0, F.lit("Disallow: /tmp\n")).otherwise(F.lit("")),
         F.when(k % 5 == 0, F.lit("Disallow:\n")).otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.lit("Disallow: /*.zip$\n"))
+        .otherwise(F.lit("")),
         F.when(k % 4 == 0,
-               F.lit("\nUser-agent: WebExtract\nUser-agent: otherbot\n"
+               F.lit("\nUser-agent: WebExtract\n\n"
+                     "User-agent: otherbot\n"
                      "Disallow: /crawl\nAllow: /crawl/ok\n"))
         .otherwise(F.lit("")))
     robots = (d.select(k.alias("kk")).distinct()
               .withColumn("doc_id", F.col("kk"))
               .select(host.alias("host"), body.alias("robots_txt")))
-    p = F.col("doc_id") % 7
+    p = F.col("doc_id") % 9
     path = (F.when(p == 0, F.concat(F.lit("/private/x"), s))
             .when(p == 1, F.concat(F.lit("/private/pub/x"), s))
             .when(p == 2, F.concat(F.lit("/tmp/x"), s))
             .when(p == 3, F.concat(F.lit("/crawl/x"), s))
             .when(p == 4, F.concat(F.lit("/crawl/ok/x"), s))
             .when(p == 5, F.concat(F.lit("/a/x"), s))
+            .when(p == 7, F.concat(F.lit("/f"), s, F.lit(".zip")))
+            .when(p == 8, F.concat(F.lit("/f"), s, F.lit(".zip.html")))
             .otherwise(F.lit("/")))
     pages = d.select("doc_id",
                      F.concat(F.lit("http://"), host, path).alias("url"))
@@ -1413,10 +1421,10 @@ QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_epoch_sink": q_stream_epoch_sink,
     # --- r2-green entries pushed past the cap in r3 ---
-    # (lang_id / events_sessions rotated past the cap for stream_hll
-    # — both r2-green unchanged; lang coverage stays via source_stats'
-    # lang spread + the stream_hll per-lang grouping, events via
-    # events_asof in-window)
+    # (lang_id rotated past the cap for stream_hll — r2-green
+    # unchanged; lang coverage stays via source_stats' lang spread +
+    # the stream_hll per-lang grouping)
+    "events_sessions": q_events_sessions,
     # (token_stats / pricing_summary rotated past the cap late in
     # round 4 for the two sketch gates — both r2/r3-green with
     # unchanged code; their families stay in-window via lang_id /
@@ -1489,7 +1497,6 @@ QUERIES = {
     # (new round-4 relational-breadth gates start here too: rollup and
     # range-frame window — pytest-oracle-green, next rotation's window)
     "lang_id": q_lang_id,
-    "events_sessions": q_events_sessions,
     "token_stats": q_token_stats,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2807,17 +2814,22 @@ ORACLES = {
     "robots_filter": r"""
         WITH ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
         rb AS (SELECT 'h' || k || '.example.com' AS host,
-                      '# synthetic robots' || chr(10)
-                      || 'User-agent: *' || chr(10)
+                      '# synthetic robots' || chr(13) || chr(10)
+                      || 'User-agent: *' || chr(13) || chr(10)
                       || 'Disallow: /private' || chr(10)
                       || 'Allow: /private/pub' || chr(10)
+                      || 'Sitemap: http://example.com/s.xml' || chr(10)
                       || CASE WHEN k % 3 = 0
                               THEN 'Disallow: /tmp' || chr(10)
                               ELSE '' END
                       || CASE WHEN k % 5 = 0
                               THEN 'Disallow:' || chr(10) ELSE '' END
+                      || CASE WHEN k % 2 = 0
+                              THEN 'Disallow: /*.zip$' || chr(10)
+                              ELSE '' END
                       || CASE WHEN k % 4 = 0 THEN chr(10)
                               || 'User-agent: WebExtract' || chr(10)
+                              || chr(10)
                               || 'User-agent: otherbot' || chr(10)
                               || 'Disallow: /crawl' || chr(10)
                               || 'Allow: /crawl/ok' || chr(10)
@@ -2827,7 +2839,9 @@ ORACLES = {
                          trim(regexp_replace(s.ln, '#.*', '')) AS ln
                   FROM (SELECT host,
                                unnest(list_transform(
-                                   string_split(txt, chr(10)),
+                                   string_split(
+                                       replace(txt, chr(13), ''),
+                                       chr(10)),
                                    (x, i) -> struct_pack(ln := x,
                                                          i := i))) AS s
                         FROM rb)),
@@ -2841,7 +2855,8 @@ ORACLES = {
                         coalesce(lag(field = 'user-agent') OVER
                             (PARTITION BY host ORDER BY line_no),
                             false) AS prev_ua
-                 FROM fv),
+                 FROM fv
+                 WHERE field IN ('user-agent', 'allow', 'disallow')),
         grp AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua
                                    THEN 1 ELSE 0 END) OVER
                     (PARTITION BY host ORDER BY line_no) AS group_id
@@ -2865,23 +2880,35 @@ ORACLES = {
                     ON g.host = c.host AND g.group_id = c.group_id
                   WHERE g.field IN ('allow', 'disallow')
                     AND g.value <> ''),
+        rx AS (SELECT host, allow, prefix, prefix_len,
+                      (prefix LIKE '%*%' OR prefix LIKE '%$') AS wild,
+                      '^' || regexp_replace(regexp_replace(
+                          regexp_replace(prefix,
+                              '([.\[\]{}()*+?^$|\\])', '\\\1', 'g'),
+                          '\\\*', '.*', 'g'),
+                          '\\\$$', '$', 'g') AS rx
+               FROM rules),
         u AS (SELECT doc_id,
                      'h' || (doc_id % 13) || '.example.com' AS host,
-                     CASE doc_id % 7
+                     CASE doc_id % 9
                        WHEN 0 THEN '/private/x' || doc_id
                        WHEN 1 THEN '/private/pub/x' || doc_id
                        WHEN 2 THEN '/tmp/x' || doc_id
                        WHEN 3 THEN '/crawl/x' || doc_id
                        WHEN 4 THEN '/crawl/ok/x' || doc_id
                        WHEN 5 THEN '/a/x' || doc_id
+                       WHEN 7 THEN '/f' || doc_id || '.zip'
+                       WHEN 8 THEN '/f' || doc_id || '.zip.html'
                        ELSE '/' END AS path
               FROM documents),
         best AS (SELECT u.doc_id,
                         max(r.prefix_len * 2
                             + CASE WHEN r.allow THEN 1 ELSE 0 END)
                             AS best
-                 FROM u JOIN rules r ON u.host = r.host
-                 WHERE u.path LIKE r.prefix || '%'
+                 FROM u JOIN rx r ON u.host = r.host
+                 WHERE CASE WHEN r.wild
+                            THEN regexp_matches(u.path, r.rx)
+                            ELSE starts_with(u.path, r.prefix) END
                  GROUP BY u.doc_id)
         SELECT u.doc_id, 'http://' || u.host || u.path AS url,
                coalesce(b.best % 2 = 0, false) AS blocked

@@ -499,16 +499,16 @@ def hll_register_stream(pages: DataFrame, p_bits: int = 8,
     the 56-bit suffix) happens BEFORE the state shuffle as narrow
     engine expressions, so the exchange moves (lang, idx, rho) triples
     — never text."""
-    m = 1 << p_bits
+    from webextract.corpus import hll_idx_rho
     tok = pages.select(
         F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
         F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
         .alias("token"))
-    hx = F.md5(F.concat_ws(":", F.lit(salt), F.col("token")))
-    idx = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % m)
-    w = F.conv(F.substring(hx, 3, 14), 16, 10).cast("long")
-    rho = F.when(w == F.lit(0), F.lit(57)).otherwise(
-        F.lit(57) - F.length(F.bin(w))).cast("int")
+    # the shared recipe (corpus.hll_idx_rho) is what makes the
+    # union-and-max merge with batch register tables bit-exact; batch
+    # hll_registers coalesces ITS group key the same way, so null
+    # langs land in the '' register set on both surfaces
+    idx, rho = hll_idx_rho(F.col("token"), p_bits, salt)
     rows = tok.select("lang", idx.alias("idx"), rho.alias("rho"))
 
     def emit(key, pdfs, state):
