@@ -427,3 +427,50 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
              .groupBy("lang", "idx").agg(F.max("m_j").alias("m_j")))
     assert sorted(map(tuple, live2.collect())) == \
         sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_bloom_matches_batch(spark, tmp_path):
+    """Stream≡batch identity for the Bloom seen-set: three unordered
+    micro-batches of urls OR into per-word state; the sink's bit_or
+    live bitmap must EQUAL corpus.bloom_build of the same urls, and a
+    full replay through a fresh checkpoint into the same sink must
+    change nothing (monotone bits — at-least-once is enough)."""
+    from pyspark.sql import functions as F
+    from webextract import corpus
+    from webextract.streaming import stream_bloom_words
+
+    in_dir = str(tmp_path / "bl_in")
+    out = str(tmp_path / "bl_out")
+    ckpt = str(tmp_path / "bl_ckpt")
+    urls = spark.createDataFrame(
+        [(i, f"http://h{i % 7}.example.com/p/{i}") for i in range(90)],
+        "doc_id long, url string")
+    stream_rows = urls.select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        "doc_id")
+    for lo, hi in ((30, 60), (0, 30), (60, 100000)):
+        (stream_rows.filter(f"doc_id >= {lo} and doc_id < {hi}")
+         .drop("doc_id").coalesce(1)
+         .write.mode("append").parquet(in_dir))
+        q = stream_bloom_words(spark, in_dir, out, ckpt,
+                               max_files_per_trigger=1)
+        q.awaitTermination()
+
+    live = (spark.read.parquet(out)
+            .groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits")))
+    batch = corpus.bloom_build(urls)
+    assert sorted(map(tuple, live.collect())) == \
+        sorted(map(tuple, batch.collect()))
+
+    q = stream_bloom_words(spark, in_dir, out,
+                           str(tmp_path / "bl_ckpt2"),
+                           max_files_per_trigger=1)
+    q.awaitTermination()
+    live2 = (spark.read.parquet(out)
+             .groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits")))
+    assert sorted(map(tuple, live2.collect())) == \
+        sorted(map(tuple, batch.collect()))

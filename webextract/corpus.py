@@ -2373,6 +2373,18 @@ BLOOM_M_BITS = 1 << 14
 BLOOM_K = 3
 
 
+def bloom_position(url_col, i: int, m_bits: int = BLOOM_M_BITS,
+                   salt: str = "bl1"):
+    """The ONE definition of Bloom bit position i for a url — shared
+    by the batch build, the zero-shuffle probe, and the streaming
+    state operator, so the bitmaps stay bit-identical across surfaces
+    (the same single-recipe rule as hll_idx_rho)."""
+    return (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.lit(i), url_col)),
+        1, 12), 16, 10).cast("long") % m_bits)
+
+
+
 def bloom_build(urls: DataFrame, m_bits: int = BLOOM_M_BITS,
                 k: int = BLOOM_K, salt: str = "bl1") -> DataFrame:
     """(word_idx, bits): Bloom filter over ``urls.url`` packed into
@@ -2385,9 +2397,8 @@ def bloom_build(urls: DataFrame, m_bits: int = BLOOM_M_BITS,
     per-snapshot filters compose incrementally.  Deterministic hashing
     (no RNG, no JVM hashCode) keeps the bitmap — and therefore every
     false positive — bit-identical across engines and runs."""
-    pos = [(F.conv(F.substring(
-        F.md5(F.concat_ws(":", F.lit(salt), F.lit(i), F.col("url"))),
-        1, 12), 16, 10).cast("long") % m_bits) for i in range(k)]
+    pos = [bloom_position(F.col("url"), i, m_bits, salt)
+           for i in range(k)]
     # 63 bits per word, not 64: bit 63 is the sign bit, and a checked
     # engine (DuckDB) rejects 1<<63 while Java wraps it negative —
     # staying in [0, 62] keeps every mask positive and portable
@@ -2418,10 +2429,7 @@ def bloom_probe(cands: DataFrame, bloom: DataFrame,
     out = cands.select(id_col, "url")
     hits = []
     for i in range(k):
-        pos = (F.conv(F.substring(
-            F.md5(F.concat_ws(":", F.lit(salt), F.lit(i),
-                              F.col("url"))), 1, 12), 16, 10)
-            .cast("long") % m_bits)
+        pos = bloom_position(F.col("url"), i, m_bits, salt)
         b = bloom.select(F.col("word_idx").alias(f"_w{i}"),
                          F.col("bits").alias(f"_b{i}"))
         out = (out.withColumn(f"_p{i}", pos)

@@ -702,6 +702,42 @@ def q_stream_hll(spark, sf_dir):
                     .alias("rel_err_bp")))
 
 
+def q_stream_bloom(spark, sf_dir):
+    """Streaming Bloom seen-set, gate-checked against the SAME oracle
+    as the batch filter: a REAL streaming run ORs the committed third
+    of the urls into per-word state (one long per 63-bit word), the
+    sink's live bitmap (bit_or per word — monotone, versionless) is
+    probed batch-side by ALL urls, and every maybe_seen bit must equal
+    the batch build's.  Cross-batch OR mechanics + replay idempotence
+    are pinned in test_streaming."""
+    import hashlib
+    import shutil
+
+    from .streaming import stream_bloom_words
+
+    tag = hashlib.md5(("blm" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_streambloom_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    d = _read(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://h"), (F.col("doc_id") % 13).cast("string"),
+                   F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+    pages = d.select("doc_id", url.alias("url"))
+    (pages.filter(F.col("doc_id") % 3 == 0)
+     .select("url",
+             F.lit(None).cast("timestamp").alias("warc_ts"),
+             F.lit(None).cast("binary").alias("html"),
+             F.lit(None).cast("string").alias("text"),
+             F.lit(None).cast("string").alias("lang"))
+     .coalesce(1).write.parquet(in_dir))
+    q = stream_bloom_words(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination()
+    live = (spark.read.parquet(out_dir)
+            .groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
+            .localCheckpoint())
+    return corpus.bloom_probe(pages, live)
+
+
 def q_robots_filter(spark, sf_dir):
     """RFC 9309 robots.txt parse + longest-match admission.  Each of
     the 13 hosts serves a deterministic robots body: a `*` group
@@ -1430,7 +1466,7 @@ QUERIES = {
     # unchanged code; their families stay in-window via lang_id /
     # doc_fingerprints and revenue_by_nation)
     "sketch_hll_distinct": q_sketch_hll_distinct,
-    "doc_fingerprints": q_doc_fingerprints,
+
     "media_decode_meta": q_media_decode_meta,
     # (media_frame_sample rotated past the cap late in round 4 for
     # bm25_topk — r2-green unchanged; frame walking stays in-window
@@ -1474,6 +1510,10 @@ QUERIES = {
     "dedup_embed_multiprobe": q_dedup_embed_multiprobe,
     "stream_neardup": q_stream_neardup,
     "stream_hll": q_stream_hll,
+    # (doc_fingerprints rotated past the cap for stream_bloom —
+    # r2-green unchanged; fingerprinting stays evidenced by
+    # dedup_substring's winnowing path in-window history)
+    "stream_bloom": q_stream_bloom,
     "media_frame_avi": q_media_frame_avi,
     "media_raster_gif": q_media_raster_gif,
     "media_raster_jpeg": q_media_raster_jpeg,
@@ -1497,6 +1537,7 @@ QUERIES = {
     # (new round-4 relational-breadth gates start here too: rollup and
     # range-frame window — pytest-oracle-green, next rotation's window)
     "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
     "token_stats": q_token_stats,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3689,6 +3730,8 @@ ORACLES["stream_heavy_hitters"] = ORACLES["heavy_hitters"]
 # SQL only as the column name)
 ORACLES["stream_hll"] = ORACLES["sketch_hll_distinct"].replace(
     "source", "lang")
+# stream == batch for the Bloom bitmap too: same urls, same bits
+ORACLES["stream_bloom"] = ORACLES["url_seen_bloom"]
 
 # dedup_semantic reuses the embed_ivf_assign oracle verbatim as its
 # cluster-assignment stage (same centroids, same argmax rule), then

@@ -545,3 +545,70 @@ def stream_hll_registers(spark: SparkSession, input_dir: str,
             .format("parquet")
             .option("path", output_dir)
             .start())
+
+
+BLOOMS_OUT_DDL = "word_idx int, bits long"
+BLOOMS_STATE_DDL = "bits long"
+
+
+def bloom_word_stream(pages: DataFrame,
+                      m_bits: int | None = None,
+                      k: int | None = None,
+                      salt: str = "bl1") -> DataFrame:
+    """Stateful streaming Bloom seen-set — the membership sketch on
+    the streaming surface (batch twin: corpus.bloom_build/bloom_probe):
+    the crawl frontier's have-we-fetched-this-url question answered
+    continuously with m_bits/63 longs of state, TOTAL, forever.
+
+    Each word_idx group holds ONE long (its 63-bit word); a
+    micro-batch ORs its masks in and emits the word only when it
+    CHANGED.  Like the HLL registers, words are monotone (bits only
+    turn on), so the append sink is versionless: the live bitmap is
+    bit_or per word over the sink — idempotent under replays, and the
+    same word-wise bit_or that merges batch bitmaps folds the sink
+    into them.  Bit positions come from corpus.bloom_position (the
+    single recipe), computed as narrow engine expressions before the
+    state shuffle — the exchange moves (word_idx, mask) longs, never
+    urls."""
+    from webextract import corpus
+    m_bits = corpus.BLOOM_M_BITS if m_bits is None else m_bits
+    k = corpus.BLOOM_K if k is None else k
+    pos = [corpus.bloom_position(F.col("url"), i, m_bits, salt)
+           for i in range(k)]
+    words = (pages.select(F.explode(F.array(*pos)).alias("pos"))
+             .select((F.col("pos") / 63).cast("int").alias("word_idx"),
+                     F.expr("shiftleft(1L, cast(pos % 63 as int))")
+                     .alias("mask")))
+
+    def emit(key, pdfs, state):
+        import pandas as pd_
+        cur = int(state.get[0]) if state.exists else 0
+        new = cur
+        for pdf in pdfs:
+            for mv in pdf["mask"]:
+                new |= int(mv)
+        if new != cur:
+            state.update((int(new),))
+            yield pd_.DataFrame({"word_idx": [int(key[0])],
+                                 "bits": [int(new)]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return words.groupBy("word_idx").applyInPandasWithState(
+        emit, BLOOMS_OUT_DDL, BLOOMS_STATE_DDL, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+def stream_bloom_words(spark: SparkSession, input_dir: str,
+                       output_dir: str, checkpoint_dir: str,
+                       max_files_per_trigger: int = 64):
+    """readStream → stateful Bloom words → parquet append sink
+    (availableNow)."""
+    return (bloom_word_stream(
+                pages_stream(spark, input_dir, max_files_per_trigger))
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", output_dir)
+            .start())
