@@ -53,7 +53,7 @@ HEADLINE = [
     "stream_heavy_hitters",
     "dedup_incremental", "events_asof", "bm25_topk",
     "sketch_hll_distinct", "url_seen_bloom", "robots_filter",
-    "stream_hll", "stream_bloom",
+    "stream_hll", "stream_bloom", "text_normalize",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

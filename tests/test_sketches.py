@@ -110,3 +110,30 @@ def test_hll_partial_agg_bounds_shuffle(spark):
     plan = regs._sc._jvm.PythonSQLUtils.explainString(
         regs._jdf.queryExecution(), "formatted")
     assert "partial_max" in plan and "hashpartitioning" in plan
+
+
+def test_normalize_text_nfc_and_controls(spark):
+    """NFC composes decomposed sequences, control chars (C0 minus
+    tab/newline, plus DEL) are stripped, tab/newline survive, and
+    already-normalized rows flag changed=False."""
+    rows = [(1, "cafe\u0301"),                 # e + combining acute
+            (2, "ok\u0001x\u007f"),            # C0 + DEL stripped
+            (3, "keep\tthis\nrow"),            # tab/newline survive
+            (4, "plain ascii")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["text_norm"], r["changed"])
+           for r in corpus.normalize_text(docs).collect()}
+    assert out[1] == ("caf\u00e9", True)
+    assert out[2] == ("okx", True)
+    assert out[3] == ("keep\tthis\nrow", False)
+    assert out[4] == ("plain ascii", False)
+
+
+def test_normalize_text_plan_is_narrow(spark):
+    """Zero shuffle: the normalization kernel is a narrow mapInArrow
+    over the scan, like extraction."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = corpus.normalize_text(docs)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "hashpartitioning" not in plan

@@ -2578,3 +2578,49 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
             .select("doc_id", "url",
                     F.coalesce(F.col("best") % 2 == 0, F.lit(False))
                     .alias("blocked")))
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (the pre-dedup canonicalization pass)
+# ---------------------------------------------------------------------------
+
+_CTRL_RE = r"[\x00-\x08\x0B-\x1F\x7F]"
+
+
+def normalize_text(docs: DataFrame, form: str = "NFC") -> DataFrame:
+    """(doc_id, text_norm, changed): Unicode normalization + C0
+    control stripping — the canonicalization pass that runs BEFORE
+    every hash-based dedup/fingerprint operator: the same visible
+    string in composed vs decomposed form (café as e+U+0301 vs U+00E9)
+    hashes to different shingles/minhashes/simhashes, so un-normalized
+    corpora leak near-duplicates past every dedup family.  CCNet /
+    Dolma-style pipelines normalize first; this is that step.
+
+    Shape: a narrow Arrow kernel (mapInArrow, zero shuffle — the same
+    kernel pattern as extraction) applying unicodedata NFC (or NFKC —
+    DuckDB has no nfkc oracle, so the gate pins NFC) per batch;
+    control characters (C0 minus \\t \\n, plus DEL) are stripped by
+    the SAME regex in both engines.  ``changed`` flags rows the pass
+    rewrote — at 10^12 docs the flag lets the writer keep unchanged
+    payloads by reference instead of rewriting them."""
+    import pyarrow as pa_
+
+    import re as re_
+    import unicodedata as ud_
+    ctrl = re_.compile(_CTRL_RE)
+
+    def kern(batches):
+        for b in batches:
+            ids = b.column("doc_id")
+            texts = b.column("text").to_pylist()
+            norm = [ctrl.sub("", ud_.normalize(form, t))
+                    if t is not None else None for t in texts]
+            yield pa_.RecordBatch.from_arrays(
+                [ids, pa_.array(norm, pa_.large_string()),
+                 pa_.array([n != t for n, t in zip(norm, texts)],
+                           pa_.bool_())],
+                ["doc_id", "text_norm", "changed"])
+
+    return (docs.select("doc_id", "text")
+            .mapInArrow(kern,
+                        "doc_id long, text_norm string, changed boolean"))

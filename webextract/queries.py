@@ -702,6 +702,24 @@ def q_stream_hll(spark, sf_dir):
                     .alias("rel_err_bp")))
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode NFC + control-strip canonicalization.  Every doc gains
+    a deterministic non-ASCII tail cycling through decomposed
+    sequences (e/A/o + combining acute U+0301 / ring U+030A / tilde
+    U+0303), a C0 control char (U+0001), and an already-composed
+    form — so the gate checks real NFC composition, control
+    stripping, AND the changed flag's false branch.  The oracle
+    applies DuckDB's nfc_normalize + the identical control regex."""
+    d = _read(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 3
+    tail = (F.when(k == 0, F.lit(" e\u0301 A\u030a"))
+            .when(k == 1, F.lit(" o\u0303\u0001ok"))
+            .otherwise(F.lit(" \u00e9")))     # already NFC: changed
+                                               # only if ctrl present
+    return corpus.normalize_text(
+        d.select("doc_id", F.concat(F.col("text"), tail).alias("text")))
+
+
 def q_stream_bloom(spark, sf_dir):
     """Streaming Bloom seen-set, gate-checked against the SAME oracle
     as the batch filter: a REAL streaming run ORs the committed third
@@ -1467,7 +1485,7 @@ QUERIES = {
     # doc_fingerprints and revenue_by_nation)
     "sketch_hll_distinct": q_sketch_hll_distinct,
 
-    "media_decode_meta": q_media_decode_meta,
+
     # (media_frame_sample rotated past the cap late in round 4 for
     # bm25_topk — r2-green unchanged; frame walking stays in-window
     # via media_frame_avi)
@@ -1514,6 +1532,10 @@ QUERIES = {
     # r2-green unchanged; fingerprinting stays evidenced by
     # dedup_substring's winnowing path in-window history)
     "stream_bloom": q_stream_bloom,
+    # (media_decode_meta rotated past the cap for text_normalize —
+    # r2/r3-green unchanged; media headers stay evidenced by the
+    # raster/audio gates in-window)
+    "text_normalize": q_text_normalize,
     "media_frame_avi": q_media_frame_avi,
     "media_raster_gif": q_media_raster_gif,
     "media_raster_jpeg": q_media_raster_jpeg,
@@ -1537,6 +1559,7 @@ QUERIES = {
     # (new round-4 relational-breadth gates start here too: rollup and
     # range-frame window — pytest-oracle-green, next rotation's window)
     "lang_id": q_lang_id,
+    "media_decode_meta": q_media_decode_meta,
     "doc_fingerprints": q_doc_fingerprints,
     "token_stats": q_token_stats,
     "pricing_summary": q_pricing_summary,
@@ -2954,6 +2977,21 @@ ORACLES = {
         SELECT u.doc_id, 'http://' || u.host || u.path AS url,
                coalesce(b.best % 2 = 0, false) AS blocked
         FROM u LEFT JOIN best b ON u.doc_id = b.doc_id""",
+
+    "text_normalize": r"""
+        WITH aug AS (SELECT doc_id,
+                text || CASE doc_id % 3
+                  WHEN 0 THEN ' e' || chr(769) || ' A' || chr(778)
+                  WHEN 1 THEN ' o' || chr(771) || chr(1) || 'ok'
+                  ELSE ' ' || chr(233) END AS text
+            FROM documents)
+        SELECT doc_id,
+               regexp_replace(nfc_normalize(text),
+                   '[\x00-\x08\x0B-\x1F\x7F]', '', 'g') AS text_norm,
+               regexp_replace(nfc_normalize(text),
+                   '[\x00-\x08\x0B-\x1F\x7F]', '', 'g') <> text
+                   AS changed
+        FROM aug""",
 
     "url_seen_bloom": """
         WITH u AS (SELECT doc_id,
