@@ -193,3 +193,39 @@ def test_orphan_gc_grace_window(spark, tmp_path):
      .write.mode("overwrite").parquet(staged))
     assert tbl.expire_orphans(grace_seconds=3600) == 0
     assert tbl.expire_orphans() == 1
+
+
+def test_sorted_compaction_prunes_scan(spark, tmp_path):
+    """Sort-order rewrite + manifest file skipping: after compact
+    (sort_by=url), output files cover disjoint url ranges, their
+    footer bounds land in the manifest, and a narrow range scan()
+    opens a strict subset of files while returning exactly the rows a
+    full-read filter would."""
+    root = str(tmp_path / "tbl")
+    run_extract(spark, pages_df(spark, 400, parallelism=8), root,
+                partitions=8, waves=4, cpus=8)
+    tbl = IceTable(root)
+    # wave files are url-hash partitioned: every file spans the whole
+    # url range, so a range scan cannot prune anything yet
+    lo, hi = "https://site2.example/", "https://site3.example/"
+    full = tbl.read(spark).filter(F.col("url").between(lo, hi))
+    want = sorted(r["url"] for r in full.select("url").collect())
+    assert want                      # the range is non-empty
+    df0, picked0, total0 = tbl.scan(spark, "url", lo, hi)
+    assert picked0 == total0 >= 8    # overlapping bounds: no pruning
+
+    res = tbl.compact(spark, target_file_bytes=64 << 20,
+                      committed_at="t", sort_by="url")
+    assert res["snapshot_id"]
+    stats = tbl.data_file_stats()
+    bounds = sorted(v["url"] for v in stats.values() if "url" in v)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(bounds, bounds[1:]):
+        assert a_hi <= b_lo          # disjoint ranges after the sort
+
+    df1, picked1, total1 = tbl.scan(spark, "url", lo, hi)
+    assert sorted(r["url"] for r in df1.select("url").collect()) == want
+    if total1 > 1:                   # single-output compactions can't
+        assert picked1 < total1      # demonstrate pruning
+    # a range beyond the table prunes to zero files, no Spark job
+    none_df, p, t = tbl.scan(spark, "url", "zzz", "zzzz")
+    assert none_df is None and p == 0

@@ -118,6 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compact: output file size target")
     p.add_argument("--keep-snapshots", type=int, default=2,
                    help="expire: newest chain entries to keep")
+    p.add_argument("--sort-by", default=None,
+                   help="compact: cluster rewritten data on this column "
+                        "(range-repartition + in-file sort) so file "
+                        "min/max bounds become disjoint and scan() "
+                        "prunes range queries to few files")
     p.add_argument("--orphan-grace", type=float, default=86400.0,
                    help="expire: never GC unreferenced files younger "
                         "than this many seconds (Iceberg's older_than "
@@ -175,7 +180,8 @@ def main(argv: list[str] | None = None) -> int:
                      .getOrCreate())
             out = tbl.compact(spark, args.target_file_bytes,
                               committed_at=datetime.datetime.now(
-                                  datetime.timezone.utc).isoformat())
+                                  datetime.timezone.utc).isoformat(),
+                              sort_by=args.sort_by)
         else:
             out = tbl.expire_snapshots(keep=args.keep_snapshots,
                                        grace_seconds=args.orphan_grace)

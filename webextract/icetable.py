@@ -102,6 +102,71 @@ class IceTable:
                 break
         return out
 
+    @staticmethod
+    def file_column_stats(path: str, cols: tuple[str, ...]) -> dict:
+        """{col: [min, max]} from the parquet FOOTER only (no data
+        read) — Iceberg's per-file column bounds, produced at write
+        time by the writer that just created the file.  Strings and
+        ints only (JSON-native); a column absent from the footer or
+        without statistics is simply omitted (scan() then cannot prune
+        on it — correct, never wrong)."""
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(path).metadata
+        names = {md.schema.column(i).name: i
+                 for i in range(md.num_columns)}
+        out = {}
+        for c in cols:
+            i = names.get(c)
+            if i is None:
+                continue
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    mn = mx = None
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if mn is not None and isinstance(mn, (str, int)):
+                out[c] = [mn, mx]
+        return out
+
+    def data_file_stats(self, as_of: str | None = None) -> dict:
+        """{file: {col: [min, max]}} for the live files — the manifest
+        walk twin of data_files()."""
+        stats: dict = {}
+        for s in self.snapshots(as_of):
+            for p in s["partitions"]:
+                for f in p["files"]:
+                    stats.setdefault(f, (p.get("file_stats") or {})
+                                     .get(f, {}))
+            if s.get("rewrite"):
+                break
+        return stats
+
+    def scan(self, spark, col: str, lo, hi,
+             as_of: str | None = None):
+        """Stats-pruned range read: open ONLY files whose committed
+        [min, max] bounds for ``col`` overlap [lo, hi] — Iceberg's
+        manifest-level file skipping, the reason a 10^12-doc table
+        answers a narrow range query without touching a million
+        footers.  Files without recorded bounds are conservatively
+        kept; the exact residual filter is applied on top, so the
+        result is ALWAYS correct and pruning is purely a cost lever
+        (returns (df, files_scanned, files_total) — callers/tests read
+        the prune ratio)."""
+        from pyspark.sql import functions as SF
+        stats = self.data_file_stats(as_of)
+        files = list(stats)
+        picked = [f for f in files
+                  if col not in stats[f]
+                  or not (stats[f][col][1] < lo or stats[f][col][0] > hi)]
+        if not picked:
+            return None, 0, len(files)
+        df = (spark.read.parquet(*picked)
+              .filter(SF.col(col).between(lo, hi)))
+        return df, len(picked), len(files)
+
     def read(self, spark, as_of: str | None = None):
         """Read the table (optionally time-traveled to snapshot id
         ``as_of``) — only manifest-listed files, never a directory
@@ -178,7 +243,8 @@ class IceTable:
                committed_at: str, versions: dict | None = None,
                rewrite: bool = False,
                carried_parts: list[int] | None = None,
-               expected_parent: str | None | type(...) = ...) -> str:
+               expected_parent: str | None | type(...) = ...,
+               stats_cols: tuple[str, ...] = ()) -> str:
         """partitions: [{part_id, files: [...], counters: {...}}].
         Atomic snapshot append; returns the new snapshot id.
         ``versions`` records component versions in the snapshot (the
@@ -191,6 +257,17 @@ class IceTable:
         chain, raise CommitConflict under the lock instead of silently
         dropping the interleaved snapshot's files from a rewrite's
         replacement list (round-4 review: compact TOCTOU)."""
+        if stats_cols:
+            # footer-only reads of exactly the files being committed —
+            # the writer-records-bounds contract (never a table scan)
+            for p in partitions:
+                fs = {}
+                for f in p["files"]:
+                    st = self.file_column_stats(f, stats_cols)
+                    if st:
+                        fs[f] = st
+                if fs:
+                    p["file_stats"] = fs
         lock = self._commit_lock()
         try:
             if expected_parent is not ... and (
@@ -269,7 +346,8 @@ class IceTable:
     # -- maintenance ------------------------------------------------------
     def compact(self, spark, target_file_bytes: int = 128 << 20,
                 committed_at: str = "",
-                versions: dict | None = None) -> dict:
+                versions: dict | None = None,
+                sort_by: str | None = None) -> dict:
         """Maintenance: rewrite small data files into ~target-size ones
         (Iceberg's rewrite_data_files — the small-files problem: a
         wave-per-commit pipeline at 10^12 docs accretes millions of
@@ -285,7 +363,16 @@ class IceTable:
         COMPACTION surfaces as a rewrite inside the retry window and
         aborts this one (the other rewrite already solved the
         small-files problem).  Old files stay on disk for time travel
-        until expire_snapshots."""
+        until expire_snapshots.
+
+        ``sort_by``: cluster the rewritten data on a column (Iceberg's
+        sort-order rewrite): range-repartition into the output files +
+        sort within each, so every output file covers a DISJOINT value
+        range, its footer min/max bounds are committed as file_stats,
+        and scan() prunes a range query down to the one or two files
+        that can hold it — the data-layout half of manifest file
+        skipping.  Unsorted compaction still records bounds; they just
+        all overlap."""
         base = self.current_snapshot_id()
         files = self.data_files(as_of=base)
         sizes = {f: os.path.getsize(f) for f in files}
@@ -298,8 +385,13 @@ class IceTable:
                          // target_file_bytes))
         run_id = "compact-" + uuid.uuid4().hex[:8]
         out_dir = self.staging_dir(run_id, 0)
-        (spark.read.parquet(*small).coalesce(n_out)
-         .write.mode("overwrite").parquet(out_dir))
+        df = spark.read.parquet(*small)
+        if sort_by:
+            df = (df.repartitionByRange(n_out, sort_by)
+                  .sortWithinPartitions(sort_by))
+        else:
+            df = df.coalesce(n_out)
+        df.write.mode("overwrite").parquet(out_dir)
         new_files = sorted(
             os.path.join(out_dir, fn) for fn in os.listdir(out_dir)
             if fn.endswith(".parquet") and not fn.startswith((".", "_")))
@@ -311,7 +403,8 @@ class IceTable:
                       "counters": {}}],
                     committed_at, versions, rewrite=True,
                     carried_parts=sorted(self.committed_parts(as_of=base)),
-                    expected_parent=base)
+                    expected_parent=base,
+                    stats_cols=(sort_by,) if sort_by else ())
                 break
             except CommitConflict:
                 head = self.current_snapshot_id()

@@ -289,7 +289,13 @@ def commit_stage(spark: SparkSession, table: IceTable, run_id: str,
                                   "spark": spark.version,
                                   "options_hash": opt.options_hash(),
                                   "options": {k: repr(v) for k, v
-                                              in opt.as_dict().items()}})
+                                              in opt.as_dict().items()}},
+                        # writer-records-bounds: footer-only url stats
+                        # per wave file feed IceTable.scan's manifest
+                        # pruning (wave files are url-hash partitioned
+                        # so their bounds overlap; a sort_by compaction
+                        # is what makes them disjoint)
+                        stats_cols=("url",))
     return snap, parts_meta
 
 
