@@ -197,35 +197,64 @@ def test_orphan_gc_grace_window(spark, tmp_path):
 
 def test_sorted_compaction_prunes_scan(spark, tmp_path):
     """Sort-order rewrite + manifest file skipping: after compact
-    (sort_by=url), output files cover disjoint url ranges, their
-    footer bounds land in the manifest, and a narrow range scan()
-    opens a strict subset of files while returning exactly the rows a
-    full-read filter would."""
+    (sort_by=url), the rewritten files cover disjoint url ranges,
+    their footer bounds land in the manifest, and a narrow range
+    scan() opens a strict subset of files while returning exactly the
+    rows a full-read filter would.  Committed waves are INTERLEAVED by
+    construction (url mod wave), so pre-rewrite bounds all overlap —
+    the no-pruning baseline is real, not an accident of the data."""
+    import os
     root = str(tmp_path / "tbl")
-    run_extract(spark, pages_df(spark, 400, parallelism=8), root,
-                partitions=8, waves=4, cpus=8)
     tbl = IceTable(root)
-    # wave files are url-hash partitioned: every file spans the whole
-    # url range, so a range scan cannot prune anything yet
-    lo, hi = "https://site2.example/", "https://site3.example/"
-    full = tbl.read(spark).filter(F.col("url").between(lo, hi))
-    want = sorted(r["url"] for r in full.select("url").collect())
-    assert want                      # the range is non-empty
-    df0, picked0, total0 = tbl.scan(spark, "url", lo, hi)
-    assert picked0 == total0 >= 8    # overlapping bounds: no pruning
+    n, waves = 400, 8
+    for w in range(waves):
+        rows = [(i, f"u{i:05d}", f"payload {i} " + "x" * 200)
+                for i in range(n) if i % waves == w]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, url string, text string")
+        out = tbl.staging_dir(f"w{w}", 0)
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        files = sorted(os.path.join(out, f) for f in os.listdir(out)
+                       if f.endswith(".parquet"))
+        tbl.commit(f"w{w}", [{"part_id": w, "files": files,
+                              "counters": {}}], "t",
+                   stats_cols=("url",))
 
-    res = tbl.compact(spark, target_file_bytes=64 << 20,
+    lo, hi = "u00100", "u00199"
+    want = sorted(r["url"] for r in tbl.read(spark)
+                  .filter(F.col("url").between(lo, hi))
+                  .select("url").collect())
+    assert len(want) == 100
+    df0, picked0, total0 = tbl.scan(spark, "url", lo, hi)
+    assert picked0 == total0 == waves   # interleaved: no pruning
+
+    sizes = [os.path.getsize(f) for f in tbl.data_files()]
+    target = 2 * max(sizes) + 2   # target//2 > max: ALL small
+    res = tbl.compact(spark, target_file_bytes=target,
                       committed_at="t", sort_by="url")
-    assert res["snapshot_id"]
+    assert res["snapshot_id"] and res["new_files"] >= 3
     stats = tbl.data_file_stats()
-    bounds = sorted(v["url"] for v in stats.values() if "url" in v)
+    assert stats and all("url" in v for v in stats.values())
+    bounds = sorted(v["url"] for v in stats.values())
+    assert len(bounds) == res["new_files"] >= 3
     for (a_lo, a_hi), (b_lo, b_hi) in zip(bounds, bounds[1:]):
         assert a_hi <= b_lo          # disjoint ranges after the sort
 
     df1, picked1, total1 = tbl.scan(spark, "url", lo, hi)
     assert sorted(r["url"] for r in df1.select("url").collect()) == want
-    if total1 > 1:                   # single-output compactions can't
-        assert picked1 < total1      # demonstrate pruning
+    assert 0 < picked1 < total1      # REAL pruning, not vacuous
     # a range beyond the table prunes to zero files, no Spark job
     none_df, p, t = tbl.scan(spark, "url", "zzz", "zzzz")
     assert none_df is None and p == 0
+
+    # an UNSORTED compaction must still re-record bounds (a rewrite
+    # stops the stats walk — losing them would disable scan pruning
+    # forever; round-4 review)
+    root2 = str(tmp_path / "tbl2")
+    run_extract(spark, pages_df(spark, 200, parallelism=8), root2,
+                partitions=4, waves=2, cpus=8)
+    t2 = IceTable(root2)
+    assert t2.compact(spark, target_file_bytes=64 << 20,
+                      committed_at="t2")["snapshot_id"]
+    stats2 = t2.data_file_stats()
+    assert stats2 and all("url" in v for v in stats2.values())

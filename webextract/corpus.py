@@ -2615,9 +2615,12 @@ def normalize_text(docs: DataFrame, form: str = "NFC") -> DataFrame:
             texts = b.column("text").to_pylist()
             norm = [ctrl.sub("", ud_.normalize(form, t))
                     if t is not None else None for t in texts]
+            # NULL text -> NULL changed, matching SQL three-valued
+            # `<>` so the oracle agrees on null rows (round-4 review)
             yield pa_.RecordBatch.from_arrays(
                 [ids, pa_.array(norm, pa_.large_string()),
-                 pa_.array([n != t for n, t in zip(norm, texts)],
+                 pa_.array([None if t is None else n != t
+                            for n, t in zip(norm, texts)],
                            pa_.bool_())],
                 ["doc_id", "text_norm", "changed"])
 

@@ -347,7 +347,8 @@ class IceTable:
     def compact(self, spark, target_file_bytes: int = 128 << 20,
                 committed_at: str = "",
                 versions: dict | None = None,
-                sort_by: str | None = None) -> dict:
+                sort_by: str | None = None,
+                stats_cols: tuple[str, ...] = ("url",)) -> dict:
         """Maintenance: rewrite small data files into ~target-size ones
         (Iceberg's rewrite_data_files — the small-files problem: a
         wave-per-commit pipeline at 10^12 docs accretes millions of
@@ -404,7 +405,12 @@ class IceTable:
                     committed_at, versions, rewrite=True,
                     carried_parts=sorted(self.committed_parts(as_of=base)),
                     expected_parent=base,
-                    stats_cols=(sort_by,) if sort_by else ())
+                    # a rewrite snapshot STOPS the stats walk, so it
+                    # must re-record bounds for every stats column or
+                    # the wave commits' pruning metadata is destroyed
+                    # (round-4 review) — sort_by rides along
+                    stats_cols=tuple(dict.fromkeys(
+                        c for c in (*stats_cols, sort_by) if c)))
                 break
             except CommitConflict:
                 head = self.current_snapshot_id()

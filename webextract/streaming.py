@@ -581,12 +581,13 @@ def bloom_word_stream(pages: DataFrame,
                      .alias("mask")))
 
     def emit(key, pdfs, state):
+        import numpy as np_
         import pandas as pd_
         cur = int(state.get[0]) if state.exists else 0
         new = cur
         for pdf in pdfs:
-            for mv in pdf["mask"]:
-                new |= int(mv)
+            if len(pdf):        # vectorized OR-fold, not per-row Python
+                new |= int(np_.bitwise_or.reduce(pdf["mask"].to_numpy()))
         if new != cur:
             state.update((int(new),))
             yield pd_.DataFrame({"word_idx": [int(key[0])],
