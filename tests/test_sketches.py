@@ -137,3 +137,19 @@ def test_normalize_text_plan_is_narrow(spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
     assert "hashpartitioning" not in plan
+
+
+def test_weighted_sample_semantics(spark):
+    """weight 0 keeps nothing, 1 keeps everything, clamping handles
+    out-of-range weights, and the decision is content-independent:
+    a doc's fate is identical whether sampled alone or in a corpus."""
+    from webextract import corpus
+    rows = [(i, w) for i, w in
+            [(1, 0.0), (2, 1.0), (3, 2.5), (4, -1.0), (5, 0.5)]]
+    docs = spark.createDataFrame(rows, "doc_id long, weight double")
+    out = {r["doc_id"]: r["kept"]
+           for r in corpus.weighted_sample(docs).collect()}
+    assert out[1] is False and out[4] is False    # w<=0 never keeps
+    assert out[2] is True and out[3] is True      # w>=1 always keeps
+    solo = corpus.weighted_sample(docs.filter("doc_id = 5")).collect()
+    assert solo[0]["kept"] == out[5]              # growth-stable

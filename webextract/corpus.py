@@ -1873,6 +1873,28 @@ PR_ITERS = 3
 PR_SCALE = 1_000_000
 
 
+def weighted_sample(docs: DataFrame, weight_col: str = "weight",
+                    salt: str = "ws1") -> DataFrame:
+    """(doc_id, kept): per-row weighted Bernoulli admission — the
+    consumption step of importance weighting (dsir_weights scores ->
+    keep each doc with probability proportional to its weight, capped
+    at 1): keep iff hash(doc_id) mod 10^6 < weight * 10^6.  The same
+    content-independent hash-mod family as hash_split/source_mix, so
+    the decision is reproducible across engines, runs, and corpus
+    growth (a doc's fate never changes when its neighbors change), and
+    the weight column may come from any upstream scorer.  Weights
+    outside [0, 1] are clamped (a >=1 weight means always keep —
+    upsampling is row duplication, a different operator, same contract
+    as source_mix).  Pure narrow projection: zero shuffle."""
+    h = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8),
+        16, 10).cast("long") % 1000000)
+    cut = F.round(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0),
+                                       F.col(weight_col))) * 1000000)
+    return docs.select("doc_id", (h < cut).alias("kept"))
+
+
 def pagerank(edges: DataFrame, iters: int = PR_ITERS,
              damping_num: int = 85, damping_den: int = 100) -> DataFrame:
     """(node, rank_micro): damped PageRank after ``iters`` synchronous

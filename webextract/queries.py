@@ -720,6 +720,58 @@ def q_text_normalize(spark, sf_dir):
         d.select("doc_id", F.concat(F.col("text"), tail).alias("text")))
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Importance-weighted admission (the dsir_weights consumption
+    step): each doc keeps with probability = its weight via the
+    hash-mod family — weights synthesized as exact hundredths so the
+    micro-cut rounding has no halfway cases in either engine."""
+    d = _read(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 100).cast("double") / 100.0
+    return corpus.weighted_sample(
+        d.select("doc_id", w.alias("weight")))
+
+
+def q_table_scan_prune(spark, sf_dir):
+    """Table-format driver gate: documents committed as 4 interleaved
+    IceTable waves (url mod wave — every file spans the whole url
+    range), sorted-compacted on url, then answered through the
+    stats-pruned range scan.  The returned rows must equal a plain SQL
+    range filter — commit manifests, footer-stats recording, the
+    rewrite CAS, range-clustering, AND scan()'s bounds test all sit on
+    the line; the prune RATIO itself is pinned in pytest (file sizes
+    are not stable enough to hash)."""
+    import hashlib
+    import os
+    import shutil
+
+    from .icetable import IceTable
+
+    tag = hashlib.md5(("ice" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_icescan_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = IceTable(base)
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("u"), F.lpad(F.col("doc_id").cast("string"),
+                                    7, "0")).alias("url"),
+        "text")
+    for w in range(4):
+        out = tbl.staging_dir(f"w{w}", 0)
+        (d.filter(F.col("doc_id") % 4 == w)
+         .coalesce(1).write.mode("overwrite").parquet(out))
+        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                       if fn.endswith(".parquet")
+                       and not fn.startswith((".", "_")))
+        tbl.commit(f"w{w}", [{"part_id": w, "files": files,
+                              "counters": {}}], "t",
+                   stats_cols=("url",))
+    sizes = [os.path.getsize(f) for f in tbl.data_files()]
+    tbl.compact(spark, target_file_bytes=2 * max(sizes) + 2,
+                committed_at="t", sort_by="url")
+    df, _, _ = tbl.scan(spark, "url", "u0000100", "u0000299")
+    return df.select("doc_id", "url")
+
+
 def q_stream_bloom(spark, sf_dir):
     """Streaming Bloom seen-set, gate-checked against the SAME oracle
     as the batch filter: a REAL streaming run ORs the committed third
@@ -1495,7 +1547,6 @@ QUERIES = {
     # r1..r3-green unchanged TPC-H relational gate)
     "robots_filter": q_robots_filter,
 
-    "resume_pending": q_resume_pending,
     "pipeline_counters": q_pipeline_counters,
     # (events_hourly rotated past the cap late in round 4 for
     # sample_stratified — r2-green unchanged; the events family stays
@@ -1509,7 +1560,6 @@ QUERIES = {
     # unchanged code; chunking stays represented by
     # chunk_hybrid_subword, quality by lm_perplexity + dsir_weights)
     "extract_main_text": q_extract_main_text,
-    "dedup_clusters": q_dedup_clusters,
     "embed_pq_codes": q_embed_pq_codes,
     "embed_pq_topk": q_embed_pq_topk,
     "embed_pq_refine": q_embed_pq_refine,
@@ -1536,6 +1586,13 @@ QUERIES = {
     # r2/r3-green unchanged; media headers stay evidenced by the
     # raster/audio gates in-window)
     "text_normalize": q_text_normalize,
+    # (resume_pending / dedup_clusters rotated past the cap for the
+    # weighted-sample and table-scan gates — both r2/r3-green
+    # unchanged; the table family is now driver-covered by
+    # table_scan_prune + pipeline_counters, dedup by the in-window
+    # incremental/PQ/line/url gates)
+    "weighted_sample": q_weighted_sample,
+    "table_scan_prune": q_table_scan_prune,
     "media_frame_avi": q_media_frame_avi,
     "media_raster_gif": q_media_raster_gif,
     "media_raster_jpeg": q_media_raster_jpeg,
@@ -1558,6 +1615,8 @@ QUERIES = {
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
     # (new round-4 relational-breadth gates start here too: rollup and
     # range-frame window — pytest-oracle-green, next rotation's window)
+    "resume_pending": q_resume_pending,
+    "dedup_clusters": q_dedup_clusters,
     "lang_id": q_lang_id,
     "media_decode_meta": q_media_decode_meta,
     "doc_fingerprints": q_doc_fingerprints,
@@ -2977,6 +3036,20 @@ ORACLES = {
         SELECT u.doc_id, 'http://' || u.host || u.path AS url,
                coalesce(b.best % 2 = 0, false) AS blocked
         FROM u LEFT JOIN best b ON u.doc_id = b.doc_id""",
+
+    "weighted_sample": """
+        SELECT doc_id,
+               ('0x' || substring(md5('ws1:' || doc_id), 1, 8))::BIGINT
+                   % 1000000
+                 < round(((doc_id % 100) / 100.0) * 1000000) AS kept
+        FROM documents""",
+
+    "table_scan_prune": """
+        SELECT doc_id,
+               'u' || lpad(doc_id::VARCHAR, 7, '0') AS url
+        FROM documents
+        WHERE 'u' || lpad(doc_id::VARCHAR, 7, '0')
+              BETWEEN 'u0000100' AND 'u0000299'""",
 
     "text_normalize": r"""
         WITH aug AS (SELECT doc_id,
