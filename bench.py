@@ -54,7 +54,7 @@ HEADLINE = [
     "dedup_incremental", "events_asof", "bm25_topk",
     "sketch_hll_distinct", "url_seen_bloom", "robots_filter",
     "stream_hll", "stream_bloom", "text_normalize",
-    "weighted_sample", "table_scan_prune",
+    "weighted_sample", "table_scan_prune", "parse_sitemaps",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

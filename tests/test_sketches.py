@@ -153,3 +153,24 @@ def test_weighted_sample_semantics(spark):
     assert out[2] is True and out[3] is True      # w>=1 always keeps
     solo = corpus.weighted_sample(docs.filter("doc_id = 5")).collect()
     assert solo[0]["kept"] == out[5]              # growth-stable
+
+
+def test_parse_sitemaps_edges(spark):
+    """Block-first extraction never pairs fields across <url> entries;
+    the 5 XML entities decode with &amp; LAST (no double-decode);
+    missing lastmod/priority map to NULL/-1; malformed entries without
+    a <loc> drop out."""
+    from webextract import corpus
+    xml = ("<urlset>"
+           "<url><loc>http://a/x&amp;lt;</loc>"
+           "<priority>0.5</priority></url>"
+           "<url><loc> http://a/y </loc>"
+           "<lastmod>2026-01-02</lastmod></url>"
+           "<url><lastmod>2026-09-09</lastmod></url>"
+           "</urlset>")
+    maps = spark.createDataFrame([("a", xml)],
+                                 "host string, sitemap_xml string")
+    rows = sorted(map(tuple, corpus.parse_sitemaps(maps).collect()))
+    # &amp;lt; decodes the amp only: literal '&lt;' stays text
+    assert rows == [("a", "http://a/x&lt;", None, 500000),
+                    ("a", "http://a/y", "2026-01-02", -1)]

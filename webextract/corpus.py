@@ -2473,6 +2473,46 @@ def bloom_probe(cands: DataFrame, bloom: DataFrame,
 ROBOTS_AGENT = "webextract"
 
 
+def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
+    """(host, url, lastmod, priority_micro): sitemap.xml parsing — the
+    crawl-discovery half of the planning surface (robots_rules says
+    what MAY be fetched; sitemaps say what EXISTS).  Input: (host,
+    sitemap_xml) bodies as fetched; output: one row per <url> entry
+    with its <loc>, optional <lastmod> (string, as served) and
+    <priority> scaled to integer micros (0.8 -> 800000; -1 when
+    absent) so downstream ordering is engine-exact without float
+    compares.
+
+    All built-ins: regexp_extract_all over <url>...</url> blocks (the
+    sitemap schema nests loc/lastmod/priority inside url elements, so
+    block-first extraction never pairs fields across entries), then
+    per-block field extraction — a pure narrow projection + one
+    explode, zero shuffle, no XML library on the hot path (the formats
+    kernel's full XML parsers are for document CONTENT; a sitemap is a
+    flat well-known schema where anchored regex is the portable
+    choice).  Entity-decoding is limited to the 5 XML builtins, the
+    only escapes the sitemap spec allows in <loc>."""
+    blocks = F.expr(
+        r"regexp_extract_all(sitemap_xml, '(?s)<url>(.*?)</url>', 1)")
+    b = (sitemaps.select("host", F.explode(blocks).alias("b")))
+    loc = F.regexp_extract(
+        F.col("b"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    lastmod = F.regexp_extract(
+        F.col("b"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    prio = F.regexp_extract(
+        F.col("b"), r"(?s)<priority>\s*(.*?)\s*</priority>", 1)
+    return (b.select(
+        "host", loc.alias("url"),
+        F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
+        F.when(prio == "", F.lit(-1))
+        .otherwise(F.round(prio.cast("double") * 1000000))
+        .cast("long").alias("priority_micro"))
+        .filter(F.col("url") != ""))
+
+
 def robots_rules(robots: DataFrame, agent: str = ROBOTS_AGENT) -> DataFrame:
     """(host, allow, prefix, prefix_len): the effective rule set per
     host for ``agent``, parsed from raw robots.txt bodies per RFC 9309

@@ -808,6 +808,37 @@ def q_stream_bloom(spark, sf_dir):
     return corpus.bloom_probe(pages, live)
 
 
+def q_parse_sitemaps(spark, sf_dir):
+    """Sitemap.xml parsing — crawl discovery.  Each of the 13 hosts
+    serves a deterministic sitemap: 3 <url> entries per doc-derived
+    key with lastmod/priority present, absent, and an entity-escaped
+    <loc> (&amp; -> &), plus whitespace inside tags.  The oracle
+    re-parses the same bodies with the identical RE2 block-first
+    extraction."""
+    d = _read(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 13)
+    ks = k.cast("string")
+    host = F.concat(F.lit("h"), ks, F.lit(".example.com"))
+    body = F.concat(
+        F.lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+        F.lit("<url><loc> http://"), host, F.lit("/a/"), ks,
+        F.lit(" </loc><lastmod>2026-0"), (k % 9 + 1).cast("string"),
+        F.lit("-01</lastmod><priority>0."), (k % 10).cast("string"),
+        F.lit("</priority></url>\n"),
+        F.lit("<url><loc>http://"), host, F.lit("/b?x=1&amp;y="), ks,
+        F.lit("</loc></url>\n"),
+        F.when(k % 2 == 0, F.concat(
+            F.lit("<url><loc>http://"), host,
+            F.lit("/c</loc><lastmod> 2026-01-0"),
+            (k % 9 + 1).cast("string"),
+            F.lit(" </lastmod></url>\n"))).otherwise(F.lit("")),
+        F.lit("</urlset>\n"))
+    maps = (d.select(k.alias("kk")).distinct()
+            .withColumn("doc_id", F.col("kk"))
+            .select(host.alias("host"), body.alias("sitemap_xml")))
+    return corpus.parse_sitemaps(maps)
+
+
 def q_robots_filter(spark, sf_dir):
     """RFC 9309 robots.txt parse + longest-match admission.  Each of
     the 13 hosts serves a deterministic robots body: a `*` group
@@ -1547,7 +1578,6 @@ QUERIES = {
     # r1..r3-green unchanged TPC-H relational gate)
     "robots_filter": q_robots_filter,
 
-    "pipeline_counters": q_pipeline_counters,
     # (events_hourly rotated past the cap late in round 4 for
     # sample_stratified — r2-green unchanged; the events family stays
     # in-window via events_sessions + events_asof)
@@ -1593,6 +1623,10 @@ QUERIES = {
     # incremental/PQ/line/url gates)
     "weighted_sample": q_weighted_sample,
     "table_scan_prune": q_table_scan_prune,
+    # (pipeline_counters rotated past the cap for parse_sitemaps —
+    # r2-green unchanged; lineage counters stay pytest-covered and the
+    # table family keeps table_scan_prune in-window)
+    "parse_sitemaps": q_parse_sitemaps,
     "media_frame_avi": q_media_frame_avi,
     "media_raster_gif": q_media_raster_gif,
     "media_raster_jpeg": q_media_raster_jpeg,
@@ -1615,6 +1649,7 @@ QUERIES = {
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
     # (new round-4 relational-breadth gates start here too: rollup and
     # range-frame window — pytest-oracle-green, next rotation's window)
+    "pipeline_counters": q_pipeline_counters,
     "resume_pending": q_resume_pending,
     "dedup_clusters": q_dedup_clusters,
     "lang_id": q_lang_id,
@@ -2933,6 +2968,49 @@ ORACLES = {
                (abs(est_distinct - exact_distinct) * 10000
                 // exact_distinct)::BIGINT AS rel_err_bp
         FROM est""",
+
+    "parse_sitemaps": r"""
+        WITH ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
+        sm AS (SELECT 'h' || k || '.example.com' AS host,
+               '<?xml version="1.0"?>' || chr(10) || '<urlset>' || chr(10)
+               || '<url><loc> http://h' || k || '.example.com/a/' || k
+               || ' </loc><lastmod>2026-0' || (k % 9 + 1)
+               || '-01</lastmod><priority>0.' || (k % 10)
+               || '</priority></url>' || chr(10)
+               || '<url><loc>http://h' || k
+               || '.example.com/b?x=1&amp;y='
+               || k || '</loc></url>' || chr(10)
+               || CASE WHEN k % 2 = 0
+                       THEN '<url><loc>http://h' || k
+                            || '.example.com/c</loc><lastmod> 2026-01-0'
+                            || (k % 9 + 1) || ' </lastmod></url>'
+                            || chr(10)
+                       ELSE '' END
+               || '</urlset>' || chr(10) AS xml
+               FROM ks),
+        blk AS (SELECT host,
+                       unnest(regexp_extract_all(
+                           xml, '(?s)<url>(.*?)</url>', 1)) AS b
+                FROM sm),
+        f AS (SELECT host,
+                     replace(replace(replace(replace(replace(
+                         regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&apos;', chr(39)), '&amp;', '&') AS url,
+                     regexp_extract(
+                         b, '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1)
+                         AS lastmod,
+                     regexp_extract(
+                         b, '(?s)<priority>\s*(.*?)\s*</priority>', 1)
+                         AS prio
+              FROM blk)
+        SELECT host, url,
+               CASE WHEN lastmod = '' THEN NULL ELSE lastmod END
+                   AS lastmod,
+               CASE WHEN prio = '' THEN -1
+                    ELSE round(prio::DOUBLE * 1000000) END::BIGINT
+                   AS priority_micro
+        FROM f WHERE url <> ''""",
 
     "robots_filter": r"""
         WITH ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
