@@ -258,3 +258,53 @@ def test_sorted_compaction_prunes_scan(spark, tmp_path):
                       committed_at="t2")["snapshot_id"]
     stats2 = t2.data_file_stats()
     assert stats2 and all("url" in v for v in stats2.values())
+
+
+def test_compact_copies_stats_forward(spark, tmp_path, monkeypatch):
+    """A rewrite must (a) derive its stats columns from what the live
+    manifests already track (not a hardcoded default) and (b) copy
+    kept files' bounds forward instead of re-reading their footers —
+    at 10^12 docs the kept set is millions of footers the rewrite
+    never opened (round-4 review)."""
+    import os
+    root = str(tmp_path / "tbl")
+    tbl = IceTable(root)
+    # wave 0: one BIG file (will be kept), waves 1-2: small (rewritten)
+    for w, n in ((0, 3000), (1, 40), (2, 40)):
+        rows = [(w * 100000 + i, f"u{w}{i:05d}", "x" * 400)
+                for i in range(n)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, url string, text string")
+        out = tbl.staging_dir(f"w{w}", 0)
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        files = sorted(os.path.join(out, f) for f in os.listdir(out)
+                       if f.endswith(".parquet"))
+        tbl.commit(f"w{w}", [{"part_id": w, "files": files,
+                              "counters": {}}], "t",
+                   stats_cols=("url", "doc_id"))
+    sizes = {f: os.path.getsize(f) for f in tbl.data_files()}
+    big = max(sizes, key=sizes.get)
+    prior_big = tbl.data_file_stats()[big]
+    assert set(prior_big) == {"url", "doc_id"}
+
+    read_paths = []
+    orig = IceTable.file_column_stats
+
+    def counting(path, cols):
+        read_paths.append(path)
+        return orig(path, cols)
+    monkeypatch.setattr(IceTable, "file_column_stats",
+                        staticmethod(counting))
+
+    # target chosen so only the big file is kept; stats_cols DERIVED
+    res = tbl.compact(spark, target_file_bytes=2 * sizes[big] - 2,
+                      committed_at="t2")
+    assert res["snapshot_id"] and res["kept"] == 1
+    # the kept file's footer was never re-opened...
+    assert big not in read_paths
+    # ...but its bounds survived the rewrite, copied forward verbatim
+    stats = tbl.data_file_stats()
+    assert stats[big] == prior_big
+    # and the rewritten outputs re-recorded BOTH tracked columns
+    new = [f for f in stats if f != big]
+    assert new and all(set(stats[f]) == {"url", "doc_id"} for f in new)

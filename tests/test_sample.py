@@ -43,3 +43,22 @@ def test_sample_redraws_with_salt(spark):
     assert len(a) == len(b)
     ids = lambda rows: {d for d, _, _ in rows}  # noqa: E731
     assert ids(a) != ids(b)
+
+
+def test_weighted_sample_null_nan_reject(spark):
+    """NULL/NaN weights mean "no admissible score" and must REJECT:
+    Spark's least/greatest skip NULLs and sort NaN above +inf, so the
+    naive clamp silently turns an unscored doc into weight 1
+    (admit-all) — the round-4 review finding."""
+    from webextract.corpus import weighted_sample
+    rows = [(1, None), (2, float("nan")), (3, 1.0), (4, 0.0),
+            (5, 2.5), (6, -1.0)]
+    docs = spark.createDataFrame(rows, "doc_id long, weight double")
+    kept = {r["doc_id"]: r["kept"] for r in weighted_sample(docs).collect()}
+    assert kept[1] is False          # NULL weight -> reject
+    assert kept[2] is False          # NaN weight -> reject
+    assert kept[3] is True           # weight 1 -> always keep
+    assert kept[4] is False          # weight 0 -> never keep
+    assert kept[5] is True           # >1 clamps to always-keep
+    assert kept[6] is False          # <0 clamps to never-keep
+    assert all(v is not None for v in kept.values())

@@ -278,6 +278,18 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
     return out
 
 
+def _hash_mod(salt: str, mod: int, col: str = "doc_id"):
+    """Bucket in [0, mod): first 8 hex digits of md5(salt:col) as an
+    integer, mod ``mod`` — the ONE content-independent hash-mod rule
+    shared by hash_split / source_mix / weighted_sample /
+    pack_sequences.  Engine-portable (md5 + base-conv exist in any SQL
+    dialect), reproducible across runs/cluster sizes, and stable under
+    corpus growth; changing ``salt`` redraws independently."""
+    return (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(col))), 1, 8),
+        16, 10).cast("long") % mod)
+
+
 def hash_split(docs: DataFrame, weights: tuple = (0.98, 0.01, 0.01),
                salt: str = "v1") -> DataFrame:
     """(doc_id, bucket, split): deterministic train/val/test assignment
@@ -293,9 +305,7 @@ def hash_split(docs: DataFrame, weights: tuple = (0.98, 0.01, 0.01),
             or sum(weights) > 1.0 + 1e-9):
         raise ValueError(f"hash_split weights must each be in [0, 1] "
                          f"and sum to <= 1, got {weights}")
-    h = (F.conv(F.substring(
-        F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8),
-        16, 10).cast("long") % 10000)
+    h = _hash_mod(salt, 10000)
     # round, don't truncate: 0.29*10000 is 2899.999… in IEEE754 and
     # int() would shift the cutoff by a bucket
     c_train = int(round(weights[0] * 10000))
@@ -322,9 +332,7 @@ def source_mix(docs: DataFrame, weights: dict[str, float],
     if bad:
         raise ValueError(f"source_mix downsamples only; weights must "
                          f"be in [0, 1], got {bad}")
-    h = (F.conv(F.substring(
-        F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8),
-        16, 10).cast("long") % 10000)
+    h = _hash_mod(salt, 10000)
     cut = F.lit(10000)
     for src, wt in sorted(weights.items()):
         cut = F.when(F.col("source") == src,
@@ -1793,9 +1801,7 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
     scale; production runs raise ``shards`` with the cluster.
     Deterministic: same corpus -> same packing, independent of
     partitioning, because the within-shard order is doc_id."""
-    h = (F.conv(F.substring(
-        F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8),
-        16, 10).cast("long") % shards)
+    h = _hash_mod(salt, shards)
     base = docs.select("doc_id", h.cast("int").alias("shard"),
                        F.size(TOKENS()).cast("long").alias("n_tok"))
     w = (Window.partitionBy("shard").orderBy("doc_id")
@@ -1885,13 +1891,16 @@ def weighted_sample(docs: DataFrame, weight_col: str = "weight",
     the weight column may come from any upstream scorer.  Weights
     outside [0, 1] are clamped (a >=1 weight means always keep —
     upsampling is row duplication, a different operator, same contract
-    as source_mix).  Pure narrow projection: zero shuffle."""
-    h = (F.conv(F.substring(
-        F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id"))), 1, 8),
-        16, 10).cast("long") % 1000000)
-    cut = F.round(
-        F.greatest(F.lit(0.0), F.least(F.lit(1.0),
-                                       F.col(weight_col))) * 1000000)
+    as source_mix).  NULL or NaN weights mean "no admissible score"
+    and REJECT (kept=false) — Spark's least/greatest skip NULLs and
+    order NaN above everything, so without the explicit coalesce an
+    unscored doc would silently clamp to weight 1 and always be kept
+    (round-4 review).  Pure narrow projection: zero shuffle."""
+    h = _hash_mod(salt, 1000000)
+    w = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+    w = F.when(F.isnan(w), F.lit(0.0)).otherwise(w)
+    cut = F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), w))
+                  * 1000000)
     return docs.select("doc_id", (h < cut).alias("kept"))
 
 

@@ -259,10 +259,16 @@ class IceTable:
         replacement list (round-4 review: compact TOCTOU)."""
         if stats_cols:
             # footer-only reads of exactly the files being committed —
-            # the writer-records-bounds contract (never a table scan)
+            # the writer-records-bounds contract (never a table scan).
+            # Files whose stats the caller pre-populated (compact()
+            # copying bounds forward for carried files) are NOT
+            # re-read: a rewrite would otherwise re-open every kept
+            # footer it never touched (round-4 review).
             for p in partitions:
-                fs = {}
+                fs = dict(p.get("file_stats") or {})
                 for f in p["files"]:
+                    if f in fs:
+                        continue
                     st = self.file_column_stats(f, stats_cols)
                     if st:
                         fs[f] = st
@@ -348,7 +354,7 @@ class IceTable:
                 committed_at: str = "",
                 versions: dict | None = None,
                 sort_by: str | None = None,
-                stats_cols: tuple[str, ...] = ("url",)) -> dict:
+                stats_cols: tuple[str, ...] | None = None) -> dict:
         """Maintenance: rewrite small data files into ~target-size ones
         (Iceberg's rewrite_data_files — the small-files problem: a
         wave-per-commit pipeline at 10^12 docs accretes millions of
@@ -373,7 +379,15 @@ class IceTable:
         and scan() prunes a range query down to the one or two files
         that can hold it — the data-layout half of manifest file
         skipping.  Unsorted compaction still records bounds; they just
-        all overlap."""
+        all overlap.
+
+        ``stats_cols=None`` (default) re-records bounds for exactly the
+        columns the table already tracks — the union of stats keys in
+        the live manifests, plus ``sort_by`` — so a rewrite never
+        silently narrows the pruning surface a hardcoded default would
+        (round-4 review).  Kept files' bounds are copied FORWARD from
+        the manifests rather than re-read: at 10^12-doc scale the kept
+        set is millions of footers the rewrite never opened."""
         base = self.current_snapshot_id()
         files = self.data_files(as_of=base)
         sizes = {f: os.path.getsize(f) for f in files}
@@ -397,11 +411,21 @@ class IceTable:
             os.path.join(out_dir, fn) for fn in os.listdir(out_dir)
             if fn.endswith(".parquet") and not fn.startswith((".", "_")))
         while True:
+            prior = self.data_file_stats(as_of=base)
+            if stats_cols is None:
+                tracked = tuple(sorted(
+                    {c for st in prior.values() for c in st}))
+            else:
+                tracked = stats_cols
             try:
                 snap_id = self.commit(
                     run_id,
                     [{"part_id": -1, "files": keep + new_files,
-                      "counters": {}}],
+                      "counters": {},
+                      # kept files' bounds copied forward — commit()
+                      # footer-reads only the rewritten outputs
+                      "file_stats": {f: prior[f] for f in keep
+                                     if prior.get(f)}}],
                     committed_at, versions, rewrite=True,
                     carried_parts=sorted(self.committed_parts(as_of=base)),
                     expected_parent=base,
@@ -410,13 +434,15 @@ class IceTable:
                     # the wave commits' pruning metadata is destroyed
                     # (round-4 review) — sort_by rides along
                     stats_cols=tuple(dict.fromkeys(
-                        c for c in (*stats_cols, sort_by) if c)))
+                        c for c in (*tracked, sort_by) if c)))
                 break
             except CommitConflict:
                 head = self.current_snapshot_id()
                 # raises ValueError if a concurrent rewrite landed —
                 # correct: that rewrite already replaced history, ours
-                # is stale; the staged outputs stay orphans until GC
+                # is stale; the staged outputs stay orphans until GC.
+                # The folded wave's stats are re-derived from the new
+                # head on the next pass (prior is rebuilt per attempt).
                 keep.extend(self.changed_files(base, as_of=head))
                 base = head
         return {"rewritten": len(small), "kept": len(keep),

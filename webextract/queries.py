@@ -769,6 +769,8 @@ def q_table_scan_prune(spark, sf_dir):
     tbl.compact(spark, target_file_bytes=2 * max(sizes) + 2,
                 committed_at="t", sort_by="url")
     df, _, _ = tbl.scan(spark, "url", "u0000100", "u0000299")
+    if df is None:   # every file pruned: empty result, schema kept
+        return d.select("doc_id", "url").limit(0)
     return df.select("doc_id", "url")
 
 
@@ -1618,9 +1620,9 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     # (resume_pending / dedup_clusters rotated past the cap for the
     # weighted-sample and table-scan gates — both r2/r3-green
-    # unchanged; the table family is now driver-covered by
-    # table_scan_prune + pipeline_counters, dedup by the in-window
-    # incremental/PQ/line/url gates)
+    # unchanged; the table family stays driver-covered by
+    # table_scan_prune (pipeline_counters itself rotated out below),
+    # dedup by the in-window incremental/PQ/line/url gates)
     "weighted_sample": q_weighted_sample,
     "table_scan_prune": q_table_scan_prune,
     # (pipeline_counters rotated past the cap for parse_sitemaps —
