@@ -1,0 +1,76 @@
+"""CDXJ capture-index parsing + latest-capture selection: line-shape
+edge semantics (CRLF, malformed, blanks), NULL surfacing for absent
+optional JSON fields, deterministic top-1 under same-second recaptures,
+and the plan shapes (parse narrow, latest exactly one exchange)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webextract.corpus import cdx_latest, parse_cdx
+
+LINE_A = ('com,ex)/a 20260101000001 {"url": "https://ex.com/a", '
+          '"status": "200", "mime": "text/html", "digest": "sha1:A1", '
+          '"length": "512", "offset": "0", "filename": "f.warc.gz"}')
+LINE_A2 = ('com,ex)/a 20260102000001 {"url": "https://ex.com/a", '
+           '"status": "301", "digest": "sha1:A2"}')
+LINE_B = 'com,ex)/b 20260101000002 {"url": "https://ex.com/b"}'
+
+
+def _shard(spark, text):
+    return spark.createDataFrame([("s0", text)],
+                                 "shard string, cdx_text string")
+
+
+def test_parse_cdx_fields_and_line_filter(spark):
+    body = "\r\n".join([LINE_A, "", "# comment-ish junk",
+                        "surtonly 2026", LINE_B, LINE_A2]) + "\r\n"
+    rows = {(r["surt"], r["ts"]): r
+            for r in parse_cdx(_shard(spark, body)).collect()}
+    # malformed/blank lines dropped, CRLF never leaks into fields
+    assert len(rows) == 3
+    a = rows[("com,ex)/a", "20260101000001")]
+    assert (a["url"], a["status"], a["mime"], a["digest"],
+            a["length"], a["offset"], a["filename"]) == (
+        "https://ex.com/a", 200, "text/html", "sha1:A1",
+        512, 0, "f.warc.gz")
+    b = rows[("com,ex)/b", "20260101000002")]
+    assert b["url"] == "https://ex.com/b"
+    assert (b["status"], b["mime"], b["digest"], b["length"],
+            b["offset"], b["filename"]) == (None,) * 6
+    a2 = rows[("com,ex)/a", "20260102000001")]
+    assert a2["status"] == 301 and a2["mime"] is None
+
+
+def test_cdx_latest_picks_max_ts_and_counts(spark):
+    body = "\n".join([LINE_A, LINE_A2, LINE_B])
+    out = {r["surt"]: r
+           for r in cdx_latest(parse_cdx(_shard(spark, body))).collect()}
+    assert out["com,ex)/a"]["ts"] == "20260102000001"
+    assert out["com,ex)/a"]["digest"] == "sha1:A2"
+    assert out["com,ex)/a"]["n_captures"] == 2
+    assert out["com,ex)/b"]["n_captures"] == 1
+
+
+def test_cdx_latest_same_second_tiebreak(spark):
+    """Two captures in the same second: the digest tie-break must make
+    the winner deterministic regardless of input order."""
+    ln1 = 'com,ex)/t 20260101000009 {"url": "u1", "digest": "sha1:X"}'
+    ln2 = 'com,ex)/t 20260101000009 {"url": "u2", "digest": "sha1:B"}'
+    for body in (ln1 + "\n" + ln2, ln2 + "\n" + ln1):
+        out = cdx_latest(parse_cdx(_shard(spark, body))).collect()
+        assert len(out) == 1
+        assert out[0]["digest"] == "sha1:B" and out[0]["url"] == "u2"
+
+
+def test_cdx_plan_shapes(spark):
+    """parse_cdx is a pure narrow projection (zero exchanges — the
+    shard is the parallelism unit); cdx_latest adds exactly ONE
+    exchange for both window functions."""
+    from tests.test_plans import _plan
+    shard = _shard(spark, LINE_A + "\n" + LINE_A2)
+    assert "Exchange" not in _plan(parse_cdx(shard))
+    # formatted explain repeats each node in the details section —
+    # count in the tree half only
+    tree = _plan(cdx_latest(parse_cdx(shard))).split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree

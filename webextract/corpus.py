@@ -2522,6 +2522,80 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
         .filter(F.col("url") != ""))
 
 
+def parse_cdx(cdx: DataFrame) -> DataFrame:
+    """(shard, surt, ts, url, status, mime, digest, length, offset,
+    filename): CDXJ capture-index parsing — the fourth leg of the
+    crawl-planning surface (robots: what MAY be fetched; sitemaps:
+    what EXISTS; the frontier: what WILL be fetched; the CDX index:
+    what WAS fetched and where the bytes live in the WARC store).
+    Common Crawl publishes one such index per crawl (~300 shard files
+    of `SURT timestamp {json}` lines); a refetch/dedup planner reads
+    it to skip already-captured urls and to locate payloads by
+    (filename, offset, length) without scanning the WARCs.
+
+    Input: (shard, cdx_text) raw index shard bodies; output one row
+    per well-formed capture line.  Lines that don't match the
+    three-field CDXJ shape (blank lines, comments, truncated tails)
+    are dropped — the reader contract is "every row is addressable".
+    JSON fields are extracted with the engine's native JSON path
+    accessor (get_json_object — JVM-side, no Python), absent optional
+    fields surface as NULL, and status/length/offset cast to exact
+    integer types so downstream range logic never compares strings.
+
+    Scale shape: split + explode per shard then pure narrow
+    projections — the shard is the parallelism unit exactly as
+    upstream publishes it, and NOTHING here shuffles: a 10^11-capture
+    index parses map-side and feeds cdx_latest's single exchange."""
+    lines = cdx.select(
+        "shard",
+        F.explode(F.split(
+            F.regexp_replace("cdx_text", "\r", ""), "\n")).alias("ln"))
+    pat = r"^(\S+) (\d{14}) (\{.*\})\s*$"
+    surt = F.regexp_extract("ln", pat, 1)
+    ts = F.regexp_extract("ln", pat, 2)
+    j = F.regexp_extract("ln", pat, 3)
+    return (lines
+            .filter(surt != "")
+            .select(
+                "shard", surt.alias("surt"), ts.alias("ts"),
+                F.get_json_object(j, "$.url").alias("url"),
+                F.get_json_object(j, "$.status").cast("int")
+                .alias("status"),
+                F.get_json_object(j, "$.mime").alias("mime"),
+                F.get_json_object(j, "$.digest").alias("digest"),
+                F.get_json_object(j, "$.length").cast("long")
+                .alias("length"),
+                F.get_json_object(j, "$.offset").cast("long")
+                .alias("offset"),
+                F.get_json_object(j, "$.filename").alias("filename")))
+
+
+def cdx_latest(captures: DataFrame) -> DataFrame:
+    """(surt, ts, url, digest, n_captures): the newest capture per
+    SURT key plus how many captures it supersedes — the "latest
+    snapshot" view every CDX consumer starts from (refetch planning:
+    fetch only if the live page changed since `ts`; dedup planning:
+    one representative payload per url across recrawls).
+
+    ONE shuffle on surt with the per-key top-1 window idiom shared
+    with survivor selection and url_dedup: row_number over (ts DESC,
+    digest) — the digest tie-break makes same-second recaptures
+    deterministic — and a count over the same partition, so both
+    window functions ride a single exchange.  Hot keys are bounded by
+    the recrawl rate (a url is captured once per crawl), never by
+    corpus size."""
+    w = Window.partitionBy("surt").orderBy(
+        F.col("ts").desc(), F.col("digest"))
+    return (captures
+            .select("surt", "ts", "url", "digest")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_captures",
+                        F.count("*").over(Window.partitionBy("surt"))
+                        .cast("int"))
+            .filter(F.col("rn") == 1)
+            .select("surt", "ts", "url", "digest", "n_captures"))
+
+
 def robots_rules(robots: DataFrame, agent: str = ROBOTS_AGENT) -> DataFrame:
     """(host, allow, prefix, prefix_len): the effective rule set per
     host for ``agent``, parsed from raw robots.txt bodies per RFC 9309

@@ -841,6 +841,53 @@ def q_parse_sitemaps(spark, sf_dir):
     return corpus.parse_sitemaps(maps)
 
 
+def _synth_cdx(spark, sf_dir):
+    """Deterministic CDXJ shard bodies from the documents table: per
+    doc one valid capture line (surt key doc_id%50, so ~10 recrawl
+    captures per key), one minimal-JSON line (optional fields absent
+    -> NULL columns), one malformed line and one blank (both dropped
+    by the line-shape filter).  Timestamps are unique per doc inside
+    a surt group, so cdx_latest's top-1 is deterministic without
+    relying on the digest tie-break."""
+    d = _read(spark, sf_dir, "documents")
+    ks = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 50).cast("string")
+    ts = F.concat(F.lit("2026010"), (F.col("doc_id") % 9).cast("string"),
+                  F.lpad(ks, 6, "0"))
+    body = F.concat(
+        F.lit("com,example)/p/"), m, F.lit(" "), ts,
+        F.lit(' {"url": "https://example.com/p/'), m,
+        F.lit('", "status": "200", "mime": "text/html", '
+              '"digest": "sha1:D'), ks,
+        F.lit('", "length": "'), (F.col("doc_id") + 100).cast("string"),
+        F.lit('", "offset": "'), (F.col("doc_id") * 7).cast("string"),
+        F.lit('", "filename": "crawl/seg-'), m,
+        F.lit('.warc.gz"}\n'),
+        F.lit("com,example)/q/"), ks, F.lit(" "), ts,
+        F.lit(' {"url": "https://example.com/q/'), ks,
+        F.lit('", "status": "404", "digest": "sha1:Q'), ks,
+        F.lit('"}\n'),
+        F.lit("this line is not a capture\n\n"))
+    return d.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string"))
+        .alias("shard"),
+        body.alias("cdx_text"))
+
+
+def q_parse_cdx(spark, sf_dir):
+    """CDXJ capture-index parsing — crawl-planning leg four.  The
+    oracle re-parses the same synthesized shard bodies with the
+    identical line-shape regex and JSON path extraction."""
+    return corpus.parse_cdx(_synth_cdx(spark, sf_dir))
+
+
+def q_cdx_latest(spark, sf_dir):
+    """Latest capture per SURT over the parsed index: each /p/ key
+    must surface its max-timestamp capture with the recrawl count;
+    each /q/ key is a singleton."""
+    return corpus.cdx_latest(corpus.parse_cdx(_synth_cdx(spark, sf_dir)))
+
+
 def q_robots_filter(spark, sf_dir):
     """RFC 9309 robots.txt parse + longest-match admission.  Each of
     the 13 hosts serves a deterministic robots body: a `*` group
@@ -1650,7 +1697,10 @@ QUERIES = {
     # rotated out to make room — all r3-green stable) ----
     # --- stable r3-green gates rotated past the cap (pytest-covered) ---
     # (new round-4 relational-breadth gates start here too: rollup and
-    # range-frame window — pytest-oracle-green, next rotation's window)
+    # range-frame window — pytest-oracle-green, next rotation's window;
+    # likewise the round-close CDX crawl-index gates below)
+    "parse_cdx": q_parse_cdx,
+    "cdx_latest": q_cdx_latest,
     "pipeline_counters": q_pipeline_counters,
     "resume_pending": q_resume_pending,
     "dedup_clusters": q_dedup_clusters,
@@ -3013,6 +3063,91 @@ ORACLES = {
                     ELSE round(prio::DOUBLE * 1000000) END::BIGINT
                    AS priority_micro
         FROM f WHERE url <> ''""",
+
+    "parse_cdx": r"""
+        WITH sh AS (SELECT 's' || (doc_id % 7) AS shard,
+               'com,example)/p/' || (doc_id % 50) || ' '
+               || '2026010' || (doc_id % 9)
+               || lpad(doc_id::VARCHAR, 6, '0')
+               || ' {"url": "https://example.com/p/' || (doc_id % 50)
+               || '", "status": "200", "mime": "text/html", '
+               || '"digest": "sha1:D' || doc_id
+               || '", "length": "' || (doc_id + 100)
+               || '", "offset": "' || (doc_id * 7)
+               || '", "filename": "crawl/seg-' || (doc_id % 50)
+               || '.warc.gz"}' || chr(10)
+               || 'com,example)/q/' || doc_id || ' '
+               || '2026010' || (doc_id % 9)
+               || lpad(doc_id::VARCHAR, 6, '0')
+               || ' {"url": "https://example.com/q/' || doc_id
+               || '", "status": "404", "digest": "sha1:Q' || doc_id
+               || '"}' || chr(10)
+               || 'this line is not a capture' || chr(10) AS cdx_text
+               FROM documents),
+        ln AS (SELECT shard, unnest(string_split(
+                   replace(cdx_text, chr(13), ''), chr(10))) AS l
+               FROM sh),
+        m AS (SELECT shard,
+                     regexp_extract(l, '^(\S+) (\d{14}) (\{.*\})\s*$', 1)
+                         AS surt,
+                     regexp_extract(l, '^(\S+) (\d{14}) (\{.*\})\s*$', 2)
+                         AS ts,
+                     regexp_extract(l, '^(\S+) (\d{14}) (\{.*\})\s*$', 3)
+                         AS j
+              FROM ln)
+        SELECT shard, surt, ts,
+               json_extract_string(j, '$.url') AS url,
+               json_extract_string(j, '$.status')::INT AS status,
+               json_extract_string(j, '$.mime') AS mime,
+               json_extract_string(j, '$.digest') AS digest,
+               json_extract_string(j, '$.length')::BIGINT AS length,
+               json_extract_string(j, '$.offset')::BIGINT AS offset,
+               json_extract_string(j, '$.filename') AS filename
+        FROM m WHERE surt <> ''""",
+
+    "cdx_latest": r"""
+        WITH sh AS (SELECT 's' || (doc_id % 7) AS shard,
+               'com,example)/p/' || (doc_id % 50) || ' '
+               || '2026010' || (doc_id % 9)
+               || lpad(doc_id::VARCHAR, 6, '0')
+               || ' {"url": "https://example.com/p/' || (doc_id % 50)
+               || '", "status": "200", "mime": "text/html", '
+               || '"digest": "sha1:D' || doc_id
+               || '", "length": "' || (doc_id + 100)
+               || '", "offset": "' || (doc_id * 7)
+               || '", "filename": "crawl/seg-' || (doc_id % 50)
+               || '.warc.gz"}' || chr(10)
+               || 'com,example)/q/' || doc_id || ' '
+               || '2026010' || (doc_id % 9)
+               || lpad(doc_id::VARCHAR, 6, '0')
+               || ' {"url": "https://example.com/q/' || doc_id
+               || '", "status": "404", "digest": "sha1:Q' || doc_id
+               || '"}' || chr(10)
+               || 'this line is not a capture' || chr(10) AS cdx_text
+               FROM documents),
+        ln AS (SELECT unnest(string_split(
+                   replace(cdx_text, chr(13), ''), chr(10))) AS l
+               FROM sh),
+        c AS (SELECT regexp_extract(l, '^(\S+) (\d{14}) (\{.*\})\s*$', 1)
+                         AS surt,
+                     regexp_extract(l, '^(\S+) (\d{14}) (\{.*\})\s*$', 2)
+                         AS ts,
+                     json_extract_string(regexp_extract(
+                         l, '^(\S+) (\d{14}) (\{.*\})\s*$', 3),
+                         '$.url') AS url,
+                     json_extract_string(regexp_extract(
+                         l, '^(\S+) (\d{14}) (\{.*\})\s*$', 3),
+                         '$.digest') AS digest
+              FROM ln
+              WHERE regexp_extract(
+                  l, '^(\S+) (\d{14}) (\{.*\})\s*$', 1) <> ''),
+        r AS (SELECT surt, ts, url, digest,
+                     row_number() OVER (PARTITION BY surt
+                                        ORDER BY ts DESC, digest) AS rn,
+                     count(*) OVER (PARTITION BY surt)::INT
+                         AS n_captures
+              FROM c)
+        SELECT surt, ts, url, digest, n_captures FROM r WHERE rn = 1""",
 
     "robots_filter": r"""
         WITH ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
