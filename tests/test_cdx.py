@@ -63,6 +63,23 @@ def test_cdx_latest_same_second_tiebreak(spark):
         assert out[0]["digest"] == "sha1:B" and out[0]["url"] == "u2"
 
 
+def test_cdx_latest_null_digest_tiebreak(spark):
+    """digest is an OPTIONAL field: same-second captures where one or
+    both digests are NULL must still pick a deterministic winner —
+    NULLS LAST (the SQL engines' default, NOT Spark's ascending
+    default), with url totalizing the order when digests tie."""
+    with_d = 'com,ex)/n 20260101000009 {"url": "ud", "digest": "sha1:Z"}'
+    no_d = 'com,ex)/n 20260101000009 {"url": "un"}'
+    for body in (with_d + "\n" + no_d, no_d + "\n" + with_d):
+        out = cdx_latest(parse_cdx(_shard(spark, body))).collect()
+        assert len(out) == 1
+        assert out[0]["digest"] == "sha1:Z"   # non-NULL beats NULL
+    both = ('com,ex)/n 20260101000009 {"url": "u2"}\n'
+            'com,ex)/n 20260101000009 {"url": "u1"}')
+    out = cdx_latest(parse_cdx(_shard(spark, both))).collect()
+    assert len(out) == 1 and out[0]["url"] == "u1"  # url totalizes
+
+
 def test_cdx_plan_shapes(spark):
     """parse_cdx is a pure narrow projection (zero exchanges — the
     shard is the parallelism unit); cdx_latest adds exactly ONE

@@ -302,9 +302,45 @@ def test_compact_copies_stats_forward(spark, tmp_path, monkeypatch):
     assert res["snapshot_id"] and res["kept"] == 1
     # the kept file's footer was never re-opened...
     assert big not in read_paths
+    # ...and each rewritten output's footer was read exactly ONCE
+    # (pre-read outside the CAS loop, pre-populated into commit)
+    assert read_paths and len(read_paths) == len(set(read_paths))
     # ...but its bounds survived the rewrite, copied forward verbatim
     stats = tbl.data_file_stats()
     assert stats[big] == prior_big
     # and the rewritten outputs re-recorded BOTH tracked columns
     new = [f for f in stats if f != big]
     assert new and all(set(stats[f]) == {"url", "doc_id"} for f in new)
+
+
+def test_compact_new_sort_column_backfills_kept(spark, tmp_path):
+    """compact(sort_by=<previously untracked column>) must backfill
+    that column's bounds on KEPT files too — copy-forward skips only
+    already-tracked columns, otherwise the kept set would stay
+    unprunable on the new sort key forever (a rewrite stops the stats
+    walk, so no later pass could recover them)."""
+    import os
+    root = str(tmp_path / "tbl")
+    tbl = IceTable(root)
+    for w, n in ((0, 3000), (1, 40), (2, 40)):
+        rows = [(w * 100000 + i, f"u{w}{i:05d}", "x" * 400)
+                for i in range(n)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, url string, text string")
+        out = tbl.staging_dir(f"w{w}", 0)
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        files = sorted(os.path.join(out, f) for f in os.listdir(out)
+                       if f.endswith(".parquet"))
+        tbl.commit(f"w{w}", [{"part_id": w, "files": files,
+                              "counters": {}}], "t",
+                   stats_cols=("url",))   # doc_id NOT tracked yet
+    sizes = {f: os.path.getsize(f) for f in tbl.data_files()}
+    big = max(sizes, key=sizes.get)
+    res = tbl.compact(spark, target_file_bytes=2 * sizes[big] - 2,
+                      committed_at="t2", sort_by="doc_id")
+    assert res["snapshot_id"] and res["kept"] == 1
+    stats = tbl.data_file_stats()
+    # every live file — kept AND rewritten — now carries doc_id bounds
+    assert all({"url", "doc_id"} <= set(v) for v in stats.values())
+    # and the kept file's backfilled bounds are correct
+    assert stats[big]["doc_id"] == [0, 2999]

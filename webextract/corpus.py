@@ -2537,37 +2537,47 @@ def parse_cdx(cdx: DataFrame) -> DataFrame:
     per well-formed capture line.  Lines that don't match the
     three-field CDXJ shape (blank lines, comments, truncated tails)
     are dropped — the reader contract is "every row is addressable".
-    JSON fields are extracted with the engine's native JSON path
-    accessor (get_json_object — JVM-side, no Python), absent optional
-    fields surface as NULL, and status/length/offset cast to exact
-    integer types so downstream range logic never compares strings.
+    Absent optional JSON fields surface as NULL, and
+    status/length/offset cast to exact integer types so downstream
+    range logic never compares strings.
 
     Scale shape: split + explode per shard then pure narrow
     projections — the shard is the parallelism unit exactly as
     upstream publishes it, and NOTHING here shuffles: a 10^11-capture
-    index parses map-side and feeds cdx_latest's single exchange."""
+    index parses map-side and feeds cdx_latest's single exchange.
+    Per-line cost is ONE anchored-regex admission test (rlike), one
+    3-bounded split, and ONE JSON parse (json_tuple extracts all
+    seven fields in a single pass — Catalyst does not share work
+    across separate get_json_object trees, so per-field accessors
+    would re-parse the blob seven times; round-4 review)."""
     lines = cdx.select(
         "shard",
         F.explode(F.split(
             F.regexp_replace("cdx_text", "\r", ""), "\n")).alias("ln"))
-    pat = r"^(\S+) (\d{14}) (\{.*\})\s*$"
-    surt = F.regexp_extract("ln", pat, 1)
-    ts = F.regexp_extract("ln", pat, 2)
-    j = F.regexp_extract("ln", pat, 3)
-    return (lines
-            .filter(surt != "")
-            .select(
-                "shard", surt.alias("surt"), ts.alias("ts"),
-                F.get_json_object(j, "$.url").alias("url"),
-                F.get_json_object(j, "$.status").cast("int")
-                .alias("status"),
-                F.get_json_object(j, "$.mime").alias("mime"),
-                F.get_json_object(j, "$.digest").alias("digest"),
-                F.get_json_object(j, "$.length").cast("long")
-                .alias("length"),
-                F.get_json_object(j, "$.offset").cast("long")
-                .alias("offset"),
-                F.get_json_object(j, "$.filename").alias("filename")))
+    # the three fields are single-space separated and the JSON blob is
+    # last, so a limit-3 split recovers exactly the regex's groups on
+    # any line the anchored shape test admits
+    parts = F.split("ln", " ", 3)
+    matched = (lines
+               .filter(F.col("ln").rlike(r"^(\S+) (\d{14}) (\{.*\})\s*$"))
+               .select("shard",
+                       F.element_at(parts, 1).alias("surt"),
+                       F.element_at(parts, 2).alias("ts"),
+                       F.element_at(parts, 3).alias("j")))
+    fields = ("url", "status", "mime", "digest",
+              "length", "offset", "filename")
+    tup = matched.select("shard", "surt", "ts",
+                         F.json_tuple("j", *fields))
+    c = tup.columns[3:]   # json_tuple's c0..c6, in `fields` order
+    return tup.select(
+        "shard", "surt", "ts",
+        F.col(c[0]).alias("url"),
+        F.col(c[1]).cast("int").alias("status"),
+        F.col(c[2]).alias("mime"),
+        F.col(c[3]).alias("digest"),
+        F.col(c[4]).cast("long").alias("length"),
+        F.col(c[5]).cast("long").alias("offset"),
+        F.col(c[6]).alias("filename"))
 
 
 def cdx_latest(captures: DataFrame) -> DataFrame:
@@ -2579,13 +2589,19 @@ def cdx_latest(captures: DataFrame) -> DataFrame:
 
     ONE shuffle on surt with the per-key top-1 window idiom shared
     with survivor selection and url_dedup: row_number over (ts DESC,
-    digest) — the digest tie-break makes same-second recaptures
-    deterministic — and a count over the same partition, so both
-    window functions ride a single exchange.  Hot keys are bounded by
-    the recrawl rate (a url is captured once per crawl), never by
-    corpus size."""
+    digest NULLS LAST, url NULLS LAST) — the digest tie-break makes
+    same-second recaptures deterministic, NULLS LAST pins the
+    cross-engine ordering (Spark ascending defaults NULLS FIRST,
+    SQL engines NULLS LAST — and digest is an OPTIONAL field
+    parse_cdx surfaces as NULL), and url totalizes the order when
+    digests tie or are both absent — and a count over the same
+    partition, so both window functions ride a single exchange.  Hot
+    keys are bounded by the recrawl rate (a url is captured once per
+    crawl), never by corpus size."""
     w = Window.partitionBy("surt").orderBy(
-        F.col("ts").desc(), F.col("digest"))
+        F.col("ts").desc(),
+        F.col("digest").asc_nulls_last(),
+        F.col("url").asc_nulls_last())
     return (captures
             .select("surt", "ts", "url", "digest")
             .withColumn("rn", F.row_number().over(w))

@@ -260,18 +260,25 @@ class IceTable:
         if stats_cols:
             # footer-only reads of exactly the files being committed —
             # the writer-records-bounds contract (never a table scan).
-            # Files whose stats the caller pre-populated (compact()
-            # copying bounds forward for carried files) are NOT
-            # re-read: a rewrite would otherwise re-open every kept
-            # footer it never touched (round-4 review).
+            # Columns the caller pre-populated (compact() copying
+            # bounds forward for carried files) are NOT re-read; only
+            # the tracked columns MISSING from a file's dict are
+            # footer-read and merged in, so a rewrite neither re-opens
+            # every kept footer (round-4 review) nor permanently
+            # strands kept files without bounds for a newly tracked
+            # column like a fresh sort_by (second-review).
             for p in partitions:
-                fs = dict(p.get("file_stats") or {})
+                fs = {k: dict(v)
+                      for k, v in (p.get("file_stats") or {}).items()}
                 for f in p["files"]:
-                    if f in fs:
+                    have = fs.get(f, {})
+                    missing = tuple(c for c in stats_cols
+                                    if c not in have)
+                    if not missing:
                         continue
-                    st = self.file_column_stats(f, stats_cols)
+                    st = self.file_column_stats(f, missing)
                     if st:
-                        fs[f] = st
+                        fs[f] = {**have, **st}
                 if fs:
                     p["file_stats"] = fs
         lock = self._commit_lock()
@@ -385,9 +392,13 @@ class IceTable:
         columns the table already tracks — the union of stats keys in
         the live manifests, plus ``sort_by`` — so a rewrite never
         silently narrows the pruning surface a hardcoded default would
-        (round-4 review).  Kept files' bounds are copied FORWARD from
-        the manifests rather than re-read: at 10^12-doc scale the kept
-        set is millions of footers the rewrite never opened."""
+        (round-4 review).  Kept files' bounds for already-tracked
+        columns are copied FORWARD from the manifests rather than
+        re-read — at 10^12-doc scale the kept set is millions of
+        footers the rewrite never opened; only a column the table did
+        not previously track (a fresh ``sort_by``) incurs a one-time
+        footer read of the kept files, the price of making them
+        prunable on it (second-review)."""
         base = self.current_snapshot_id()
         files = self.data_files(as_of=base)
         sizes = {f: os.path.getsize(f) for f in files}
@@ -410,31 +421,42 @@ class IceTable:
         new_files = sorted(
             os.path.join(out_dir, fn) for fn in os.listdir(out_dir)
             if fn.endswith(".parquet") and not fn.startswith((".", "_")))
+        if stats_cols is None:
+            tracked = tuple(sorted(
+                {c for st in self.data_file_stats(as_of=base).values()
+                 for c in st}))
+        else:
+            tracked = stats_cols
+        # a rewrite snapshot STOPS the stats walk, so it must
+        # re-record bounds for every stats column or the wave
+        # commits' pruning metadata is destroyed (round-4 review) —
+        # sort_by rides along
+        cols = tuple(dict.fromkeys(c for c in (*tracked, sort_by) if c))
+        # the rewritten outputs are immutable: footer-read their
+        # bounds ONCE here, not inside the CAS loop where every
+        # conflict retry would redo the whole pass (second-review)
+        new_stats = {}
+        for f in new_files:
+            st = self.file_column_stats(f, cols)
+            if st:
+                new_stats[f] = st
         while True:
             prior = self.data_file_stats(as_of=base)
-            if stats_cols is None:
-                tracked = tuple(sorted(
-                    {c for st in prior.values() for c in st}))
-            else:
-                tracked = stats_cols
             try:
                 snap_id = self.commit(
                     run_id,
                     [{"part_id": -1, "files": keep + new_files,
                       "counters": {},
                       # kept files' bounds copied forward — commit()
-                      # footer-reads only the rewritten outputs
-                      "file_stats": {f: prior[f] for f in keep
-                                     if prior.get(f)}}],
+                      # footer-reads only columns still missing
+                      "file_stats": {
+                          **{f: prior[f] for f in keep
+                             if prior.get(f)},
+                          **new_stats}}],
                     committed_at, versions, rewrite=True,
                     carried_parts=sorted(self.committed_parts(as_of=base)),
                     expected_parent=base,
-                    # a rewrite snapshot STOPS the stats walk, so it
-                    # must re-record bounds for every stats column or
-                    # the wave commits' pruning metadata is destroyed
-                    # (round-4 review) — sort_by rides along
-                    stats_cols=tuple(dict.fromkeys(
-                        c for c in (*tracked, sort_by) if c)))
+                    stats_cols=cols)
                 break
             except CommitConflict:
                 head = self.current_snapshot_id()

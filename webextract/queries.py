@@ -3143,7 +3143,9 @@ ORACLES = {
                   l, '^(\S+) (\d{14}) (\{.*\})\s*$', 1) <> ''),
         r AS (SELECT surt, ts, url, digest,
                      row_number() OVER (PARTITION BY surt
-                                        ORDER BY ts DESC, digest) AS rn,
+                                        ORDER BY ts DESC,
+                                                 digest NULLS LAST,
+                                                 url NULLS LAST) AS rn,
                      count(*) OVER (PARTITION BY surt)::INT
                          AS n_captures
               FROM c)
