@@ -139,3 +139,24 @@ def test_robots_crlf_body(spark):
     rules = corpus.robots_rules(_robots(spark, body)).collect()
     assert [(r["allow"], r["prefix"]) for r in rules] == \
         [(False, "/private")]
+
+
+def test_robots_sitemaps_extraction(spark):
+    """Sitemap lines are group-INDEPENDENT (collected from inside or
+    outside UA groups), field name case-insensitive, comment-only and
+    value-less lines dropped, CRLF and padding trimmed, one row per
+    occurrence."""
+    body = ("Sitemap: http://a.com/top.xml\r\n"
+            "User-agent: *\r\n"
+            "Disallow: /private\n"
+            "sitemap:   http://a.com/in-group.xml   \n"
+            "# Sitemap: http://a.com/commented.xml\n"
+            "Sitemap:\n"
+            "SITEMAP: http://a.com/caps.xml\n")
+    robots = spark.createDataFrame([("a.com", body), ("b.com", "ok\n")],
+                                   "host string, robots_txt string")
+    rows = sorted((r["host"], r["sitemap_url"])
+                  for r in corpus.robots_sitemaps(robots).collect())
+    assert rows == [("a.com", "http://a.com/caps.xml"),
+                    ("a.com", "http://a.com/in-group.xml"),
+                    ("a.com", "http://a.com/top.xml")]

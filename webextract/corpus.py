@@ -2741,6 +2741,36 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
                     .alias("blocked")))
 
 
+def robots_sitemaps(robots: DataFrame) -> DataFrame:
+    """(host, sitemap_url): the ``Sitemap:`` discovery lines of
+    robots.txt — the bridge between two planning legs: robots_rules
+    says what MAY be fetched, and the urls this emits feed
+    parse_sitemaps to learn what EXISTS.  The field is sitemaps.org
+    cross-protocol metadata that RFC 9309 classifies as an "other
+    record": group-INDEPENDENT, so it is collected from anywhere in
+    the body regardless of the surrounding User-agent groups (the
+    rule parser correctly treats the same lines as transparent).
+
+    Same line grammar as robots_rules (CRLF strip, #-comments,
+    case-insensitive field names); values are served as absolute URLs
+    per the protocol and emitted as-is — resolution/validation is the
+    fetcher's concern.  Pure narrow split + explode + filter: zero
+    shuffle, robots-table-sized output."""
+    lines = robots.select(
+        "host", F.explode(F.split(
+            F.regexp_replace(F.col("robots_txt"), "\r", ""), "\n"))
+        .alias("raw"))
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    field = F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    return (lines
+            .select("host", field.alias("f"),
+                    value.alias("sitemap_url"))
+            .filter((F.col("f") == "sitemap")
+                    & (F.col("sitemap_url") != ""))
+            .select("host", "sitemap_url"))
+
+
 # ---------------------------------------------------------------------------
 # Unicode normalization (the pre-dedup canonicalization pass)
 # ---------------------------------------------------------------------------

@@ -888,6 +888,32 @@ def q_cdx_latest(spark, sf_dir):
     return corpus.cdx_latest(corpus.parse_cdx(_synth_cdx(spark, sf_dir)))
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery lines out of robots.txt — the robots ->
+    parse_sitemaps bridge.  Each of the 13 hosts serves a body with:
+    a CRLF Sitemap line, a case-variant `sitemap:` line (field names
+    are case-insensitive), a commented-out line that must NOT emit, a
+    value-less Sitemap dropped, and per-host presence variation so
+    hosts with zero sitemaps exercise the empty branch.  The oracle
+    re-parses the same bodies with the identical line grammar."""
+    d = _read(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 13
+    ks = k.cast("string")
+    host = F.concat(F.lit("h"), ks, F.lit(".example.com"))
+    body = F.concat(
+        F.lit("User-agent: *\r\nDisallow: /private\r\n"
+              "Sitemap: http://"), host, F.lit("/s1.xml\r\n"),
+        F.lit("# Sitemap: http://"), host, F.lit("/commented.xml\n"),
+        F.when(k % 2 == 0, F.concat(
+            F.lit("sitemap:   http://"), host,
+            F.lit("/s2.xml   \n"))).otherwise(F.lit("")),
+        F.when(k % 3 == 0, F.lit("Sitemap:\n")).otherwise(F.lit("")))
+    robots = (d.select(k.alias("kk")).distinct()
+              .withColumn("doc_id", F.col("kk"))
+              .select(host.alias("host"), body.alias("robots_txt")))
+    return corpus.robots_sitemaps(robots)
+
+
 def q_robots_filter(spark, sf_dir):
     """RFC 9309 robots.txt parse + longest-match admission.  Each of
     the 13 hosts serves a deterministic robots body: a `*` group
@@ -1701,6 +1727,7 @@ QUERIES = {
     # likewise the round-close CDX crawl-index gates below)
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
+    "robots_sitemaps": q_robots_sitemaps,
     "pipeline_counters": q_pipeline_counters,
     "resume_pending": q_resume_pending,
     "dedup_clusters": q_dedup_clusters,
@@ -3150,6 +3177,38 @@ ORACLES = {
                          AS n_captures
               FROM c)
         SELECT surt, ts, url, digest, n_captures FROM r WHERE rn = 1""",
+
+    "robots_sitemaps": r"""
+        WITH ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
+        rb AS (SELECT 'h' || k || '.example.com' AS host,
+                      'User-agent: *' || chr(13) || chr(10)
+                      || 'Disallow: /private' || chr(13) || chr(10)
+                      || 'Sitemap: http://h' || k
+                      || '.example.com/s1.xml' || chr(13) || chr(10)
+                      || '# Sitemap: http://h' || k
+                      || '.example.com/commented.xml' || chr(10)
+                      || CASE WHEN k % 2 = 0
+                              THEN 'sitemap:   http://h' || k
+                                   || '.example.com/s2.xml   ' || chr(10)
+                              ELSE '' END
+                      || CASE WHEN k % 3 = 0
+                              THEN 'Sitemap:' || chr(10) ELSE '' END
+                          AS robots_txt
+               FROM ks),
+        ln AS (SELECT host, unnest(string_split(
+                   replace(robots_txt, chr(13), ''), chr(10))) AS raw
+               FROM rb),
+        fv AS (SELECT host,
+                      trim(regexp_replace(raw, '#.*', '')) AS clean
+               FROM ln)
+        SELECT host,
+               trim(regexp_extract(clean,
+                    '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS sitemap_url
+        FROM fv
+        WHERE lower(regexp_extract(clean, '^([A-Za-z-]+)\s*:', 1))
+                  = 'sitemap'
+          AND trim(regexp_extract(clean,
+                   '^[A-Za-z-]+\s*:\s*(.*)$', 1)) <> ''""",
 
     "robots_filter": r"""
         WITH ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
