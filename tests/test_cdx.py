@@ -91,3 +91,97 @@ def test_cdx_plan_shapes(spark):
     # count in the tree half only
     tree = _plan(cdx_latest(parse_cdx(shard))).split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
+
+
+# --- property-based parity: parse_cdx vs a pure-Python reference ----------
+
+import json as _json
+import re as _re
+
+from hypothesis import given, settings, strategies as st
+
+# re.ASCII pins \S/\d to Java's (ASCII-scoped) semantics — Python's
+# default unicode-aware classes would admit lines (e.g. Arabic-Indic
+# digit timestamps) the engine's Java regex rejects
+_PAT = _re.compile(r"^(\S+) (\d{14}) (\{.*\})\s*$", _re.ASCII)
+_FIELDS = ("url", "status", "mime", "digest", "length", "offset",
+           "filename")
+_INT_RE = _re.compile(r"[+-]?\d+", _re.ASCII)
+
+
+def _ref_cast_int(v):
+    """Spark's try_cast string->int: trim, integer literal or NULL
+    (a plain cast under default ANSI mode ABORTS THE JOB on garbage —
+    the bug this fuzz originally caught)."""
+    if v is None:
+        return None
+    v = v.strip()
+    return int(v) if _INT_RE.fullmatch(v) else None
+
+
+def _ref_parse(shard, text):
+    out = []
+    for ln in text.replace("\r", "").split("\n"):
+        if not _PAT.match(ln):
+            continue
+        surt, ts, j = ln.split(" ", 2)
+        try:
+            d = _json.loads(j)
+        except ValueError:
+            d = {}
+        if not isinstance(d, dict):
+            d = {}
+        g = {k: (d.get(k) if isinstance(d.get(k), str) else None)
+             for k in _FIELDS}
+        out.append((shard, surt, ts, g["url"],
+                    _ref_cast_int(g["status"]), g["mime"], g["digest"],
+                    _ref_cast_int(g["length"]), _ref_cast_int(g["offset"]),
+                    g["filename"]))
+    return out
+
+
+# printable-ASCII surt (upstream SURTs are ASCII)
+_surt = st.text(st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1, max_size=12)
+_digits14 = st.text("0123456789", min_size=14, max_size=14)
+_val = st.one_of(
+    st.text(max_size=12),                  # any unicode (json-escaped)
+    st.text("0123456789 +-", max_size=6))  # int-castable-ish strings
+
+
+@st.composite
+def _cdx_line(draw):
+    kind = draw(st.integers(0, 9))
+    if kind == 0:
+        return draw(st.text(st.characters(blacklist_characters="\n\r"),
+                            max_size=30))          # garbage line
+    if kind == 1:
+        return ""                                  # blank line
+    surt, ts = draw(_surt), draw(_digits14)
+    if kind == 2:
+        return f"{surt} {ts[:13]} {{}}"            # short timestamp
+    body = {k: draw(_val) for k in draw(st.sets(
+        st.sampled_from(_FIELDS)))}
+    j = _json.dumps(body)
+    if kind == 3 and len(j) > 2:
+        # corrupt the tail INSIDE the braces (drops the closing quote
+        # of the last value) so the {...} line shape still admits it
+        # but the JSON parser must reject it in both engines
+        j = j[:-2] + "}"
+    pad = " " * draw(st.integers(0, 2))
+    return f"{surt} {ts} {j}{pad}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(lines=st.lists(_cdx_line(), min_size=1, max_size=12))
+def test_parse_cdx_matches_python_reference(spark, lines):
+    """parse_cdx must agree with a line-by-line Python reference on
+    garbage lines, blank lines, short timestamps, absent fields,
+    unicode values, int-castable and garbage numerics, corrupted
+    JSON, and trailing padding."""
+    text = "\n".join(lines)
+    nullsafe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    got = sorted((tuple(r) for r in parse_cdx(
+        _shard(spark, text)).collect()), key=nullsafe)
+    want = sorted(_ref_parse("s0", text), key=nullsafe)
+    assert got == want

@@ -2513,11 +2513,15 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
         F.col("b"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
     prio = F.regexp_extract(
         F.col("b"), r"(?s)<priority>\s*(.*?)\s*</priority>", 1)
+    # try_cast, not cast: sitemaps are UNTRUSTED third-party XML and
+    # under default ANSI mode one malformed <priority> value would
+    # abort the whole scan — unparseable maps to -1 like absent
+    prio_micro = F.round(prio.try_cast("double") * 1000000)
     return (b.select(
         "host", loc.alias("url"),
         F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
-        F.when(prio == "", F.lit(-1))
-        .otherwise(F.round(prio.cast("double") * 1000000))
+        F.coalesce(F.when(prio == "", F.lit(-1)).otherwise(prio_micro),
+                   F.lit(-1))
         .cast("long").alias("priority_micro"))
         .filter(F.col("url") != ""))
 
@@ -2538,8 +2542,11 @@ def parse_cdx(cdx: DataFrame) -> DataFrame:
     three-field CDXJ shape (blank lines, comments, truncated tails)
     are dropped — the reader contract is "every row is addressable".
     Absent optional JSON fields surface as NULL, and
-    status/length/offset cast to exact integer types so downstream
-    range logic never compares strings.
+    status/length/offset TRY_CAST to exact integer types — NULL, not
+    a job abort, on a malformed value: under Spark's default ANSI
+    mode a plain cast THROWS, and one bad status string in a
+    10^11-line index must never kill the scan (found by the
+    hypothesis parity fuzz).
 
     Scale shape: split + explode per shard then pure narrow
     projections — the shard is the parallelism unit exactly as
@@ -2572,11 +2579,11 @@ def parse_cdx(cdx: DataFrame) -> DataFrame:
     return tup.select(
         "shard", "surt", "ts",
         F.col(c[0]).alias("url"),
-        F.col(c[1]).cast("int").alias("status"),
+        F.col(c[1]).try_cast("int").alias("status"),
         F.col(c[2]).alias("mime"),
         F.col(c[3]).alias("digest"),
-        F.col(c[4]).cast("long").alias("length"),
-        F.col(c[5]).cast("long").alias("offset"),
+        F.col(c[4]).try_cast("long").alias("length"),
+        F.col(c[5]).try_cast("long").alias("offset"),
         F.col(c[6]).alias("filename"))
 
 

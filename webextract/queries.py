@@ -834,6 +834,10 @@ def q_parse_sitemaps(spark, sf_dir):
             F.lit("/c</loc><lastmod> 2026-01-0"),
             (k % 9 + 1).cast("string"),
             F.lit(" </lastmod></url>\n"))).otherwise(F.lit("")),
+        F.when(k % 3 == 1, F.concat(
+            F.lit("<url><loc>http://"), host,
+            F.lit("/d</loc><priority>n/a</priority></url>\n")))
+        .otherwise(F.lit("")),
         F.lit("</urlset>\n"))
     maps = (d.select(k.alias("kk")).distinct()
             .withColumn("doc_id", F.col("kk"))
@@ -3065,6 +3069,11 @@ ORACLES = {
                             || (k % 9 + 1) || ' </lastmod></url>'
                             || chr(10)
                        ELSE '' END
+               || CASE WHEN k % 3 = 1
+                       THEN '<url><loc>http://h' || k
+                            || '.example.com/d</loc><priority>n/a'
+                            || '</priority></url>' || chr(10)
+                       ELSE '' END
                || '</urlset>' || chr(10) AS xml
                FROM ks),
         blk AS (SELECT host,
@@ -3086,9 +3095,10 @@ ORACLES = {
         SELECT host, url,
                CASE WHEN lastmod = '' THEN NULL ELSE lastmod END
                    AS lastmod,
-               CASE WHEN prio = '' THEN -1
-                    ELSE round(prio::DOUBLE * 1000000) END::BIGINT
-                   AS priority_micro
+               coalesce(CASE WHEN prio = '' THEN -1
+                             ELSE round(TRY_CAST(prio AS DOUBLE)
+                                        * 1000000) END,
+                        -1)::BIGINT AS priority_micro
         FROM f WHERE url <> ''""",
 
     "parse_cdx": r"""
@@ -3124,11 +3134,14 @@ ORACLES = {
               FROM ln)
         SELECT shard, surt, ts,
                json_extract_string(j, '$.url') AS url,
-               json_extract_string(j, '$.status')::INT AS status,
+               TRY_CAST(json_extract_string(j, '$.status') AS INT)
+                   AS status,
                json_extract_string(j, '$.mime') AS mime,
                json_extract_string(j, '$.digest') AS digest,
-               json_extract_string(j, '$.length')::BIGINT AS length,
-               json_extract_string(j, '$.offset')::BIGINT AS offset,
+               TRY_CAST(json_extract_string(j, '$.length') AS BIGINT)
+                   AS length,
+               TRY_CAST(json_extract_string(j, '$.offset') AS BIGINT)
+                   AS offset,
                json_extract_string(j, '$.filename') AS filename
         FROM m WHERE surt <> ''""",
 

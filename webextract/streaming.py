@@ -296,10 +296,15 @@ def near_dup_flags(pages: DataFrame, ttl_seconds: int | None = None,
     carry = ("warc_ts",) if ttl_seconds is not None else ()
     src = (pages.withWatermark("warc_ts", watermark)
            if ttl_seconds is not None else pages)
-    docs = src.select(
-        F.substring("url", 7, 20).cast("bigint").alias("doc_id"),
+    # adapter convention: urls are 'doc://<id>'.  try_cast, not cast —
+    # under default ANSI mode a single foreign url would otherwise
+    # ABORT the whole streaming query; non-conforming rows are dropped
+    # instead (the caller owns id assignment upstream)
+    docs = (src.select(
+        F.substring("url", 7, 20).try_cast("bigint").alias("doc_id"),
         *([F.col("warc_ts")] if carry else []),
         F.coalesce(F.col("text"), F.lit("")).alias("text"))
+        .filter(F.col("doc_id").isNotNull()))
     bk = lsh_band_keys(docs, carry_cols=carry)
 
     def emit(key, pdfs, state):
