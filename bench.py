@@ -55,7 +55,7 @@ HEADLINE = [
     "sketch_hll_distinct", "url_seen_bloom", "robots_filter",
     "stream_hll", "stream_bloom", "text_normalize",
     "weighted_sample", "table_scan_prune", "parse_sitemaps",
-    "parse_cdx", "cdx_latest", "robots_sitemaps",
+    "parse_cdx", "cdx_latest", "robots_sitemaps", "parse_sitemap_index",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -174,3 +174,38 @@ def test_parse_sitemaps_edges(spark):
     # &amp;lt; decodes the amp only: literal '&lt;' stays text
     assert rows == [("a", "http://a/x&lt;", None, 500000),
                     ("a", "http://a/y", "2026-01-02", -1)]
+
+
+def test_sitemap_discovery_chain(spark):
+    """The full discovery recursion composes: robots_sitemaps finds
+    the index url, parse_sitemap_index expands it to child sitemaps,
+    parse_sitemaps reads the leaves — and a malformed <priority> in
+    an untrusted leaf yields -1 instead of an ANSI abort."""
+    from webextract import corpus
+    robots = spark.createDataFrame(
+        [("a", "User-agent: *\nDisallow: /p\n"
+               "Sitemap: http://a/index.xml\n")],
+        "host string, robots_txt string")
+    disc = corpus.robots_sitemaps(robots).collect()
+    assert [(r["host"], r["sitemap_url"]) for r in disc] == \
+        [("a", "http://a/index.xml")]
+
+    idx_xml = ("<sitemapindex>"
+               "<sitemap><loc> http://a/m1.xml </loc>"
+               "<lastmod>2026-02-03</lastmod></sitemap>"
+               "<sitemap><loc>http://a/m2&amp;.xml</loc></sitemap>"
+               "<sitemap><lastmod>no-loc-drops</lastmod></sitemap>"
+               "</sitemapindex>")
+    idx = spark.createDataFrame([("a", idx_xml)],
+                                "host string, sitemap_xml string")
+    kids = sorted(map(tuple, corpus.parse_sitemap_index(idx).collect()))
+    assert kids == [("a", "http://a/m1.xml", "2026-02-03"),
+                    ("a", "http://a/m2&.xml", None)]
+
+    leaf = ("<urlset><url><loc>http://a/page</loc>"
+            "<priority>broken</priority></url></urlset>")
+    leaves = spark.createDataFrame([("a", leaf)],
+                                   "host string, sitemap_xml string")
+    rows = corpus.parse_sitemaps(leaves).collect()
+    assert [(r["url"], r["priority_micro"]) for r in rows] == \
+        [("http://a/page", -1)]

@@ -2482,6 +2482,51 @@ def bloom_probe(cands: DataFrame, bloom: DataFrame,
 ROBOTS_AGENT = "webextract"
 
 
+def _sitemap_blocks(sitemaps: DataFrame, tag: str) -> DataFrame:
+    """(host, b): one row per <tag>...</tag> entry block — the shared
+    block-first extraction of both sitemap document kinds (urlset's
+    <url> entries, sitemapindex's <sitemap> entries), which never
+    pairs fields across entries."""
+    blocks = F.expr(
+        rf"regexp_extract_all(sitemap_xml, '(?s)<{tag}>(.*?)</{tag}>',"
+        " 1)")
+    return sitemaps.select("host", F.explode(blocks).alias("b"))
+
+
+def _sitemap_loc_lastmod():
+    """(loc, lastmod) column pair over a block column `b`: <loc> with
+    the 5 XML builtin entities decoded amp-LAST (so &amp;lt; decodes
+    to the literal '&lt;', not '<'), <lastmod> as served."""
+    loc = F.regexp_extract(
+        F.col("b"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    lastmod = F.regexp_extract(
+        F.col("b"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    return loc, lastmod
+
+
+def parse_sitemap_index(sitemaps: DataFrame) -> DataFrame:
+    """(host, sitemap_url, lastmod): <sitemapindex> parsing — the
+    recursion step of the sitemaps protocol (sitemaps.org: a site
+    over 50k urls/50 MB MUST shard into child sitemaps listed by an
+    index document).  Closes the discovery chain end-to-end:
+    robots_sitemaps finds the index urls, this expands each index
+    into its child sitemap urls, parse_sitemaps reads the leaves.
+
+    Same contract as parse_sitemaps: block-first extraction over
+    <sitemap> entries, entity-decoded <loc>, lastmod as served (NULL
+    when absent), pure narrow + one explode, zero shuffle, no XML
+    library on the hot path."""
+    b = _sitemap_blocks(sitemaps, "sitemap")
+    loc, lastmod = _sitemap_loc_lastmod()
+    return (b.select(
+        "host", loc.alias("sitemap_url"),
+        F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"))
+        .filter(F.col("sitemap_url") != ""))
+
+
 def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
     """(host, url, lastmod, priority_micro): sitemap.xml parsing — the
     crawl-discovery half of the planning surface (robots_rules says
@@ -2501,16 +2546,8 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
     flat well-known schema where anchored regex is the portable
     choice).  Entity-decoding is limited to the 5 XML builtins, the
     only escapes the sitemap spec allows in <loc>."""
-    blocks = F.expr(
-        r"regexp_extract_all(sitemap_xml, '(?s)<url>(.*?)</url>', 1)")
-    b = (sitemaps.select("host", F.explode(blocks).alias("b")))
-    loc = F.regexp_extract(
-        F.col("b"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                    ("&apos;", "'"), ("&amp;", "&")):
-        loc = F.replace(loc, F.lit(ent), F.lit(ch))
-    lastmod = F.regexp_extract(
-        F.col("b"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    b = _sitemap_blocks(sitemaps, "url")
+    loc, lastmod = _sitemap_loc_lastmod()
     prio = F.regexp_extract(
         F.col("b"), r"(?s)<priority>\s*(.*?)\s*</priority>", 1)
     # try_cast, not cast: sitemaps are UNTRUSTED third-party XML and

@@ -892,6 +892,36 @@ def q_cdx_latest(spark, sf_dir):
     return corpus.cdx_latest(corpus.parse_cdx(_synth_cdx(spark, sf_dir)))
 
 
+def q_parse_sitemap_index(spark, sf_dir):
+    """<sitemapindex> parsing — the sitemap protocol's recursion step.
+    Each of the 13 hosts serves an index with: a child with lastmod
+    and whitespace inside tags, an entity-escaped child (&amp; -> &),
+    an empty <loc> entry that must drop, and an every-other-host third
+    child so the cardinality varies.  The oracle re-parses the same
+    bodies with the identical block-first extraction."""
+    d = _read(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 13
+    ks = k.cast("string")
+    host = F.concat(F.lit("h"), ks, F.lit(".example.com"))
+    body = F.concat(
+        F.lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"
+              "<sitemap><loc> http://"), host, F.lit("/maps/a"), ks,
+        F.lit(".xml </loc><lastmod>2026-0"), (k % 9 + 1).cast("string"),
+        F.lit("-02</lastmod></sitemap>\n"
+              "<sitemap><loc>http://"), host,
+        F.lit("/maps/b.xml?x=1&amp;k="), ks,
+        F.lit("</loc></sitemap>\n"
+              "<sitemap><loc>  </loc></sitemap>\n"),
+        F.when(k % 2 == 0, F.concat(
+            F.lit("<sitemap><loc>http://"), host,
+            F.lit("/maps/c.xml</loc></sitemap>\n"))).otherwise(F.lit("")),
+        F.lit("</sitemapindex>\n"))
+    idx = (d.select(k.alias("kk")).distinct()
+           .withColumn("doc_id", F.col("kk"))
+           .select(host.alias("host"), body.alias("sitemap_xml")))
+    return corpus.parse_sitemap_index(idx)
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery lines out of robots.txt — the robots ->
     parse_sitemaps bridge.  Each of the 13 hosts serves a body with:
@@ -1732,6 +1762,7 @@ QUERIES = {
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
     "robots_sitemaps": q_robots_sitemaps,
+    "parse_sitemap_index": q_parse_sitemap_index,
     "pipeline_counters": q_pipeline_counters,
     "resume_pending": q_resume_pending,
     "dedup_clusters": q_dedup_clusters,
@@ -3190,6 +3221,44 @@ ORACLES = {
                          AS n_captures
               FROM c)
         SELECT surt, ts, url, digest, n_captures FROM r WHERE rn = 1""",
+
+    "parse_sitemap_index": r"""
+        WITH ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
+        sm AS (SELECT 'h' || k || '.example.com' AS host,
+               '<?xml version="1.0"?>' || chr(10)
+               || '<sitemapindex>' || chr(10)
+               || '<sitemap><loc> http://h' || k
+               || '.example.com/maps/a' || k
+               || '.xml </loc><lastmod>2026-0' || (k % 9 + 1)
+               || '-02</lastmod></sitemap>' || chr(10)
+               || '<sitemap><loc>http://h' || k
+               || '.example.com/maps/b.xml?x=1&amp;k=' || k
+               || '</loc></sitemap>' || chr(10)
+               || '<sitemap><loc>  </loc></sitemap>' || chr(10)
+               || CASE WHEN k % 2 = 0
+                       THEN '<sitemap><loc>http://h' || k
+                            || '.example.com/maps/c.xml'
+                            || '</loc></sitemap>' || chr(10)
+                       ELSE '' END
+               || '</sitemapindex>' || chr(10) AS xml
+               FROM ks),
+        blk AS (SELECT host,
+                       unnest(regexp_extract_all(
+                           xml, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS b
+                FROM sm),
+        f AS (SELECT host,
+                     replace(replace(replace(replace(replace(
+                         regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>', 1),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&apos;', chr(39)), '&amp;', '&') AS sitemap_url,
+                     regexp_extract(
+                         b, '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1)
+                         AS lastmod
+              FROM blk)
+        SELECT host, sitemap_url,
+               CASE WHEN lastmod = '' THEN NULL ELSE lastmod END
+                   AS lastmod
+        FROM f WHERE sitemap_url <> ''""",
 
     "robots_sitemaps": r"""
         WITH ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
