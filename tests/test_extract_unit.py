@@ -229,3 +229,32 @@ def test_generator_determinism_and_coverage():
     assert langs == {"en", "de", "fr", "es", "zh"}
     assert fmts == {"pdf", "html"}
     assert len(gen_page(9)["html"]) > 3_000_000  # pinned skew bomb
+
+
+def test_parse_metadata_edges():
+    """Head scanner: first occurrence wins, rel list matching,
+    body-stop, non-UTF8 bytes, totality on garbage, and the 64 KiB
+    head bound."""
+    from webextract.dom import META_HEAD_LIMIT, parse_metadata
+    t, d, r, og, canon, lang = parse_metadata(
+        '<html lang="de"><head>'
+        '<title> A &amp; B </title><title>decoy</title>'
+        '<meta name="description" content="first">'
+        '<meta name="description" content="second">'
+        '<link rel="alternate canonical" href="/c">'
+        '<link rel="canonical" href="/late">'
+        '</head><body><meta name="robots" content="nope"></body>')
+    assert (t, d, r, og, canon, lang) == (
+        "A & B", "first", None, None, "/c", "de")
+    # non-UTF8 bytes go through decode_html's fallback, never raise
+    assert parse_metadata(
+        b"<head><title>caf\xe9</title></head>")[0] == "caf\xe9"
+    # totality on garbage
+    assert parse_metadata(b"\x00\xff<not html") == (None,) * 6
+    assert parse_metadata("") == (None,) * 6
+    # title fully beyond the head bound is not parsed (hard cost cap)
+    far = " " * (META_HEAD_LIMIT + 10) + "<title>deep</title></head>"
+    assert parse_metadata(far)[0] is None
+    # unclosed <title> at the cut still yields the buffered text
+    open_t = "<head><title>kept going"
+    assert parse_metadata(open_t)[0] == "kept going"

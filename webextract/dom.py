@@ -570,3 +570,89 @@ def parse_anchors(payload: bytes | str,
     container (the cookie-banner rule); semantic = under article/main.
     Same tolerant never-raise contract as parse_blocks."""
     return _run_parser(payload, engine, capture_anchors=True).anchors
+
+
+class _MetaParser(HTMLParser):
+    """Head-metadata scanner: title / meta[name|property] / canonical
+    link / html lang.  Collection stops at </head> or <body> (after
+    that the fields are body content, not metadata); first occurrence
+    wins everywhere, matching what browsers and search engines index."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: str | None = None
+        self.meta: dict[str, str] = {}
+        self.canonical: str | None = None
+        self.lang: str | None = None
+        self._in_title = False
+        self._title_buf: list[str] = []
+        self._done = False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if self._done:
+            return
+        a = dict(attrs or ())
+        if tag == "html":
+            if self.lang is None and a.get("lang"):
+                self.lang = a["lang"]
+        elif tag == "title":
+            if self.title is None:
+                self._in_title = True
+        elif tag == "meta":
+            key = (a.get("name") or a.get("property") or "").lower()
+            if key and key not in self.meta \
+                    and a.get("content") is not None:
+                self.meta[key] = a["content"]
+        elif tag == "link":
+            rels = (a.get("rel") or "").lower().split()
+            if "canonical" in rels and self.canonical is None \
+                    and a.get("href"):
+                self.canonical = a["href"]
+        elif tag == "body":
+            self._done = True
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self.title = collapse_ws("".join(self._title_buf))
+        elif tag == "head":
+            self._done = True
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title and not self._done:
+            self._title_buf.append(data)
+
+
+META_HEAD_LIMIT = 65536
+
+
+def parse_metadata(payload: bytes | str) -> tuple:
+    """(title, meta_description, meta_robots, og_title, canonical_url,
+    html_lang) — the page-metadata extraction primitive (the columns a
+    training pipeline filters and attributes on: titles for display,
+    robots meta for noindex exclusion, canonical for dedup hints,
+    og:title as the social-card fallback, lang as the declared-language
+    signal to cross-check lang-id).
+
+    Cost is HARD-BOUNDED: only the document prefix up to </head> is
+    parsed (falling back to the first 64 KiB when the close tag is
+    absent — malformed head or title-in-body still resolves within the
+    bound), so per-page work is O(head), never O(document).  Same
+    tolerant never-raise contract as parse_blocks; entities decode via
+    convert_charrefs; absent fields are None."""
+    text = decode_html(payload) if isinstance(payload, (bytes, bytearray)) \
+        else payload
+    cut = text.lower().find("</head>")
+    seg = text[:cut + 7] if 0 <= cut < META_HEAD_LIMIT \
+        else text[:META_HEAD_LIMIT]
+    p = _MetaParser()
+    try:
+        p.feed(seg)
+        p.close()
+    except Exception:       # html.parser is tolerant; belt-and-braces
+        pass
+    if p._in_title and p._title_buf:    # unclosed <title> at the cut
+        p.title = collapse_ws("".join(p._title_buf))
+    return (p.title or None, p.meta.get("description"),
+            p.meta.get("robots"), p.meta.get("og:title"),
+            p.canonical, p.lang)

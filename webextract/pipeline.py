@@ -126,6 +126,55 @@ def links_df(pages: DataFrame) -> DataFrame:
     return src.mapInArrow(kern, LINKS_SCHEMA_DDL)
 
 
+META_SCHEMA_DDL = ("url string, title string, meta_description string, "
+                   "meta_robots string, og_title string, "
+                   "canonical_url string, html_lang string")
+
+
+def metadata_df(pages: DataFrame) -> DataFrame:
+    """pages -> one page-metadata row per non-empty payload (url,
+    title, meta_description, meta_robots, og_title, canonical_url,
+    html_lang) — the head-extraction pass: the columns a training
+    pipeline filters on (robots noindex exclusion, declared language
+    vs lang-id cross-check, canonical as a dedup hint, title for
+    attribution/display).
+
+    Same narrow shape as links_df/extracted_df: scan splits feed ONE
+    Arrow kernel, raw HTML never shuffles, output rows are a few
+    hundred bytes — and the kernel's parse cost is hard-bounded to the
+    <head> prefix (dom.parse_metadata), so a skew-bomb body costs
+    nothing here."""
+    import pyarrow as pa
+
+    from .dom import parse_metadata
+
+    src = pages.select("url", "html")
+
+    def kern(batches):
+        for b in batches:
+            urls = b.column("url").to_pylist()
+            htmls = b.column("html").to_pylist()
+            cols = {k: [] for k in ("url", "title", "meta_description",
+                                    "meta_robots", "og_title",
+                                    "canonical_url", "html_lang")}
+            for u, payload in zip(urls, htmls):
+                if not payload:
+                    continue
+                t, d, r, og, canon, lang = parse_metadata(payload)
+                cols["url"].append(u)
+                cols["title"].append(t)
+                cols["meta_description"].append(d)
+                cols["meta_robots"].append(r)
+                cols["og_title"].append(og)
+                cols["canonical_url"].append(canon)
+                cols["html_lang"].append(lang)
+            yield pa.RecordBatch.from_pydict({
+                k: pa.array(v, pa.large_string())
+                for k, v in cols.items()})
+
+    return src.mapInArrow(kern, META_SCHEMA_DDL)
+
+
 def chunks_df(extracted: DataFrame, chunker: str = "hybrid",
               max_tokens: int = 256, tokenizer: str = "word",
               merge_peers: bool = True) -> DataFrame:

@@ -23,7 +23,7 @@ from . import corpus, media
 from .chunk import SUBWORD_REGEX as _SUBWORD_REGEX
 from .docpages import (CSV_COLS, N_BOILER_BLOCKS as _N_BOILER,
                        docs_to_format_pages, docs_to_pages)
-from .pipeline import chunks_df, extracted_df, links_df
+from .pipeline import chunks_df, extracted_df, links_df, metadata_df
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -890,6 +890,50 @@ def q_cdx_latest(spark, sf_dir):
     must surface its max-timestamp capture with the recrawl count;
     each /q/ key is a singleton."""
     return corpus.cdx_latest(corpus.parse_cdx(_synth_cdx(spark, sf_dir)))
+
+
+def q_page_metadata(spark, sf_dir):
+    """Head-metadata extraction (title / description / robots meta /
+    og:title / canonical / html lang) over closed-form synthesized
+    pages: entity + whitespace-collapse in the title, first-title-wins
+    (every 4th doc carries a decoy second title), self-closing meta,
+    per-doc presence variation for robots/og/lang/canonical, an
+    in-BODY meta that must NOT win (collection stops at <body>), and
+    a no-head doc (every 11th) whose fields are all NULL.  The oracle
+    reconstructs every field in closed form."""
+    d = _read(spark, sf_dir, "documents")
+    s = F.col("doc_id").cast("string")
+    k = F.col("doc_id")
+    full = F.concat(
+        F.lit("<html"),
+        F.when(k % 2 == 0, F.lit(' lang="en-US"')).otherwise(F.lit("")),
+        F.lit("><head><title>  Doc &amp; "), s,
+        F.lit("\n  x  </title>"),
+        F.when(k % 4 == 0, F.lit("<title>decoy</title>"))
+        .otherwise(F.lit("")),
+        F.lit('<meta name="description" content="Desc '), s,
+        F.lit('"/>'),
+        F.when(k % 3 == 0,
+               F.lit('<meta name="robots" content="noindex,nofollow">'))
+        .otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.concat(
+            F.lit('<meta property="og:title" content="OG '), s,
+            F.lit('">'))).otherwise(F.lit("")),
+        F.when(k % 5 != 0, F.concat(
+            F.lit('<link rel="canonical" href="https://c.example/'), s,
+            F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head><body><p>B</p>"
+              '<meta name="description" content="body: must not win">'
+              "</body></html>"))
+    html = F.when(k % 11 == 0,
+                  F.lit("<html><body><p>x</p></body></html>")) \
+        .otherwise(full)
+    pages = d.select(
+        F.concat(F.lit("doc://"), s).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    return (_doc_id(metadata_df(pages))
+            .select("doc_id", "title", "meta_description", "meta_robots",
+                    "og_title", "canonical_url", "html_lang"))
 
 
 def q_parse_sitemap_index(spark, sf_dir):
@@ -1763,6 +1807,7 @@ QUERIES = {
     "cdx_latest": q_cdx_latest,
     "robots_sitemaps": q_robots_sitemaps,
     "parse_sitemap_index": q_parse_sitemap_index,
+    "page_metadata": q_page_metadata,
     "pipeline_counters": q_pipeline_counters,
     "resume_pending": q_resume_pending,
     "dedup_clusters": q_dedup_clusters,
@@ -3221,6 +3266,23 @@ ORACLES = {
                          AS n_captures
               FROM c)
         SELECT surt, ts, url, digest, n_captures FROM r WHERE rn = 1""",
+
+    "page_metadata": r"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN NULL
+                    ELSE 'Doc & ' || doc_id || ' x' END AS title,
+               CASE WHEN doc_id % 11 = 0 THEN NULL
+                    ELSE 'Desc ' || doc_id END AS meta_description,
+               CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 = 0
+                    THEN 'noindex,nofollow' ELSE NULL END AS meta_robots,
+               CASE WHEN doc_id % 11 <> 0 AND doc_id % 2 = 0
+                    THEN 'OG ' || doc_id ELSE NULL END AS og_title,
+               CASE WHEN doc_id % 11 <> 0 AND doc_id % 5 <> 0
+                    THEN 'https://c.example/' || doc_id
+                    ELSE NULL END AS canonical_url,
+               CASE WHEN doc_id % 11 <> 0 AND doc_id % 2 = 0
+                    THEN 'en-US' ELSE NULL END AS html_lang
+        FROM documents""",
 
     "parse_sitemap_index": r"""
         WITH ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
