@@ -56,7 +56,7 @@ HEADLINE = [
     "stream_hll", "stream_bloom", "text_normalize",
     "weighted_sample", "table_scan_prune", "parse_sitemaps",
     "parse_cdx", "cdx_latest", "robots_sitemaps", "parse_sitemap_index",
-    "page_metadata",
+    "page_metadata", "canonical_dedup",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

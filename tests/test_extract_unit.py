@@ -258,3 +258,35 @@ def test_parse_metadata_edges():
     # unclosed <title> at the cut still yields the buffered text
     open_t = "<head><title>kept going"
     assert parse_metadata(open_t)[0] == "kept going"
+
+
+def test_metadata_to_canonical_dedup_composition(spark):
+    """The head pass feeds declared-canonical dedup end-to-end: two
+    mirror pages declaring one canonical collapse to the min-id
+    survivor with declared=true; an undeclared page falls back to its
+    (normalized) fetch url."""
+    from pyspark.sql import functions as F
+
+    from webextract.corpus import canonical_dedup
+    from webextract.pipeline import metadata_df
+
+    def page(i, canon):
+        link = (f'<link rel="canonical" href="{canon}">' if canon else "")
+        return (f"doc://{i}",
+                f"<html><head><title>t{i}</title>{link}"
+                f"</head><body><p>x</p></body></html>".encode())
+
+    pages = spark.createDataFrame(
+        [page(1, "https://c.example/one"),
+         page(2, "https://c.example/one"),
+         page(3, None)],
+        "url string, html binary")
+    meta = metadata_df(pages).withColumn(
+        "doc_id", F.substring("url", 7, 20).cast("bigint"))
+    rows = {r["canon_key"]: r
+            for r in canonical_dedup(meta).collect()}
+    grp = rows["https://c.example/one"]
+    assert (grp["doc_id"], grp["n_variants"], grp["declared"]) == (1, 2, True)
+    solo = rows["doc://3/"]   # fallback key is NORMALIZED (root slash)
+    assert (solo["doc_id"], solo["n_variants"], solo["declared"]) == (
+        3, 1, False)

@@ -1871,6 +1871,35 @@ def url_dedup(pages: DataFrame, id_col: str = "doc_id") -> DataFrame:
             .select("canon_url", "doc_id", "n_variants"))
 
 
+def canonical_dedup(meta: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(canon_key, doc_id, n_variants, declared): url_dedup's
+    page-DECLARED sibling — dedup on the rel=canonical link the page
+    itself serves (the head pass's `canonical_url` column), falling
+    back to string canonicalization of the fetch url when no canonical
+    is declared.  This is the precedence search pipelines apply: an
+    explicit canonical beats any URL-normalization heuristic (mobile
+    mirrors, tracking-parameter variants, and CDN aliases all declare
+    the same canonical while their urls normalize differently).
+
+    Input: metadata_df output or any (url, canonical_url, <id>) frame.
+    `declared` marks keys that came from a rel=canonical (per-group:
+    the survivor's source).  Same scale shape as url_dedup — narrow
+    key derivation, ONE shuffle, per-key top-1 window."""
+    keyed = meta.select(
+        F.coalesce(F.col("canonical_url"),
+                   canonical_url(F.col("url"))).alias("canon_key"),
+        F.col("canonical_url").isNotNull().alias("declared"),
+        F.col(id_col).alias("doc_id"))
+    w = Window.partitionBy("canon_key").orderBy("doc_id")
+    return (keyed
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_variants",
+                        F.count("*").over(Window.partitionBy("canon_key"))
+                        .cast("int"))
+            .filter(F.col("rn") == 1)
+            .select("canon_key", "doc_id", "n_variants", "declared"))
+
+
 # ---------------------------------------------------------------------------
 # link-graph PageRank (crawl-quality weighting)
 # ---------------------------------------------------------------------------

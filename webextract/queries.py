@@ -892,6 +892,31 @@ def q_cdx_latest(spark, sf_dir):
     return corpus.cdx_latest(corpus.parse_cdx(_synth_cdx(spark, sf_dir)))
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """Declared-canonical dedup precedence: every 3rd doc is a mirror
+    page declaring a shared rel=canonical (20 canonical groups whose
+    fetch urls are ALL different — only the declaration can group
+    them), the rest declare nothing and fall back to url
+    canonicalization of already-canonical fetch urls (50 collision
+    groups).  Normalization itself is url_dedup's gate; this one pins
+    the coalesce precedence, group cardinalities, min-id survivor,
+    and the declared flag."""
+    d = _read(spark, sf_dir, "documents")
+    s = F.col("doc_id").cast("string")
+    k3 = F.col("doc_id") % 3
+    url = (F.when(k3 == 0, F.concat(
+        F.lit("http://m"), s, F.lit(".mirror.example/x")))
+        .otherwise(F.concat(
+            F.lit("http://site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/a"))))
+    canon = F.when(k3 == 0, F.concat(
+        F.lit("https://canon.example/g"),
+        (F.col("doc_id") % 20).cast("string")))
+    return corpus.canonical_dedup(
+        d.select("doc_id", url.alias("url"),
+                 canon.alias("canonical_url")))
+
+
 def q_page_metadata(spark, sf_dir):
     """Head-metadata extraction (title / description / robots meta /
     og:title / canonical / html lang) over closed-form synthesized
@@ -1808,6 +1833,7 @@ QUERIES = {
     "robots_sitemaps": q_robots_sitemaps,
     "parse_sitemap_index": q_parse_sitemap_index,
     "page_metadata": q_page_metadata,
+    "canonical_dedup": q_canonical_dedup,
     "pipeline_counters": q_pipeline_counters,
     "resume_pending": q_resume_pending,
     "dedup_clusters": q_dedup_clusters,
@@ -3266,6 +3292,29 @@ ORACLES = {
                          AS n_captures
               FROM c)
         SELECT surt, ts, url, digest, n_captures FROM r WHERE rn = 1""",
+
+    "canonical_dedup": r"""
+        WITH m AS (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'http://m' || doc_id || '.mirror.example/x'
+                    ELSE 'http://site' || (doc_id % 50)
+                         || '.example.com/a' END AS url,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'https://canon.example/g' || (doc_id % 20)
+                    ELSE NULL END AS canonical_url
+               FROM documents),
+        k AS (SELECT doc_id,
+                     coalesce(canonical_url, url) AS canon_key,
+                     canonical_url IS NOT NULL AS declared
+              FROM m),
+        r AS (SELECT canon_key, doc_id, declared,
+                     row_number() OVER (PARTITION BY canon_key
+                                        ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY canon_key)::INT
+                         AS n_variants
+              FROM k)
+        SELECT canon_key, doc_id, n_variants, declared
+        FROM r WHERE rn = 1""",
 
     "page_metadata": r"""
         SELECT doc_id,
