@@ -290,3 +290,37 @@ def test_metadata_to_canonical_dedup_composition(spark):
     solo = rows["doc://3/"]   # fallback key is NORMALIZED (root slash)
     assert (solo["doc_id"], solo["n_variants"], solo["declared"]) == (
         3, 1, False)
+
+
+def test_canonical_dedup_resolves_declared_href(spark):
+    """Declared hrefs are resolved against the fetch url before keying:
+    root-relative canonicals on different hosts must NOT merge,
+    protocol-relative takes the fetch scheme, dot-relative forms are
+    unresolvable and fall back to the fetch url, and declared keys are
+    normalized into the same space as fallback keys."""
+    from webextract.corpus import canonical_dedup
+    rows = [
+        (1, "https://a.example/x", "/page"),          # root-relative
+        (2, "https://b.example/y", "/page"),          # other host
+        (3, "https://c.example/z", "//cdn.example/v"),  # proto-relative
+        (4, "https://d.example/w", "sub/page"),       # unresolvable
+        (5, "https://e.example/q", "HTTP://A.example:80/x"),  # normalize
+        (6, "http://a.example/x", None),              # fallback twin of 5
+    ]
+    meta = spark.createDataFrame(
+        rows, "doc_id long, url string, canonical_url string")
+    out = {r["doc_id"]: r for r in canonical_dedup(meta).collect()}
+    # root-relative resolved per host: two separate declared groups
+    assert out[1]["canon_key"] == "https://a.example/page"
+    assert out[2]["canon_key"] == "https://b.example/page"
+    assert out[1]["declared"] and out[2]["declared"]
+    # protocol-relative takes the fetch scheme
+    assert out[3]["canon_key"] == "https://cdn.example/v"
+    # dot-relative: treated as undeclared, falls back to fetch url
+    assert out[4]["canon_key"] == "https://d.example/w"
+    assert out[4]["declared"] is False
+    # declared key normalizes into the fallback key space: 5 and 6
+    # form ONE group keyed 'http://a.example/x', min-id survivor 5
+    assert 6 not in out
+    assert (out[5]["canon_key"], out[5]["n_variants"]) == (
+        "http://a.example/x", 2)

@@ -1861,43 +1861,70 @@ def url_dedup(pages: DataFrame, id_col: str = "doc_id") -> DataFrame:
     only."""
     canon = pages.select(canonical_url(F.col("url")).alias("canon_url"),
                          F.col(id_col).alias("doc_id"))
-    w = Window.partitionBy("canon_url").orderBy("doc_id")
-    return (canon
+    return _keep_min_per_key(canon, "canon_url")
+
+
+def _keep_min_per_key(df: DataFrame, key: str,
+                      extra: tuple = ()) -> DataFrame:
+    """(key, doc_id, n_variants, *extra): min-doc_id survivor per key
+    plus group size — the shared top-1 idiom of url_dedup and
+    canonical_dedup.  Both window functions ride ONE exchange on the
+    key."""
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return (df
             .withColumn("rn", F.row_number().over(w))
             .withColumn("n_variants",
-                        F.count("*").over(Window.partitionBy("canon_url"))
+                        F.count("*").over(Window.partitionBy(key))
                         .cast("int"))
             .filter(F.col("rn") == 1)
-            .select("canon_url", "doc_id", "n_variants"))
+            .select(key, "doc_id", "n_variants", *extra))
+
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 
 
 def canonical_dedup(meta: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(canon_key, doc_id, n_variants, declared): url_dedup's
     page-DECLARED sibling — dedup on the rel=canonical link the page
     itself serves (the head pass's `canonical_url` column), falling
-    back to string canonicalization of the fetch url when no canonical
-    is declared.  This is the precedence search pipelines apply: an
-    explicit canonical beats any URL-normalization heuristic (mobile
-    mirrors, tracking-parameter variants, and CDN aliases all declare
-    the same canonical while their urls normalize differently).
+    back to string canonicalization of the fetch url when no usable
+    canonical is declared.  This is the precedence search pipelines
+    apply: an explicit canonical beats any URL-normalization heuristic
+    (mobile mirrors, tracking-parameter variants, and CDN aliases all
+    declare the same canonical while their urls normalize
+    differently).
+
+    The declared href is RESOLVED against the fetch url before keying
+    (a verbatim key would merge unrelated hosts that each declare
+    href="/page" — round-4 review): absolute hrefs pass through,
+    protocol-relative (//host/p) take the fetch scheme, root-relative
+    (/p) take the fetch origin; other relative forms (dot-segment
+    paths) are treated as undeclared rather than resolved wrongly.
+    Resolved keys then go through the SAME canonical_url()
+    normalization as the fallback, so 'HTTP://A.example/x' declared on
+    one page and a fetch url normalizing to 'http://a.example/x' land
+    in one group.
 
     Input: metadata_df output or any (url, canonical_url, <id>) frame.
-    `declared` marks keys that came from a rel=canonical (per-group:
-    the survivor's source).  Same scale shape as url_dedup — narrow
-    key derivation, ONE shuffle, per-key top-1 window."""
+    `declared` marks groups keyed by a usable declaration.  Same scale
+    shape as url_dedup — narrow key derivation, ONE shuffle, per-key
+    top-1 window."""
+    href = F.col("canonical_url")
+    fetch = F.col("url")
+    scheme = F.regexp_extract(fetch, _SCHEME_RE, 1)
+    origin = F.concat(scheme, F.lit("://"),
+                      F.regexp_extract(fetch, _SCHEME_RE + r"([^/?#]*)",
+                                       2))
+    resolved = (F.when(href.rlike(_SCHEME_RE), href)
+                .when(href.startswith("//"),
+                      F.concat(scheme, F.lit(":"), href))
+                .when(href.startswith("/"), F.concat(origin, href)))
     keyed = meta.select(
-        F.coalesce(F.col("canonical_url"),
-                   canonical_url(F.col("url"))).alias("canon_key"),
-        F.col("canonical_url").isNotNull().alias("declared"),
+        F.coalesce(canonical_url(resolved),
+                   canonical_url(fetch)).alias("canon_key"),
+        resolved.isNotNull().alias("declared"),
         F.col(id_col).alias("doc_id"))
-    w = Window.partitionBy("canon_key").orderBy("doc_id")
-    return (keyed
-            .withColumn("rn", F.row_number().over(w))
-            .withColumn("n_variants",
-                        F.count("*").over(Window.partitionBy("canon_key"))
-                        .cast("int"))
-            .filter(F.col("rn") == 1)
-            .select("canon_key", "doc_id", "n_variants", "declared"))
+    return _keep_min_per_key(keyed, "canon_key", extra=("declared",))
 
 
 # ---------------------------------------------------------------------------

@@ -591,7 +591,10 @@ class _MetaParser(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if self._done:
             return
-        a = dict(attrs or ())
+        a = {}
+        for k, v in attrs or ():    # duplicated attribute: FIRST wins
+            if k not in a:          # (browsers keep the first; dict()
+                a[k] = v            # would keep the last)
         if tag == "html":
             if self.lang is None and a.get("lang"):
                 self.lang = a["lang"]
@@ -634,17 +637,18 @@ def parse_metadata(payload: bytes | str) -> tuple:
     og:title as the social-card fallback, lang as the declared-language
     signal to cross-check lang-id).
 
-    Cost is HARD-BOUNDED: only the document prefix up to </head> is
-    parsed (falling back to the first 64 KiB when the close tag is
-    absent — malformed head or title-in-body still resolves within the
-    bound), so per-page work is O(head), never O(document).  Same
-    tolerant never-raise contract as parse_blocks; entities decode via
-    convert_charrefs; absent fields are None."""
-    text = decode_html(payload) if isinstance(payload, (bytes, bytearray)) \
-        else payload
-    cut = text.lower().find("</head>")
-    seg = text[:cut + 7] if 0 <= cut < META_HEAD_LIMIT \
-        else text[:META_HEAD_LIMIT]
+    Cost is HARD-BOUNDED: only the first 64 KiB of the payload (bytes
+    for binary input, chars for strings) is decoded and parsed, so
+    per-page work is O(head-bound), never O(document) — a skew-bomb
+    body is never even decoded.  Head-end detection is the PARSER's
+    </head>/<body> events, not a substring search, so a literal
+    "</head>" inside a head <script> string or comment does not
+    truncate collection (html.parser's CDATA mode ends script content
+    only at </script>).  Same tolerant never-raise contract as
+    parse_blocks; entities decode via convert_charrefs; absent fields
+    are None."""
+    raw = payload[:META_HEAD_LIMIT]
+    seg = decode_html(raw) if isinstance(raw, (bytes, bytearray)) else raw
     p = _MetaParser()
     try:
         p.feed(seg)
