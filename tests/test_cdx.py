@@ -106,17 +106,21 @@ from hypothesis import given, settings, strategies as st
 _PAT = _re.compile(r"^(\S+) (\d{14}) (\{.*\})\s*$", _re.ASCII)
 _FIELDS = ("url", "status", "mime", "digest", "length", "offset",
            "filename")
-_INT_RE = _re.compile(r"[+-]?\d+", _re.ASCII)
+# the operator's portable admission rule: signed ASCII digits
+# surrounded only by ASCII whitespace (bare try_cast diverges between
+# engines on control chars / NBSP — see corpus._ascii_int)
+_INT_RE = _re.compile(
+    r"[ \t\n\x0B\f\r]*[+-]?[0-9]+[ \t\n\x0B\f\r]*", _re.ASCII)
 
 
-def _ref_cast_int(v):
-    """Spark's try_cast string->int: trim, integer literal or NULL
-    (a plain cast under default ANSI mode ABORTS THE JOB on garbage —
-    the bug this fuzz originally caught)."""
-    if v is None:
+def _ref_cast_int(v, bits=32):
+    """corpus._ascii_int's semantics: admission-regex gate, then
+    try_cast (which NULLs out-of-range values rather than aborting —
+    the ANSI-mode job-kill this fuzz originally caught)."""
+    if v is None or not _INT_RE.fullmatch(v):
         return None
-    v = v.strip()
-    return int(v) if _INT_RE.fullmatch(v) else None
+    n = int(v)
+    return n if -(1 << (bits - 1)) <= n < (1 << (bits - 1)) else None
 
 
 def _ref_parse(shard, text):
@@ -134,8 +138,9 @@ def _ref_parse(shard, text):
         g = {k: (d.get(k) if isinstance(d.get(k), str) else None)
              for k in _FIELDS}
         out.append((shard, surt, ts, g["url"],
-                    _ref_cast_int(g["status"]), g["mime"], g["digest"],
-                    _ref_cast_int(g["length"]), _ref_cast_int(g["offset"]),
+                    _ref_cast_int(g["status"], 32), g["mime"],
+                    g["digest"], _ref_cast_int(g["length"], 64),
+                    _ref_cast_int(g["offset"], 64),
                     g["filename"]))
     return out
 

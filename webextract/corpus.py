@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tokens: documents.text is single-space-normalized; the token rule is
 # "split on one space" — identical to DuckDB string_split(text, ' ').
@@ -2608,8 +2608,15 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
         F.col("b"), r"(?s)<priority>\s*(.*?)\s*</priority>", 1)
     # try_cast, not cast: sitemaps are UNTRUSTED third-party XML and
     # under default ANSI mode one malformed <priority> value would
-    # abort the whole scan — unparseable maps to -1 like absent
-    prio_micro = F.round(prio.try_cast("double") * 1000000)
+    # abort the whole scan — unparseable maps to -1 like absent.
+    # Gated on a plain-decimal admission regex (same portability
+    # argument as _ascii_int: bare try_cast admits "1e3"/"NaN"/
+    # control-char-padded values engines disagree on; the sitemap
+    # spec's priority is a plain 0.0-1.0 decimal)
+    prio_num = F.when(
+        prio.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"),
+        prio.try_cast("double"))
+    prio_micro = F.round(prio_num * 1000000)
     return (b.select(
         "host", loc.alias("url"),
         F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
@@ -2617,6 +2624,22 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
                    F.lit(-1))
         .cast("long").alias("priority_micro"))
         .filter(F.col("url") != ""))
+
+
+# admission rule for untrusted numeric text: an optionally-signed
+# ASCII digit run surrounded only by ASCII whitespace.  Bare try_cast
+# is NOT engine-portable on garbage — Spark trims ISO control chars
+# (so "0\b" casts to 0) while Python/DuckDB reject them, and Python's
+# strip() eats unicode spaces (NBSP) Java never trims; the explicit
+# guard pins one semantic every engine can reproduce (hypothesis
+# parity fuzz, round 4)
+_ASCII_INT_RE = r"^[ \t\n\x0B\f\r]*[+-]?[0-9]+[ \t\n\x0B\f\r]*$"
+
+
+def _ascii_int(col: Column, typ: str) -> Column:
+    """try_cast gated on the portable admission rule; out-of-range
+    values still surface as NULL via try_cast."""
+    return F.when(col.rlike(_ASCII_INT_RE), col.try_cast(typ))
 
 
 def parse_cdx(cdx: DataFrame) -> DataFrame:
@@ -2672,11 +2695,11 @@ def parse_cdx(cdx: DataFrame) -> DataFrame:
     return tup.select(
         "shard", "surt", "ts",
         F.col(c[0]).alias("url"),
-        F.col(c[1]).try_cast("int").alias("status"),
+        _ascii_int(F.col(c[1]), "int").alias("status"),
         F.col(c[2]).alias("mime"),
         F.col(c[3]).alias("digest"),
-        F.col(c[4]).try_cast("long").alias("length"),
-        F.col(c[5]).try_cast("long").alias("offset"),
+        _ascii_int(F.col(c[4]), "long").alias("length"),
+        _ascii_int(F.col(c[5]), "long").alias("offset"),
         F.col(c[6]).alias("filename"))
 
 
