@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from webextract.corpus import cdx_latest, parse_cdx
+from webextract.corpus import cdx_latest, cdx_revisit, parse_cdx
 
 LINE_A = ('com,ex)/a 20260101000001 {"url": "https://ex.com/a", '
           '"status": "200", "mime": "text/html", "digest": "sha1:A1", '
@@ -80,6 +80,58 @@ def test_cdx_latest_null_digest_tiebreak(spark):
     assert len(out) == 1 and out[0]["url"] == "u1"  # url totalizes
 
 
+def _captures(spark, rows):
+    return spark.createDataFrame(
+        rows, "surt string, ts string, digest string")
+
+
+def test_cdx_revisit_change_rates(spark):
+    """Every change-rate branch: fully-changing key (10000 bp),
+    never-changing key (0 bp), half-changing key (integer-exact
+    partial rate), singleton (0 — no evidence), digestless captures
+    (NULL digests carry no version evidence, never a negative rate),
+    and a mixed key where NULL digests pad n_captures but not
+    n_versions."""
+    rows = [
+        ("a", "20260101000000", "d1"), ("a", "20260102000000", "d2"),
+        ("a", "20260103000000", "d3"),                # every visit new
+        ("b", "20260101000000", "s"), ("b", "20260105000000", "s"),
+        ("b", "20260109000000", "s"),                 # static
+        ("c", "20260101000000", "x"), ("c", "20260102000000", "x"),
+        ("c", "20260103000000", "y"),                 # 1 change / 2
+        ("d", "20260101000000", "only"),              # singleton
+        ("e", "20260101000000", None),
+        ("e", "20260102000000", None),                # no digests
+        ("f", "20260101000000", "v"),
+        ("f", "20260102000000", None),                # mixed
+    ]
+    got = {r["surt"]: r for r in
+           cdx_revisit(_captures(spark, rows)).collect()}
+    def t(r):  # noqa: E306
+        return (r["n_captures"], r["n_versions"],
+                r["first_ts"], r["last_ts"], r["change_bp"])
+    assert t(got["a"]) == (3, 3, "20260101000000", "20260103000000",
+                           10000)
+    assert t(got["b"]) == (3, 1, "20260101000000", "20260109000000", 0)
+    assert t(got["c"]) == (3, 2, "20260101000000", "20260103000000",
+                           5000)
+    assert t(got["d"]) == (1, 1, "20260101000000", "20260101000000", 0)
+    assert t(got["e"]) == (2, 0, "20260101000000", "20260102000000", 0)
+    assert t(got["f"]) == (2, 1, "20260101000000", "20260102000000", 0)
+
+
+def test_cdx_revisit_on_parsed_feed(spark):
+    """Composes with parse_cdx: recrawled /p/ keys show full change
+    (every synthetic capture has a fresh digest), one-shot keys 0."""
+    body = "\n".join([LINE_A, LINE_A2, LINE_B])
+    got = {r["surt"]: r for r in
+           cdx_revisit(parse_cdx(_shard(spark, body))).collect()}
+    a = got["com,ex)/a"]
+    assert (a["n_captures"], a["n_versions"], a["change_bp"]) == (
+        2, 2, 10000)
+    assert got["com,ex)/b"]["change_bp"] == 0
+
+
 def test_cdx_plan_shapes(spark):
     """parse_cdx is a pure narrow projection (zero exchanges — the
     shard is the parallelism unit); cdx_latest adds exactly ONE
@@ -91,6 +143,10 @@ def test_cdx_plan_shapes(spark):
     # count in the tree half only
     tree = _plan(cdx_latest(parse_cdx(shard))).split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
+    # revisit: two-level agg = exactly two exchanges, no Window/Expand
+    rtree = _plan(cdx_revisit(parse_cdx(shard))).split("\n\n")[0]
+    assert rtree.count("Exchange") == 2, rtree
+    assert "Window" not in rtree and "Expand" not in rtree
 
 
 # --- property-based parity: parse_cdx vs a pure-Python reference ----------

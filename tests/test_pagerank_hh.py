@@ -72,6 +72,72 @@ def test_pagerank_partitioning_invariant(spark):
     assert a == b == _pr_ref(edges)
 
 
+# ------------------------------------------------------------------- HITS
+
+def _hits_ref(edges, iters=3, scale=10 ** 6):
+    """Driver-side integer reference: sum + max-normalize half-rounds."""
+    e = [(s, d) for s, d in edges if s != d]
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    hub = {n: scale for n in nodes}
+    auth = {n: scale for n in nodes}
+    for _ in range(iters):
+        a_raw = {n: 0 for n in nodes}
+        for s, d in e:
+            a_raw[d] += hub[s]
+        mx = max(a_raw.values())
+        auth = {n: (a_raw[n] * scale) // mx for n in nodes}
+        h_raw = {n: 0 for n in nodes}
+        for s, d in e:
+            h_raw[s] += auth[d]
+        mx = max(h_raw.values())
+        hub = {n: (h_raw[n] * scale) // mx for n in nodes}
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_integer_reference(spark):
+    """Hub-skewed multigraph (parallel edges included): Spark must
+    equal the Python integer recurrence bit-for-bit, and the max-score
+    node must sit exactly at the 10^6 normalization ceiling."""
+    edges = []
+    for i in range(300):
+        edges.append((i % 37, (i * 17 + 5) % 37))
+        edges.append((i % 37, (i * 29 + 11) % 7))  # 7-host authority tier
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub_micro"], r["auth_micro"])
+           for r in corpus.hits(df).collect()}
+    assert got == _hits_ref(edges)
+    assert max(a for _, a in got.values()) == 10 ** 6
+    assert max(h for h, _ in got.values()) == 10 ** 6
+
+
+def test_hits_hub_authority_split(spark):
+    """A pure directory page (out-links only) must score hub>0 auth=0;
+    a pure target (in-links only) auth>0 hub=0 — the split pagerank
+    cannot express."""
+    edges = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub_micro"], r["auth_micro"])
+           for r in corpus.hits(df).collect()}
+    assert got == _hits_ref(edges)
+    for hub_node in (1, 2, 3):
+        assert got[hub_node][0] > 0 and got[hub_node][1] == 0
+    for auth_node in (10, 11):
+        assert got[auth_node][0] == 0 and got[auth_node][1] > 0
+    assert got[1][0] == 10 ** 6 and got[10][1] == 10 ** 6
+
+
+def test_hits_partitioning_invariant(spark):
+    """Same graph through 1 and 16 partitions: identical scores
+    (integer sums + a single global max are order-independent)."""
+    edges = [((i * 7) % 23, (i * 13 + 3) % 23) for i in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: (r["hub_micro"], r["auth_micro"])
+         for r in corpus.hits(df.coalesce(1)).collect()}
+    b = {r["node"]: (r["hub_micro"], r["auth_micro"])
+         for r in corpus.hits(df.repartition(16)).collect()}
+    assert a == b == _hits_ref(edges)
+
+
 # ----------------------------------------------------------- heavy hitters
 
 def _hh_docs(spark, n_docs=120, tail_per_doc=4):

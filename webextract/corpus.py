@@ -1960,6 +1960,41 @@ def weighted_sample(docs: DataFrame, weight_col: str = "weight",
     return docs.select("doc_id", (h < cut).alias("kept"))
 
 
+def anchor_rollup(links: DataFrame) -> DataFrame:
+    """(href, n_inlinks, n_semantic, n_anchors, top_anchor): per-target
+    aggregation of the WAT-pass link table (pipeline.links_df) — the
+    classic anchor-text signal: what OTHER pages call a url is a
+    description of the url search/quality pipelines have leaned on
+    since early web IR, and the in-content (semantic) vs boilerplate
+    inlink split separates genuine citations from nav/footer farms.
+
+    n_inlinks counts every anchor pointing at href, n_semantic the
+    in-content subset, n_anchors the distinct anchor STRINGS, and
+    top_anchor is the lexicographically-least semantic anchor text —
+    a deterministic representative label (NULL when no in-content
+    link ever used the target).
+
+    Scale shape: two-level aggregation — groupBy(href, anchor) first,
+    so a mega-target ("/" with 10^9 identical nav inlinks) is
+    pre-compressed map-side to its distinct anchor texts before the
+    per-href rollup; both levels are algebraic (sum/count/min) with
+    partial combine, no expand-based distinct rewrite, no window.
+    Output is target-keyspace-sized, orders of magnitude under the
+    link table."""
+    per_a = (links
+             .select("href", "anchor",
+                     F.col("semantic").cast("int").alias("sem"))
+             .groupBy("href", "anchor")
+             .agg(F.count("*").alias("n"),
+                  F.sum("sem").alias("n_sem")))
+    return per_a.groupBy("href").agg(
+        F.sum("n").cast("long").alias("n_inlinks"),
+        F.sum("n_sem").cast("long").alias("n_semantic"),
+        F.count("*").cast("long").alias("n_anchors"),
+        F.min(F.when(F.col("n_sem") > 0, F.col("anchor")))
+        .alias("top_anchor"))
+
+
 def pagerank(edges: DataFrame, iters: int = PR_ITERS,
              damping_num: int = 85, damping_den: int = 100) -> DataFrame:
     """(node, rank_micro): damped PageRank after ``iters`` synchronous
@@ -2016,6 +2051,84 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS,
                           + F.coalesce("infl", F.lit(0)))
                          .cast("long").alias("rank_micro")))
     return ranks
+
+
+def hits(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """(node, hub_micro, auth_micro): Kleinberg HITS after ``iters``
+    synchronous rounds, in EXACT integer micro-units — the
+    hub/authority split PageRank can't express (a link-farm nav page
+    is a strong hub but a worthless authority; extract_links'
+    boiler/semantic flags feed exactly this separation when the edge
+    set is restricted to in-content links).
+
+    Exactness contract (same spirit as pagerank's): scores live in
+    integer micro-units; each half-round is an integer SUM over edges
+    followed by max-normalization ``(raw * 10**6) div max(raw)`` —
+    the only division is by a single global scalar, so the result is
+    bit-identical in any engine and aggregation order, and the
+    classic HITS float blow-up (scores growing as degree^rounds,
+    overflowing long by round 3 on a hub-skewed graph) can't happen:
+    after every half-round all scores are back in [0, 10^6].
+
+    Per round: auth_raw[n] = Σ hub[src] over in-edges, normalize;
+    hub_raw[n] = Σ auth[dst] over out-edges, normalize.  Self-loops
+    removed, parallel edges each contribute (multigraph), nodes with
+    no in-edges (out-edges) settle at authority (hub) 0.
+
+    Scale shape: edges staged ONCE (localCheckpoint) and never
+    re-shuffled; each half-round is one join against the nodes-sized
+    score frame (AQE picks shuffle-hash or broadcast by size) + ONE
+    groupBy with map-side partial sums, and the normalizer is a
+    1-row broadcast cross-join — no collect, no window over a global
+    ordering.  O(iters) shuffles of nodes-sized frames, exactly
+    pagerank's budget plus the scalar agg."""
+    e = (edges.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .localCheckpoint())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    scores = nodes.select(
+        "node",
+        F.lit(PR_SCALE).cast("long").alias("hub_micro"),
+        F.lit(PR_SCALE).cast("long").alias("auth_micro"))
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        # stage the raw half-round ONCE (nodes-sized, the same
+        # per-round lineage cut dedup_clusters uses): it is read twice
+        # here (max + join) and re-read by the next half-round and the
+        # final select — without the cut the plan tree quadruples per
+        # round (4^iters subtrees; measured 10x wall-clock at sf0.1)
+        raw = raw.localCheckpoint()
+        mx = raw.agg(F.max(col).alias("mx"))
+        return (raw.crossJoin(F.broadcast(mx))
+                .select("node",
+                        F.expr(f"({col} * {PR_SCALE}) div mx")
+                        .cast("long").alias(col)))
+
+    for _ in range(iters):
+        a_raw = (e.join(scores.select("node", "hub_micro"),
+                        e["src"] == F.col("node"))
+                 .groupBy(e["dst"].alias("node"))
+                 .agg(F.sum("hub_micro").alias("auth_micro")))
+        auth = _norm(
+            nodes.join(a_raw, "node", "left")
+            .select("node", F.coalesce("auth_micro", F.lit(0))
+                    .alias("auth_micro")), "auth_micro")
+        h_raw = (e.join(auth.withColumnRenamed("node", "dn"),
+                        e["dst"] == F.col("dn"))
+                 .groupBy(e["src"].alias("node"))
+                 .agg(F.sum("auth_micro").alias("hub_micro")))
+        hub = _norm(
+            nodes.join(h_raw, "node", "left")
+            .select("node", F.coalesce("hub_micro", F.lit(0))
+                    .alias("hub_micro")), "hub_micro")
+        # hub and auth both already carry every node (left join +
+        # coalesce above), so the per-round score frame is one join
+        scores = hub.join(auth, "node").select(
+            "node", "hub_micro", "auth_micro")
+    return scores
 
 
 # ---------------------------------------------------------------------------
@@ -2733,6 +2846,54 @@ def cdx_latest(captures: DataFrame) -> DataFrame:
                         .cast("int"))
             .filter(F.col("rn") == 1)
             .select("surt", "ts", "url", "digest", "n_captures"))
+
+
+def cdx_revisit(captures: DataFrame) -> DataFrame:
+    """(surt, n_captures, n_versions, first_ts, last_ts, change_bp):
+    per-url recrawl statistics over the capture index — the
+    change-rate signal a recrawl scheduler feeds on (pages whose
+    digest changes every capture deserve frequent refetch; static
+    pages can be demoted), the planning step between cdx_latest's
+    "what do we have" and the frontier's "what do we fetch next".
+
+    Semantics: n_versions counts DISTINCT non-NULL digests (digest is
+    an optional CDXJ field); change_bp is the observed change rate in
+    basis points, exact integer ``((n_versions - 1) * 10000) div
+    (n_captures - 1)`` — 10000 when every recapture changed, 0 for
+    never-changed, for singletons, and for keys whose captures carry
+    no digest at all (no change evidence either way).  first_ts/
+    last_ts are lexicographic min/max, which IS chronological order
+    for 14-digit CDX timestamps.
+
+    Scale shape: two-level aggregation — groupBy(surt, digest) first,
+    so a mega-key (a url captured in every monthly crawl for a decade)
+    is pre-compressed to its distinct-version rows map-side before the
+    per-surt rollup, and every aggregate is algebraic (sum/min/max/
+    count) with partial combine at both levels.  No windows, no joins;
+    output is keyspace-sized."""
+    per_v = (captures
+             .select("surt", "ts", "digest")
+             .groupBy("surt", "digest")
+             .agg(F.count("*").alias("n"),
+                  F.min("ts").alias("t0"),
+                  F.max("ts").alias("t1")))
+    n_cap = F.sum("n").cast("int")
+    n_ver = (F.sum(F.when(F.col("digest").isNotNull(), 1)
+                   .otherwise(0)).cast("int"))
+    agg = per_v.groupBy("surt").agg(
+        n_cap.alias("n_captures"),
+        n_ver.alias("n_versions"),
+        F.min("t0").alias("first_ts"),
+        F.max("t1").alias("last_ts"))
+    # greatest(.., 1): all-NULL-digest keys carry no version evidence
+    # — 0 change, never a negative rate
+    change = F.expr(
+        "CASE WHEN n_captures > 1 THEN "
+        "((greatest(n_versions, 1) - 1) * 10000) div (n_captures - 1) "
+        "ELSE 0 END")
+    return agg.select("surt", "n_captures", "n_versions",
+                      "first_ts", "last_ts",
+                      change.cast("long").alias("change_bp"))
 
 
 def robots_rules(robots: DataFrame, agent: str = ROBOTS_AGENT) -> DataFrame:

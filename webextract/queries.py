@@ -629,6 +629,44 @@ def q_pagerank(spark, sf_dir):
     return corpus.pagerank(e1.unionByName(e2))
 
 
+def q_hits(spark, sf_dir):
+    """Host-graph HITS over the same hub-skewed shape as pagerank
+    (fresh salts so the graphs differ): each doc links one uniform
+    target and one 13-host authority tier.  3 sum + max-normalize
+    rounds in exact integer micro-units; the oracle unrolls the
+    identical integer recurrence."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(_pr_host("hi-s").alias("src"),
+                  _pr_host("hi-d1").alias("dst"))
+    e2 = d.select(_pr_host("hi-s").alias("src"),
+                  (_pr_host("hi-d2") % 13).alias("dst"))
+    return corpus.hits(e1.unionByName(e2))
+
+
+def q_anchor_rollup(spark, sf_dir):
+    """Anchor-text rollup over the WAT pass: the 10 shared boilerplate
+    hrefs aggregate across every doc (NULL representative — no
+    in-content inlink ever), each per-doc citation href is a semantic
+    singleton labeled by its ref anchor; the oracle aggregates the
+    same page-anatomy formula extract_links pins."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.anchor_rollup(
+        links_df(docs_to_pages(docs, article_links=2)))
+
+
+def q_cdx_revisit(spark, sf_dir):
+    """Recrawl change-rate stats over the parsed capture index, with
+    digests coarsened to 3 versions per /p/ key (length mod 3) so the
+    partial-rate integer division is exercised: 10-capture /p/ keys
+    land at 2222 bp, one-shot /q/ keys at 0."""
+    cap = corpus.parse_cdx(_synth_cdx(spark, sf_dir))
+    coarse = F.when(
+        F.col("length").isNotNull(),
+        F.concat(F.lit("v"), (F.col("length") % 3).cast("string")))
+    return corpus.cdx_revisit(
+        cap.withColumn("digest", F.coalesce(coarse, F.col("digest"))))
+
+
 def q_sketch_hll_distinct(spark, sf_dir):
     """HyperLogLog per-source distinct-token cardinality, the third
     mergeable sketch (after Misra-Gries and Bloom).  Each doc carries
@@ -1739,7 +1777,10 @@ QUERIES = {
     # (lang_id rotated past the cap for stream_hll — r2-green
     # unchanged; lang coverage stays via source_stats' lang spread +
     # the stream_hll per-lang grouping)
-    "events_sessions": q_events_sessions,
+    # (events_sessions rotated past the cap at round-4 close for
+    # anchor_rollup — r2/r3-green unchanged; the events family stays
+    # in-window via events_asof)
+    "anchor_rollup": q_anchor_rollup,
     # (token_stats / pricing_summary rotated past the cap late in
     # round 4 for the two sketch gates — both r2/r3-green with
     # unchanged code; their families stay in-window via lang_id /
@@ -1828,6 +1869,11 @@ QUERIES = {
     # (new round-4 relational-breadth gates start here too: rollup and
     # range-frame window — pytest-oracle-green, next rotation's window;
     # likewise the round-close CDX crawl-index gates below)
+    # --- round-4-close web-graph / crawl-index gates: first in line
+    # for the next rotation window (pytest-oracle-green) ---
+    "hits": q_hits,
+    "cdx_revisit": q_cdx_revisit,
+    "events_sessions": q_events_sessions,
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
     "robots_sitemaps": q_robots_sitemaps,
@@ -3101,6 +3147,130 @@ ORACLES = {
                           AS rank_micro
                FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         SELECT node, rank_micro FROM r3""",
+
+    "hits": """
+        WITH g AS (SELECT
+                ('0x' || substring(md5('hi-s:' || doc_id), 1, 8))
+                    ::BIGINT % 97 AS src,
+                ('0x' || substring(md5('hi-d1:' || doc_id), 1, 8))
+                    ::BIGINT % 97 AS d1,
+                (('0x' || substring(md5('hi-d2:' || doc_id), 1, 8))
+                    ::BIGINT % 97) % 13 AS d2
+            FROM documents),
+        edges AS (SELECT src, d1 AS dst FROM g
+                  UNION ALL SELECT src, d2 AS dst FROM g),
+        e AS (SELECT src, dst FROM edges WHERE src <> dst),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e
+                   UNION ALL SELECT dst AS node FROM e)),
+        s0 AS (SELECT node, 1000000::BIGINT AS hub FROM nodes),
+        a1r AS (SELECT n.node, coalesce(x.raw, 0) AS raw
+                FROM nodes n LEFT JOIN
+                     (SELECT e.dst AS node, sum(s.hub) AS raw
+                      FROM e JOIN s0 s ON e.src = s.node
+                      GROUP BY e.dst) x ON n.node = x.node),
+        a1 AS (SELECT node, ((raw * 1000000) //
+                   (SELECT max(raw) FROM a1r))::BIGINT AS auth
+               FROM a1r),
+        h1r AS (SELECT n.node, coalesce(x.raw, 0) AS raw
+                FROM nodes n LEFT JOIN
+                     (SELECT e.src AS node, sum(a.auth) AS raw
+                      FROM e JOIN a1 a ON e.dst = a.node
+                      GROUP BY e.src) x ON n.node = x.node),
+        h1 AS (SELECT node, ((raw * 1000000) //
+                   (SELECT max(raw) FROM h1r))::BIGINT AS hub
+               FROM h1r),
+        a2r AS (SELECT n.node, coalesce(x.raw, 0) AS raw
+                FROM nodes n LEFT JOIN
+                     (SELECT e.dst AS node, sum(s.hub) AS raw
+                      FROM e JOIN h1 s ON e.src = s.node
+                      GROUP BY e.dst) x ON n.node = x.node),
+        a2 AS (SELECT node, ((raw * 1000000) //
+                   (SELECT max(raw) FROM a2r))::BIGINT AS auth
+               FROM a2r),
+        h2r AS (SELECT n.node, coalesce(x.raw, 0) AS raw
+                FROM nodes n LEFT JOIN
+                     (SELECT e.src AS node, sum(a.auth) AS raw
+                      FROM e JOIN a2 a ON e.dst = a.node
+                      GROUP BY e.src) x ON n.node = x.node),
+        h2 AS (SELECT node, ((raw * 1000000) //
+                   (SELECT max(raw) FROM h2r))::BIGINT AS hub
+               FROM h2r),
+        a3r AS (SELECT n.node, coalesce(x.raw, 0) AS raw
+                FROM nodes n LEFT JOIN
+                     (SELECT e.dst AS node, sum(s.hub) AS raw
+                      FROM e JOIN h2 s ON e.src = s.node
+                      GROUP BY e.dst) x ON n.node = x.node),
+        a3 AS (SELECT node, ((raw * 1000000) //
+                   (SELECT max(raw) FROM a3r))::BIGINT AS auth
+               FROM a3r),
+        h3r AS (SELECT n.node, coalesce(x.raw, 0) AS raw
+                FROM nodes n LEFT JOIN
+                     (SELECT e.src AS node, sum(a.auth) AS raw
+                      FROM e JOIN a3 a ON e.dst = a.node
+                      GROUP BY e.src) x ON n.node = x.node),
+        h3 AS (SELECT node, ((raw * 1000000) //
+                   (SELECT max(raw) FROM h3r))::BIGINT AS hub
+               FROM h3r)
+        SELECT n.node, h3.hub AS hub_micro, a3.auth AS auth_micro
+        FROM nodes n JOIN h3 ON n.node = h3.node
+                     JOIN a3 ON n.node = a3.node""",
+
+    "anchor_rollup": """
+        WITH l AS (SELECT doc_id, i::INTEGER AS link_no
+                   FROM documents,
+                        unnest(generate_series(0, 27)) AS u(i)),
+        a AS (SELECT
+               CASE WHEN link_no <= 7 THEN '/l' || link_no
+                    WHEN link_no = 8 THEN '/accept'
+                    WHEN link_no = 9 THEN '/reject'
+                    WHEN link_no <= 17 THEN '/l' || (link_no - 10)
+                    WHEN link_no <= 19 THEN '/d' || doc_id || 'x'
+                                             || (link_no - 18)
+                    ELSE '/l' || (link_no - 20) END AS href,
+               CASE WHEN link_no = 8 THEN 'Accept'
+                    WHEN link_no = 9 THEN 'Reject'
+                    WHEN link_no <= 7
+                        THEN 'menu item ' || link_no || ' with label'
+                    WHEN link_no <= 17
+                        THEN 'menu item ' || (link_no - 10)
+                             || ' with label'
+                    WHEN link_no <= 19
+                        THEN 'ref ' || doc_id || ' ' || (link_no - 18)
+                    ELSE 'menu item ' || (link_no - 20) || ' with label'
+               END AS anchor,
+               (link_no = 18 OR link_no = 19) AS semantic
+              FROM l)
+        SELECT href,
+               COUNT(*)::BIGINT AS n_inlinks,
+               SUM(CASE WHEN semantic THEN 1 ELSE 0 END)::BIGINT
+                   AS n_semantic,
+               COUNT(DISTINCT anchor)::BIGINT AS n_anchors,
+               MIN(CASE WHEN semantic THEN anchor END) AS top_anchor
+        FROM a GROUP BY href""",
+
+    "cdx_revisit": """
+        WITH p AS (SELECT 'com,example)/p/' || (doc_id % 50) AS surt,
+                          '2026010' || (doc_id % 9)
+                          || lpad(doc_id::VARCHAR, 6, '0') AS ts,
+                          'v' || ((doc_id + 100) % 3) AS digest
+                   FROM documents),
+        q AS (SELECT 'com,example)/q/' || doc_id AS surt,
+                     '2026010' || (doc_id % 9)
+                     || lpad(doc_id::VARCHAR, 6, '0') AS ts,
+                     'sha1:Q' || doc_id AS digest
+              FROM documents),
+        c AS (SELECT * FROM p UNION ALL SELECT * FROM q),
+        g AS (SELECT surt, COUNT(*)::INT AS n_captures,
+                     COUNT(DISTINCT digest)::INT AS n_versions,
+                     MIN(ts) AS first_ts, MAX(ts) AS last_ts
+              FROM c GROUP BY surt)
+        SELECT surt, n_captures, n_versions, first_ts, last_ts,
+               (CASE WHEN n_captures > 1
+                     THEN ((greatest(n_versions, 1) - 1) * 10000)
+                          // (n_captures - 1)
+                     ELSE 0 END)::BIGINT AS change_bp
+        FROM g""",
 
     "heavy_hitters": """
         WITH aug AS (SELECT text
