@@ -57,7 +57,7 @@ HEADLINE = [
     "weighted_sample", "table_scan_prune", "parse_sitemaps",
     "parse_cdx", "cdx_latest", "robots_sitemaps", "parse_sitemap_index",
     "page_metadata", "canonical_dedup",
-    "hits", "anchor_rollup", "cdx_revisit",
+    "hits", "anchor_rollup", "cdx_revisit", "frontier_schedule",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

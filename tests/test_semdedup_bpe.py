@@ -138,3 +138,48 @@ def test_frontier_filter_rule_semantics(spark):
     assert got == {1: True, 2: True, 3: False, 4: True,
                    5: True,  # prefix semantics: '/adstext' starts '/ads'
                    6: False, 7: False, 8: False}
+
+
+def test_frontier_schedule_semantics(spark):
+    """Fetch-queue assembly: priority = rank * (1 + change_bp) with
+    unranked hosts and never-seen urls coalescing to base (0) rather
+    than vanishing; per-host slots ordered by priority then url; the
+    max_per_host cap trims queue tails."""
+    from webextract import corpus
+    cands = spark.createDataFrame(
+        [("u/a", "h1"), ("u/b", "h1"), ("u/c", "h1"),
+         ("u/d", "h2"),                      # unranked host
+         ("u/e", "h3")],                     # ranked, never-seen url
+        "url string, host string")
+    ranks = spark.createDataFrame(
+        [("h1", 2000000), ("h3", 500000)], "host string, rank_micro long")
+    change = spark.createDataFrame(
+        [("u/a", 10000), ("u/b", 0), ("u/d", 10000)],
+        "url string, change_bp long")
+    got = {r["url"]: (r["host"], r["priority_micro"], r["slot"])
+           for r in corpus.frontier_schedule(cands, ranks,
+                                             change).collect()}
+    assert got["u/a"] == ("h1", 2000000 * 10001, 1)
+    assert got["u/b"] == ("h1", 2000000, 2)
+    assert got["u/c"] == ("h1", 2000000, 3)   # no history: rank * 1
+    # u/b vs u/c tie at 2000000 -> url breaks it: 'u/b' < 'u/c'
+    assert got["u/d"] == ("h2", 0, 1)         # unranked: base, still queued
+    assert got["u/e"] == ("h3", 500000, 1)
+    capped = corpus.frontier_schedule(cands, ranks, change,
+                                      max_per_host=2)
+    assert {r["url"] for r in capped.collect()} == {
+        "u/a", "u/b", "u/d", "u/e"}
+
+
+def test_frontier_schedule_plan_shape(spark):
+    """host_rank broadcasts; exactly ONE window (the per-host queue);
+    the candidate side is never shuffled more than once for it."""
+    from tests.test_plans import _plan
+    from webextract import corpus
+    cands = spark.createDataFrame([("u", "h")], "url string, host string")
+    ranks = spark.createDataFrame([("h", 1)], "host string, rank_micro long")
+    change = spark.createDataFrame([("u", 1)], "url string, change_bp long")
+    tree = _plan(corpus.frontier_schedule(
+        cands, ranks, change)).split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert tree.count("Window") == 1

@@ -2451,6 +2451,51 @@ def frontier_filter(pages: DataFrame, rules: DataFrame,
                     F.coalesce("hit", F.lit(False)).alias("blocked")))
 
 
+def frontier_schedule(cands: DataFrame, host_rank: DataFrame,
+                      url_change: DataFrame,
+                      max_per_host: int = 0) -> DataFrame:
+    """(url, host, priority_micro, slot): the fetch-queue assembly that
+    closes the crawl-planning loop — candidates that survived the
+    admission passes (robots_filter/frontier_filter), weighted by host
+    quality (pagerank/hits) and observed change rate (cdx_revisit),
+    ordered into per-host politeness queues.  ``slot`` is the url's
+    position in its host's queue (a crawler fetching one url per host
+    per politeness interval walks slot 1, 2, ...); ``max_per_host``
+    > 0 caps each queue (per-crawl host budget), 0 keeps everything.
+
+    priority_micro = rank_micro * (1 + change_bp) exactly (integer:
+    a 10^6-micro rank times <= 10^4+1 bp stays far under long) —
+    high-value fast-changing pages fetch first; unranked hosts and
+    never-seen urls coalesce to rank 0 / change 0 so NEW discoveries
+    still schedule (at base priority) rather than vanish.  Ties break
+    by url for a total, engine-portable order.
+
+    Scale shape: host_rank is hosts-sized and BROADCASTS; url_change
+    equi-joins on url (both sides url-keyed, shuffle-hash — the
+    revisit table is capture-keyspace-sized, never corpus-payload
+    sized); then ONE window partitioned by host — the politeness queue
+    IS the parallelism unit, so no global sort ever happens, and a
+    mega-host's queue is one partition of urls-on-that-host, bounded
+    by per-host crawl budgets in practice (and by ``max_per_host``
+    here)."""
+    ranked = (cands.select("url", "host")
+              .join(F.broadcast(host_rank.select(
+                  F.col("host"), F.col("rank_micro"))), "host", "left")
+              .join(url_change.select("url", "change_bp"), "url",
+                    "left"))
+    prio = (F.coalesce(F.col("rank_micro"), F.lit(0))
+            * (F.lit(1) + F.coalesce(F.col("change_bp"), F.lit(0))))
+    w = (Window.partitionBy("host")
+         .orderBy(F.col("priority_micro").desc(), F.col("url")))
+    out = (ranked
+           .select("url", "host",
+                   prio.cast("long").alias("priority_micro"))
+           .withColumn("slot", F.row_number().over(w)))
+    if max_per_host > 0:
+        out = out.filter(F.col("slot") <= max_per_host)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # mergeable cardinality + membership sketches (HLL, Bloom)
 # ---------------------------------------------------------------------------

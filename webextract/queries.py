@@ -667,6 +667,34 @@ def q_cdx_revisit(spark, sf_dir):
         cap.withColumn("digest", F.coalesce(coarse, F.col("digest"))))
 
 
+def q_frontier_schedule(spark, sf_dir):
+    """The crawl-planning loop closed end-to-end: pagerank host
+    quality x cdx_revisit change rates -> per-host politeness queues
+    capped at 8 slots.  Even docs are recrawl candidates keyed by
+    their /p/ SURT (joinable change history), odd docs are never-seen
+    discoveries (base priority); hosts h97-h119 exist in no ranked
+    graph, exercising the unranked-host branch.  The oracle composes
+    the full pagerank + revisit oracle SQL and replays the window."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    ranks = q_pagerank(spark, sf_dir).select(
+        F.concat(F.lit("h"), F.col("node").cast("string"))
+        .alias("host"), "rank_micro")
+    change = q_cdx_revisit(spark, sf_dir).select(
+        F.col("surt").alias("url"), "change_bp")
+    host = F.concat(F.lit("h"),
+                    (F.col("doc_id") % 120).cast("string")).alias("host")
+    seen = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("com,example)/p/"),
+                 (F.col("doc_id") % 50).cast("string")).alias("url"),
+        host)
+    fresh = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.concat(F.lit("com,example)/new/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        host)
+    return corpus.frontier_schedule(seen.unionByName(fresh), ranks,
+                                    change, max_per_host=8)
+
+
 def q_sketch_hll_distinct(spark, sf_dir):
     """HyperLogLog per-source distinct-token cardinality, the third
     mergeable sketch (after Misra-Gries and Bloom).  Each doc carries
@@ -1873,6 +1901,7 @@ QUERIES = {
     # for the next rotation window (pytest-oracle-green) ---
     "hits": q_hits,
     "cdx_revisit": q_cdx_revisit,
+    "frontier_schedule": q_frontier_schedule,
     "events_sessions": q_events_sessions,
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
@@ -4482,6 +4511,35 @@ ORACLES["stream_hll"] = ORACLES["sketch_hll_distinct"].replace(
     "source", "lang")
 # stream == batch for the Bloom bitmap too: same urls, same bits
 ORACLES["stream_bloom"] = ORACLES["url_seen_bloom"]
+
+# frontier_schedule composes the pagerank and cdx_revisit oracles
+# verbatim as its host-quality and change-rate feeds (nested WITH in a
+# derived table), so the three oracles can never drift apart; the
+# schedule itself is one left-join pair + the per-host window replay.
+ORACLES["frontier_schedule"] = f"""
+    WITH pr AS ({ORACLES["pagerank"]}),
+    rev AS ({ORACLES["cdx_revisit"]}),
+    cands AS (
+        SELECT 'com,example)/p/' || (doc_id % 50) AS url,
+               'h' || (doc_id % 120) AS host
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'com,example)/new/' || doc_id AS url,
+               'h' || (doc_id % 120) AS host
+        FROM documents WHERE doc_id % 2 = 1),
+    j AS (SELECT c.url, c.host,
+                 (coalesce(p.rank_micro, 0)
+                  * (1 + coalesce(r.change_bp, 0)))::BIGINT
+                     AS priority_micro
+          FROM cands c
+          LEFT JOIN pr p ON c.host = 'h' || p.node
+          LEFT JOIN rev r ON c.url = r.surt),
+    s AS (SELECT url, host, priority_micro,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY priority_micro DESC, url)
+                     ::INT AS slot
+          FROM j)
+    SELECT url, host, priority_micro, slot FROM s WHERE slot <= 8"""
 
 # dedup_semantic reuses the embed_ivf_assign oracle verbatim as its
 # cluster-assignment stage (same centroids, same argmax rule), then
