@@ -71,6 +71,84 @@ def test_bpe_pair_counts_short_and_multibyte(spark):
     assert got == {"数据": 2, "据表": 1}
 
 
+# ------------------------------------------------------------- BPE trainer
+
+def _bpe_ref(word_freqs, n_merges):
+    """Driver-side greedy BPE reference: count adjacent pairs over the
+    word-frequency dict, merge the (count desc, lhs asc, rhs asc)
+    argmax left-to-right non-overlapping, repeat."""
+    segs = [([c for c in w], f) for w, f in sorted(word_freqs.items())]
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for syms, f in segs:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), n = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, n))
+        for idx, (syms, f) in enumerate(segs):
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[idx] = (out, f)
+    return merges
+
+
+def test_bpe_train_matches_greedy_reference(spark):
+    """The classic Sennrich corpus plus a run-of-4 word: the merge
+    TABLE (order, pairs, counts) must equal the greedy reference —
+    including the left-to-right rule ('aaaa' yields TWO 'aa' symbols,
+    so ('aa','aa') becomes countable) and the lexicographic argmax
+    tie-break."""
+    text = "low low low lower lower newest widest aaaa aaaa"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    wf = {"low": 3, "lower": 2, "newest": 1, "widest": 1, "aaaa": 2}
+    got = [(r["rank"], r["lhs"], r["rhs"], r["n"])
+           for r in corpus.bpe_train(docs, n_merges=6)
+           .orderBy("rank").collect()]
+    assert got == _bpe_ref(wf, 6)
+    # the quad-run actually exercised the adjacent-merge rule
+    assert ("a", "a") in {(l, r) for _, l, r, _ in got}
+
+
+def test_bpe_train_exhaustion_and_guard(spark):
+    """A vocabulary that fully merges before n_merges stops early
+    instead of looping; non-ASCII words are excluded by the
+    admission guard."""
+    docs = spark.createDataFrame([(0, "ab ab 数据 数据")],
+                                 "doc_id long, text string")
+    got = [(r["lhs"], r["rhs"], r["n"])
+           for r in corpus.bpe_train(docs, n_merges=5)
+           .orderBy("rank").collect()]
+    # only 'ab' is admissible: one merge then nothing left to pair
+    assert got == [("a", "b", 2)]
+
+
+def test_bpe_train_partitioning_invariant(spark):
+    """Integer counts + totalized argmax: the merge table is identical
+    at any parallelism."""
+    rows = [(i, "hug hug hugs pug pugs pun bun hugs") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [(r["rank"], r["lhs"], r["rhs"], r["n"]) for r in
+         corpus.bpe_train(docs.coalesce(1), 5).orderBy("rank").collect()]
+    b = [(r["rank"], r["lhs"], r["rhs"], r["n"]) for r in
+         corpus.bpe_train(docs.repartition(16), 5)
+         .orderBy("rank").collect()]
+    wf = {"hug": 16, "hugs": 16, "pug": 8, "pugs": 8, "pun": 8,
+          "bun": 8}
+    assert a == b == _bpe_ref(wf, 5)
+
+
 # ------------------------------------------------------------------ DSIR
 
 def _dsir_docs(spark):

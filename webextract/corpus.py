@@ -2320,6 +2320,82 @@ def bpe_pair_counts(docs: DataFrame, top: int = BPE_TOP) -> DataFrame:
             .select("pair", "weight", "rank"))
 
 
+# BPE segmentation delimiters: every symbol is wrapped \x01sym\x02 so
+# a merge needle \x01l\x02\x01r\x02 can only align on whole symbols
+# (never a substring of one) and adjacent matches share no characters
+# (left-to-right non-overlapping replace == greedy BPE application).
+_BPE_O, _BPE_C = "\x01", "\x02"
+# admissible training words: printable ASCII (excludes the delimiters
+# and pins byte-lexicographic tie-breaks to be engine-identical)
+_BPE_WORD_RE = "^[!-~]+$"
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8,
+              min_freq: int = 1) -> DataFrame:
+    """(rank, lhs, rhs, n): the full BPE training loop (Sennrich et
+    al., ACL'16) — ``n_merges`` rounds of count-adjacent-pairs /
+    merge-the-argmax, producing the ordered merge table a tokenizer
+    replays at encode time.  bpe_pair_counts is ONE round's counting
+    step; this iterates it with the re-segmentation in between —
+    tokenizer training as a first-class corpus operator.
+
+    Determinism contract: the argmax is totalized by (count desc, lhs
+    asc, rhs asc) over printable-ASCII words (byte order identical in
+    every engine), counts are integer sums, and re-segmentation is
+    left-to-right non-overlapping string replace — so the merge
+    sequence is bit-identical in any engine and any partitioning
+    ('a a a a' merges to 'aa aa', 'a a a' to 'aa a', exactly like the
+    reference greedy loop).
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD frequency
+    frame once (the only corpus-sized shuffle — the same reason
+    single-node trainers count over word dicts, not raw text); every
+    round then runs over that vocab-sized frame: one pair-explode +
+    groupBy, an orderBy(...).limit(1) that Catalyst executes as
+    TakeOrderedAndProject (top-1 per partition map-side, never a
+    global sort), and ONE collected row — the winning pair is a plan
+    literal for the next round's replace, the same catalog-artifact
+    contract as the IVF centroids.  The frame is localCheckpointed
+    per round (dedup_clusters' lineage-cut budget: O(n_merges)
+    vocab-sized materializations).  Words under ``min_freq`` are
+    pruned up front (the standard trainer knob that bounds the vocab
+    frame on a 10^12-doc corpus)."""
+    spark = docs.sparkSession
+    vocab = (docs.select(F.explode(TOKENS()).alias("w"))
+             .filter(F.col("w").rlike(_BPE_WORD_RE))
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             .filter(F.col("freq") >= min_freq))
+    seg0 = F.regexp_replace("w", "(.)", _BPE_O + "$1" + _BPE_C)
+    frame = (vocab.select(seg0.alias("seg"), "freq")
+             .localCheckpoint())
+    sym_pat = F.lit(_BPE_O + "([^" + _BPE_C + "]+)" + _BPE_C)
+    merges: list = []
+    for rank in range(n_merges):
+        syms = F.regexp_extract_all("seg", sym_pat, F.lit(1))
+        pairs = (frame
+                 .select("freq", syms.alias("syms"))
+                 .filter(F.size("syms") >= 2)
+                 .select("freq", F.explode(F.expr(
+                     "transform(sequence(0, size(syms) - 2), "
+                     "i -> struct(get(syms, i) AS lhs, "
+                     "get(syms, i + 1) AS rhs))")).alias("p"))
+                 .groupBy("p.lhs", "p.rhs")
+                 .agg(F.sum("freq").alias("n")))
+        best = (pairs.orderBy(F.col("n").desc(), "lhs", "rhs")
+                .limit(1).collect())
+        if not best:
+            break
+        lhs, rhs, n = best[0]["lhs"], best[0]["rhs"], best[0]["n"]
+        merges.append((rank, lhs, rhs, int(n)))
+        needle = _BPE_O + lhs + _BPE_C + _BPE_O + rhs + _BPE_C
+        repl = _BPE_O + lhs + rhs + _BPE_C
+        frame = (frame.select(
+            F.replace("seg", F.lit(needle), F.lit(repl)).alias("seg"),
+            "freq").localCheckpoint())
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, n long")
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights (data selection via importance resampling)
 # ---------------------------------------------------------------------------

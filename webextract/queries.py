@@ -667,6 +667,15 @@ def q_cdx_revisit(spark, sf_dir):
         cap.withColumn("digest", F.coalesce(coarse, F.col("digest"))))
 
 
+def q_bpe_train(spark, sf_dir):
+    """The full BPE training loop (4 merge rounds) over the documents
+    token stream — merge table order, pairs, and counts must all be
+    exact; the oracle unrolls the identical count / totalized-argmax /
+    left-to-right re-segment rounds in SQL."""
+    return corpus.bpe_train(_read(spark, sf_dir, "documents"),
+                            n_merges=4)
+
+
 def q_frontier_schedule(spark, sf_dir):
     """The crawl-planning loop closed end-to-end: pagerank host
     quality x cdx_revisit change rates -> per-host politeness queues
@@ -1902,6 +1911,7 @@ QUERIES = {
     "hits": q_hits,
     "cdx_revisit": q_cdx_revisit,
     "frontier_schedule": q_frontier_schedule,
+    "bpe_train": q_bpe_train,
     "events_sessions": q_events_sessions,
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
@@ -4540,6 +4550,45 @@ ORACLES["frontier_schedule"] = f"""
                      ::INT AS slot
           FROM j)
     SELECT url, host, priority_micro, slot FROM s WHERE slot <= 8"""
+
+# bpe_train's oracle: the identical 4 training rounds unrolled —
+# each round is (symbols -> adjacent-pair counts -> totalized argmax
+# -> left-to-right re-segment via replace on whole-symbol needles),
+# generated by one loop so every round is literally the same SQL.
+def _bpe_oracle(n_rounds: int) -> str:
+    sym = "regexp_extract_all(seg, chr(1) || '([^' || chr(2) "\
+          "|| ']+)' || chr(2), 1)"
+    ctes = ["""toks AS (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    vocab AS (SELECT w, count(*)::BIGINT AS freq FROM toks
+              WHERE regexp_matches(w, '^[!-~]+$') GROUP BY w),
+    s0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2),
+                                 'g') AS seg, freq
+           FROM vocab)"""]
+    for i in range(n_rounds):
+        ctes.append(f"""p{i} AS (SELECT freq, syms FROM
+             (SELECT {sym} AS syms, freq FROM s{i})
+           WHERE len(syms) >= 2),
+    c{i} AS (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+                    sum(freq)::BIGINT AS n
+             FROM p{i},
+                  unnest(generate_series(1, len(syms) - 1)) AS t(i)
+             GROUP BY 1, 2),
+    b{i} AS (SELECT lhs, rhs, n FROM c{i}
+             ORDER BY n DESC, lhs, rhs LIMIT 1),
+    s{i + 1} AS (SELECT replace(seg,
+                 (SELECT chr(1) || lhs || chr(2) || chr(1) || rhs
+                         || chr(2) FROM b{i}),
+                 (SELECT chr(1) || lhs || rhs || chr(2) FROM b{i}))
+                     AS seg, freq
+             FROM s{i})""")
+    sel = "\n        UNION ALL ".join(
+        f"SELECT {i}::INT AS rank, lhs, rhs, n FROM b{i}"
+        for i in range(n_rounds))
+    return "WITH " + ",\n    ".join(ctes) + "\n        " + sel
+
+
+ORACLES["bpe_train"] = _bpe_oracle(4)
 
 # dedup_semantic reuses the embed_ivf_assign oracle verbatim as its
 # cluster-assignment stage (same centroids, same argmax rule), then
