@@ -149,6 +149,43 @@ def test_bpe_train_partitioning_invariant(spark):
     assert a == b == _bpe_ref(wf, 5)
 
 
+def test_bpe_segment_reproduces_trainer(spark):
+    """encode(train corpus) == the trainer's final segmentation: token
+    counts per doc must equal replaying _bpe_ref's segs; inadmissible
+    words count one unknown token each."""
+    text = "low low lower hug hugs 数据 aaaa"
+    docs = spark.createDataFrame([(0, text), (1, "aaaa aaaa low")],
+                                 "doc_id long, text string")
+    merges = corpus.bpe_train(docs, n_merges=4)
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in corpus.bpe_segment(docs, merges).collect()}
+
+    # reference: replay the same merges over each doc's words
+    mt = [(r["lhs"], r["rhs"])
+          for r in merges.orderBy("rank").collect()]
+
+    def ref_count(w):
+        if not all("!" <= c <= "~" for c in w) or not w:
+            return 1
+        syms = list(w)
+        for l, r in mt:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l \
+                        and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for did, t in ((0, text), (1, "aaaa aaaa low")):
+        ws = t.split(" ")
+        assert got[did] == (len(ws), sum(ref_count(w) for w in ws))
+
+
 # ------------------------------------------------------------------ DSIR
 
 def _dsir_docs(spark):

@@ -2396,6 +2396,76 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         merges, "rank int, lhs string, rhs string, n long")
 
 
+def bpe_segment(docs: DataFrame, merges: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_tokens): apply a trained BPE merge table
+    (bpe_train's output) to the corpus — the encode side of tokenizer
+    training, and the REAL subword counter behind token-budget
+    decisions (pack_sequences' seq_len, chunker max_tokens, per-source
+    token accounting) once a vocabulary exists.  Inadmissible words
+    (outside the trainer's printable-ASCII universe) count as one
+    unknown token each.
+
+    Replay semantics are the trainer's exactly: merges applied in rank
+    order, each pass merging adjacent (lhs, rhs) left-to-right
+    non-overlapping — so encode(train_corpus) reproduces the trainer's
+    final segmentation word-for-word (pinned by test).
+
+    Scale shape: merges is an n_merges-row catalog artifact, collected
+    once and shipped inside one narrow Arrow kernel (mapInArrow, zero
+    shuffle — the extraction kernel pattern); per batch the replay
+    runs once per DISTINCT word (pandas unique) and fans back out, so
+    the per-batch cost tracks vocabulary, not length."""
+    import pyarrow as pa_
+
+    import re as re_
+    word_re = re_.compile(_BPE_WORD_RE)
+    table = [(r["lhs"], r["rhs"])
+             for r in merges.orderBy("rank").collect()]
+
+    def enc(word: str) -> int:
+        if not word_re.match(word):
+            return 1
+        syms = list(word)
+        for lhs, rhs in table:
+            out, i, lr = [], 0, lhs + rhs
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == lhs
+                        and syms[i + 1] == rhs):
+                    out.append(lr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    def kern(batches):
+        for b in batches:
+            ids = b.column("doc_id")
+            texts = b.column("text").to_pylist()
+            nw, nt = [], []
+            cache: dict = {}
+            for t in texts:
+                # SQL split convention: '' -> [''] (one empty word,
+                # counted as one unknown token); only NULL -> no words
+                words = [] if t is None else t.split(" ")
+                total = 0
+                for w in words:
+                    c = cache.get(w)
+                    if c is None:
+                        c = cache[w] = enc(w)
+                    total += c
+                nw.append(len(words))
+                nt.append(total)
+            yield pa_.RecordBatch.from_arrays(
+                [ids, pa_.array(nw, pa_.int64()),
+                 pa_.array(nt, pa_.int64())],
+                ["doc_id", "n_words", "n_tokens"])
+
+    return (docs.select("doc_id", "text")
+            .mapInArrow(kern, "doc_id long, n_words long, n_tokens long"))
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights (data selection via importance resampling)
 # ---------------------------------------------------------------------------

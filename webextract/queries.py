@@ -676,6 +676,16 @@ def q_bpe_train(spark, sf_dir):
                             n_merges=4)
 
 
+def q_bpe_segment(spark, sf_dir):
+    """Encode with the 4-round trained merge table: per-doc word and
+    subword-token counts.  encode(train corpus) must reproduce the
+    trainer's final segmentation word-for-word, so the oracle replays
+    the identical 4 rounds and joins each doc's words against the
+    trained segmentation."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.bpe_segment(docs, corpus.bpe_train(docs, n_merges=4))
+
+
 def q_frontier_schedule(spark, sf_dir):
     """The crawl-planning loop closed end-to-end: pagerank host
     quality x cdx_revisit change rates -> per-host politeness queues
@@ -1912,6 +1922,7 @@ QUERIES = {
     "cdx_revisit": q_cdx_revisit,
     "frontier_schedule": q_frontier_schedule,
     "bpe_train": q_bpe_train,
+    "bpe_segment": q_bpe_segment,
     "events_sessions": q_events_sessions,
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
@@ -4555,15 +4566,16 @@ ORACLES["frontier_schedule"] = f"""
 # each round is (symbols -> adjacent-pair counts -> totalized argmax
 # -> left-to-right re-segment via replace on whole-symbol needles),
 # generated by one loop so every round is literally the same SQL.
-def _bpe_oracle(n_rounds: int) -> str:
+def _bpe_oracle(n_rounds: int, final: str = "merges") -> str:
     sym = "regexp_extract_all(seg, chr(1) || '([^' || chr(2) "\
           "|| ']+)' || chr(2), 1)"
     ctes = ["""toks AS (SELECT unnest(string_split(text, ' ')) AS w
                FROM documents),
     vocab AS (SELECT w, count(*)::BIGINT AS freq FROM toks
               WHERE regexp_matches(w, '^[!-~]+$') GROUP BY w),
-    s0 AS (SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2),
-                                 'g') AS seg, freq
+    s0 AS (SELECT w, regexp_replace(w, '(.)',
+                                    chr(1) || '\\1' || chr(2),
+                                    'g') AS seg, freq
            FROM vocab)"""]
     for i in range(n_rounds):
         ctes.append(f"""p{i} AS (SELECT freq, syms FROM
@@ -4576,19 +4588,38 @@ def _bpe_oracle(n_rounds: int) -> str:
              GROUP BY 1, 2),
     b{i} AS (SELECT lhs, rhs, n FROM c{i}
              ORDER BY n DESC, lhs, rhs LIMIT 1),
-    s{i + 1} AS (SELECT replace(seg,
+    s{i + 1} AS (SELECT w, replace(seg,
                  (SELECT chr(1) || lhs || chr(2) || chr(1) || rhs
                          || chr(2) FROM b{i}),
                  (SELECT chr(1) || lhs || rhs || chr(2) FROM b{i}))
                      AS seg, freq
              FROM s{i})""")
-    sel = "\n        UNION ALL ".join(
-        f"SELECT {i}::INT AS rank, lhs, rhs, n FROM b{i}"
-        for i in range(n_rounds))
+    if final == "merges":
+        sel = "\n        UNION ALL ".join(
+            f"SELECT {i}::INT AS rank, lhs, rhs, n FROM b{i}"
+            for i in range(n_rounds))
+        return "WITH " + ",\n    ".join(ctes) + "\n        " + sel
+    # final == "segmap": replay the trained segmentation over every
+    # doc's words — inadmissible (non-ASCII / empty) words count 1
+    last = f"s{n_rounds}"
+    ctes.append(f"""m AS (SELECT w, len({sym})::BIGINT AS ntok
+           FROM {last}),
+    wl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+    cnt AS (SELECT wl.doc_id, count(*)::BIGINT AS n_words,
+                   sum(CASE WHEN regexp_matches(wl.w, '^[!-~]+$')
+                            THEN m.ntok ELSE 1 END)::BIGINT
+                       AS n_tokens
+            FROM wl LEFT JOIN m ON wl.w = m.w
+            GROUP BY wl.doc_id)""")
+    sel = ("SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words, "
+           "coalesce(c.n_tokens, 0) AS n_tokens "
+           "FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id")
     return "WITH " + ",\n    ".join(ctes) + "\n        " + sel
 
 
 ORACLES["bpe_train"] = _bpe_oracle(4)
+ORACLES["bpe_segment"] = _bpe_oracle(4, final="segmap")
 
 # dedup_semantic reuses the embed_ivf_assign oracle verbatim as its
 # cluster-assignment stage (same centroids, same argmax rule), then
