@@ -58,7 +58,7 @@ HEADLINE = [
     "parse_cdx", "cdx_latest", "robots_sitemaps", "parse_sitemap_index",
     "page_metadata", "canonical_dedup",
     "hits", "anchor_rollup", "cdx_revisit", "frontier_schedule",
-    "bpe_train", "bpe_segment",
+    "bpe_train", "bpe_segment", "within_doc_dedup", "c4_quality",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

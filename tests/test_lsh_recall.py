@@ -309,6 +309,48 @@ def test_line_dedup_removes_boilerplate_keeps_order(spark):
     assert r0.kept_segs == 2 and r0.dropped_segs == 1
 
 
+def test_within_doc_dedup_keeps_first_occurrence(spark):
+    """A doc repeating its own 10-word block keeps ONE copy in place
+    (even though no other doc shares it — the line_dedup complement);
+    a doc of all-unique segments is untouched; order is preserved."""
+    from webextract.corpus import within_doc_dedup
+    blk = " ".join([f"own{j}" for j in range(10)])
+    uniq1 = " ".join([f"a{j}" for j in range(10)])
+    uniq2 = " ".join([f"b{j}" for j in range(10)])
+    docs = spark.createDataFrame(
+        [(0, " ".join([blk, uniq1, blk, uniq2, blk])),
+         (1, uniq1 + " " + uniq2)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in within_doc_dedup(docs).collect()}
+    assert got[0].clean_text == " ".join([blk, uniq1, uniq2])
+    assert got[0].kept_segs == 3 and got[0].dropped_segs == 2
+    assert got[1].clean_text == uniq1 + " " + uniq2
+    assert got[1].kept_segs == 2 and got[1].dropped_segs == 0
+
+
+def test_c4_quality_rules(spark):
+    """Each C4 rejection fires independently: lorem ipsum (case-
+    insensitive), '{', too few sentences, too few long sentences."""
+    from webextract.corpus import c4_quality
+    good = ("The first sentence has enough words. The second one "
+            "also has plenty here. And a third sentence closes the "
+            "page nicely.")
+    docs = spark.createDataFrame(
+        [(0, good),
+         (1, good + " Lorem Ipsum dolor."),
+         (2, good + " var x = {"),
+         (3, "Short one. Too tiny. Nope."),       # sentences too short
+         (4, "One long sentence with many words but only one")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_quality(docs).collect()}
+    assert got[0].pass_c4
+    assert not got[1].pass_c4 and got[1].has_lorem
+    assert not got[2].pass_c4 and got[2].has_brace
+    assert not got[3].pass_c4 and got[3].n_good_sents == 0
+    assert not got[4].pass_c4 and got[4].n_sents == 1
+    assert got[0].n_sents == 3 and got[0].n_good_sents == 3
+
+
 def test_lm_perplexity_orders_rare_above_common(spark):
     """Docs made of corpus-rare tokens must score strictly higher
     perplexity than docs of corpus-common tokens, and a hand-computed

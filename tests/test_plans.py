@@ -365,6 +365,25 @@ def test_line_dedup_plan_shape(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_within_doc_dedup_plan_shape(spark):
+    """Two-level agg: no Window, no join, no sort-merge — intra-doc
+    repeats must compress in partial aggregation, not in a per-doc
+    window scan."""
+    from webextract.corpus import within_doc_dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(within_doc_dedup(docs))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree and "Join" not in tree, tree
+    assert "SortMergeJoin" not in plan
+
+
+def test_c4_quality_plan_shape(spark):
+    """Admission filter = WHERE-clause shape: zero exchanges."""
+    from webextract.corpus import c4_quality
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert "Exchange" not in _plan(c4_quality(docs))
+
+
 def test_lm_perplexity_plan_shape(spark):
     """LM scoring: vocab joins the (doc_id, tok, tf) term frame via
     shuffle-hash (web-scale vocab is beyond any broadcast); totals ride

@@ -1647,6 +1647,78 @@ def line_dedup(docs: DataFrame, block: int = LINE_BLOCK,
                  .cast("int").alias("dropped_segs")))
 
 
+def within_doc_dedup(docs: DataFrame,
+                     block: int = LINE_BLOCK) -> DataFrame:
+    """(doc_id, clean_text, kept_segs, dropped_segs): keep the FIRST
+    occurrence of each distinct segment WITHIN a document and
+    reassemble in order — Dolma's dedupe-paragraphs-within-document
+    pass, the complement of line_dedup (which drops segments hot
+    ACROSS the corpus): a page that repeats its own boilerplate ten
+    times keeps one copy here even though no other page shares it.
+    Same fixed-width word-segment convention as line_dedup
+    (documents.text is single-space normalized — no newlines to cut
+    on).
+
+    Scale shape: two-level aggregation, zero windows — groupBy
+    (doc_id, seg) keeps min(pos) + occurrence count (map-side combine;
+    a segment repeated 10^4 times inside one skew-bomb doc compresses
+    to one row before any reducer), then ONE groupBy(doc_id) with the
+    in-array sort reassembly line_dedup established.  Per-doc cost is
+    linearithmic in segments, never quadratic — the HOF
+    first-occurrence scan was rejected for exactly that reason."""
+    segs = doc_segments(_spread(docs), block)
+    first = (segs.groupBy("doc_id", "seg")
+             .agg(F.min("pos").alias("pos"),
+                  F.count("*").alias("cnt")))
+    return (first.groupBy("doc_id")
+            .agg(F.array_join(
+                     F.transform(F.array_sort(F.collect_list(
+                         F.struct("pos", "seg"))),
+                         lambda s: s["seg"]), " ")
+                 .alias("clean_text"),
+                 F.count("*").cast("int").alias("kept_segs"),
+                 F.sum(F.col("cnt") - 1).cast("int")
+                 .alias("dropped_segs")))
+
+
+# C4 admission rules (Raffel et al. 2020, §2.2), adapted to the
+# single-space-normalized text convention: "lines" become sentences
+# split on '. ' (no newlines survive extraction normalization)
+C4_MIN_SENTS = 3
+C4_MIN_SENT_WORDS = 5
+
+
+def c4_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_sents, n_good_sents, has_lorem, has_brace,
+    pass_c4): the C4 cleaning ruleset — at least ``C4_MIN_SENTS``
+    sentences, at least that many with ``C4_MIN_SENT_WORDS``+ words
+    (the per-line length rule, sentence-adapted), and the two classic
+    page-level rejections: 'lorem ipsum' placeholder text and '{'
+    (code leakage).  Complements gopher_quality (token-shape rules)
+    and lm_perplexity (CCNet model score) — the three standard
+    web-corpus admission families.
+
+    Pure narrow projection (one regex split + HOF filter, zero
+    shuffle): an admission filter's 100 TB shape is a WHERE clause."""
+    sents = F.split("text", r"\. ")
+    n_sents = F.size(sents)
+    n_good = F.size(F.filter(
+        sents,
+        lambda s: F.size(F.split(s, " ")) >= C4_MIN_SENT_WORDS))
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    out = docs.select(
+        "doc_id",
+        n_sents.cast("int").alias("n_sents"),
+        n_good.cast("int").alias("n_good_sents"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"))
+    ok = ((F.col("n_sents") >= C4_MIN_SENTS)
+          & (F.col("n_good_sents") >= C4_MIN_SENTS)
+          & ~F.col("has_lorem") & ~F.col("has_brace"))
+    return out.withColumn("pass_c4", ok)
+
+
 # ---------------------------------------------------------------------------
 # n-gram LM perplexity scoring (the CCNet quality filter: score every
 # document under a language model estimated from the corpus itself,

@@ -561,6 +561,36 @@ def q_line_dedup(spark, sf_dir):
     return corpus.line_dedup(_read(spark, sf_dir, "documents"))
 
 
+def q_within_doc_dedup(spark, sf_dir):
+    """Dolma-style within-document segment dedup: each doc is its
+    first 30 words (3 segments) plus its first 10 again — the appended
+    block duplicates segment 0 exactly, so one segment per doc must
+    drop and reassembly must restore the 30-word prefix."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    g = F.array_join(
+        F.concat(F.slice(toks, 1, 30), F.slice(toks, 1, 10)), " ")
+    return corpus.within_doc_dedup(d.select("doc_id", g.alias("text")))
+
+
+def q_c4_quality(spark, sf_dir):
+    """C4 admission rules over augmented docs: every doc gains a
+    4-sentence tail (so the sentence rules have material), every 5th
+    doc a 'lorem ipsum' marker and every 7th a '{' — pass_c4 must flip
+    on exactly those injections."""
+    d = _read(spark, sf_dir, "documents")
+    tail = (" Sentence one has five words here. Two. The third "
+            "sentence also has enough words. The fourth keeps the "
+            "count honest.")
+    t = F.concat(
+        "text", F.lit(tail),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" lorem ipsum"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" {"))
+        .otherwise(F.lit("")))
+    return corpus.c4_quality(d.select("doc_id", t.alias("text")))
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring: per-doc perplexity under the
     corpus unigram LM with add-k smoothing, micro-nat integer NLLs for
@@ -1923,6 +1953,8 @@ QUERIES = {
     "frontier_schedule": q_frontier_schedule,
     "bpe_train": q_bpe_train,
     "bpe_segment": q_bpe_segment,
+    "within_doc_dedup": q_within_doc_dedup,
+    "c4_quality": q_c4_quality,
     "events_sessions": q_events_sessions,
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
@@ -3021,6 +3053,58 @@ ORACLES = {
                    AS kept_segs,
                sum(is_hot)::INTEGER AS dropped_segs
         FROM m GROUP BY doc_id""",
+
+    "within_doc_dedup": """
+        WITH aug AS (SELECT doc_id,
+                array_to_string(list_concat(
+                    list_slice(string_split(text, ' '), 1, 30),
+                    list_slice(string_split(text, ' '), 1, 10)),
+                    ' ') AS text
+            FROM documents),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM aug),
+        seg AS (SELECT doc_id, u.i AS pos,
+                       array_to_string(
+                           list_slice(toks, u.i * 10 + 1,
+                                      u.i * 10 + 10), ' ') AS seg
+                FROM tok,
+                     unnest(generate_series(
+                         0, cast(ceil(len(toks) / 10.0) AS INT) - 1))
+                     AS u(i)),
+        f AS (SELECT doc_id, seg, min(pos) AS pos,
+                     count(*) AS cnt
+              FROM seg GROUP BY doc_id, seg)
+        SELECT doc_id,
+               string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+               count(*)::INTEGER AS kept_segs,
+               sum(cnt - 1)::INTEGER AS dropped_segs
+        FROM f GROUP BY doc_id""",
+
+    "c4_quality": r"""
+        WITH aug AS (SELECT doc_id,
+                text || ' Sentence one has five words here. Two. The'
+                     || ' third sentence also has enough words. The'
+                     || ' fourth keeps the count honest.'
+                     || CASE WHEN doc_id % 5 = 0 THEN ' lorem ipsum'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' {'
+                             ELSE '' END AS text
+            FROM documents),
+        s AS (SELECT doc_id, text,
+                     string_split_regex(text, '\. ') AS sents
+              FROM aug),
+        ft AS (SELECT doc_id,
+                      len(sents)::INT AS n_sents,
+                      len(list_filter(sents,
+                          x -> len(string_split(x, ' ')) >= 5))::INT
+                          AS n_good_sents,
+                      contains(lower(text), 'lorem ipsum') AS has_lorem,
+                      contains(text, '{') AS has_brace
+               FROM s)
+        SELECT doc_id, n_sents, n_good_sents, has_lorem, has_brace,
+               (n_sents >= 3 AND n_good_sents >= 3
+                AND NOT has_lorem AND NOT has_brace) AS pass_c4
+        FROM ft""",
 
     "lm_perplexity": """
         WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
