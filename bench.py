@@ -59,6 +59,7 @@ HEADLINE = [
     "page_metadata", "canonical_dedup",
     "hits", "anchor_rollup", "cdx_revisit", "frontier_schedule",
     "bpe_train", "bpe_segment", "within_doc_dedup", "c4_quality",
+    "repetition_suite", "nb_quality",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -351,6 +351,50 @@ def test_c4_quality_rules(spark):
     assert got[0].n_sents == 3 and got[0].n_good_sents == 3
 
 
+def test_repetition_suite_hand_computed(spark):
+    """26-token doc whose first 10 words repeat once: every fraction
+    is hand-computed (6 dup 5-grams, 1 dup 10-gram, count-major top
+    pick), and an all-unique doc passes every cap."""
+    from webextract.corpus import repetition_suite
+    rep = " ".join("abcdefghij") + " " + " ".join("abcdefghij") \
+        + " " + " ".join("klmnop")          # n_chars = 51
+    uniq = " ".join(f"t{i:02d}" for i in range(26))   # n_chars = 103
+    docs = spark.createDataFrame([(0, rep), (1, uniq)],
+                                 "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_suite(docs).collect()}
+    r0 = got[0]
+    assert r0.top2_frac == round(2 * 3 / 51, 4)       # "a b" x2
+    assert r0.top3_frac == round(2 * 5 / 51, 4)
+    assert r0.top4_frac == round(2 * 7 / 51, 4)
+    assert r0.dup5_frac == round(6 * 2 * 9 / 51, 4)   # 6 grams x2 x 9ch
+    assert r0.dup10_frac == round(2 * 19 / 51, 4)     # 1 gram x2 x 19ch
+    assert not r0.pass_rep_suite
+    r1 = got[1]
+    assert r1.dup5_frac == 0.0 and r1.dup10_frac == 0.0
+    assert r1.top2_frac == round(7 / 103, 4)          # longest cnt-1 gram
+    assert r1.pass_rep_suite
+
+
+def test_nb_quality_separates_classes(spark):
+    """Self-distillation on a separable corpus: gopher-pass docs share
+    one vocabulary, gopher-fail docs (too short) another — the NB
+    margin must reproduce every weak label, and n_tok is exact."""
+    from webextract.corpus import nb_quality
+    def good(i):
+        return "the it " + " ".join(
+            f"w{i}x{j % 7}" for j in range(58))       # 60 words, passes
+    docs = spark.createDataFrame(
+        [(0, good(0)), (1, good(1)), (2, good(2)),
+         (3, "junk0 junk1 junk2"), (4, "junk0 junk3 junk4")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in nb_quality(docs).collect()}
+    assert [got[i].label for i in range(5)] == [True] * 3 + [False] * 2
+    for i in range(5):
+        assert got[i].nb_pred == got[i].label, got[i]
+        assert (got[i].margin_micro > 0) == got[i].label
+    assert got[0].n_tok == 60 and got[3].n_tok == 3
+
+
 def test_lm_perplexity_orders_rare_above_common(spark):
     """Docs made of corpus-rare tokens must score strictly higher
     perplexity than docs of corpus-common tokens, and a hand-computed

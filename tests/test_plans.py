@@ -384,6 +384,31 @@ def test_c4_quality_plan_shape(spark):
     assert "Exchange" not in _plan(c4_quality(docs))
 
 
+def test_repetition_suite_plan_shape(spark):
+    """All five n-gram sizes in one pass: ONE explode-side exchange to
+    (doc_id, n, gram) counts + ONE per-doc rollup exchange — no join,
+    no window, never an exchange per n."""
+    from webextract.corpus import repetition_suite
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(repetition_suite(docs))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree and "Window" not in tree, tree
+    assert tree.count("Exchange") <= 2, tree
+
+
+def test_nb_quality_plan_shape(spark):
+    """Weak labels are a projection (no label join); the vocab weight
+    table joins the term frame via shuffle-hash (web-scale V beats any
+    broadcast); totals/prior cross-ride as broadcast 1-row frames; no
+    sort-merge anywhere."""
+    from webextract.corpus import nb_quality
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(nb_quality(docs))
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan   # totals + prior cross-ride
+    assert "SortMergeJoin" not in plan
+
+
 def test_lm_perplexity_plan_shape(spark):
     """LM scoring: vocab joins the (doc_id, tok, tf) term frame via
     shuffle-hash (web-scale vocab is beyond any broadcast); totals ride

@@ -1393,6 +1393,81 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
                         F.col("top_gram_frac") <= REPETITION_TOP_FRAC))
 
 
+# Full MassiveText repetition table (Rae et al. 2021, Table A1): the
+# published character-fraction caps per n-gram size.  {2,3,4} bound the
+# MOST FREQUENT n-gram's mass; {5,10} bound the TOTAL mass of all
+# duplicated n-grams (ends of the published 5..10 ladder).
+REP_TOP_CAPS = {2: 0.20, 3: 0.18, 4: 0.16}
+REP_DUP_CAPS = {5: 0.15, 10: 0.10}
+
+
+def repetition_suite(docs: DataFrame) -> DataFrame:
+    """(doc_id, top2_frac, top3_frac, top4_frac, dup5_frac, dup10_frac,
+    pass_rep_suite): the full Gopher/MassiveText repetition-rule table
+    beyond repetition_stats' single top-2gram rule.  For n in {2,3,4}:
+    character fraction of the document occupied by its most frequent
+    word n-gram (count x gram-chars / text-chars, most-frequent chosen
+    count-major then length-major — deterministic).  For n in {5,10}:
+    character fraction occupied by ALL n-grams that occur more than
+    once (occurrence-counted, overlap-ignoring — the standard open
+    adaptation of the Gopher wording).  An n-gram occurrence's char
+    mass is length(gram) over the single-space text, so the
+    denominator is length(text).  Docs with fewer than 2 words emit no
+    row (no n-grams exist — the doc_segments convention).
+
+    Scale shape: ONE posexplode of a stacked (n, gram) struct array
+    (all five n sizes in one pass over the token array), ONE shuffle
+    to (doc_id, n, gram) counts — partial aggregation compresses a
+    phrase repeated 10^4 times inside a skew-bomb doc map-side before
+    any reducer — then one per-doc conditional rollup.  n_chars rides
+    in the grouping key (functionally dependent on doc_id), so no
+    join re-attaches the denominator.  No window, no join."""
+    d = _spread(docs.select("doc_id", "text"))
+    t = d.select("doc_id", F.length("text").cast("long").alias("n_chars"),
+                 TOKENS().alias("toks"))
+    ns = sorted(REP_TOP_CAPS) + sorted(REP_DUP_CAPS)
+
+    # closure factory, NOT a default-arg lambda: a two-parameter lambda
+    # would make F.transform bind the second parameter to the element
+    # INDEX, silently shadowing the n-gram size
+    def _tag(size):
+        return lambda g: F.struct(F.lit(size).alias("n"),
+                                  g.alias("gram"))
+
+    stacked = F.flatten(F.array(*[
+        F.transform(shingles_of("toks", n, distinct=False), _tag(n))
+        for n in ns]))
+    g = t.select("doc_id", "n_chars", F.explode(stacked).alias("g"))
+    cnt = (g.groupBy("doc_id", "n_chars", F.col("g.n").alias("n"),
+                     F.col("g.gram").alias("gram"))
+           .agg(F.count("*").alias("cnt")))
+    glen = F.length("gram").cast("long")
+    aggs = [F.max(F.when(F.col("n") == n,
+                         F.struct(F.col("cnt").alias("cnt"),
+                                  glen.alias("len")))).alias(f"t{n}")
+            for n in sorted(REP_TOP_CAPS)]
+    aggs += [F.sum(F.when((F.col("n") == n) & (F.col("cnt") > 1),
+                          F.col("cnt") * glen).otherwise(F.lit(0)))
+             .alias(f"d{n}")
+             for n in sorted(REP_DUP_CAPS)]
+    rolled = cnt.groupBy("doc_id", "n_chars").agg(*aggs)
+    cols, conds = [F.col("doc_id")], []
+    for n, cap in sorted(REP_TOP_CAPS.items()):
+        frac = F.round(F.coalesce(F.col(f"t{n}.cnt") * F.col(f"t{n}.len"),
+                                  F.lit(0)) / F.col("n_chars"), 4)
+        cols.append(frac.alias(f"top{n}_frac"))
+        conds.append(F.col(f"top{n}_frac") <= cap)
+    for n, cap in sorted(REP_DUP_CAPS.items()):
+        cols.append(F.round(F.col(f"d{n}") / F.col("n_chars"), 4)
+                    .alias(f"dup{n}_frac"))
+        conds.append(F.col(f"dup{n}_frac") <= cap)
+    out = rolled.select(*cols)
+    ok = conds[0]
+    for c in conds[1:]:
+        ok = ok & c
+    return out.withColumn("pass_rep_suite", ok)
+
+
 def source_stats(docs: DataFrame) -> DataFrame:
     """Per-source (host-level) corpus accounting — the aggregation a
     web pipeline runs for host quotas and per-host dedup pressure:
@@ -1777,6 +1852,95 @@ def lm_perplexity(docs: DataFrame, k: float = LM_K) -> DataFrame:
     return scored.select("doc_id", F.col("n_tok").cast("int").alias("n_tok"),
                          mean_nll.alias("mean_nll"),
                          F.round(F.exp(mean_nll), 4).alias("ppl"))
+
+
+NB_K = 0.5
+
+
+def _gopher_pass_expr():
+    """Boolean Column: gopher_quality's admission flag over a
+    materialized token-array column named ``toks`` — the same rules
+    and constants as gopher_quality (kept in lockstep; rule features
+    are rounded before comparison exactly as there), exposed as a bare
+    expression so nb_quality can attach weak labels WITHOUT a join."""
+    n = F.size("toks")
+    total_chars = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter("toks",
+                             lambda x: F.array_contains(stop_arr, x)))
+    n_hash = F.size(F.filter("toks", lambda x: x.contains("#")))
+    n_ell = F.size(F.filter("toks", lambda x: x.endswith("...")))
+    return (n.cast("long").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & F.round(total_chars / n, 4).between(GOPHER_MIN_MWL,
+                                                  GOPHER_MAX_MWL)
+            & (n_stop.cast("long") >= 2)
+            & (F.round(n_hash / n, 4) < 0.1)
+            & (F.round(n_ell / n, 4) < 0.3))
+
+
+def nb_quality(docs: DataFrame, k: float = NB_K) -> DataFrame:
+    """(doc_id, n_tok, margin_micro, nb_pred, label): multinomial
+    Naive-Bayes quality score distilled from the Gopher rule filter —
+    the classifier stage a web pipeline trains so a cheap model can
+    replace the rule cascade on the next crawl (the FineWeb-Edu /
+    CCNet pattern, here with deterministic weak supervision): labels
+    = gopher_quality's pass flag, features = unigram counts, add-k
+    smoothing, and the score is the log-odds margin ln P(pos|d) -
+    ln P(neg|d) (class prior + sum of tf x per-token weight); margin
+    > 0 = predicted-pass.
+
+    Cross-engine determinism: per-token class log-likelihoods and the
+    prior are rounded to integer micro-nats BEFORE any summation (the
+    lm_perplexity contract), so per-doc sums are addition-order
+    independent and the margin is an exact bigint.
+
+    Scale shape: the weak label is a pure projection (gopher rules
+    are zero-shuffle) attached BEFORE tokenization, so no label join
+    ever happens; the term stream reduces once to (doc_id, tok, tf)
+    with the label riding in the grouping key (functionally dependent
+    on doc_id); class-token counts reduce from that already-reduced
+    frame; the V-row weight table joins back via shuffle-hash
+    (web-scale vocab is beyond any broadcast — the lm_perplexity
+    protocol); class totals and the prior ride as broadcast 1-row
+    frames, never a driver collect."""
+    lab = (_spread(docs.select("doc_id", "text"))
+           .select("doc_id", TOKENS().alias("toks"))
+           .select("doc_id", "toks", _gopher_pass_expr().alias("label")))
+    tf = (lab.select("doc_id", "label", F.explode("toks").alias("tok"))
+          .groupBy("doc_id", "label", "tok").agg(F.count("*").alias("tf")))
+    ct = (tf.groupBy("tok")
+          .agg(F.sum(F.when(F.col("label"), F.col("tf")).otherwise(0))
+               .alias("c_pos"),
+               F.sum(F.when(~F.col("label"), F.col("tf")).otherwise(0))
+               .alias("c_neg")))
+    tot = ct.agg(F.sum("c_pos").alias("n_pos"), F.sum("c_neg").alias("n_neg"),
+                 F.count("*").alias("vocab"))
+
+    def _ll(c, n):
+        return F.round(F.log((c + F.lit(k)) / (n + F.lit(k)
+                                               * F.col("vocab"))) * 1e6, 0)
+
+    w = (ct.crossJoin(F.broadcast(tot))
+         .select("tok", (_ll(F.col("c_pos"), F.col("n_pos"))
+                         - _ll(F.col("c_neg"), F.col("n_neg")))
+                 .cast("long").alias("w_micro")))
+    pri = (lab.agg(F.sum(F.when(F.col("label"), 1).otherwise(0))
+                   .alias("d_pos"),
+                   F.sum(F.when(~F.col("label"), 1).otherwise(0))
+                   .alias("d_neg"))
+           .select(F.round(F.log((F.col("d_pos") + F.lit(k))
+                                 / (F.col("d_neg") + F.lit(k))) * 1e6, 0)
+                   .cast("long").alias("prior_micro")))
+    scored = (tf.join(w.hint("shuffle_hash"), "tok")
+              .groupBy("doc_id", "label")
+              .agg(F.sum("tf").alias("n_tok"),
+                   F.sum(F.col("tf") * F.col("w_micro")).alias("s")))
+    margin = F.col("s") + F.col("prior_micro")
+    return (scored.crossJoin(F.broadcast(pri))
+            .select("doc_id", F.col("n_tok").cast("int").alias("n_tok"),
+                    margin.alias("margin_micro"),
+                    (margin > 0).alias("nb_pred"), "label"))
 
 
 BM25_K1 = 1.2

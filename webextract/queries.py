@@ -591,6 +591,32 @@ def q_c4_quality(spark, sf_dir):
     return corpus.c4_quality(d.select("doc_id", t.alias("text")))
 
 
+def q_repetition_suite(spark, sf_dir):
+    """Full MassiveText repetition table over augmented docs: every
+    4th doc appends its first 10 words three more times, inflating
+    every top/dup fraction for exactly those docs — the pass flag must
+    flip on the injections and stay put elsewhere."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    blk = F.array_join(F.slice(toks, 1, 10), " ")
+    t = (F.when(F.col("doc_id") % 4 == 0,
+                F.concat_ws(" ", "text", blk, blk, blk))
+         .otherwise(F.col("text")))
+    return corpus.repetition_suite(d.select("doc_id", t.alias("text")))
+
+
+def q_nb_quality(spark, sf_dir):
+    """Naive-Bayes quality distillation: every 6th doc is truncated to
+    its first 3 words (guaranteed gopher-fail — too few words), the
+    rest keep their natural label; the classifier trains on the weak
+    labels and scores every doc in the same pass."""
+    d = _read(spark, sf_dir, "documents")
+    short = F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
+    t = (F.when(F.col("doc_id") % 6 == 0, short)
+         .otherwise(F.col("text")))
+    return corpus.nb_quality(d.select("doc_id", t.alias("text")))
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring: per-doc perplexity under the
     corpus unigram LM with add-k smoothing, micro-nat integer NLLs for
@@ -1955,6 +1981,8 @@ QUERIES = {
     "bpe_segment": q_bpe_segment,
     "within_doc_dedup": q_within_doc_dedup,
     "c4_quality": q_c4_quality,
+    "repetition_suite": q_repetition_suite,
+    "nb_quality": q_nb_quality,
     "events_sessions": q_events_sessions,
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
@@ -3105,6 +3133,103 @@ ORACLES = {
                (n_sents >= 3 AND n_good_sents >= 3
                 AND NOT has_lorem AND NOT has_brace) AS pass_c4
         FROM ft""",
+
+    "repetition_suite": """
+        WITH b AS (SELECT doc_id, text,
+                array_to_string(list_slice(string_split(text, ' '),
+                                           1, 10), ' ') AS blk
+            FROM documents),
+        aug AS (SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN
+                    text || ' ' || blk || ' ' || blk || ' ' || blk
+                ELSE text END AS text
+            FROM b),
+        t AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
+                     string_split(text, ' ') AS toks
+              FROM aug),
+        g AS (SELECT doc_id, n_chars, nn.n AS n,
+                     array_to_string(list_slice(toks, u.i,
+                                                u.i + nn.n - 1),
+                                     ' ') AS gram
+              FROM t, (VALUES (2), (3), (4), (5), (10)) nn(n),
+                   unnest(generate_series(1, len(toks) - nn.n + 1))
+                   AS u(i)),
+        c AS (SELECT doc_id, n_chars, n, gram, count(*) AS cnt,
+                     length(gram)::BIGINT AS glen
+              FROM g GROUP BY ALL),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                     ORDER BY cnt DESC, glen DESC) AS rn
+              FROM c),
+        a AS (SELECT doc_id, n_chars,
+                max(CASE WHEN n = 2 AND rn = 1 THEN cnt * glen END) AS t2,
+                max(CASE WHEN n = 3 AND rn = 1 THEN cnt * glen END) AS t3,
+                max(CASE WHEN n = 4 AND rn = 1 THEN cnt * glen END) AS t4,
+                coalesce(sum(CASE WHEN n = 5 AND cnt > 1
+                             THEN cnt * glen END), 0) AS d5,
+                coalesce(sum(CASE WHEN n = 10 AND cnt > 1
+                             THEN cnt * glen END), 0) AS d10
+              FROM r GROUP BY doc_id, n_chars),
+        f AS (SELECT doc_id,
+                     round(coalesce(t2, 0) / n_chars, 4) AS top2_frac,
+                     round(coalesce(t3, 0) / n_chars, 4) AS top3_frac,
+                     round(coalesce(t4, 0) / n_chars, 4) AS top4_frac,
+                     round(d5 / n_chars, 4) AS dup5_frac,
+                     round(d10 / n_chars, 4) AS dup10_frac
+              FROM a)
+        SELECT *, (top2_frac <= 0.20 AND top3_frac <= 0.18
+                   AND top4_frac <= 0.16 AND dup5_frac <= 0.15
+                   AND dup10_frac <= 0.10) AS pass_rep_suite
+        FROM f""",
+
+    "nb_quality": """
+        WITH aug AS (SELECT doc_id,
+                CASE WHEN doc_id % 6 = 0 THEN
+                    array_to_string(list_slice(string_split(text, ' '),
+                                               1, 3), ' ')
+                ELSE text END AS text
+            FROM documents),
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+        m AS (SELECT doc_id, toks, len(toks) AS n,
+                     list_sum(list_transform(toks, x -> length(x))) AS tc,
+                     len(list_filter(toks, x -> x IN
+                       ('the','a','of','and','to','in','is','it'))) AS ns,
+                     len(list_filter(toks, x -> contains(x, '#'))) AS nh,
+                     len(list_filter(toks, x -> ends_with(x, '...'))) AS ne
+              FROM t),
+        lab AS (SELECT doc_id, toks,
+                       (n BETWEEN 50 AND 100000
+                        AND round(tc / n, 4) BETWEEN 3.0 AND 10.0
+                        AND ns >= 2 AND round(nh / n, 4) < 0.1
+                        AND round(ne / n, 4) < 0.3) AS label
+                FROM m),
+        tok AS (SELECT doc_id, label, unnest(toks) AS tok FROM lab),
+        tf AS (SELECT doc_id, label, tok, count(*) AS tf
+               FROM tok GROUP BY ALL),
+        ct AS (SELECT tok,
+                      sum(CASE WHEN label THEN tf ELSE 0 END) AS c_pos,
+                      sum(CASE WHEN NOT label THEN tf ELSE 0 END) AS c_neg
+               FROM tf GROUP BY tok),
+        tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+                       count(*) AS vocab
+                FROM ct),
+        w AS (SELECT tok,
+                     (round(ln((c_pos + 0.5) / (n_pos + 0.5 * vocab))
+                            * 1e6, 0)
+                      - round(ln((c_neg + 0.5) / (n_neg + 0.5 * vocab))
+                              * 1e6, 0))::BIGINT AS w_micro
+              FROM ct, tot),
+        pri AS (SELECT round(ln(
+                    (sum(CASE WHEN label THEN 1 ELSE 0 END) + 0.5)
+                    / (sum(CASE WHEN NOT label THEN 1 ELSE 0 END) + 0.5))
+                    * 1e6, 0)::BIGINT AS prior_micro
+                FROM lab),
+        sc AS (SELECT doc_id, label, sum(tf) AS n_tok,
+                      sum(tf * w_micro) AS s
+               FROM tf JOIN w USING (tok) GROUP BY doc_id, label)
+        SELECT doc_id, n_tok::INTEGER AS n_tok,
+               (s + prior_micro)::BIGINT AS margin_micro,
+               (s + prior_micro) > 0 AS nb_pred, label
+        FROM sc, pri""",
 
     "lm_perplexity": """
         WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
