@@ -395,6 +395,48 @@ def test_nb_quality_separates_classes(spark):
     assert got[0].n_tok == 60 and got[3].n_tok == 3
 
 
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    """A corpus-unique repeated term must outrank the everywhere-term
+    (idf 0), with exact integer micro-nat scores."""
+    import math
+    from webextract.corpus import tfidf_topk
+    docs = spark.createDataFrame(
+        [(0, "zzz zzz common common"), (1, "common common aaa"),
+         (2, "common bbb")],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.rank): r for r in tfidf_topk(docs).collect()}
+    idf1 = round(math.log(4 / 2) * 1e6)        # df=1 under N=3
+    assert got[(0, 1)].tok == "zzz"
+    assert got[(0, 1)].score_micro == 2 * idf1
+    assert got[(0, 2)].tok == "common" and got[(0, 2)].score_micro == 0
+    assert got[(1, 1)].tok == "aaa" and got[(2, 1)].tok == "bbb"
+
+
+def test_inverted_postings_caps_hot_tokens(spark):
+    """A token in 20 docs keeps df=20 but only the first 16 ascending
+    doc_ids in its posting block; a cold token keeps all of them."""
+    from webextract.corpus import inverted_postings
+    rows = [(i, "hot cold" if i < 3 else "hot") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.tok: r for r in inverted_postings(docs).collect()}
+    assert got["hot"].df == 20
+    assert got["hot"].postings == ",".join(str(i) for i in range(16))
+    assert got["cold"].df == 3 and got["cold"].postings == "0,1,2"
+
+
+def test_len_quantiles_histogram_probe(spark):
+    """Hand-built histogram: 8 docs in bucket 2, one in 10, one in 16
+    — p50 lands in bucket 2 (cum 0.8), p90 in 10, p99 in 16."""
+    from webextract.corpus import len_quantiles
+    rows = [(i, 4) for i in range(8)] + [(8, 1024), (9, 100000)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {r.q: r for r in len_quantiles(docs).collect()}
+    assert got[0.5].bucket == 2 and got[0.5].lo_bound == 4 \
+        and got[0.5].cum_frac == 0.8
+    assert got[0.9].bucket == 10 and got[0.9].lo_bound == 1024
+    assert got[0.99].bucket == 16 and got[0.99].cum_frac == 1.0
+
+
 def test_lm_perplexity_orders_rare_above_common(spark):
     """Docs made of corpus-rare tokens must score strictly higher
     perplexity than docs of corpus-common tokens, and a hand-computed

@@ -409,6 +409,38 @@ def test_nb_quality_plan_shape(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_tfidf_topk_plan_shape(spark):
+    """idf (V rows) joins the term frame shuffle-hash; the top-k
+    window partitions on doc_id (bounded state); no sort-merge."""
+    from webextract.corpus import tfidf_topk
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tfidf_topk(docs))
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_inverted_postings_plan_shape(spark):
+    """Rank-then-collect: no join anywhere, and the collect_list runs
+    AFTER the rn<=cap filter so arrays stay bounded."""
+    from webextract.corpus import inverted_postings
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tree = _plan(inverted_postings(docs)).split("\n\n")[0]
+    assert "Join" not in tree, tree
+
+
+def test_len_quantiles_plan_shape(spark):
+    """The corpus is scanned once and reduced to bucket counts before
+    any window/sort — no global sort of rows, no sort-merge join."""
+    from webextract.corpus import len_quantiles
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(len_quantiles(docs))
+    assert "SortMergeJoin" not in plan
+    # the scan reduces to bucket counts before any window runs: the
+    # aggregate must appear in the tree (windows sort ~60 bucket rows,
+    # never raw documents)
+    assert "HashAggregate" in plan.split("\n\n")[0]
+
+
 def test_lm_perplexity_plan_shape(spark):
     """LM scoring: vocab joins the (doc_id, tok, tf) term frame via
     shuffle-hash (web-scale vocab is beyond any broadcast); totals ride

@@ -1854,6 +1854,120 @@ def lm_perplexity(docs: DataFrame, k: float = LM_K) -> DataFrame:
                          F.round(F.exp(mean_nll), 4).alias("ppl"))
 
 
+TFIDF_TOPK = 3
+
+
+def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
+    """(doc_id, rank, tok, tf, score_micro): each document's top-k
+    salient terms by tf-idf — the keyword/labeling stage a curation
+    pipeline runs for topic routing and data cards.  idf = ln((N+1)/
+    (df+1)) fixed to integer micro-nats (the lm_perplexity contract),
+    score = tf x idf_micro (exact bigint, order-independent);
+    rank ties break on token order — fully deterministic.
+
+    Scale shape: ONE shuffle to the (doc_id, tok, tf) term frame; df
+    reduces from that already-reduced frame; the V-row idf table joins
+    back via shuffle-hash (vocab beats any broadcast); N rides as a
+    broadcast 1-row frame; the final top-k window partitions on
+    doc_id — per-partition state is one document's vocabulary, never
+    corpus-sized."""
+    tf = (_spread(docs.select("doc_id", "text"))
+          .select("doc_id", F.explode(TOKENS()).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = (df_t.crossJoin(F.broadcast(n_docs))
+           .select("tok",
+                   F.round(F.log((F.col("n_docs") + 1)
+                                 / (F.col("df") + 1)) * 1e6, 0)
+                   .cast("long").alias("idf_micro")))
+    scored = (tf.join(idf.hint("shuffle_hash"), "tok")
+              .select("doc_id", "tok", "tf",
+                      (F.col("tf") * F.col("idf_micro"))
+                      .alias("score_micro")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_micro").desc(),
+                                             F.col("tok"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    "tok", F.col("tf").cast("int").alias("tf"),
+                    "score_micro"))
+
+
+POSTINGS_CAP = 16
+
+
+def inverted_postings(docs: DataFrame,
+                      cap: int = POSTINGS_CAP) -> DataFrame:
+    """(tok, df, postings): inverted-index posting lists — the
+    index-shard build stage behind bm25_topk's scoring: per token, the
+    document frequency plus the first ``cap`` doc_ids in ascending
+    order, comma-joined (head-capped the way real shard builders bound
+    a posting block before spilling to the next block).
+
+    Scale shape: ONE shuffle on tok; rank-THEN-collect — a row_number
+    window bounds every in-memory array to ``cap`` BEFORE collect_list,
+    so a stopword appearing in 10^11 documents never materializes an
+    unbounded array (the naive collect-then-slice was rejected for
+    exactly that skew hazard); df rides the same window partition as a
+    count over the full frame."""
+    dt = (_spread(docs.select("doc_id", "text"))
+          .select("doc_id", F.explode(TOKENS()).alias("tok"))
+          .distinct()
+          .select("tok", "doc_id"))
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    ranked = dt.select(
+        "tok", "doc_id", F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("tok")).alias("df"))
+    return (ranked.filter(F.col("rn") <= cap)
+            .groupBy("tok")
+            .agg(F.max("df").cast("long").alias("df"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list("doc_id")),
+                                 lambda x: x.cast("string")),
+                     ",").alias("postings")))
+
+
+LEN_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def len_quantiles(docs: DataFrame) -> DataFrame:
+    """(q, bucket, lo_bound, cum_frac): corpus length quantiles from a
+    mergeable log2 histogram — the fourth mergeable summary next to
+    HLL / Bloom / Misra-Gries: bucket = floor(log2(n_chars)), counts
+    are plain sums (trivially mergeable across shards, snapshots, or
+    stream epochs), and quantile q reports the FIRST bucket whose
+    cumulative count reaches q x total, with its 2^bucket lower bound
+    and the exact cumulative fraction there.  floor(log2) at exact
+    powers of two is double-exact, so both engines bucket identically.
+
+    Scale shape: one narrow projection + ONE shuffle to at most ~60
+    bucket rows; the cumulative window runs over that tiny frame, and
+    the quantile probe is a literal-array explode — the corpus is
+    scanned once and never re-sorted (a true percentile would be a
+    global sort)."""
+    h = (docs.filter(F.col("n_chars") > 0)
+         .select(F.floor(F.log2(F.col("n_chars").cast("double")))
+                 .cast("long").alias("bucket"))
+         .groupBy("bucket").agg(F.count("*").alias("cnt")))
+    win = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    cum = h.select("bucket", F.sum("cnt").over(win).alias("cum"),
+                   F.sum("cnt").over(tot).alias("total"))
+    qs = F.explode(F.array(*[F.lit(q) for q in LEN_QUANTILES])).alias("q")
+    hit = (cum.select("bucket", "cum", "total", qs)
+           .filter(F.col("cum") >= F.col("q") * F.col("total")))
+    first = (hit.groupBy("q")
+             .agg(F.min("bucket").alias("bucket")))
+    return (first.join(cum, "bucket")
+            .select("q", "bucket",
+                    F.pow(F.lit(2.0), F.col("bucket").cast("double"))
+                    .cast("long").alias("lo_bound"),
+                    F.round(F.col("cum") / F.col("total"), 4)
+                    .alias("cum_frac")))
+
+
 NB_K = 0.5
 
 

@@ -617,6 +617,24 @@ def q_nb_quality(spark, sf_dir):
     return corpus.nb_quality(d.select("doc_id", t.alias("text")))
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 salient terms by tf-idf with integer micro-nat
+    idf and token-order tiebreaks — fully deterministic rank."""
+    return corpus.tfidf_topk(_read(spark, sf_dir, "documents"))
+
+
+def q_inverted_postings(spark, sf_dir):
+    """Inverted-index posting lists: df + first-16 ascending doc_ids
+    per token, rank-bounded BEFORE any array materializes."""
+    return corpus.inverted_postings(_read(spark, sf_dir, "documents"))
+
+
+def q_len_quantiles(spark, sf_dir):
+    """Mergeable log2-histogram length quantiles: p50/p90/p99 probe
+    the cumulative histogram, never a global sort."""
+    return corpus.len_quantiles(_read(spark, sf_dir, "documents"))
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring: per-doc perplexity under the
     corpus unigram LM with add-k smoothing, micro-nat integer NLLs for
@@ -1983,6 +2001,9 @@ QUERIES = {
     "c4_quality": q_c4_quality,
     "repetition_suite": q_repetition_suite,
     "nb_quality": q_nb_quality,
+    "tfidf_topk": q_tfidf_topk,
+    "inverted_postings": q_inverted_postings,
+    "len_quantiles": q_len_quantiles,
     "events_sessions": q_events_sessions,
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
@@ -3230,6 +3251,54 @@ ORACLES = {
                (s + prior_micro)::BIGINT AS margin_micro,
                (s + prior_micro) > 0 AS nb_pred, label
         FROM sc, pri""",
+
+    "tfidf_topk": """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf
+               FROM tok GROUP BY ALL),
+        dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        idf AS (SELECT tok, round(ln((n_docs + 1) / (df + 1))
+                                  * 1e6, 0)::BIGINT AS idf_micro
+                FROM dfq, nd),
+        sc AS (SELECT doc_id, tok, tf, tf * idf_micro AS score_micro,
+                      row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tf * idf_micro DESC, tok) AS rank
+               FROM tf JOIN idf USING (tok))
+        SELECT doc_id, rank::INTEGER AS rank, tok, tf::INTEGER AS tf,
+               score_micro::BIGINT AS score_micro
+        FROM sc WHERE rank <= 3""",
+
+    "inverted_postings": """
+        WITH tok AS (SELECT DISTINCT doc_id,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        r AS (SELECT tok, doc_id,
+                     row_number() OVER (PARTITION BY tok
+                                        ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY tok) AS df
+              FROM tok)
+        SELECT tok, max(df)::BIGINT AS df,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                   AS postings
+        FROM r WHERE rn <= 16 GROUP BY tok""",
+
+    "len_quantiles": """
+        WITH h AS (SELECT floor(log2(n_chars::DOUBLE))::BIGINT AS bucket,
+                          count(*) AS cnt
+                   FROM documents WHERE n_chars > 0 GROUP BY bucket),
+        c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum,
+                     sum(cnt) OVER () AS total
+              FROM h),
+        p AS (SELECT c.*, v.q::DOUBLE AS q
+              FROM c, (VALUES (0.5), (0.9), (0.99)) v(q)
+              WHERE c.cum >= v.q::DOUBLE * c.total),
+        f AS (SELECT q, min(bucket) AS bucket FROM p GROUP BY q)
+        SELECT f.q, f.bucket,
+               cast(pow(2.0, f.bucket) AS BIGINT) AS lo_bound,
+               round(c.cum / c.total, 4) AS cum_frac
+        FROM f JOIN c USING (bucket)""",
 
     "lm_perplexity": """
         WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
