@@ -474,3 +474,50 @@ def test_streaming_bloom_matches_batch(spark, tmp_path):
              .groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits")))
     assert sorted(map(tuple, live2.collect())) == \
         sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_len_histogram_matches_batch(spark, tmp_path):
+    """Stream≡batch identity for the quantile sketch: three unordered
+    micro-batches; the sink's max-per-bucket live histogram must EQUAL
+    the batch log2 histogram exactly (running counts are monotone —
+    no version column), and replaying the whole input through a FRESH
+    checkpoint into the same sink must leave it unchanged (a replay
+    recounts from zero to the same totals, so max-merge is a no-op)."""
+    from pyspark.sql import functions as F
+    from webextract.streaming import stream_len_histogram
+
+    in_dir = str(tmp_path / "lh_in")
+    out = str(tmp_path / "lh_out")
+    rows = [(i, "x" * (2 ** (3 + i % 5) + i % 3), "en")
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    pages = docs_to_pages(docs)
+    pages_id = pages.withColumn(
+        "doc_id", F.substring("url", 7, 20).cast("bigint"))
+    for lo, hi in ((40, 80), (0, 40), (80, 100000)):
+        (pages_id.filter(f"doc_id >= {lo} and doc_id < {hi}")
+         .drop("doc_id").coalesce(1)
+         .write.mode("append").parquet(in_dir))
+        q = stream_len_histogram(spark, in_dir, out,
+                                 str(tmp_path / "lh_ckpt"),
+                                 max_files_per_trigger=1)
+        q.awaitTermination()
+
+    live = (spark.read.parquet(out)
+            .groupBy("bucket").agg(F.max("cnt").alias("cnt")))
+    batch = (docs.filter(F.length("text") > 0)
+             .select(F.floor(F.log2(F.length("text").cast("double")))
+                     .cast("long").alias("bucket"))
+             .groupBy("bucket").agg(F.count("*").alias("cnt")))
+    assert sorted(map(tuple, live.collect())) == \
+        sorted(map(tuple, batch.collect()))
+
+    q = stream_len_histogram(spark, in_dir, out,
+                             str(tmp_path / "lh_ckpt2"),
+                             max_files_per_trigger=1)
+    q.awaitTermination()
+    live2 = (spark.read.parquet(out)
+             .groupBy("bucket").agg(F.max("cnt").alias("cnt")))
+    assert sorted(map(tuple, live2.collect())) == \
+        sorted(map(tuple, batch.collect()))

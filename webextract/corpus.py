@@ -1950,6 +1950,15 @@ def len_quantiles(docs: DataFrame) -> DataFrame:
          .select(F.floor(F.log2(F.col("n_chars").cast("double")))
                  .cast("long").alias("bucket"))
          .groupBy("bucket").agg(F.count("*").alias("cnt")))
+    return quantiles_from_histogram(h)
+
+
+def quantiles_from_histogram(h: DataFrame) -> DataFrame:
+    """(q, bucket, lo_bound, cum_frac) from a (bucket, cnt) log2
+    histogram frame — the probe half of len_quantiles, shared with the
+    streaming sink recovery (streaming.len_histogram_stream), so one
+    quantile contract covers both surfaces.  All windows run over the
+    ~60-row histogram, never over corpus rows."""
     win = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.rowsBetween(Window.unboundedPreceding,
                              Window.unboundedFollowing)

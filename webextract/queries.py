@@ -861,6 +861,34 @@ def q_stream_hll(spark, sf_dir):
                     .alias("rel_err_bp")))
 
 
+def q_stream_len_quantiles(spark, sf_dir):
+    """Streaming quantile sketch, gate-checked against the SAME probe
+    + oracle contract as the batch sketch: a REAL Structured Streaming
+    run (pages stream → per-bucket running-count state → parquet
+    append sink), the sink's live histogram (max per bucket —
+    running counts are monotone, so no version column) feeds
+    corpus.quantiles_from_histogram, and the result must match the
+    batch histogram's quantiles exactly.  Cross-batch growth mechanics
+    are pinned in test_streaming."""
+    import hashlib
+    import shutil
+
+    from .streaming import stream_len_histogram
+
+    tag = hashlib.md5(("lenq" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_streamlenq_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    d = _read(spark, sf_dir, "documents")
+    docs_to_pages(d.select("doc_id", "text", "lang")
+                  ).coalesce(1).write.parquet(in_dir)
+    q = stream_len_histogram(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination()
+    live = (spark.read.parquet(out_dir)
+            .groupBy("bucket").agg(F.max("cnt").alias("cnt")))
+    return corpus.quantiles_from_histogram(live)
+
+
 def q_text_normalize(spark, sf_dir):
     """Unicode NFC + control-strip canonicalization.  Every doc gains
     a deterministic non-ASCII tail cycling through decomposed
@@ -2004,6 +2032,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "inverted_postings": q_inverted_postings,
     "len_quantiles": q_len_quantiles,
+    "stream_len_quantiles": q_stream_len_quantiles,
     "events_sessions": q_events_sessions,
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
@@ -3288,6 +3317,27 @@ ORACLES = {
         WITH h AS (SELECT floor(log2(n_chars::DOUBLE))::BIGINT AS bucket,
                           count(*) AS cnt
                    FROM documents WHERE n_chars > 0 GROUP BY bucket),
+        c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum,
+                     sum(cnt) OVER () AS total
+              FROM h),
+        p AS (SELECT c.*, v.q::DOUBLE AS q
+              FROM c, (VALUES (0.5), (0.9), (0.99)) v(q)
+              WHERE c.cum >= v.q::DOUBLE * c.total),
+        f AS (SELECT q, min(bucket) AS bucket FROM p GROUP BY q)
+        SELECT f.q, f.bucket,
+               cast(pow(2.0, f.bucket) AS BIGINT) AS lo_bound,
+               round(c.cum / c.total, 4) AS cum_frac
+        FROM f JOIN c USING (bucket)""",
+
+    # the streaming sink recovery must reproduce the batch histogram's
+    # quantiles exactly (buckets from length(text) — the stream sees
+    # page text, not the precomputed n_chars column)
+    "stream_len_quantiles": """
+        WITH h AS (SELECT floor(log2(length(text)::DOUBLE))::BIGINT
+                              AS bucket,
+                          count(*) AS cnt
+                   FROM documents WHERE length(text) > 0
+                   GROUP BY bucket),
         c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum,
                      sum(cnt) OVER () AS total
               FROM h),

@@ -618,3 +618,64 @@ def stream_bloom_words(spark: SparkSession, input_dir: str,
             .format("parquet")
             .option("path", output_dir)
             .start())
+
+
+HIST_OUT_DDL = "bucket long, cnt long"
+HIST_STATE_DDL = "cnt long"
+
+
+def len_histogram_stream(pages: DataFrame) -> DataFrame:
+    """Stateful streaming log2 length histogram — the quantile sketch
+    on the streaming surface (batch twin: corpus.len_quantiles /
+    quantiles_from_histogram): one long of state per occupied bucket,
+    ~60 groups TOTAL, forever.
+
+    Each micro-batch folds its row count into the bucket's running
+    total and emits the bucket only when it GREW.  Running counts are
+    monotone, so the append sink needs no version column: the live
+    histogram is max(cnt) per bucket over the sink — the same
+    union-and-max recovery the HLL registers use — and the recovered
+    (bucket, cnt) frame feeds quantiles_from_histogram directly
+    (mergeable summaries end to end).
+
+    The bucketing (floor(log2(length(text)))) happens BEFORE the
+    state shuffle as a narrow engine expression, so the exchange
+    moves single-long rows — never text."""
+    rows = (pages.select(
+                F.floor(F.log2(F.length(
+                    F.coalesce(F.col("text"), F.lit("")))
+                    .cast("double"))).cast("long").alias("bucket"))
+            .filter(F.col("bucket").isNotNull()))
+
+    def emit(key, pdfs, state):
+        import pandas as pd_
+        cur = int(state.get[0]) if state.exists else 0
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        if add:
+            cur += add
+            state.update((int(cur),))
+            yield pd_.DataFrame({"bucket": [int(key[0])],
+                                 "cnt": [int(cur)]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return rows.groupBy("bucket").applyInPandasWithState(
+        emit, HIST_OUT_DDL, HIST_STATE_DDL, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+def stream_len_histogram(spark: SparkSession, input_dir: str,
+                         output_dir: str, checkpoint_dir: str,
+                         max_files_per_trigger: int = 64):
+    """readStream → stateful log2 length histogram → parquet append
+    sink (availableNow)."""
+    return (len_histogram_stream(
+                pages_stream(spark, input_dir, max_files_per_trigger))
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", output_dir)
+            .start())
