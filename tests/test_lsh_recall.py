@@ -395,6 +395,24 @@ def test_nb_quality_separates_classes(spark):
     assert got[0].n_tok == 60 and got[3].n_tok == 3
 
 
+def test_mirror_hosts_cap_and_threshold(spark):
+    """A text on 3 hosts is dropped by host_cap=2 (boilerplate, not a
+    mirror); the surviving pair needs >= min_shared distinct shared
+    texts; per-host url duplicates of one text count once."""
+    from webextract.corpus import mirror_hosts
+    rows = [(1, "h0", "s1"), (2, "h1", "s1"), (3, "h2", "s1"),
+            (4, "h0", "s2"), (5, "h1", "s2"),
+            (6, "h0", "s3"), (7, "h1", "s3"),
+            (8, "h0", "s4"), (9, "h1", "s4"), (10, "h1", "s4"),
+            (11, "h2", "only")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    got = mirror_hosts(docs, host_cap=2, min_shared=3).collect()
+    assert len(got) == 1
+    assert (got[0].host_a, got[0].host_b, got[0].shared_docs) \
+        == ("h0", "h1", 3)
+
+
 def test_tfidf_topk_ranks_rare_terms_first(spark):
     """A corpus-unique repeated term must outrank the everywhere-term
     (idf 0), with exact integer micro-nat scores."""

@@ -409,6 +409,21 @@ def test_nb_quality_plan_shape(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_mirror_hosts_plan_shape(spark):
+    """Bucketed pair emission, never a self-join: no Join node, and
+    raw text never enters an exchange (only sha/host columns do)."""
+    from webextract.corpus import mirror_hosts
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(mirror_hosts(docs))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree
+    ex_blocks = [b for b in plan.split("\n\n")
+                 if b.startswith("(") and "Exchange" in b.splitlines()[0]]
+    assert ex_blocks
+    for ex in ex_blocks:
+        assert "text#" not in ex, ex
+
+
 def test_tfidf_topk_plan_shape(spark):
     """idf (V rows) joins the term frame shuffle-hash; the top-k
     window partitions on doc_id (bounded state); no sort-merge."""

@@ -1854,6 +1854,36 @@ def lm_perplexity(docs: DataFrame, k: float = LM_K) -> DataFrame:
                          F.round(F.exp(mean_nll), 4).alias("ppl"))
 
 
+MIRROR_SHA_HOST_CAP = 64
+MIRROR_MIN_SHARED = 3
+
+
+def mirror_hosts(docs: DataFrame, host_cap: int = MIRROR_SHA_HOST_CAP,
+                 min_shared: int = MIRROR_MIN_SHARED) -> DataFrame:
+    """(host_a, host_b, shared_docs): mirror-site candidates — host
+    pairs serving at least ``min_shared`` byte-identical documents,
+    the duplicate-site detection pass a crawl planner runs so a mirror
+    farm doesn't consume 50x its crawl budget.
+
+    Scale shape: (host, sha) de-dups once (a host serving one doc on
+    10^3 urls counts once); shas served by more than ``host_cap``
+    hosts drop as boilerplate, not mirrors (the df-cap convention of
+    ngram_jaccard); per-sha pair fan-out is bounded cap^2 through the
+    shared _bucket_pairs bucket shape (one exchange on sha, in-array
+    i<j emission, no self-join); the final count is one shuffle on the
+    (host_a, host_b) pair key.  Raw text never enters an exchange —
+    only 32-byte hashes and host names."""
+    hs = (docs.select(F.col("source").alias("host"),
+                      F.sha2(F.col("text").cast("binary"), 256)
+                      .alias("sha"))
+          .distinct())
+    pairs = _bucket_pairs(hs, ["sha"], "host", host_cap)
+    return (pairs.groupBy(F.col("doc_a").alias("host_a"),
+                          F.col("doc_b").alias("host_b"))
+            .agg(F.count("*").cast("long").alias("shared_docs"))
+            .filter(F.col("shared_docs") >= min_shared))
+
+
 TFIDF_TOPK = 3
 
 

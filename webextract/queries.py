@@ -617,6 +617,20 @@ def q_nb_quality(spark, sf_dir):
     return corpus.nb_quality(d.select("doc_id", t.alias("text")))
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-site detection over augmented docs: every 5th doc's text
+    collapses to one of 20 shared mirror pages, so hosts serving the
+    same mirror page become candidate pairs; the >=3-shared-docs bar
+    and the boilerplate host-cap both exercise on real source fan-out."""
+    d = _read(spark, sf_dir, "documents")
+    t = (F.when(F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("mirror page "),
+                         (F.col("doc_id") % 20).cast("string")))
+         .otherwise(F.col("text")))
+    return corpus.mirror_hosts(
+        d.select("doc_id", "source", t.alias("text")))
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-doc top-3 salient terms by tf-idf with integer micro-nat
     idf and token-order tiebreaks — fully deterministic rank."""
@@ -2033,6 +2047,7 @@ QUERIES = {
     "inverted_postings": q_inverted_postings,
     "len_quantiles": q_len_quantiles,
     "stream_len_quantiles": q_stream_len_quantiles,
+    "mirror_hosts": q_mirror_hosts,
     "events_sessions": q_events_sessions,
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
@@ -3328,6 +3343,27 @@ ORACLES = {
                cast(pow(2.0, f.bucket) AS BIGINT) AS lo_bound,
                round(c.cum / c.total, 4) AS cum_frac
         FROM f JOIN c USING (bucket)""",
+
+    # grouping by raw text is equivalent to grouping by its sha256 (the
+    # engine side hashes only so 32-byte keys, not text, enter the
+    # exchange — the oracle needs no hash function at all)
+    "mirror_hosts": """
+        WITH aug AS (SELECT doc_id, source,
+                CASE WHEN doc_id % 5 = 0 THEN
+                    'mirror page ' || (doc_id % 20)
+                ELSE text END AS text
+            FROM documents),
+        h AS (SELECT DISTINCT source AS host, text FROM aug),
+        g AS (SELECT text, list_sort(list(host)) AS hosts
+              FROM h GROUP BY text
+              HAVING len(list(host)) BETWEEN 2 AND 64),
+        p AS (SELECT hosts[v.j] AS host_a, hosts[u.i] AS host_b
+              FROM g,
+                   unnest(generate_series(2, len(hosts))) u(i),
+                   unnest(generate_series(1, u.i - 1)) v(j))
+        SELECT host_a, host_b, count(*)::BIGINT AS shared_docs
+        FROM p GROUP BY host_a, host_b
+        HAVING count(*) >= 3""",
 
     # the streaming sink recovery must reproduce the batch histogram's
     # quantiles exactly (buckets from length(text) — the stream sees
