@@ -61,7 +61,7 @@ HEADLINE = [
     "bpe_train", "bpe_segment", "within_doc_dedup", "c4_quality",
     "repetition_suite", "nb_quality",
     "tfidf_topk", "inverted_postings", "len_quantiles",
-    "stream_len_quantiles", "mirror_hosts",
+    "stream_len_quantiles", "mirror_hosts", "pmi_pairs",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -395,6 +395,24 @@ def test_nb_quality_separates_classes(spark):
     assert got[0].n_tok == 60 and got[3].n_tok == 3
 
 
+def test_pmi_pairs_hand_computed(spark):
+    """Alternating 'a b' doc: (a,b) co-occurs at distance 1 (11x),
+    (a,a)/(b,b) at distance 2 (5x each); PMI matches the exact
+    double-expression the operator pins, positive for the collocation
+    and negative for the same-word pairs."""
+    import math
+    from webextract.corpus import pmi_pairs
+    docs = spark.createDataFrame([(0, " ".join("ab" * 6))],
+                                 "doc_id long, text string")
+    got = {(r.w_a, r.w_b): r for r in pmi_pairs(docs).collect()}
+    assert set(got) == {("a", "b"), ("a", "a"), ("b", "b")}
+    assert got[("a", "b")].n_pair == 11
+    assert got[("a", "a")].n_pair == 5 and got[("b", "b")].n_pair == 5
+    exp_ab = round(math.log(11.0 * 12 * 12 / 21 / 6 / 6) * 1e6)
+    assert got[("a", "b")].pmi_micro == exp_ab
+    assert got[("a", "b")].pmi_micro > 0 > got[("a", "a")].pmi_micro
+
+
 def test_mirror_hosts_cap_and_threshold(spark):
     """A text on 3 hosts is dropped by host_cap=2 (boilerplate, not a
     mirror); the surviving pair needs >= min_shared distinct shared

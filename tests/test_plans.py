@@ -409,6 +409,19 @@ def test_nb_quality_plan_shape(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_pmi_pairs_plan_shape(spark):
+    """Pairs are built in-array per document (never an explode-join of
+    the corpus against itself); the min_count-cut head joins unigram
+    counts via exactly two shuffle-hash joins; totals cross-ride."""
+    from webextract.corpus import pmi_pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pmi_pairs(docs))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ShuffledHashJoin") == 2, tree
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan   # the two 1-row totals
+
+
 def test_mirror_hosts_plan_shape(spark):
     """Bucketed pair emission, never a self-join: no Join node, and
     raw text never enters an exchange (only sha/host columns do)."""

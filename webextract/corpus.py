@@ -1854,6 +1854,79 @@ def lm_perplexity(docs: DataFrame, k: float = LM_K) -> DataFrame:
                          F.round(F.exp(mean_nll), 4).alias("ppl"))
 
 
+PMI_WINDOW = 2          # forward skip-gram distance
+PMI_MIN_COUNT = 5       # pairs below this are noise, not signal
+
+
+def pmi_pairs(docs: DataFrame, window: int = PMI_WINDOW,
+              min_count: int = PMI_MIN_COUNT) -> DataFrame:
+    """(w_a, w_b, n_pair, pmi_micro): corpus co-occurrence statistics
+    with pointwise mutual information — the skip-gram pair counting
+    behind word2vec/GloVe-style embedding training and collocation
+    mining.  A pair is an unordered (least, greatest) word pair within
+    ``window`` forward positions; PMI = ln(p(a,b) / (p(a) p(b))) =
+    ln(n_pair x N_w^2 / (N_p x n_a x n_b)), fixed to integer
+    micro-nats (the lm_perplexity determinism contract); pairs below
+    ``min_count`` are cut before any join.
+
+    Scale shape: pairs are BUILT in-array per document (one transform
+    over positions, no explode-join of the corpus against itself),
+    then ONE shuffle to (w_a, w_b) counts with map-side combine — a
+    boilerplate phrase repeated 10^6 times compresses before any
+    reducer; the min_count cut runs before the two unigram joins, so
+    only the surviving head joins; unigram counts join shuffle-hash
+    (vocab-scale, beyond any broadcast) and the two scalar totals ride
+    as a broadcast 1-row frame."""
+    t = (_spread(docs.select("doc_id", "text"))
+         .select(TOKENS().alias("toks")))
+    k = F.size("toks")
+
+    def _pair_at(d):
+        # pairs (i, i+d) for i in [1, k-d], canonically ordered
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(k - d, F.lit(0))),
+            lambda i: F.struct(
+                F.least(F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + d)).alias("w_a"),
+                F.greatest(F.element_at(F.col("toks"), i),
+                           F.element_at(F.col("toks"), i + d))
+                .alias("w_b")))
+
+    stacked = F.concat(*[_pair_at(d) for d in range(1, window + 1)])
+    pairs = (t.select(F.explode(stacked).alias("p"))
+             .groupBy(F.col("p.w_a").alias("w_a"),
+                      F.col("p.w_b").alias("w_b"))
+             .agg(F.count("*").alias("n_pair"))
+             .filter(F.col("n_pair") >= min_count))
+    uni = (t.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("n_w")))
+    totals = uni.agg(F.sum("n_w").alias("n_tokens"))
+    per_doc_pairs = None
+    for d in range(1, window + 1):
+        e = F.greatest(k - d, F.lit(0)).cast("long")
+        per_doc_pairs = e if per_doc_pairs is None else per_doc_pairs + e
+    n_pairs_total = t.agg(F.sum(per_doc_pairs).alias("n_pairs"))
+    scored = (pairs
+              .join(uni.hint("shuffle_hash")
+                    .select(F.col("w").alias("w_a"),
+                            F.col("n_w").alias("n_a")), "w_a")
+              .join(uni.hint("shuffle_hash")
+                    .select(F.col("w").alias("w_b"),
+                            F.col("n_w").alias("n_b")), "w_b")
+              .crossJoin(F.broadcast(totals))
+              .crossJoin(F.broadcast(n_pairs_total)))
+    # the ratio is formed in DOUBLE, never as a bigint product:
+    # n_tokens^2 at corpus scale (~10^26) would silently wrap a long;
+    # the left-associated division order is part of the oracle contract
+    ratio = (F.col("n_pair").cast("double") * F.col("n_tokens")
+             * F.col("n_tokens") / F.col("n_pairs") / F.col("n_a")
+             / F.col("n_b"))
+    pmi = F.round(F.log(ratio) * 1e6, 0).cast("long")
+    return scored.select("w_a", "w_b",
+                         F.col("n_pair").cast("long").alias("n_pair"),
+                         pmi.alias("pmi_micro"))
+
+
 MIRROR_SHA_HOST_CAP = 64
 MIRROR_MIN_SHARED = 3
 

@@ -617,6 +617,13 @@ def q_nb_quality(spark, sf_dir):
     return corpus.nb_quality(d.select("doc_id", t.alias("text")))
 
 
+def q_pmi_pairs(spark, sf_dir):
+    """Skip-gram co-occurrence + PMI over the raw documents table —
+    the synthetic corpus repeats phrases, so the min_count=5 head is
+    non-trivial and every count/score is deterministic."""
+    return corpus.pmi_pairs(_read(spark, sf_dir, "documents"))
+
+
 def q_mirror_hosts(spark, sf_dir):
     """Mirror-site detection over augmented docs: every 5th doc's text
     collapses to one of 20 shared mirror pages, so hosts serving the
@@ -2048,6 +2055,7 @@ QUERIES = {
     "len_quantiles": q_len_quantiles,
     "stream_len_quantiles": q_stream_len_quantiles,
     "mirror_hosts": q_mirror_hosts,
+    "pmi_pairs": q_pmi_pairs,
     "events_sessions": q_events_sessions,
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
@@ -3343,6 +3351,30 @@ ORACLES = {
                cast(pow(2.0, f.bucket) AS BIGINT) AS lo_bound,
                round(c.cum / c.total, 4) AS cum_frac
         FROM f JOIN c USING (bucket)""",
+
+    "pmi_pairs": """
+        WITH t AS (SELECT string_split(text, ' ') AS toks
+                   FROM documents),
+        pr AS (SELECT least(toks[u.i], toks[u.i + d.d]) AS w_a,
+                      greatest(toks[u.i], toks[u.i + d.d]) AS w_b
+               FROM t, (VALUES (1), (2)) d(d),
+                    unnest(generate_series(
+                        1, greatest(len(toks) - d.d, 0))) u(i)),
+        pairs AS (SELECT w_a, w_b, count(*) AS n_pair
+                  FROM pr GROUP BY ALL HAVING count(*) >= 5),
+        uc AS (SELECT w, count(*) AS n_w
+               FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        tot AS (SELECT sum(n_w) AS n_tokens FROM uc),
+        npt AS (SELECT sum(greatest(len(toks) - 1, 0)
+                           + greatest(len(toks) - 2, 0)) AS n_pairs
+                FROM t)
+        SELECT w_a, w_b, n_pair::BIGINT AS n_pair,
+               round(ln(n_pair::DOUBLE * n_tokens * n_tokens
+                        / n_pairs / a.n_w / b.n_w) * 1e6, 0)::BIGINT
+                   AS pmi_micro
+        FROM pairs
+        JOIN uc a ON pairs.w_a = a.w
+        JOIN uc b ON pairs.w_b = b.w, tot, npt""",
 
     # grouping by raw text is equivalent to grouping by its sha256 (the
     # engine side hashes only so 32-byte keys, not text, enter the
