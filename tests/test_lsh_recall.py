@@ -395,6 +395,39 @@ def test_nb_quality_separates_classes(spark):
     assert got[0].n_tok == 60 and got[3].n_tok == 3
 
 
+def test_cocitation_cap_and_threshold(spark):
+    """(h1,h2) co-cited from 4 sources survives the >=3 bar; a pair
+    seen once drops; a 5-target link-farm source drops at deg_cap=4;
+    duplicate (src,dst) edges count once."""
+    from webextract.corpus import cocitation_pairs
+    edges = [(0, 1), (0, 2), (0, 3),
+             (1, 1), (1, 2), (1, 2),
+             (2, 1), (2, 2),
+             (3, 1), (3, 2),
+             (4, 10), (4, 11), (4, 12), (4, 13), (4, 14)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = cocitation_pairs(e, deg_cap=4, min_cocite=3).collect()
+    assert len(got) == 1
+    assert (got[0].host_a, got[0].host_b, got[0].n_cocite) == (1, 2, 4)
+
+
+def test_degree_stats_hill_alpha(spark):
+    """Hand-built in-degrees {4, 2, 1}: n_tail=2, s=round(ln2*1e6),
+    alpha exact; an all-d_min tail makes the estimator undefined
+    (alpha null)."""
+    import math
+    from webextract.corpus import degree_stats
+    e = spark.createDataFrame(
+        [(i, 1) for i in range(4)] + [(0, 2), (1, 2), (5, 3)],
+        "src long, dst long")
+    r = degree_stats(e).collect()[0]
+    assert (r.n_hosts, r.max_indeg, r.n_tail) == (3, 4, 2)
+    assert r.alpha == round(1.0 + 2 * 1e6 / round(math.log(2) * 1e6), 4)
+    flat = spark.createDataFrame([(0, 1), (1, 1), (2, 2), (3, 2)],
+                                 "src long, dst long")
+    assert degree_stats(flat).collect()[0].alpha is None
+
+
 def test_pmi_pairs_hand_computed(spark):
     """Alternating 'a b' doc: (a,b) co-occurs at distance 1 (11x),
     (a,a)/(b,b) at distance 2 (5x each); PMI matches the exact

@@ -409,6 +409,19 @@ def test_nb_quality_plan_shape(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_cocitation_degree_plan_shapes(spark):
+    """Both link-graph rollups stay join-free: co-citation uses the
+    bucketed i<j emission (never a dst-dst self-join), degree_stats is
+    aggregate-only (no window, no sort of edges)."""
+    from webextract.corpus import cocitation_pairs, degree_stats
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    e = docs.select((F.col("doc_id") % 50).alias("src"),
+                    (F.col("doc_id") % 97).alias("dst"))
+    for op in (cocitation_pairs, degree_stats):
+        tree = _plan(op(e)).split("\n\n")[0]
+        assert "Join" not in tree and "Window" not in tree, tree
+
+
 def test_pmi_pairs_plan_shape(spark):
     """Pairs are built in-array per document (never an explode-join of
     the corpus against itself); the min_count-cut head joins unigram

@@ -1854,6 +1854,66 @@ def lm_perplexity(docs: DataFrame, k: float = LM_K) -> DataFrame:
                          F.round(F.exp(mean_nll), 4).alias("ppl"))
 
 
+COCITE_DEG_CAP = 32      # pages with more distinct targets = link farms
+COCITE_MIN = 3
+
+
+def cocitation_pairs(edges: DataFrame, deg_cap: int = COCITE_DEG_CAP,
+                     min_cocite: int = COCITE_MIN) -> DataFrame:
+    """(host_a, host_b, n_cocite): co-citation similarity over the
+    link graph — target-host pairs linked from the same source page
+    (Small 1973; the 'related sites' signal search engines derive from
+    the web graph).  Pairs must co-occur on at least ``min_cocite``
+    distinct source pages.
+
+    Scale shape: (src, dst) de-dups once; sources with more than
+    ``deg_cap`` distinct targets drop as link farms (the df-cap
+    convention); per-source pair fan-out is bounded cap^2 through the
+    shared _bucket_pairs bucket shape (one exchange on src, in-array
+    i<j emission, no self-join); the final count is one shuffle on the
+    (host_a, host_b) pair key."""
+    e = edges.select("src", "dst").distinct()
+    pairs = _bucket_pairs(e, ["src"], "dst", deg_cap)
+    return (pairs.groupBy(F.col("doc_a").alias("host_a"),
+                          F.col("doc_b").alias("host_b"))
+            .agg(F.count("*").cast("long").alias("n_cocite"))
+            .filter(F.col("n_cocite") >= min_cocite))
+
+
+HILL_DMIN = 2
+
+
+def degree_stats(edges: DataFrame, d_min: int = HILL_DMIN) -> DataFrame:
+    """(n_hosts, max_indeg, n_tail, alpha): in-degree distribution
+    accounting over the link graph plus the Hill estimator of the
+    power-law tail exponent, alpha = 1 + n_tail / sum(ln(d_i/d_min))
+    over hosts with in-degree >= d_min — the heavy-tail diagnostic a
+    crawl planner reads before choosing skew guards.
+
+    Cross-engine determinism: the per-host ln term is rounded to
+    integer micro-nats BEFORE summation (the lm_perplexity contract);
+    alpha divides the exact bigint once.  Scale shape: distinct +
+    degree count is one shuffle; the rollup is a single global
+    aggregate with map-side partials (one row out); no window, no
+    sort.  alpha is null when every tail degree equals d_min (the
+    estimator is undefined there)."""
+    deg = (edges.select("src", "dst").distinct()
+           .groupBy("dst").agg(F.count("*").alias("d")))
+    term = F.when(F.col("d") >= d_min,
+                  F.round(F.log(F.col("d") / F.lit(float(d_min)))
+                          * 1e6, 0).cast("long"))
+    agg = deg.agg(F.count("*").cast("long").alias("n_hosts"),
+                  F.max("d").cast("long").alias("max_indeg"),
+                  F.sum(F.when(F.col("d") >= d_min, 1).otherwise(0))
+                  .cast("long").alias("n_tail"),
+                  F.sum(term).alias("s_micro"))
+    alpha = F.when(F.col("s_micro") > 0,
+                   F.round(F.lit(1.0) + F.col("n_tail") * 1e6
+                           / F.col("s_micro"), 4))
+    return agg.select("n_hosts", "max_indeg", "n_tail",
+                      alpha.alias("alpha"))
+
+
 PMI_WINDOW = 2          # forward skip-gram distance
 PMI_MIN_COUNT = 5       # pairs below this are noise, not signal
 

@@ -617,6 +617,32 @@ def q_nb_quality(spark, sf_dir):
     return corpus.nb_quality(d.select("doc_id", t.alias("text")))
 
 
+def q_cocitation(spark, sf_dir):
+    """Co-citation over a synthetic link graph: 50 source pages, each
+    doc contributing one uniform target (md5 cc-d1 % 97) and one
+    hub-tier target (% 13) — hub pairs co-cited from many sources
+    clear the >=3 bar; the 32-target farm cap exercises on real
+    fan-out."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select((F.col("doc_id") % 50).alias("src"),
+                  _pr_host("cc-d1").alias("dst"))
+    e2 = d.select((F.col("doc_id") % 50).alias("src"),
+                  (_pr_host("cc-d2") % 13).alias("dst"))
+    return corpus.cocitation_pairs(e1.unionByName(e2))
+
+
+def q_degree_stats(spark, sf_dir):
+    """In-degree power-law accounting over a hub-skewed host graph
+    (uniform %97 targets + a 13-host hub tier): the Hill alpha, tail
+    size, and max in-degree are exact integers/micro-rounded."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(_pr_host("dg-s").alias("src"),
+                  _pr_host("dg-d1").alias("dst"))
+    e2 = d.select(_pr_host("dg-s").alias("src"),
+                  (_pr_host("dg-d2") % 13).alias("dst"))
+    return corpus.degree_stats(e1.unionByName(e2))
+
+
 def q_pmi_pairs(spark, sf_dir):
     """Skip-gram co-occurrence + PMI over the raw documents table —
     the synthetic corpus repeats phrases, so the min_count=5 head is
@@ -2056,6 +2082,8 @@ QUERIES = {
     "stream_len_quantiles": q_stream_len_quantiles,
     "mirror_hosts": q_mirror_hosts,
     "pmi_pairs": q_pmi_pairs,
+    "cocitation": q_cocitation,
+    "degree_stats": q_degree_stats,
     "events_sessions": q_events_sessions,
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
@@ -3351,6 +3379,53 @@ ORACLES = {
                cast(pow(2.0, f.bucket) AS BIGINT) AS lo_bound,
                round(c.cum / c.total, 4) AS cum_frac
         FROM f JOIN c USING (bucket)""",
+
+    "cocitation": """
+        WITH h AS (SELECT doc_id % 50 AS src,
+                ('0x' || substring(md5('cc-d1:' || doc_id), 1, 8))
+                    ::BIGINT % 97 AS d1,
+                (('0x' || substring(md5('cc-d2:' || doc_id), 1, 8))
+                    ::BIGINT % 97) % 13 AS d2
+            FROM documents),
+        e AS (SELECT DISTINCT src, dst FROM
+              (SELECT src, d1 AS dst FROM h
+               UNION ALL SELECT src, d2 AS dst FROM h)),
+        g AS (SELECT src, list_sort(list(dst)) AS ds
+              FROM e GROUP BY src
+              HAVING len(list(dst)) BETWEEN 2 AND 32),
+        p AS (SELECT ds[v.j] AS host_a, ds[u.i] AS host_b
+              FROM g,
+                   unnest(generate_series(2, len(ds))) u(i),
+                   unnest(generate_series(1, u.i - 1)) v(j))
+        SELECT host_a, host_b, count(*)::BIGINT AS n_cocite
+        FROM p GROUP BY host_a, host_b
+        HAVING count(*) >= 3""",
+
+    "degree_stats": """
+        WITH h AS (SELECT
+                ('0x' || substring(md5('dg-s:' || doc_id), 1, 8))
+                    ::BIGINT % 97 AS src,
+                ('0x' || substring(md5('dg-d1:' || doc_id), 1, 8))
+                    ::BIGINT % 97 AS d1,
+                (('0x' || substring(md5('dg-d2:' || doc_id), 1, 8))
+                    ::BIGINT % 97) % 13 AS d2
+            FROM documents),
+        e AS (SELECT DISTINCT src, dst FROM
+              (SELECT src, d1 AS dst FROM h
+               UNION ALL SELECT src, d2 AS dst FROM h)),
+        deg AS (SELECT dst, count(*) AS d FROM e GROUP BY dst),
+        a AS (SELECT count(*) AS n_hosts, max(d) AS max_indeg,
+                     sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS n_tail,
+                     sum(CASE WHEN d >= 2 THEN
+                         round(ln(d / 2.0) * 1e6, 0)::BIGINT END)
+                         AS s_micro
+              FROM deg)
+        SELECT n_hosts::BIGINT AS n_hosts,
+               max_indeg::BIGINT AS max_indeg,
+               n_tail::BIGINT AS n_tail,
+               CASE WHEN s_micro > 0 THEN
+                   round(1.0 + n_tail * 1e6 / s_micro, 4) END AS alpha
+        FROM a""",
 
     "pmi_pairs": """
         WITH t AS (SELECT string_split(text, ' ') AS toks
