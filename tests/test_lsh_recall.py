@@ -446,6 +446,17 @@ def test_pmi_pairs_hand_computed(spark):
     assert got[("a", "b")].pmi_micro > 0 > got[("a", "a")].pmi_micro
 
 
+def test_pmi_pairs_short_docs_no_crash(spark):
+    """1- and 2-token docs must contribute empty pair arrays, never an
+    element_at(toks, 0) job abort (Spark sequence(1, 0) counts DOWN)."""
+    from webextract.corpus import pmi_pairs
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "two words"), (2, " ".join("ab" * 6))],
+        "doc_id long, text string")
+    got = {(r.w_a, r.w_b): r.n_pair for r in pmi_pairs(docs).collect()}
+    assert got[("a", "b")] == 11   # the long doc still counts
+
+
 def test_mirror_hosts_cap_and_threshold(spark):
     """A text on 3 hosts is dropped by host_cap=2 (boilerplate, not a
     mirror); the surviving pair needs >= min_shared distinct shared

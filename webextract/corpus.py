@@ -1942,15 +1942,20 @@ def pmi_pairs(docs: DataFrame, window: int = PMI_WINDOW,
     k = F.size("toks")
 
     def _pair_at(d):
-        # pairs (i, i+d) for i in [1, k-d], canonically ordered
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(k - d, F.lit(0))),
+        # pairs (i, i+d) for i in [1, k-d], canonically ordered.
+        # Guarded like shingles_of: Spark sequence(1, 0) counts DOWN,
+        # so a doc with k <= d tokens would hit element_at(toks, 0)
+        # and abort the job — short docs get an explicit empty array.
+        grams = F.transform(
+            F.sequence(F.lit(1), k - d),
             lambda i: F.struct(
                 F.least(F.element_at(F.col("toks"), i),
                         F.element_at(F.col("toks"), i + d)).alias("w_a"),
                 F.greatest(F.element_at(F.col("toks"), i),
                            F.element_at(F.col("toks"), i + d))
                 .alias("w_b")))
+        return F.when(k > d, grams).otherwise(
+            F.array().cast("array<struct<w_a:string,w_b:string>>"))
 
     stacked = F.concat(*[_pair_at(d) for d in range(1, window + 1)])
     pairs = (t.select(F.explode(stacked).alias("p"))
