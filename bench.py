@@ -62,7 +62,7 @@ HEADLINE = [
     "repetition_suite", "nb_quality",
     "tfidf_topk", "inverted_postings", "len_quantiles",
     "stream_len_quantiles", "mirror_hosts", "pmi_pairs",
-    "cocitation", "degree_stats",
+    "cocitation", "degree_stats", "vocab_stats",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -395,6 +395,17 @@ def test_nb_quality_separates_classes(spark):
     assert got[0].n_tok == 60 and got[3].n_tok == 3
 
 
+def test_vocab_stats_hand_computed(spark):
+    """'a a b c' + 'a d': 6 tokens, 4 types, hapax {b,c,d}=3,
+    ttr=4/6, hapax_frac=3/4."""
+    from webextract.corpus import vocab_stats
+    docs = spark.createDataFrame([(0, "a a b c"), (1, "a d")],
+                                 "doc_id long, text string")
+    r = vocab_stats(docs).collect()[0]
+    assert (r.n_tokens, r.vocab, r.hapax) == (6, 4, 3)
+    assert r.ttr == round(4 / 6, 6) and r.hapax_frac == 0.75
+
+
 def test_cocitation_cap_and_threshold(spark):
     """(h1,h2) co-cited from 4 sources survives the >=3 bar; a pair
     seen once drops; a 5-target link-farm source drops at deg_cap=4;

@@ -409,6 +409,15 @@ def test_nb_quality_plan_shape(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_vocab_stats_plan_shape(spark):
+    """Aggregate-only: the type table reduces executor-side with
+    partial aggregation — no join, no window, one row out."""
+    from webextract.corpus import vocab_stats
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tree = _plan(vocab_stats(docs)).split("\n\n")[0]
+    assert "Join" not in tree and "Window" not in tree, tree
+
+
 def test_cocitation_degree_plan_shapes(spark):
     """Both link-graph rollups stay join-free: co-citation uses the
     bucketed i<j emission (never a dst-dst self-join), degree_stats is

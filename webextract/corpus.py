@@ -1854,6 +1854,31 @@ def lm_perplexity(docs: DataFrame, k: float = LM_K) -> DataFrame:
                          F.round(F.exp(mean_nll), 4).alias("ppl"))
 
 
+def vocab_stats(docs: DataFrame) -> DataFrame:
+    """(n_tokens, vocab, hapax, ttr, hapax_frac): corpus vocabulary
+    accounting for the data card — total token mass, distinct types,
+    hapax legomena (frequency-1 types: the misspelling/noise tail that
+    dominates raw web vocabularies), type-token ratio, and the hapax
+    share of the vocabulary.  Ratios are rounded to 6dp after exact
+    bigint division inputs, so both engines print identical doubles.
+
+    Scale shape: one shuffle to (tok, count) with map-side combine,
+    then a single global rollup with partial aggregation — one row
+    out, no window, no sort; the 10^8-type vocabulary never leaves
+    the executors."""
+    tf = (_spread(docs.select("doc_id", "text"))
+          .select(F.explode(TOKENS()).alias("tok"))
+          .groupBy("tok").agg(F.count("*").alias("c")))
+    agg = tf.agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("vocab"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("long").alias("hapax"))
+    return agg.select(
+        "n_tokens", "vocab", "hapax",
+        F.round(F.col("vocab") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("hapax") / F.col("vocab"), 6).alias("hapax_frac"))
+
+
 COCITE_DEG_CAP = 32      # pages with more distinct targets = link farms
 COCITE_MIN = 3
 

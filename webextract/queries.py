@@ -617,6 +617,12 @@ def q_nb_quality(spark, sf_dir):
     return corpus.nb_quality(d.select("doc_id", t.alias("text")))
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary card: token mass, types, hapax tail, TTR —
+    every value exact or 6dp-rounded from exact bigints."""
+    return corpus.vocab_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_cocitation(spark, sf_dir):
     """Co-citation over a synthetic link graph: 50 source pages, each
     doc contributing one uniform target (md5 cc-d1 % 97) and one
@@ -2084,6 +2090,7 @@ QUERIES = {
     "pmi_pairs": q_pmi_pairs,
     "cocitation": q_cocitation,
     "degree_stats": q_degree_stats,
+    "vocab_stats": q_vocab_stats,
     "events_sessions": q_events_sessions,
     "parse_cdx": q_parse_cdx,
     "cdx_latest": q_cdx_latest,
@@ -3379,6 +3386,20 @@ ORACLES = {
                cast(pow(2.0, f.bucket) AS BIGINT) AS lo_bound,
                round(c.cum / c.total, 4) AS cum_frac
         FROM f JOIN c USING (bucket)""",
+
+    "vocab_stats": """
+        WITH tf AS (SELECT tok, count(*) AS c
+                    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    GROUP BY tok),
+        a AS (SELECT sum(c) AS n_tokens, count(*) AS vocab,
+                     sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax
+              FROM tf)
+        SELECT n_tokens::BIGINT AS n_tokens, vocab::BIGINT AS vocab,
+               hapax::BIGINT AS hapax,
+               round(vocab / n_tokens, 6) AS ttr,
+               round(hapax / vocab, 6) AS hapax_frac
+        FROM a""",
 
     "cocitation": """
         WITH h AS (SELECT doc_id % 50 AS src,
