@@ -1,9 +1,14 @@
 """Per-round benchmark harness.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
-"sf", plus extraction throughput fields}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  Output contract
+(round-4 verdict item 2 — the 82-entry per-query map outgrew the
+driver's tail capture and left BENCH_r04.json unparseable): the FINAL
+stdout line is a COMPACT summary JSON {"metric", "value" (total sec),
+"unit", "sf", "n_entries", extraction throughput fields, skew ratios,
+per-family subtotals}; the full per-query map goes to
+``bench/last_run.json`` (and is echoed on an earlier stdout line for
+humans reading the log).
 
 The flagship extraction number is measured over a deterministic
 synthetic Common-Crawl-style page corpus (seed 42, heavy-tailed sizes,
@@ -60,6 +65,8 @@ HEADLINE = [
     "hits", "anchor_rollup", "cdx_revisit", "frontier_schedule",
     "bpe_train", "bpe_segment", "within_doc_dedup", "c4_quality",
     "repetition_suite", "nb_quality",
+    # round-5 additions
+    "chunk_hybrid_trained",
     "tfidf_topk", "inverted_postings", "len_quantiles",
     "stream_len_quantiles", "mirror_hosts", "pmi_pairs",
     "cocitation", "degree_stats", "vocab_stats",
@@ -101,14 +108,54 @@ def _cpu_times() -> list[int]:
         return list(map(int, f.readline().split()[1:]))
 
 
-def synth_pages_path(spark, sf_tag: str, n: int, cpus: int) -> str:
+def synth_pages_path(spark, sf_tag: str, n: int, cpus: int,
+                     giant_every: int | None = None) -> str:
     from webextract.synth import GEN_VERSION
-    path = f"/tmp/webextract_bench/pages_v{GEN_VERSION}_sf{sf_tag}_n{n}"
+    tag = "" if giant_every is None else f"_giant{giant_every}"
+    path = f"/tmp/webextract_bench/pages_v{GEN_VERSION}_sf{sf_tag}_n{n}{tag}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from webextract.synth import pages_df
-        pages_df(spark, n, parallelism=cpus * 2).write.mode(
+        pages_df(spark, n, parallelism=cpus * 2,
+                 giant_every=giant_every).write.mode(
             "overwrite").parquet(path)
     return path
+
+
+# family buckets for the compact summary's subtotals (everything not
+# matched falls into "relational": TPC-H / events / table queries)
+_FAMILIES = (
+    ("extract", ("extract_", "skew_extract")),
+    ("media", ("media_",)),
+    ("stream", ("stream_",)),
+    ("dedup", ("dedup_", "line_dedup", "url_dedup", "within_doc",
+               "canonical_dedup", "skew_neardup", "mirror_hosts")),
+    ("embed", ("embed_",)),
+    ("chunk", ("chunk_",)),
+    ("quality", ("quality_", "c4_quality", "nb_quality", "lm_perplexity",
+                 "repetition_suite", "dsir_weights", "text_quality")),
+    ("graph", ("pagerank", "hits", "anchor_rollup", "cocitation",
+               "degree_stats")),
+    ("crawl", ("robots_", "parse_", "cdx_", "frontier_", "url_seen",
+               "sitemap", "page_metadata")),
+    ("tokenize", ("bpe_", "token_stats", "vocab_stats", "pmi_pairs",
+                  "pack_sequences", "len_quantiles", "text_normalize",
+                  "doc_fingerprints", "lang_id")),
+    ("retrieval", ("bm25_", "tfidf_", "inverted_",)),
+    ("sketch", ("sketch_", "heavy_hitters",)),
+    ("sample", ("weighted_sample", "sample_", "source_",)),
+)
+
+
+def _family_subtotals(timings: dict[str, float]) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = "relational"
+        for f, prefixes in _FAMILIES:
+            if any(name.startswith(p) or p in name for p in prefixes):
+                fam = f
+                break
+        out[fam] = round(out.get(fam, 0.0) + sec, 3)
+    return out
 
 
 def main() -> None:
@@ -195,22 +242,67 @@ def main() -> None:
     timings["skew_neardup_skewed"] = round(t_skew, 3)
     skew_ratio = round(t_skew / t_uni, 3)
 
+    # -- extraction skew stress (round-4 verdict item 7) ------------------
+    # one-giant-HTML-family twin: every doc on host site0 (doc_id%200==0,
+    # i.e. ONE host) becomes a 60k-word page so that host carries ~25-30%
+    # of corpus bytes; both variants run the split-tier pipeline
+    # (extracted_split_df, html_split=True, 256 KiB threshold) so the
+    # giant family fans out over cut-point segments instead of pinning
+    # tasks.  Blowup is PER-BYTE (the twin is a bigger corpus by
+    # construction): (t_skew/bytes_skew) / (t_uni/bytes_uni).
+    from webextract.split import extracted_split_df
+    skew_pages_pq = synth_pages_path(spark, sf_tag, n_synth, cpus,
+                                     giant_every=200)
+    skew_pages = spark.read.parquet(skew_pages_pq)
+    bytes_uni = pages.select(
+        F.sum(F.length("html"))).collect()[0][0] or 1
+    bytes_skew = skew_pages.select(
+        F.sum(F.length("html"))).collect()[0][0] or 1
+
+    def xsplit(src):
+        return extracted_split_df(src, cpus=cpus,
+                                  split_bytes=256 * 1024,
+                                  html_split=True)
+
+    tx_uni = tx_skew = float("inf")
+    for _sweep in range(2):  # interleaved A/B, same drift guard as above
+        tx_uni = min(tx_uni, _timed(lambda: xsplit(pages), passes=1))
+        tx_skew = min(tx_skew, _timed(lambda: xsplit(skew_pages),
+                                      passes=1))
+    timings["skew_extract_uniform"] = round(tx_uni, 3)
+    timings["skew_extract_skewed"] = round(tx_skew, 3)
+    extract_skew_ratio = round(
+        (tx_skew / bytes_skew) / (tx_uni / bytes_uni), 3)
+
     total = round(sum(timings.values()), 3)
     cpu1 = _cpu_times()
     d = [b - a for a, b in zip(cpu0, cpu1)]
     steal_pct = round(100 * d[7] / max(1, sum(d)), 2)
-    print(json.dumps({
+    summary = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf_tag,
+        "n_entries": len(timings),
         "extract_docs_per_sec": docs_per_sec,
         "extract_n_docs": n_synth,
         "skew_blowup_ratio": skew_ratio,
+        "extract_skew_blowup_ratio": extract_skew_ratio,
+        "extract_skew_bytes_ratio": round(bytes_skew / bytes_uni, 3),
+        "families": _family_subtotals(timings),
         "cpus": cpus,
         "host_steal_pct": steal_pct,
-    }))
+    }
+    full = dict(summary, queries=timings)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench", "last_run.json")
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    # per-query map first (humans reading the log), compact summary LAST
+    # (the machine-parsed line — keep it short, the driver captures a
+    # bounded stdout tail)
+    print(json.dumps({"queries": timings}))
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -80,3 +80,97 @@ def test_greedy_longest_match_semantics():
 def test_count_positive_and_bounded(w):
     n = subword_count(w)
     assert 1 <= n <= len(w)
+
+
+# ---------------------------------------------------------------------------
+# trained-vocab tokenizer (tokenizer="trained"): encode ≡ trainer,
+# pinned THROUGH the chunk boundary logic (round-4 verdict item 3)
+# ---------------------------------------------------------------------------
+
+def test_trained_counter_matches_trainer_segmentation(spark):
+    """chunk.make_trained_counter(merges) applied to the training
+    corpus' words must reproduce corpus.bpe_train's FINAL segmentation
+    lengths word-for-word (the encode≡trainer contract), and
+    corpus.bpe_segment (which now calls the same counter) must agree
+    per document."""
+    from webextract import corpus
+    from webextract.chunk import make_trained_counter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges_df = corpus.bpe_train(docs, n_merges=4)
+    table = tuple((r["lhs"], r["rhs"])
+                  for r in merges_df.orderBy("rank").collect())
+    assert len(table) == 4
+    count = make_trained_counter(table)
+
+    # per-word: replay == one more manual replay over raw symbols
+    words = [r["w"] for r in docs.selectExpr(
+        "explode(split(text, ' ')) AS w").distinct().limit(400).collect()]
+    for w in words:
+        if not all("!" <= ch <= "~" for ch in w) or not w:
+            assert count(w) == 1
+            continue
+        syms = list(w)
+        for lhs, rhs in table:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == lhs
+                        and syms[i + 1] == rhs):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        assert count(w) == len(syms), w
+
+    # per-doc: bpe_segment's n_tokens == sum of the chunker's counter
+    seg = {r["doc_id"]: r["n_tokens"]
+           for r in corpus.bpe_segment(docs, merges_df).collect()}
+    for r in docs.select("doc_id", "text").limit(50).collect():
+        words = (r["text"] or "").split(" ")
+        assert seg[r["doc_id"]] == sum(count(w) for w in words)
+
+
+def test_trained_chunker_boundaries_respect_budget(spark):
+    """Every chunk from tokenizer='trained' stays within max_tokens as
+    measured by the SAME trained counter, and re-measuring each emitted
+    chunk_text reproduces its recorded n_tokens — the budget decision
+    and the measure cannot drift (the hardwired-vocab defect this
+    replaces)."""
+    from webextract import corpus
+    from webextract.chunk import chunk_blocks_from_spans, make_trained_counter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    table = tuple((r["lhs"], r["rhs"]) for r in
+                  corpus.bpe_train(docs, n_merges=4).orderBy("rank")
+                  .collect())
+    count = make_trained_counter(table)
+    rows = docs.select("text").limit(30).collect()
+    for row in rows:
+        text = "H\n" + (row["text"] or "")
+        spans = [{"start": 0, "end": 1, "kind": "heading", "path": "h1"},
+                 {"start": 2, "end": len(text), "kind": "para",
+                  "path": "p"}]
+        chunks = chunk_blocks_from_spans(text, spans, "hybrid",
+                                         max_tokens=64,
+                                         tokenizer="trained",
+                                         merges=table)
+        body_words = text[2:].split()
+        emitted = []
+        for c in chunks:
+            got = sum(count(w) for w in c.text.split())
+            assert got == c.n_tokens
+            # single over-budget words may exceed; otherwise bounded
+            if len(c.text.split()) > 1:
+                assert c.n_tokens <= 64
+            emitted.extend(c.text.split())
+        assert emitted == body_words  # nothing lost or reordered
+
+
+def test_trained_counter_requires_merges():
+    from webextract.chunk import chunk_blocks_from_spans
+    with pytest.raises(ValueError):
+        chunk_blocks_from_spans("x", [{"start": 0, "end": 1,
+                                       "kind": "para", "path": "p"}],
+                                "hybrid", tokenizer="trained")

@@ -344,3 +344,155 @@ def test_compact_new_sort_column_backfills_kept(spark, tmp_path):
     assert all({"url", "doc_id"} <= set(v) for v in stats.values())
     # and the kept file's backfilled bounds are correct
     assert stats[big]["doc_id"] == [0, 2999]
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (round-4 verdict item 4): field-id rename + add with
+# NULL backfill, surviving compaction, CDC, scan pruning, time travel
+# ---------------------------------------------------------------------------
+
+def _commit_frame(tbl, spark, df, part_id, stats=()):
+    import os
+    out = tbl.staging_dir(f"w{part_id}", 0)
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                   if fn.endswith(".parquet")
+                   and not fn.startswith((".", "_")))
+    return tbl.commit(f"w{part_id}",
+                      [{"part_id": part_id, "files": files,
+                        "counters": {}}], "t", stats_cols=tuple(stats))
+
+
+def _evo_table(spark, tmp_path):
+    tbl = IceTable(str(tmp_path / "evo"))
+    tbl.init_schema([("doc_id", "bigint"), ("url", "string")])
+    v0 = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 4, "0"))
+        .alias("url"))
+    _commit_frame(tbl, spark, v0, 0, stats=("url",))
+    snap_v0 = tbl.current_snapshot_id()
+    tbl.rename_column("url", "page_url")
+    tbl.add_column("quality", "bigint")
+    v2 = spark.range(100, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 4, "0"))
+        .alias("page_url"),
+        (F.col("id") % 7).cast("bigint").alias("quality"))
+    _commit_frame(tbl, spark, v2, 1, stats=("page_url",))
+    return tbl, snap_v0
+
+
+def test_schema_evolution_mapped_read_and_backfill(spark, tmp_path):
+    tbl, _ = _evo_table(spark, tmp_path)
+    df = tbl.read(spark)
+    assert set(df.columns) == {"doc_id", "page_url", "quality"}
+    rows = {r["doc_id"]: (r["page_url"], r["quality"])
+            for r in df.collect()}
+    assert len(rows) == 200
+    assert rows[5] == ("u0005", None)          # old file: NULL backfill
+    assert rows[150] == ("u0150", 150 % 7)     # new file: real value
+
+
+def test_schema_evolution_cdc_across_boundary(spark, tmp_path):
+    tbl, snap_v0 = _evo_table(spark, tmp_path)
+    inc = tbl.read_changes(spark, since=snap_v0)
+    got = sorted(r["doc_id"] for r in inc.collect())
+    assert got == list(range(100, 200))
+    assert set(inc.columns) == {"doc_id", "page_url", "quality"}
+
+
+def test_schema_evolution_partial_compaction_keeps_file_schemas(
+        spark, tmp_path, monkeypatch):
+    """A kept (not rewritten) old-schema file must still resolve the
+    rename on every read after the rewrite snapshot — the per-file
+    schema ids ride in the rewrite partition's file_schemas."""
+    import os
+    tbl, _ = _evo_table(spark, tmp_path)
+    files = tbl.data_files()
+    sizes = {f: os.path.getsize(f) for f in files}
+    # force: old v0 file "kept" (pretend it is large), new file small
+    v0_file = tbl.data_files_with_schema()[-1]
+    # target so that only some files rewrite: keep the largest
+    big = max(files, key=lambda f: sizes[f])
+    real_getsize = os.path.getsize
+    monkeypatch.setattr(
+        "os.path.getsize",
+        lambda p: (10 << 30) if p == big else real_getsize(p))
+    # add one more small v2 wave so >=2 small files exist
+    extra = spark.range(200, 220).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 4, "0"))
+        .alias("page_url"),
+        (F.col("id") % 7).cast("bigint").alias("quality"))
+    _commit_frame(tbl, spark, extra, 2, stats=("page_url",))
+    res = tbl.compact(spark, target_file_bytes=64 << 20,
+                      committed_at="t")
+    assert res["snapshot_id"] and res["kept"] >= 1
+    df = tbl.read(spark)
+    assert set(df.columns) == {"doc_id", "page_url", "quality"}
+    assert df.count() == 220
+    # the kept file's rows still resolve through its own schema id
+    rows = {r["doc_id"]: r["page_url"] for r in df.collect()}
+    assert rows[0] == "u0000" and rows[219] == "u0219"
+
+
+def test_schema_evolution_scan_prunes_through_rename(spark, tmp_path):
+    tbl, _ = _evo_table(spark, tmp_path)
+    import os
+    # more waves so the sorted rewrite yields SEVERAL disjoint-range
+    # output files (one output file can never demonstrate pruning)
+    for w in range(2, 8):
+        extra = spark.range(w * 100, w * 100 + 100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("u"),
+                     F.lpad(F.col("id").cast("string"), 4, "0"))
+            .alias("page_url"),
+            (F.col("id") % 7).cast("bigint").alias("quality"))
+        _commit_frame(tbl, spark, extra, w, stats=("page_url",))
+    sizes = [os.path.getsize(f) for f in tbl.data_files()]
+    tbl.compact(spark, target_file_bytes=2 * max(sizes) + 2,
+                committed_at="t", sort_by="page_url")
+    df, scanned, total = tbl.scan(spark, "page_url", "u0010", "u0019")
+    got = sorted(r["doc_id"] for r in df.collect())
+    assert got == list(range(10, 20))
+    assert scanned < total  # sorted layout actually pruned
+
+
+def test_schema_evolution_scan_skips_prenatal_files(spark, tmp_path):
+    """Range scan on a column added AFTER a file was written prunes
+    that file wholesale (all rows would be NULL)."""
+    tbl, _ = _evo_table(spark, tmp_path)
+    df, scanned, total = tbl.scan(spark, "quality", 0, 6)
+    assert scanned < total
+    got = sorted(r["doc_id"] for r in df.collect())
+    assert got == list(range(100, 200))
+
+
+def test_schema_evolution_time_travel_old_snapshot(spark, tmp_path):
+    """as_of an old snapshot still projects to the CURRENT schema
+    (Iceberg: schema is table metadata, not snapshot state)."""
+    tbl, snap_v0 = _evo_table(spark, tmp_path)
+    df = tbl.read(spark, as_of=snap_v0)
+    assert set(df.columns) == {"doc_id", "page_url", "quality"}
+    assert df.count() == 100
+
+
+def test_schema_evolution_errors(spark, tmp_path):
+    import pytest
+    tbl = IceTable(str(tmp_path / "err"))
+    with pytest.raises(ValueError):
+        tbl.add_column("x", "int")          # init first
+    tbl.init_schema([("a", "bigint")])
+    with pytest.raises(ValueError):
+        tbl.init_schema([("a", "bigint")])  # double init
+    with pytest.raises(ValueError):
+        tbl.add_column("a", "int")          # duplicate name
+    with pytest.raises(ValueError):
+        tbl.rename_column("zz", "b")        # unknown column
+    tbl.add_column("b", "string")
+    with pytest.raises(ValueError):
+        tbl.rename_column("a", "b")         # collision
+    assert [f["name"] for f in tbl.current_schema()["fields"]] \
+        == ["a", "b"]
+    assert tbl.current_schema()["schema_id"] == 1  # init=0, +b=1

@@ -23,6 +23,17 @@ Token rules (each defined once, SQL-expressible for the DuckDB oracle):
   greedy longest-match-at-each-position, which is what the Python
   kernel computes (test_chunk_tokenizer cross-checks all three).
 
+* ``tokenizer="trained"`` — tokens counted against a TRAINED BPE merge
+  table (corpus.bpe_train's output, round-4 verdict item 3): the
+  chunker is tokenizer-PARAMETERIZED exactly like the reference's
+  HybridChunker, where a model name selects the vocabulary
+  (app.py:42-47,1145-1150; datamodel/requests.py:109-130) — here the
+  vocabulary artifact is the corpus-trained merge table instead of a
+  pinned constant.  Per-word count = the trainer's replay semantics
+  (merges applied in rank order, left-to-right non-overlapping), ONE
+  implementation shared with corpus.bpe_segment so the chunker's
+  token measure can never drift from the trainer's segmentation.
+
 A chunk never exceeds ``max_tokens`` measured tokens; oversized single
 blocks split greedily into maximal windows under the budget; with
 ``merge_peers`` (reference default true) consecutive small blocks under
@@ -32,6 +43,8 @@ alone.
 
 from __future__ import annotations
 
+import re
+from collections.abc import Callable
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -89,6 +102,53 @@ def subword_count(w: str) -> int:
     return n
 
 
+# Trained-vocab admission universe — identical to corpus._BPE_WORD_RE
+# (printable ASCII; pins byte-lexicographic tie-breaks engine-identical).
+# Defined HERE so corpus.bpe_segment and the chunker share one replay
+# implementation (the encode≡trainer contract crosses both).
+BPE_WORD_RE = re.compile(r"^[!-~]+$")
+
+
+def make_trained_counter(
+        merges: tuple[tuple[str, str], ...]) -> Callable[[str], int]:
+    """Per-word token counter for a trained BPE merge table (rank
+    order): replay each merge left-to-right non-overlapping over the
+    word's symbol list — exactly corpus.bpe_train's re-segmentation —
+    and count surviving symbols.  Words outside the trainer's
+    printable-ASCII universe count 1 (unknown token).  Memoized per
+    vocabulary via a plain dict (NOT lru_cache: the closure ships to
+    executors in the mapInArrow task closure, and cloudpickle cannot
+    pickle an lru_cache-wrapped local — the dict is vocab-bounded the
+    same way)."""
+    table = tuple(merges)
+    cache: dict[str, int] = {}
+
+    def count(w: str) -> int:
+        c = cache.get(w)
+        if c is not None:
+            return c
+        if not BPE_WORD_RE.match(w):
+            cache[w] = 1
+            return 1
+        syms = list(w)
+        for lhs, rhs in table:
+            out, i = [], 0
+            lr = lhs + rhs
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == lhs
+                        and syms[i + 1] == rhs):
+                    out.append(lr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[w] = len(syms)
+        return len(syms)
+
+    return count
+
+
 @dataclass
 class Chunk:
     idx: int
@@ -97,33 +157,42 @@ class Chunk:
     n_tokens: int
 
 
-def _wcost(w: str) -> int:
-    """Subword cost of one word = the real tokenizer's piece count
-    (was ceil(len/4) before round 4 — an estimate, not tokenization)."""
-    return subword_count(w)
-
-
-def _measure(tokens: list[str], tokenizer: str) -> int:
+def _cost_fn(tokenizer: str,
+             merges: tuple[tuple[str, str], ...] | None
+             ) -> Callable[[str], int] | None:
+    """None for whitespace words (cost == 1 each); else the per-word
+    subword cost — the fixed merge table ("subword") or a trained one
+    ("trained")."""
     if tokenizer == "subword":
-        return sum(_wcost(w) for w in tokens)
+        return subword_count
+    if tokenizer == "trained":
+        if merges is None:
+            raise ValueError("tokenizer='trained' needs a merge table")
+        return make_trained_counter(merges)
+    return None
+
+
+def _measure(tokens: list[str], cost: Callable[[str], int] | None) -> int:
+    if cost is not None:
+        return sum(cost(w) for w in tokens)
     return len(tokens)
 
 
 def _windows(tokens: list[str], max_tokens: int,
-             tokenizer: str) -> list[list[str]]:
+             cost: Callable[[str], int] | None) -> list[list[str]]:
     """Greedy maximal windows under the budget (each window keeps at
     least one token, so a single over-budget word still emits)."""
-    if tokenizer != "subword":
+    if cost is None:
         return [tokens[i:i + max_tokens]
                 for i in range(0, len(tokens), max_tokens)]
-    out, cur, cost = [], [], 0
+    out, cur, acc = [], [], 0
     for w in tokens:
-        c = _wcost(w)
-        if cur and cost + c > max_tokens:
+        c = cost(w)
+        if cur and acc + c > max_tokens:
             out.append(cur)
-            cur, cost = [], 0
+            cur, acc = [], 0
         cur.append(w)
-        cost += c
+        acc += c
     if cur:
         out.append(cur)
     return out
@@ -132,20 +201,24 @@ def _windows(tokens: list[str], max_tokens: int,
 def chunk_blocks_from_spans(text: str, spans: list[dict], chunker: str,
                             max_tokens: int = 256,
                             tokenizer: str = "word",
-                            merge_peers: bool = True) -> list[Chunk]:
+                            merge_peers: bool = True,
+                            merges: tuple[tuple[str, str], ...] | None = None
+                            ) -> list[Chunk]:
     """spans = [{start,end,kind,path}] into ``text`` (extract.py output).
 
     hybrid: headings set context; content blocks merge up to max_tokens
     (merge_peers), oversized blocks split into measured windows.
     hierarchical: one chunk per content block, heading-path metadata.
+    ``merges``: trained merge table for tokenizer="trained".
     """
+    cost = _cost_fn(tokenizer, merges)
     chunks: list[Chunk] = []
     heading = ""
 
     def emit(tokens: list[str]) -> None:
         if tokens:
             chunks.append(Chunk(len(chunks), " ".join(tokens), heading,
-                                _measure(tokens, tokenizer)))
+                                _measure(tokens, cost)))
 
     if chunker == "hierarchical":
         for s in spans:
@@ -167,17 +240,17 @@ def chunk_blocks_from_spans(text: str, spans: list[dict], chunker: str,
             heading = seg
             continue
         toks = seg.split()
-        cost = _measure(toks, tokenizer)
-        if cost > max_tokens:
+        seg_cost = _measure(toks, cost)
+        if seg_cost > max_tokens:
             emit(acc)
             acc, acc_cost = [], 0
-            for w in _windows(toks, max_tokens, tokenizer):
+            for w in _windows(toks, max_tokens, cost):
                 emit(w)
             continue
-        if acc and (not merge_peers or acc_cost + cost > max_tokens):
+        if acc and (not merge_peers or acc_cost + seg_cost > max_tokens):
             emit(acc)
             acc, acc_cost = [], 0
         acc.extend(toks)
-        acc_cost += cost
+        acc_cost += seg_cost
     emit(acc)
     return chunks

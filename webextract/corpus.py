@@ -2966,30 +2966,17 @@ def bpe_segment(docs: DataFrame, merges: DataFrame) -> DataFrame:
     once and shipped inside one narrow Arrow kernel (mapInArrow, zero
     shuffle — the extraction kernel pattern); per batch the replay
     runs once per DISTINCT word (pandas unique) and fans back out, so
-    the per-batch cost tracks vocabulary, not length."""
+    the per-batch cost tracks vocabulary, not length.
+
+    The per-word replay is chunk.make_trained_counter — ONE
+    implementation shared with the tokenizer-parameterized
+    HybridChunker (tokenizer="trained"), so encode counts and the
+    chunker's token measure can never drift apart."""
     import pyarrow as pa_
 
-    import re as re_
-    word_re = re_.compile(_BPE_WORD_RE)
-    table = [(r["lhs"], r["rhs"])
-             for r in merges.orderBy("rank").collect()]
-
-    def enc(word: str) -> int:
-        if not word_re.match(word):
-            return 1
-        syms = list(word)
-        for lhs, rhs in table:
-            out, i, lr = [], 0, lhs + rhs
-            while i < len(syms):
-                if (i + 1 < len(syms) and syms[i] == lhs
-                        and syms[i + 1] == rhs):
-                    out.append(lr)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        return len(syms)
+    from .chunk import make_trained_counter
+    enc = make_trained_counter(tuple(
+        (r["lhs"], r["rhs"]) for r in merges.orderBy("rank").collect()))
 
     def kern(batches):
         for b in batches:

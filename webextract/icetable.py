@@ -41,6 +41,201 @@ class IceTable:
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.files_dir, exist_ok=True)
 
+    # -- schema evolution (Iceberg field-id model) ------------------------
+    # A schema is {"schema_id": n, "fields": [{"id", "name", "type"}]}.
+    # Field IDs are permanent: rename changes a field's NAME but keeps
+    # its id; add_column assigns a fresh id.  Data files are written
+    # under the names of the schema current at COMMIT time (the
+    # snapshot records schema_id), and reads RESOLVE each live file's
+    # columns to the current schema through field ids — old files get
+    # NULL backfill for fields added after they were written, renamed
+    # fields read under their write-time name.  Tables that never call
+    # init_schema behave exactly as before (schema-oblivious).
+    # Reference precedent: Iceberg's schema evolution spec, which
+    # SURVEY.md §7 commits to emulating API-shaped.
+
+    @property
+    def _schema_ptr(self) -> str:
+        return os.path.join(self.meta_dir, "_SCHEMA")
+
+    def current_schema_id(self) -> int | None:
+        try:
+            with open(self._schema_ptr) as f:
+                txt = f.read().strip()
+                return int(txt) if txt else None
+        except FileNotFoundError:
+            return None
+
+    def _schema(self, schema_id: int) -> dict:
+        with open(os.path.join(self.meta_dir,
+                               f"schema-{schema_id}.json")) as f:
+            return json.load(f)
+
+    def current_schema(self) -> dict | None:
+        sid = self.current_schema_id()
+        return self._schema(sid) if sid is not None else None
+
+    def _write_schema(self, schema: dict) -> int:
+        """Atomic schema append + pointer swap (same discipline as
+        snapshot commit; callers hold the commit lock)."""
+        sid = schema["schema_id"]
+        path = os.path.join(self.meta_dir, f"schema-{sid}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(schema, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        ptmp = self._schema_ptr + ".tmp"
+        with open(ptmp, "w") as f:
+            f.write(str(sid))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptmp, self._schema_ptr)
+        return sid
+
+    def init_schema(self, fields: list[tuple[str, str]]) -> int:
+        """Declare schema v0: [(name, spark_type)].  Field ids are
+        assigned 1..n in order."""
+        if self.current_schema_id() is not None:
+            raise ValueError("schema already initialized")
+        lock = self._commit_lock()
+        try:
+            return self._write_schema({
+                "schema_id": 0,
+                "fields": [{"id": i + 1, "name": n, "type": t}
+                           for i, (n, t) in enumerate(fields)]})
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def _evolve(self, mutate) -> int:
+        lock = self._commit_lock()
+        try:
+            cur = self.current_schema()
+            if cur is None:
+                raise ValueError("init_schema first")
+            fields = [dict(f) for f in cur["fields"]]
+            mutate(fields)
+            return self._write_schema(
+                {"schema_id": cur["schema_id"] + 1, "fields": fields})
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """Schema evolution: append a column (fresh field id).  Old
+        files backfill NULL on read — no data rewrite, the Iceberg
+        contract."""
+        def mutate(fields):
+            if any(f["name"] == name for f in fields):
+                raise ValueError(f"column {name!r} exists")
+            nid = max(f["id"] for f in fields) + 1
+            fields.append({"id": nid, "name": name, "type": dtype})
+        return self._evolve(mutate)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Schema evolution: rename keeps the field id, so files
+        written under the old name keep resolving (no data rewrite)."""
+        def mutate(fields):
+            if any(f["name"] == new for f in fields):
+                raise ValueError(f"column {new!r} exists")
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+                    return
+            raise ValueError(f"no column {old!r}")
+        return self._evolve(mutate)
+
+    def _current_name(self, write_name: str, file_schema_id: int | None
+                      ) -> str | None:
+        """Write-time column name -> its current-schema name (None if
+        the field no longer resolves).  Inverse of _resolve_name."""
+        cur = self.current_schema()
+        if cur is None:
+            return write_name
+        hist = self._schema(file_schema_id if file_schema_id is not None
+                            else 0)
+        fid = next((f["id"] for f in hist["fields"]
+                    if f["name"] == write_name), None)
+        if fid is None:
+            return None
+        return next((f["name"] for f in cur["fields"]
+                     if f["id"] == fid), None)
+
+    def _resolve_name(self, cur_name: str, file_schema_id: int | None
+                      ) -> str | None:
+        """Current-schema column name -> the name it had in the schema
+        a file was written under (None if the field did not exist yet).
+        Schema-oblivious tables (or pre-schema snapshots) resolve to
+        the same name."""
+        cur = self.current_schema()
+        if cur is None:
+            return cur_name
+        fid = next((f["id"] for f in cur["fields"]
+                    if f["name"] == cur_name), None)
+        if fid is None:
+            raise ValueError(f"no column {cur_name!r} in current schema")
+        hist = self._schema(file_schema_id if file_schema_id is not None
+                            else 0)
+        return next((f["name"] for f in hist["fields"]
+                     if f["id"] == fid), None)
+
+    def _mapped_df(self, spark, files: list[str],
+                   schema_id: int | None):
+        """Read files written under ``schema_id`` and project them to
+        the CURRENT schema: renamed fields resolve by field id, fields
+        newer than the file backfill NULL (typed)."""
+        from pyspark.sql import functions as SF
+        cur = self.current_schema()
+        df = spark.read.parquet(*files)
+        if cur is None:
+            return df
+        hist = self._schema(schema_id if schema_id is not None else 0)
+        by_id = {f["id"]: f for f in hist["fields"]}
+        cols = []
+        for f in cur["fields"]:
+            h = by_id.get(f["id"])
+            if h is None:
+                cols.append(SF.lit(None).cast(f["type"]).alias(f["name"]))
+            else:
+                cols.append(SF.col(h["name"]).alias(f["name"]))
+        return df.select(*cols)
+
+    def _read_mapped(self, spark, files_with_schema: list[tuple[str,
+                                                                int | None]]):
+        """Union of per-schema-version mapped reads — ONE spark.read
+        per distinct write-time schema, not per file."""
+        groups: dict = {}
+        for f, sid in files_with_schema:
+            groups.setdefault(sid, []).append(f)
+        dfs = [self._mapped_df(spark, fs, sid)
+               for sid, fs in sorted(groups.items(),
+                                     key=lambda kv: (kv[0] is None,
+                                                     kv[0] or 0))]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def data_files_with_schema(self, as_of: str | None = None
+                               ) -> list[tuple[str, int | None]]:
+        """Live (file, write-time schema_id) pairs — the schema-aware
+        twin of data_files()."""
+        out = []
+        for s in self.snapshots(as_of):
+            sid = s.get("schema_id")
+            for p in s["partitions"]:
+                fsch = p.get("file_schemas") or {}
+                out.extend((f, fsch.get(f, sid)) for f in p["files"])
+            if s.get("rewrite"):
+                break
+        return out
+
     # -- snapshot chain -------------------------------------------------
     @property
     def _current_path(self) -> str:
@@ -157,24 +352,35 @@ class IceTable:
         the prune ratio)."""
         from pyspark.sql import functions as SF
         stats = self.data_file_stats(as_of)
-        files = list(stats)
-        picked = [f for f in files
-                  if col not in stats[f]
-                  or not (stats[f][col][1] < lo or stats[f][col][0] > hi)]
+        fws = self.data_files_with_schema(as_of)
+        picked = []
+        for f, sid in fws:
+            wname = self._resolve_name(col, sid)
+            if wname is None:
+                # field added after this file was written: every row
+                # backfills NULL, which a range predicate can't match —
+                # prune the whole file (exactly Iceberg's behavior)
+                continue
+            st = stats.get(f, {})
+            if wname not in st or not (st[wname][1] < lo
+                                       or st[wname][0] > hi):
+                picked.append((f, sid))
         if not picked:
-            return None, 0, len(files)
-        df = (spark.read.parquet(*picked)
+            return None, 0, len(fws)
+        df = (self._read_mapped(spark, picked)
               .filter(SF.col(col).between(lo, hi)))
-        return df, len(picked), len(files)
+        return df, len(picked), len(fws)
 
     def read(self, spark, as_of: str | None = None):
         """Read the table (optionally time-traveled to snapshot id
         ``as_of``) — only manifest-listed files, never a directory
-        listing, so orphans from killed runs are invisible."""
-        files = self.data_files(as_of)
-        if not files:
+        listing, so orphans from killed runs are invisible.  With a
+        declared schema, every file is projected to the CURRENT
+        schema (field-id rename resolution + NULL backfill)."""
+        fws = self.data_files_with_schema(as_of)
+        if not fws:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
-        return spark.read.parquet(*files)
+        return self._read_mapped(spark, fws)
 
     def lineage(self) -> list[dict]:
         """Per-partition lineage rows (FIXTURES.md §5) across snapshots.
@@ -294,6 +500,13 @@ class IceTable:
                     "committed_at": committed_at,
                     "versions": versions or {},
                     "partitions": partitions}
+            sid = self.current_schema_id()
+            if sid is not None:
+                # files in this snapshot were written under the
+                # current schema's names (per-file overrides via a
+                # partition's "file_schemas" — rewrite snapshots
+                # carrying older files forward)
+                snap["schema_id"] = sid
             if rewrite:
                 snap["rewrite"] = True
                 snap["carried_parts"] = sorted(carried_parts or [])
@@ -330,9 +543,17 @@ class IceTable:
         ``since=None`` bootstrap short-circuits to the live file set:
         a consumer that has seen nothing cannot double-count, so the
         rewrite guard must not fire (round-4 review)."""
+        return [f for f, _ in self.changed_files_with_schema(since, as_of)]
+
+    def changed_files_with_schema(self, since: str | None,
+                                  as_of: str | None = None
+                                  ) -> list[tuple[str, int | None]]:
+        """(file, write-time schema_id) twin of changed_files — the CDC
+        read must resolve old-schema files to the current schema just
+        like the full read (schema evolution mid-window is legal)."""
         if since is None:
-            return self.data_files(as_of)
-        out = []
+            return self.data_files_with_schema(as_of)
+        out: list[tuple[str, int | None]] = []
         for s in self.snapshots(as_of):
             if s["snapshot_id"] == since:
                 return out
@@ -341,20 +562,21 @@ class IceTable:
                     f"snapshot window crosses rewrite "
                     f"{s['snapshot_id']}; incremental read is invalid — "
                     f"re-read the full table")
+            sid = s.get("schema_id")
             for p in s["partitions"]:
-                out.extend(p["files"])
-        if since is not None:
-            raise ValueError(f"snapshot {since} not in the current "
-                             f"chain (expired?)")
-        return out
+                fsch = p.get("file_schemas") or {}
+                out.extend((f, fsch.get(f, sid)) for f in p["files"])
+        raise ValueError(f"snapshot {since} not in the current "
+                         f"chain (expired?)")
 
     def read_changes(self, spark, since: str | None,
                      as_of: str | None = None):
-        """Incremental read: rows appended after snapshot ``since``."""
-        files = self.changed_files(since, as_of)
-        if not files:
+        """Incremental read: rows appended after snapshot ``since``,
+        projected to the current schema."""
+        fws = self.changed_files_with_schema(since, as_of)
+        if not fws:
             return None
-        return spark.read.parquet(*files)
+        return self._read_mapped(spark, fws)
 
     # -- maintenance ------------------------------------------------------
     def compact(self, spark, target_file_bytes: int = 128 << 20,
@@ -400,7 +622,9 @@ class IceTable:
         footer read of the kept files, the price of making them
         prunable on it (second-review)."""
         base = self.current_snapshot_id()
-        files = self.data_files(as_of=base)
+        fws = self.data_files_with_schema(as_of=base)
+        sid_of = dict(fws)
+        files = [f for f, _ in fws]
         sizes = {f: os.path.getsize(f) for f in files}
         small = [f for f in files if sizes[f] < target_file_bytes // 2]
         if len(small) < 2:
@@ -411,7 +635,10 @@ class IceTable:
                          // target_file_bytes))
         run_id = "compact-" + uuid.uuid4().hex[:8]
         out_dir = self.staging_dir(run_id, 0)
-        df = spark.read.parquet(*small)
+        # schema-mapped read: rewritten rows come out under the CURRENT
+        # schema's names (rename applied, added columns NULL-backfilled)
+        # — compaction is where old-schema files physically converge
+        df = self._read_mapped(spark, [(f, sid_of[f]) for f in small])
         if sort_by:
             df = (df.repartitionByRange(n_out, sort_by)
                   .sortWithinPartitions(sort_by))
@@ -422,9 +649,13 @@ class IceTable:
             os.path.join(out_dir, fn) for fn in os.listdir(out_dir)
             if fn.endswith(".parquet") and not fn.startswith((".", "_")))
         if stats_cols is None:
-            tracked = tuple(sorted(
-                {c for st in self.data_file_stats(as_of=base).values()
-                 for c in st}))
+            # stats keys are write-time names: map each through its
+            # file's schema to the CURRENT name before unioning, so a
+            # renamed tracked column stays tracked under its new name
+            prior_all = self.data_file_stats(as_of=base)
+            tracked = tuple(sorted({
+                cn for f, st in prior_all.items() for c in st
+                if (cn := self._current_name(c, sid_of.get(f)))}))
         else:
             tracked = stats_cols
         # a rewrite snapshot STOPS the stats walk, so it must
@@ -443,16 +674,23 @@ class IceTable:
         while True:
             prior = self.data_file_stats(as_of=base)
             try:
+                part = {"part_id": -1, "files": keep + new_files,
+                        "counters": {},
+                        # kept files' bounds copied forward — commit()
+                        # footer-reads only columns still missing
+                        "file_stats": {
+                            **{f: prior[f] for f in keep
+                               if prior.get(f)},
+                            **new_stats}}
+                # kept files keep their own write-time schema ids (the
+                # rewrite snapshot's schema_id covers only the files it
+                # actually rewrote under the current schema)
+                fsch = {f: sid_of[f] for f in keep
+                        if sid_of.get(f) is not None}
+                if fsch:
+                    part["file_schemas"] = fsch
                 snap_id = self.commit(
-                    run_id,
-                    [{"part_id": -1, "files": keep + new_files,
-                      "counters": {},
-                      # kept files' bounds copied forward — commit()
-                      # footer-reads only columns still missing
-                      "file_stats": {
-                          **{f: prior[f] for f in keep
-                             if prior.get(f)},
-                          **new_stats}}],
+                    run_id, [part],
                     committed_at, versions, rewrite=True,
                     carried_parts=sorted(self.committed_parts(as_of=base)),
                     expected_parent=base,
@@ -465,7 +703,9 @@ class IceTable:
                 # is stale; the staged outputs stay orphans until GC.
                 # The folded wave's stats are re-derived from the new
                 # head on the next pass (prior is rebuilt per attempt).
-                keep.extend(self.changed_files(base, as_of=head))
+                folded = self.changed_files_with_schema(base, as_of=head)
+                keep.extend(f for f, _ in folded)
+                sid_of.update(folded)
                 base = head
         return {"rewritten": len(small), "kept": len(keep),
                 "new_files": len(new_files), "snapshot_id": snap_id}

@@ -177,12 +177,16 @@ def metadata_df(pages: DataFrame) -> DataFrame:
 
 def chunks_df(extracted: DataFrame, chunker: str = "hybrid",
               max_tokens: int = 256, tokenizer: str = "word",
-              merge_peers: bool = True) -> DataFrame:
+              merge_peers: bool = True,
+              merges: tuple[tuple[str, str], ...] | None = None
+              ) -> DataFrame:
     """Extracted frame -> exploded chunk rows (K1/K2). Narrow: chunking
-    is per-document, no shuffle (SURVEY.md §3.3)."""
+    is per-document, no shuffle (SURVEY.md §3.3).  ``merges``: trained
+    BPE merge table for tokenizer="trained" (chunk.py docstring)."""
     src = extracted.select("url", "text", "spans")
     return src.mapInArrow(
-        make_chunk_kernel(chunker, max_tokens, tokenizer, merge_peers),
+        make_chunk_kernel(chunker, max_tokens, tokenizer, merge_peers,
+                          merges),
         CHUNK_SCHEMA_DDL)
 
 

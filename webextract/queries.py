@@ -404,6 +404,30 @@ def q_chunk_hierarchical(spark, sf_dir):
             .select("doc_id", "chunk_idx", "chunk_text", "heading", "n_tokens"))
 
 
+def q_chunk_hybrid_trained(spark, sf_dir):
+    """K1 with a TRAINED vocabulary (round-4 verdict item 3): bpe_train
+    learns a 4-round merge table from the corpus, and the HybridChunker
+    counts max_tokens against THAT vocabulary — the reference's
+    tokenizer-parameterized chunker where a model name selects the
+    vocab (app.py:42-47,1145-1150; datamodel/requests.py:109-130),
+    with the trained merge-table artifact in the model-name slot.
+    The merge table is an n_merges-row catalog artifact (collected
+    once, shipped in the kernel closure — never a shuffle).  The
+    oracle replays the identical 4 training rounds in SQL, then packs
+    with the trained per-word counts."""
+    docs = _read(spark, sf_dir, "documents")
+    merges = tuple(
+        (r["lhs"], r["rhs"])
+        for r in corpus.bpe_train(docs, n_merges=4).orderBy("rank")
+        .collect())
+    out = _extract(spark, sf_dir)
+    return (chunks_df(out, "hybrid", 64, tokenizer="trained",
+                      merges=merges)
+            .withColumn("doc_id", F.substring("url", 7, 20).cast("bigint"))
+            .select("doc_id", "chunk_idx", "chunk_text", "heading",
+                    "n_tokens"))
+
+
 def q_chunk_hybrid_subword(spark, sf_dir):
     """K1 tokenizer-aware variant: max_tokens counts REAL subword
     pieces — greedy longest-match against the fixed BPE-style merge
@@ -658,8 +682,9 @@ def q_pmi_pairs(spark, sf_dir):
 
 def q_mirror_hosts(spark, sf_dir):
     """Mirror-site detection over augmented docs: every 5th doc's text
-    collapses to one of 20 shared mirror pages, so hosts serving the
-    same mirror page become candidate pairs; the >=3-shared-docs bar
+    collapses to one of 4 shared mirror pages (doc_id%5==0 constrains
+    doc_id%20 to {0,5,10,15} — ADVICE r4), so hosts serving the same
+    mirror page become candidate pairs; the >=3-shared-docs bar
     and the boilerplate host-cap both exercise on real source fan-out."""
     d = _read(spark, sf_dir, "documents")
     t = (F.when(F.col("doc_id") % 5 == 0,
@@ -1012,6 +1037,67 @@ def q_table_scan_prune(spark, sf_dir):
     if df is None:   # every file pruned: empty result, schema kept
         return d.select("doc_id", "url").limit(0)
     return df.select("doc_id", "url")
+
+
+def q_table_schema_evolution(spark, sf_dir):
+    """Schema-evolution driver gate (round-4 verdict item 4, Iceberg
+    field-id model): two waves commit under schema v0 (doc_id, url),
+    the table evolves — rename url->page_url (field id kept) + add
+    quality (fresh id, NULL backfill) — two more waves commit under
+    the evolved schema, then THREE read surfaces must answer over the
+    union: the full mapped read (old files resolve the rename and
+    backfill NULL), the CDC read since the v0 head (read_changes
+    across the evolution boundary), and the stats-pruned range scan
+    AFTER a sorted compaction (tracked-bounds names mapped through the
+    rename, old files physically rewritten under the current schema).
+    One oracle covers all three as tagged unions."""
+    import hashlib
+    import os
+    import shutil
+
+    from .icetable import IceTable
+
+    tag = hashlib.md5(("evo" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_iceevo_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = IceTable(base)
+    tbl.init_schema([("doc_id", "bigint"), ("url", "string")])
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("u"), F.lpad(F.col("doc_id").cast("string"),
+                                    7, "0")).alias("url"))
+
+    def commit_wave(w, df, stats):
+        out = tbl.staging_dir(f"w{w}", 0)
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                       if fn.endswith(".parquet")
+                       and not fn.startswith((".", "_")))
+        tbl.commit(f"w{w}", [{"part_id": w, "files": files,
+                              "counters": {}}], "t", stats_cols=stats)
+
+    for w in (0, 1):
+        commit_wave(w, d.filter(F.col("doc_id") % 4 == w), ("url",))
+    snap_v0 = tbl.current_snapshot_id()
+    tbl.rename_column("url", "page_url")
+    tbl.add_column("quality", "bigint")
+    d2 = (d.withColumnRenamed("url", "page_url")
+          .withColumn("quality", (F.col("doc_id") % 100).cast("bigint")))
+    for w in (2, 3):
+        commit_wave(w, d2.filter(F.col("doc_id") % 4 == w),
+                    ("page_url",))
+    full = tbl.read(spark).select("doc_id", "page_url", "quality")
+    cdc = (tbl.read_changes(spark, since=snap_v0)
+           .select("doc_id", "page_url", "quality"))
+    sizes = [os.path.getsize(f) for f in tbl.data_files()]
+    tbl.compact(spark, target_file_bytes=2 * max(sizes) + 2,
+                committed_at="t", sort_by="page_url")
+    sdf, _, _ = tbl.scan(spark, "page_url", "u0000100", "u0000299")
+    scan = (sdf.select("doc_id", "page_url", "quality")
+            if sdf is not None else full.limit(0))
+    return (full.withColumn("src", F.lit("full"))
+            .unionByName(cdc.withColumn("src", F.lit("cdc")))
+            .unionByName(scan.withColumn("src", F.lit("scan"))))
 
 
 def q_stream_bloom(spark, sf_dir):
@@ -2005,6 +2091,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     # --- changed this round (real subword tokenizer) ---
     "chunk_hybrid_subword": q_chunk_hybrid_subword,
+    "chunk_hybrid_trained": q_chunk_hybrid_trained,
     # --- family representatives kept in-window ---
     # (chunk_hybrid / quality_gopher rotated past the cap late in
     # round 4 for dedup_incremental + events_asof — both r3-green with
@@ -2044,6 +2131,7 @@ QUERIES = {
     # dedup by the in-window incremental/PQ/line/url gates)
     "weighted_sample": q_weighted_sample,
     "table_scan_prune": q_table_scan_prune,
+    "table_schema_evolution": q_table_schema_evolution,
     # (pipeline_counters rotated past the cap for parse_sitemaps —
     # r2-green unchanged; lineage counters stay pytest-covered and the
     # table family keeps table_scan_prune in-window)
@@ -4232,6 +4320,25 @@ ORACLES = {
         WHERE 'u' || lpad(doc_id::VARCHAR, 7, '0')
               BETWEEN 'u0000100' AND 'u0000299'""",
 
+    # the three schema-evolution read surfaces as tagged unions: the
+    # full mapped read (rename resolution + NULL backfill), the CDC
+    # window past the evolution boundary (waves 2-3 only), and the
+    # post-compaction pruned range scan
+    "table_schema_evolution": """
+        WITH base AS (
+            SELECT doc_id,
+                   'u' || lpad(doc_id::VARCHAR, 7, '0') AS page_url,
+                   CASE WHEN doc_id % 4 >= 2
+                        THEN doc_id % 100 END::BIGINT AS quality
+            FROM documents)
+        SELECT doc_id, page_url, quality, 'full' AS src FROM base
+        UNION ALL
+        SELECT doc_id, page_url, quality, 'cdc' AS src FROM base
+        WHERE doc_id % 4 >= 2
+        UNION ALL
+        SELECT doc_id, page_url, quality, 'scan' AS src FROM base
+        WHERE page_url BETWEEN 'u0000100' AND 'u0000299'""",
+
     "text_normalize": r"""
         WITH aug AS (SELECT doc_id,
                 text || CASE doc_id % 3
@@ -5091,9 +5198,48 @@ def _bpe_oracle(n_rounds: int, final: str = "merges") -> str:
             f"SELECT {i}::INT AS rank, lhs, rhs, n FROM b{i}"
             for i in range(n_rounds))
         return "WITH " + ",\n    ".join(ctes) + "\n        " + sel
+    last = f"s{n_rounds}"
+    if final == "chunks":
+        # trained-vocab HybridChunker: the chunk_hybrid_subword greedy
+        # packer verbatim, with the per-word cost coming from the
+        # TRAINED segmentation (m) instead of the fixed-regex count —
+        # inadmissible words cost 1 (unknown token), max_tokens = 64
+        ctes.append(f"""m AS (SELECT w, len({sym})::BIGINT AS ntok
+           FROM {last}),
+    tt AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+    wl AS (SELECT doc_id, u.i AS i, toks[u.i] AS w
+           FROM tt, unnest(generate_series(1, len(toks))) AS u(i)),
+    e AS (SELECT wl.doc_id, wl.i, wl.w,
+                 CASE WHEN regexp_matches(wl.w, '^[!-~]+$')
+                      THEN m.ntok ELSE 1 END AS c
+          FROM wl LEFT JOIN m ON wl.w = m.w),
+    cs AS (SELECT doc_id, i, w, c,
+                  sum(c) OVER (PARTITION BY doc_id ORDER BY i) AS csum
+           FROM e),
+    tot AS (SELECT doc_id, max(csum) AS total FROM cs GROUP BY doc_id),
+    rec AS (
+        SELECT doc_id, 0 AS chunk_idx, cast(0 AS BIGINT) AS base
+        FROM tot
+        UNION ALL
+        SELECT r.doc_id, r.chunk_idx + 1,
+               (SELECT max(csum) FROM cs
+                WHERE cs.doc_id = r.doc_id AND cs.csum <= r.base + 64)
+        FROM rec r JOIN tot ON tot.doc_id = r.doc_id
+        WHERE (SELECT max(csum) FROM cs
+               WHERE cs.doc_id = r.doc_id AND cs.csum <= r.base + 64)
+              < tot.total)""")
+        sel = ("SELECT r.doc_id, r.chunk_idx::INTEGER AS chunk_idx, "
+               "string_agg(cs.w, ' ' ORDER BY cs.i) AS chunk_text, "
+               "'Document ' || r.doc_id AS heading, "
+               "sum(cs.c)::INTEGER AS n_tokens "
+               "FROM rec r JOIN cs ON cs.doc_id = r.doc_id "
+               "AND cs.csum > r.base AND cs.csum <= r.base + 64 "
+               "GROUP BY r.doc_id, r.chunk_idx")
+        return ("WITH RECURSIVE " + ",\n    ".join(ctes)
+                + "\n        " + sel)
     # final == "segmap": replay the trained segmentation over every
     # doc's words — inadmissible (non-ASCII / empty) words count 1
-    last = f"s{n_rounds}"
     ctes.append(f"""m AS (SELECT w, len({sym})::BIGINT AS ntok
            FROM {last}),
     wl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -5112,6 +5258,7 @@ def _bpe_oracle(n_rounds: int, final: str = "merges") -> str:
 
 ORACLES["bpe_train"] = _bpe_oracle(4)
 ORACLES["bpe_segment"] = _bpe_oracle(4, final="segmap")
+ORACLES["chunk_hybrid_trained"] = _bpe_oracle(4, final="chunks")
 
 # dedup_semantic reuses the embed_ivf_assign oracle verbatim as its
 # cluster-assignment stage (same centroids, same argmax rule), then

@@ -130,12 +130,16 @@ _CHUNK_ARROW = pa.schema([
 
 
 def make_chunk_kernel(chunker: str = "hybrid", max_tokens: int = 256,
-                      tokenizer: str = "word", merge_peers: bool = True):
+                      tokenizer: str = "word", merge_peers: bool = True,
+                      merges: tuple[tuple[str, str], ...] | None = None):
     """mapInArrow 1->N chunker (operators K1/K2, SURVEY.md §2.4) over the
     extracted frame (columns url, text, spans).  Followed by nothing:
     the kernel itself emits exploded chunk rows (UDTF-style).
     ``tokenizer``/``merge_peers`` mirror the reference's HybridChunker
-    options (datamodel/requests.py:109-130)."""
+    options (datamodel/requests.py:109-130); ``merges`` is the trained
+    BPE vocabulary artifact for tokenizer="trained" (the reference's
+    model-name-selects-vocab parameterization, app.py:1145-1150) —
+    an n_merges-row catalog artifact shipped in the task closure."""
 
     def chunk_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -147,7 +151,7 @@ def make_chunk_kernel(chunker: str = "hybrid", max_tokens: int = 256,
             for u, t, sp in zip(urls, texts, spans):
                 for c in chunk_blocks_from_spans(t or "", sp or [], chunker,
                                                  max_tokens, tokenizer,
-                                                 merge_peers):
+                                                 merge_peers, merges):
                     out["url"].append(u)
                     out["chunk_idx"].append(c.idx)
                     out["chunk_text"].append(c.text)
