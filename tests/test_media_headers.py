@@ -168,12 +168,53 @@ def test_png_codec_roundtrip():
     assert png_decode_rgb(b"") is None
     assert png_decode_rgb(b[:20]) is None                  # truncated IHDR
     assert png_decode_rgb(b[:8] + b[8:].replace(b"IDAT", b"IDAX")) is None
-    # grayscale (color type 0) is an unsupported subformat
+    # 16-bit depth is an unsupported subformat (honest None)
     import struct, zlib
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
-    gray = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    deep = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
-    assert png_decode_rgb(gray) is None
+    assert png_decode_rgb(deep) is None
+
+
+def test_png_gray_and_palette_variants():
+    """Round-4 verdict item 5: grayscale + palette PNGs decode on the
+    real raster path; spec errors (missing PLTE, index past the
+    palette) return None."""
+    from webextract.media import (make_png_variant_bytes, png_decode_rgb,
+                                  png_encode_gray, png_encode_palette)
+    # gray roundtrip: every channel equals the gray byte
+    rows = [bytes((y * 31 + x * 7) % 256 for x in range(5))
+            for y in range(6)]          # h=6 cycles all filters
+    w, h, got = png_decode_rgb(png_encode_gray(5, 6, rows))
+    assert (w, h) == (5, 6)
+    for y in range(6):
+        assert got[y][0::3] == rows[y]
+        assert got[y][1::3] == rows[y]
+        assert got[y][2::3] == rows[y]
+    # palette roundtrip
+    plte = bytes(c for i in range(4) for c in (i * 50, i * 60, i * 70))
+    idx = [bytes((x + y) % 4 for x in range(4)) for y in range(6)]
+    w, h, got = png_decode_rgb(png_encode_palette(4, 6, idx, plte))
+    assert (w, h) == (4, 6)
+    for y in range(6):
+        for x in range(4):
+            i = (x + y) % 4
+            assert got[y][3 * x:3 * x + 3] == bytes(
+                (i * 50, i * 60, i * 70))
+    # spec errors
+    bad = png_encode_palette(2, 2, [b"\x05\x00", b"\x00\x01"], plte)
+    assert png_decode_rgb(bad) is None          # index 5 >= 4 entries
+    # palette-typed image with the PLTE chunk stripped
+    stripped = png_encode_palette(2, 2, [b"\x00\x01", b"\x01\x00"], plte)
+    i = stripped.find(b"PLTE") - 4
+    ln = int.from_bytes(stripped[i:i + 4], "big")
+    stripped = stripped[:i] + stripped[i + 12 + ln:]
+    assert png_decode_rgb(stripped) is None
+    # variant fixture rotation covers all three color types
+    for did in (0, 1, 2, 3, 4, 5):
+        out = png_decode_rgb(make_png_variant_bytes(did))
+        assert out is not None
+        assert (out[0], out[1]) == (4 + did % 5, 3 + did % 4)
 
 
 def test_png_raster_and_ocr_match_bmp():
