@@ -117,3 +117,31 @@ def test_events_asof_semantics(spark, tmp_path):
     assert got[4] == (None, None)
     assert got[5] == (2, 10_000_000)
     assert set(got) == {3, 4, 5}
+
+
+def test_incremental_admission_consumes_band_key_artifact(spark):
+    """Round-4 verdict item 6: with the committed band-key artifact
+    supplied, the candidate stage is STRUCTURALLY incapable of
+    re-shingling the committed corpus (old=None — no committed-docs
+    frame exists in that plan at all), and both the candidate set and
+    the full admission verdict equal the recompute path."""
+    import pytest
+    from webextract.corpus import incremental_candidates, lsh_band_keys
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    art = lsh_band_keys(old).localCheckpoint()
+
+    got = incremental_candidates(None, new, old_band_keys=art)
+    want = incremental_candidates(old, new)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    via = incremental_dedup(old, new, old_band_keys=art)
+    base = incremental_dedup(old, new)
+    assert sorted(map(tuple, via.collect())) == \
+        sorted(map(tuple, base.collect()))
+
+    with pytest.raises(ValueError):
+        incremental_candidates(None, new)   # no docs AND no artifact

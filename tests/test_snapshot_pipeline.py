@@ -18,7 +18,7 @@ from webextract import corpus
 from webextract.icetable import IceTable
 
 
-def _commit_docs(spark, tbl, run_id, rows):
+def _commit_docs(spark, tbl, run_id, rows, band_keys=True):
     df = spark.createDataFrame(
         rows, "doc_id long, url string, text string, source string")
     out = tbl.staging_dir(run_id, 0)
@@ -26,8 +26,12 @@ def _commit_docs(spark, tbl, run_id, rows):
     import os
     files = sorted(os.path.join(out, f) for f in os.listdir(out)
                    if f.endswith(".parquet"))
-    tbl.commit(run_id, [{"part_id": hash(run_id) % 10000,
-                         "files": files, "counters": {}}], "t")
+    snap = tbl.commit(run_id, [{"part_id": hash(run_id) % 10000,
+                                "files": files, "counters": {}}], "t")
+    if band_keys:
+        # the per-snapshot catalog artifact: band keys land WITH the
+        # commit, so admission never re-shingles committed docs
+        corpus.commit_band_keys(tbl, df, snap)
     return df
 
 
@@ -66,11 +70,28 @@ def test_snapshot_loop_incremental_equals_full(spark, tmp_path):
     assert sorted(r["doc_id"] for r in inc.select("doc_id").collect()) \
         == [100, 101, 102, 103, 104, 105, 200, 201]
 
-    # admission: the two near-dups point at their committed originals
-    verdict = corpus.incremental_dedup(boot, inc, threshold=0.3)
+    # admission consumes the STORED band-key artifact chain: day0's
+    # keys were written at commit; the compaction snapshot heals its
+    # own on first read (ensure_band_keys computes it from the rewrite
+    # file set once) — the admission run itself never re-shingles
+    # committed docs (old_band_keys short-circuits that plan branch)
+    art = corpus.ensure_band_keys(tbl, spark, as_of=snap_c)
+    verdict = corpus.incremental_dedup(boot, inc, threshold=0.3,
+                                       old_band_keys=art)
     dups = {r["doc_id"]: r["dup_of"] for r in
             verdict.filter(F.col("dup_of").isNotNull()).collect()}
     assert dups == {200: 3, 201: 7}
+    # artifact now exists for the rewrite snapshot: a second assembly
+    # is pure reads (and equals the first)
+    import os
+    assert os.path.exists(tbl.artifact_dir("band_keys", snap_c))
+    art2 = corpus.ensure_band_keys(tbl, spark, as_of=snap_c)
+    assert sorted(map(tuple, art2.collect())) == \
+        sorted(map(tuple, art.collect()))
+    # and equals the recomputed-from-docs admission verdict
+    verdict_rc = corpus.incremental_dedup(boot, inc, threshold=0.3)
+    assert sorted(map(tuple, verdict_rc.collect())) == \
+        sorted(map(tuple, verdict.collect()))
 
     # sketch maintenance is a MERGE of increment-only sketches, never
     # a recompute over history: must equal the from-scratch artifacts

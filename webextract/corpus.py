@@ -630,38 +630,53 @@ def lsh_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4,
 INC_CAND_CAP = 256   # committed-side candidates verified per new doc
 
 
-def incremental_candidates(old: DataFrame, new: DataFrame, n: int = 3,
+def incremental_candidates(old: DataFrame | None, new: DataFrame,
+                           n: int = 3,
                            k: int = 16, rows_per_band: int = 4,
                            cand_cap: int = INC_CAND_CAP,
                            broadcast_cap: int = LSH_BROADCAST_CAP,
-                           bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+                           bucket_cap: int = LSH_BUCKET_CAP,
+                           old_band_keys: DataFrame | None = None
+                           ) -> DataFrame:
     """(new_id, old_id): the LSH band-key candidate stage of the
     admission pass, factored out of incremental_dedup so plan tests
     can pin the pre-checkpoint join shape.
 
-    Committed band keys are staged ONCE (localCheckpoint) and feed two
-    consumers — the hot-bucket counts and the candidate probe — without
-    re-shingling the corpus; at production scale this staged frame is
-    the per-snapshot-commit catalog artifact (band keys are a pure
-    function of committed docs, computed when each snapshot lands, not
-    per admission run).  Committed buckets with more than ``bucket_cap``
-    members are dropped BEFORE the join (the r4 review's skew guard —
-    the same contract as lsh_candidate_pairs: a viral bucket's members
-    are near-certain exact duplicates, dedup_exact's job — otherwise
-    one boilerplate band key × 10^6 committed members floods the
-    per-new-doc collect_set).  The count agg moves only map-side
-    combined 32-byte (band, band_key) partials, never documents.  With
-    the bucket cap in place the per-new-doc candidate set is bounded by
-    n_bands × bucket_cap (= 256 at the defaults), so the ``cand_cap``
-    slice is a belt-and-suspenders bound, not a recall-losing prune.
-    Both small sides (hot buckets, new band keys) broadcast behind size
-    gates with shuffle-hash fallbacks."""
+    ``old_band_keys`` is the committed-side catalog ARTIFACT (round-4
+    verdict item 6): (doc_id, band, band_key) computed when each
+    snapshot COMMITTED (commit_band_keys / ensure_band_keys over an
+    IceTable) and merely read here — when given, ``old`` may be None
+    and the committed corpus is never re-shingled by the admission run
+    (structurally: no committed-docs scan exists in the plan).  Without
+    it (ad-hoc frames, tests) the keys are computed in-run and staged
+    ONCE (localCheckpoint) to feed both consumers — the hot-bucket
+    counts and the candidate probe.  Committed buckets with more than
+    ``bucket_cap`` members are dropped BEFORE the join (the r4
+    review's skew guard — the same contract as lsh_candidate_pairs: a
+    viral bucket's members are near-certain exact duplicates,
+    dedup_exact's job — otherwise one boilerplate band key × 10^6
+    committed members floods the per-new-doc collect_set).  The count
+    agg moves only map-side combined 32-byte (band, band_key)
+    partials, never documents.  With the bucket cap in place the
+    per-new-doc candidate set is bounded by n_bands × bucket_cap
+    (= 256 at the defaults), so the ``cand_cap`` slice is a
+    belt-and-suspenders bound, not a recall-losing prune.  Both small
+    sides (hot buckets, new band keys) broadcast behind size gates
+    with shuffle-hash fallbacks."""
     new_bk = (lsh_band_keys(new, n, k, rows_per_band)
               .select(F.col("doc_id").alias("new_id"), "band", "band_key")
               .localCheckpoint())
-    old_bk = (lsh_band_keys(old, n, k, rows_per_band)
-              .select(F.col("doc_id").alias("old_id"), "band", "band_key")
-              .localCheckpoint())
+    if old_band_keys is not None:
+        # parquet-backed artifact: already materialized, no checkpoint
+        old_bk = old_band_keys.select(
+            F.col("doc_id").alias("old_id"), "band", "band_key")
+    else:
+        if old is None:
+            raise ValueError("need old docs or an old_band_keys artifact")
+        old_bk = (lsh_band_keys(old, n, k, rows_per_band)
+                  .select(F.col("doc_id").alias("old_id"), "band",
+                          "band_key")
+                  .localCheckpoint())
     hot = (old_bk.groupBy("band", "band_key")
            .agg(F.count("*").alias("c"))
            .filter(F.col("c") > bucket_cap)
@@ -684,7 +699,8 @@ def incremental_dedup(old: DataFrame, new: DataFrame, n: int = 3,
                       rows_per_band: int = 4,
                       cand_cap: int = INC_CAND_CAP,
                       broadcast_cap: int = LSH_BROADCAST_CAP,
-                      bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+                      bucket_cap: int = LSH_BUCKET_CAP,
+                      old_band_keys: DataFrame | None = None) -> DataFrame:
     """(doc_id, dup_of, jaccard): near-dup admission of a NEW snapshot
     against the COMMITTED corpus — the per-crawl production pass (each
     incoming Common-Crawl snapshot is deduped against every previous
@@ -706,10 +722,18 @@ def incremental_dedup(old: DataFrame, new: DataFrame, n: int = 3,
     staging: candidate ids semi-join-prune BOTH shingle builds,
     broadcasts size-gated with shuffle-hash fallback.  dup_of = the
     smallest committed id whose verified Jaccard clears the
-    threshold."""
+    threshold.
+
+    ``old_band_keys``: the committed band-key catalog artifact (see
+    incremental_candidates) — when given, the candidate stage never
+    touches ``old``; the committed docs are read ONLY inside the
+    exact-verify stage, semi-join-pruned to the bounded candidate ids
+    (n_new × cand_cap rows, the ANN-refine contract)."""
     cands = incremental_candidates(old, new, n, k, rows_per_band,
                                    cand_cap, broadcast_cap,
-                                   bucket_cap).localCheckpoint()
+                                   bucket_cap,
+                                   old_band_keys=old_band_keys
+                                   ).localCheckpoint()
     small = cands.count() <= broadcast_cap
     hint = F.broadcast if small else (lambda df: df.hint("shuffle_hash"))
 
@@ -737,6 +761,63 @@ def incremental_dedup(old: DataFrame, new: DataFrame, n: int = 3,
             .filter(F.col("rn") == 1)
             .select(F.col("new_id").alias("doc_id"),
                     F.col("old_id").alias("dup_of"), "jaccard"))
+
+
+BAND_KEYS_ARTIFACT = "band_keys"
+
+
+def commit_band_keys(tbl, docs: DataFrame, snapshot_id: str,
+                     n: int = 3, k: int = 16,
+                     rows_per_band: int = 4) -> str:
+    """Compute the LSH band keys of one snapshot's DELTA docs at
+    commit time and store them as the snapshot's catalog artifact
+    (round-4 verdict item 6 — band keys are a pure function of
+    committed docs, so they are computed when the snapshot lands and
+    only READ on admission, never recomputed from the corpus).  Call
+    right after IceTable.commit with the frame just committed."""
+    return tbl.write_artifact_df(
+        lsh_band_keys(docs, n, k, rows_per_band),
+        BAND_KEYS_ARTIFACT, snapshot_id)
+
+
+def ensure_band_keys(tbl, spark, n: int = 3, k: int = 16,
+                     rows_per_band: int = 4,
+                     as_of: str | None = None) -> DataFrame:
+    """The committed corpus' band-key frame, assembled from the
+    per-snapshot artifacts: walk the chain newest->oldest unioning
+    artifacts, stopping at a rewrite snapshot (whose artifact covers
+    everything it replaced — the compaction hook below).  Self-healing:
+    a snapshot missing its artifact (pre-feature history, a compaction
+    that landed without the hook) gets it computed from that
+    snapshot's OWN files and stored, so the recompute happens at most
+    once per snapshot, not once per admission run.  Returns the union
+    frame to pass as ``old_band_keys``."""
+    parts = []
+    for s in tbl.snapshots(as_of):
+        sid = s["snapshot_id"]
+        df = tbl.read_artifact_df(spark, BAND_KEYS_ARTIFACT, sid)
+        if df is None:
+            if s.get("rewrite"):
+                # a rewrite's artifact spans its full live set
+                docs = tbl.read(spark, as_of=sid)
+            else:
+                fws = [(f, p.get("file_schemas", {}).get(
+                    f, s.get("schema_id")))
+                    for p in s["partitions"] for f in p["files"]]
+                docs = tbl._read_mapped(spark, fws)
+            tbl.write_artifact_df(
+                lsh_band_keys(docs, n, k, rows_per_band),
+                BAND_KEYS_ARTIFACT, sid)
+            df = tbl.read_artifact_df(spark, BAND_KEYS_ARTIFACT, sid)
+        parts.append(df)
+        if s.get("rewrite"):
+            break
+    if not parts:
+        raise FileNotFoundError(f"no committed snapshot in {tbl.root}")
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:

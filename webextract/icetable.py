@@ -409,6 +409,32 @@ class IceTable:
                     "num_skipped long, bytes_in long, bytes_out long, "
                     "wall_ms long, committed_at string, snapshot_id string"))
 
+    # -- snapshot artifacts ----------------------------------------------
+    # Derived per-snapshot datasets (LSH band keys, sketch states, ...)
+    # stored alongside the manifest, keyed by (kind, snapshot_id) — the
+    # catalog-artifact contract: a pure function of a snapshot's docs is
+    # computed when the snapshot lands and READ on later runs, never
+    # recomputed from the corpus (round-4 verdict item 6).  Artifacts
+    # are advisory metadata: a missing one is recomputable, so readers
+    # return None rather than raise.
+
+    def artifact_dir(self, kind: str, snapshot_id: str) -> str:
+        return os.path.join(self.meta_dir, "artifacts", kind, snapshot_id)
+
+    def write_artifact_df(self, df, kind: str, snapshot_id: str) -> str:
+        """Materialize a DataFrame artifact for a snapshot (parquet,
+        overwrite-idempotent).  Returns the artifact path."""
+        path = self.artifact_dir(kind, snapshot_id)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def read_artifact_df(self, spark, kind: str, snapshot_id: str):
+        """The snapshot's artifact as a DataFrame, or None if absent."""
+        path = self.artifact_dir(kind, snapshot_id)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return None
+        return spark.read.parquet(path)
+
     # -- write side -----------------------------------------------------
     def staging_dir(self, run_id: str, wave: int) -> str:
         return os.path.join(self.files_dir, run_id, f"wave-{wave:04d}")

@@ -1971,11 +1971,17 @@ def q_sample_stratified(spark, sf_dir):
 def q_dedup_incremental(spark, sf_dir):
     """Incremental snapshot admission: docs with doc_id % 5 == 4 play
     the incoming crawl, the rest the committed corpus; each new doc is
-    flagged with the smallest committed near-dup (jaccard >= 0.4)."""
+    flagged with the smallest committed near-dup (jaccard >= 0.4).
+    The committed band keys enter as a MATERIALIZED artifact (round-4
+    verdict item 6): computed once here standing in for the
+    per-snapshot-commit store (corpus.commit_band_keys), so the
+    admission plan never re-shingles the committed corpus — it reads
+    committed docs only inside the candidate-pruned exact verify."""
     docs = _read(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 4)
     old = docs.filter(F.col("doc_id") % 5 != 4)
-    return corpus.incremental_dedup(old, new)
+    old_bk = corpus.lsh_band_keys(old).localCheckpoint()
+    return corpus.incremental_dedup(old, new, old_band_keys=old_bk)
 
 
 def q_pipeline_counters(spark, sf_dir):
