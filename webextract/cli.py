@@ -11,7 +11,8 @@ Usage:
     spark-submit --py-files /tmp/pkg.zip webextract/cli.py \\
         --input /path/pages_parquet --output /path/ice_table \\
         --partitions 256 --waves 8 [--synth N] [--to-formats md,text] \\
-        [--chunk hybrid --chunk-tokenizer subword --chunk-max-tokens 256]
+        [--chunk hybrid --chunk-tokenizer subword|trained \\
+         --chunk-max-tokens 256 [--chunk-merges /path/merges_parquet]]
 
 Either --input (a parquet dir with the input_hint schema) or --synth N
 (generate N deterministic pages executor-side) must be given.
@@ -101,9 +102,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also emit chunks (written under <output>/chunks)")
     p.add_argument("--chunk-max-tokens", type=int, default=256)
     p.add_argument("--chunk-tokenizer", default="word",
-                   choices=("word", "subword"),
+                   choices=("word", "subword", "trained"),
                    help="subword = the fixed-merge-table tokenizer "
-                        "(chunk.SUBWORD_PIECES)")
+                        "(chunk.SUBWORD_PIECES); trained = a BPE merge "
+                        "table (the reference's model-name-selects-"
+                        "vocab knob) — from --chunk-merges, or trained "
+                        "on the committed table and saved under "
+                        "<output>/merges")
+    p.add_argument("--chunk-merges", default=None,
+                   help="parquet dir of a trained merge table "
+                        "(corpus.bpe_train output: rank, lhs, rhs, n) "
+                        "for --chunk-tokenizer trained")
+    p.add_argument("--chunk-train-rounds", type=int, default=16,
+                   help="merge rounds when training the vocabulary "
+                        "in-run (no --chunk-merges given)")
     p.add_argument("--chunk-merge-peers", type=_bool, default=True)
 
     # -- table maintenance (run INSTEAD of extraction when given;
@@ -214,9 +226,29 @@ def main(argv: list[str] | None = None) -> int:
         # land as parquet under <output>/chunks
         from webextract.icetable import IceTable
         from webextract.pipeline import chunks_df
-        ch = chunks_df(IceTable(args.output).read(spark),
+        committed = IceTable(args.output).read(spark)
+        merges = None
+        if args.chunk_tokenizer == "trained":
+            # the vocabulary artifact: read a saved merge table, or
+            # train on the committed text and save it for reuse (the
+            # reference's tokenizer-parameterized chunker, a model
+            # name selecting the vocab — app.py:1145-1150)
+            merges_dir = args.chunk_merges or f"{args.output}/merges"
+            if args.chunk_merges:
+                mdf = spark.read.parquet(merges_dir)
+            else:
+                from webextract import corpus
+                mdf = corpus.bpe_train(
+                    committed.select("text"),
+                    n_merges=args.chunk_train_rounds)
+                mdf.write.mode("overwrite").parquet(merges_dir)
+                summary["merges_dir"] = merges_dir
+            merges = tuple((r["lhs"], r["rhs"])
+                           for r in mdf.orderBy("rank").collect())
+        ch = chunks_df(committed,
                        args.chunk, args.chunk_max_tokens,
-                       args.chunk_tokenizer, args.chunk_merge_peers)
+                       args.chunk_tokenizer, args.chunk_merge_peers,
+                       merges=merges)
         chunks_dir = f"{args.output}/chunks"
         ch.write.mode("overwrite").parquet(chunks_dir)
         summary["chunks_dir"] = chunks_dir
