@@ -66,7 +66,7 @@ HEADLINE = [
     "bpe_train", "bpe_segment", "within_doc_dedup", "c4_quality",
     "repetition_suite", "nb_quality",
     # round-5 additions
-    "chunk_hybrid_trained",
+    "chunk_hybrid_trained", "table_schema_evolution", "stream_sessions",
     "tfidf_topk", "inverted_postings", "len_quantiles",
     "stream_len_quantiles", "mirror_hosts", "pmi_pairs",
     "cocitation", "degree_stats", "vocab_stats",

@@ -521,3 +521,58 @@ def test_streaming_len_histogram_matches_batch(spark, tmp_path):
              .groupBy("bucket").agg(F.max("cnt").alias("cnt")))
     assert sorted(map(tuple, live2.collect())) == \
         sorted(map(tuple, batch.collect()))
+
+
+def test_stream_sessions_matches_batch(spark, tmp_path):
+    """Built-in session_window sessionization: the streaming run's
+    finalized sessions must equal the batch evaluation of the SAME
+    expression (minus the flush sentinels, which by construction stay
+    in state and never reach the sink), and the gap-merge boundary is
+    CLOSED: two events exactly `gap` apart merge (diff > gap breaks —
+    the same rule as the batch events_sessions gate)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from webextract.streaming import session_aggregates, stream_sessions
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, secs, uid):
+        return (eid, base + datetime.timedelta(seconds=secs), uid)
+
+    rows = [
+        ev(1, 0, 1), ev(2, 10, 1),          # one session (gap 30s)
+        ev(3, 45, 1),                        # 35s later -> new session
+        ev(4, 75, 1),                        # exactly 30s -> MERGES
+        ev(5, 0, 2), ev(6, 29, 2),           # 29s -> same session
+        ev(7, 60, 2),                        # 31s -> new session
+    ]
+    sentinel_ts = base + datetime.timedelta(days=2)
+    rows += [(-2, sentinel_ts, 1), (-3, sentinel_ts, 2)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    in_dir = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(in_dir)
+
+    q = stream_sessions(spark, in_dir, str(tmp_path / "out"),
+                        str(tmp_path / "ckpt"), gap="30 seconds")
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out"))
+                     .select("user_id", "sess_start", "n_events")
+                     .collect()))
+
+    # batch evaluation of the same expression, sentinels dropped
+    batch = (session_aggregates(df, gap="30 seconds")
+             .filter(F.col("sess_start") < F.lit(sentinel_ts))
+             .select("user_id", "sess_start", "n_events"))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    # boundary semantics: user 1 = {0,10} and {45,75} (the exactly-30s
+    # pair MERGED); user 2 = {0,29} and {60} (31s broke)
+    per_user = {}
+    for uid, _, n in got:
+        per_user.setdefault(uid, []).append(n)
+    assert sorted(per_user[1]) == [2, 2]
+    assert sorted(per_user[2]) == [1, 2]
+    # the sentinels never reached the sink
+    assert all(s < sentinel_ts for _, s, _ in got)

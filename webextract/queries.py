@@ -1100,6 +1100,47 @@ def q_table_schema_evolution(spark, sf_dir):
             .unionByName(scan.withColumn("src", F.lit("scan"))))
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Streaming sessionization via the BUILT-IN session_window (the
+    events_sessions batch gate's streaming twin): a REAL availableNow
+    run — events + one far-future flush sentinel per user (append mode
+    finalizes a session only when the watermark passes its end; the
+    sentinel's own session stays in state and never reaches the sink)
+    — then per-user session/event counts over the sink.  The oracle
+    replays gap-merge semantics with a lag window (break at
+    diff > 30 min — session_window's closed gap boundary matches the
+    batch gate's rule exactly, so both gates share one oracle)."""
+    import hashlib
+    import shutil
+
+    from .streaming import stream_sessions
+
+    tag = hashlib.md5(("sess" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_streamsess_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    # ONE shared sentinel timestamp (global max + 1 day) for every
+    # user: per-user sentinels would let the GLOBAL watermark (driven
+    # by the latest user's sentinel) flush every other user's sentinel
+    # session into the sink; with a shared T, the watermark stops at T
+    # and every sentinel session (end = T + gap) stays in state
+    gmax_ms = ev.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    flush = (ev.select("user_id").distinct()
+             .select((-F.col("user_id") - 1).alias("event_id"),
+                     F.timestamp_millis(
+                         F.lit(gmax_ms + 86400_000)).alias("ts"),
+                     "user_id"))
+    ev.unionByName(flush).coalesce(1).write.parquet(in_dir)
+    q = stream_sessions(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination()
+    sess = spark.read.parquet(out_dir)
+    return (sess.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.sum("n_events").cast("long").alias("n_events")))
+
+
 def q_stream_bloom(spark, sf_dir):
     """Streaming Bloom seen-set, gate-checked against the SAME oracle
     as the batch filter: a REAL streaming run ORs the committed third
@@ -2123,11 +2164,15 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "pagerank": q_pagerank,
     "robots_filter": q_robots_filter,
-    "sketch_hll_distinct": q_sketch_hll_distinct,
+    # stream_sessions is new this round: it takes the 50th slot;
+    # sketch_hll_distinct (r4-green, family covered in-window by
+    # stream_hll) moves to first-past-the-cap
+    "stream_sessions": q_stream_sessions,
     # ---- driver cap boundary: position 50 ends here; everything
     # below is past the cap this round (pytest-oracle-gated in the
     # full-registry rehearsal; r4-green gates listed first so the
     # next rotation window is easy to cut) ----
+    "sketch_hll_distinct": q_sketch_hll_distinct,
     "media_raster_stats": q_media_raster_stats,
     "media_picture_classify": q_media_picture_classify,
     "extract_image_ocr": q_extract_image_ocr,
@@ -4909,6 +4954,11 @@ ORACLES = {
                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         GROUP BY o_orderpriority""",
 
+    # session_window merges an event landing EXACTLY gap after the
+    # last (closed boundary, verified empirically in
+    # test_stream_sessions_matches_batch): break at diff > 30 min —
+    # the identical rule the batch events_sessions gate uses, so the
+    # streaming operator shares its oracle (assigned below the dict).
     "events_sessions": """
         WITH x AS (SELECT user_id, epoch_ms(ts) AS e,
                           lag(epoch_ms(ts)) OVER (PARTITION BY user_id
@@ -5101,6 +5151,10 @@ ORACLES["stream_hll"] = ORACLES["sketch_hll_distinct"].replace(
     "source", "lang")
 # stream == batch for the Bloom bitmap too: same urls, same bits
 ORACLES["stream_bloom"] = ORACLES["url_seen_bloom"]
+# streaming sessionization finalizes the SAME sessions the batch lag
+# rule defines (session_window's closed gap boundary == break at
+# diff > gap), so the two gates share one oracle
+ORACLES["stream_sessions"] = ORACLES["events_sessions"]
 
 # frontier_schedule composes the pagerank and cdx_revisit oracles
 # verbatim as its host-quality and change-rate feeds (nested WITH in a

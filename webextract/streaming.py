@@ -176,6 +176,62 @@ def stream_lang_counts(spark: SparkSession, input_dir: str,
             .start())
 
 
+SESSION_GAP = "30 minutes"
+EVENTS_DDL = "event_id long, ts timestamp, user_id long"
+
+
+def session_aggregates(events: DataFrame,
+                       gap: str = SESSION_GAP) -> DataFrame:
+    """Gap-merge sessionization via Spark's BUILT-IN session_window —
+    the idiomatic streaming shape (no custom state code): events of one
+    user whose gaps stay under ``gap`` merge into one session window;
+    state is per-open-session and evicted once the watermark passes a
+    session's end.  The same expression runs batch-side (watermark is a
+    no-op there), which is how the tests pin stream ≡ batch.
+
+    Boundary semantics (pinned empirically by
+    test_stream_sessions_matches_batch): session_window MERGES an
+    event landing exactly ``gap`` after the previous one (closed
+    boundary) — the break condition is diff > gap, the identical rule
+    the batch events_sessions gate uses, so the streaming gate shares
+    that gate's oracle."""
+    return (events
+            .withWatermark("ts", "0 seconds")
+            .groupBy("user_id",
+                     F.session_window("ts", gap).alias("sess"))
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .select("user_id", F.col("sess.start").alias("sess_start"),
+                    F.col("sess.end").alias("sess_end"), "n_events"))
+
+
+def stream_sessions(spark: SparkSession, input_dir: str, output_dir: str,
+                    checkpoint_dir: str, gap: str = SESSION_GAP):
+    """readStream → session_window aggregation → parquet append sink.
+
+    Append mode emits a session only when the watermark passes its END
+    (= last event + gap), so a finite availableNow run must carry one
+    flush sentinel per user AT ONE SHARED far-future timestamp T: the
+    sentinels advance the watermark to T, past every real session's
+    end (Spark's no-data batch then finalizes them), while every
+    sentinel session (end = T + gap > watermark T) stays in state and
+    never reaches the sink.  Per-user DIFFERING sentinel times would
+    break that: the global watermark, driven by the latest sentinel,
+    would flush every earlier user's sentinel into the sink.  The
+    caller's input writer adds them; nothing here filters."""
+    ev = (spark.readStream
+          .schema(StructType.fromDDL(EVENTS_DDL))
+          .option("maxFilesPerTrigger", "64")
+          .parquet(input_dir))
+    return (session_aggregates(ev, gap)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", output_dir)
+            .start())
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator: cross-batch streaming dedup
 # ---------------------------------------------------------------------------
