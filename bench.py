@@ -67,6 +67,7 @@ HEADLINE = [
     "repetition_suite", "nb_quality",
     # round-5 additions
     "chunk_hybrid_trained", "table_schema_evolution", "stream_sessions",
+    "table_row_deletes",
     "tfidf_topk", "inverted_postings", "len_quantiles",
     "stream_len_quantiles", "mirror_hosts", "pmi_pairs",
     "cocitation", "degree_stats", "vocab_stats",

@@ -496,3 +496,93 @@ def test_schema_evolution_errors(spark, tmp_path):
     assert [f["name"] for f in tbl.current_schema()["fields"]] \
         == ["a", "b"]
     assert tbl.current_schema()["schema_id"] == 1  # init=0, +b=1
+
+
+# ---------------------------------------------------------------------------
+# row-level deletes (Iceberg v2 merge-on-read equality deletes)
+# ---------------------------------------------------------------------------
+
+def _del_table(spark, tmp_path):
+    tbl = IceTable(str(tmp_path / "del"))
+    v = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"))
+    _commit_frame(tbl, spark, v, 0, stats=("doc_id",))
+    return tbl
+
+
+def test_row_delete_merge_on_read_and_time_travel(spark, tmp_path):
+    tbl = _del_table(spark, tmp_path)
+    pre = tbl.current_snapshot_id()
+    keys = spark.range(0, 100, 3).select(F.col("id").alias("doc_id"))
+    tbl.delete_where(spark, keys, ("doc_id",), "d0", "t")
+    got = sorted(r["doc_id"] for r in tbl.read(spark).collect())
+    assert got == [i for i in range(100) if i % 3 != 0]
+    # time travel to before the delete still sees every row
+    assert tbl.read(spark, as_of=pre).count() == 100
+    # delete files are referenced: GC reclaims nothing
+    assert tbl.expire_orphans() == 0
+
+
+def test_row_delete_upsert_atomic_and_sequence_exempt(spark, tmp_path):
+    """An upsert's own rows are exempt from its own delete; older rows
+    with the same keys disappear."""
+    tbl = _del_table(spark, tmp_path)
+    new = spark.range(10, 20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("v2_"), F.col("id").cast("string")).alias("text"))
+    tbl.upsert(spark, new, ("doc_id",), "up0", "t")
+    rows = {r["doc_id"]: r["text"] for r in tbl.read(spark).collect()}
+    assert len(rows) == 100                      # no dup doc_ids
+    assert rows[10] == "v2_10" and rows[19] == "v2_19"
+    assert rows[9] == "t9" and rows[20] == "t20"
+
+
+def test_row_delete_compaction_applies_physically(spark, tmp_path):
+    tbl = _del_table(spark, tmp_path)
+    import os
+    keys = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    tbl.delete_where(spark, keys, ("doc_id",), "d0", "t")
+    sizes = [os.path.getsize(f) for f in tbl.data_files()]
+    res = tbl.compact(spark, target_file_bytes=2 * max(sizes) + 2,
+                      committed_at="t", sort_by="doc_id")
+    assert res["snapshot_id"]
+    # post-compaction: no delete state left in the live chain
+    _, deletes = tbl._live_set()
+    assert deletes == []
+    got = sorted(r["doc_id"] for r in tbl.read(spark).collect())
+    assert got == list(range(50, 100))
+    # pruned scan agrees and prunes deleted-range files
+    df, scanned, total = tbl.scan(spark, "doc_id", 60, 69)
+    assert sorted(r["doc_id"] for r in df.collect()) == list(range(60, 70))
+    assert scanned <= total
+
+
+def test_row_delete_cdc_window_raises(spark, tmp_path):
+    import pytest
+    tbl = _del_table(spark, tmp_path)
+    pre = tbl.current_snapshot_id()
+    keys = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    tbl.delete_where(spark, keys, ("doc_id",), "d0", "t")
+    with pytest.raises(ValueError, match="row-level delete"):
+        tbl.changed_files_with_schema(pre)
+    # bootstrap (since=None) is the delete-aware full read
+    assert tbl.read_changes(spark, since=None).count() == 90
+
+
+def test_row_delete_key_survives_rename(spark, tmp_path):
+    """A delete written before a key-column rename still applies: the
+    delete frame resolves through its write-time schema's field ids."""
+    tbl = IceTable(str(tmp_path / "delren"))
+    tbl.init_schema([("doc_id", "bigint"), ("text", "string")])
+    v = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"))
+    _commit_frame(tbl, spark, v, 0)
+    keys = spark.range(0, 40, 2).select(F.col("id").alias("doc_id"))
+    tbl.delete_where(spark, keys, ("doc_id",), "d0", "t")
+    tbl.rename_column("doc_id", "document_id")
+    df = tbl.read(spark)
+    assert set(df.columns) == {"document_id", "text"}
+    got = sorted(r["document_id"] for r in df.collect())
+    assert got == [i for i in range(40) if i % 2 == 1]

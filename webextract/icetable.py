@@ -236,6 +236,123 @@ class IceTable:
                 break
         return out
 
+    # -- row-level deletes (Iceberg v2 merge-on-read, equality deletes) --
+    # A snapshot may carry {"files": [...], "key_cols": [...],
+    # "schema_id": n} under "delete": parquet files of key tuples whose
+    # matching rows are deleted from all STRICTLY OLDER snapshots' data
+    # (sequence-number semantics: a snapshot's own data files are newer
+    # than its delete, so delete-then-append in ONE commit is an atomic
+    # upsert — the recrawl story: drop the url's old rows, add the new
+    # fetch).  Reads apply deletes as broadcast anti-joins
+    # (merge-on-read); compact() folds affected files into the rewrite
+    # and applies deletes physically, so a rewrite snapshot never
+    # carries delete state.
+
+    def _live_set(self, as_of: str | None = None):
+        """([(file, schema_id, seq)], [(seq, files, key_cols,
+        schema_id)]) — live data files and delete frames with their
+        snapshot sequence numbers (chain position; newer = higher).
+        The walk stops at a rewrite, same as data_files()."""
+        chain = self.snapshots(as_of)
+        data, deletes = [], []
+        for i, s in enumerate(chain):
+            seq = len(chain) - i          # newest gets the highest seq
+            sid = s.get("schema_id")
+            d = s.get("delete")
+            if d:
+                deletes.append((seq, d["files"], tuple(d["key_cols"]),
+                                d.get("schema_id")))
+            for p in s["partitions"]:
+                fsch = p.get("file_schemas") or {}
+                data.extend((f, fsch.get(f, sid), seq)
+                            for f in p["files"])
+            if s.get("rewrite"):
+                break
+        return data, deletes
+
+    def delete_keys_frame(self, spark, delete) -> "object":
+        """One delete's key tuples projected to CURRENT column names
+        (a delete written before a rename still applies)."""
+        from pyspark.sql import functions as SF
+        _, files, key_cols, dsid = delete
+        df = spark.read.parquet(*files)
+        cols = [SF.col(c).alias(self._current_name(c, dsid) or c)
+                for c in key_cols]
+        return df.select(*cols)
+
+    def _grouped_read(self, spark,
+                      picked: list[tuple[str, int | None, int]],
+                      deletes) -> "object":
+        """Union of mapped reads grouped by (write-time schema, set of
+        applicable deletes); each group anti-joins the union of delete
+        frames newer than its files.  Deletes are key tuples — small by
+        construction — so the anti-join broadcasts."""
+        from pyspark.sql import functions as SF
+        groups: dict = {}
+        for f, sid, seq in picked:
+            applicable = tuple(sorted(
+                i for i, (dseq, *_rest) in enumerate(deletes)
+                if dseq > seq))
+            groups.setdefault((sid, applicable), []).append(f)
+        dfs = []
+        for (sid, applicable), fs in sorted(
+                groups.items(),
+                key=lambda kv: (kv[0][0] is None, kv[0][0] or 0,
+                                kv[0][1])):
+            df = self._mapped_df(spark, fs, sid)
+            for i in applicable:
+                keys = self.delete_keys_frame(spark, deletes[i])
+                df = df.join(SF.broadcast(keys), on=list(keys.columns),
+                             how="left_anti")
+            dfs.append(df)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def delete_where(self, spark, keys_df, key_cols: tuple[str, ...],
+                     run_id: str, committed_at: str,
+                     expected_parent=...) -> str:
+        """Commit an equality-delete snapshot: rows of OLDER snapshots
+        whose ``key_cols`` tuple appears in ``keys_df`` disappear from
+        every read surface; no data file is rewritten (merge-on-read —
+        compaction applies deletes physically later)."""
+        out_dir = self.staging_dir(run_id, 0)
+        (keys_df.select(*key_cols).distinct()
+         .coalesce(1).write.mode("overwrite").parquet(out_dir))
+        files = sorted(
+            os.path.join(out_dir, fn) for fn in os.listdir(out_dir)
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")))
+        return self.commit(run_id, [], committed_at,
+                           expected_parent=expected_parent,
+                           delete={"files": files,
+                                   "key_cols": list(key_cols)})
+
+    def upsert(self, spark, rows_df, key_cols: tuple[str, ...],
+               run_id: str, committed_at: str, part_id: int = -2
+               ) -> str:
+        """Atomic row-level upsert (the recrawl commit): ONE snapshot
+        whose delete drops the keys' old rows from older snapshots and
+        whose data files add the new rows — sequence numbers exempt the
+        snapshot's own files from its own delete, so readers see either
+        the old rows or the new ones, never both, never neither."""
+        out_dir = self.staging_dir(run_id, 1)
+        rows_df.write.mode("overwrite").parquet(out_dir)
+        data_files = sorted(
+            os.path.join(out_dir, fn) for fn in os.listdir(out_dir)
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")))
+        del_dir = self.staging_dir(run_id, 0)
+        (rows_df.select(*key_cols).distinct()
+         .coalesce(1).write.mode("overwrite").parquet(del_dir))
+        del_files = sorted(
+            os.path.join(del_dir, fn) for fn in os.listdir(del_dir)
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")))
+        return self.commit(
+            run_id,
+            [{"part_id": part_id, "files": data_files, "counters": {}}],
+            committed_at,
+            delete={"files": del_files, "key_cols": list(key_cols)})
+
     # -- snapshot chain -------------------------------------------------
     @property
     def _current_path(self) -> str:
@@ -352,9 +469,9 @@ class IceTable:
         the prune ratio)."""
         from pyspark.sql import functions as SF
         stats = self.data_file_stats(as_of)
-        fws = self.data_files_with_schema(as_of)
+        data, deletes = self._live_set(as_of)
         picked = []
-        for f, sid in fws:
+        for f, sid, seq in data:
             wname = self._resolve_name(col, sid)
             if wname is None:
                 # field added after this file was written: every row
@@ -364,12 +481,12 @@ class IceTable:
             st = stats.get(f, {})
             if wname not in st or not (st[wname][1] < lo
                                        or st[wname][0] > hi):
-                picked.append((f, sid))
+                picked.append((f, sid, seq))
         if not picked:
-            return None, 0, len(fws)
-        df = (self._read_mapped(spark, picked)
+            return None, 0, len(data)
+        df = (self._grouped_read(spark, picked, deletes)
               .filter(SF.col(col).between(lo, hi)))
-        return df, len(picked), len(fws)
+        return df, len(picked), len(data)
 
     def read(self, spark, as_of: str | None = None):
         """Read the table (optionally time-traveled to snapshot id
@@ -377,10 +494,10 @@ class IceTable:
         listing, so orphans from killed runs are invisible.  With a
         declared schema, every file is projected to the CURRENT
         schema (field-id rename resolution + NULL backfill)."""
-        fws = self.data_files_with_schema(as_of)
-        if not fws:
+        data, deletes = self._live_set(as_of)
+        if not data:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
-        return self._read_mapped(spark, fws)
+        return self._grouped_read(spark, data, deletes)
 
     def lineage(self) -> list[dict]:
         """Per-partition lineage rows (FIXTURES.md §5) across snapshots.
@@ -476,7 +593,8 @@ class IceTable:
                rewrite: bool = False,
                carried_parts: list[int] | None = None,
                expected_parent: str | None | type(...) = ...,
-               stats_cols: tuple[str, ...] = ()) -> str:
+               stats_cols: tuple[str, ...] = (),
+               delete: dict | None = None) -> str:
         """partitions: [{part_id, files: [...], counters: {...}}].
         Atomic snapshot append; returns the new snapshot id.
         ``versions`` records component versions in the snapshot (the
@@ -533,6 +651,12 @@ class IceTable:
                 # partition's "file_schemas" — rewrite snapshots
                 # carrying older files forward)
                 snap["schema_id"] = sid
+            if delete:
+                # equality-delete payload: applies to strictly older
+                # snapshots' data (see the merge-on-read section)
+                snap["delete"] = {"files": list(delete["files"]),
+                                  "key_cols": list(delete["key_cols"]),
+                                  "schema_id": sid}
             if rewrite:
                 snap["rewrite"] = True
                 snap["carried_parts"] = sorted(carried_parts or [])
@@ -588,6 +712,12 @@ class IceTable:
                     f"snapshot window crosses rewrite "
                     f"{s['snapshot_id']}; incremental read is invalid — "
                     f"re-read the full table")
+            if s.get("delete"):
+                raise ValueError(
+                    f"snapshot window crosses row-level delete "
+                    f"{s['snapshot_id']}; append-only CDC cannot "
+                    f"represent deletes — re-read the full table "
+                    f"(Iceberg's incremental append scan contract)")
             sid = s.get("schema_id")
             for p in s["partitions"]:
                 fsch = p.get("file_schemas") or {}
@@ -598,7 +728,14 @@ class IceTable:
     def read_changes(self, spark, since: str | None,
                      as_of: str | None = None):
         """Incremental read: rows appended after snapshot ``since``,
-        projected to the current schema."""
+        projected to the current schema.  The ``since=None`` bootstrap
+        is the full read (delete-aware); a window crossing a rewrite
+        or a row-level delete raises (changed_files contract)."""
+        if since is None:
+            try:
+                return self.read(spark, as_of)
+            except FileNotFoundError:
+                return None
         fws = self.changed_files_with_schema(since, as_of)
         if not fws:
             return None
@@ -648,12 +785,20 @@ class IceTable:
         footer read of the kept files, the price of making them
         prunable on it (second-review)."""
         base = self.current_snapshot_id()
-        fws = self.data_files_with_schema(as_of=base)
-        sid_of = dict(fws)
-        files = [f for f, _ in fws]
+        data, deletes = self._live_set(as_of=base)
+        sid_of = {f: sid for f, sid, _ in data}
+        seq_of = {f: seq for f, _, seq in data}
+        files = [f for f, _, _ in data]
         sizes = {f: os.path.getsize(f) for f in files}
-        small = [f for f in files if sizes[f] < target_file_bytes // 2]
-        if len(small) < 2:
+        # files any pending equality-delete applies to are FORCED into
+        # the rewrite regardless of size: the rewrite applies deletes
+        # physically and its snapshot carries no delete state, so kept
+        # files must have none pending
+        affected = {f for f in files
+                    if any(dseq > seq_of[f] for dseq, *_ in deletes)}
+        small = [f for f in files
+                 if sizes[f] < target_file_bytes // 2 or f in affected]
+        if len(small) < 2 and not affected:
             return {"rewritten": 0, "kept": len(files),
                     "snapshot_id": None}
         keep = [f for f in files if f not in set(small)]
@@ -661,10 +806,13 @@ class IceTable:
                          // target_file_bytes))
         run_id = "compact-" + uuid.uuid4().hex[:8]
         out_dir = self.staging_dir(run_id, 0)
-        # schema-mapped read: rewritten rows come out under the CURRENT
-        # schema's names (rename applied, added columns NULL-backfilled)
-        # — compaction is where old-schema files physically converge
-        df = self._read_mapped(spark, [(f, sid_of[f]) for f in small])
+        # schema-mapped + delete-applying read: rewritten rows come out
+        # under the CURRENT schema's names (rename applied, added
+        # columns NULL-backfilled) with deleted keys physically gone —
+        # compaction is where old-schema files and merge-on-read
+        # deletes converge
+        df = self._grouped_read(
+            spark, [(f, sid_of[f], seq_of[f]) for f in small], deletes)
         if sort_by:
             df = (df.repartitionByRange(n_out, sort_by)
                   .sortWithinPartitions(sort_by))
@@ -724,10 +872,13 @@ class IceTable:
                 break
             except CommitConflict:
                 head = self.current_snapshot_id()
-                # raises ValueError if a concurrent rewrite landed —
-                # correct: that rewrite already replaced history, ours
-                # is stale; the staged outputs stay orphans until GC.
-                # The folded wave's stats are re-derived from the new
+                # raises ValueError if a concurrent rewrite OR
+                # row-level delete landed — correct both times: a
+                # rewrite already replaced history, and a delete makes
+                # this rewrite's replacement list stale (it would
+                # resurrect the deleted rows); the staged outputs stay
+                # orphans until GC, the caller re-compacts.  The
+                # folded wave's stats are re-derived from the new
                 # head on the next pass (prior is rebuilt per attempt).
                 folded = self.changed_files_with_schema(base, as_of=head)
                 keep.extend(f for f, _ in folded)
@@ -784,6 +935,11 @@ class IceTable:
                 s = json.load(f)
             for p in s["partitions"]:
                 referenced.update(os.path.realpath(x) for x in p["files"])
+            # equality-delete files back time travel exactly like data
+            # files — GC must honor them until their snapshots expire
+            if s.get("delete"):
+                referenced.update(os.path.realpath(x)
+                                  for x in s["delete"]["files"])
         return referenced
 
     def expire_orphans(self, keep_run_ids: set[str] | None = None,

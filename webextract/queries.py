@@ -1100,6 +1100,60 @@ def q_table_schema_evolution(spark, sf_dir):
             .unionByName(scan.withColumn("src", F.lit("scan"))))
 
 
+def q_table_row_deletes(spark, sf_dir):
+    """Row-level delete / upsert driver gate (Iceberg v2 merge-on-read
+    equality deletes): two waves commit the documents table; an
+    equality-delete snapshot drops every doc_id % 3 == 1 row; a later
+    RECRAWL wave re-adds the doc_id % 6 == 1 subset with new text —
+    sequence numbers exempt data newer than a delete, so the re-adds
+    survive.  Three read surfaces must agree with one oracle: the
+    merge-on-read full read (anti-join applies the delete), the same
+    read after compaction (delete-affected files forced into the
+    rewrite, deletes applied PHYSICALLY, no delete state left), and
+    the stats-pruned range scan post-compaction."""
+    import hashlib
+    import os
+    import shutil
+
+    from .icetable import IceTable
+
+    tag = hashlib.md5(("del" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_icedel_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = IceTable(base)
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def commit_wave(w, df):
+        out = tbl.staging_dir(f"w{w}", 0)
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                       if fn.endswith(".parquet")
+                       and not fn.startswith((".", "_")))
+        tbl.commit(f"w{w}", [{"part_id": w, "files": files,
+                              "counters": {}}], "t",
+                   stats_cols=("doc_id",))
+
+    for w in (0, 1):
+        commit_wave(w, d.filter(F.col("doc_id") % 2 == w))
+    tbl.delete_where(spark,
+                     d.filter(F.col("doc_id") % 3 == 1).select("doc_id"),
+                     ("doc_id",), "del0", "t")
+    recrawl = (d.filter(F.col("doc_id") % 6 == 1)
+               .select("doc_id", F.concat("text", F.lit(" v2"))
+                       .alias("text")))
+    commit_wave(2, recrawl)
+    mor = tbl.read(spark)
+    sizes = [os.path.getsize(f) for f in tbl.data_files()]
+    tbl.compact(spark, target_file_bytes=2 * max(sizes) + 2,
+                committed_at="t", sort_by="doc_id")
+    compacted = tbl.read(spark)
+    sdf, _, _ = tbl.scan(spark, "doc_id", 100, 299)
+    scan = sdf if sdf is not None else mor.limit(0)
+    return (mor.withColumn("src", F.lit("mor"))
+            .unionByName(compacted.withColumn("src", F.lit("compacted")))
+            .unionByName(scan.withColumn("src", F.lit("scan"))))
+
+
 def q_stream_sessions(spark, sf_dir):
     """Streaming sessionization via the BUILT-IN session_window (the
     events_sessions batch gate's streaming twin): a REAL availableNow
@@ -2162,17 +2216,20 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "url_dedup": q_url_dedup,
     "line_dedup": q_line_dedup,
-    "pagerank": q_pagerank,
     "robots_filter": q_robots_filter,
-    # stream_sessions is new this round: it takes the 50th slot;
-    # sketch_hll_distinct (r4-green, family covered in-window by
-    # stream_hll) moves to first-past-the-cap
+    # stream_sessions and table_row_deletes are new this round: they
+    # take the last two window slots; sketch_hll_distinct (r4-green,
+    # family covered in-window by stream_hll) and pagerank (r4-green,
+    # graph family covered in-window by hits/cocitation/degree_stats)
+    # move to first-past-the-cap
     "stream_sessions": q_stream_sessions,
+    "table_row_deletes": q_table_row_deletes,
     # ---- driver cap boundary: position 50 ends here; everything
     # below is past the cap this round (pytest-oracle-gated in the
     # full-registry rehearsal; r4-green gates listed first so the
     # next rotation window is easy to cut) ----
     "sketch_hll_distinct": q_sketch_hll_distinct,
+    "pagerank": q_pagerank,
     "media_raster_stats": q_media_raster_stats,
     "media_picture_classify": q_media_picture_classify,
     "extract_image_ocr": q_extract_image_ocr,
@@ -4317,6 +4374,22 @@ ORACLES = {
         FROM documents
         WHERE 'u' || lpad(doc_id::VARCHAR, 7, '0')
               BETWEEN 'u0000100' AND 'u0000299'""",
+
+    # survivors = originals minus the deleted thirds, plus the
+    # recrawled sixth with its new text; all three read surfaces
+    # (merge-on-read, post-compaction, pruned range scan) see them
+    "table_row_deletes": """
+        WITH survivors AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 1
+            UNION ALL
+            SELECT doc_id, text || ' v2' AS text FROM documents
+            WHERE doc_id % 6 = 1)
+        SELECT doc_id, text, 'mor' AS src FROM survivors
+        UNION ALL
+        SELECT doc_id, text, 'compacted' AS src FROM survivors
+        UNION ALL
+        SELECT doc_id, text, 'scan' AS src FROM survivors
+        WHERE doc_id BETWEEN 100 AND 299""",
 
     # the three schema-evolution read surfaces as tagged unions: the
     # full mapped read (rename resolution + NULL backfill), the CDC
