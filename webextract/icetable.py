@@ -526,6 +526,204 @@ class IceTable:
                     "num_skipped long, bytes_in long, bytes_out long, "
                     "wall_ms long, committed_at string, snapshot_id string"))
 
+    # -- named refs: branches and tags (Iceberg refs / WAP) ---------------
+    # A branch is a mutable named head; a tag is an immutable one.  The
+    # write-audit-publish pattern: commit waves to an "audit" branch
+    # (main readers see nothing), run the quality gates against the
+    # branch head, then fast-forward main to it in one atomic pointer
+    # swap.  Main's head stays `_CURRENT` (every pre-refs table is a
+    # main-only table); other refs live under metadata/refs/<name>.
+
+    def _ref_path(self, name: str) -> str:
+        if name in ("", "main") or "/" in name or name.startswith("."):
+            raise ValueError(f"bad ref name {name!r}")
+        return os.path.join(self.meta_dir, "refs", name)
+
+    def _write_ref(self, name: str, snap_id: str | None,
+                   kind: str) -> None:
+        path = self._ref_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"type": kind, "snapshot_id": snap_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def _read_ref(self, name: str) -> dict | None:
+        if name == "main":
+            return {"type": "branch",
+                    "snapshot_id": self.current_snapshot_id()}
+        try:
+            with open(self._ref_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def ref_head(self, name: str) -> str | None:
+        """The snapshot id a branch or tag points at (usable anywhere
+        ``as_of`` is accepted).  Raises for an unknown ref."""
+        r = self._read_ref(name)
+        if r is None:
+            raise ValueError(f"no such ref {name!r}")
+        return r["snapshot_id"]
+
+    def create_branch(self, name: str, at: str | None = None) -> None:
+        """New mutable branch at ``at`` (default: main's head)."""
+        lock = self._commit_lock()
+        try:
+            if self._read_ref(name) is not None:
+                raise ValueError(f"ref {name!r} exists")
+            self._write_ref(name, at if at is not None
+                            else self.current_snapshot_id(), "branch")
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def create_tag(self, name: str, at: str | None = None) -> None:
+        """Immutable named snapshot (release/audit marker)."""
+        lock = self._commit_lock()
+        try:
+            if self._read_ref(name) is not None:
+                raise ValueError(f"ref {name!r} exists")
+            self._write_ref(name, at if at is not None
+                            else self.current_snapshot_id(), "tag")
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def _is_ancestor(self, maybe_ancestor: str | None,
+                     head: str | None) -> bool:
+        """True iff walking parents from ``head`` reaches
+        ``maybe_ancestor`` (None = the empty table, ancestor of all)."""
+        if maybe_ancestor is None:
+            return True
+        sid = head
+        while sid:
+            if sid == maybe_ancestor:
+                return True
+            try:
+                sid = self._snapshot(sid).get("parent_id")
+            except FileNotFoundError:
+                return False
+        return False
+
+    def publish(self, branch: str, into: str = "main") -> str:
+        """Fast-forward ``into`` to the branch head — the WAP publish
+        step, one atomic pointer swap under the commit lock.  Refuses
+        (CommitConflict) when the target has moved past the branch
+        point: the branch must rebase (re-commit its waves on the new
+        head) rather than silently dropping the interleaved history."""
+        lock = self._commit_lock()
+        try:
+            src = self._read_ref(branch)
+            if src is None or src["type"] != "branch":
+                raise ValueError(f"{branch!r} is not a branch")
+            head = src["snapshot_id"]
+            if into == "main":
+                target = self.current_snapshot_id()
+            else:
+                t = self._read_ref(into)
+                if t is None or t["type"] != "branch":
+                    raise ValueError(f"{into!r} is not a branch")
+                target = t["snapshot_id"]
+            if not self._is_ancestor(target, head):
+                raise CommitConflict(
+                    f"{into!r} moved past the branch point of "
+                    f"{branch!r}; rebase the branch and re-publish")
+            if into == "main":
+                ptmp = self._current_path + ".tmp"
+                with open(ptmp, "w") as f:
+                    f.write(head or "")
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(ptmp, self._current_path)
+            else:
+                self._write_ref(into, head, "branch")
+            return head
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def drop_ref(self, name: str) -> None:
+        """Delete a branch or tag pointer (Iceberg drop_branch/drop_tag).
+        The snapshots it pinned become expirable on the next
+        expire_snapshots run — the pointer is the retention lease."""
+        lock = self._commit_lock()
+        try:
+            if self._read_ref(name) is None:
+                raise ValueError(f"no such ref {name!r}")
+            os.remove(self._ref_path(name))
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def rollback_to(self, snapshot_id: str) -> None:
+        """Move main's head back to an ANCESTOR snapshot (Iceberg
+        rollback_to_snapshot) — the undo for a bad publish or commit.
+        Strictly a pointer move: no snapshot or data file is touched,
+        so the rolled-back history stays time-travelable (and
+        re-publishable) until expiry.  Refuses a non-ancestor target:
+        that would be set_current_snapshot, a history REWRITE, which
+        this table format deliberately does not offer."""
+        lock = self._commit_lock()
+        try:
+            try:
+                self._snapshot(snapshot_id)     # must exist
+            except FileNotFoundError:
+                raise ValueError(f"no such snapshot {snapshot_id!r}")
+            if not self._is_ancestor(snapshot_id,
+                                     self.current_snapshot_id()):
+                raise ValueError(
+                    f"{snapshot_id!r} is not an ancestor of main's head")
+            ptmp = self._current_path + ".tmp"
+            with open(ptmp, "w") as f:
+                f.write(snapshot_id)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(ptmp, self._current_path)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def _ref_reachable(self) -> set[str]:
+        """Snapshot ids reachable from ANY named ref — the expiry pin
+        set.  A branch forked below main's expiry cut still needs its
+        whole parent chain; without this pin, expire_snapshots would
+        delete a branch's history out from under it (tags likewise —
+        they exist to make a snapshot immortal until dropped)."""
+        pinned: set[str] = set()
+        refs_dir = os.path.join(self.meta_dir, "refs")
+        try:
+            names = os.listdir(refs_dir)
+        except FileNotFoundError:
+            return pinned
+        for fn in names:
+            if fn.endswith(".tmp"):
+                continue
+            try:
+                with open(os.path.join(refs_dir, fn)) as f:
+                    sid = json.load(f).get("snapshot_id")
+            except (OSError, ValueError):
+                continue
+            while sid and sid not in pinned:
+                pinned.add(sid)
+                try:
+                    sid = self._snapshot(sid).get("parent_id")
+                except FileNotFoundError:
+                    break
+        return pinned
+
     # -- snapshot artifacts ----------------------------------------------
     # Derived per-snapshot datasets (LSH band keys, sketch states, ...)
     # stored alongside the manifest, keyed by (kind, snapshot_id) — the
@@ -594,7 +792,8 @@ class IceTable:
                carried_parts: list[int] | None = None,
                expected_parent: str | None | type(...) = ...,
                stats_cols: tuple[str, ...] = (),
-               delete: dict | None = None) -> str:
+               delete: dict | None = None,
+               branch: str | None = None) -> str:
         """partitions: [{part_id, files: [...], counters: {...}}].
         Atomic snapshot append; returns the new snapshot id.
         ``versions`` records component versions in the snapshot (the
@@ -633,13 +832,19 @@ class IceTable:
                     p["file_stats"] = fs
         lock = self._commit_lock()
         try:
-            if expected_parent is not ... and (
-                    self.current_snapshot_id() != expected_parent):
+            if branch is None:
+                head = self.current_snapshot_id()
+            else:
+                ref = self._read_ref(branch)
+                if ref is None or ref["type"] != "branch":
+                    raise ValueError(f"{branch!r} is not a branch")
+                head = ref["snapshot_id"]
+            if expected_parent is not ... and head != expected_parent:
                 raise CommitConflict(
                     f"table head moved past {expected_parent!r}")
             snap_id = uuid.uuid4().hex[:16]
             snap = {"snapshot_id": snap_id,
-                    "parent_id": self.current_snapshot_id(),
+                    "parent_id": head,
                     "run_id": run_id,
                     "committed_at": committed_at,
                     "versions": versions or {},
@@ -667,12 +872,15 @@ class IceTable:
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, path)
-            ptmp = self._current_path + ".tmp"
-            with open(ptmp, "w") as f:
-                f.write(snap_id)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(ptmp, self._current_path)  # the atomic swap
+            if branch is None:
+                ptmp = self._current_path + ".tmp"
+                with open(ptmp, "w") as f:
+                    f.write(snap_id)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(ptmp, self._current_path)  # the atomic swap
+            else:
+                self._write_ref(branch, snap_id, "branch")
             return snap_id
         finally:
             try:
@@ -910,14 +1118,42 @@ class IceTable:
                             if s.get("rewrite")), None)
         cut = (len(chain) if rewrite_idx is None
                else max(keep, rewrite_idx + 1))
-        expired = chain[cut:]
+        # named refs pin their whole parent chain: a branch forked
+        # below the cut (or a tag on old history) keeps those
+        # snapshots alive until the ref is dropped
+        pinned = self._ref_reachable()
+        expired = [s for s in chain[cut:]
+                   if s["snapshot_id"] not in pinned]
         for s in expired:
             try:
                 os.remove(os.path.join(
                     self.meta_dir, f"snap-{s['snapshot_id']}.json"))
             except FileNotFoundError:
                 pass
-        return {"expired_snapshots": len(expired),
+        # sweep off-chain snapshots no ref reaches — the history of a
+        # dropped audit branch (or a rolled-back head) would otherwise
+        # leak snap files AND pin its data files against orphan GC
+        # forever.  The grace horizon skips snap files younger than
+        # the window: a commit writes its snapshot a beat before the
+        # branch-ref/head pointer swings to it.
+        n_expired = len(expired)
+        reachable = ({s["snapshot_id"] for s in chain} | pinned)
+        horizon = time.time() - grace_seconds
+        for fn in os.listdir(self.meta_dir):
+            if not (fn.startswith("snap-") and fn.endswith(".json")):
+                continue
+            sid = fn[len("snap-"):-len(".json")]
+            if sid in reachable:
+                continue
+            path = os.path.join(self.meta_dir, fn)
+            try:
+                if os.path.getmtime(path) > horizon:
+                    continue
+                os.remove(path)
+            except FileNotFoundError:
+                continue
+            n_expired += 1
+        return {"expired_snapshots": n_expired,
                 "skipped_unsafe": max(0, min(cut, len(chain)) - keep),
                 "removed_files": self.expire_orphans(
                     grace_seconds=grace_seconds)}

@@ -1100,6 +1100,51 @@ def q_table_schema_evolution(spark, sf_dir):
             .unionByName(scan.withColumn("src", F.lit("scan"))))
 
 
+def q_table_wap(spark, sf_dir):
+    """Write-audit-publish driver gate (Iceberg refs: branches + tags):
+    two waves land on main; an AUDIT branch takes a third wave that
+    main readers must not see; reading the branch head sees it; a
+    fast-forward publish atomically moves main; a tag pins that
+    published state immutably while main keeps moving (a fourth wave).
+    Four read surfaces as tagged unions against one oracle."""
+    import hashlib
+    import os
+    import shutil
+
+    from .icetable import IceTable
+
+    tag = hashlib.md5(("wap" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_icewap_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = IceTable(base)
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def commit_wave(w, df, branch=None):
+        out = tbl.staging_dir(f"w{w}", 0)
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                       if fn.endswith(".parquet")
+                       and not fn.startswith((".", "_")))
+        tbl.commit(f"w{w}", [{"part_id": w, "files": files,
+                              "counters": {}}], "t", branch=branch)
+
+    for w in (0, 1):
+        commit_wave(w, d.filter(F.col("doc_id") % 4 == w))
+    tbl.create_branch("audit")
+    commit_wave(2, d.filter(F.col("doc_id") % 4 == 2), branch="audit")
+    pre = tbl.read(spark)                                   # main: 0,1
+    audited = tbl.read(spark, as_of=tbl.ref_head("audit"))  # 0,1,2
+    tbl.publish("audit")                                    # main: 0,1,2
+    tbl.create_tag("v1")
+    commit_wave(3, d.filter(F.col("doc_id") % 4 == 3))
+    post = tbl.read(spark)                                  # 0,1,2,3
+    at_tag = tbl.read(spark, as_of=tbl.ref_head("v1"))      # 0,1,2
+    return (pre.withColumn("src", F.lit("pre"))
+            .unionByName(audited.withColumn("src", F.lit("audit")))
+            .unionByName(post.withColumn("src", F.lit("post")))
+            .unionByName(at_tag.withColumn("src", F.lit("tag"))))
+
+
 def q_table_row_deletes(spark, sf_dir):
     """Row-level delete / upsert driver gate (Iceberg v2 merge-on-read
     equality deletes): two waves commit the documents table; an
@@ -2216,20 +2261,23 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "url_dedup": q_url_dedup,
     "line_dedup": q_line_dedup,
-    "robots_filter": q_robots_filter,
-    # stream_sessions and table_row_deletes are new this round: they
-    # take the last two window slots; sketch_hll_distinct (r4-green,
-    # family covered in-window by stream_hll) and pagerank (r4-green,
-    # graph family covered in-window by hits/cocitation/degree_stats)
+    # stream_sessions, table_row_deletes and table_wap are new this
+    # round: they take the last three window slots; sketch_hll_distinct
+    # (r4-green, family covered in-window by stream_hll), pagerank
+    # (r4-green, graph family covered in-window by
+    # hits/cocitation/degree_stats) and robots_filter (r4-green, crawl
+    # family covered in-window by robots_sitemaps + frontier_schedule)
     # move to first-past-the-cap
     "stream_sessions": q_stream_sessions,
     "table_row_deletes": q_table_row_deletes,
+    "table_wap": q_table_wap,
     # ---- driver cap boundary: position 50 ends here; everything
     # below is past the cap this round (pytest-oracle-gated in the
     # full-registry rehearsal; r4-green gates listed first so the
     # next rotation window is easy to cut) ----
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pagerank": q_pagerank,
+    "robots_filter": q_robots_filter,
     "media_raster_stats": q_media_raster_stats,
     "media_picture_classify": q_media_picture_classify,
     "extract_image_ocr": q_extract_image_ocr,
@@ -4374,6 +4422,18 @@ ORACLES = {
         FROM documents
         WHERE 'u' || lpad(doc_id::VARCHAR, 7, '0')
               BETWEEN 'u0000100' AND 'u0000299'""",
+
+    # the four WAP read surfaces: pre-publish main (waves 0-1), the
+    # audit branch head (0-2), post-publish-and-append main (0-3),
+    # and the immutable tag pinned at publish (0-2)
+    "table_wap": """
+        SELECT doc_id, 'pre' AS src FROM documents WHERE doc_id % 4 < 2
+        UNION ALL
+        SELECT doc_id, 'audit' AS src FROM documents WHERE doc_id % 4 < 3
+        UNION ALL
+        SELECT doc_id, 'post' AS src FROM documents
+        UNION ALL
+        SELECT doc_id, 'tag' AS src FROM documents WHERE doc_id % 4 < 3""",
 
     # survivors = originals minus the deleted thirds, plus the
     # recrawled sixth with its new text; all three read surfaces
