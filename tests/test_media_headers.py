@@ -350,3 +350,37 @@ def test_gif_lzw_roundtrip():
     for cut in range(len(full)):
         r = gif_decode_rgb(full[:cut])
         assert r is None or (len(r[2]) == r[1])
+
+
+def test_mjpeg_video_frame_decode():
+    """Compressed-video path (r5): every '00dc' chunk is a REAL
+    baseline JPEG; per-frame stats must match the block formula
+    byte-exactly, and damage must degrade gracefully (skip, not raise,
+    never a phantom frame)."""
+    from webextract.media import (image_raster_stats,
+                                  make_mjpeg_avi_bytes, parse_avi_frames)
+    for did in (0, 2, 9, 42):
+        b = make_mjpeg_avi_bytes(did)
+        bw, bh, nf = 2 + did % 3, 1 + did % 3, 2 + did % 4
+        frames = parse_avi_frames(b)
+        assert len(frames) == nf
+        for k, off, sz in frames:
+            assert b[off:off + 2] == b"\xff\xd8"     # real JPEG SOI
+            st = image_raster_stats(b[off:off + sz])
+            vals = [(did * 11 + k * 19 + bx * 29 + by * 37) % 256
+                    for bx in range(bw) for by in range(bh)]
+            assert st["n_px"] == bw * bh * 64
+            assert (st["r_min"], st["r_max"]) == (min(vals), max(vals))
+            assert st["r_mean"] == round(sum(vals) / len(vals), 4)
+            assert st["g_mean"] == st["r_mean"] == st["b_mean"]
+    # a frame whose entropy stream is cut must decode to None, while
+    # the container walk still clamps its extent inside the buffer
+    b = make_mjpeg_avi_bytes(5)
+    k0, off0, sz0 = parse_avi_frames(b)[0]
+    assert image_raster_stats(b[off0:off0 + sz0 // 2]) is None
+    # corrupting a frame's JPEG marker leaves OTHER frames decodable
+    broken = bytearray(b)
+    broken[off0] = 0x00
+    got = [image_raster_stats(bytes(broken)[o:o + s]) is not None
+           for _, o, s in parse_avi_frames(bytes(broken))]
+    assert got[0] is False and any(got[1:])

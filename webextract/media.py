@@ -481,6 +481,95 @@ def frame_sample_batches(stride: int):
 with_avi_media = _media_from_doc_id(make_avi_bytes)
 
 
+def make_mjpeg_avi_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID motion-JPEG AVI — the COMPRESSED-video wire
+    format (fourcc 'MJPG'): every '00dc' chunk in the movi list is a
+    REAL baseline JPEG (YCbCr 4:2:0, restart interval 2) produced by
+    the same encoder as make_jpeg_raster_bytes.  Frame k's pixels are
+    per-8x8-block solid gray (doc_id*11 + k*19 + bx*29 + by*37) % 256
+    — DC-only under flat q=1, so the per-frame Huffman/RST/IDCT decode
+    is byte-exact and the DuckDB oracle recomputes frame stats from
+    the block formula.  (The reference rasterizes video through
+    ffmpeg-backed deps, docs/usage.md:16-30; MJPEG is the codec this
+    sandbox can implement for real end to end.)"""
+    import struct
+    bw = 2 + doc_id % 3
+    bh = 1 + doc_id % 3
+    w, h = bw * 8, bh * 8
+    nf = 2 + doc_id % 4
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data \
+            + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
+
+    frames = []
+    for k in range(nf):
+        rows = [bytes((doc_id * 11 + k * 19
+                       + (x // 8) * 29 + (y // 8) * 37) % 256
+                      for x in range(w)) for y in range(h)]
+        frames.append(jpegmini.jpeg_encode_gray(w, h, rows,
+                                                color=True, restart=2))
+    max_fs = max(len(f) for f in frames)
+    avih = struct.pack("<14I", 33367, max_fs * 30, 0, 0, nf, 0, 1,
+                       max_fs, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<12I", 0, 0, 0, 1, 30, 0,
+                                            nf, max_fs, 0, 0, 0, 0))
+    # biCompression = the 'MJPG' fourcc as a little-endian dword
+    strf = struct.pack("<Iii2H", 40, w, h, 1, 24) + b"MJPG" \
+        + struct.pack("<IiiII", max_fs, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+with_mjpeg_media = _media_from_doc_id(make_mjpeg_avi_bytes)
+
+
+VIDEO_FRAME_STATS_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_px bigint, "
+    "r_min int, r_max int, r_mean double, "
+    "g_min int, g_max int, g_mean double, "
+    "b_min int, b_max int, b_mean double")
+
+
+def video_frame_stats(df: DataFrame) -> DataFrame:
+    """REAL compressed-video frame decode: walk the RIFF/AVI container
+    (parse_avi_frames), entropy-decode every MJPEG frame through the
+    full baseline-JPEG path, and emit per-frame per-channel pixel
+    stats — a 1→N narrow mapInPandas kernel, the frame-level sibling
+    of raster_stats.  Frames that are not decodable rasters (e.g. raw
+    '00db' payloads from the uncompressed flavor) are skipped; the
+    payload never enters a shuffle."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                m = m if m is not None else b""
+                frames = parse_avi_frames(m)
+                if frames is None:
+                    continue
+                for idx, off, sz in frames:
+                    st = image_raster_stats(m[off:off + sz])
+                    if st is None:
+                        continue
+                    row = {"doc_id": did, "frame_idx": idx}
+                    row.update(st)
+                    rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_px",
+                               "r_min", "r_max", "r_mean",
+                               "g_min", "g_max", "g_mean",
+                               "b_min", "b_max", "b_mean"])
+
+    return df.select("doc_id", "media").mapInPandas(
+        fn, VIDEO_FRAME_STATS_SCHEMA)
+
+
 def frame_sample(df: DataFrame, stride: int = 4) -> DataFrame:
     return df.select("doc_id", "media").mapInPandas(
         frame_sample_batches(stride), FRAME_SAMPLE_SCHEMA)
