@@ -210,11 +210,43 @@ def test_png_gray_and_palette_variants():
     ln = int.from_bytes(stripped[i:i + 4], "big")
     stripped = stripped[:i] + stripped[i + 12 + ln:]
     assert png_decode_rgb(stripped) is None
-    # variant fixture rotation covers all three color types
-    for did in (0, 1, 2, 3, 4, 5):
+    # variant fixture rotation covers all five variants
+    for did in range(10):
         out = png_decode_rgb(make_png_variant_bytes(did))
         assert out is not None
         assert (out[0], out[1]) == (4 + did % 5, 3 + did % 4)
+
+
+def test_png_interlace_and_16bit():
+    """r5: Adam7 scan order and 16-bit depth decode to the same pixels
+    as the sequential 8-bit path; damage and unsupported combos return
+    None."""
+    from webextract.media import (_png_rgb_rows, png_decode_rgb,
+                                  png_encode_rgb, png_encode_rgb16,
+                                  png_encode_rgb_interlaced)
+    # all 7 passes non-empty needs w,h > 8; also hit edge geometries
+    for (w, h) in [(19, 11), (9, 9), (8, 8), (1, 1), (1, 9), (9, 1)]:
+        rows = _png_rgb_rows(23, w, h)
+        seq = png_decode_rgb(png_encode_rgb(w, h, rows))
+        lace = png_decode_rgb(png_encode_rgb_interlaced(w, h, rows))
+        assert seq == lace == (w, h, rows), (w, h)
+        rows16 = [bytes(x for s in r for x in (s, s)) for r in rows]
+        assert png_decode_rgb(png_encode_rgb16(w, h, rows16)) == \
+            (w, h, rows), (w, h)
+    # high byte wins when the low byte disagrees (libpng 16->8)
+    got = png_decode_rgb(png_encode_rgb16(
+        1, 1, [bytes([0xAB, 0x00, 0x01, 0xFF, 0x80, 0x7F])]))
+    assert got == (1, 1, [bytes([0xAB, 0x01, 0x80])])
+    # truncation anywhere in an interlaced payload: None, never raises
+    b = png_encode_rgb_interlaced(19, 11, _png_rgb_rows(5, 19, 11))
+    for cut in range(0, len(b), 7):
+        png_decode_rgb(b[:cut])                 # must not raise
+    # 16-bit palette is a spec violation -> None
+    import struct
+    bad = bytearray(png_encode_rgb16(2, 2, [bytes(12), bytes(12)]))
+    ihdr_at = bad.find(b"IHDR")
+    bad[ihdr_at + 13] = 3                       # ctype byte -> palette
+    assert png_decode_rgb(bytes(bad)) is None
 
 
 def test_png_raster_and_ocr_match_bmp():

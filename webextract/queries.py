@@ -1920,11 +1920,13 @@ def q_media_raster_stats(spark, sf_dir):
 
 def q_media_raster_png(spark, sf_dir):
     """Compressed-codec raster decode (round-3 verdict item 3; round-4
-    item 5 widened it): payloads are real zlib-deflated PNGs whose
-    scanlines cycle through all five filter types AND whose color type
-    rotates RGB8 / GRAYSCALE8 / PALETTE8 by doc_id%3 — the stats only
-    match the oracle if inflate + per-row unfilter + gray expansion +
-    PLTE lookup reconstruct every pixel exactly."""
+    item 5 and r5 widened it): payloads are real zlib-deflated PNGs
+    whose scanlines cycle through all five filter types AND whose
+    variant rotates RGB8 / GRAYSCALE8 / PALETTE8 / Adam7-INTERLACED /
+    16-BIT by doc_id%5 — the stats only match the oracle if inflate +
+    per-row unfilter + gray expansion + PLTE lookup + the 7-pass
+    interlace scatter + the high-byte 16→8 reduction reconstruct
+    every pixel exactly."""
     docs = media.with_png_variant_media(_read(spark, sf_dir, "documents"))
     return media.raster_stats(docs)
 
@@ -5051,30 +5053,33 @@ ORACLES = {
     # make_png_bytes pins the SAME pixel formula as make_bmp_bytes, so
     # the PNG gate's oracle is the BMP one verbatim — deflate +
     # filtering must be lossless
-    # color type rotates by doc_id % 3: v0 = RGB8 (BMP formula), v1 =
-    # GRAYSCALE8 (g replicated), v2 = PALETTE8 (16-entry affine table)
+    # variant rotates by doc_id % 5: v0 = RGB8 (BMP formula), v1 =
+    # GRAYSCALE8 (g replicated), v2 = PALETTE8 (16-entry affine
+    # table), v3 = Adam7-interlaced RGB8 and v4 = 16-bit RGB — both
+    # pin the v0 formula (16-bit samples are v*257, so the high-byte
+    # reduction is exact)
     "media_raster_png": """
         WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-                          doc_id % 3 AS v
+                          doc_id % 5 AS v
                    FROM documents),
         px AS (SELECT doc_id,
-                      CASE v WHEN 0 THEN (doc_id + x.i + y.i) % 256
-                             WHEN 1 THEN (doc_id * 7 + x.i * 13
+                      CASE v WHEN 1 THEN (doc_id * 7 + x.i * 13
                                           + y.i * 17) % 256
-                             ELSE (((doc_id + x.i * 3 + y.i * 5) % 16)
-                                   * 43 + 11) % 256 END AS bc,
-                      CASE v WHEN 0 THEN (doc_id * 3 + x.i * 5
-                                          + y.i * 7) % 256
-                             WHEN 1 THEN (doc_id * 7 + x.i * 13
+                             WHEN 2 THEN (((doc_id + x.i * 3 + y.i * 5)
+                                           % 16) * 43 + 11) % 256
+                             ELSE (doc_id + x.i + y.i) % 256 END AS bc,
+                      CASE v WHEN 1 THEN (doc_id * 7 + x.i * 13
                                           + y.i * 17) % 256
-                             ELSE (((doc_id + x.i * 3 + y.i * 5) % 16)
-                                   * 29 + 7) % 256 END AS gc,
-                      CASE v WHEN 0 THEN (doc_id * 11 + x.i * 13
+                             WHEN 2 THEN (((doc_id + x.i * 3 + y.i * 5)
+                                           % 16) * 29 + 7) % 256
+                             ELSE (doc_id * 3 + x.i * 5
+                                   + y.i * 7) % 256 END AS gc,
+                      CASE v WHEN 1 THEN (doc_id * 7 + x.i * 13
                                           + y.i * 17) % 256
-                             WHEN 1 THEN (doc_id * 7 + x.i * 13
-                                          + y.i * 17) % 256
-                             ELSE (((doc_id + x.i * 3 + y.i * 5) % 16)
-                                   * 17 + 3) % 256 END AS rc
+                             WHEN 2 THEN (((doc_id + x.i * 3 + y.i * 5)
+                                           % 16) * 17 + 3) % 256
+                             ELSE (doc_id * 11 + x.i * 13
+                                   + y.i * 17) % 256 END AS rc
                FROM d,
                     unnest(generate_series(0, w - 1)) AS x(i),
                     unnest(generate_series(0, h - 1)) AS y(i))
