@@ -71,6 +71,8 @@ HEADLINE = [
     "tfidf_topk", "inverted_postings", "len_quantiles",
     "stream_len_quantiles", "mirror_hosts", "pmi_pairs",
     "cocitation", "degree_stats", "vocab_stats",
+    "table_wap", "media_frame_mjpeg",
+    "bigram_lm", "temperature_mix", "hashed_tfidf", "nb_langid",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a
@@ -130,20 +132,22 @@ _FAMILIES = (
     ("stream", ("stream_",)),
     ("dedup", ("dedup_", "line_dedup", "url_dedup", "within_doc",
                "canonical_dedup", "skew_neardup", "mirror_hosts")),
-    ("embed", ("embed_",)),
+    ("embed", ("embed_", "hashed_tfidf")),
     ("chunk", ("chunk_",)),
     ("quality", ("quality_", "c4_quality", "nb_quality", "lm_perplexity",
-                 "repetition_suite", "dsir_weights", "text_quality")),
+                 "repetition_suite", "dsir_weights", "text_quality",
+                 "bigram_lm")),
     ("graph", ("pagerank", "hits", "anchor_rollup", "cocitation",
                "degree_stats")),
     ("crawl", ("robots_", "parse_", "cdx_", "frontier_", "url_seen",
                "sitemap", "page_metadata")),
     ("tokenize", ("bpe_", "token_stats", "vocab_stats", "pmi_pairs",
                   "pack_sequences", "len_quantiles", "text_normalize",
-                  "doc_fingerprints", "lang_id")),
+                  "doc_fingerprints", "lang_id", "nb_langid")),
     ("retrieval", ("bm25_", "tfidf_", "inverted_",)),
     ("sketch", ("sketch_", "heavy_hitters",)),
-    ("sample", ("weighted_sample", "sample_", "source_",)),
+    ("sample", ("weighted_sample", "sample_", "source_",
+                "temperature_mix")),
 )
 
 

@@ -3913,3 +3913,272 @@ def normalize_text(docs: DataFrame, form: str = "NFC") -> DataFrame:
     return (docs.select("doc_id", "text")
             .mapInArrow(kern,
                         "doc_id long, text_norm string, changed boolean"))
+
+
+# ---------------------------------------------------------------------------
+# bigram LM with stupid backoff (r5) — the KenLM-filter shape: train a
+# reference-domain LM, score the crawl against it (CCNet scores
+# Common Crawl under a Wikipedia LM; reference precedent for quality
+# scoring: docling_serve picture-description thresholds are the same
+# train-elsewhere/score-here pattern).
+# ---------------------------------------------------------------------------
+
+# round(-ln(0.4) * 1e6): the stupid-backoff penalty (Brants et al.
+# 2007 alpha = 0.4), pinned as an integer constant so neither engine's
+# libm decides the value
+BACKOFF_NLL_MICRO = 916291
+
+
+def _bigram_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, tf): adjacent-token bigram counts per doc.
+    Pairs are built IN-ARRAY (slice + index-bound transform — a
+    corpus-sized self-join on position would be absurd), then one
+    shuffle with map-side combine."""
+    toks = _spread(docs).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    # slice length is guarded: size()-1 on a 1-token doc is 0, and
+    # Spark's slice(x, 1, 0) is [] (unlike sequence(1, 0), which
+    # counts DOWN — the two-param-transform index idiom is safe here
+    # because i comes from transform itself, not sequence)
+    pairs = F.expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+        "(t, i) -> struct(t AS w1, toks[i + 1] AS w2))")
+    return (toks.select("doc_id", F.explode(pairs).alias("p"))
+            .select("doc_id", F.col("p.w1").alias("w1"),
+                    F.col("p.w2").alias("w2"))
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count("*").alias("tf")))
+
+
+def bigram_lm_scores(train_docs: DataFrame, score_docs: DataFrame,
+                     k: float = LM_K) -> DataFrame:
+    """(doc_id, n_big, mean_nll, ppl): score every document's bigrams
+    under a bigram LM trained on a REFERENCE corpus with stupid
+    backoff — seen bigram: -ln(c12/c1); unseen: 916291 micro-nats
+    (= -ln 0.4) + the add-k unigram NLL; unigram OOV falls to the
+    smoothed-unseen mass k/(N+kV).  Like lm_perplexity, every
+    per-token NLL is fixed to integer micro-nats BEFORE summation, so
+    per-doc sums are order-independent and engine-exact; the backoff
+    composition is defined ON the rounded integers (part of the model
+    contract, documented so the oracle mirrors it exactly).
+
+    Scale shape: the bigram table is the big object (~10^10 rows at
+    100 TB) and only ever moves through shuffle-hash equi-joins keyed
+    (w1, w2) / (w1) — never broadcast, never a window.  Scoring joins
+    are LEFT so backoff is a coalesce, not a second pass over the
+    corpus.  N/V ride as a broadcast 1-row frame."""
+    tr = _bigram_tf(train_docs)
+    bc = tr.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    bi_nll = (bc.join(c1.hint("shuffle_hash"), "w1")
+              .select("w1", "w2",
+                      F.round(-F.log(F.col("c12") / F.col("c1")) * 1e6, 0)
+                      .cast("long").alias("nll12")))
+    uni = (_spread(train_docs)
+           .select(F.explode(TOKENS()).alias("w2"))
+           .groupBy("w2").agg(F.count("*").alias("c")))
+    tot = uni.agg(F.sum("c").alias("n_total"),
+                  F.count("*").alias("vocab"))
+    denom = F.col("n_total") + F.lit(k) * F.col("vocab")
+    uni_nll = (uni.crossJoin(F.broadcast(tot))
+               .select("w2",
+                       F.round(-F.log((F.col("c") + F.lit(k)) / denom)
+                               * 1e6, 0).cast("long").alias("nll_uni")))
+    oov = tot.select(F.round(-F.log(F.lit(k) / denom) * 1e6, 0)
+                     .cast("long").alias("nll_oov"))
+    sc = (_bigram_tf(score_docs)
+          .join(bi_nll.hint("shuffle_hash"), ["w1", "w2"], "left")
+          .join(uni_nll.hint("shuffle_hash"), "w2", "left")
+          .crossJoin(F.broadcast(oov))
+          .select("doc_id", "tf",
+                  F.coalesce(
+                      F.col("nll12"),
+                      F.lit(BACKOFF_NLL_MICRO)
+                      + F.coalesce(F.col("nll_uni"), F.col("nll_oov")))
+                  .alias("nll"))
+          .groupBy("doc_id")
+          .agg(F.sum("tf").alias("n_big"),
+               F.sum(F.col("tf") * F.col("nll")).alias("s")))
+    # exact half-up integer mean (see lm_perplexity for the boundary
+    # analysis — the same half-micro divergence class applies)
+    m_micro = F.floor((2 * F.col("s") + F.col("n_big"))
+                      / (2 * F.col("n_big")))
+    mean_nll = m_micro.cast("double") / F.lit(1e6)
+    return sc.select("doc_id", F.col("n_big").cast("int").alias("n_big"),
+                     mean_nll.alias("mean_nll"),
+                     F.round(F.exp(mean_nll), 4).alias("ppl"))
+
+
+# ---------------------------------------------------------------------------
+# temperature-flattened source mixing (r5) — the multilingual
+# alpha-sampling recipe (Conneau & Lample 2019; mT5's alpha=0.3):
+# resample sources toward q_s ∝ n_s^alpha so head sources stop
+# drowning the tail.  alpha is pinned to 0.5 because sqrt is the one
+# power IEEE requires correctly rounded — an engine-exact contract;
+# other alphas would put libm pow() in the reproducibility path.
+# ---------------------------------------------------------------------------
+
+def temperature_mix(docs: DataFrame, target_frac: float = 0.25,
+                    salt: str = "tmix1") -> DataFrame:
+    """(doc_id, source, rate_bp): the admitted sample after
+    temperature-flattening source shares at alpha = 0.5.  Target
+    share q_s = sqrt(n_s)/Z scaled to a budget of T = floor(N *
+    target_frac) docs gives per-source admission rate_bp =
+    min(10000, round(T * s_micro * 10000 / (Z_micro * n_s))) basis
+    points, admitted by the shared content-independent hash-mod rule
+    (reproducible across engines/runs, growth-stable).  sqrt(n_s) is
+    rounded to integer micros BEFORE the Z sum so Z is an exact
+    bigint, never an order-dependent double accumulation.
+
+    Scale shape: one count-by-source agg (map-side combined), the
+    source-count table is budget-bounded and broadcast back; admission
+    is a pure narrow projection.  Sources needing >1.0 rate (tail
+    upsampling beyond one epoch) clamp at 10000 bp — epoch math is the
+    trainer's job, the mixer never duplicates rows."""
+    n = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    z = n.select(
+        F.sum(F.round(F.sqrt(F.col("n_s").cast("double")) * 1e6, 0)
+              .cast("long")).alias("z_micro"),
+        F.sum("n_s").alias("n_total"))
+    rates = (n.crossJoin(F.broadcast(z))
+             .select("source",
+                     F.least(
+                         F.lit(10000),
+                         F.round(F.floor(F.col("n_total")
+                                         * F.lit(target_frac))
+                                 * F.round(F.sqrt(F.col("n_s")
+                                                  .cast("double"))
+                                           * 1e6, 0)
+                                 * F.lit(10000.0)
+                                 / (F.col("z_micro") * F.col("n_s")), 0))
+                     .cast("long").alias("rate_bp")))
+    return (docs.join(F.broadcast(rates), "source")
+            .where(_hash_mod(salt, 10000) < F.col("rate_bp"))
+            .select("doc_id", "source", "rate_bp"))
+
+
+# ---------------------------------------------------------------------------
+# feature-hashed tf-idf document embeddings (r5) — the classic
+# hashing-trick document vector (Weinberger et al. 2009): a fixed-dim
+# bridge from raw text into the ANN/semantic-dedup family that needs
+# no trained encoder and no vocabulary table at inference.
+# ---------------------------------------------------------------------------
+
+def hashed_tfidf(docs: DataFrame, buckets: int = 256,
+                 salt: str = "htf1") -> DataFrame:
+    """(doc_id, bucket, w_micro): L2-normalized feature-hashed tf-idf
+    vectors as sparse (non-zero) entries.  bucket = md5(salt:tok)[:8]
+    mod ``buckets`` (the shared portable hash rule); raw weight =
+    tf * idf_micro with idf_micro = round(ln((D+1)/(df+1))*1e6) —
+    exact bigints end to end.  The squared-norm sum runs in
+    decimal(38,0) (raw^2 reaches ~4e20, past int64), and the final
+    component is round(raw / sqrt(ss) * 1e6): raw < 2^53 converts to
+    double exactly, division and sqrt are IEEE-correctly-rounded, so
+    both engines emit identical integers.
+
+    Scale shape: one (doc, tok) shuffle, a shuffle-hash idf join (the
+    df table is vocabulary-sized — never broadcast), one (doc,
+    bucket) re-agg, and a doc-keyed shuffle-hash norm join.  Output is
+    bounded at ``buckets`` rows per doc regardless of vocabulary."""
+    tf = (_spread(docs)
+          .select("doc_id", F.explode(TOKENS()).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    idf = (dfreq.crossJoin(F.broadcast(nd))
+           .select("tok",
+                   F.round(F.log((F.col("n_docs") + F.lit(1.0))
+                                 / (F.col("df") + F.lit(1.0))) * 1e6, 0)
+                   .cast("long").alias("idf_micro")))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col("tok"))), 1, 8),
+        16, 10).cast("long") % buckets)
+    feat = (tf.join(idf.hint("shuffle_hash"), "tok")
+            .select("doc_id", bucket.alias("bucket"),
+                    (F.col("tf") * F.col("idf_micro")).alias("raw"))
+            .groupBy("doc_id", "bucket").agg(F.sum("raw").alias("raw")))
+    ss = feat.groupBy("doc_id").agg(
+        F.sum((F.col("raw").cast("decimal(38,0)") * F.col("raw")))
+        .alias("ss"))
+    return (feat.join(ss.hint("shuffle_hash"), "doc_id")
+            .where(F.col("ss") > 0)
+            .select("doc_id", F.col("bucket").cast("int").alias("bucket"),
+                    F.round(F.col("raw")
+                            / F.sqrt(F.col("ss").cast("double")) * 1e6, 0)
+                    .cast("long").alias("w_micro")))
+
+
+# ---------------------------------------------------------------------------
+# hashed char-n-gram Naive Bayes language ID (r5) — the fastText-lite
+# upgrade over the marker-word heuristic: supervised on the corpus's
+# own lang labels, features are hashed character trigrams, so the
+# model is a BOUNDED (langs x buckets) weight table that always
+# broadcasts — the same always-broadcastable-distribution property
+# dsir_weights gets from feature hashing.
+# ---------------------------------------------------------------------------
+
+def nb_langid(docs: DataFrame, buckets: int = 512, k: float = 0.5,
+              salt: str = "nbl1") -> DataFrame:
+    """(doc_id, lang_label, nb_pred, is_match): multinomial NB over
+    hashed char trigrams, trained on the labeled corpus and applied
+    back to it.  Per-(lang, bucket) NLL and per-lang prior NLL are
+    integer micro-nats (round BEFORE summation); the weight table is
+    DENSE over langs x buckets (missing cells get the smoothed-zero
+    mass) so scoring is a plain equi-join, no missing-cell coalesce
+    per row.  argmin is a doc-partitioned window ordered (nll, lang)
+    — deterministic tie-break, no global sort.
+
+    Scale shape: the trigram explode compresses map-side into ONE
+    (lang, bucket) shuffle bounded at langs x buckets rows; scoring
+    moves (doc, bucket, tf) rows once, joins the broadcast weight
+    table, and aggregates (doc, lang) with partial sums."""
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), "
+        "p -> substring(text, p, 3))")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col("g"))), 1, 8),
+        16, 10).cast("long") % buckets)
+    feats = (_spread(docs).select("doc_id", "lang",
+                                  F.explode(grams).alias("g"))
+             .select("doc_id", "lang", bucket.alias("bucket")))
+    counts = feats.groupBy("lang", "bucket").agg(
+        F.count("*").alias("c"))
+    lang_tot = counts.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    spark = docs.sparkSession
+    dense = (lang_tot
+             .crossJoin(spark.range(buckets)
+                        .select(F.col("id").cast("long").alias("bucket")))
+             .join(counts, ["lang", "bucket"], "left")
+             .select("lang", "bucket",
+                     F.round(-F.log((F.coalesce(F.col("c"), F.lit(0))
+                                     + F.lit(k))
+                                    / (F.col("n_l")
+                                       + F.lit(k) * F.lit(buckets)))
+                             * 1e6, 0).cast("long").alias("w_micro")))
+    priors = (docs.groupBy("lang").agg(F.count("*").alias("d_l"))
+              .crossJoin(F.broadcast(nd_tot := docs.agg(
+                  F.count("*").alias("n_docs"))))
+              .select("lang",
+                      F.round(-F.log(F.col("d_l") / F.col("n_docs"))
+                              * 1e6, 0).cast("long").alias("prior_micro")))
+    doc_tf = (feats.groupBy("doc_id", "bucket")
+              .agg(F.count("*").alias("tf")))
+    scored = (doc_tf
+              .join(F.broadcast(dense), "bucket")
+              .groupBy("doc_id", "lang")
+              .agg(F.sum(F.col("tf") * F.col("w_micro")).alias("s"))
+              .join(F.broadcast(priors), "lang")
+              .select("doc_id", "lang",
+                      (F.col("s") + F.col("prior_micro")).alias("nll")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("nll", "lang")
+    pred = (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", F.col("lang").alias("nb_pred")))
+    # pred is corpus-sized: pin the label join to shuffle-hash so a
+    # stats misestimate never tries to broadcast 10^12 predictions
+    return (docs.select("doc_id", F.col("lang").alias("lang_label"))
+            .join(pred.hint("shuffle_hash"), "doc_id")
+            .select("doc_id", "lang_label", "nb_pred",
+                    (F.col("nb_pred") == F.col("lang_label"))
+                    .cast("int").alias("is_match")))

@@ -713,6 +713,41 @@ def q_len_quantiles(spark, sf_dir):
     return corpus.len_quantiles(_read(spark, sf_dir, "documents"))
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Bigram LM with stupid backoff (r5): train on the even-doc_id
+    half (the reference-domain corpus), score EVERYTHING — odd docs
+    carry unseen bigrams, so the 916291-micro-nat backoff and the OOV
+    fallback both really fire.  All NLLs are integer micro-nats
+    before summation (the lm_perplexity exactness contract)."""
+    d = _read(spark, sf_dir, "documents")
+    return corpus.bigram_lm_scores(d.where(F.col("doc_id") % 2 == 0), d)
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mixing at alpha=0.5 (the XLM/mT5
+    multilingual sampling recipe): head sources are down-sampled
+    toward sqrt-share, admission by the shared hash-mod rule —
+    reproducible, engine-exact (sqrt is the one IEEE-correctly-rounded
+    power), growth-stable."""
+    return corpus.temperature_mix(_read(spark, sf_dir, "documents"))
+
+
+def q_hashed_tfidf(spark, sf_dir):
+    """Feature-hashed tf-idf document embeddings: 256-bucket hashing
+    trick, L2-normalized integer-micro components — the trained-
+    encoder-free bridge from raw text into the ANN/semantic-dedup
+    family.  Exact bigint tf*idf, decimal(38,0) norm sum."""
+    return corpus.hashed_tfidf(_read(spark, sf_dir, "documents"))
+
+
+def q_nb_langid(spark, sf_dir):
+    """Hashed char-trigram Naive Bayes language ID (fastText-lite),
+    trained on the corpus's own labels: dense langs x 512 weight
+    table (always broadcastable by construction), integer micro-nat
+    scores, window argmin with (nll, lang) tie-break."""
+    return corpus.nb_langid(_read(spark, sf_dir, "documents"))
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring: per-doc perplexity under the
     corpus unigram LM with add-k smoothing, micro-nat integer NLLs for
@@ -2272,11 +2307,15 @@ QUERIES = {
     "embed_pq_refine": q_embed_pq_refine,
     "dedup_semantic": q_dedup_semantic,
     "dedup_embed_multiprobe": q_dedup_embed_multiprobe,
-    "lm_perplexity": q_lm_perplexity,
-    "dsir_weights": q_dsir_weights,
+    # four r5-new corpus gates take the slots of lm_perplexity,
+    # dsir_weights, url_dedup and line_dedup (all r4-green; the LM
+    # family stays covered in-window by bigram_lm, the dedup family
+    # by dedup_semantic/dedup_embed_multiprobe/dedup_incremental)
+    "bigram_lm": q_bigram_lm,
+    "temperature_mix": q_temperature_mix,
+    "hashed_tfidf": q_hashed_tfidf,
+    "nb_langid": q_nb_langid,
     "pack_sequences": q_pack_sequences,
-    "url_dedup": q_url_dedup,
-    "line_dedup": q_line_dedup,
     # stream_sessions, table_row_deletes and table_wap are new this
     # round: they take the last three window slots; sketch_hll_distinct
     # (r4-green, family covered in-window by stream_hll), pagerank
@@ -2295,6 +2334,10 @@ QUERIES = {
     "pagerank": q_pagerank,
     "robots_filter": q_robots_filter,
     "media_raster_jpeg": q_media_raster_jpeg,
+    "lm_perplexity": q_lm_perplexity,
+    "dsir_weights": q_dsir_weights,
+    "url_dedup": q_url_dedup,
+    "line_dedup": q_line_dedup,
     "media_raster_stats": q_media_raster_stats,
     "media_picture_classify": q_media_picture_classify,
     "extract_image_ocr": q_extract_image_ocr,
@@ -3741,6 +3784,141 @@ ORACLES = {
         SELECT doc_id, n_tok, mean_nll,
                round(exp(mean_nll), 4) AS ppl
         FROM m""",
+
+    # bigram LM with stupid backoff: train = even doc_ids, score =
+    # all; backoff composition is defined ON rounded micro-nat
+    # integers (916291 = round(-ln 0.4 * 1e6) pinned as a constant)
+    "bigram_lm": """
+        WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE doc_id % 2 = 0),
+        trbi AS (SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2
+                 FROM tr,
+                      unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM trbi GROUP BY w1, w2),
+        c1t AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+        bn AS (SELECT w1, w2,
+                      round(-ln(c12 / c1) * 1e6, 0)::BIGINT AS nll12
+               FROM bc JOIN c1t USING (w1)),
+        uc AS (SELECT w2, count(*) AS c FROM (
+                 SELECT unnest(toks) AS w2 FROM tr) GROUP BY w2),
+        tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM uc),
+        un AS (SELECT w2, round(-ln((c + 0.5)
+                                    / (n_total + 0.5 * vocab)) * 1e6,
+                                0)::BIGINT AS nll_uni
+               FROM uc, tot),
+        oov AS (SELECT round(-ln(0.5 / (n_total + 0.5 * vocab)) * 1e6,
+                             0)::BIGINT AS nll_oov FROM tot),
+        sc0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+        stf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM (
+                  SELECT doc_id, toks[g.i] AS w1, toks[g.i + 1] AS w2
+                  FROM sc0,
+                       unnest(generate_series(1, len(toks) - 1)) AS g(i))
+                GROUP BY doc_id, w1, w2),
+        sj AS (SELECT s.doc_id, s.tf,
+                      coalesce(bn.nll12,
+                               916291 + coalesce(un.nll_uni,
+                                                 oov.nll_oov)) AS nll
+               FROM stf s
+               LEFT JOIN bn USING (w1, w2)
+               LEFT JOIN un USING (w2), oov),
+        agg AS (SELECT doc_id, sum(tf) AS n_big, sum(tf * nll) AS s
+                FROM sj GROUP BY doc_id)
+        SELECT doc_id, n_big::INTEGER AS n_big,
+               floor((2 * s + n_big) / (2 * n_big)) / 1e6 AS mean_nll,
+               round(exp(floor((2 * s + n_big) / (2 * n_big)) / 1e6),
+                     4) AS ppl
+        FROM agg""",
+
+    # alpha=0.5 temperature mixing: sqrt(n_s) rounded to micros before
+    # the Z sum (exact bigint), products forced to DOUBLE in the same
+    # order as the engine
+    "temperature_mix": """
+        WITH n AS (SELECT source, count(*) AS n_s
+                   FROM documents GROUP BY source),
+        z AS (SELECT sum(round(sqrt(n_s) * 1e6, 0)::BIGINT) AS z_micro,
+                     sum(n_s) AS n_total FROM n),
+        r AS (SELECT source,
+                     least(10000, round(
+                         floor(n_total * 0.25)::DOUBLE
+                         * round(sqrt(n_s) * 1e6, 0) * 10000.0
+                         / (z_micro::DOUBLE * n_s), 0))::BIGINT AS rate_bp
+              FROM n, z)
+        SELECT d.doc_id, d.source, r.rate_bp
+        FROM documents d JOIN r USING (source)
+        WHERE ('0x' || substring(md5('tmix1:' || d.doc_id), 1, 8))
+              ::BIGINT % 10000 < r.rate_bp""",
+
+    # feature-hashed tf-idf: exact bigint tf*idf, HUGEINT norm sum,
+    # final component = round(raw / sqrt(ss) * 1e6) in that exact
+    # operation order on both engines
+    "hashed_tfidf": """
+        WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+                      SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS tok
+                      FROM documents) GROUP BY doc_id, tok),
+        dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        idf AS (SELECT tok, round(ln((n_docs + 1.0) / (df + 1.0)) * 1e6,
+                                  0)::BIGINT AS idf_micro
+                FROM dfq, nd),
+        feat AS (SELECT doc_id,
+                        ('0x' || substring(md5('htf1:' || tok), 1, 8))
+                        ::BIGINT % 256 AS bucket,
+                        sum(tf * idf_micro) AS raw
+                 FROM tf JOIN idf USING (tok)
+                 GROUP BY doc_id, bucket),
+        ss AS (SELECT doc_id, sum(raw::HUGEINT * raw) AS ss
+               FROM feat GROUP BY doc_id)
+        SELECT f.doc_id, f.bucket::INTEGER AS bucket,
+               round(f.raw / sqrt(s.ss::DOUBLE) * 1e6, 0)::BIGINT
+                 AS w_micro
+        FROM feat f JOIN ss s USING (doc_id)
+        WHERE s.ss > 0""",
+
+    # hashed char-trigram NB language ID: dense langs x 512 weight
+    # table (smoothed-zero mass for absent cells), micro-nat integer
+    # scores, (nll, lang) argmin tie-break
+    "nb_langid": """
+        WITH g AS (SELECT doc_id, lang,
+                          ('0x' || substring(md5('nbl1:'
+                               || substring(text, p.i, 3)), 1, 8))
+                          ::BIGINT % 512 AS bucket
+                   FROM documents,
+                        unnest(generate_series(1,
+                            greatest(length(text) - 2, 1))) AS p(i)),
+        counts AS (SELECT lang, bucket, count(*) AS c
+                   FROM g GROUP BY lang, bucket),
+        lt AS (SELECT lang, sum(c) AS n_l FROM counts GROUP BY lang),
+        cells AS (SELECT lt.lang, b.i AS bucket, lt.n_l
+                  FROM lt, unnest(generate_series(0, 511)) AS b(i)),
+        dense AS (SELECT cells.lang, cells.bucket,
+                         round(-ln((coalesce(c.c, 0) + 0.5)
+                                   / (cells.n_l + 0.5 * 512)) * 1e6,
+                               0)::BIGINT AS w_micro
+                  FROM cells LEFT JOIN counts c
+                    ON c.lang = cells.lang AND c.bucket = cells.bucket),
+        priors AS (SELECT lang,
+                          round(-ln(count(*) / (SELECT count(*)
+                                                FROM documents)) * 1e6,
+                                0)::BIGINT AS prior_micro
+                   FROM documents GROUP BY lang),
+        dtf AS (SELECT doc_id, bucket, count(*) AS tf
+                FROM g GROUP BY doc_id, bucket),
+        sc AS (SELECT dtf.doc_id, d.lang,
+                      sum(dtf.tf * d.w_micro) AS s
+               FROM dtf JOIN dense d USING (bucket)
+               GROUP BY dtf.doc_id, d.lang),
+        scored AS (SELECT sc.doc_id, sc.lang,
+                          sc.s + p.prior_micro AS nll
+                   FROM sc JOIN priors p USING (lang)),
+        pred AS (SELECT doc_id, lang AS nb_pred FROM (
+                   SELECT doc_id, lang, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY nll, lang) AS rn
+                   FROM scored) WHERE rn = 1)
+        SELECT d.doc_id, d.lang AS lang_label, p.nb_pred,
+               (p.nb_pred = d.lang)::INTEGER AS is_match
+        FROM documents d JOIN pred p USING (doc_id)""",
 
     "bm25_topk": """
         WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
