@@ -96,13 +96,67 @@ def test_hostile_bytes_never_raise():
     assert J.jpeg_decode_rgb(b"not a jpeg at all") is None
 
 
-def test_progressive_rejected():
-    """SOF2 (progressive) streams are out of scope and must return
-    None, not garbage."""
+def test_progressive_malformed_rejected():
+    """A baseline stream relabeled SOF2 carries a full-band DC scan
+    (Ss=0, Se=63) — a spec violation the progressive path must refuse
+    as None, not decode as garbage."""
     enc = bytearray(J.jpeg_encode_gray(8, 8, [bytes(range(8))] * 8))
     i = enc.find(b"\xff\xc0")
     enc[i + 1] = 0xC2
     assert J.jpeg_decode_rgb(bytes(enc)) is None
+
+
+def test_progressive_matches_baseline_bit_exact():
+    """r5: the four-scan successive-approximation encode must decode
+    to EXACTLY the baseline path's pixels on every content class —
+    the property that licenses reusing the baseline gate oracle."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    for w, h in [(8, 8), (24, 16), (17, 13), (1, 1), (40, 40), (9, 25)]:
+        for kind in range(4):
+            if kind == 0:
+                img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+            elif kind == 1:
+                img = np.full((h, w), 77, dtype=np.uint8)
+            elif kind == 2:
+                img = ((np.arange(h)[:, None] * 7
+                        + np.arange(w)[None, :] * 13) % 256
+                       ).astype(np.uint8)
+            else:
+                img = np.zeros((h, w), dtype=np.uint8)
+                img[::3, ::5] = 255           # long zero runs -> ZRL/EOB
+            rows = [img[y].tobytes() for y in range(h)]
+            base = J.jpeg_decode_rgb(J.jpeg_encode_gray(w, h, rows))
+            prog = J.jpeg_decode_rgb(
+                J.jpeg_encode_gray_progressive(w, h, rows))
+            assert base is not None and base == prog, (w, h, kind)
+
+
+def test_progressive_truncation_never_raises():
+    import numpy as np
+    img = ((np.arange(16)[:, None] * 11 + np.arange(24)[None, :] * 5)
+           % 256).astype(np.uint8)
+    b = J.jpeg_encode_gray_progressive(24, 16,
+                                       [img[y].tobytes() for y in range(16)])
+    for cut in range(0, len(b), 3):
+        J.jpeg_decode_rgb(b[:cut])            # None or partial, no raise
+    # bit flips through the scan data must not raise either
+    for flip in range(100, min(len(b), 400), 17):
+        crafted = bytearray(b)
+        crafted[flip] ^= 0x55
+        J.jpeg_decode_rgb(bytes(crafted))
+
+
+def test_progressive_ocr_roundtrip():
+    """Glyph canvases survive the progressive pipeline: AC refinement
+    carries real ink coefficients here, not just EOB runs."""
+    from webextract.jpegmini import jpeg_encode_gray_progressive
+    from webextract.media import _render_glyph_rows, ocr_image
+    for text in ("hello world 42", "the quick brown fox", "z" * 60):
+        w, h, rows = _render_glyph_rows(text)
+        gray = [bytes(r[0::3]) for r in rows]
+        got = ocr_image(jpeg_encode_gray_progressive(w, h, gray))
+        assert got == text[:128].rstrip()
 
 
 def test_decode_rgb_dispatch_and_gate_formula():

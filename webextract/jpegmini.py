@@ -257,6 +257,198 @@ def jpeg_encode_gray(w: int, h: int, rows: list[bytes], *,
     return bytes(out)
 
 
+# --- progressive encoder ---------------------------------------------------
+# AC table for progressive scans: baseline's layout plus the 14 EOBn
+# run-length symbols (0x10..0xE0) progressive EOB-run coding needs.
+# Kraft check: 2^-2 + 2^-6 + 174*2^-10 = 0.4355 < 1 — valid.
+AC_PROG_BITS = [0, 1, 0, 0, 0, 1, 0, 0, 0, 174, 0, 0, 0, 0, 0, 0]
+AC_PROG_VALS = ([0x00, 0xF0] + [r << 4 for r in range(1, 15)]
+                + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_ENC_ACP = _canonical_codes(AC_PROG_BITS, AC_PROG_VALS)
+
+
+def _put_eobrun(w: _BitWriter, eobrun: int, pending: list[int]) -> None:
+    """Emit an EOBn symbol covering ``eobrun`` blocks, then the
+    buffered refinement correction bits (T.81 G.1.2.3: bits buffered
+    since the previous symbol follow the next symbol)."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, ln = _ENC_ACP[r << 4]
+        w.put(code, ln)
+        if r:
+            w.put(eobrun - (1 << r), r)
+    for bit in pending:
+        w.put(bit, 1)
+
+
+def jpeg_encode_gray_progressive(w: int, h: int,
+                                 rows: list[bytes]) -> bytes:
+    """Encode a grayscale raster as a REAL progressive JPEG (SOF2),
+    four scans exercising every progressive decode path: DC first
+    (Al=1), AC first 1..63 (Al=1, EOB-run coded), DC refinement (raw
+    bits), AC refinement (Al 1->0: newly-significant ±1 insertions +
+    buffered correction bits, the full G.1.2.3 state machine).
+    Quantization is flat q=1, so decode is bit-exact against the
+    baseline encoder's output on the same raster."""
+    plane = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w)
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    coef = _fdct_quant(_pad_plane(plane, bw_ * 8, bh_ * 8))
+    # zigzag-order integer blocks, row-major block order
+    blocks = [coef[by, bx].reshape(64)[_ZZ_IDX]
+              for by in range(bh_) for bx in range(bw_)]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof   # SOF2
+    out += _dht_segment(0, 0, DC_BITS, DC_VALS)
+    out += _dht_segment(1, 0, AC_PROG_BITS, AC_PROG_VALS)
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC first, Al=1 (arithmetic shift per G.1.2.1)
+    wr = _BitWriter()
+    pred = 0
+    for zz in blocks:
+        v = int(zz[0]) >> 1
+        diff = v - pred
+        pred = v
+        size = _mag_category(diff)
+        code, ln = _ENC_DC[size]
+        wr.put(code, ln)
+        if size:
+            wr.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    wr.pad_align()
+    out += sos(0, 0, 0, 1) + wr.out
+
+    # scan 2: AC first 1..63 at Al=1 (truncate-toward-zero point
+    # transform), EOB-run coded across all-zero tails/blocks
+    def t2(v: int) -> int:
+        return -((-v) >> 1) if v < 0 else v >> 1
+
+    wr = _BitWriter()
+    eobrun = 0
+    for zz in blocks:
+        vals = [t2(int(zz[k])) for k in range(1, 64)]
+        nz = [j for j, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 32767:
+                _put_eobrun(wr, eobrun, [])
+                eobrun = 0
+            continue
+        _put_eobrun(wr, eobrun, [])
+        eobrun = 0
+        prev = 0
+        for j in nz:
+            run = j - prev
+            prev = j + 1
+            while run >= 16:
+                zc, zl = _ENC_ACP[0xF0]
+                wr.put(zc, zl)
+                run -= 16
+            v = vals[j]
+            size = _mag_category(v)
+            ac, al_ = _ENC_ACP[(run << 4) | size]
+            wr.put(ac, al_)
+            wr.put(v if v >= 0 else v + (1 << size) - 1, size)
+        if prev < 63:
+            eobrun = 1
+    _put_eobrun(wr, eobrun, [])
+    wr.pad_align()
+    out += sos(1, 63, 0, 1) + wr.out
+
+    # scan 3: DC refinement — one raw bit per block, no entropy coding
+    wr = _BitWriter()
+    for zz in blocks:
+        wr.put(int(zz[0]) & 1, 1)
+    wr.pad_align()
+    out += sos(0, 0, 1, 0) + wr.out
+
+    # scan 4: AC refinement Al 1->0 — mirrors the decoder's G.1.2.3
+    # traversal exactly: events per position are H (history-nonzero,
+    # carries a correction bit), Z (stays zero), N (newly ±1)
+    wr = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []
+    for zz in blocks:
+        events = []
+        for k in range(1, 64):
+            v = int(zz[k])
+            if t2(v):                        # history nonzero after scan 2
+                events.append(("H", abs(v) & 1))
+            elif v:                          # |v| == 1: newly significant
+                events.append(("N", 1 if v > 0 else 0))
+            else:
+                events.append(("Z", 0))
+        if not any(t == "N" for t, _ in events):
+            eobrun += 1
+            pending.extend(b for t, b in events if t == "H")
+            if eobrun == 32767:
+                _put_eobrun(wr, eobrun, pending)
+                eobrun, pending = 0, []
+            continue
+        _put_eobrun(wr, eobrun, pending)
+        eobrun, pending = 0, []
+        i = 0
+        n_ev = len(events)
+        while i < n_ev:
+            # scan ahead to the next newly-significant coefficient
+            z = 0
+            j = i
+            nxt = None
+            while j < n_ev:
+                t = events[j][0]
+                if t == "Z":
+                    z += 1
+                elif t == "N":
+                    nxt = j
+                    break
+                j += 1
+            if nxt is None:
+                tail_bits = [b for t, b in events[i:] if t == "H"]
+                if z > 0 or tail_bits:
+                    eobrun = 1
+                    pending = tail_bits
+                break
+            # ZRLs: each consumes exactly 16 Z positions; H bits
+            # crossed attach to THAT symbol (decoder reads them
+            # during its advance)
+            while z >= 16:
+                cnt = 0
+                zbits = []
+                while cnt < 16:
+                    t, bit = events[i]
+                    if t == "H":
+                        zbits.append(bit)
+                    else:
+                        cnt += 1
+                    i += 1
+                zc, zl = _ENC_ACP[0xF0]
+                wr.put(zc, zl)
+                for bit in zbits:
+                    wr.put(bit, 1)
+                z -= 16
+            rest_bits = [b for t, b in events[i:nxt] if t == "H"]
+            code, ln = _ENC_ACP[(z << 4) | 1]
+            wr.put(code, ln)
+            wr.put(events[nxt][1], 1)        # sign bit (1 = positive)
+            for bit in rest_bits:
+                wr.put(bit, 1)
+            i = nxt + 1
+    _put_eobrun(wr, eobrun, pending)
+    wr.pad_align()
+    out += sos(1, 63, 1, 0) + wr.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # decoder
 # --------------------------------------------------------------------------
@@ -400,12 +592,16 @@ def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
 
 
 def jpeg_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
-    """Decode a baseline JPEG to (w, h, top-down interleaved RGB rows).
+    """Decode a baseline OR progressive JPEG to (w, h, top-down
+    interleaved RGB rows).
 
-    Supports SOF0 streams with 1 or 3 components, sampling factors in
-    {1,2}, 8/16-bit DQT, DRI/RSTn, and any spec-valid Huffman tables
-    (read from the stream).  Returns None for non-JPEG, progressive
-    (SOF2), arithmetic, 12-bit, or corrupt input; never raises.
+    Supports SOF0/SOF1 single-scan streams and SOF2 progressive
+    streams (spectral selection + successive approximation: DC
+    first/refine, AC first/refine with EOB runs, per T.81 G.1.2 /
+    G.2), 1 or 3 components, sampling factors in {1,2}, 8/16-bit DQT,
+    DRI/RSTn, and any spec-valid Huffman tables (read from the
+    stream).  Returns None for non-JPEG, arithmetic, 12-bit, or
+    corrupt input; never raises.
     """
     try:
         return _decode(b)
@@ -421,6 +617,8 @@ def _decode(b: bytes) -> tuple[int, int, list[bytes]] | None:
     ac_tabs: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None        # (h, w, [(cid, hs, vs, tq), ...])
+    progressive = False
+    prog = None         # per-component zigzag int coefficient stores
     i = 2
     n = len(b)
     while i + 4 <= n:
@@ -430,8 +628,8 @@ def _decode(b: bytes) -> tuple[int, int, list[bytes]] | None:
         if marker == 0xFF:                     # fill byte
             i += 1
             continue
-        if marker == 0xD9:                     # EOI before SOS
-            return None
+        if marker == 0xD9:                     # EOI
+            break                              # assemble if progressive
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             i += 2                             # standalone marker
             continue
@@ -469,7 +667,7 @@ def _decode(b: bytes) -> tuple[int, int, list[bytes]] | None:
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_table_cached(
                     bytes(bits), bytes(vals))
                 p += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 / SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or nc not in (1, 3) or fh == 0 or fw == 0:
                 return None
@@ -481,18 +679,267 @@ def _decode(b: bytes) -> tuple[int, int, list[bytes]] | None:
                     return None
                 comps.append((cid, hs, vs, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None                        # progressive / arithmetic
+            return None                        # lossless / arithmetic
         elif marker == 0xDD:                   # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                   # SOS — entropy data follows
             if frame is None:
                 return None
-            return _decode_scan(b, i, seg, frame, qt, dc_tabs, ac_tabs,
-                                restart_interval)
+            if not progressive:
+                return _decode_scan(b, i, seg, frame, qt, dc_tabs,
+                                    ac_tabs, restart_interval)
+            if prog is None:
+                prog = _prog_init(frame)
+            i = _prog_scan(b, i, seg, frame, prog, dc_tabs, ac_tabs,
+                           restart_interval)
         # APPn / COM / anything else: skipped via seg_len
+    if prog is not None:
+        return _prog_assemble(frame, prog, qt)
     return None
+
+
+def _prog_init(frame):
+    """Per-component coefficient stores for a progressive frame:
+    MCU-grid-padded (interleaved DC scans touch the padding blocks),
+    ZIGZAG-ORDER int32 — successive approximation refines integers,
+    so floats only appear at assembly."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    stores = [np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+              for _cid, hs, vs, _tq in comps]
+    return {"stores": stores, "hmax": hmax, "vmax": vmax,
+            "mcus_x": mcus_x, "mcus_y": mcus_y}
+
+
+def _next_marker(b: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skipping
+    entropy bytes, 0xFF00 stuffing, fill bytes, and RSTn)."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] != 0xFF:
+            pos = b.find(b"\xff", pos + 1)
+            if pos < 0:
+                raise ValueError("no trailing marker")
+            continue
+        nxt = b[pos + 1]
+        if nxt == 0x00:
+            pos += 2                         # stuffed data byte
+        elif nxt == 0xFF:
+            pos += 1                         # fill byte
+        elif 0xD0 <= nxt <= 0xD7:
+            pos += 2                         # restart marker
+        else:
+            return pos
+    raise ValueError("no trailing marker")
+
+
+def _prog_scan(b, pos, sos, frame, prog, dc_tabs, ac_tabs,
+               restart_interval) -> int:
+    """Consume ONE progressive scan's entropy data (T.81 G.2), update
+    the integer coefficient stores, and return the stream offset of
+    the next marker."""
+    fh, fw, comps = frame
+    ns = sos[0]
+    if not 1 <= ns <= len(comps) or len(sos) < 4 + 2 * ns:
+        raise ValueError("bad SOS")
+    ss, se, ahal = sos[1 + 2 * ns:4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    scan = []                                # (store_idx, td_or_ta)
+    for c in range(ns):
+        cid, tt = sos[1 + 2 * c], sos[2 + 2 * c]
+        ci = next((k for k, cc in enumerate(comps) if cc[0] == cid),
+                  None)
+        if ci is None:
+            raise ValueError("unknown component in scan")
+        scan.append((ci, tt >> 4, tt & 0x0F))
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan with spectral band")
+    if ss > 0 and ns != 1:
+        raise ValueError("interleaved AC scan")   # spec G.1.1.1.1
+    if ss > se or se > 63:
+        raise ValueError("bad spectral band")
+    reader = _BitReader(b, pos)
+    stores = prog["stores"]
+    hmax, vmax = prog["hmax"], prog["vmax"]
+    mcus_x, mcus_y = prog["mcus_x"], prog["mcus_y"]
+
+    if ss == 0:                              # DC scan
+        preds = [0] * len(scan)
+        if ns == 1:                          # non-interleaved: comp grid
+            ci, td, _ta = scan[0]
+            _cid, hs, vs, _tq = comps[ci]
+            bw = (fw * hs + 8 * hmax - 1) // (8 * hmax)
+            bh = (fh * vs + 8 * vmax - 1) // (8 * vmax)
+            units = [(0, by, bx) for by in range(bh) for bx in range(bw)]
+        else:
+            bw = bh = None
+            units = None
+        mcu_i = 0
+        for my in range(mcus_y if ns > 1 else 1):
+            for mx in range(mcus_x if ns > 1 else 1):
+                blocks = (units if ns == 1 else
+                          [(si, my * comps[scan[si][0]][2] + by,
+                            mx * comps[scan[si][0]][1] + bx)
+                           for si in range(ns)
+                           for by in range(comps[scan[si][0]][2])
+                           for bx in range(comps[scan[si][0]][1])])
+                for si, by, bx in blocks:
+                    # a restart unit is an MCU: one block when
+                    # non-interleaved, the whole block group otherwise
+                    if (ns == 1 and restart_interval and mcu_i
+                            and mcu_i % restart_interval == 0):
+                        reader.restart_sync()
+                        preds = [0] * len(scan)
+                    ci, td, _ta = scan[si]
+                    blk = stores[ci][by, bx]
+                    if ah == 0:              # DC first
+                        if td not in dc_tabs:
+                            raise ValueError("missing DC table")
+                        size = reader.decode_huff(dc_tabs[td])
+                        if size > 11:
+                            raise ValueError("bad DC size")
+                        preds[si] += _extend(reader.receive(size), size)
+                        blk[0] = preds[si] << al
+                    else:                    # DC refinement: 1 raw bit
+                        if reader.read_bit():
+                            blk[0] |= 1 << al
+                    if ns == 1:
+                        mcu_i += 1
+                if ns > 1:
+                    mcu_i += 1
+                    if (restart_interval and mcu_i % restart_interval == 0
+                            and (my, mx) != (mcus_y - 1, mcus_x - 1)):
+                        reader.restart_sync()
+                        preds = [0] * len(scan)
+        return _next_marker(b, reader.pos)
+
+    # AC scan: ns == 1, iterate the component's own block grid
+    ci, _td, ta = scan[0]
+    _cid, hs, vs, _tq = comps[ci]
+    if ta not in ac_tabs:
+        raise ValueError("missing AC table")
+    act = ac_tabs[ta]
+    bw = (fw * hs + 8 * hmax - 1) // (8 * hmax)
+    bh = (fh * vs + 8 * vmax - 1) // (8 * vmax)
+    store = stores[ci]
+    eobrun = 0
+    mcu_i = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if (restart_interval and mcu_i
+                    and mcu_i % restart_interval == 0):
+                reader.restart_sync()
+                eobrun = 0
+            blk = store[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(reader, blk, ss, se, al,
+                                         act, eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, blk, ss, se, al,
+                                          act, eobrun)
+            mcu_i += 1
+    return _next_marker(b, reader.pos)
+
+
+def _ac_first_block(reader, blk, ss, se, al, act, eobrun) -> int:
+    """AC first scan for one block (T.81 G.2.2): run/size with
+    EOB-run coding; new coefficients land at magnitude << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += 16                          # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past Se")
+            blk[k] = _extend(reader.receive(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, blk, ss, se, al, act, eobrun) -> int:
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 decode mirror): newly-significant coefficients arrive as
+    ±(1<<Al); every already-nonzero coefficient crossed — including
+    those inside an EOB run — carries one correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break                    # remainder handled below
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement size")
+                val = p1 if reader.read_bit() else -p1
+            while k <= se:
+                coef = blk[k]
+                if coef != 0:
+                    if reader.read_bit() and (coef & p1) == 0:
+                        blk[k] = coef + (p1 if coef >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            coef = blk[k]
+            if coef != 0:
+                if reader.read_bit() and (coef & p1) == 0:
+                    blk[k] = coef + (p1 if coef >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_assemble(frame, prog, qt):
+    """Dequantize the accumulated integer zigzag stores, IDCT, and
+    assemble exactly like the baseline path."""
+    fh, fw, comps = frame
+    hmax, vmax = prog["hmax"], prog["vmax"]
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qt:
+            return None
+        zz = prog["stores"][ci]
+        by, bx = zz.shape[:2]
+        raster = np.zeros((by, bx, 64), dtype=np.float64)
+        raster[:, :, list(ZIGZAG)] = zz
+        coefs = raster.reshape(by, bx, 8, 8) * qt[tq][None, None, :, :]
+        pix = _idct_blocks(coefs.reshape(-1, 8, 8)).reshape(by, bx, 8, 8)
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+        planes.append(plane[:fh, :fw])
+    return _to_rgb(fh, fw, planes)
 
 
 def _decode_scan(b, pos, sos, frame, qt, dc_tabs, ac_tabs, restart_interval):
@@ -570,6 +1017,12 @@ def _decode_scan(b, pos, sos, frame, qt, dc_tabs, ac_tabs, restart_interval):
                               hmax // hs, axis=1)
         planes.append(plane[:fh, :fw])
 
+    return _to_rgb(fh, fw, planes)
+
+
+def _to_rgb(fh, fw, planes):
+    """Assemble decoded planes into (w, h, top-down RGB rows): JFIF
+    YCbCr->RGB for 3 components, replication for luma-only."""
     if len(planes) == 1:
         y = planes[0].astype(np.uint8)
         rgb = np.stack([y, y, y], axis=-1)

@@ -1117,6 +1117,24 @@ def make_jpeg_raster_bytes(doc_id: int) -> bytes:
 with_jpeg_media = _media_from_doc_id(make_jpeg_raster_bytes)
 
 
+def make_jpeg_prog_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID PROGRESSIVE JPEG (SOF2, r5): the same
+    per-8x8-block solid formula as make_jpeg_raster_bytes, grayscale,
+    encoded as four successive-approximation scans (DC first/refine,
+    AC first/refine with EOB runs).  Flat q=1 keeps decode byte-exact,
+    so the gate reuses the media_raster_jpeg oracle verbatim while the
+    wire bytes exercise every progressive decode path."""
+    bw = 2 + doc_id % 3
+    bh = 1 + doc_id % 3
+    w, h = bw * 8, bh * 8
+    rows = [bytes((doc_id * 11 + (x // 8) * 29 + (y // 8) * 37) % 256
+                  for x in range(w)) for y in range(h)]
+    return jpegmini.jpeg_encode_gray_progressive(w, h, rows)
+
+
+with_jpeg_prog_media = _media_from_doc_id(make_jpeg_prog_bytes)
+
+
 def image_raster_stats(b: bytes) -> dict | None:
     """REAL pixel statistics over any decode_rgb-supported container
     (BMP24, PNG RGB8, paletted GIF): per-channel min/max/mean over

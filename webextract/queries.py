@@ -1829,6 +1829,16 @@ def q_media_frame_avi(spark, sf_dir):
     return media.frame_sample(docs, stride=2)
 
 
+def q_media_raster_jpeg_prog(spark, sf_dir):
+    """PROGRESSIVE JPEG decode (r5 — closes the SOF2 gap): the same
+    solid-block content as media_raster_jpeg but encoded as four
+    successive-approximation scans; stats match the SAME oracle only
+    if DC first+refine and AC first+refine (EOB runs, correction
+    bits) all reconstruct exactly."""
+    docs = media.with_jpeg_prog_media(_read(spark, sf_dir, "documents"))
+    return media.raster_stats(docs)
+
+
 def q_media_frame_mjpeg(spark, sf_dir):
     """REAL compressed-video decode (closes the r4 'video frame
     content is a stand-in' gap): motion-JPEG AVIs whose '00dc' chunks
@@ -2301,7 +2311,11 @@ QUERIES = {
     # it takes media_raster_jpeg's slot — the same JPEG entropy-decode
     # path runs inside every frame, so the codec family stays covered
     "media_frame_mjpeg": q_media_frame_mjpeg,
-    "stream_window_counts": q_stream_window_counts,
+    # media_raster_jpeg_prog is new this round (progressive decode);
+    # it takes stream_window_counts's slot (r4-green; streaming stays
+    # covered in-window by stream_neardup/stream_hll/
+    # stream_len_quantiles/stream_sessions)
+    "media_raster_jpeg_prog": q_media_raster_jpeg_prog,
     "stream_neardup": q_stream_neardup,
     "stream_hll": q_stream_hll,
     "embed_pq_refine": q_embed_pq_refine,
@@ -2338,6 +2352,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "url_dedup": q_url_dedup,
     "line_dedup": q_line_dedup,
+    "stream_window_counts": q_stream_window_counts,
     "media_raster_stats": q_media_raster_stats,
     "media_picture_classify": q_media_picture_classify,
     "extract_image_ocr": q_extract_image_ocr,
@@ -5498,6 +5513,9 @@ ORACLES = {
 # produces (the streamed sketch only supplies candidates; the recount
 # is exact) — one oracle text, zero drift.
 ORACLES["stream_heavy_hitters"] = ORACLES["heavy_hitters"]
+# progressive JPEG pins the SAME block formula as the baseline gate —
+# the SOF2 scan machinery must be pixel-transparent
+ORACLES["media_raster_jpeg_prog"] = ORACLES["media_raster_jpeg"]
 # stream == batch by construction: the streamed register sink must
 # reproduce the batch HLL bit-for-bit, so the oracle is the batch SQL
 # with the grouping column swapped (the word `source` appears in that
