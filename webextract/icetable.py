@@ -651,6 +651,228 @@ class IceTable:
             except OSError:
                 pass
 
+    # -- hidden partitioning (Iceberg partition-spec transforms) ----------
+    # A partition spec derives partition values FROM data columns via
+    # transforms (bucket/truncate/day/identity), so readers never
+    # materialize or even know the partition layout — they filter on
+    # source columns and the scan prunes files through the transform
+    # (Iceberg's core "hidden partitioning" story).  Specs are
+    # versioned like schemas: each commit entry records its spec_id
+    # and per-file partition tuple; spec evolution writes a new spec
+    # and old files keep pruning under the spec they were written with.
+
+    PARTITION_TRANSFORMS = ("identity", "bucket", "truncate", "day")
+
+    def _pspec_ptr(self) -> str:
+        return os.path.join(self.meta_dir, "_PSPEC")
+
+    def current_partition_spec(self) -> tuple[int, list] | None:
+        try:
+            with open(self._pspec_ptr()) as f:
+                spec_id = int(f.read().strip())
+        except FileNotFoundError:
+            return None
+        return spec_id, self._pspec(spec_id)
+
+    def _pspec(self, spec_id: int) -> list:
+        with open(os.path.join(self.meta_dir,
+                               f"pspec-{spec_id}.json")) as f:
+            return [tuple(x) for x in json.load(f)["fields"]]
+
+    def set_partition_spec(self, fields: list[tuple]) -> int:
+        """fields: [(name, transform, source_col, param)] — e.g.
+        [("url_b", "bucket", "url", 16), ("d", "day", "ts", None)].
+        Returns the new spec id; the previous spec stays on disk for
+        files written under it (partition evolution)."""
+        for name, tf, _src, param in fields:
+            if tf not in self.PARTITION_TRANSFORMS:
+                raise ValueError(f"unknown transform {tf!r}")
+            if tf in ("bucket", "truncate") and not (
+                    isinstance(param, int) and param > 0):
+                raise ValueError(f"{tf} needs a positive int param")
+        lock = self._commit_lock()
+        try:
+            cur = self.current_partition_spec()
+            spec_id = 0 if cur is None else cur[0] + 1
+            path = os.path.join(self.meta_dir, f"pspec-{spec_id}.json")
+            with open(path + ".tmp", "w") as f:
+                json.dump({"fields": [list(x) for x in fields]}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(path + ".tmp", path)
+            with open(self._pspec_ptr() + ".tmp", "w") as f:
+                f.write(str(spec_id))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(self._pspec_ptr() + ".tmp", self._pspec_ptr())
+            return spec_id
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    @staticmethod
+    def partition_expr(transform: str, source: str, param,
+                       numeric: bool = False):
+        """The transform as a Spark Column over the source column —
+        the write-side half; _partition_value_of is the literal-side
+        mirror used by scan pruning.  ``numeric`` types the truncate
+        transform (Iceberg truncates numbers to multiples, strings to
+        width-prefixes — decided by column type, never per value)."""
+        from pyspark.sql import functions as SF
+        c = SF.col(source)
+        if transform == "identity":
+            return c.cast("string")
+        if transform == "bucket":
+            return (SF.conv(SF.substring(
+                SF.md5(SF.concat_ws(":", SF.lit("pbkt"),
+                                    c.cast("string"))), 1, 8),
+                16, 10).cast("long") % param).cast("string")
+        if transform == "truncate":
+            if numeric:
+                return (SF.floor(c.cast("double") / param) * param
+                        ).cast("long").cast("string")
+            return SF.substring(c.cast("string"), 1, param)
+        if transform == "day":
+            return SF.date_format(c, "yyyy-MM-dd")
+        raise ValueError(transform)
+
+    @staticmethod
+    def _partition_value_of(transform: str, param, value) -> str:
+        """Transform a PREDICATE LITERAL exactly as partition_expr
+        transforms data (the scan-side mirror)."""
+        import hashlib
+        if transform == "identity":
+            return str(value)
+        if transform == "bucket":
+            h = hashlib.md5(f"pbkt:{value}".encode()).hexdigest()[:8]
+            return str(int(h, 16) % param)
+        if transform == "truncate":
+            if isinstance(value, (int, float)):
+                return str(int(value // param * param))
+            return str(value)[:param]
+        if transform == "day":
+            return str(value)[:10]
+        raise ValueError(transform)
+
+    def write_partitioned(self, spark, df, run_id: str,
+                          wave: int = 0, part_id: int = 0) -> list[dict]:
+        """Write ``df`` under the current partition spec: ONE shuffle
+        keyed by the derived partition tuple, Spark's partitionBy
+        layout in staging, then manifest entries carrying each file
+        group's partition values + spec_id, ready for commit().
+        Derived columns live only in directory names — data files
+        keep exactly the source columns (hidden partitioning)."""
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as SF
+        cur = self.current_partition_spec()
+        if cur is None:
+            raise ValueError("no partition spec set")
+        spec_id, fields = cur
+        out = self.staging_dir(run_id, wave)
+        names = [n for n, *_r in fields]
+        numeric_types = ("tinyint", "smallint", "int", "bigint",
+                         "float", "double")
+        dtypes = dict(df.dtypes)
+        staged = df
+        for name, tf, src, param in fields:
+            num = dtypes.get(src, "").startswith(
+                numeric_types + ("decimal",))
+            staged = staged.withColumn(
+                name, self.partition_expr(tf, src, param, numeric=num))
+        (staged.repartition(*[SF.col(n) for n in names])
+         .write.mode("overwrite").partitionBy(*names).parquet(out))
+        entries = []
+        for dirpath, _dirs, files in os.walk(out):
+            pq = [os.path.join(dirpath, fn) for fn in sorted(files)
+                  if fn.endswith(".parquet")
+                  and not fn.startswith((".", "_"))]
+            if not pq:
+                continue
+            vals = {}
+            for seg in os.path.relpath(dirpath, out).split(os.sep):
+                k, eq, v = seg.partition("=")
+                if eq:
+                    vals[k] = unquote(v)
+            entries.append({"part_id": part_id, "files": pq,
+                            "counters": {}, "partition": vals,
+                            "spec_id": spec_id})
+        return entries
+
+    def data_files_with_partition(self, as_of: str | None = None
+                                  ) -> dict:
+        """{file: (partition_values, spec_id)} for live files that
+        carry partition metadata (files from plain commits simply
+        don't appear — scans keep them conservatively)."""
+        out = {}
+        for s in self.snapshots(as_of):
+            for p in s["partitions"]:
+                pv, sid = p.get("partition"), p.get("spec_id")
+                if pv is not None and sid is not None:
+                    for f in p["files"]:
+                        out[f] = (pv, sid)
+            if s.get("rewrite"):
+                break
+        return out
+
+    def scan_by_partition(self, spark, col: str, lo, hi=None,
+                          as_of: str | None = None):
+        """Partition-pruned read for a predicate on SOURCE column
+        ``col``: equality (hi=None) prunes through bucket / identity /
+        truncate / day; a range [lo, hi] prunes through the
+        order-preserving transforms (day / truncate / identity —
+        bucket scatters order, so ranges keep bucket files).  Files
+        without partition metadata, or whose spec has no field over
+        ``col``, are conservatively kept; the exact residual filter is
+        applied on top, so results are ALWAYS correct and pruning is
+        purely a cost lever.  Returns (df, files_scanned, files_total)
+        like scan()."""
+        from pyspark.sql import functions as SF
+        pinfo = self.data_files_with_partition(as_of)
+        data, deletes = self._live_set(as_of)
+        specs: dict[int, list] = {}
+        picked = []
+        for f, sid, seq in data:
+            meta = pinfo.get(f)
+            keep = True
+            if meta is not None:
+                pv, spec_id = meta
+                if spec_id not in specs:
+                    specs[spec_id] = self._pspec(spec_id)
+                for name, tf, src, param in specs[spec_id]:
+                    if src != col or name not in pv:
+                        continue
+                    v = pv[name]
+                    if v == "__HIVE_DEFAULT_PARTITION__":
+                        continue              # null partition: keep
+                    if hi is None:
+                        if v != self._partition_value_of(tf, param, lo):
+                            keep = False
+                    elif tf in ("day", "identity", "truncate"):
+                        vlo = self._partition_value_of(tf, param, lo)
+                        vhi = self._partition_value_of(tf, param, hi)
+                        # numeric truncate compares as ints, the
+                        # string transforms compare lexicographically
+                        # (ISO days sort correctly)
+                        try:
+                            inside = int(vlo) <= int(v) <= int(vhi)
+                        except ValueError:
+                            inside = vlo <= v <= vhi
+                        if not inside:
+                            keep = False
+                    if not keep:
+                        break
+            if keep:
+                picked.append((f, sid, seq))
+        if not picked:
+            return None, 0, len(data)
+        df = self._grouped_read(spark, picked, deletes)
+        residual = (SF.col(col) == lo if hi is None
+                    else SF.col(col).between(lo, hi))
+        return df.filter(residual), len(picked), len(data)
+
     def drop_ref(self, name: str) -> None:
         """Delete a branch or tag pointer (Iceberg drop_branch/drop_tag).
         The snapshots it pinned become expirable on the next

@@ -1180,6 +1180,38 @@ def q_table_wap(spark, sf_dir):
             .unionByName(at_tag.withColumn("src", F.lit("tag"))))
 
 
+def q_table_partition_prune(spark, sf_dir):
+    """Hidden-partitioning driver gate (Iceberg partition transforms):
+    events land through write_partitioned under spec day(ts) +
+    bucket(8, event_type) — partition values live ONLY in manifest
+    metadata, the data files keep the source columns.  Two read
+    surfaces: a ts range that prunes through the day transform, and
+    an event_type equality that prunes through the bucket transform;
+    both must equal plain SQL filters (the prune RATIO itself is
+    pinned in pytest)."""
+    import hashlib
+    import shutil
+
+    from .icetable import IceTable
+
+    tag = hashlib.md5(("icepart" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_icepart_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = IceTable(base)
+    tbl.set_partition_spec([("d", "day", "ts", None),
+                            ("b", "bucket", "event_type", 8)])
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    entries = tbl.write_partitioned(spark, ev, "w0")
+    tbl.commit("w0", entries, "t")
+    by_day, _ns, _nt = tbl.scan_by_partition(
+        spark, "ts", "2024-01-02 00:00:00", "2024-01-03 23:59:59")
+    by_type, _ns2, _nt2 = tbl.scan_by_partition(
+        spark, "event_type", "click")
+    return (by_day.withColumn("src", F.lit("day"))
+            .unionByName(by_type.withColumn("src", F.lit("bucket"))))
+
+
 def q_table_row_deletes(spark, sf_dir):
     """Row-level delete / upsert driver gate (Iceberg v2 merge-on-read
     equality deletes): two waves commit the documents table; an
@@ -2316,7 +2348,6 @@ QUERIES = {
     # covered in-window by stream_neardup/stream_hll/
     # stream_len_quantiles/stream_sessions)
     "media_raster_jpeg_prog": q_media_raster_jpeg_prog,
-    "stream_neardup": q_stream_neardup,
     "stream_hll": q_stream_hll,
     "embed_pq_refine": q_embed_pq_refine,
     "dedup_semantic": q_dedup_semantic,
@@ -2340,6 +2371,10 @@ QUERIES = {
     "stream_sessions": q_stream_sessions,
     "table_row_deletes": q_table_row_deletes,
     "table_wap": q_table_wap,
+    # table_partition_prune is new this round (hidden partitioning);
+    # it takes stream_neardup's slot (r4-green; streaming keeps
+    # stream_hll/stream_len_quantiles/stream_sessions in-window)
+    "table_partition_prune": q_table_partition_prune,
     # ---- driver cap boundary: position 50 ends here; everything
     # below is past the cap this round (pytest-oracle-gated in the
     # full-registry rehearsal; r4-green gates listed first so the
@@ -2353,6 +2388,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "line_dedup": q_line_dedup,
     "stream_window_counts": q_stream_window_counts,
+    "stream_neardup": q_stream_neardup,
     "media_raster_stats": q_media_raster_stats,
     "media_picture_classify": q_media_picture_classify,
     "extract_image_ocr": q_extract_image_ocr,
@@ -4632,6 +4668,18 @@ ORACLES = {
         FROM documents
         WHERE 'u' || lpad(doc_id::VARCHAR, 7, '0')
               BETWEEN 'u0000100' AND 'u0000299'""",
+
+    # hidden partitioning: both pruned read surfaces must equal the
+    # plain filters — the day/bucket transforms are pure cost levers
+    "table_partition_prune": """
+        SELECT event_id, ts, user_id, event_type, value, 'day' AS src
+        FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+                     AND TIMESTAMP '2024-01-03 23:59:59'
+        UNION ALL
+        SELECT event_id, ts, user_id, event_type, value,
+               'bucket' AS src
+        FROM events WHERE event_type = 'click'""",
 
     # the four WAP read surfaces: pre-publish main (waves 0-1), the
     # audit branch head (0-2), post-publish-and-append main (0-3),
