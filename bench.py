@@ -71,7 +71,7 @@ HEADLINE = [
     "tfidf_topk", "inverted_postings", "len_quantiles",
     "stream_len_quantiles", "mirror_hosts", "pmi_pairs",
     "cocitation", "degree_stats", "vocab_stats",
-    "table_wap", "table_partition_prune",
+    "table_wap", "table_partition_prune", "stream_join",
     "media_frame_mjpeg", "media_raster_jpeg_prog",
     "bigram_lm", "temperature_mix", "hashed_tfidf", "nb_langid",
 ]

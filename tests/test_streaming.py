@@ -576,3 +576,49 @@ def test_stream_sessions_matches_batch(spark, tmp_path):
     assert sorted(per_user[2]) == [1, 2]
     # the sentinels never reached the sink
     assert all(s < sentinel_ts for _, s, _ in got)
+
+
+def test_stream_join_matches_batch(spark, tmp_path):
+    """r5 stream-stream interval join: the REAL two-stream availableNow
+    run's sink must equal the batch evaluation of the same join — and
+    the horizon boundary is closed (a view exactly 10 minutes after
+    the click matches; 10 minutes + 1 microsecond does not)."""
+    import datetime
+
+    from webextract.streaming import attribution_join, stream_attribution
+
+    base = datetime.datetime(2024, 3, 1)
+
+    def ev(eid, secs_us, uid, etype):
+        return (eid, base + datetime.timedelta(microseconds=int(secs_us * 1e6)),
+                uid, etype)
+
+    clicks = [ev(1, 0, 1, "click"), ev(2, 1000, 1, "click"),
+              ev(3, 50, 2, "click")]
+    views = [ev(10, 30, 1, "view"),            # matches click 1
+             ev(11, 600, 1, "view"),           # exactly 10 min: matches 1
+             ev(12, 600.000001, 2, "view"),    # hmm relative to click 3
+             ev(13, 40, 2, "view"),            # before click 3? no: 40 < 50
+             ev(14, 650.000001, 2, "view"),    # 600.000001s after click 3
+             ev(15, 1200, 1, "view")]          # matches click 2 only
+    ddl = "event_id long, ts timestamp, user_id long, event_type string"
+    cdf = spark.createDataFrame(clicks, ddl)
+    vdf = spark.createDataFrame(views, ddl)
+    cdir, vdir = str(tmp_path / "c"), str(tmp_path / "v")
+    cdf.coalesce(1).write.parquet(cdir)
+    vdf.coalesce(1).write.parquet(vdir)
+
+    q = stream_attribution(spark, cdir, vdir, str(tmp_path / "out"),
+                           str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out"))
+                     .select("click_id", "view_id", "lag_sec").collect()))
+    batch = sorted(map(tuple, attribution_join(cdf, vdf)
+                       .select("click_id", "view_id", "lag_sec")
+                       .collect()))
+    assert got == batch
+    pairs = {(c, v) for c, v, _ in got}
+    assert (1, 11) in pairs            # closed 10-minute boundary
+    assert (3, 14) not in pairs        # 1 microsecond past the horizon
+    assert (3, 13) not in pairs        # view before the click
+    assert (2, 15) in pairs and (1, 15) not in pairs

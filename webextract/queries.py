@@ -317,6 +317,20 @@ def q_stream_window_counts(spark, sf_dir):
                     F.col("bytes_in").cast("long").alias("bytes_in")))
 
 
+def q_stream_join(spark, sf_dir):
+    """Stream-stream interval join gate (r5): click→view attribution
+    within 10 minutes per user — the watermark-bounded two-stream
+    join, gated batch-mode with the identical expression (the REAL
+    two-stream availableNow run is pinned stream≡batch in
+    test_streaming)."""
+    from .streaming import attribution_join
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    return attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"))
+
+
 def q_stream_epoch_sink(spark, sf_dir):
     """Second streaming gate (round-2 review item 4, optional half):
     a REAL Structured Streaming run end-to-end — documents → page
@@ -2351,7 +2365,10 @@ QUERIES = {
     "stream_hll": q_stream_hll,
     "embed_pq_refine": q_embed_pq_refine,
     "dedup_semantic": q_dedup_semantic,
-    "dedup_embed_multiprobe": q_dedup_embed_multiprobe,
+    # stream_join is new this round (stream-stream interval join); it
+    # takes dedup_embed_multiprobe's slot (r4-green; ANN family keeps
+    # embed_pq_refine + dedup_semantic in-window)
+    "stream_join": q_stream_join,
     # four r5-new corpus gates take the slots of lm_perplexity,
     # dsir_weights, url_dedup and line_dedup (all r4-green; the LM
     # family stays covered in-window by bigram_lm, the dedup family
@@ -2389,6 +2406,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "stream_window_counts": q_stream_window_counts,
     "stream_neardup": q_stream_neardup,
+    "dedup_embed_multiprobe": q_dedup_embed_multiprobe,
     "media_raster_stats": q_media_raster_stats,
     "media_picture_classify": q_media_picture_classify,
     "extract_image_ocr": q_extract_image_ocr,
@@ -4668,6 +4686,22 @@ ORACLES = {
         FROM documents
         WHERE 'u' || lpad(doc_id::VARCHAR, 7, '0')
               BETWEEN 'u0000100' AND 'u0000299'""",
+
+    # stream-stream interval join: every click matched to the same
+    # user's views within 10 minutes; lag in floor-epoch seconds on
+    # both engines
+    "stream_join": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               v.event_id AS view_id,
+               floor(epoch(v.ts))::BIGINT - floor(epoch(c.ts))::BIGINT
+                 AS lag_sec
+        FROM events c
+        JOIN events v
+          ON c.user_id = v.user_id
+         AND v.ts >= c.ts
+         AND v.ts <= c.ts + INTERVAL 10 MINUTE
+        WHERE c.event_type = 'click' AND v.event_type = 'view'""",
 
     # hidden partitioning: both pruned read surfaces must equal the
     # plain filters — the day/bucket transforms are pure cost levers

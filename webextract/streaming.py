@@ -735,3 +735,66 @@ def stream_len_histogram(spark: SparkSession, input_dir: str,
             .format("parquet")
             .option("path", output_dir)
             .start())
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (r5): click→view attribution — the
+# canonical two-stream join with watermark-bounded state (Spark docs'
+# ad-monetization shape).  Inner interval joins emit matches as they
+# arrive; the watermark exists to EVICT join state, which is the whole
+# 100-TB story: state is bounded by (watermark + horizon) of traffic
+# per key, never by stream length.
+# ---------------------------------------------------------------------------
+
+ATTR_DDL = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def attribution_join(clicks: DataFrame, views: DataFrame,
+                     horizon: str = "10 minutes",
+                     watermark: str = "20 minutes") -> DataFrame:
+    """(user_id, click_id, view_id, lag_sec): each click joined to the
+    same user's views within ``horizon`` after it — equality key +
+    time-interval condition, the exact shape Structured Streaming
+    requires for state cleanup on BOTH sides.  The same expression
+    runs batch-side (watermarks are no-ops there), which is how the
+    driver gate and the stream≡batch test share one oracle."""
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("click_ts"), "user_id"))
+    v = (views.withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("view_ts"),
+                 F.col("user_id").alias("v_user")))
+    cond = ((F.col("user_id") == F.col("v_user"))
+            & (F.col("view_ts") >= F.col("click_ts"))
+            & (F.col("view_ts")
+               <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")))
+    # NTZ sources can't cast straight to long (ANSI); the ltz hop is
+    # a no-op for ltz inputs and session-UTC-exact for ntz ones
+    sec = (lambda col: F.col(col).cast("timestamp_ltz").cast("long"))
+    return (c.join(v, cond)
+            .select("user_id", "click_id", "view_id",
+                    (sec("view_ts") - sec("click_ts")).alias("lag_sec")))
+
+
+def stream_attribution(spark: SparkSession, clicks_dir: str,
+                       views_dir: str, output_dir: str,
+                       checkpoint_dir: str,
+                       horizon: str = "10 minutes"):
+    """Two file-source streams → watermarked interval join → parquet
+    sink, availableNow.  Inner-join rows emit on match (append mode
+    needs no sentinel flush), so a finite run's sink equals the batch
+    join over the same inputs."""
+    schema = StructType.fromDDL(ATTR_DDL)
+    clicks = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "64").parquet(clicks_dir))
+    views = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "64").parquet(views_dir))
+    return (attribution_join(clicks, views, horizon=horizon)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", output_dir)
+            .start())
