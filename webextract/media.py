@@ -888,25 +888,26 @@ def png_encode_rgb16(w: int, h: int, rows16: list[bytes]) -> bytes:
 
 
 def gif_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
-    """REAL GIF decode for the first frame: global color table + full
-    variable-width LZW decompression (clear/end codes, 12-bit cap,
-    little-endian bit packing) → (w, h, top-down RGB rows).  Handles
-    any conformant non-interlaced GIF87a/89a frame, not just the
-    synthetic encoder's output; None for interlaced/local-table/corrupt
-    payloads, never raises."""
+    """REAL GIF decode for the first frame: global OR local color
+    table, full variable-width LZW decompression (clear/end codes,
+    12-bit cap, little-endian bit packing), sequential or 4-pass
+    INTERLACED row order (r5) → (w, h, top-down RGB rows).  Handles
+    any conformant GIF87a/89a first frame, not just the synthetic
+    encoder's output; None for corrupt payloads, never raises."""
     import struct
     try:
         if b[:6] not in (b"GIF87a", b"GIF89a"):
             return None
         sw, sh, packed = struct.unpack("<HHB", b[6:11])
-        if not packed & 0x80:
-            return None                       # no global color table
-        gct_n = 2 << (packed & 0x07)
         i = 13
-        palette = b[i:i + 3 * gct_n]
-        if len(palette) < 3 * gct_n:
-            return None
-        i += 3 * gct_n
+        gct_n = 0
+        palette = b""
+        if packed & 0x80:
+            gct_n = 2 << (packed & 0x07)
+            palette = b[i:i + 3 * gct_n]
+            if len(palette) < 3 * gct_n:
+                return None
+            i += 3 * gct_n
         # skip extension blocks to the first image descriptor
         while i < len(b) and b[i] == 0x21:
             i += 2
@@ -916,9 +917,18 @@ def gif_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
         if i >= len(b) or b[i] != 0x2C:
             return None
         _, _, w, h, ipacked = struct.unpack("<HHHHB", b[i + 1:i + 10])
-        if ipacked & 0xC0 or w <= 0 or h <= 0:
-            return None                       # local table / interlace
+        if w <= 0 or h <= 0:
+            return None
+        interlaced = bool(ipacked & 0x40)
         i += 10
+        if ipacked & 0x80:                    # local color table wins
+            gct_n = 2 << (ipacked & 0x07)
+            palette = b[i:i + 3 * gct_n]
+            if len(palette) < 3 * gct_n:
+                return None
+            i += 3 * gct_n
+        if not gct_n:
+            return None                       # no table at all
         mcs = b[i]
         i += 1
         data = bytearray()                    # concat LZW sub-blocks
@@ -976,30 +986,51 @@ def gif_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
             prev = entry
         if len(out) < w * h:
             return None
-        rows = []
-        for y in range(h):
+        # interlace: the stream's k-th row lands at _gif_row_order[k]
+        order = (_gif_interlace_order(h) if interlaced else range(h))
+        rows: list[bytes | None] = [None] * h
+        for k, y in enumerate(order):
             row = bytearray()
             for x in range(w):
-                p = out[y * w + x]
+                p = out[k * w + x]
                 if p >= gct_n:
                     return None
                 row += palette[3 * p:3 * p + 3]
-            rows.append(bytes(row))
+            rows[y] = bytes(row)
         return (w, h, rows)
     except (struct.error, IndexError, KeyError, ValueError):
         return None
 
 
-def gif_encode_gray(w: int, h: int, idx_rows: list[bytes]) -> bytes:
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF 4-pass interlace row schedule (spec appendix E): rows
+    arrive 0,8,16,… then 4,12,… then 2,6,… then 1,3,5,…"""
+    return ([y for y in range(0, h, 8)] + [y for y in range(4, h, 8)]
+            + [y for y in range(2, h, 4)] + [y for y in range(1, h, 2)])
+
+
+def gif_encode_gray(w: int, h: int, idx_rows: list[bytes], *,
+                    interlace: bool = False,
+                    local_table: bool = False) -> bytes:
     """Spec-valid GIF89a from 8-bit index rows with a 256-entry
-    grayscale global color table.  Codes are emitted literally with
-    periodic CLEAR codes so the code width stays mcs+1 (the classic
-    uncompressed-GIF technique) — the DECODER above still runs its
-    full LZW path on the result."""
+    grayscale color table — GLOBAL by default, in the image
+    descriptor when ``local_table`` (r5); ``interlace`` permutes rows
+    into the 4-pass schedule and sets the flag.  Codes are emitted
+    literally with periodic CLEAR codes so the code width stays mcs+1
+    (the classic uncompressed-GIF technique) — the DECODER above
+    still runs its full LZW path on the result."""
     import struct
-    hdr = (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
-           + bytes(v for i in range(256) for v in (i, i, i))
-           + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+    table = bytes(v for i in range(256) for v in (i, i, i))
+    ipacked = (0x80 | 0x07 if local_table else 0) | (0x40 if interlace
+                                                     else 0)
+    hdr = (b"GIF89a"
+           + struct.pack("<HHBBB", w, h,
+                         0 if local_table else 0x80 | 0x07, 0, 0)
+           + (b"" if local_table else table)
+           + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+           + (table if local_table else b""))
+    if interlace:
+        idx_rows = [idx_rows[y] for y in _gif_interlace_order(h)]
     mcs = 8
     clear, end = 1 << mcs, (1 << mcs) + 1
     width = mcs + 1
@@ -1086,12 +1117,17 @@ def make_gif_bytes(doc_id: int) -> bytes:
     """Deterministic VALID GIF89a: grayscale palette, pixel index
     (doc_id*7 + x*13 + y*17) % 256 — every channel equals the index,
     so the DuckDB oracle recomputes the stats from the formula while
-    the decoder really runs LZW on the wire bytes."""
+    the decoder really runs LZW on the wire bytes.  Container variant
+    rotates by doc_id % 3 (r5): plain / 4-pass INTERLACED / LOCAL
+    color table — all three must be pixel-transparent, so the oracle
+    is unchanged."""
     w = 4 + doc_id % 5
     h = 3 + doc_id % 4
     rows = [bytes((doc_id * 7 + x * 13 + y * 17) % 256
                   for x in range(w)) for y in range(h)]
-    return gif_encode_gray(w, h, rows)
+    v = doc_id % 3
+    return gif_encode_gray(w, h, rows, interlace=v == 1,
+                           local_table=v == 2)
 
 
 # Attach a `media` column of REAL LZW-coded GIF bytes built from

@@ -2352,7 +2352,11 @@ QUERIES = {
     "table_scan_prune": q_table_scan_prune,
     # --- family representatives (r4-green) ---
     "extract_main_text": q_extract_main_text,
-    "media_ocr": q_media_ocr,
+    # media_raster_gif's implementation changed this round (interlace
+    # + local-table variants) -> in-window per the rotation contract,
+    # displacing media_ocr (r4-green; OCR family covered by the
+    # extraction gates + jpeg/png OCR pytest oracles)
+    "media_raster_gif": q_media_raster_gif,
     # media_frame_mjpeg is new this round (compressed-video decode);
     # it takes media_raster_jpeg's slot — the same JPEG entropy-decode
     # path runs inside every frame, so the codec family stays covered
@@ -2428,7 +2432,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "parse_sitemaps": q_parse_sitemaps,
     "media_frame_avi": q_media_frame_avi,
-    "media_raster_gif": q_media_raster_gif,
+    "media_ocr": q_media_ocr,
     "media_ocr_jpeg": q_media_ocr_jpeg,
     "extract_warc_source": q_extract_warc_source,
     "heavy_hitters": q_heavy_hitters,
