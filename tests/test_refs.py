@@ -170,3 +170,42 @@ def test_drop_branch_sweeps_offchain_snapshots_and_files(spark, tmp_path):
         tbl._snapshot(branch_snap)           # snap file swept
     assert not any(os.path.exists(f) for f in branch_files)  # data GC'd
     assert _ids(tbl.read(spark)) == list(range(10)) + list(range(20, 30))
+
+
+def test_metadata_tables(spark, tmp_path):
+    """Iceberg-style metadata tables: .files / .snapshots / .history /
+    .refs answer operational questions straight from the manifests."""
+    tbl = IceTable(str(tmp_path / "t"))
+    _commit(tbl, spark, _frame(spark, 0, 10), 0)
+    _commit(tbl, spark, _frame(spark, 10, 20), 1)
+    tbl.create_branch("audit")
+    _commit(tbl, spark, _frame(spark, 20, 30), 2, branch="audit")
+    tbl.create_tag("v1")
+
+    files = tbl.files_df(spark).collect()
+    assert len(files) == 2                       # main's live files
+    assert all(r["size_bytes"] > 0 and r["snapshot_id"]
+               for r in files)
+    assert sorted(r["part_id"] for r in files) == [0, 1]
+
+    snaps = tbl.snapshots_df(spark).collect()
+    assert len(snaps) == 3                       # incl. branch commit
+    assert sum(r["on_main"] for r in snaps) == 2
+    assert all(r["n_files"] == 1 for r in snaps)
+
+    hist = tbl.history_df(spark).orderBy("ordinal").collect()
+    assert len(hist) == 2
+    assert hist[0]["parent_id"] is None
+    assert hist[1]["parent_id"] == hist[0]["snapshot_id"]
+    assert hist[1]["snapshot_id"] == tbl.current_snapshot_id()
+
+    refs = {r["name"]: (r["type"], r["snapshot_id"])
+            for r in tbl.refs_df(spark).collect()}
+    assert refs["main"] == ("branch", tbl.current_snapshot_id())
+    assert refs["audit"] == ("branch", tbl.ref_head("audit"))
+    assert refs["v1"] == ("tag", tbl.ref_head("v1"))
+
+    # the files table is snapshot-addressable like every other read
+    branch_files = tbl.files_df(spark,
+                                as_of=tbl.ref_head("audit")).count()
+    assert branch_files == 3

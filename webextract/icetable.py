@@ -873,6 +873,86 @@ class IceTable:
                     else SF.col(col).between(lo, hi))
         return df.filter(residual), len(picked), len(data)
 
+    # -- metadata tables (Iceberg's SELECT * FROM t.files / .snapshots /
+    # .history / .refs) — the operational introspection surface: which
+    # files back the table, how history evolved, what refs pin it.
+    # Metadata is manifest-sized by construction (file counts, not row
+    # counts), so building these frames driver-side is the same
+    # catalog-artifact pattern Iceberg itself uses.
+
+    def files_df(self, spark, as_of: str | None = None):
+        """(file_path, part_id, schema_id, spec_id, partition,
+        size_bytes, snapshot_id) for every live data file."""
+        rows = []
+        for s in self.snapshots(as_of):
+            sid = s.get("schema_id")
+            for p in s["partitions"]:
+                fsch = p.get("file_schemas") or {}
+                for f in p["files"]:
+                    try:
+                        size = os.path.getsize(f)
+                    except OSError:
+                        size = None
+                    rows.append((f, p.get("part_id"),
+                                 fsch.get(f, sid), p.get("spec_id"),
+                                 json.dumps(p.get("partition"))
+                                 if p.get("partition") else None,
+                                 size, s["snapshot_id"]))
+            if s.get("rewrite"):
+                break
+        return spark.createDataFrame(
+            rows, "file_path string, part_id int, schema_id int, "
+                  "spec_id int, partition string, size_bytes long, "
+                  "snapshot_id string")
+
+    def snapshots_df(self, spark):
+        """Every snapshot file on disk (main chain, branches, expired-
+        pending), flagged with main-chain membership."""
+        main = {s["snapshot_id"] for s in self.snapshots()}
+        rows = []
+        for fn in os.listdir(self.meta_dir):
+            if not (fn.startswith("snap-") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.meta_dir, fn)) as f:
+                s = json.load(f)
+            rows.append((s["snapshot_id"], s.get("parent_id"),
+                         s.get("run_id"), s.get("committed_at"),
+                         bool(s.get("rewrite")),
+                         bool(s.get("delete")),
+                         sum(len(p["files"]) for p in s["partitions"]),
+                         s["snapshot_id"] in main))
+        return spark.createDataFrame(
+            rows, "snapshot_id string, parent_id string, run_id string, "
+                  "committed_at string, is_rewrite boolean, "
+                  "has_delete boolean, n_files int, on_main boolean")
+
+    def history_df(self, spark):
+        """Main-chain lineage oldest-first: (ordinal, snapshot_id,
+        parent_id, committed_at) — Iceberg's .history."""
+        chain = list(reversed(self.snapshots()))
+        rows = [(i, s["snapshot_id"], s.get("parent_id"),
+                 s.get("committed_at")) for i, s in enumerate(chain)]
+        return spark.createDataFrame(
+            rows, "ordinal int, snapshot_id string, parent_id string, "
+                  "committed_at string")
+
+    def refs_df(self, spark):
+        """(name, type, snapshot_id) for main + every named ref."""
+        rows = [("main", "branch", self.current_snapshot_id())]
+        refs_dir = os.path.join(self.meta_dir, "refs")
+        try:
+            names = sorted(os.listdir(refs_dir))
+        except FileNotFoundError:
+            names = []
+        for fn in names:
+            if fn.endswith(".tmp"):
+                continue
+            with open(os.path.join(refs_dir, fn)) as f:
+                r = json.load(f)
+            rows.append((fn, r["type"], r["snapshot_id"]))
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id string")
+
     def drop_ref(self, name: str) -> None:
         """Delete a branch or tag pointer (Iceberg drop_branch/drop_tag).
         The snapshots it pinned become expirable on the next
