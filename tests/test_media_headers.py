@@ -168,12 +168,19 @@ def test_png_codec_roundtrip():
     assert png_decode_rgb(b"") is None
     assert png_decode_rgb(b[:20]) is None                  # truncated IHDR
     assert png_decode_rgb(b[:8] + b[8:].replace(b"IDAT", b"IDAX")) is None
-    # 16-bit depth is an unsupported subformat (honest None)
+    # 16-bit depth is SUPPORTED since r5 — but a headers-only stream
+    # (no IDAT) must still be None; a sub-byte depth stays unsupported
     import struct, zlib
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     deep = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
-    assert png_decode_rgb(deep) is None
+    assert png_decode_rgb(deep) is None          # no IDAT at all
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    shallow = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+               + ihdr4
+               + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr4)
+                             & 0xFFFFFFFF))
+    assert png_decode_rgb(shallow) is None       # depth 4 unsupported
 
 
 def test_png_gray_and_palette_variants():
@@ -393,7 +400,7 @@ def test_mjpeg_video_frame_decode():
                                   make_mjpeg_avi_bytes, parse_avi_frames)
     for did in (0, 2, 9, 42):
         b = make_mjpeg_avi_bytes(did)
-        bw, bh, nf = 2 + did % 3, 1 + did % 3, 2 + did % 4
+        bw, bh, nf = 2 + did % 3, 1 + did % 3, 1 + did % 3
         frames = parse_avi_frames(b)
         assert len(frames) == nf
         for k, off, sz in frames:

@@ -496,7 +496,7 @@ def make_mjpeg_avi_bytes(doc_id: int) -> bytes:
     bw = 2 + doc_id % 3
     bh = 1 + doc_id % 3
     w, h = bw * 8, bh * 8
-    nf = 2 + doc_id % 4
+    nf = 1 + doc_id % 3
 
     def chunk(cid: bytes, data: bytes) -> bytes:
         return cid + struct.pack("<I", len(data)) + data \

@@ -5192,7 +5192,7 @@ ORACLES = {
     # (Cb=Cr=128 exactly under the gray->YCbCr encode)
     "media_frame_mjpeg": """
         WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS bw,
-                          1 + doc_id % 3 AS bh, 2 + doc_id % 4 AS nf
+                          1 + doc_id % 3 AS bh, 1 + doc_id % 3 AS nf
                    FROM documents),
         blk AS (SELECT doc_id, k.i AS frame_idx,
                        (doc_id * 11 + k.i * 19
