@@ -4138,11 +4138,17 @@ def nb_langid(docs: DataFrame, buckets: int = 512, k: float = 0.5,
     bucket = (F.conv(F.substring(
         F.md5(F.concat_ws(":", F.lit(salt), F.col("g"))), 1, 8),
         16, 10).cast("long") % buckets)
+    # ONE explode feeds both the trainer and the scorer: the trigram
+    # stream reduces to (doc, lang, bucket, tf) immediately (map-side
+    # combined), and the lang x bucket count table derives from that
+    # frame — a second tiny shuffle instead of a second corpus pass
     feats = (_spread(docs).select("doc_id", "lang",
                                   F.explode(grams).alias("g"))
-             .select("doc_id", "lang", bucket.alias("bucket")))
+             .select("doc_id", "lang", bucket.alias("bucket"))
+             .groupBy("doc_id", "lang", "bucket")
+             .agg(F.count("*").alias("tf")))
     counts = feats.groupBy("lang", "bucket").agg(
-        F.count("*").alias("c"))
+        F.sum("tf").alias("c"))
     lang_tot = counts.groupBy("lang").agg(F.sum("c").alias("n_l"))
     spark = docs.sparkSession
     dense = (lang_tot
@@ -4162,7 +4168,7 @@ def nb_langid(docs: DataFrame, buckets: int = 512, k: float = 0.5,
                       F.round(-F.log(F.col("d_l") / F.col("n_docs"))
                               * 1e6, 0).cast("long").alias("prior_micro")))
     doc_tf = (feats.groupBy("doc_id", "bucket")
-              .agg(F.count("*").alias("tf")))
+              .agg(F.sum("tf").alias("tf")))
     scored = (doc_tf
               .join(F.broadcast(dense), "bucket")
               .groupBy("doc_id", "lang")
