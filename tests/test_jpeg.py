@@ -182,3 +182,20 @@ def test_ocr_jpeg_roundtrip():
     for text in ("hello world 42", "", "z" * 130, "the quick brown fox"):
         got = ocr_image(render_text_jpeg(text))
         assert got == text[:128].rstrip()
+
+
+def test_color_progressive_matches_baseline_color():
+    """r5: 4:2:0 color progressive streams — MCU-INTERLEAVED DC scans
+    plus per-component AC scans over each component's OWN subsampled
+    block grid (smaller than the MCU-padded store) — decode to exactly
+    the baseline color path's pixels."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    for w, h in [(16, 16), (17, 13), (1, 1), (33, 31), (40, 8)]:
+        img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        rows = [img[y].tobytes() for y in range(h)]
+        base = J.jpeg_decode_rgb(J.jpeg_encode_gray(w, h, rows,
+                                                    color=True))
+        prog = J.jpeg_decode_rgb(J.jpeg_encode_color_progressive(
+            w, h, rows))
+        assert base is not None and base == prog, (w, h)

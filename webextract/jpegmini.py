@@ -281,60 +281,39 @@ def _put_eobrun(w: _BitWriter, eobrun: int, pending: list[int]) -> None:
         w.put(bit, 1)
 
 
-def jpeg_encode_gray_progressive(w: int, h: int,
-                                 rows: list[bytes]) -> bytes:
-    """Encode a grayscale raster as a REAL progressive JPEG (SOF2),
-    four scans exercising every progressive decode path: DC first
-    (Al=1), AC first 1..63 (Al=1, EOB-run coded), DC refinement (raw
-    bits), AC refinement (Al 1->0: newly-significant ±1 insertions +
-    buffered correction bits, the full G.1.2.3 state machine).
-    Quantization is flat q=1, so decode is bit-exact against the
-    baseline encoder's output on the same raster."""
-    plane = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w)
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    coef = _fdct_quant(_pad_plane(plane, bw_ * 8, bh_ * 8))
-    # zigzag-order integer blocks, row-major block order
-    blocks = [coef[by, bx].reshape(64)[_ZZ_IDX]
-              for by in range(bh_) for bx in range(bw_)]
-
-    out = bytearray()
-    out += b"\xff\xd8"
-    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
-            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
-    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
-    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof   # SOF2
-    out += _dht_segment(0, 0, DC_BITS, DC_VALS)
-    out += _dht_segment(1, 0, AC_PROG_BITS, AC_PROG_VALS)
-
-    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
-        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
-        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
-
-    # scan 1: DC first, Al=1 (arithmetic shift per G.1.2.1)
-    wr = _BitWriter()
-    pred = 0
-    for zz in blocks:
-        v = int(zz[0]) >> 1
-        diff = v - pred
-        pred = v
+def _enc_dc_first_scan(wr: _BitWriter, blocks: list) -> None:
+    """DC first scan (Al applied by caller): ``blocks`` is the scan's
+    block sequence as (comp_idx, zz) — MCU-interleaved or a single
+    component's row-major grid; predictors are per component."""
+    preds: dict[int, int] = {}
+    for ci, zz in blocks:
+        v = int(zz[0]) >> 1                   # arithmetic shift, Al=1
+        diff = v - preds.get(ci, 0)
+        preds[ci] = v
         size = _mag_category(diff)
         code, ln = _ENC_DC[size]
         wr.put(code, ln)
         if size:
             wr.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
-    wr.pad_align()
-    out += sos(0, 0, 0, 1) + wr.out
 
-    # scan 2: AC first 1..63 at Al=1 (truncate-toward-zero point
-    # transform), EOB-run coded across all-zero tails/blocks
-    def t2(v: int) -> int:
-        return -((-v) >> 1) if v < 0 else v >> 1
 
-    wr = _BitWriter()
+def _enc_dc_refine_scan(wr: _BitWriter, blocks: list) -> None:
+    """DC refinement: one raw bit per block, no entropy coding."""
+    for _ci, zz in blocks:
+        wr.put(int(zz[0]) & 1, 1)
+
+
+def _t2(v: int) -> int:
+    """AC point transform at Al=1: truncate toward zero (G.1.2.2)."""
+    return -((-v) >> 1) if v < 0 else v >> 1
+
+
+def _enc_ac_first_scan(wr: _BitWriter, zz_blocks: list) -> None:
+    """AC first scan 1..63 at Al=1 over ONE component's blocks,
+    EOB-run coded across all-zero tails/blocks."""
     eobrun = 0
-    for zz in blocks:
-        vals = [t2(int(zz[k])) for k in range(1, 64)]
+    for zz in zz_blocks:
+        vals = [_t2(int(zz[k])) for k in range(1, 64)]
         nz = [j for j, v in enumerate(vals) if v]
         if not nz:
             eobrun += 1
@@ -360,27 +339,20 @@ def jpeg_encode_gray_progressive(w: int, h: int,
         if prev < 63:
             eobrun = 1
     _put_eobrun(wr, eobrun, [])
-    wr.pad_align()
-    out += sos(1, 63, 0, 1) + wr.out
 
-    # scan 3: DC refinement — one raw bit per block, no entropy coding
-    wr = _BitWriter()
-    for zz in blocks:
-        wr.put(int(zz[0]) & 1, 1)
-    wr.pad_align()
-    out += sos(0, 0, 1, 0) + wr.out
 
-    # scan 4: AC refinement Al 1->0 — mirrors the decoder's G.1.2.3
-    # traversal exactly: events per position are H (history-nonzero,
-    # carries a correction bit), Z (stays zero), N (newly ±1)
-    wr = _BitWriter()
+def _enc_ac_refine_scan(wr: _BitWriter, zz_blocks: list) -> None:
+    """AC refinement Al 1->0 over ONE component's blocks — mirrors
+    the decoder's G.1.2.3 traversal exactly: events per position are
+    H (history-nonzero, carries a correction bit), Z (stays zero),
+    N (newly ±1)."""
     eobrun = 0
     pending: list[int] = []
-    for zz in blocks:
+    for zz in zz_blocks:
         events = []
         for k in range(1, 64):
             v = int(zz[k])
-            if t2(v):                        # history nonzero after scan 2
+            if _t2(v):                       # history nonzero after first
                 events.append(("H", abs(v) & 1))
             elif v:                          # |v| == 1: newly significant
                 events.append(("N", 1 if v > 0 else 0))
@@ -442,9 +414,116 @@ def jpeg_encode_gray_progressive(w: int, h: int,
                 wr.put(bit, 1)
             i = nxt + 1
     _put_eobrun(wr, eobrun, pending)
-    wr.pad_align()
-    out += sos(1, 63, 1, 0) + wr.out
 
+
+def _prog_headers(w: int, h: int, comps: list[tuple]) -> bytearray:
+    """SOI..DHT for a progressive stream: flat q=1 DQT, SOF2 with
+    ``comps`` = [(cid, samp_byte)], DC table 0, progressive AC table 0."""
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, samp in comps:
+        sof += bytes([cid, samp, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof   # SOF2
+    out += _dht_segment(0, 0, DC_BITS, DC_VALS)
+    out += _dht_segment(1, 0, AC_PROG_BITS, AC_PROG_VALS)
+    return out
+
+
+def _sos(comp_ids: list[int], ss: int, se: int, ah: int,
+         al: int) -> bytes:
+    body = bytes([len(comp_ids)])
+    for cid in comp_ids:
+        body += bytes([cid, 0x00])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+def jpeg_encode_gray_progressive(w: int, h: int,
+                                 rows: list[bytes]) -> bytes:
+    """Encode a grayscale raster as a REAL progressive JPEG (SOF2),
+    four scans exercising every progressive decode path: DC first
+    (Al=1), AC first 1..63 (Al=1, EOB-run coded), DC refinement (raw
+    bits), AC refinement (Al 1->0: newly-significant ±1 insertions +
+    buffered correction bits, the full G.1.2.3 state machine).
+    Quantization is flat q=1, so decode is bit-exact against the
+    baseline encoder's output on the same raster."""
+    plane = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w)
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    coef = _fdct_quant(_pad_plane(plane, bw_ * 8, bh_ * 8))
+    blocks = [coef[by, bx].reshape(64)[_ZZ_IDX]
+              for by in range(bh_) for bx in range(bw_)]
+    out = _prog_headers(w, h, [(1, 0x11)])
+    for scan, writer in (
+            ((0, 0, 0, 1), lambda wr: _enc_dc_first_scan(
+                wr, [(0, zz) for zz in blocks])),
+            ((1, 63, 0, 1), lambda wr: _enc_ac_first_scan(wr, blocks)),
+            ((0, 0, 1, 0), lambda wr: _enc_dc_refine_scan(
+                wr, [(0, zz) for zz in blocks])),
+            ((1, 63, 1, 0), lambda wr: _enc_ac_refine_scan(wr, blocks))):
+        wr = _BitWriter()
+        writer(wr)
+        wr.pad_align()
+        out += _sos([1], *scan) + wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_color_progressive(w: int, h: int,
+                                  rows: list[bytes]) -> bytes:
+    """Gray content as a 3-component YCbCr 4:2:0 PROGRESSIVE stream
+    (Cb=Cr=128 -> all-zero chroma coefficients, so decode returns
+    R=G=B exactly like the baseline color encoder): the DC scans are
+    MCU-INTERLEAVED across all three components while the AC scans run
+    per component over its OWN subsampled block grid — the two
+    progressive scan geometries the gray encoder cannot reach."""
+    plane = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w)
+    mcus_x = (w + 15) // 16
+    mcus_y = (h + 15) // 16
+    ycoef = _fdct_quant(_pad_plane(plane, mcus_x * 16, mcus_y * 16))
+    zero = np.zeros(64, dtype=np.int32)
+    yzz = {}
+    for by in range(mcus_y * 2):
+        for bx in range(mcus_x * 2):
+            yzz[by, bx] = ycoef[by, bx].reshape(64)[_ZZ_IDX]
+    # MCU-interleaved DC block order: 4 luma + Cb + Cr per MCU
+    dc_blocks = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(2):
+                for bx in range(2):
+                    dc_blocks.append((0, yzz[my * 2 + by, mx * 2 + bx]))
+            dc_blocks.append((1, zero))
+            dc_blocks.append((2, zero))
+    # non-interleaved AC grids: the component's OWN ceil(c/8) extent
+    y_bw = (w + 7) // 8
+    y_bh = (h + 7) // 8
+    y_ac = [yzz[by, bx] for by in range(y_bh) for bx in range(y_bw)]
+    c_bw = ((w + 1) // 2 + 7) // 8
+    c_bh = ((h + 1) // 2 + 7) // 8
+    c_ac = [zero] * (c_bh * c_bw)
+    out = _prog_headers(w, h, [(1, 0x22), (2, 0x11), (3, 0x11)])
+    wr = _BitWriter()
+    _enc_dc_first_scan(wr, dc_blocks)
+    wr.pad_align()
+    out += _sos([1, 2, 3], 0, 0, 0, 1) + wr.out
+    for cid, blocks in ((1, y_ac), (2, c_ac), (3, c_ac)):
+        wr = _BitWriter()
+        _enc_ac_first_scan(wr, blocks)
+        wr.pad_align()
+        out += _sos([cid], 1, 63, 0, 1) + wr.out
+    wr = _BitWriter()
+    _enc_dc_refine_scan(wr, dc_blocks)
+    wr.pad_align()
+    out += _sos([1, 2, 3], 0, 0, 1, 0) + wr.out
+    for cid, blocks in ((1, y_ac), (2, c_ac), (3, c_ac)):
+        wr = _BitWriter()
+        _enc_ac_refine_scan(wr, blocks)
+        wr.pad_align()
+        out += _sos([cid], 1, 63, 1, 0) + wr.out
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -1155,9 +1155,11 @@ with_jpeg_media = _media_from_doc_id(make_jpeg_raster_bytes)
 
 def make_jpeg_prog_bytes(doc_id: int) -> bytes:
     """Deterministic VALID PROGRESSIVE JPEG (SOF2, r5): the same
-    per-8x8-block solid formula as make_jpeg_raster_bytes, grayscale,
-    encoded as four successive-approximation scans (DC first/refine,
-    AC first/refine with EOB runs).  Flat q=1 keeps decode byte-exact,
+    per-8x8-block solid formula as make_jpeg_raster_bytes, encoded as
+    successive-approximation scans (DC first/refine, AC first/refine
+    with EOB runs), alternating GRAYSCALE (doc_id even) and 4:2:0
+    COLOR (doc_id odd — MCU-interleaved DC scans + per-component AC
+    scans over subsampled grids).  Flat q=1 keeps decode byte-exact,
     so the gate reuses the media_raster_jpeg oracle verbatim while the
     wire bytes exercise every progressive decode path."""
     bw = 2 + doc_id % 3
@@ -1165,6 +1167,8 @@ def make_jpeg_prog_bytes(doc_id: int) -> bytes:
     w, h = bw * 8, bh * 8
     rows = [bytes((doc_id * 11 + (x // 8) * 29 + (y // 8) * 37) % 256
                   for x in range(w)) for y in range(h)]
+    if doc_id % 2:
+        return jpegmini.jpeg_encode_color_progressive(w, h, rows)
     return jpegmini.jpeg_encode_gray_progressive(w, h, rows)
 
 
