@@ -74,6 +74,7 @@ HEADLINE = [
     "table_wap", "table_partition_prune", "stream_join",
     "media_frame_mjpeg", "media_raster_jpeg_prog",
     "bigram_lm", "temperature_mix", "hashed_tfidf", "nb_langid",
+    "ccnet_buckets",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a
@@ -137,7 +138,7 @@ _FAMILIES = (
     ("chunk", ("chunk_",)),
     ("quality", ("quality_", "c4_quality", "nb_quality", "lm_perplexity",
                  "repetition_suite", "dsir_weights", "text_quality",
-                 "bigram_lm")),
+                 "bigram_lm", "ccnet_buckets")),
     ("graph", ("pagerank", "hits", "anchor_rollup", "cocitation",
                "degree_stats")),
     ("crawl", ("robots_", "parse_", "cdx_", "frontier_", "url_seen",

@@ -547,6 +547,30 @@ def test_lm_perplexity_orders_rare_above_common(spark):
     assert got[0].n_tok == 3
 
 
+def test_ccnet_buckets_tertile_split(spark):
+    """Three clearly-separated perplexity tiers land in head / middle /
+    tail exactly (3/3/3), and the labels are monotone in mean_nll
+    (every head score <= every middle score <= every tail score)."""
+    from webextract.corpus import ccnet_buckets
+    rows = ([(i, "common common common common") for i in range(3)]
+            + [(10 + i, f"common common mid{i} common") for i in range(3)]
+            + [(20 + i, f"rare{i}a rare{i}b rare{i}c rare{i}d")
+               for i in range(3)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ccnet_buckets(docs).collect()
+    by = {"head": [], "middle": [], "tail": []}
+    for r in got:
+        by[r.bucket].append(r)
+    assert {k: len(v) for k, v in by.items()} == \
+        {"head": 3, "middle": 3, "tail": 3}
+    assert {r.doc_id for r in by["head"]} == {0, 1, 2}
+    assert {r.doc_id for r in by["tail"]} == {20, 21, 22}
+    assert max(r.mean_nll for r in by["head"]) \
+        <= min(r.mean_nll for r in by["middle"])
+    assert max(r.mean_nll for r in by["middle"]) \
+        <= min(r.mean_nll for r in by["tail"])
+
+
 def test_pack_sequences_contiguous_and_bounded(spark):
     """Within every shard the packed stream is gapless (each doc
     starts where the previous ended), offsets stay under the budget,

@@ -503,6 +503,22 @@ def test_lm_perplexity_plan_shape(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ccnet_buckets_plan_shape(spark):
+    """CCNet split: documents are never globally sorted — the tertile
+    windows run over the bounded 0.01-nat histogram, thresholds ride
+    back as a broadcast nested-loop of a 1-row frame, and no
+    sort-merge join appears anywhere."""
+    from webextract.corpus import ccnet_buckets
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ccnet_buckets(docs))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # thresholds cross-ride
+    # the only single-partition exchange feeds the histogram window,
+    # whose input is a HashAggregate (bounded cells), never raw docs
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+
+
 def test_pack_and_url_plans_single_exchange(spark):
     """pack_sequences: ONE exchange on shard (the parallel packing
     streams) + its window sort — never a global single-partition

@@ -1935,6 +1935,55 @@ def lm_perplexity(docs: DataFrame, k: float = LM_K) -> DataFrame:
                          F.round(F.exp(mean_nll), 4).alias("ppl"))
 
 
+CCNET_RES = 10_000         # nll-histogram resolution: 0.01 nat
+
+
+def ccnet_buckets(docs: DataFrame, k: float = LM_K,
+                  resolution: int = CCNET_RES) -> DataFrame:
+    """(doc_id, mean_nll, bucket): CCNet's corpus split — score every
+    document under the LM (lm_perplexity) and partition the corpus
+    into the 'head' (lowest-perplexity third), 'middle', and 'tail'
+    thirds (Wenzek et al. 2020 §4.3: the head trains the model, the
+    tail is dropped).  Tertile thresholds are bucket-granular: the
+    per-doc micro-nat mean compresses into a fixed-resolution
+    histogram (``resolution`` micro-nats = 0.01 nat per cell), and a
+    threshold is the FIRST cell whose cumulative count reaches 1/3
+    (resp. 2/3) of the corpus — ties share a label, exactly how a
+    production histogram percentile behaves.  All-integer comparisons
+    (3*cum >= n on bigint counts), so both engines cut identically.
+
+    Scale shape: scoring is lm_perplexity's shuffles unchanged; the
+    doc-level means then collapse to a bounded histogram (mean NLL <
+    ~30 nats -> <= 3000 cells) in one map-side-combined shuffle; the
+    cumulative window runs over that tiny frame (the len_quantiles
+    convention — never a corpus sort); the two thresholds ride back
+    as a broadcast 1-row frame.  A true tertile would globally sort
+    100 TB of scores; this never re-sorts documents at all."""
+    scored = lm_perplexity(docs, k)
+    m = scored.select(
+        "doc_id", "mean_nll",
+        F.round(F.col("mean_nll") * 1e6, 0).cast("long").alias("mm"))
+    cell = F.floor(F.col("mm") / F.lit(resolution)).cast("long")
+    hist = (m.select(cell.alias("cell"))
+            .groupBy("cell").agg(F.count("*").alias("cnt")))
+    win = Window.orderBy("cell").rowsBetween(
+        Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    cum = hist.select("cell", F.sum("cnt").over(win).alias("cum"),
+                      F.sum("cnt").over(tot).alias("n"))
+    thr = (cum.agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("cell")))
+        .alias("t1"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("cell")))
+        .alias("t2")))
+    return (m.crossJoin(F.broadcast(thr))
+            .select("doc_id", "mean_nll",
+                    F.when(cell <= F.col("t1"), F.lit("head"))
+                    .when(cell <= F.col("t2"), F.lit("middle"))
+                    .otherwise(F.lit("tail")).alias("bucket")))
+
+
 def vocab_stats(docs: DataFrame) -> DataFrame:
     """(n_tokens, vocab, hapax, ttr, hapax_frac): corpus vocabulary
     accounting for the data card — total token mass, distinct types,

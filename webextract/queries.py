@@ -769,6 +769,14 @@ def q_lm_perplexity(spark, sf_dir):
     return corpus.lm_perplexity(_read(spark, sf_dir, "documents"))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus split (r5): LM-score every doc
+    (lm_perplexity), tertile thresholds from a bounded 0.01-nat
+    histogram (never a corpus sort), labels joined back as a
+    broadcast 1-row thresholds frame."""
+    return corpus.ccnet_buckets(_read(spark, sf_dir, "documents"))
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-5 retrieval for three fixed queries over the corpus —
     query-term postings isolated by a broadcast semi-join before any
@@ -2381,7 +2389,11 @@ QUERIES = {
     "temperature_mix": q_temperature_mix,
     "hashed_tfidf": q_hashed_tfidf,
     "nb_langid": q_nb_langid,
-    "pack_sequences": q_pack_sequences,
+    # ccnet_buckets is new this round (the consumer of lm_perplexity:
+    # the head/middle/tail corpus split); it takes pack_sequences's
+    # slot (r4-green; the packing family keeps its pytest oracle in
+    # the full-registry rehearsal)
+    "ccnet_buckets": q_ccnet_buckets,
     # stream_sessions, table_row_deletes and table_wap are new this
     # round: they take the last three window slots; sketch_hll_distinct
     # (r4-green, family covered in-window by stream_hll), pagerank
@@ -2401,6 +2413,7 @@ QUERIES = {
     # full-registry rehearsal; r4-green gates listed first so the
     # next rotation window is easy to cut) ----
     "sketch_hll_distinct": q_sketch_hll_distinct,
+    "pack_sequences": q_pack_sequences,
     "pagerank": q_pagerank,
     "robots_filter": q_robots_filter,
     "media_raster_jpeg": q_media_raster_jpeg,
@@ -3857,6 +3870,39 @@ ORACLES = {
         SELECT doc_id, n_tok, mean_nll,
                round(exp(mean_nll), 4) AS ppl
         FROM m""",
+
+    # CCNet head/middle/tail: tertile thresholds are bucket-granular
+    # over a 0.01-nat histogram of the micro-nat means; the cut rule
+    # is all-integer (3*cum >= n), so both engines label identically
+    "ccnet_buckets": """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf
+               FROM tok GROUP BY doc_id, tok),
+        cnt AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY tok),
+        tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM cnt),
+        lp AS (SELECT tok,
+                      round(-ln((c + 0.5) / (n_total + 0.5 * vocab))
+                            * 1e6, 0)::BIGINT AS nll_micro
+               FROM cnt, tot),
+        sc AS (SELECT doc_id, sum(tf) AS n_tok, sum(tf * nll_micro) AS s
+               FROM tf JOIN lp USING (tok) GROUP BY doc_id),
+        m AS (SELECT doc_id,
+                     floor((2 * s + n_tok) / (2 * n_tok))::BIGINT AS mm
+              FROM sc),
+        h AS (SELECT (mm // 10000)::BIGINT AS cell, count(*) AS cnt
+              FROM m GROUP BY cell),
+        cum AS (SELECT cell, sum(cnt) OVER (ORDER BY cell) AS cum,
+                       sum(cnt) OVER () AS n
+                FROM h),
+        thr AS (SELECT min(cell) FILTER (WHERE 3 * cum >= n) AS t1,
+                       min(cell) FILTER (WHERE 3 * cum >= 2 * n) AS t2
+                FROM cum)
+        SELECT doc_id, mm / 1e6 AS mean_nll,
+               CASE WHEN mm // 10000 <= t1 THEN 'head'
+                    WHEN mm // 10000 <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM m, thr""",
 
     # bigram LM with stupid backoff: train = even doc_ids, score =
     # all; backoff composition is defined ON rounded micro-nat
