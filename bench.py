@@ -74,7 +74,7 @@ HEADLINE = [
     "table_wap", "table_partition_prune", "stream_join",
     "media_frame_mjpeg", "media_raster_jpeg_prog",
     "bigram_lm", "temperature_mix", "hashed_tfidf", "nb_langid",
-    "ccnet_buckets",
+    "ccnet_buckets", "image_dhash", "image_neardup",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a
@@ -133,7 +133,8 @@ _FAMILIES = (
     ("media", ("media_",)),
     ("stream", ("stream_",)),
     ("dedup", ("dedup_", "line_dedup", "url_dedup", "within_doc",
-               "canonical_dedup", "skew_neardup", "mirror_hosts")),
+               "canonical_dedup", "skew_neardup", "mirror_hosts",
+               "image_neardup", "image_dhash")),
     ("embed", ("embed_", "hashed_tfidf")),
     ("chunk", ("chunk_",)),
     ("quality", ("quality_", "c4_quality", "nb_quality", "lm_perplexity",

@@ -547,6 +547,31 @@ def test_lm_perplexity_orders_rare_above_common(spark):
     assert got[0].n_tok == 3
 
 
+def test_image_dhash_neardup_group_structure(spark):
+    """The dHash near-dup path: every within-group pair (groups of 4
+    share a texture, members differ in a 2x2 corner) is recovered at
+    hamming <= 2, and the perturbation provably confines bit flips to
+    the first band (bands 1-3 identical across one group)."""
+    from webextract import media
+    from webextract.corpus import dhash_neardup
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    hashes = media.dhash_frame(media.with_neardup_bmp_media(docs))
+    hrows = {r.doc_id: (r.dh_hi, r.dh_lo) for r in hashes.collect()}
+    assert len(hrows) == 8 and all(v[0] is not None for v in hrows.values())
+    # bands 1-3 (hi low-16, lo halves) identical within group 0..3
+    for d in (1, 2, 3):
+        assert hrows[d][0] % 65536 == hrows[0][0] % 65536
+        assert hrows[d][1] == hrows[0][1]
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in dhash_neardup(hashes).collect()}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert got[(a, b)] <= 2, (a, b, got.get((a, b)))
+    for a, b in got:
+        if a < 4 <= b:
+            raise AssertionError(f"cross-group pair {(a, b)} leaked")
+
+
 def test_ccnet_buckets_tertile_split(spark):
     """Three clearly-separated perplexity tiers land in head / middle /
     tail exactly (3/3/3), and the labels are monotone in mean_nll

@@ -1935,6 +1935,53 @@ def lm_perplexity(docs: DataFrame, k: float = LM_K) -> DataFrame:
                          F.round(F.exp(mean_nll), 4).alias("ppl"))
 
 
+DHASH_BUCKET_CAP = 64      # band buckets hotter than this are skipped
+DHASH_MAX_HAMMING = 6      # near-dup verify threshold (of 64 bits)
+
+
+def dhash_neardup(hashes: DataFrame,
+                  max_hamming: int = DHASH_MAX_HAMMING,
+                  bucket_cap: int = DHASH_BUCKET_CAP) -> DataFrame:
+    """(doc_a, doc_b, hamming): IMAGE near-duplicate pairs over a
+    perceptual-hash frame (doc_id, dh_hi, dh_lo from
+    media.dhash_frame) — the visual-modality sibling of the MinHash
+    text path.  Candidates = docs sharing any of the four exact
+    16-bit dHash bands (Hamming-LSH: a pair within ``max_hamming``
+    almost always leaves one band untouched), then the exact 64-bit
+    Hamming distance verifies via bit_count(xor) on the two halves.
+
+    Scale shape: band explode is narrow (4 rows/doc of 3 ints); ONE
+    exchange on (band, key) with the shared _bucket_pairs in-array
+    pair emission under ``bucket_cap`` (the boilerplate-logo skew
+    guard — think 10^7 identical tracking pixels); the verify joins
+    touch only candidate pairs against the 3-column hash frame
+    (shuffle-hash, never the media payloads).  Nothing is all-pairs;
+    raster bytes never enter an exchange."""
+    lo16 = F.lit(65536)
+    bands = hashes.select(
+        "doc_id",
+        F.posexplode(F.array(
+            F.floor(F.col("dh_hi") / lo16).cast("long"),
+            (F.col("dh_hi") % lo16).cast("long"),
+            F.floor(F.col("dh_lo") / lo16).cast("long"),
+            (F.col("dh_lo") % lo16).cast("long")))
+        .alias("band", "key"))
+    pairs = (_bucket_pairs(bands, ["band", "key"], "doc_id", bucket_cap)
+             .distinct())
+    a = hashes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("dh_hi").alias("hi_a"),
+                      F.col("dh_lo").alias("lo_a"))
+    b = hashes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("dh_hi").alias("hi_b"),
+                      F.col("dh_lo").alias("lo_b"))
+    ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+           + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+    return (pairs.join(a.hint("shuffle_hash"), "doc_a")
+            .join(b.hint("shuffle_hash"), "doc_b")
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 CCNET_RES = 10_000         # nll-histogram resolution: 0.01 nat
 
 

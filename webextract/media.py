@@ -1264,6 +1264,105 @@ def make_bmp_bytes(doc_id: int) -> bytes:
 with_bmp_media = _media_from_doc_id(make_bmp_bytes)
 
 
+def make_neardup_bmp_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID 16x16 gray BMP24 with built-in NEAR-DUP
+    structure: groups of 4 consecutive doc_ids share one base texture
+    (coefficients keyed on base = doc_id - doc_id%4), and each member
+    perturbs only the 2x2 top-left corner by +96*(doc_id%4) mod 256 —
+    so within-group dHashes differ in at most 2 bits while
+    across-group textures have group-specific gradients (the base
+    multiplies the x/y coefficients, not just the offset — a constant
+    offset would leave every adjacent-pixel comparison, hence the
+    whole dHash, unchanged)."""
+    import struct
+    base = doc_id - doc_id % 4
+    m = doc_id % 4
+    cx = 13 + (base % 7) * 29
+    cy = 7 + (base % 5) * 23
+    w = h = 16
+
+    def g(x: int, y: int) -> int:
+        v = (base * 37 + x * cx + y * cy + x * y) % 256
+        if x < 2 and y < 2:
+            v = (v + m * 96) % 256
+        return v
+
+    stride = 3 * w                       # 48 bytes: already 4-aligned
+    img_size = stride * h
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                         2835, 2835, 0, 0))
+    rows = []
+    for y in range(h - 1, -1, -1):       # bottom-up storage order
+        row = bytearray()
+        for x in range(w):
+            v = g(x, y)
+            row.extend((v, v, v))        # B = G = R = gray
+        rows.append(bytes(row))
+    return hdr + b"".join(rows)
+
+
+with_neardup_bmp_media = _media_from_doc_id(make_neardup_bmp_bytes)
+
+DHASH_GRID_W, DHASH_GRID_H = 9, 8        # classic dHash grid
+
+
+def image_dhash(b: bytes) -> tuple[int, int] | None:
+    """64-bit difference hash (Krawetz dHash) over any
+    decode_rgb-supported container: nearest-neighbor sample to a 9x8
+    integer-luma grid, bit idx = gy*8+gx set iff grid[gy][gx] >
+    grid[gy][gx+1], packed row-major into two NON-NEGATIVE 32-bit
+    halves (hi = bits 0..31 at weight 2^(31-idx)) — two uint32-range
+    bigints sidestep 64-bit sign wrangling in both engines.  Luma is
+    integer (299r+587g+114b)//1000, exact for gray payloads."""
+    dec = decode_rgb(b)
+    if dec is None:
+        return None
+    w, h, rows = dec
+    grid = []
+    for gy in range(DHASH_GRID_H):
+        row = rows[(gy * h) // DHASH_GRID_H]
+        grow = []
+        for gx in range(DHASH_GRID_W):
+            sx = (gx * w) // DHASH_GRID_W
+            r, gg, bl = row[3 * sx], row[3 * sx + 1], row[3 * sx + 2]
+            grow.append((299 * r + 587 * gg + 114 * bl) // 1000)
+        grid.append(grow)
+    hi = lo = 0
+    for gy in range(DHASH_GRID_H):
+        for gx in range(DHASH_GRID_W - 1):
+            if grid[gy][gx] > grid[gy][gx + 1]:
+                idx = gy * 8 + gx
+                if idx < 32:
+                    hi |= 1 << (31 - idx)
+                else:
+                    lo |= 1 << (63 - idx)
+    return hi, lo
+
+
+DHASH_SCHEMA = "doc_id bigint, dh_hi bigint, dh_lo bigint"
+
+
+def dhash_frame(df: DataFrame) -> DataFrame:
+    """df(doc_id, media:binary) -> (doc_id, dh_hi, dh_lo): the
+    perceptual-hash projection feeding corpus.dhash_neardup.  Same
+    narrow Arrow mapInPandas plumbing as raster_stats — per-payload
+    codec work is Python by necessity (no PIL in-sandbox) but
+    embarrassingly parallel; the 100 TB media column never shuffles
+    (only the 3-long hash frame does, downstream)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, mb in zip(pdf["doc_id"], pdf["media"]):
+                dh = image_dhash(mb if mb is not None else b"")
+                rows.append({"doc_id": did,
+                             "dh_hi": dh[0] if dh else None,
+                             "dh_lo": dh[1] if dh else None})
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "media").mapInPandas(fn, DHASH_SCHEMA)
+
+
 def make_png_bytes(doc_id: int) -> bytes:
     """Deterministic VALID 8-bit RGB PNG: same (doc_id, x, y) pixel
     formula and dimensions as make_bmp_bytes, so the DuckDB oracle for

@@ -2017,6 +2017,27 @@ def q_media_raster_stats(spark, sf_dir):
     return media.raster_stats(docs)
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image hashing (r5): 16x16 near-dup-structured BMPs
+    synthesized from doc_id, REALLY decoded, nearest-neighbor sampled
+    to the 9x8 luma grid and dHash-packed into two uint32-range
+    halves — the oracle recomputes every grid sample from the
+    (base, m, x, y) formula and packs the same bits."""
+    docs = media.with_neardup_bmp_media(_read(spark, sf_dir, "documents"))
+    return media.dhash_frame(docs)
+
+
+def q_image_neardup(spark, sf_dir):
+    """Image near-dup via Hamming-LSH over dHash (r5): groups of 4
+    doc_ids share a texture differing only in a perturbed corner
+    (<=2 dHash bits), so within-group pairs verify at hamming<=6
+    while distinct textures fall away; candidates come from exact
+    16-bit band matches under the bucket cap, verified with
+    bit_count(xor) — the visual sibling of the MinHash text path."""
+    docs = media.with_neardup_bmp_media(_read(spark, sf_dir, "documents"))
+    return corpus.dhash_neardup(media.dhash_frame(docs))
+
+
 def q_media_raster_png(spark, sf_dir):
     """Compressed-codec raster decode (round-3 verdict item 3; round-4
     item 5 and r5 widened it): payloads are real zlib-deflated PNGs
@@ -2374,8 +2395,13 @@ QUERIES = {
     # covered in-window by stream_neardup/stream_hll/
     # stream_len_quantiles/stream_sessions)
     "media_raster_jpeg_prog": q_media_raster_jpeg_prog,
-    "stream_hll": q_stream_hll,
-    "embed_pq_refine": q_embed_pq_refine,
+    # image_dhash + image_neardup are new this round (perceptual-hash
+    # image near-dup: the visual-modality sibling of MinHash); they
+    # take the slots of stream_hll and embed_pq_refine (both r4-green;
+    # streaming keeps stream_sessions/stream_join/stream_len_quantiles
+    # in-window, ANN keeps dedup_semantic)
+    "image_dhash": q_image_dhash,
+    "image_neardup": q_image_neardup,
     "dedup_semantic": q_dedup_semantic,
     # stream_join is new this round (stream-stream interval join); it
     # takes dedup_embed_multiprobe's slot (r4-green; ANN family keeps
@@ -2414,6 +2440,8 @@ QUERIES = {
     # next rotation window is easy to cut) ----
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
+    "stream_hll": q_stream_hll,
+    "embed_pq_refine": q_embed_pq_refine,
     "pagerank": q_pagerank,
     "robots_filter": q_robots_filter,
     "media_raster_jpeg": q_media_raster_jpeg,
@@ -5374,6 +5402,99 @@ ORACLES = {
                min(bc)::INTEGER AS b_min, max(bc)::INTEGER AS b_max,
                round(avg(bc), 4) AS b_mean
         FROM px GROUP BY doc_id""",
+
+    # dHash oracle: recompute the 9x8 luma grid straight from the
+    # make_neardup_bmp_bytes formula (gray payload -> luma == g), then
+    # pack bit gy*8+gx = [g(gx)>g(gx+1)] into two uint32-range halves.
+    # Grid sample (gx,gy) reads source pixel ((gx*16)//9, 2*gy); the
+    # 2x2 corner perturbation only reaches samples gx<2, gy=0.
+    "image_dhash": """
+        WITH d AS (SELECT doc_id, doc_id - doc_id % 4 AS base,
+                          doc_id % 4 AS m
+                   FROM documents),
+        gr AS (SELECT doc_id, base, m, gx.i AS gx, gy.i AS gy,
+                      (gx.i * 16) // 9 AS sx, gy.i * 2 AS sy
+               FROM d, unnest(generate_series(0, 8)) gx(i),
+                    unnest(generate_series(0, 7)) gy(i)),
+        v AS (SELECT doc_id, gx, gy,
+                     CASE WHEN sx < 2 AND sy < 2
+                          THEN ((base * 37 + sx * (13 + (base % 7) * 29)
+                                 + sy * (7 + (base % 5) * 23) + sx * sy)
+                                % 256 + m * 96) % 256
+                          ELSE (base * 37 + sx * (13 + (base % 7) * 29)
+                                + sy * (7 + (base % 5) * 23) + sx * sy)
+                               % 256
+                     END AS g
+              FROM gr),
+        bits AS (SELECT a.doc_id, a.gy * 8 + a.gx AS idx,
+                        CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+                 FROM v a JOIN v b ON a.doc_id = b.doc_id
+                      AND a.gy = b.gy AND b.gx = a.gx + 1
+                 WHERE a.gx < 8)
+        SELECT doc_id,
+               sum(CASE WHEN idx < 32
+                        THEN bit * (1::BIGINT << (31 - idx))
+                        ELSE 0 END)::BIGINT AS dh_hi,
+               sum(CASE WHEN idx >= 32
+                        THEN bit * (1::BIGINT << (63 - idx))
+                        ELSE 0 END)::BIGINT AS dh_lo
+        FROM bits GROUP BY doc_id""",
+
+    # near-dup oracle: same LSH semantics as the engine (share >=1
+    # exact 16-bit band, bucket size within [2, 64], THEN the exact
+    # hamming <= 6 verify) — parity over the operator's contract, not
+    # a ground-truth all-pairs scan
+    "image_neardup": """
+        WITH d AS (SELECT doc_id, doc_id - doc_id % 4 AS base,
+                          doc_id % 4 AS m
+                   FROM documents),
+        gr AS (SELECT doc_id, base, m, gx.i AS gx, gy.i AS gy,
+                      (gx.i * 16) // 9 AS sx, gy.i * 2 AS sy
+               FROM d, unnest(generate_series(0, 8)) gx(i),
+                    unnest(generate_series(0, 7)) gy(i)),
+        v AS (SELECT doc_id, gx, gy,
+                     CASE WHEN sx < 2 AND sy < 2
+                          THEN ((base * 37 + sx * (13 + (base % 7) * 29)
+                                 + sy * (7 + (base % 5) * 23) + sx * sy)
+                                % 256 + m * 96) % 256
+                          ELSE (base * 37 + sx * (13 + (base % 7) * 29)
+                                + sy * (7 + (base % 5) * 23) + sx * sy)
+                               % 256
+                     END AS g
+              FROM gr),
+        bits AS (SELECT a.doc_id, a.gy * 8 + a.gx AS idx,
+                        CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+                 FROM v a JOIN v b ON a.doc_id = b.doc_id
+                      AND a.gy = b.gy AND b.gx = a.gx + 1
+                 WHERE a.gx < 8),
+        hs AS (SELECT doc_id,
+                      sum(CASE WHEN idx < 32
+                               THEN bit * (1::BIGINT << (31 - idx))
+                               ELSE 0 END)::BIGINT AS dh_hi,
+                      sum(CASE WHEN idx >= 32
+                               THEN bit * (1::BIGINT << (63 - idx))
+                               ELSE 0 END)::BIGINT AS dh_lo
+               FROM bits GROUP BY doc_id),
+        bd AS (SELECT doc_id, bi.i AS band,
+                      CASE bi.i WHEN 0 THEN dh_hi // 65536
+                                WHEN 1 THEN dh_hi % 65536
+                                WHEN 2 THEN dh_lo // 65536
+                                ELSE dh_lo % 65536 END AS key
+               FROM hs, unnest(generate_series(0, 3)) bi(i)),
+        ok AS (SELECT band, key FROM bd GROUP BY band, key
+               HAVING count(*) BETWEEN 2 AND 64),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bd a JOIN ok USING (band, key)
+                      JOIN bd b ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               (bit_count(xor(x.dh_hi, y.dh_hi))
+                + bit_count(xor(x.dh_lo, y.dh_lo)))::INTEGER AS hamming
+        FROM cand
+             JOIN hs x ON x.doc_id = doc_a
+             JOIN hs y ON y.doc_id = doc_b
+        WHERE bit_count(xor(x.dh_hi, y.dh_hi))
+              + bit_count(xor(x.dh_lo, y.dh_lo)) <= 6""",
 
     # make_png_bytes pins the SAME pixel formula as make_bmp_bytes, so
     # the PNG gate's oracle is the BMP one verbatim — deflate +
