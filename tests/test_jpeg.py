@@ -199,3 +199,42 @@ def test_color_progressive_matches_baseline_color():
         prog = J.jpeg_decode_rgb(J.jpeg_encode_color_progressive(
             w, h, rows))
         assert base is not None and base == prog, (w, h)
+
+
+def test_exif_roundtrip_and_strip():
+    """EXIF writer -> IFD walker round-trip in both byte orders (II on
+    even doc_ids, MM on odd), GPS DMS rationals exact, and the strip
+    pass removes the APP1 without disturbing a single raster byte."""
+    from webextract import media
+    for d in (0, 1, 2, 3, 6, 17, 100, 255):
+        b = media.make_jpeg_exif_bytes(d)
+        ex = media.exif_parse(b)
+        assert ex["byte_order"] == ("II" if d % 2 == 0 else "MM")
+        assert ex["make"] == f"CAM{d % 10}"
+        assert ex["orientation"] == 1 + d % 8
+        if d % 3 != 0:
+            assert (ex["lat_deg"], ex["lat_min"], ex["lat_msec"]) == \
+                (d % 90, d % 60, (d * 7) % 60000)
+            assert (ex["lon_deg"], ex["lon_min"], ex["lon_msec"]) == \
+                ((d * 3) % 180, (d * 5) % 60, (d * 11) % 60000)
+        else:
+            assert ex["lat_deg"] is None and ex["lon_deg"] is None
+        s = media.exif_strip(b)
+        assert media.exif_parse(s) is None
+        assert media.decode_rgb(s) == media.decode_rgb(b[:2] + b[2:])
+        assert media.decode_rgb(s)[2] == media.decode_rgb(b)[2]
+
+
+def test_exif_parse_hostile_bytes():
+    """Truncated/corrupt EXIF must return None or partial fields,
+    never raise — the 10^11-payload job-abort guard."""
+    from webextract import media
+    good = media.make_jpeg_exif_bytes(5)
+    for i in range(2, min(len(good), 220), 7):
+        media.exif_parse(good[:i])          # must not raise
+        media.exif_strip(good[:i])
+    bad = bytearray(good)
+    bad[30] ^= 0xFF                         # corrupt inside the TIFF
+    media.exif_parse(bytes(bad))
+    assert media.exif_parse(b"") is None
+    assert media.exif_strip(b"junk") == b"junk"

@@ -1264,6 +1264,231 @@ def make_bmp_bytes(doc_id: int) -> bytes:
 with_bmp_media = _media_from_doc_id(make_bmp_bytes)
 
 
+# ---------------------------------------------------------------------------
+# EXIF: real TIFF-IFD metadata inside JPEG APP1 — parse (camera make,
+# orientation, GPS DMS) and strip (the GPS-PII scrub every production
+# training-data pipeline runs before images enter a corpus).
+# Reference behavior: the reference delegates image metadata to
+# PIL-backed deps (docs/usage.md:16-30); here the IFD walker is real
+# stdlib struct parsing in BOTH byte orders.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _exif_tiff_bytes(doc_id: int) -> bytes:
+    """Deterministic TIFF blob: byte order alternates II/MM by parity;
+    IFD0 carries Make (ASCII, external), Orientation (inline SHORT)
+    and — for doc_id % 3 != 0 — a GPS sub-IFD with DMS rationals."""
+    import struct
+    e = "<" if doc_id % 2 == 0 else ">"
+    has_gps = doc_id % 3 != 0
+    make = f"CAM{doc_id % 10}\x00".encode()
+    orientation = 1 + doc_id % 8
+
+    def entry(tag: int, typ: int, count: int, value4: bytes) -> bytes:
+        return struct.pack(e + "HHI", tag, typ, count) + value4
+
+    n0 = 3 if has_gps else 2
+    ifd0_end = 8 + 2 + n0 * 12 + 4
+    make_off = ifd0_end
+    gps_off = make_off + len(make) + (len(make) & 1)
+    ents = [
+        entry(0x010F, 2, len(make), struct.pack(e + "I", make_off)),
+        entry(0x0112, 3, 1, struct.pack(e + "HH", orientation, 0)),
+    ]
+    if has_gps:
+        ents.append(entry(0x8825, 4, 1, struct.pack(e + "I", gps_off)))
+    ifd0 = struct.pack(e + "H", n0) + b"".join(ents) + struct.pack(e + "I", 0)
+    out = (struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, 8)
+           + ifd0 + make + b"\x00" * (len(make) & 1))
+    if has_gps:
+        lat = (doc_id % 90, doc_id % 60, (doc_id * 7) % 60000)
+        lon = ((doc_id * 3) % 180, (doc_id * 5) % 60,
+               (doc_id * 11) % 60000)
+        rat_lat_off = gps_off + 2 + 4 * 12 + 4
+        rat_lon_off = rat_lat_off + 24
+        gents = [
+            entry(0x0001, 2, 2, b"N\x00\x00\x00"),
+            entry(0x0002, 5, 3, struct.pack(e + "I", rat_lat_off)),
+            entry(0x0003, 2, 2, b"E\x00\x00\x00"),
+            entry(0x0004, 5, 3, struct.pack(e + "I", rat_lon_off)),
+        ]
+        gifd = (struct.pack(e + "H", 4) + b"".join(gents)
+                + struct.pack(e + "I", 0))
+        rats = b""
+        for d, m, ms in (lat, lon):
+            rats += struct.pack(e + "IIIIII", d, 1, m, 1, ms, 1000)
+        out += gifd + rats
+    return out
+
+
+def make_jpeg_exif_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID baseline JPEG with a REAL EXIF APP1 segment
+    spliced after SOI: raster = the solid-block gray formula of
+    make_jpeg_raster_bytes; metadata = _exif_tiff_bytes formulas."""
+    import struct
+    bw = 2 + doc_id % 3
+    bh = 1 + doc_id % 3
+    w, h = bw * 8, bh * 8
+    rows = [bytes((doc_id * 11 + (x // 8) * 29 + (y // 8) * 37) % 256
+                  for x in range(w)) for y in range(h)]
+    jpg = jpegmini.jpeg_encode_gray(w, h, rows)
+    payload = b"Exif\x00\x00" + _exif_tiff_bytes(doc_id)
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpg[:2] + app1 + jpg[2:]
+
+
+with_exif_jpeg_media = _media_from_doc_id(make_jpeg_exif_bytes)
+
+
+def _tiff_ifd_entries(b: bytes, e: str, off: int) -> dict:
+    """One IFD at ``off`` -> {tag: python value} with proper
+    inline-vs-offset resolution for ASCII/SHORT/LONG/RATIONAL."""
+    import struct
+    n = struct.unpack_from(e + "H", b, off)[0]
+    out = {}
+    for i in range(n):
+        tag, typ, count = struct.unpack_from(e + "HHI", b, off + 2 + i * 12)
+        vpos = off + 2 + i * 12 + 8
+        size = _TIFF_TYPE_SIZE.get(typ, 0) * count
+        if size == 0:
+            continue
+        if size > 4:
+            vpos = struct.unpack_from(e + "I", b, vpos)[0]
+        if typ == 2:
+            out[tag] = b[vpos:vpos + count].split(b"\x00")[0].decode(
+                "ascii", "replace")
+        elif typ == 3:
+            out[tag] = struct.unpack_from(e + f"{count}H", b, vpos)
+        elif typ == 4:
+            out[tag] = struct.unpack_from(e + f"{count}I", b, vpos)
+        elif typ == 5:
+            flat = struct.unpack_from(e + f"{2 * count}I", b, vpos)
+            out[tag] = tuple(zip(flat[0::2], flat[1::2]))
+    return out
+
+
+def exif_parse(b: bytes) -> dict | None:
+    """Walk the JPEG for an APP1-Exif segment and parse its TIFF: ->
+    {byte_order, make, orientation, lat_deg/min/msec, lon_*} (GPS keys
+    None when absent).  Never raises; None when no EXIF."""
+    import struct
+    if b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    tiff = None
+    while i + 4 <= len(b) and b[i] == 0xFF:
+        marker = b[i + 1]
+        if marker in (0xD9, 0xDA):
+            break
+        seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+        if marker == 0xE1 and b[i + 4:i + 10] == b"Exif\x00\x00":
+            tiff = b[i + 10:i + 2 + seglen]
+            break
+        i += 2 + seglen
+    if tiff is None or len(tiff) < 8:
+        return None
+    try:
+        bo = tiff[:2]
+        e = "<" if bo == b"II" else ">"
+        if struct.unpack_from(e + "H", tiff, 2)[0] != 42:
+            return None
+        ifd0_off = struct.unpack_from(e + "I", tiff, 4)[0]
+        ifd0 = _tiff_ifd_entries(tiff, e, ifd0_off)
+        out = {"byte_order": bo.decode(),
+               "make": ifd0.get(0x010F),
+               "orientation": (ifd0.get(0x0112) or (None,))[0],
+               "lat_deg": None, "lat_min": None, "lat_msec": None,
+               "lon_deg": None, "lon_min": None, "lon_msec": None}
+        if 0x8825 in ifd0:
+            gps = _tiff_ifd_entries(tiff, e, ifd0[0x8825][0])
+            for tag, pre in ((0x0002, "lat"), (0x0004, "lon")):
+                r = gps.get(tag)
+                if r and len(r) == 3 and all(den for _, den in r):
+                    out[f"{pre}_deg"] = r[0][0] // r[0][1]
+                    out[f"{pre}_min"] = r[1][0] // r[1][1]
+                    out[f"{pre}_msec"] = r[2][0] * 1000 // r[2][1]
+        return out
+    except (struct.error, IndexError):
+        return None
+
+
+def exif_strip(b: bytes) -> bytes:
+    """Remove every APP1-Exif segment (the `exiftool -all=` scrub);
+    entropy-coded data and all other segments pass through verbatim."""
+    import struct
+    if b[:2] != b"\xff\xd8":
+        return b
+    out = bytearray(b"\xff\xd8")
+    i = 2
+    while i + 4 <= len(b) and b[i] == 0xFF:
+        marker = b[i + 1]
+        if marker in (0xD9, 0xDA):
+            break
+        seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i:i + 2 + seglen]
+        if not (marker == 0xE1 and seg[4:10] == b"Exif\x00\x00"):
+            out += seg
+        i += 2 + seglen
+    out += b[i:]
+    return bytes(out)
+
+
+EXIF_SCHEMA = ("doc_id bigint, byte_order string, make string, "
+               "orientation int, lat_deg int, lat_min int, lat_msec int, "
+               "lon_deg int, lon_min int, lon_msec int")
+
+_NULL_EXIF = {k: None for k in
+              ("byte_order", "make", "orientation", "lat_deg", "lat_min",
+               "lat_msec", "lon_deg", "lon_min", "lon_msec")}
+
+
+def exif_meta(df: DataFrame) -> DataFrame:
+    """df(doc_id, media) -> parsed EXIF frame (nulls for payloads
+    without EXIF).  Narrow Arrow mapInPandas, media never shuffles."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, mb in zip(pdf["doc_id"], pdf["media"]):
+                ex = exif_parse(mb if mb is not None else b"")
+                row = {"doc_id": did}
+                row.update(ex if ex is not None else _NULL_EXIF)
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "media").mapInPandas(fn, EXIF_SCHEMA)
+
+
+EXIF_STRIP_SCHEMA = ("doc_id bigint, had_gps boolean, "
+                     "orientation_after int, n_px bigint")
+
+
+def exif_strip_frame(df: DataFrame) -> DataFrame:
+    """df(doc_id, media) -> (doc_id, had_gps, orientation_after, n_px):
+    the GPS-PII scrub gate — strip APP1, prove the EXIF is gone
+    (orientation_after NULL) AND the raster still decodes (n_px from a
+    REAL decode of the stripped bytes)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, mb in zip(pdf["doc_id"], pdf["media"]):
+                raw = mb if mb is not None else b""
+                before = exif_parse(raw)
+                had = bool(before and before["lat_deg"] is not None)
+                stripped = exif_strip(raw)
+                after = exif_parse(stripped)
+                dec = decode_rgb(stripped)
+                rows.append({
+                    "doc_id": did, "had_gps": had,
+                    "orientation_after":
+                        after["orientation"] if after else None,
+                    "n_px": dec[0] * dec[1] if dec else None})
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "media").mapInPandas(fn, EXIF_STRIP_SCHEMA)
+
+
 def make_neardup_bmp_bytes(doc_id: int) -> bytes:
     """Deterministic VALID 16x16 gray BMP24 with built-in NEAR-DUP
     structure: groups of 4 consecutive doc_ids share one base texture

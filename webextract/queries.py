@@ -2017,6 +2017,25 @@ def q_media_raster_stats(spark, sf_dir):
     return media.raster_stats(docs)
 
 
+def q_media_exif(spark, sf_dir):
+    """EXIF metadata extraction (r5): real TIFF IFD walking in BOTH
+    byte orders (II/MM alternating by doc_id parity) over APP1
+    segments spliced into valid baseline JPEGs — camera make (external
+    ASCII), orientation (inline SHORT), GPS DMS rationals; the oracle
+    recomputes every field from the doc_id formulas."""
+    docs = media.with_exif_jpeg_media(_read(spark, sf_dir, "documents"))
+    return media.exif_meta(docs)
+
+
+def q_media_exif_strip(spark, sf_dir):
+    """GPS-PII scrub (r5): strip the APP1-Exif segment (exiftool
+    -all= semantics), then PROVE both halves of the contract — the
+    metadata is gone (orientation_after NULL) and the raster still
+    decodes (n_px from a real decode of the stripped bytes)."""
+    docs = media.with_exif_jpeg_media(_read(spark, sf_dir, "documents"))
+    return media.exif_strip_frame(docs)
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual image hashing (r5): 16x16 near-dup-structured BMPs
     synthesized from doc_id, REALLY decoded, nearest-neighbor sampled
@@ -2402,7 +2421,10 @@ QUERIES = {
     # in-window, ANN keeps dedup_semantic)
     "image_dhash": q_image_dhash,
     "image_neardup": q_image_neardup,
-    "dedup_semantic": q_dedup_semantic,
+    # media_exif is new this round (TIFF IFD walker, both byte
+    # orders); it takes dedup_semantic's slot (r4-green; the dedup
+    # family keeps dedup_incremental + image_neardup in-window)
+    "media_exif": q_media_exif,
     # stream_join is new this round (stream-stream interval join); it
     # takes dedup_embed_multiprobe's slot (r4-green; ANN family keeps
     # embed_pq_refine + dedup_semantic in-window)
@@ -2438,10 +2460,15 @@ QUERIES = {
     # below is past the cap this round (pytest-oracle-gated in the
     # full-registry rehearsal; r4-green gates listed first so the
     # next rotation window is easy to cut) ----
+    # media_exif_strip is new this round but sits first-past-the-cap:
+    # its parse+strip+decode path is pinned by the in-window
+    # media_exif gate plus the pytest oracle rehearsal
+    "media_exif_strip": q_media_exif_strip,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
     "stream_hll": q_stream_hll,
     "embed_pq_refine": q_embed_pq_refine,
+    "dedup_semantic": q_dedup_semantic,
     "pagerank": q_pagerank,
     "robots_filter": q_robots_filter,
     "media_raster_jpeg": q_media_raster_jpeg,
@@ -5402,6 +5429,36 @@ ORACLES = {
                min(bc)::INTEGER AS b_min, max(bc)::INTEGER AS b_max,
                round(avg(bc), 4) AS b_mean
         FROM px GROUP BY doc_id""",
+
+    # EXIF oracles: every field is a pure doc_id formula — the gate is
+    # green only if the real IFD walker reads back exactly what the
+    # writer encoded, in both byte orders
+    "media_exif": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+                   AS byte_order,
+               'CAM' || (doc_id % 10) AS make,
+               (1 + doc_id % 8)::INTEGER AS orientation,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN (doc_id % 90)::INTEGER END AS lat_deg,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN (doc_id % 60)::INTEGER END AS lat_min,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN ((doc_id * 7) % 60000)::INTEGER END AS lat_msec,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN ((doc_id * 3) % 180)::INTEGER END AS lon_deg,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN ((doc_id * 5) % 60)::INTEGER END AS lon_min,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN ((doc_id * 11) % 60000)::INTEGER END AS lon_msec
+        FROM documents""",
+
+    "media_exif_strip": """
+        SELECT doc_id, doc_id % 3 <> 0 AS had_gps,
+               NULL::INTEGER AS orientation_after,
+               ((2 + doc_id % 3) * 8 * (1 + doc_id % 3) * 8)::BIGINT
+                   AS n_px
+        FROM documents""",
 
     # dHash oracle: recompute the 9x8 luma grid straight from the
     # make_neardup_bmp_bytes formula (gray payload -> luma == g), then
