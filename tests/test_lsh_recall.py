@@ -547,6 +547,25 @@ def test_lm_perplexity_orders_rare_above_common(spark):
     assert got[0].n_tok == 3
 
 
+def test_decontaminate_span_semantics(spark):
+    """Hand-pinned removal spans: a matched 3-gram drops exactly its
+    3 tokens, OVERLAPPING matches merge their cover (4 tokens for two
+    grams sharing 2), untouched docs pass through verbatim, and the
+    probe doc itself never appears in the output."""
+    from webextract.corpus import decontaminate
+    rows = [(0, "a b c d e"),            # probe (doc_id % 50 == 0)
+            (1, "x a b c y"),            # one matched gram -> drop 3
+            (2, "p q r s"),              # clean
+            (3, "a b c d z")]            # two overlapping grams -> 4
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in decontaminate(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].clean_text == "x y" and got[1].n_removed == 3 \
+        and got[1].n_tok == 5
+    assert got[2].clean_text == "p q r s" and got[2].n_removed == 0
+    assert got[3].clean_text == "z" and got[3].n_removed == 4
+
+
 def test_image_dhash_neardup_group_structure(spark):
     """The dHash near-dup path: every within-group pair (groups of 4
     share a texture, members differ in a 2x2 corner) is recovered at

@@ -433,6 +433,51 @@ def contamination(docs: DataFrame, probe_mod: int = 50,
                                         / F.col("n_shingles"), 4)))
 
 
+def decontaminate(docs: DataFrame, probe_mod: int = 50,
+                  n: int = 3) -> DataFrame:
+    """(doc_id, n_tok, n_removed, clean_text): benchmark
+    decontamination by SPAN REMOVAL (the GPT-3 appendix-C recipe,
+    token-granular): every training-doc token covered by an n-gram
+    that also occurs in the probe (benchmark) set is dropped, and the
+    survivors reassemble in order — the removal side of
+    `contamination` (which only measures overlap).  Probe set =
+    doc_id % probe_mod == 0, the same stand-in convention.
+
+    Scale shape: probe shingles are the SMALL side and broadcast once
+    to semi-join-filter the training gram stream (the corpus is
+    scanned once, narrow, never shuffled on its own cardinality);
+    matched starts fan out to covered POSITIONS (ints, no text) and
+    aggregate per doc in one map-side-combined shuffle; the covered
+    arrays then join the token frame on doc_id (shuffle-hash — at
+    100 TB the matched-doc frame is corpus-sized, beyond broadcast)
+    and the rebuild is a narrow indexed-HOF filter.  Text moves
+    through exactly one exchange (the rebuild join), same budget as
+    line_dedup's reassembly."""
+    is_probe = F.col("doc_id") % probe_mod == 0
+    probe_set = (exploded_shingles(docs.filter(is_probe), n)
+                 .select("shingle").distinct())
+    train = (_spread(docs.filter(~is_probe))
+             .select("doc_id", TOKENS().alias("toks")))
+    grams = train.select(
+        "doc_id",
+        F.posexplode(shingles_of("toks", n, distinct=False))
+        .alias("pos", "shingle"))
+    cov = (grams.join(F.broadcast(probe_set), "shingle", "left_semi")
+           .select("doc_id",
+                   F.explode(F.sequence("pos", F.col("pos") + (n - 1)))
+                   .alias("p"))
+           .groupBy("doc_id")
+           .agg(F.array_sort(F.collect_set("p")).alias("cov")))
+    cov2 = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    keep = F.filter("toks", lambda x, i: ~F.array_contains(cov2, i))
+    return (train.join(cov.hint("shuffle_hash"), "doc_id", "left")
+            .select("doc_id",
+                    F.size("toks").cast("int").alias("n_tok"),
+                    F.coalesce(F.size("cov"), F.lit(0)).cast("int")
+                    .alias("n_removed"),
+                    F.array_join(keep, " ").alias("clean_text")))
+
+
 def shingle_hashes(docs: DataFrame, n: int = 3,
                    carry_cols: tuple = ()) -> DataFrame:
     """(doc_id [, *carry_cols], hs: array<bigint>) — one 28-bit base

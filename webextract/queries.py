@@ -2017,6 +2017,15 @@ def q_media_raster_stats(spark, sf_dir):
     return media.raster_stats(docs)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination span removal (r5): tokens covered by
+    any probe-set 3-gram drop out of the training text, survivors
+    reassemble in order — the removal side of dedup_contamination
+    (same probe convention doc_id%50==0, same broadcast-probe
+    asymmetry; the corpus never shuffles on its own cardinality)."""
+    return corpus.decontaminate(_read(spark, sf_dir, "documents"))
+
+
 def q_media_exif(spark, sf_dir):
     """EXIF metadata extraction (r5): real TIFF IFD walking in BOTH
     byte orders (II/MM alternating by doc_id parity) over APP1
@@ -2460,6 +2469,11 @@ QUERIES = {
     # below is past the cap this round (pytest-oracle-gated in the
     # full-registry rehearsal; r4-green gates listed first so the
     # next rotation window is easy to cut) ----
+    # decontaminate is new this round but sits past-the-cap: its
+    # probe-broadcast asymmetry is the already-driver-checked
+    # dedup_contamination shape, and the removal semantics are pinned
+    # by the pytest oracle rehearsal
+    "decontaminate": q_decontaminate,
     # media_exif_strip is new this round but sits first-past-the-cap:
     # its parse+strip+decode path is pinned by the in-window
     # media_exif gate plus the pytest oracle rehearsal
@@ -5429,6 +5443,36 @@ ORACLES = {
                min(bc)::INTEGER AS b_min, max(bc)::INTEGER AS b_max,
                round(avg(bc), 4) AS b_mean
         FROM px GROUP BY doc_id""",
+
+    # span removal: 0-based gram start pos covers tokens pos..pos+2;
+    # DuckDB lists are 1-based, so pos = x-1 for series x over
+    # 1..len-2 and token p joins covered cp on p-1
+    "decontaminate": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        probe AS (SELECT DISTINCT concat_ws(' ', toks[i.x], toks[i.x + 1],
+                                            toks[i.x + 2]) AS s
+                  FROM t, unnest(generate_series(1, len(toks) - 2)) i(x)
+                  WHERE doc_id % 50 = 0),
+        tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 50 <> 0),
+        grams AS (SELECT doc_id, i.x - 1 AS pos,
+                         concat_ws(' ', toks[i.x], toks[i.x + 1],
+                                   toks[i.x + 2]) AS s
+                  FROM tr, unnest(generate_series(1, len(toks) - 2)) i(x)),
+        starts AS (SELECT DISTINCT g.doc_id, g.pos
+                   FROM grams g JOIN probe USING (s)),
+        cov AS (SELECT DISTINCT doc_id, pos + o.k AS cp
+                FROM starts, unnest(generate_series(0, 2)) o(k)),
+        tokpos AS (SELECT doc_id, i.x AS p, toks[i.x] AS tok
+                   FROM tr, unnest(generate_series(1, len(toks))) i(x))
+        SELECT tp.doc_id, count(*)::INTEGER AS n_tok,
+               count(*) FILTER (WHERE c.cp IS NOT NULL)::INTEGER
+                   AS n_removed,
+               coalesce(string_agg(tok, ' ' ORDER BY p)
+                        FILTER (WHERE c.cp IS NULL), '') AS clean_text
+        FROM tokpos tp
+             LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.cp = tp.p - 1
+        GROUP BY tp.doc_id""",
 
     # EXIF oracles: every field is a pure doc_id formula — the gate is
     # green only if the real IFD walker reads back exactly what the
