@@ -75,7 +75,7 @@ HEADLINE = [
     "media_frame_mjpeg", "media_raster_jpeg_prog",
     "bigram_lm", "temperature_mix", "hashed_tfidf", "nb_langid",
     "ccnet_buckets", "image_dhash", "image_neardup",
-    "media_exif", "media_exif_strip", "decontaminate",
+    "media_exif", "media_exif_strip", "decontaminate", "media_video_ocr",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -238,3 +238,18 @@ def test_exif_parse_hostile_bytes():
     media.exif_parse(bytes(bad))
     assert media.exif_parse(b"") is None
     assert media.exif_strip(b"junk") == b"junk"
+
+
+def test_video_ocr_frame_windows():
+    """render_text_mjpeg puts the k-th 32-char window in frame k; the
+    frame walk + per-frame OCR recovers each window rstripped, and the
+    refactored AVI container still parses for the stats fixture."""
+    from webextract import media
+    for t in ("the quick brown fox jumps over the lazy dog "
+              "pack my box with five dozen jugs", "", "tiny"):
+        b = media.render_text_mjpeg(t)
+        fr = media.parse_avi_frames(b)
+        assert len(fr) == 3
+        got = [media.ocr_image(b[o:o + s]) for _, o, s in fr]
+        assert got == [t[k * 32:(k + 1) * 32].rstrip() for k in range(3)]
+    assert media.parse_avi_frames(media.make_mjpeg_avi_bytes(7))

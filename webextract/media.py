@@ -492,11 +492,24 @@ def make_mjpeg_avi_bytes(doc_id: int) -> bytes:
     the block formula.  (The reference rasterizes video through
     ffmpeg-backed deps, docs/usage.md:16-30; MJPEG is the codec this
     sandbox can implement for real end to end.)"""
-    import struct
     bw = 2 + doc_id % 3
     bh = 1 + doc_id % 3
     w, h = bw * 8, bh * 8
     nf = 1 + doc_id % 3
+    frames = []
+    for k in range(nf):
+        rows = [bytes((doc_id * 11 + k * 19
+                       + (x // 8) * 29 + (y // 8) * 37) % 256
+                      for x in range(w)) for y in range(h)]
+        frames.append(jpegmini.jpeg_encode_gray(w, h, rows,
+                                                color=True, restart=2))
+    return _avi_mjpeg_container(frames, w, h)
+
+
+def _avi_mjpeg_container(frames: list[bytes], w: int, h: int) -> bytes:
+    """RIFF/AVI scaffolding around pre-encoded MJPEG '00dc' frames
+    (shared by the stats fixture and the video-OCR fixture)."""
+    import struct
 
     def chunk(cid: bytes, data: bytes) -> bytes:
         return cid + struct.pack("<I", len(data)) + data \
@@ -505,13 +518,7 @@ def make_mjpeg_avi_bytes(doc_id: int) -> bytes:
     def lst(kind: bytes, body: bytes) -> bytes:
         return b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
 
-    frames = []
-    for k in range(nf):
-        rows = [bytes((doc_id * 11 + k * 19
-                       + (x // 8) * 29 + (y // 8) * 37) % 256
-                      for x in range(w)) for y in range(h)]
-        frames.append(jpegmini.jpeg_encode_gray(w, h, rows,
-                                                color=True, restart=2))
+    nf = len(frames)
     max_fs = max(len(f) for f in frames)
     avih = struct.pack("<14I", 33367, max_fs * 30, 0, 0, nf, 0, 1,
                        max_fs, w, h, 0, 0, 0, 0)
@@ -1818,6 +1825,53 @@ def render_text_jpeg(text: str) -> bytes:
 
 # JPEG flavor: rendered-text JPEGs exercise lossy-codec OCR
 with_text_jpeg_media = _media_from_text(render_text_jpeg)
+
+VIDEO_OCR_FRAMES = 3          # frames per clip
+VIDEO_OCR_WINDOW = 32         # chars of text per frame
+
+
+def render_text_mjpeg(text: str) -> bytes:
+    """Rendered text as a REAL 3-frame motion-JPEG AVI: frame k
+    carries the k-th 32-char window of the text as a glyph-grid
+    baseline JPEG — video subtitles/captions for the OCR path."""
+    frames = [render_text_jpeg(
+        text[k * VIDEO_OCR_WINDOW:(k + 1) * VIDEO_OCR_WINDOW])
+        for k in range(VIDEO_OCR_FRAMES)]
+    dec = decode_rgb(frames[0])
+    w, h = (dec[0], dec[1]) if dec else (0, 0)
+    return _avi_mjpeg_container(frames, w, h)
+
+
+with_text_mjpeg_media = _media_from_text(render_text_mjpeg)
+
+VIDEO_OCR_SCHEMA = "doc_id bigint, frame_idx int, ocr_text string"
+
+
+def video_ocr(df: DataFrame) -> DataFrame:
+    """df(doc_id, media:binary) -> (doc_id, frame_idx, ocr_text): walk
+    the RIFF/AVI tree, entropy-decode every MJPEG frame through the
+    full baseline-JPEG path, and OCR each frame's glyph grid — the
+    frame-level sibling of media_ocr (caption/subtitle extraction).
+    1->N narrow Arrow kernel; undecodable frames are skipped and the
+    payload never enters a shuffle."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                m = m if m is not None else b""
+                frames = parse_avi_frames(m)
+                if frames is None:
+                    continue
+                for idx, off, sz in frames:
+                    txt = ocr_image(m[off:off + sz])
+                    if txt is None:
+                        continue
+                    rows.append({"doc_id": did, "frame_idx": idx,
+                                 "ocr_text": txt})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "ocr_text"])
+
+    return df.select("doc_id", "media").mapInPandas(fn, VIDEO_OCR_SCHEMA)
 
 
 def media_ocr(df: DataFrame) -> DataFrame:
