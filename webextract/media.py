@@ -1834,12 +1834,16 @@ def render_text_mjpeg(text: str) -> bytes:
     """Rendered text as a REAL 3-frame motion-JPEG AVI: frame k
     carries the k-th 32-char window of the text as a glyph-grid
     baseline JPEG — video subtitles/captions for the OCR path."""
-    frames = [render_text_jpeg(
-        text[k * VIDEO_OCR_WINDOW:(k + 1) * VIDEO_OCR_WINDOW])
-        for k in range(VIDEO_OCR_FRAMES)]
-    dec = decode_rgb(frames[0])
-    w, h = (dec[0], dec[1]) if dec else (0, 0)
-    return _avi_mjpeg_container(frames, w, h)
+    frames, dims = [], (0, 0)
+    for k in range(VIDEO_OCR_FRAMES):
+        w, h, rows = _render_glyph_rows(
+            text[k * VIDEO_OCR_WINDOW:(k + 1) * VIDEO_OCR_WINDOW])
+        gray = [bytes(r[0::3]) for r in rows]   # channel-symmetric canvas
+        frames.append(jpegmini.jpeg_encode_gray(w, h, gray,
+                                                color=False, restart=3))
+        if k == 0:
+            dims = (w, h)       # header dims only; the walker is chunk-led
+    return _avi_mjpeg_container(frames, *dims)
 
 
 with_text_mjpeg_media = _media_from_text(render_text_mjpeg)
