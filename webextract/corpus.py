@@ -4329,3 +4329,150 @@ def nb_langid(docs: DataFrame, buckets: int = 512, k: float = 0.5,
             .select("doc_id", "lang_label", "nb_pred",
                     (F.col("nb_pred") == F.col("lang_label"))
                     .cast("int").alias("is_match")))
+
+
+# ---------------------------------------------------------------------------
+# Admission funnel + shard shuffle: the two composition-level passes a
+# training-data pipeline publishes around the per-operator stages — the
+# funnel report (how many docs/tokens survive each admission stage, the
+# number every dataset card prints) and the deterministic global
+# shuffle that randomizes write order into training shards.
+# Reference parity: docling-serve exposes per-task progress counters
+# (docling_serve/app.py task status) but no corpus-level accounting;
+# these are the corpus-scale siblings the 100-TB deployment needs.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("ingest", "lang", "quality", "exact_dedup",
+                 "decontaminated")
+FUNNEL_CONT_BROADCAST_CAP = 2_000_000
+
+
+def corpus_funnel(docs: DataFrame, lang: str = "en",
+                  probe_mod: int = 50, n: int = 3,
+                  broadcast_cap: int = FUNNEL_CONT_BROADCAST_CAP
+                  ) -> DataFrame:
+    """(stage_idx, stage, n_docs, n_tokens): the composed admission
+    funnel — per-stage survivor accounting through the standard
+    web-corpus pipeline, each stage filtering the previous stage's
+    survivors:
+
+      0 ingest          every document
+      1 lang            ``lang`` column equals the target language
+      2 quality         the Gopher rule cascade (gopher_quality's
+                        exact rules via _gopher_pass_expr)
+      3 exact_dedup     min-doc_id survivor per sha256(text) WITHIN
+                        the stage-2 pool (dedup_exact's rule; the
+                        pool matters — a duplicate whose twin failed
+                        quality is not a duplicate here)
+      4 decontaminated  not a probe (doc_id % probe_mod != 0) and no
+                        distinct word n-gram shared with ANY probe
+                        document (contamination()'s convention)
+
+    Scale shape: stages 1-2 are narrow flags computed in the scan.
+    The dedup survivor flag is ONE window over sha256(text), with
+    non-pool rows parked in per-doc singleton partitions (conditional
+    key) so the corpus shuffles exactly once and no second scan of the
+    source is needed.  The contaminated-id set comes from the same
+    broadcast-probe-shingle semi-join as contamination() — the corpus
+    is never shuffled on its own cardinality to find it — and joins
+    back size-gated (broadcast below ``broadcast_cap`` matched ids,
+    shuffle-hash fallback above: the line_dedup protocol).  The funnel
+    itself aggregates the per-doc frame to <= len(FUNNEL_STAGES) rows
+    per task FIRST (map-side combine), then the tiny grouped frame
+    explodes into cumulative stage rows — exploding per-doc would 5x
+    the exchange for nothing.
+    """
+    base = docs.select("doc_id", "lang", "text", TOKENS().alias("toks"))
+    # sha256 computed IN THE SCAN PROJECTION so the window exchange
+    # below carries a 64-hex key, never the text payload
+    flagged = base.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+        F.size("toks").cast("long").alias("n_tok"),
+        (F.col("lang") == lang).alias("lang_ok"),
+        _gopher_pass_expr().alias("qual_ok"))
+
+    # contaminated ids: probe shingles broadcast; corpus side narrow
+    probe_sh = (exploded_shingles(
+        docs.filter(F.col("doc_id") % probe_mod == 0), n)
+        .select("shingle").distinct())
+    cont = (exploded_shingles(docs, n)
+            .join(F.broadcast(probe_sh), "shingle", "left_semi")
+            .select("doc_id").distinct().localCheckpoint())
+    small = cont.count() <= broadcast_cap
+    hint = F.broadcast if small else (lambda df: df.hint("shuffle_hash"))
+    marked = flagged.join(
+        hint(cont.withColumn("cont", F.lit(True))), "doc_id", "left")
+
+    in_pool = F.col("lang_ok") & F.col("qual_ok")
+    dedup_key = F.when(in_pool, F.col("text_sha")) \
+        .otherwise(F.concat(F.lit("solo:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(dedup_key)
+    survivor = F.col("doc_id") == F.min("doc_id").over(w)
+    staged = marked.select(
+        "n_tok",
+        F.when(~F.col("lang_ok"), F.lit(0))
+        .when(~F.col("qual_ok"), F.lit(1))
+        .when(~survivor, F.lit(2))
+        .when((F.col("doc_id") % probe_mod == 0)
+              | F.col("cont").isNotNull(), F.lit(3))
+        .otherwise(F.lit(4)).alias("max_stage"))
+
+    grouped = (staged.groupBy("max_stage")
+               .agg(F.count("*").cast("long").alias("docs"),
+                    F.sum("n_tok").cast("long").alias("toks")))
+    names = F.array(*[F.lit(s) for s in FUNNEL_STAGES])
+    return (grouped
+            .select(F.explode(F.sequence(F.lit(0), F.col("max_stage")))
+                    .alias("stage_idx"), "docs", "toks")
+            .groupBy("stage_idx")
+            .agg(F.sum("docs").cast("long").alias("n_docs"),
+                 F.sum("toks").cast("long").alias("n_tokens"))
+            .select("stage_idx",
+                    F.element_at(names, F.col("stage_idx") + 1)
+                    .alias("stage"),
+                    "n_docs", "n_tokens"))
+
+
+SHUFFLE_SHARDS = 64
+ORDER_SUM_MOD = 1000003
+
+
+def shard_shuffle(docs: DataFrame, shards: int = SHUFFLE_SHARDS,
+                  salt: str = "shuf1") -> DataFrame:
+    """(shard, n_docs, n_tokens, first_doc, last_doc, order_sum): the
+    deterministic global shuffle into training shards — the
+    write-order randomization pass that runs after admission and
+    before sequence packing, emitted as the per-shard manifest the
+    shard writer publishes.
+
+    Rule: shard = the content-independent md5-mod (_hash_mod, salted
+    ``salt:S``); within-shard order = the md5 hex of ``salt:O:doc_id``
+    (a uniform pseudo-random permutation key), doc_id tiebreak.  Both
+    are independent of input partitioning and cluster size, so the
+    same corpus shuffles identically on 4 or 4000 executors.
+    ``order_sum`` = sum(position * (doc_id % ORDER_SUM_MOD)) is an
+    exact-integer checksum of the whole permutation (swapping any two
+    docs changes it), pinning ORDER — not just membership — through
+    the oracle; a production run at 10^12 docs would fold it modulo a
+    Mersenne prime to stay in int64, noted here because the gate
+    scale never approaches overflow.
+
+    Scale shape: ONE shuffle (hash-partition by shard, in-partition
+    sort under the per-shard window) — no global rank, no
+    single-reducer sort; shard count rises with the cluster."""
+    hx = F.md5(F.concat_ws(":", F.lit(salt + ":O"), F.col("doc_id")))
+    base = docs.select(
+        "doc_id",
+        _hash_mod(salt + ":S", shards).cast("int").alias("shard"),
+        hx.alias("hx"),
+        F.size(TOKENS()).cast("long").alias("n_tok"))
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    per = base.withColumn("pos", F.row_number().over(w) - 1)
+    return (per.groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"),
+                 F.min_by("doc_id", "pos").alias("first_doc"),
+                 F.max_by("doc_id", "pos").alias("last_doc"),
+                 F.sum(F.col("pos") * (F.col("doc_id") % ORDER_SUM_MOD))
+                 .cast("long").alias("order_sum")))

@@ -2361,6 +2361,43 @@ def q_resume_pending(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n_pending")))
 
 
+FUNNEL_DUP_BASE = (
+    "the shared mirror body of this page repeats across many hosts "
+    "and the crawl sees the same long passage again and again so the "
+    "funnel must catch it in the dedup stage after the quality rules "
+    "have already passed it because the words here are plain and the "
+    "stopword count is high enough to clear the gopher bars")
+
+
+def q_corpus_funnel(spark, sf_dir):
+    """Composed admission funnel (r5): ingest -> lang -> gopher
+    quality -> exact-dedup survivor -> decontamination, one cumulative
+    (docs, tokens) row per stage — the dataset-card accounting every
+    corpus release publishes, composed from the SAME rule expressions
+    the per-operator gates pin (lang column, _gopher_pass_expr,
+    dedup_exact's min-id rule, contamination's probe convention).
+    Every 7th doc collapses onto one of 3 shared 62-token passages
+    (doc_id%7==3 constrains doc_id%21 to {3,10,17} — modulus note per
+    ADVICE r4) so the dedup stage sees real duplicate families that
+    PASS the quality rules; probes stay doc_id%50==0."""
+    d = _read(spark, sf_dir, "documents")
+    fam = F.concat(F.lit(FUNNEL_DUP_BASE + " family "),
+                   (F.col("doc_id") % 21).cast("string"))
+    t = (F.when(F.col("doc_id") % 7 == 3, fam)
+         .otherwise(F.col("text")))
+    return corpus.corpus_funnel(
+        d.select("doc_id", "lang", t.alias("text")))
+
+
+def q_shard_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle into training shards (r5):
+    per-shard manifests whose order_sum checksum pins the ENTIRE
+    within-shard permutation — the oracle recomputes shard assignment,
+    the md5 permutation order, and the checksum from the same
+    formulas; same result on any partitioning or cluster size."""
+    return corpus.shard_shuffle(_read(spark, sf_dir, "documents"))
+
+
 # Registry ORDER is the driver-coverage rotation schedule: the driver's
 # CORRECTNESS gate checks exactly the FIRST 50 entries per round (the
 # pytest rehearsal always runs ALL of them).  Round-robin scheme: each
@@ -2416,9 +2453,6 @@ QUERIES = {
     "table_schema_evolution": q_table_schema_evolution,
     # --- implementation touched this round ---
     "media_raster_png": q_media_raster_png,
-    "dedup_incremental": q_dedup_incremental,
-    "chunk_hybrid_subword": q_chunk_hybrid_subword,
-    "table_scan_prune": q_table_scan_prune,
     # --- family representatives (r4-green) ---
     "extract_main_text": q_extract_main_text,
     # media_raster_gif's implementation changed this round (interlace
@@ -2477,24 +2511,29 @@ QUERIES = {
     # it takes stream_neardup's slot (r4-green; streaming keeps
     # stream_hll/stream_len_quantiles/stream_sessions in-window)
     "table_partition_prune": q_table_partition_prune,
+    # media_video_ocr, decontaminate and media_exif_strip are new this
+    # round and have never had a driver row — they take the slots of
+    # dedup_incremental, chunk_hybrid_subword and table_scan_prune
+    # (all r4-green; their r5-touched surfaces stay covered in-window:
+    # the band-key artifact via image_neardup's LSH shape + pytest,
+    # the tokenizer via chunk_hybrid_trained, the table format via
+    # table_schema_evolution/table_row_deletes/table_wap/
+    # table_partition_prune)
+    "media_video_ocr": q_media_video_ocr,
+    "decontaminate": q_decontaminate,
+    "media_exif_strip": q_media_exif_strip,
     # ---- driver cap boundary: position 50 ends here; everything
     # below is past the cap this round (pytest-oracle-gated in the
     # full-registry rehearsal; r4-green gates listed first so the
     # next rotation window is easy to cut) ----
-    # media_video_ocr is new this round, past-the-cap: its two halves
-    # (the MJPEG frame walk and the OCR cell matcher) are each
-    # driver-checked via media_frame_mjpeg and the extraction OCR
-    # gates; the composition is pinned by the pytest oracle rehearsal
-    "media_video_ocr": q_media_video_ocr,
-    # decontaminate is new this round but sits past-the-cap: its
-    # probe-broadcast asymmetry is the already-driver-checked
-    # dedup_contamination shape, and the removal semantics are pinned
-    # by the pytest oracle rehearsal
-    "decontaminate": q_decontaminate,
-    # media_exif_strip is new this round but sits first-past-the-cap:
-    # its parse+strip+decode path is pinned by the in-window
-    # media_exif gate plus the pytest oracle rehearsal
-    "media_exif_strip": q_media_exif_strip,
+    "dedup_incremental": q_dedup_incremental,
+    "chunk_hybrid_subword": q_chunk_hybrid_subword,
+    "table_scan_prune": q_table_scan_prune,
+    # corpus_funnel + shard_shuffle are new this session (composition
+    # gates over already-driver-checked stage rules); past-the-cap,
+    # pytest-oracle-gated in the full-registry rehearsal
+    "corpus_funnel": q_corpus_funnel,
+    "shard_shuffle": q_shard_shuffle,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
     "stream_hll": q_stream_hll,
@@ -6059,3 +6098,89 @@ ORACLES["dedup_semantic"] = f"""
                              / (a.norm * b.norm), 6) >= 0.3)
         SELECT s.vec_id, s.bucket, (d.dup_id IS NULL) AS keep
         FROM s LEFT JOIN dups d ON s.vec_id = d.dup_id"""
+
+# corpus_funnel composes the quality_gopher rule block, dedup_exact's
+# min-id survivor rule, and dedup_contamination's probe convention
+# over the SAME substituted corpus the gate query builds (every 7th
+# doc collapses onto a shared passage), then rolls the per-doc
+# max-stage into cumulative per-stage (docs, tokens) rows.
+ORACLES["corpus_funnel"] = f"""
+    WITH docs2 AS (SELECT doc_id, lang,
+                          CASE WHEN doc_id % 7 = 3
+                               THEN '{FUNNEL_DUP_BASE} family '
+                                    || (doc_id % 21)
+                               ELSE text END AS text
+                   FROM documents),
+    tok AS (SELECT doc_id, lang, text,
+                   string_split(text, ' ') AS toks FROM docs2),
+    flg AS (SELECT doc_id, text, len(toks)::BIGINT AS n_tok,
+                   (lang = 'en') AS lang_ok,
+                   (len(toks) BETWEEN 50 AND 100000
+                    AND round(list_sum(list_transform(toks,
+                          x -> length(x))) / len(toks), 4)
+                        BETWEEN 3.0 AND 10.0
+                    AND len(list_filter(toks, x -> x IN
+                          ('the','a','of','and','to','in','is','it')))
+                        >= 2
+                    AND round(len(list_filter(toks,
+                          x -> contains(x, '#'))) / len(toks), 4) < 0.1
+                    AND round(len(list_filter(toks,
+                          x -> ends_with(x, '...'))) / len(toks), 4)
+                        < 0.3) AS qual_ok
+            FROM tok),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) >= 3 THEN
+                    list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                           toks[i+2])
+                    ELSE [] END) AS shingles
+           FROM tok),
+    probe_sh AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+                 WHERE doc_id % 50 = 0),
+    cont AS (SELECT DISTINCT e.doc_id
+             FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) e
+             JOIN probe_sh p ON p.s = e.s),
+    surv AS (SELECT doc_id, n_tok, lang_ok, qual_ok,
+                    (doc_id = min(doc_id) OVER (PARTITION BY
+                       CASE WHEN lang_ok AND qual_ok
+                            THEN sha256(text)
+                            ELSE 'solo:' || doc_id END)) AS survivor
+             FROM flg),
+    staged AS (SELECT n_tok,
+                      CASE WHEN NOT lang_ok THEN 0
+                           WHEN NOT qual_ok THEN 1
+                           WHEN NOT survivor THEN 2
+                           WHEN doc_id % 50 = 0
+                                OR doc_id IN (SELECT doc_id FROM cont)
+                             THEN 3
+                           ELSE 4 END AS max_stage
+               FROM surv),
+    names(stage_idx, stage) AS (VALUES
+        (0, 'ingest'), (1, 'lang'), (2, 'quality'),
+        (3, 'exact_dedup'), (4, 'decontaminated'))
+    SELECT n.stage_idx, n.stage, count(*)::BIGINT AS n_docs,
+           sum(s.n_tok)::BIGINT AS n_tokens
+    FROM names n JOIN staged s ON s.max_stage >= n.stage_idx
+    GROUP BY 1, 2"""
+
+# shard_shuffle's oracle replays the exact md5 formulas: the salted
+# hash-mod shard assignment (_hash_mod with salt shuf1:S) and the
+# shuf1:O permutation key, then pins the ENTIRE within-shard order
+# through the pos-weighted integer checksum.
+ORACLES["shard_shuffle"] = """
+    WITH b AS (SELECT doc_id,
+                      (('0x' || substring(md5('shuf1:S:' || doc_id),
+                                          1, 8))::BIGINT % 64)::INTEGER
+                        AS shard,
+                      md5('shuf1:O:' || doc_id) AS hx,
+                      len(string_split(text, ' '))::BIGINT AS n_tok
+               FROM documents),
+    p AS (SELECT *, row_number() OVER (PARTITION BY shard
+                      ORDER BY hx, doc_id) - 1 AS pos
+          FROM b)
+    SELECT shard, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens,
+           min_by(doc_id, pos) AS first_doc,
+           max_by(doc_id, pos) AS last_doc,
+           sum(pos * (doc_id % 1000003))::BIGINT AS order_sum
+    FROM p GROUP BY shard"""
