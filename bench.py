@@ -76,7 +76,7 @@ HEADLINE = [
     "bigram_lm", "temperature_mix", "hashed_tfidf", "nb_langid",
     "ccnet_buckets", "image_dhash", "image_neardup",
     "media_exif", "media_exif_strip", "decontaminate", "media_video_ocr",
-    "corpus_funnel", "shard_shuffle",
+    "corpus_funnel", "shard_shuffle", "wet_roundtrip", "cdx_fetch",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -116,3 +116,121 @@ def test_warc_spark_roundtrip(spark, tmp_path):
     b = {r["url"]: (r["warc_ts"], bytes(r["html"]))
          for r in back.collect()}
     assert a == b
+
+
+# --- WET sink/source (the extracted-text sibling of WARC) --------------
+
+def test_wet_record_roundtrip_unicode():
+    """Conversion records survive UTF-8 text byte-for-byte, including
+    multibyte and CRLF-bearing content (Content-Length is in BYTES)."""
+    import gzip
+    from webextract.sources import iter_warc_responses, wet_record_bytes
+    texts = ["plain ascii", "héllo wörld — ünïcode", "tab\tand\r\nCRLF",
+             "", "emoji \U0001f600 and 中文"]
+    blob = b"".join(gzip.compress(
+        wet_record_bytes(f"doc://{i}", None, t), 6, mtime=0)
+        for i, t in enumerate(texts))
+    back = list(iter_warc_responses(blob, want="conversion"))
+    assert [u for u, _, _ in back] == [f"doc://{i}"
+                                       for i in range(len(texts))]
+    assert [p.decode("utf-8") for _, _, p in back] == texts
+
+
+def test_wet_reader_skips_response_records():
+    """A mixed shard (response + conversion records) yields only the
+    requested type in each mode — WET readers never see raw HTML."""
+    import gzip
+    from webextract.sources import (iter_warc_responses,
+                                    warc_record_bytes, wet_record_bytes)
+    blob = (gzip.compress(warc_record_bytes(
+                "https://x/1", None, b"<html>raw</html>"), 6, mtime=0)
+            + gzip.compress(wet_record_bytes(
+                "https://x/1", None, "extracted text"), 6, mtime=0))
+    conv = list(iter_warc_responses(blob, want="conversion"))
+    resp = list(iter_warc_responses(blob))
+    assert [(u, p) for u, _, p in conv] == [("https://x/1",
+                                             b"extracted text")]
+    assert [(u, p) for u, _, p in resp] == [("https://x/1",
+                                             b"<html>raw</html>")]
+
+
+def test_wet_spark_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from webextract.sources import read_wet, write_wet
+    docs = spark.range(30).select(
+        F.concat(F.lit("doc://"), F.col("id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.concat(F.lit("text body é "), F.col("id")).alias("text"))
+    out = str(tmp_path / "wet")
+    write_wet(docs.repartition(3), out)
+    back = read_wet(spark, out + "/*.wet.gz")
+    got = {r["url"]: r["text"] for r in back.collect()}
+    assert got == {f"doc://{i}": f"text body é {i}" for i in range(30)}
+
+
+# --- CDX writer + random-access fetch -----------------------------------
+
+def test_surt_key_forms():
+    from webextract.sources import surt_key
+    assert surt_key("http://Example.COM/a/b?q=1") == "com,example)/a/b?q=1"
+    assert surt_key("https://sub.example.com:8443/x") == \
+        "com,example,sub:8443)/x"
+    assert surt_key("http://example.com:80/") == "com,example)/"
+    assert surt_key("https://example.com") == "com,example)/"
+    assert surt_key("doc://42") == "doc://42"       # non-http passthrough
+    assert surt_key("") == ""
+
+
+def test_index_warc_fields_and_offsets(spark, tmp_path):
+    """Every response record gets one CDX line; offsets are strictly
+    increasing member starts, lengths sum to the shard size, digests
+    differ across payloads, and fetch-by-offset recovers each payload."""
+    import gzip
+    from webextract import corpus
+    from webextract.sources import index_warc, warc_record_bytes
+
+    recs = _recs()
+    shard = tmp_path / "s.warc.gz"
+    shard.write_bytes(b"".join(
+        gzip.compress(warc_record_bytes(u, t, p), 6, mtime=0)
+        for u, t, p in recs))
+    caps = corpus.parse_cdx(
+        index_warc(spark, str(shard))).orderBy("offset").collect()
+    assert len(caps) == len(recs)
+    assert [c["status"] for c in caps] == [200] * 3
+    assert [c["mime"] for c in caps] == ["text/html"] * 3
+    offs = [c["offset"] for c in caps]
+    assert offs[0] == 0 and offs == sorted(offs)
+    assert sum(c["length"] for c in caps) == shard.stat().st_size
+    assert caps[0]["surt"] == "example,a)/1"
+    assert caps[0]["ts"] == "20240301120005"
+    assert caps[1]["ts"] == "20240101000000"        # epoch default
+    assert len({c["digest"] for c in caps}) == 3
+    # range-read each member independently and compare payloads
+    blob = shard.read_bytes()
+    from webextract.sources import iter_warc_responses
+    for c, (u, _, p) in zip(caps, recs):
+        got = list(iter_warc_responses(
+            blob[c["offset"]:c["offset"] + c["length"]]))
+        assert got[0][0] == u and got[0][2] == p
+
+
+def test_fetch_by_cdx_missing_file_and_nulls(spark, tmp_path):
+    """Fetch rows pointing at absent shards or with NULL coordinates
+    are skipped, never a task failure (a stale index entry must not
+    kill a 10^9-row fetch job)."""
+    import gzip
+    from pyspark.sql import functions as F
+    from webextract.sources import fetch_by_cdx, warc_record_bytes
+    shard = tmp_path / "ok.warc.gz"
+    member = gzip.compress(
+        warc_record_bytes("https://ok/1", None, b"payload"), 6, mtime=0)
+    shard.write_bytes(member)
+    rows = [(str(shard), 0, len(member)),
+            (str(tmp_path / "gone.warc.gz"), 0, 10),
+            (None, 0, 10), (str(shard), None, None)]
+    caps = spark.createDataFrame(
+        rows, "filename string, offset long, length long")
+    got = fetch_by_cdx(caps).collect()
+    assert [(r["url"], bytes(r["html"])) for r in got] == [
+        ("https://ok/1", b"payload")]

@@ -2398,6 +2398,61 @@ def q_shard_shuffle(spark, sf_dir):
     return corpus.shard_shuffle(_read(spark, sf_dir, "documents"))
 
 
+
+def q_wet_roundtrip(spark, sf_dir):
+    """S-family WET wire-format round-trip (r5): the extracted-text
+    corpus serialized into per-partition .wet.gz shards (WARC/1.0
+    conversion records, one gzip member each — Common Crawl's
+    published text artifact), read back through the streaming member
+    splitter (sources.read_wet, want=conversion), and keyed back to
+    doc_id.  Text must survive byte-for-byte — the writer/reader pair
+    must be UTF-8-transparent for the oracle to match."""
+    import hashlib
+    import shutil
+
+    from .sources import read_wet, write_wet
+
+    d = _read(spark, sf_dir, "documents")
+    txt = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/wx_wet_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    write_wet(txt, root)
+    back = read_wet(spark, f"{root}/*.wet.gz")
+    return _doc_id(back).select("doc_id", "text")
+
+
+
+def q_cdx_fetch(spark, sf_dir):
+    """Closed-loop WARC store addressing (r5): pages are written to
+    .warc.gz shards, index_warc emits the CDXJ capture index, the
+    EXISTING parse_cdx reader parses it back, and fetch_by_cdx
+    range-reads every payload by (filename, offset, length) — then
+    the full extraction kernel must reproduce the extract_main_text
+    oracle, which only holds if every CDX offset/length addresses its
+    gzip member exactly (one byte off and the member is garbage)."""
+    import hashlib
+    import shutil
+
+    from .sources import fetch_by_cdx, index_warc, write_warc
+
+    pages = docs_to_pages(_read(spark, sf_dir, "documents"))
+    tag = hashlib.md5((sf_dir + "cdx").encode()).hexdigest()[:8]
+    root = f"/tmp/wx_cdxw_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    write_warc(pages, root)
+    idx = index_warc(spark, f"{root}/*.warc.gz")
+    caps = corpus.parse_cdx(idx)
+    back = fetch_by_cdx(caps)
+    out = _doc_id(extracted_df(back, cpus=4))
+    return (out.filter(F.col("status") == "success")
+            .select("doc_id", "text"))
+
+
 # Registry ORDER is the driver-coverage rotation schedule: the driver's
 # CORRECTNESS gate checks exactly the FIRST 50 entries per round (the
 # pytest rehearsal always runs ALL of them).  Round-robin scheme: each
@@ -2534,6 +2589,8 @@ QUERIES = {
     # pytest-oracle-gated in the full-registry rehearsal
     "corpus_funnel": q_corpus_funnel,
     "shard_shuffle": q_shard_shuffle,
+    "wet_roundtrip": q_wet_roundtrip,
+    "cdx_fetch": q_cdx_fetch,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
     "stream_hll": q_stream_hll,
@@ -6184,3 +6241,13 @@ ORACLES["shard_shuffle"] = """
            max_by(doc_id, pos) AS last_doc,
            sum(pos * (doc_id % 1000003))::BIGINT AS order_sum
     FROM p GROUP BY shard"""
+
+# the WET writer/reader pair must be a byte-transparent identity over
+# the text column — the oracle is the source table itself
+ORACLES["wet_roundtrip"] = """
+    SELECT doc_id, text FROM documents"""
+
+# cdx_fetch ends at the same extraction frame as extract_warc_source
+# (the fetch path must be payload-transparent), so the two gates share
+# one oracle text — zero drift
+ORACLES["cdx_fetch"] = ORACLES["extract_warc_source"]

@@ -133,13 +133,14 @@ def _parse_warc_headers(buf: bytes, start: int) -> tuple[dict, int] | None:
     return headers, he + 4
 
 
-def iter_warc_responses(blob: bytes) -> Iterator[
+def iter_warc_responses(blob: bytes, want: str = "response") -> Iterator[
         tuple[str, datetime.datetime | None, bytes]]:
-    """Yield (url, warc_ts, payload) for every response record in a
-    WARC blob — per-record-gzip members (Common Crawl), whole-file
-    gzip, or uncompressed.  Non-response records (warcinfo, request,
+    """Yield (url, warc_ts, payload) for every ``want``-typed record in
+    a WARC blob — per-record-gzip members (Common Crawl), whole-file
+    gzip, or uncompressed.  Other record types (warcinfo, request,
     metadata) are skipped; malformed tails stop iteration instead of
-    raising (a torn shard yields its readable prefix)."""
+    raising (a torn shard yields its readable prefix).  ``want=
+    "conversion"`` reads WET shards (same container, text payloads)."""
     try:
         if blob[:2] == b"\x1f\x8b":
             pos = 0
@@ -151,18 +152,18 @@ def iter_warc_responses(blob: bytes) -> Iterator[
                     return
                 if not d.eof:
                     return                       # truncated member
-                yield from _iter_plain(member)
+                yield from _iter_plain(member, want)
                 consumed = (len(blob) - pos) - len(d.unused_data)
                 if consumed <= 0:
                     return
                 pos += consumed
         else:
-            yield from _iter_plain(blob)
+            yield from _iter_plain(blob, want)
     except (ValueError, IndexError, UnicodeDecodeError):
         return
 
 
-def _iter_plain(buf: bytes) -> Iterator[
+def _iter_plain(buf: bytes, want: str = "response") -> Iterator[
         tuple[str, datetime.datetime | None, bytes]]:
     pos = 0
     n = len(buf)
@@ -184,7 +185,7 @@ def _iter_plain(buf: bytes) -> Iterator[
         if len(body) < clen:
             return                               # truncated record
         pos = body_off + clen
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") != want:
             continue
         url = headers.get("warc-target-uri")
         if not url:
@@ -268,3 +269,286 @@ def write_warc(pages: DataFrame, out_dir: str) -> None:
                 pass
 
     pages.select("url", "warc_ts", "html").foreachPartition(_write)
+
+
+# ---------------------------------------------------------------------------
+# WET sink/source: Common Crawl's extracted-text sibling of the WARC
+# shards — the SAME WARC/1.0 container, but records are WARC-Type:
+# conversion with a text/plain UTF-8 payload (the crawl's published
+# "just the text" artifact).  This is the wire format THIS pipeline's
+# own output ships in at corpus scale: extract once, publish WET,
+# every downstream consumer (dedup, quality, tokenizer training)
+# reads text shards without re-parsing HTML.
+# Scale shape: identical to the WARC pair — one gzip member per
+# record, shard = split, reader is a narrow mapInPandas.
+# ---------------------------------------------------------------------------
+
+WET_SCHEMA = "url string, warc_ts timestamp, text string"
+
+
+def wet_record_bytes(url: str, ts: datetime.datetime | None,
+                     text: str) -> bytes:
+    """One WARC/1.0 conversion record (the WET layout).  Deterministic:
+    no uuids, WARC-Date from ts (epoch default), UTF-8 payload."""
+    ts = ts or _WARC_EPOCH
+    payload = (text or "").encode("utf-8")
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n").encode("ascii")
+    return hdr + payload + b"\r\n\r\n"
+
+
+def read_wet(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """WET shards -> (url, warc_ts, text) — the text-table contract
+    the corpus operators consume.  Same narrow shape as read_warc:
+    binaryFile scan pruned to the content column, one task per shard,
+    per-record-gzip members streamed so peak memory is one record."""
+    import pandas as pd
+
+    paths = [path] if isinstance(path, str) else list(path)
+    files = spark.read.format("binaryFile").load(paths)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                urls: list[str] = []
+                tss: list[datetime.datetime | None] = []
+                texts: list[str] = []
+                for url, ts, payload in iter_warc_responses(
+                        bytes(content), want="conversion"):
+                    urls.append(url)
+                    tss.append(ts)
+                    texts.append(payload.decode("utf-8", "replace"))
+                if urls:
+                    yield pd.DataFrame(
+                        {"url": urls, "warc_ts": tss, "text": texts})
+
+    return files.select("content").mapInPandas(kern, WET_SCHEMA)
+
+
+def write_wet(docs: DataFrame, out_dir: str) -> None:
+    """(url, warc_ts, text) -> per-partition .wet.gz shards, one gzip
+    member per conversion record (mtime=0 for determinism) — the
+    layout ``read_wet`` consumes.  Same atomic per-attempt tmp +
+    rename protocol as write_warc, so a retried task never publishes
+    a torn shard."""
+    def _write(rows) -> None:
+        import glob
+        import itertools
+        import os
+
+        from pyspark import TaskContext
+        first = next(rows, None)
+        if first is None:
+            return
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(out_dir, exist_ok=True)
+        final = os.path.join(out_dir, f"part-{pid:05d}.wet.gz")
+        tmp = f"{final}.{ctx.taskAttemptId()}.tmp"
+        with open(tmp, "wb") as f:
+            for r in itertools.chain([first], rows):
+                rec = wet_record_bytes(
+                    r["url"] or "", r["warc_ts"], r["text"] or "")
+                f.write(gzip.compress(rec, 6, mtime=0))
+        os.replace(tmp, final)
+        for stale in glob.glob(f"{final}.*.tmp"):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
+
+    docs.select("url", "warc_ts", "text").foreachPartition(_write)
+
+
+# ---------------------------------------------------------------------------
+# CDX index writer + random-access fetch: the storage side of the
+# capture index corpus.parse_cdx consumes.  Common Crawl publishes
+# one CDXJ index per crawl so consumers can range-GET any payload by
+# (filename, offset, length) WITHOUT scanning the WARC store —
+# index_warc is the job that produces that index from written shards,
+# fetch_by_cdx is the consumer's random-access read path.
+# Scale shape: indexing is one task per shard (narrow, nothing
+# shuffles — the index rides the same file-level parallelism as the
+# shards); fetch is a narrow mapInPandas where each row costs one
+# range read + one member gunzip (locally a seek; in production an
+# object-store ranged GET against the same offsets).
+# ---------------------------------------------------------------------------
+
+CDX_TEXT_SCHEMA = "shard string, cdx_text string"
+
+
+def surt_key(url: str) -> str:
+    """Canonical SURT form of a url — 'com,example)/path?query':
+    reversed lowercase host labels, default ports dropped, non-default
+    ports kept after the labels.  Non-http(s) schemes pass through
+    unchanged (a doc:// corpus still indexes uniquely)."""
+    import re
+    m = re.match(r"(?i)^(https?)://([^/?#]*)([^#]*)", url or "")
+    if not m:
+        return url or ""
+    scheme = m.group(1).lower()
+    hostport = m.group(2).lower()
+    host, _, port = hostport.partition(":")
+    key = ",".join(reversed(host.split(".")))
+    if port and not ((scheme == "http" and port == "80")
+                     or (scheme == "https" and port == "443")):
+        key += ":" + port
+    rest = m.group(3) or "/"
+    return key + ")" + rest
+
+
+def _response_meta(member: bytes) -> tuple | None:
+    """(url, ts, status, mime, payload) for the response record at the
+    start of ``member``; None for non-response/malformed members."""
+    parsed = _parse_warc_headers(member, 0)
+    if parsed is None:
+        return None
+    headers, body_off = parsed
+    if headers.get("warc-type") != "response":
+        return None
+    url = headers.get("warc-target-uri") or ""
+    try:
+        clen = int(headers.get("content-length", ""))
+    except ValueError:
+        return None
+    body = member[body_off:body_off + clen]
+    if len(body) < clen:
+        return None
+    ts = None
+    try:
+        ts = datetime.datetime.strptime(
+            headers.get("warc-date", ""), "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        pass
+    status, mime, payload = None, None, body
+    if headers.get("content-type", "").startswith("application/http"):
+        hend = body.find(b"\r\n\r\n")
+        if hend != -1:
+            payload = body[hend + 4:]
+            http_lines = body[:hend].split(b"\r\n")
+            first = http_lines[0].split()
+            if len(first) >= 2 and first[1].isdigit():
+                status = int(first[1])
+            for hl in http_lines[1:]:
+                k, sep, v = hl.partition(b":")
+                if sep and k.strip().lower() == b"content-type":
+                    mime = v.strip().decode("latin-1").split(";")[0]
+    return url, ts, status, mime, payload
+
+
+def index_warc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """.warc.gz shards -> CDXJ index shards (shard, cdx_text): one
+    ``SURT ts {json}`` line per response record, json fields (url,
+    mime, status, digest, length, offset, filename) — EXACTLY the
+    shape corpus.parse_cdx admits, so write->index->parse->fetch is a
+    closed loop.  offset/length address the record's own gzip member
+    inside the shard (the Common Crawl addressing contract); digest is
+    the base32 sha1 of the decompressed payload; lines are sorted by
+    (SURT, ts) within the shard as published indexes are."""
+    import base64
+    import hashlib
+    import json as _json
+
+    import pandas as pd
+
+    paths = [path] if isinstance(path, str) else list(path)
+    files = spark.read.format("binaryFile").load(paths)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shards: list[str] = []
+            texts: list[str] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                fname = fpath[5:] if fpath.startswith("file:") else fpath
+                blob = bytes(content)
+                lines: list[str] = []
+                pos = 0
+                while (pos < len(blob)
+                       and blob[pos:pos + 2] == b"\x1f\x8b"):
+                    d = zlib.decompressobj(wbits=31)
+                    try:
+                        member = d.decompress(blob[pos:])
+                    except zlib.error:
+                        break
+                    if not d.eof:
+                        break                    # truncated member
+                    consumed = (len(blob) - pos) - len(d.unused_data)
+                    if consumed <= 0:
+                        break
+                    meta = _response_meta(member)
+                    if meta is not None:
+                        url, ts, status, mime, payload = meta
+                        j = {"url": url}
+                        if mime is not None:
+                            j["mime"] = mime
+                        if status is not None:
+                            j["status"] = str(status)
+                        j["digest"] = base64.b32encode(
+                            hashlib.sha1(payload).digest()).decode()
+                        j["length"] = str(consumed)
+                        j["offset"] = str(pos)
+                        j["filename"] = fname
+                        ts14 = (ts or _WARC_EPOCH).strftime(
+                            "%Y%m%d%H%M%S")
+                        lines.append(f"{surt_key(url)} {ts14} "
+                                     f"{_json.dumps(j)}")
+                    pos += consumed
+                lines.sort()
+                shards.append(fname)
+                texts.append("\n".join(lines))
+            if shards:
+                yield pd.DataFrame({"shard": shards, "cdx_text": texts})
+
+    return files.select("path", "content").mapInPandas(
+        kern, CDX_TEXT_SCHEMA)
+
+
+def fetch_by_cdx(captures: DataFrame) -> DataFrame:
+    """CDX capture rows (filename, offset, length) -> (url, warc_ts,
+    html): random-access payload fetch — each row costs ONE range read
+    and ONE member gunzip, never a shard scan.  Narrow mapInPandas
+    over the capture frame (its partitioning IS the fetch
+    parallelism); handles are reused per batch so same-shard captures
+    don't reopen the file.  In production ``filename`` resolves to an
+    object-store ranged GET against the same (offset, length)."""
+    import pandas as pd
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls: list[str] = []
+            tss: list[datetime.datetime | None] = []
+            payloads: list[bytes] = []
+            handles: dict[str, object] = {}
+            try:
+                for fname, off, ln in zip(
+                        pdf["filename"], pdf["offset"], pdf["length"]):
+                    # NULL coords arrive as None OR NaN (pandas turns a
+                    # nullable long column into float64)
+                    if (fname is None or pd.isna(off) or pd.isna(ln)):
+                        continue
+                    f = handles.get(fname)
+                    if f is None:
+                        try:
+                            f = handles[fname] = open(fname, "rb")
+                        except OSError:
+                            continue
+                    f.seek(int(off))
+                    blob = f.read(int(ln))
+                    for url, ts, payload in iter_warc_responses(blob):
+                        urls.append(url)
+                        tss.append(ts)
+                        payloads.append(payload)
+            finally:
+                for f in handles.values():
+                    f.close()
+            if urls:
+                yield pd.DataFrame(
+                    {"url": urls, "warc_ts": tss, "html": payloads})
+
+    return (captures.select("filename", "offset", "length")
+            .mapInPandas(kern, WARC_SCHEMA))
