@@ -4476,3 +4476,32 @@ def shard_shuffle(docs: DataFrame, shards: int = SHUFFLE_SHARDS,
                  F.max_by("doc_id", "pos").alias("last_doc"),
                  F.sum(F.col("pos") * (F.col("doc_id") % ORDER_SUM_MOD))
                  .cast("long").alias("order_sum")))
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """(lvl, lang, source, n_docs, n_tokens, n_chars): the dataset-card
+    composition table at every rollup level in ONE pass — per
+    (lang, source) cell, per-lang subtotal, grand total.  ``lvl`` is
+    the grouping_id bit vector (0 = leaf cell, 1 = lang subtotal,
+    3 = grand total), which disambiguates subtotal rows from a real
+    NULL group value — the standard GROUPING() contract, identical
+    bit order in Spark and ANSI SQL.
+
+    Scale shape: ROLLUP's Expand multiplies rows 3x BEFORE
+    aggregation, but each expanded row is 4 narrow columns (the text
+    payload never enters Expand — tokens/chars reduce to two longs in
+    the scan projection), and map-side partial aggregation collapses
+    to |langs x sources| + |langs| + 1 rows per task before the ONE
+    exchange.  With ~100 langs x ~1000 sources that is a bounded
+    catalog-sized frame regardless of corpus size."""
+    base = docs.select(
+        "lang", "source",
+        F.size(TOKENS()).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chr"))
+    return (base.rollup("lang", "source")
+            .agg(F.grouping_id().cast("int").alias("lvl"),
+                 F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"),
+                 F.sum("n_chr").cast("long").alias("n_chars"))
+            .select("lvl", "lang", "source",
+                    "n_docs", "n_tokens", "n_chars"))

@@ -2453,6 +2453,16 @@ def q_cdx_fetch(spark, sf_dir):
             .select("doc_id", "text"))
 
 
+
+def q_corpus_report(spark, sf_dir):
+    """Grouping-sets dataset-card report (r5): leaf cells, per-lang
+    subtotals and the grand total in ONE rollup pass, lvl = the
+    GROUPING() bit vector so subtotal rows are distinguishable from
+    NULL group values — the one relational shape (Expand) no other
+    gate exercises."""
+    return corpus.corpus_report(_read(spark, sf_dir, "documents"))
+
+
 # Registry ORDER is the driver-coverage rotation schedule: the driver's
 # CORRECTNESS gate checks exactly the FIRST 50 entries per round (the
 # pytest rehearsal always runs ALL of them).  Round-robin scheme: each
@@ -2591,6 +2601,7 @@ QUERIES = {
     "shard_shuffle": q_shard_shuffle,
     "wet_roundtrip": q_wet_roundtrip,
     "cdx_fetch": q_cdx_fetch,
+    "corpus_report": q_corpus_report,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
     "stream_hll": q_stream_hll,
@@ -6251,3 +6262,13 @@ ORACLES["wet_roundtrip"] = """
 # (the fetch path must be payload-transparent), so the two gates share
 # one oracle text — zero drift
 ORACLES["cdx_fetch"] = ORACLES["extract_warc_source"]
+
+ORACLES["corpus_report"] = """
+    WITH t AS (SELECT lang, source,
+                      len(string_split(text, ' '))::BIGINT AS n_tok,
+                      length(text)::BIGINT AS n_chr
+               FROM documents)
+    SELECT GROUPING(lang, source)::INTEGER AS lvl, lang, source,
+           count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+           sum(n_chr)::BIGINT AS n_chars
+    FROM t GROUP BY ROLLUP (lang, source)"""
