@@ -234,3 +234,25 @@ def test_fetch_by_cdx_missing_file_and_nulls(spark, tmp_path):
     got = fetch_by_cdx(caps).collect()
     assert [(r["url"], bytes(r["html"])) for r in got] == [
         ("https://ok/1", b"payload")]
+
+
+def test_index_warc_space_in_url_still_addressable(spark, tmp_path):
+    """A url containing a space must not shear the CDXJ line's
+    3-field split: the SURT is percent-encoded, the json url keeps
+    the original, and the capture stays fetchable."""
+    import gzip
+    from webextract import corpus
+    from webextract.sources import (fetch_by_cdx, index_warc,
+                                    warc_record_bytes)
+    shard = tmp_path / "sp.warc.gz"
+    url = "https://x.example/a b/c"
+    shard.write_bytes(gzip.compress(
+        warc_record_bytes(url, None, b"<p>hi</p>"), 6, mtime=0))
+    caps = corpus.parse_cdx(index_warc(spark, str(shard)))
+    rows = caps.collect()
+    assert len(rows) == 1
+    assert rows[0]["surt"] == "example,x)/a%20b/c"
+    assert rows[0]["url"] == url
+    got = fetch_by_cdx(caps).collect()
+    assert [(r["url"], bytes(r["html"])) for r in got] == [
+        (url, b"<p>hi</p>")]

@@ -495,7 +495,13 @@ def index_warc(spark: SparkSession, path: str | list[str]) -> DataFrame:
                         j["filename"] = fname
                         ts14 = (ts or _WARC_EPOCH).strftime(
                             "%Y%m%d%H%M%S")
-                        lines.append(f"{surt_key(url)} {ts14} "
+                        # CDXJ lines are space-delimited: a space in
+                        # the url would shear the SURT field and
+                        # parse_cdx would silently drop the capture —
+                        # percent-encode it (the json url field keeps
+                        # the original for the fetch side)
+                        surt = surt_key(url).replace(" ", "%20")
+                        lines.append(f"{surt} {ts14} "
                                      f"{_json.dumps(j)}")
                     pos += consumed
                 lines.sort()
