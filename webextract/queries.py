@@ -2463,6 +2463,53 @@ def q_corpus_report(spark, sf_dir):
     return corpus.corpus_report(_read(spark, sf_dir, "documents"))
 
 
+
+def q_publish_wet_increment(spark, sf_dir):
+    """Incremental WET publication (r5): the crawl's newest increment
+    — rows appended after the last published snapshot — flows from
+    the table's CDC read (icetable.read_changes) straight into WET
+    shards, so publication cost scales with the INCREMENT, never the
+    table (nothing rescans history at 100 TB).  Gate: wave-0 commits,
+    the publish cursor pins that snapshot, wave-1 commits; publishing
+    since the cursor must yield exactly the wave-1 docs back from the
+    .wet.gz shards, text byte-identical."""
+    import hashlib
+    import os
+    import shutil
+
+    from .icetable import IceTable
+    from .sources import read_wet, write_wet
+
+    tag = hashlib.md5(("wetpub" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_wetpub_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = IceTable(base)
+    tbl.init_schema([("doc_id", "bigint"), ("text", "string")])
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def commit_wave(w, df):
+        out = tbl.staging_dir(f"w{w}", 0)
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                       if fn.endswith(".parquet")
+                       and not fn.startswith((".", "_")))
+        tbl.commit(f"w{w}", [{"part_id": w, "files": files,
+                              "counters": {}}], "t")
+
+    commit_wave(0, d.filter(F.col("doc_id") % 2 == 0))
+    cursor = tbl.current_snapshot_id()
+    commit_wave(1, d.filter(F.col("doc_id") % 2 == 1))
+    inc = tbl.read_changes(spark, since=cursor)
+    wet_dir = f"{base}/wet"
+    write_wet(inc.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"), "text"),
+        wet_dir)
+    back = read_wet(spark, f"{wet_dir}/*.wet.gz")
+    return _doc_id(back).select("doc_id", "text")
+
+
 # Registry ORDER is the driver-coverage rotation schedule: the driver's
 # CORRECTNESS gate checks exactly the FIRST 50 entries per round (the
 # pytest rehearsal always runs ALL of them).  Round-robin scheme: each
@@ -2602,6 +2649,7 @@ QUERIES = {
     "wet_roundtrip": q_wet_roundtrip,
     "cdx_fetch": q_cdx_fetch,
     "corpus_report": q_corpus_report,
+    "publish_wet_increment": q_publish_wet_increment,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
     "stream_hll": q_stream_hll,
@@ -6272,3 +6320,8 @@ ORACLES["corpus_report"] = """
            count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
            sum(n_chr)::BIGINT AS n_chars
     FROM t GROUP BY ROLLUP (lang, source)"""
+
+# the CDC window holds exactly the second wave; the WET hop must be
+# byte-transparent over it
+ORACLES["publish_wet_increment"] = """
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"""
