@@ -2641,9 +2641,12 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "chunk_hybrid_subword": q_chunk_hybrid_subword,
     "table_scan_prune": q_table_scan_prune,
-    # corpus_funnel + shard_shuffle are new this session (composition
-    # gates over already-driver-checked stage rules); past-the-cap,
-    # pytest-oracle-gated in the full-registry rehearsal
+    # the six late-session gates (corpus_funnel, shard_shuffle,
+    # wet_roundtrip, cdx_fetch, corpus_report, publish_wet_increment)
+    # are compositions over already-driver-checked rules/machinery;
+    # past-the-cap with pytest-oracle evidence at sf0.01, sf0.1 AND
+    # sf1 (BENCH.md round-5 session-2 note) — first in line for the
+    # next rotation window
     "corpus_funnel": q_corpus_funnel,
     "shard_shuffle": q_shard_shuffle,
     "wet_roundtrip": q_wet_roundtrip,
