@@ -256,3 +256,50 @@ def test_index_warc_space_in_url_still_addressable(spark, tmp_path):
     got = fetch_by_cdx(caps).collect()
     assert [(r["url"], bytes(r["html"])) for r in got] == [
         (url, b"<p>hi</p>")]
+
+
+def test_index_warc_hostile_bytes(spark, tmp_path):
+    """Garbage shards, torn members, and non-response records index to
+    zero or partial lines — never a task failure."""
+    import gzip
+    from webextract import corpus
+    from webextract.sources import index_warc, warc_record_bytes
+    good = gzip.compress(
+        warc_record_bytes("https://ok/1", None, b"x"), 6, mtime=0)
+    cases = {
+        "junk.warc.gz": b"\x00\xffnot a warc at all",
+        "halfgzip.warc.gz": good[: len(good) // 2],
+        "tail_torn.warc.gz": good + good[: len(good) // 2],
+        "nonresp.warc.gz": gzip.compress(
+            b"WARC/1.0\r\nWARC-Type: request\r\n"
+            b"Content-Length: 2\r\n\r\nhi\r\n\r\n", 6, mtime=0),
+        "empty.warc.gz": b"",
+    }
+    for name, blob in cases.items():
+        (tmp_path / name).write_bytes(blob)
+    caps = corpus.parse_cdx(
+        index_warc(spark, str(tmp_path) + "/*.warc.gz")).collect()
+    # only the readable prefix of tail_torn yields a line
+    assert [(c["url"], c["offset"]) for c in caps] == [
+        ("https://ok/1", 0)]
+
+
+def test_fetch_by_cdx_garbage_coordinates(spark, tmp_path):
+    """Offsets pointing mid-member or past EOF fetch nothing (the blob
+    fails the gzip/WARC parse), never a task failure."""
+    import gzip
+    from pyspark.sql import functions as F
+    from webextract.sources import fetch_by_cdx, warc_record_bytes
+    shard = tmp_path / "g.warc.gz"
+    member = gzip.compress(
+        warc_record_bytes("https://ok/1", None, b"payload"), 6, mtime=0)
+    shard.write_bytes(member)
+    rows = [(str(shard), 3, len(member) - 3),     # mid-member
+            (str(shard), 0, 4),                   # truncated member
+            (str(shard), len(member) + 100, 50),  # past EOF
+            (str(shard), 0, len(member))]         # the one good row
+    caps = spark.createDataFrame(
+        rows, "filename string, offset long, length long")
+    got = fetch_by_cdx(caps).collect()
+    assert [(r["url"], bytes(r["html"])) for r in got] == [
+        ("https://ok/1", b"payload")]
