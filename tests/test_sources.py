@@ -303,3 +303,54 @@ def test_fetch_by_cdx_garbage_coordinates(spark, tmp_path):
     got = fetch_by_cdx(caps).collect()
     assert [(r["url"], bytes(r["html"])) for r in got] == [
         ("https://ok/1", b"payload")]
+
+
+def test_negative_content_length_terminates():
+    """A record claiming a negative Content-Length must end iteration
+    (it would otherwise move the cursor backward and loop forever)."""
+    from webextract.sources import iter_warc_responses
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://x/1\r\n"
+           b"Content-Length: -64\r\n\r\nbody\r\n\r\n")
+    assert list(iter_warc_responses(rec)) == []
+
+
+def test_writer_sanitizes_hostile_urls(spark=None):
+    """Non-ASCII and CRLF-bearing urls are percent-encoded into the
+    WARC header instead of crashing the writer or splicing forged
+    header lines; clean urls pass through byte-identically."""
+    from webextract.sources import (_safe_uri, iter_warc_responses,
+                                    warc_record_bytes, wet_record_bytes)
+    assert _safe_uri("https://ok/a-b_c?q=1") == "https://ok/a-b_c?q=1"
+    hostile = "https://x/é\r\nContent-Length: 0\r\n/end"
+    safe = _safe_uri(hostile)
+    assert "\r" not in safe and "\n" not in safe
+    assert safe.isascii()
+    rec = warc_record_bytes(safe, None, b"p")
+    (u, _, p), = list(iter_warc_responses(rec))
+    assert u == safe and p == b"p"
+    # the forged header must NOT have taken effect
+    assert "content-length: 0" not in rec.decode("latin-1").lower() \
+        or p == b"p"
+    wrec = wet_record_bytes(safe, None, "t")
+    (u2, _, p2), = list(iter_warc_responses(wrec, want="conversion"))
+    assert u2 == safe and p2 == b"t"
+
+
+def test_index_warc_tab_and_newline_urls(spark, tmp_path):
+    """Tab/newline in a url must not shear or split the CDXJ line —
+    the whole whitespace class is percent-encoded in the SURT."""
+    import gzip
+    from webextract import corpus
+    from webextract.sources import (_safe_uri, index_warc,
+                                    warc_record_bytes)
+    shard = tmp_path / "ws.warc.gz"
+    urls = ["https://x.example/a\tb", "https://x.example/c\nd"]
+    shard.write_bytes(b"".join(
+        gzip.compress(warc_record_bytes(_safe_uri(u), None, b"p"),
+                      6, mtime=0) for u in urls))
+    caps = corpus.parse_cdx(
+        index_warc(spark, str(shard))).orderBy("offset").collect()
+    assert len(caps) == 2
+    assert caps[0]["surt"] == "example,x)/a%09b"
+    assert caps[1]["surt"] == "example,x)/c%0Ad"

@@ -133,6 +133,27 @@ def _parse_warc_headers(buf: bytes, start: int) -> tuple[dict, int] | None:
     return headers, he + 4
 
 
+def _iter_gzip_members(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(offset, length, member_bytes) for each gzip member in a
+    concatenated-member blob — THE member-walk protocol, shared by the
+    record readers and the CDX indexer so offset accounting can never
+    diverge between them.  A torn/garbage tail ends iteration."""
+    pos = 0
+    while pos < len(blob) and blob[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            member = d.decompress(blob[pos:])
+        except zlib.error:
+            return
+        if not d.eof:
+            return                               # truncated member
+        consumed = (len(blob) - pos) - len(d.unused_data)
+        if consumed <= 0:
+            return
+        yield pos, consumed, member
+        pos += consumed
+
+
 def iter_warc_responses(blob: bytes, want: str = "response") -> Iterator[
         tuple[str, datetime.datetime | None, bytes]]:
     """Yield (url, warc_ts, payload) for every ``want``-typed record in
@@ -143,20 +164,8 @@ def iter_warc_responses(blob: bytes, want: str = "response") -> Iterator[
     "conversion"`` reads WET shards (same container, text payloads)."""
     try:
         if blob[:2] == b"\x1f\x8b":
-            pos = 0
-            while pos < len(blob) and blob[pos:pos + 2] == b"\x1f\x8b":
-                d = zlib.decompressobj(wbits=31)
-                try:
-                    member = d.decompress(blob[pos:])
-                except zlib.error:
-                    return
-                if not d.eof:
-                    return                       # truncated member
+            for _, _, member in _iter_gzip_members(blob):
                 yield from _iter_plain(member, want)
-                consumed = (len(blob) - pos) - len(d.unused_data)
-                if consumed <= 0:
-                    return
-                pos += consumed
         else:
             yield from _iter_plain(blob, want)
     except (ValueError, IndexError, UnicodeDecodeError):
@@ -181,6 +190,10 @@ def _iter_plain(buf: bytes, want: str = "response") -> Iterator[
             clen = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if clen < 0:
+            # a negative length would move pos BACKWARD and loop
+            # forever over the same record — treat as malformed tail
+            return
         body = buf[body_off:body_off + clen]
         if len(body) < clen:
             return                               # truncated record
@@ -204,14 +217,30 @@ def _iter_plain(buf: bytes, want: str = "response") -> Iterator[
         yield (url, ts, payload)
 
 
-def read_warc(spark: SparkSession, path: str | list[str]) -> DataFrame:
-    """WARC shards -> input_hint page frame (url, warc_ts, html).
+def _safe_uri(url: str) -> str:
+    """WARC-header-safe form of a target URI: percent-encode control
+    bytes, whitespace, and non-ASCII (as UTF-8 escapes) so a hostile
+    url can neither splice forged header lines (CRLF injection into
+    the record header) nor crash the writer's ascii encode.  Clean
+    urls pass through unchanged; escaped urls round-trip as their
+    escaped form — strictly better than the task abort they caused
+    before."""
+    out = []
+    for ch in url:
+        o = ord(ch)
+        if o <= 0x20 or o == 0x7F or o > 0x7E:
+            out.append("".join(f"%{b:02X}" for b in ch.encode("utf-8")))
+        else:
+            out.append(ch)
+    return "".join(out)
 
-    Narrow plan: binaryFile scan (content column only — path/length
-    pruned) -> mapInPandas record splitter; one task per shard, rows
-    flushed per file so a fat shard never accumulates across files.
-    Feed the result to ``pipeline.extracted_df`` exactly like a parquet
-    pages table."""
+
+def _read_record_shards(spark: SparkSession, path: str | list[str],
+                        want: str, schema: str, build) -> DataFrame:
+    """THE shard reader shared by read_warc/read_wet: binaryFile scan
+    (content column only — path/mtime pruned) -> mapInPandas record
+    splitter; one task per shard, rows flushed per file so a fat shard
+    never accumulates across files."""
     import pandas as pd
 
     paths = [path] if isinstance(path, str) else list(path)
@@ -220,27 +249,20 @@ def read_warc(spark: SparkSession, path: str | list[str]) -> DataFrame:
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for content in pdf["content"]:
-                urls: list[str] = []
-                tss: list[datetime.datetime | None] = []
-                payloads: list[bytes] = []
-                for url, ts, payload in iter_warc_responses(
-                        bytes(content)):
-                    urls.append(url)
-                    tss.append(ts)
-                    payloads.append(payload)
-                if urls:
-                    yield pd.DataFrame(
-                        {"url": urls, "warc_ts": tss, "html": payloads})
+                recs = list(iter_warc_responses(bytes(content), want))
+                if recs:
+                    yield build(pd, recs)
 
-    return files.select("content").mapInPandas(kern, WARC_SCHEMA)
+    return files.select("content").mapInPandas(kern, schema)
 
 
-def write_warc(pages: DataFrame, out_dir: str) -> None:
-    """Pages -> per-partition .warc.gz shards (one gzip member per
-    record, mtime=0 for determinism) — the layout ``read_warc``
-    consumes and Common Crawl publishes.  Same atomic per-attempt tmp +
-    rename protocol as the zip sink (pipeline.write_zip_artifacts), so
-    a retried task never publishes a torn shard."""
+def _write_record_shards(df: DataFrame, out_dir: str, suffix: str,
+                         record_fn) -> None:
+    """THE atomic partition shard writer shared by write_warc/
+    write_wet: one gzip member per record (mtime=0 for determinism),
+    per-attempt tmp + rename (the zip-sink protocol,
+    pipeline.write_zip_artifacts) so a retried task never publishes a
+    torn shard."""
     def _write(rows) -> None:
         import glob
         import itertools
@@ -253,14 +275,11 @@ def write_warc(pages: DataFrame, out_dir: str) -> None:
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         os.makedirs(out_dir, exist_ok=True)
-        final = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        final = os.path.join(out_dir, f"part-{pid:05d}.{suffix}")
         tmp = f"{final}.{ctx.taskAttemptId()}.tmp"
         with open(tmp, "wb") as f:
             for r in itertools.chain([first], rows):
-                rec = warc_record_bytes(
-                    r["url"] or "", r["warc_ts"],
-                    bytes(r["html"]) if r["html"] is not None else b"")
-                f.write(gzip.compress(rec, 6, mtime=0))
+                f.write(gzip.compress(record_fn(r), 6, mtime=0))
         os.replace(tmp, final)
         for stale in glob.glob(f"{final}.*.tmp"):
             try:
@@ -268,7 +287,32 @@ def write_warc(pages: DataFrame, out_dir: str) -> None:
             except OSError:
                 pass
 
-    pages.select("url", "warc_ts", "html").foreachPartition(_write)
+    df.foreachPartition(_write)
+
+
+def read_warc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """WARC shards -> input_hint page frame (url, warc_ts, html).
+    Feed the result to ``pipeline.extracted_df`` exactly like a
+    parquet pages table."""
+    def build(pd, recs):
+        return pd.DataFrame({"url": [u for u, _, _ in recs],
+                             "warc_ts": [t for _, t, _ in recs],
+                             "html": [p for _, _, p in recs]})
+
+    return _read_record_shards(spark, path, "response",
+                               WARC_SCHEMA, build)
+
+
+def write_warc(pages: DataFrame, out_dir: str) -> None:
+    """Pages -> per-partition .warc.gz shards — the layout
+    ``read_warc`` consumes and Common Crawl publishes."""
+    def rec(r) -> bytes:
+        return warc_record_bytes(
+            _safe_uri(r["url"] or ""), r["warc_ts"],
+            bytes(r["html"]) if r["html"] is not None else b"")
+
+    _write_record_shards(pages.select("url", "warc_ts", "html"),
+                         out_dir, "warc.gz", rec)
 
 
 # ---------------------------------------------------------------------------
@@ -304,65 +348,29 @@ def wet_record_bytes(url: str, ts: datetime.datetime | None,
 
 def read_wet(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """WET shards -> (url, warc_ts, text) — the text-table contract
-    the corpus operators consume.  Same narrow shape as read_warc:
-    binaryFile scan pruned to the content column, one task per shard,
-    per-record-gzip members streamed so peak memory is one record."""
-    import pandas as pd
+    the corpus operators consume.  Same shard reader as read_warc;
+    only the record type and the row builder differ."""
+    def build(pd, recs):
+        return pd.DataFrame(
+            {"url": [u for u, _, _ in recs],
+             "warc_ts": [t for _, t, _ in recs],
+             "text": [p.decode("utf-8", "replace")
+                      for _, _, p in recs]})
 
-    paths = [path] if isinstance(path, str) else list(path)
-    files = spark.read.format("binaryFile").load(paths)
-
-    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for content in pdf["content"]:
-                urls: list[str] = []
-                tss: list[datetime.datetime | None] = []
-                texts: list[str] = []
-                for url, ts, payload in iter_warc_responses(
-                        bytes(content), want="conversion"):
-                    urls.append(url)
-                    tss.append(ts)
-                    texts.append(payload.decode("utf-8", "replace"))
-                if urls:
-                    yield pd.DataFrame(
-                        {"url": urls, "warc_ts": tss, "text": texts})
-
-    return files.select("content").mapInPandas(kern, WET_SCHEMA)
+    return _read_record_shards(spark, path, "conversion",
+                               WET_SCHEMA, build)
 
 
 def write_wet(docs: DataFrame, out_dir: str) -> None:
-    """(url, warc_ts, text) -> per-partition .wet.gz shards, one gzip
-    member per conversion record (mtime=0 for determinism) — the
-    layout ``read_wet`` consumes.  Same atomic per-attempt tmp +
-    rename protocol as write_warc, so a retried task never publishes
-    a torn shard."""
-    def _write(rows) -> None:
-        import glob
-        import itertools
-        import os
+    """(url, warc_ts, text) -> per-partition .wet.gz shards — the
+    layout ``read_wet`` consumes.  Same atomic shard writer as
+    write_warc; only the record builder differs."""
+    def rec(r) -> bytes:
+        return wet_record_bytes(
+            _safe_uri(r["url"] or ""), r["warc_ts"], r["text"] or "")
 
-        from pyspark import TaskContext
-        first = next(rows, None)
-        if first is None:
-            return
-        ctx = TaskContext.get()
-        pid = ctx.partitionId()
-        os.makedirs(out_dir, exist_ok=True)
-        final = os.path.join(out_dir, f"part-{pid:05d}.wet.gz")
-        tmp = f"{final}.{ctx.taskAttemptId()}.tmp"
-        with open(tmp, "wb") as f:
-            for r in itertools.chain([first], rows):
-                rec = wet_record_bytes(
-                    r["url"] or "", r["warc_ts"], r["text"] or "")
-                f.write(gzip.compress(rec, 6, mtime=0))
-        os.replace(tmp, final)
-        for stale in glob.glob(f"{final}.*.tmp"):
-            try:
-                os.remove(stale)
-            except OSError:
-                pass
-
-    docs.select("url", "warc_ts", "text").foreachPartition(_write)
+    _write_record_shards(docs.select("url", "warc_ts", "text"),
+                         out_dir, "wet.gz", rec)
 
 
 # ---------------------------------------------------------------------------
@@ -467,43 +475,35 @@ def index_warc(spark: SparkSession, path: str | list[str]) -> DataFrame:
                 fname = fpath[5:] if fpath.startswith("file:") else fpath
                 blob = bytes(content)
                 lines: list[str] = []
-                pos = 0
-                while (pos < len(blob)
-                       and blob[pos:pos + 2] == b"\x1f\x8b"):
-                    d = zlib.decompressobj(wbits=31)
-                    try:
-                        member = d.decompress(blob[pos:])
-                    except zlib.error:
-                        break
-                    if not d.eof:
-                        break                    # truncated member
-                    consumed = (len(blob) - pos) - len(d.unused_data)
-                    if consumed <= 0:
-                        break
+                for pos, consumed, member in _iter_gzip_members(blob):
                     meta = _response_meta(member)
-                    if meta is not None:
-                        url, ts, status, mime, payload = meta
-                        j = {"url": url}
-                        if mime is not None:
-                            j["mime"] = mime
-                        if status is not None:
-                            j["status"] = str(status)
-                        j["digest"] = base64.b32encode(
-                            hashlib.sha1(payload).digest()).decode()
-                        j["length"] = str(consumed)
-                        j["offset"] = str(pos)
-                        j["filename"] = fname
-                        ts14 = (ts or _WARC_EPOCH).strftime(
-                            "%Y%m%d%H%M%S")
-                        # CDXJ lines are space-delimited: a space in
-                        # the url would shear the SURT field and
-                        # parse_cdx would silently drop the capture —
-                        # percent-encode it (the json url field keeps
-                        # the original for the fetch side)
-                        surt = surt_key(url).replace(" ", "%20")
-                        lines.append(f"{surt} {ts14} "
-                                     f"{_json.dumps(j)}")
-                    pos += consumed
+                    if meta is None:
+                        continue
+                    url, ts, status, mime, payload = meta
+                    j = {"url": url}
+                    if mime is not None:
+                        j["mime"] = mime
+                    if status is not None:
+                        j["status"] = str(status)
+                    j["digest"] = base64.b32encode(
+                        hashlib.sha1(payload).digest()).decode()
+                    j["length"] = str(consumed)
+                    j["offset"] = str(pos)
+                    j["filename"] = fname
+                    ts14 = (ts or _WARC_EPOCH).strftime("%Y%m%d%H%M%S")
+                    # CDXJ lines are space-delimited and parse_cdx's
+                    # admission regex is \S-anchored: ANY whitespace
+                    # in the url (space, tab, newline, CR, FF, VT)
+                    # would shear or split the line and silently drop
+                    # the capture — percent-encode the whole class
+                    # (the json url field keeps the original for the
+                    # fetch side)
+                    surt = surt_key(url)
+                    for ws, esc in ((" ", "%20"), ("\t", "%09"),
+                                    ("\n", "%0A"), ("\r", "%0D"),
+                                    ("\x0b", "%0B"), ("\x0c", "%0C")):
+                        surt = surt.replace(ws, esc)
+                    lines.append(f"{surt} {ts14} {_json.dumps(j)}")
                 lines.sort()
                 shards.append(fname)
                 texts.append("\n".join(lines))
@@ -533,9 +533,13 @@ def fetch_by_cdx(captures: DataFrame) -> DataFrame:
             try:
                 for fname, off, ln in zip(
                         pdf["filename"], pdf["offset"], pdf["length"]):
-                    # NULL coords arrive as None OR NaN (pandas turns a
-                    # nullable long column into float64)
-                    if (fname is None or pd.isna(off) or pd.isna(ln)):
+                    # NULL coords arrive as None OR NaN (pandas
+                    # turns a nullable long column into float64); a
+                    # hostile negative offset would raise in seek()
+                    # and a negative length would read(-1) = the
+                    # whole rest of the shard — skip, never abort
+                    if (fname is None or pd.isna(off) or pd.isna(ln)
+                            or off < 0 or ln <= 0):
                         continue
                     f = handles.get(fname)
                     if f is None:
