@@ -77,7 +77,7 @@ HEADLINE = [
     "ccnet_buckets", "image_dhash", "image_neardup",
     "media_exif", "media_exif_strip", "decontaminate", "media_video_ocr",
     "corpus_funnel", "shard_shuffle", "wet_roundtrip", "cdx_fetch",
-    "corpus_report", "publish_wet_increment",
+    "corpus_report", "publish_wet_increment", "training_export",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

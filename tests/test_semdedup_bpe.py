@@ -186,6 +186,41 @@ def test_bpe_segment_reproduces_trainer(spark):
         assert got[did] == (len(ws), sum(ref_count(w) for w in ws))
 
 
+def test_training_export_manifest_hand_reference(spark):
+    """The terminal composition's manifest equals a local replay:
+    trained token counts -> md5-mod shard -> doc_id-ordered stream ->
+    (n_docs, n_tokens, n_seqs, tail, positional checksum).  budget=5
+    forces multi-sequence shards; a doc with NULL text contributes 0
+    tokens but still occupies a stream position."""
+    import hashlib
+
+    rows = [(i, f"w{i} low low hug" if i != 7 else None)
+            for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = corpus.bpe_train(docs, n_merges=4)
+    got = {r["shard"]: r.asDict() for r in corpus.training_export(
+        docs, merges, budget=5, shards=4, salt="pack1").collect()}
+
+    seg = {r["doc_id"]: r["n_tokens"]
+           for r in corpus.bpe_segment(docs, merges).collect()}
+    streams: dict[int, list] = {}
+    for i, _t in rows:
+        h = hashlib.md5(f"pack1:{i}".encode()).hexdigest()
+        streams.setdefault(int(h[:8], 16) % 4, []).append(i)
+    assert sorted(got) == sorted(streams)
+    for sh, ids in streams.items():
+        toks = [seg[i] for i in sorted(ids)]
+        total = sum(toks)
+        m = got[sh]
+        assert m["n_docs"] == len(ids)
+        assert m["n_tokens"] == total
+        assert m["n_seqs"] == (0 if total == 0 else (total - 1) // 5 + 1)
+        assert m["tail_tokens"] == (
+            0 if total == 0 else total - ((total - 1) // 5) * 5)
+        assert m["pack_sum"] == sum(
+            (p + 1) * t for p, t in enumerate(toks))
+
+
 # ------------------------------------------------------------------ DSIR
 
 def _dsir_docs(spark):

@@ -2589,6 +2589,58 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
         (before % budget).cast("int").alias("seq_offset"))
 
 
+def training_export(docs: DataFrame, merges: DataFrame,
+                    budget: int = PACK_BUDGET,
+                    shards: int = PACK_SHARDS,
+                    salt: str = "pack1") -> DataFrame:
+    """(shard, n_docs, n_tokens, n_seqs, tail_tokens, pack_sum): the
+    per-shard export manifest of the END-TO-END training-data path —
+    the pipeline's terminal composition.  A trained BPE merge table
+    (bpe_train's output) counts every document's subword tokens
+    (bpe_segment's encoder — the same replay the chunker and packer
+    budget against), documents pack into ``budget``-token sequences
+    per md5-mod shard (pack_sequences' per-shard stream rule, within-
+    shard order doc_id), and the manifest reports per shard: docs,
+    total trained tokens, how many training sequences the stream
+    yields (last one partial, ``tail_tokens`` long), and ``pack_sum``
+    = sum((pos+1) * n_tok) — an exact-integer checksum that pins every
+    document's trained token count AT ITS STREAM POSITION, so a
+    single swapped doc or a one-token count drift anywhere in any
+    shard changes the manifest.
+
+    Scale shape: the merge table is an n_merges-row catalog artifact
+    inside one narrow Arrow kernel (bpe_segment — zero shuffle, cost
+    tracks distinct words per batch); the manifest is ONE shuffle of
+    3-column rows (hash-partition by shard, in-partition window) with
+    map-side partial aggregation collapsing each task to ≤``shards``
+    rows.  Document text never moves; per-shard token streams stay
+    far below 2^63 at any real scale, and production raises
+    ``shards`` with the cluster exactly as pack_sequences does."""
+    seg = bpe_segment(docs, merges)
+    base = seg.select(
+        "doc_id",
+        _hash_mod(salt, shards).cast("int").alias("shard"),
+        F.col("n_tokens").alias("n_tok"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    per = base.withColumn("pos", F.row_number().over(w) - F.lit(1))
+    agg = (per.groupBy("shard")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("n_tokens"),
+                F.sum((F.col("pos") + 1) * F.col("n_tok"))
+                .cast("long").alias("pack_sum")))
+    n_seqs = (F.when(F.col("n_tokens") == 0, F.lit(0))
+              .otherwise(F.expr(f"(n_tokens - 1) div {budget}") + 1)
+              .cast("long"))
+    return agg.select(
+        "shard", "n_docs", "n_tokens",
+        n_seqs.alias("n_seqs"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(F.col("n_tokens")
+                   - F.expr(f"(n_tokens - 1) div {budget}") * budget)
+        .cast("long").alias("tail_tokens"),
+        "pack_sum")
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization + dedup: the Common-Crawl frontier pass — the
 # same page arrives under scheme/host case variants, default ports,

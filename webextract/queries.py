@@ -791,6 +791,20 @@ def q_pack_sequences(spark, sf_dir):
     return corpus.pack_sequences(_read(spark, sf_dir, "documents"))
 
 
+def q_training_export(spark, sf_dir):
+    """End-to-end training-data export manifest — the terminal
+    composition: bpe_train's 4-round merge table counts every doc's
+    subword tokens (bpe_segment's encoder), docs pack into 2048-token
+    sequences per md5-mod shard (pack_sequences' per-shard stream
+    rule), and the manifest rolls up per shard: docs, trained tokens,
+    full+tail sequence counts, and pack_sum — the exact positional
+    checksum pinning every doc's token count at its stream position.
+    The oracle replays the identical 4 training rounds, the trained
+    segmentation, the shard rule, and the per-shard window."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.training_export(docs, corpus.bpe_train(docs, n_merges=4))
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + frontier dedup: five deterministic messy
     spellings per underlying page (case, default port, fragment,
@@ -2653,6 +2667,7 @@ QUERIES = {
     "cdx_fetch": q_cdx_fetch,
     "corpus_report": q_corpus_report,
     "publish_wet_increment": q_publish_wet_increment,
+    "training_export": q_training_export,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
     "stream_hll": q_stream_hll,
@@ -6175,6 +6190,40 @@ def _bpe_oracle(n_rounds: int, final: str = "merges") -> str:
                "GROUP BY r.doc_id, r.chunk_idx")
         return ("WITH RECURSIVE " + ",\n    ".join(ctes)
                 + "\n        " + sel)
+    if final == "export":
+        # terminal composition: trained per-doc token counts (the
+        # segmap replay) -> pack_sequences' md5-mod shard rule -> the
+        # per-shard window -> the export manifest with its positional
+        # checksum.  Budget 2048 / shards 8 / salt 'pack1' match the
+        # pack_sequences defaults.
+        ctes.append(f"""m AS (SELECT w, len({sym})::BIGINT AS ntok
+           FROM {last}),
+    wl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+    cnt AS (SELECT wl.doc_id,
+                   sum(CASE WHEN regexp_matches(wl.w, '^[!-~]+$')
+                            THEN m.ntok ELSE 1 END)::BIGINT AS n_tokens
+            FROM wl LEFT JOIN m ON wl.w = m.w
+            GROUP BY wl.doc_id),
+    allc AS (SELECT d.doc_id, coalesce(c.n_tokens, 0)::BIGINT AS n_tok,
+                    (('0x' || substring(md5('pack1:' || d.doc_id), 1, 8))
+                     ::BIGINT % 8)::INTEGER AS shard
+             FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id),
+    posn AS (SELECT shard, n_tok,
+                    row_number() OVER (PARTITION BY shard
+                                       ORDER BY doc_id) - 1 AS pos
+             FROM allc),
+    agg AS (SELECT shard, count(*)::BIGINT AS n_docs,
+                   sum(n_tok)::BIGINT AS n_tokens,
+                   sum((pos + 1) * n_tok)::BIGINT AS pack_sum
+            FROM posn GROUP BY shard)""")
+        sel = ("SELECT shard, n_docs, n_tokens, "
+               "(CASE WHEN n_tokens = 0 THEN 0 "
+               "ELSE (n_tokens - 1) // 2048 + 1 END)::BIGINT AS n_seqs, "
+               "(CASE WHEN n_tokens = 0 THEN 0 "
+               "ELSE n_tokens - ((n_tokens - 1) // 2048) * 2048 END)"
+               "::BIGINT AS tail_tokens, pack_sum FROM agg")
+        return "WITH " + ",\n    ".join(ctes) + "\n        " + sel
     # final == "segmap": replay the trained segmentation over every
     # doc's words — inadmissible (non-ASCII / empty) words count 1
     ctes.append(f"""m AS (SELECT w, len({sym})::BIGINT AS ntok
@@ -6195,6 +6244,7 @@ def _bpe_oracle(n_rounds: int, final: str = "merges") -> str:
 
 ORACLES["bpe_train"] = _bpe_oracle(4)
 ORACLES["bpe_segment"] = _bpe_oracle(4, final="segmap")
+ORACLES["training_export"] = _bpe_oracle(4, final="export")
 ORACLES["chunk_hybrid_trained"] = _bpe_oracle(4, final="chunks")
 
 # dedup_semantic reuses the embed_ivf_assign oracle verbatim as its
