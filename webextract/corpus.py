@@ -2615,7 +2615,11 @@ def training_export(docs: DataFrame, merges: DataFrame,
     map-side partial aggregation collapsing each task to ≤``shards``
     rows.  Document text never moves; per-shard token streams stay
     far below 2^63 at any real scale, and production raises
-    ``shards`` with the cluster exactly as pack_sequences does."""
+    ``shards`` with the cluster exactly as pack_sequences does.
+    ``pack_sum`` grows ~n_docs_per_shard^2 * avg_tok / 2, so a
+    10^12-doc run folds it modulo a Mersenne prime (the shard_shuffle
+    order_sum convention) — unfolded here because gate scale never
+    approaches int64."""
     seg = bpe_segment(docs, merges)
     base = seg.select(
         "doc_id",
