@@ -172,12 +172,26 @@ def start_mock_describer(fail_first: int = 0, delay_s: float = 0.0):
                 fail = state["failures_left"] > 0
                 if fail:
                     state["failures_left"] -= 1
+            # the slot must be released BEFORE the response leaves:
+            # the client frees its concurrency slot the moment it
+            # reads the reply, which can beat this handler thread's
+            # post-write cleanup — decrementing after the write lets
+            # a replacement request overlap the stale count and
+            # overstate max_in_flight by 1.
+            released = False
+
+            def release():
+                with lock:
+                    state["in_flight"] -= 1
+
             try:
                 if delay_s:
                     time.sleep(delay_s)
                 n = int(self.headers.get("Content-Length", 0))
                 feats = json.loads(self.rfile.read(n))
                 if fail:
+                    released = True
+                    release()
                     self.send_response(500)
                     self.end_headers()
                     return
@@ -186,14 +200,16 @@ def start_mock_describer(fail_first: int = 0, delay_s: float = 0.0):
                             f["label"], f["n_px"])}
                        for f in feats]
                 body = json.dumps(out).encode()
+                released = True
+                release()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
             finally:
-                with lock:
-                    state["in_flight"] -= 1
+                if not released:
+                    release()
 
         def log_message(self, *a):       # silence request logging
             pass
