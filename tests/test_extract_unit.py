@@ -324,3 +324,30 @@ def test_canonical_dedup_resolves_declared_href(spark):
     assert 6 not in out
     assert (out[5]["canon_key"], out[5]["n_variants"]) == (
         "http://a.example/x", 2)
+
+
+def test_jsonld_extract_semantics(spark):
+    """Hand-pinned JSON-LD lift: document-ordered blocks, NULL fields
+    on malformed JSON (block still counted), one all-NULL row for a
+    no-block page, nested whitespace tolerated."""
+    from webextract.corpus import jsonld_extract
+    rows = [
+        (0, '<html><head>'
+            '<script type="application/ld+json">'
+            '{"@type":"Article","name":"A0","datePublished":"2026-01-02"}'
+            '</script>'
+            '<script type="application/ld+json"> {"@type":"Product",'
+            '"name":"P0"} </script></head></html>'),
+        (1, '<html><head><script type="application/ld+json">'
+            '{"@type":"Article","name":</script></head></html>'),
+        (2, "<html><body>nothing structured</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = sorted(
+        (tuple(r) for r in jsonld_extract(df).collect()))
+    assert got == [
+        (0, 0, "Article", "A0", "2026-01-02"),
+        (0, 1, "Product", "P0", None),
+        (1, 0, None, None, None),
+        (2, None, None, None, None),
+    ]

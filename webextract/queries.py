@@ -1530,6 +1530,38 @@ def q_page_metadata(spark, sf_dir):
                     "og_title", "canonical_url", "html_lang"))
 
 
+def q_jsonld_extract(spark, sf_dir):
+    """schema.org JSON-LD extraction over closed-form pages: every doc
+    carries an Article block (name + datePublished), every 3rd doc a
+    second Product block (whitespace-padded, no date), every 7th doc's
+    first block is TRUNCATED JSON (row kept, fields NULL), every 11th
+    doc has no blocks at all (one all-NULL row via outer explode).
+    Both engines build the identical html and re-extract it — regex
+    block lift + JSON field parse must agree, including the
+    invalid-JSON and no-block paths."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    s = k.cast("string")
+    good = F.concat(
+        F.lit('{"@type":"Article","name":"N'), s,
+        F.lit('","datePublished":"2026-0'),
+        (k % 9 + 1).cast("string"), F.lit('-15"}'))
+    first = F.when(k % 7 == 0,
+                   F.lit('{"@type":"Article","name":')).otherwise(good)
+    prod = F.concat(F.lit(' {"@type":"Product","name":"P'), s,
+                    F.lit('"} '))
+    html = F.when(k % 11 == 0,
+                  F.lit("<html><body>no structured data</body></html>"))\
+        .otherwise(F.concat(
+            F.lit('<html><head><script type="application/ld+json">'),
+            first, F.lit("</script>"),
+            F.when(k % 3 == 0, F.concat(
+                F.lit('<script type="application/ld+json">'),
+                prod, F.lit("</script>"))).otherwise(F.lit("")),
+            F.lit("</head><body>x</body></html>")))
+    return corpus.jsonld_extract(d.select("doc_id", html.alias("html")))
+
+
 def q_parse_sitemap_index(spark, sf_dir):
     """<sitemapindex> parsing — the sitemap protocol's recursion step.
     Each of the 13 hosts serves an index with: a child with lastmod
@@ -2668,6 +2700,7 @@ QUERIES = {
     "corpus_report": q_corpus_report,
     "publish_wet_increment": q_publish_wet_increment,
     "training_export": q_training_export,
+    "jsonld_extract": q_jsonld_extract,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
     "stream_hll": q_stream_hll,
@@ -6245,6 +6278,49 @@ def _bpe_oracle(n_rounds: int, final: str = "merges") -> str:
 ORACLES["bpe_train"] = _bpe_oracle(4)
 ORACLES["bpe_segment"] = _bpe_oracle(4, final="segmap")
 ORACLES["training_export"] = _bpe_oracle(4, final="export")
+
+# jsonld_extract: rebuild the identical closed-form html, lift script
+# blocks with the same lazy-dotall regex, parse fields only when the
+# block is valid JSON (get_json_object's NULL-on-malformed contract).
+ORACLES["jsonld_extract"] = r"""
+    WITH pages AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0
+             THEN '<html><body>no structured data</body></html>'
+        ELSE '<html><head><script type="application/ld+json">'
+          || CASE WHEN doc_id % 7 = 0
+                  THEN '{"@type":"Article","name":'
+             ELSE '{"@type":"Article","name":"N' || doc_id
+                  || '","datePublished":"2026-0' || (doc_id % 9 + 1)
+                  || '-15"}' END
+          || '</script>'
+          || CASE WHEN doc_id % 3 = 0
+                  THEN '<script type="application/ld+json">'
+                       || ' {"@type":"Product","name":"P' || doc_id
+                       || '"} ' || '</script>'
+                  ELSE '' END
+          || '</head><body>x</body></html>' END AS html
+      FROM documents),
+    blk AS (
+      SELECT doc_id, regexp_extract_all(html,
+          '(?s)<script type="application/ld\+json">(.*?)</script>',
+          1) AS bs
+      FROM pages),
+    rows_ AS (
+      SELECT doc_id, (i - 1)::INTEGER AS block_idx, bs[i] AS j
+      FROM blk, unnest(generate_series(1, len(bs))) AS t(i)),
+    parsed AS (
+      SELECT doc_id, block_idx,
+        CASE WHEN json_valid(j)
+             THEN json_extract_string(j, '$."@type"') END AS item_type,
+        CASE WHEN json_valid(j)
+             THEN json_extract_string(j, '$.name') END AS name,
+        CASE WHEN json_valid(j)
+             THEN json_extract_string(j, '$.datePublished') END
+            AS date_published
+      FROM rows_)
+    SELECT b.doc_id, p.block_idx, p.item_type, p.name, p.date_published
+    FROM blk b LEFT JOIN parsed p ON b.doc_id = p.doc_id"""
 ORACLES["chunk_hybrid_trained"] = _bpe_oracle(4, final="chunks")
 
 # dedup_semantic reuses the embed_ivf_assign oracle verbatim as its
