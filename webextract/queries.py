@@ -2692,7 +2692,11 @@ QUERIES = {
     # are compositions over already-driver-checked rules/machinery;
     # past-the-cap with pytest-oracle evidence at sf0.01, sf0.1 AND
     # sf1 (BENCH.md round-5 session-2 note) — first in line for the
-    # next rotation window
+    # next rotation window.  The two round-close additions
+    # (training_export — a composition of the driver-checked
+    # bpe_train/bpe_segment/pack_sequences rules — and jsonld_extract)
+    # carry the same sf0.01 + sf1 pytest-oracle evidence (BENCH.md
+    # sf1 note)
     "corpus_funnel": q_corpus_funnel,
     "shard_shuffle": q_shard_shuffle,
     "wet_roundtrip": q_wet_roundtrip,
