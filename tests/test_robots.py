@@ -160,3 +160,34 @@ def test_robots_sitemaps_extraction(spark):
     assert rows == [("a.com", "http://a.com/caps.xml"),
                     ("a.com", "http://a.com/in-group.xml"),
                     ("a.com", "http://a.com/top.xml")]
+
+
+def test_parse_feeds_hand_reference(spark):
+    """RSS element-text vs Atom non-self-href link rules, entity
+    decode amp-last, empty-link drop, NULL title/date."""
+    rss = ('<rss version="2.0"><channel><title>C</title>'
+           '<item><title> A &amp;&amp;lt; t </title>'
+           '<link> http://a.example/p?x=1&amp;y=2 </link>'
+           '<pubDate>Mon, 05 Jan 2026 00:00:00 GMT</pubDate></item>'
+           '<item><link>http://a.example/q</link></item>'
+           '<item><title>drop</title><link> </link></item>'
+           '</channel></rss>')
+    atom = ('<feed><title>F</title>'
+            '<entry><title>E1</title>'
+            '<link rel="self" href="http://b.example/feed.xml"/>'
+            '<link rel="alternate" href="http://b.example/e?a=1&amp;b=2"/>'
+            '<updated>2026-02-03T00:00:00Z</updated></entry>'
+            '<entry><link rel="self" href="http://b.example/feed.xml"/>'
+            '</entry></feed>')
+    df = spark.createDataFrame(
+        [("a.example", rss), ("b.example", atom)],
+        "host string, feed_xml string")
+    got = sorted(tuple(r) for r in corpus.parse_feeds(df).collect())
+    assert got == [
+        # &amp;&amp;lt; decodes amp-LAST to '&&lt;', never '<'
+        ("a.example", "rss", "http://a.example/p?x=1&y=2",
+         "A &&lt; t", "Mon, 05 Jan 2026 00:00:00 GMT"),
+        ("a.example", "rss", "http://a.example/q", None, None),
+        ("b.example", "atom", "http://b.example/e?a=1&b=2",
+         "E1", "2026-02-03T00:00:00Z"),
+    ]

@@ -3780,6 +3780,70 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
         .filter(F.col("url") != ""))
 
 
+def _xml_unescape(col: Column) -> Column:
+    """The 5 XML builtin entities decoded amp-LAST (so &amp;lt;
+    decodes to the literal '&lt;', not '<') — the _sitemap_loc_lastmod
+    rule, shared with feed parsing."""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def parse_feeds(feeds: DataFrame) -> DataFrame:
+    """(host, kind, url, title, published): RSS 2.0 + Atom feed
+    parsing — the PUSH half of crawl discovery (sitemaps enumerate a
+    site's full url inventory; feeds announce what changed NOW, so a
+    recrawl planner polls them between sitemap sweeps).  Input:
+    (host, feed_xml) bodies as fetched; output one row per
+    <item>/<entry> with its resolved link, title, and the served
+    timestamp string (<pubDate> / <updated>; NULL when absent —
+    timestamps stay strings because feed date formats are a
+    compatibility swamp the scheduler's try-parse owns).
+
+    Dialect rules: documents containing '<rss' parse as RSS 2.0
+    (entry link = <link> element text), anything else as Atom (entry
+    link = the href of the first <link> tag NOT marked rel="self" —
+    feeds list their own address first, and a planner must not
+    enqueue the feed as if it were an article).  Entries with no
+    usable link drop; url and title decode the 5 XML builtin
+    entities amp-last (the sitemap <loc> rule).
+
+    All built-ins end-to-end: block-first regexp_extract_all (fields
+    never pair across entries), an array filter + null-safe get for
+    the Atom link rule, narrow projections, one generator, zero
+    shuffle — the parse_sitemaps scale shape exactly."""
+    kind = (F.when(F.col("feed_xml").contains("<rss"), F.lit("rss"))
+            .otherwise(F.lit("atom")))
+    items = F.expr(
+        "regexp_extract_all(feed_xml, '(?s)<item>(.*?)</item>', 1)")
+    entries = F.expr(
+        "regexp_extract_all(feed_xml, '(?s)<entry>(.*?)</entry>', 1)")
+    b = feeds.select(
+        "host", kind.alias("kind"),
+        F.explode(F.when(kind == "rss", items)
+                  .otherwise(entries)).alias("b"))
+    title = _xml_unescape(F.regexp_extract(
+        F.col("b"), r"(?s)<title>\s*(.*?)\s*</title>", 1))
+    rss_link = _xml_unescape(F.regexp_extract(
+        F.col("b"), r"(?s)<link>\s*(.*?)\s*</link>", 1))
+    links = F.expr("regexp_extract_all(b, '<link[^>]*>', 0)")
+    alt = F.get(F.filter(
+        links, lambda x: ~x.contains('rel="self"')), 0)
+    atom_link = _xml_unescape(
+        F.regexp_extract(alt, r'href="([^"]*)"', 1))
+    url = F.when(F.col("kind") == "rss", rss_link).otherwise(atom_link)
+    pub = F.when(F.col("kind") == "rss", F.regexp_extract(
+        F.col("b"), r"(?s)<pubDate>\s*(.*?)\s*</pubDate>", 1)) \
+        .otherwise(F.regexp_extract(
+            F.col("b"), r"(?s)<updated>\s*(.*?)\s*</updated>", 1))
+    return (b.select(
+        "host", "kind", url.alias("url"),
+        F.when(title == "", None).otherwise(title).alias("title"),
+        F.when(pub == "", None).otherwise(pub).alias("published"))
+        .filter(F.col("url").isNotNull() & (F.col("url") != "")))
+
+
 # admission rule for untrusted numeric text: an optionally-signed
 # ASCII digit run surrounded only by ASCII whitespace.  Bare try_cast
 # is NOT engine-portable on garbage — Spark trims ISO control chars

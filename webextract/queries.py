@@ -1530,6 +1530,59 @@ def q_page_metadata(spark, sf_dir):
                     "og_title", "canonical_url", "html_lang"))
 
 
+def q_parse_feeds(spark, sf_dir):
+    """RSS 2.0 + Atom feed parsing — the push half of crawl discovery.
+    13 hosts: even serve RSS (entity-escaped title + link, a no-date
+    item, an empty-link item that must drop, every-4th-host an
+    untitled item), odd serve Atom (rel=self link listed BEFORE the
+    alternate — the self-link filter is load-bearing — an href-only
+    entry, every-3rd-host a self-link-only entry that must drop).
+    The oracle rebuilds the same bodies and replays the identical
+    block-first extraction, link rules, and amp-last entity decode."""
+    d = _read(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 13
+    ks = k.cast("string")
+    host = F.concat(F.lit("h"), ks, F.lit(".example.com"))
+    mon = (k % 9 + 1).cast("string")
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>Chan '), ks,
+        F.lit("</title>\n<item><title> First &amp; best "), ks,
+        F.lit(" </title><link> http://h"), ks,
+        F.lit(".example.com/a?x=1&amp;y=2 </link><pubDate>Mon, 0"),
+        mon, F.lit(" Jan 2026 00:00:00 GMT</pubDate></item>\n"
+                   "<item><title>NoDate "), ks,
+        F.lit("</title><link>http://h"), ks,
+        F.lit(".example.com/b</link></item>\n"
+              "<item><title>dropme</title><link>  </link></item>\n"),
+        F.when(k % 4 == 0, F.concat(
+            F.lit("<item><link>http://h"), ks,
+            F.lit(".example.com/c</link></item>\n"))).otherwise(F.lit("")),
+        F.lit("</channel></rss>"))
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>Feed '),
+        ks, F.lit("</title>\n<entry><title> Entry &amp; one "), ks,
+        F.lit(' </title><link rel="self" href="http://h'), ks,
+        F.lit('.example.com/feed.xml"/>'
+              '<link rel="alternate" href="http://h'), ks,
+        F.lit('.example.com/e1?a=1&amp;b=2"/><updated>2026-0'), mon,
+        F.lit("-03T00:00:00Z</updated></entry>\n"
+              "<entry><title>E2 "), ks,
+        F.lit('</title><link href="http://h'), ks,
+        F.lit('.example.com/e2"/></entry>\n'),
+        F.when(k % 3 == 0, F.concat(
+            F.lit('<entry><title>SelfOnly</title>'
+                  '<link rel="self" href="http://h'), ks,
+            F.lit('.example.com/feed.xml"/></entry>\n')))
+        .otherwise(F.lit("")),
+        F.lit("</feed>"))
+    feeds = (d.select(k.alias("kk")).distinct()
+             .withColumn("doc_id", F.col("kk"))
+             .select(host.alias("host"),
+                     F.when(k % 2 == 0, rss).otherwise(atom)
+                     .alias("feed_xml")))
+    return corpus.parse_feeds(feeds)
+
+
 def q_jsonld_extract(spark, sf_dir):
     """schema.org JSON-LD extraction over closed-form pages: every doc
     carries an Article block (name + datePublished), every 3rd doc a
@@ -2705,6 +2758,7 @@ QUERIES = {
     "publish_wet_increment": q_publish_wet_increment,
     "training_export": q_training_export,
     "jsonld_extract": q_jsonld_extract,
+    "parse_feeds": q_parse_feeds,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
     "stream_hll": q_stream_hll,
@@ -6282,6 +6336,97 @@ def _bpe_oracle(n_rounds: int, final: str = "merges") -> str:
 ORACLES["bpe_train"] = _bpe_oracle(4)
 ORACLES["bpe_segment"] = _bpe_oracle(4, final="segmap")
 ORACLES["training_export"] = _bpe_oracle(4, final="export")
+
+def _sql_xmldec(x: str) -> str:
+    """The amp-last 5-entity XML decode as a DuckDB expression (the
+    _xml_unescape rule)."""
+    return ("replace(replace(replace(replace(replace(" + x +
+            ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+            "'&apos;', ''''), '&amp;', '&')")
+
+
+# parse_feeds: rebuild the 13 closed-form feed bodies, replay the
+# block-first item/entry extraction, the RSS element-text vs Atom
+# non-self-href link rules, and the amp-last entity decode.
+_DEC_RSS = _sql_xmldec("rsslink")
+_DEC_ATOM = _sql_xmldec(
+    'regexp_extract(alttag, \'href="([^"]*)"\', 1)')
+_DEC_TITLE = _sql_xmldec("rawtitle")
+ORACLES["parse_feeds"] = f"""
+    WITH hosts AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
+    feeds AS (
+      SELECT 'h' || k || '.example.com' AS host,
+        CASE WHEN k % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+        CASE WHEN k % 2 = 0 THEN
+          '<rss version="2.0"><channel><title>Chan ' || k || '</title>'
+          || chr(10) ||
+          '<item><title> First &amp; best ' || k
+          || ' </title><link> http://h' || k
+          || '.example.com/a?x=1&amp;y=2 </link><pubDate>Mon, 0'
+          || (k % 9 + 1) || ' Jan 2026 00:00:00 GMT</pubDate></item>'
+          || chr(10) ||
+          '<item><title>NoDate ' || k || '</title><link>http://h' || k
+          || '.example.com/b</link></item>' || chr(10) ||
+          '<item><title>dropme</title><link>  </link></item>' || chr(10)
+          || CASE WHEN k % 4 = 0
+                  THEN '<item><link>http://h' || k
+                       || '.example.com/c</link></item>' || chr(10)
+                  ELSE '' END
+          || '</channel></rss>'
+        ELSE
+          '<feed xmlns="http://www.w3.org/2005/Atom"><title>Feed '
+          || k || '</title>' || chr(10) ||
+          '<entry><title> Entry &amp; one ' || k
+          || ' </title><link rel="self" href="http://h' || k
+          || '.example.com/feed.xml"/><link rel="alternate" href="http://h'
+          || k || '.example.com/e1?a=1&amp;b=2"/><updated>2026-0'
+          || (k % 9 + 1) || '-03T00:00:00Z</updated></entry>' || chr(10)
+          || '<entry><title>E2 ' || k || '</title><link href="http://h'
+          || k || '.example.com/e2"/></entry>' || chr(10)
+          || CASE WHEN k % 3 = 0
+                  THEN '<entry><title>SelfOnly</title>'
+                       || '<link rel="self" href="http://h' || k
+                       || '.example.com/feed.xml"/></entry>' || chr(10)
+                  ELSE '' END
+          || '</feed>'
+        END AS feed_xml
+      FROM hosts),
+    blk AS (
+      SELECT host, kind,
+        CASE WHEN kind = 'rss'
+             THEN regexp_extract_all(feed_xml,
+                                     '(?s)<item>(.*?)</item>', 1)
+             ELSE regexp_extract_all(feed_xml,
+                                     '(?s)<entry>(.*?)</entry>', 1)
+        END AS bs
+      FROM feeds),
+    rows_ AS (SELECT host, kind, bs[i] AS b
+              FROM blk, unnest(generate_series(1, len(bs))) AS t(i)),
+    fld AS (
+      SELECT host, kind,
+        regexp_extract(b, '(?s)<title>\\s*(.*?)\\s*</title>', 1)
+            AS rawtitle,
+        regexp_extract(b, '(?s)<link>\\s*(.*?)\\s*</link>', 1)
+            AS rsslink,
+        list_filter(regexp_extract_all(b, '<link[^>]*>'),
+                    x -> NOT contains(x, 'rel="self"'))[1] AS alttag,
+        regexp_extract(b, '(?s)<pubDate>\\s*(.*?)\\s*</pubDate>', 1)
+            AS pubd,
+        regexp_extract(b, '(?s)<updated>\\s*(.*?)\\s*</updated>', 1)
+            AS upd
+      FROM rows_),
+    dec AS (
+      SELECT host, kind,
+        CASE WHEN kind = 'rss' THEN {_DEC_RSS}
+             ELSE {_DEC_ATOM}
+        END AS url,
+        {_DEC_TITLE} AS title0,
+        CASE WHEN kind = 'rss' THEN pubd ELSE upd END AS pub
+      FROM fld)
+    SELECT host, kind, url,
+      CASE WHEN title0 = '' THEN NULL ELSE title0 END AS title,
+      CASE WHEN pub = '' THEN NULL ELSE pub END AS published
+    FROM dec WHERE url IS NOT NULL AND url <> ''"""
 
 # jsonld_extract: rebuild the identical closed-form html, lift script
 # blocks with the same lazy-dotall regex, parse fields only when the
