@@ -78,7 +78,7 @@ HEADLINE = [
     "media_exif", "media_exif_strip", "decontaminate", "media_video_ocr",
     "corpus_funnel", "shard_shuffle", "wet_roundtrip", "cdx_fetch",
     "corpus_report", "publish_wet_increment", "training_export",
-    "jsonld_extract", "parse_feeds",
+    "jsonld_extract", "parse_feeds", "lang_pivot",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

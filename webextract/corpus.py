@@ -4631,6 +4631,28 @@ def shard_shuffle(docs: DataFrame, shards: int = SHUFFLE_SHARDS,
                  .cast("long").alias("order_sum")))
 
 
+def lang_pivot(docs: DataFrame,
+               langs: tuple = ("de", "en", "es", "fr", "zh")) -> DataFrame:
+    """(source, <one long column per lang>): the language × source
+    composition matrix — corpus_report's rollup turned sideways into
+    the wide table a dataset card prints.  Exercises Spark's pivot
+    surface (PivotFirst / conditional aggregation).
+
+    ``langs`` is passed EXPLICITLY: pivot without a values list runs
+    a whole extra job just to discover the distinct pivot values — a
+    full corpus scan at 100 TB — while an explicit catalog-sized list
+    compiles straight to one map-side conditional aggregation and ONE
+    exchange on source.  Absent cells surface as 0, not NULL (the
+    count contract).  Langs outside the list are dropped by pivot;
+    callers wanting an 'other' column pre-bucket the lang column."""
+    p = (docs.select("source", "lang")
+         .groupBy("source").pivot("lang", list(langs)).count())
+    return p.select(
+        "source",
+        *[F.coalesce(F.col(f"`{lg}`"), F.lit(0)).cast("long").alias(lg)
+          for lg in langs])
+
+
 def corpus_report(docs: DataFrame) -> DataFrame:
     """(lvl, lang, source, n_docs, n_tokens, n_chars): the dataset-card
     composition table at every rollup level in ONE pass — per

@@ -2553,6 +2553,13 @@ def q_cdx_fetch(spark, sf_dir):
 
 
 
+def q_lang_pivot(spark, sf_dir):
+    """The lang x source composition matrix via Spark's pivot surface
+    (explicit values list -> one conditional-agg pass, no discovery
+    job).  The oracle is the same matrix as per-lang FILTER counts."""
+    return corpus.lang_pivot(_read(spark, sf_dir, "documents"))
+
+
 def q_corpus_report(spark, sf_dir):
     """Grouping-sets dataset-card report (r5): leaf cells, per-lang
     subtotals and the grand total in ONE rollup pass, lvl = the
@@ -2759,6 +2766,7 @@ QUERIES = {
     "training_export": q_training_export,
     "jsonld_extract": q_jsonld_extract,
     "parse_feeds": q_parse_feeds,
+    "lang_pivot": q_lang_pivot,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
     "stream_hll": q_stream_hll,
@@ -6336,6 +6344,16 @@ def _bpe_oracle(n_rounds: int, final: str = "merges") -> str:
 ORACLES["bpe_train"] = _bpe_oracle(4)
 ORACLES["bpe_segment"] = _bpe_oracle(4, final="segmap")
 ORACLES["training_export"] = _bpe_oracle(4, final="export")
+
+ORACLES["lang_pivot"] = """
+    SELECT source,
+      count(*) FILTER (lang = 'de')::BIGINT AS de,
+      count(*) FILTER (lang = 'en')::BIGINT AS en,
+      count(*) FILTER (lang = 'es')::BIGINT AS es,
+      count(*) FILTER (lang = 'fr')::BIGINT AS fr,
+      count(*) FILTER (lang = 'zh')::BIGINT AS zh
+    FROM documents GROUP BY source"""
+
 
 def _sql_xmldec(x: str) -> str:
     """The amp-last 5-entity XML decode as a DuckDB expression (the
