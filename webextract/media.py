@@ -32,6 +32,23 @@ from webextract import jpegmini
 REAL_MEDIA = os.environ.get("WEBEXTRACT_REAL_MEDIA", "") == "1"
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Conditional parallelism barrier for the CPU-heavy codec kernels —
+    the media twin of corpus._spread (same probe, same skip-at-scale
+    contract).  A single-row-group test parquet yields ONE scan task no
+    matter how fine maxPartitionBytes is (a Parquet row group is the
+    split atom), which serialized every encode+decode fixture onto one
+    core (measured: media_video_ocr 35.8 s on local[32] = pure serial).
+    The exchange, when it fires, carries the column-pruned narrow input
+    (doc_id [+ text]) — never a media payload; at 100 TB the source
+    arrives as thousands of row groups and the barrier self-disables."""
+    from webextract.session import est_scan_partitions
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if est_scan_partitions(df) < p:
+        return df.repartition(p * 2, F.col(key))
+    return df
+
+
 def _media_from_doc_id(make_fn):
     """Factory for the with_X_media gate-input generators (r4 review:
     the per-codec wrappers were N copies of one closure): attach a
@@ -43,7 +60,7 @@ def _media_from_doc_id(make_fn):
                     {"doc_id": pdf["doc_id"],
                      "media": [make_fn(int(d)) for d in pdf["doc_id"]]})
 
-        return docs.select("doc_id").mapInPandas(
+        return _spread(docs.select("doc_id")).mapInPandas(
             gen, "doc_id bigint, media binary")
 
     return attach
@@ -58,7 +75,7 @@ def _media_from_text(render_fn):
                     {"doc_id": pdf["doc_id"],
                      "media": [render_fn(t or "") for t in pdf["text"]]})
 
-        return docs.select("doc_id", "text").mapInPandas(
+        return _spread(docs.select("doc_id", "text")).mapInPandas(
             gen, "doc_id bigint, media binary")
 
     return attach
