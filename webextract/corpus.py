@@ -4680,3 +4680,234 @@ def corpus_report(docs: DataFrame) -> DataFrame:
                  F.sum("n_chr").cast("long").alias("n_chars"))
             .select("lvl", "lang", "source",
                     "n_docs", "n_tokens", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# registrable domains (public-suffix list)
+# ---------------------------------------------------------------------------
+
+# Pinned public-suffix snapshot (publicsuffix.org format, catalog-sized
+# excerpt): multi-label entries ('co.uk', 'github.io') are what make
+# naive "last two labels" grouping wrong — site7.github.io and
+# site9.github.io are DIFFERENT registrants, while www.site7.co.uk and
+# cdn.site7.co.uk are the same one.  The real list is ~10k rows — still
+# broadcast-sized; the snapshot is the deterministic test fixture.
+PSL_SNAPSHOT = (
+    "com", "org", "net", "edu", "io", "dev",
+    "uk", "co.uk", "org.uk", "ac.uk",
+    "au", "com.au", "net.au",
+    "jp", "co.jp", "ne.jp",
+    "github.io", "blogspot.com",
+)
+
+
+def registrable_domains(pages: DataFrame, psl: tuple = PSL_SNAPSHOT,
+                        id_col: str = "doc_id") -> DataFrame:
+    """(domain, suffix, n_docs, n_hosts): group pages by REGISTRABLE
+    domain — one label left of the LONGEST matching public suffix (the
+    publicsuffix.org algorithm) — the unit every per-registrant policy
+    (crawl budgets, dedup scopes, licensing blocklists, per-site
+    quality priors) actually wants.  Hosts that ARE a bare public
+    suffix have no registrant and drop (PSL rule).
+
+    Scale shape: same trick as frontier_filter — the host explodes
+    into its bounded dot-suffix set (narrow, <= ~10 rows per url,
+    never a payload) and longest-match becomes a broadcast EQUI-join
+    on suffix + one max_by(labels) agg back to url granularity; the
+    only corpus-wide exchange is the final catalog-sized groupBy
+    domain.  No regex over the PSL, no endswith theta-join.
+    """
+    host = F.lower(F.regexp_extract(
+        F.regexp_replace(F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://",
+                         ""), "^([^/:?]*)", 1))
+    base = pages.select(F.col(id_col).alias("doc_id"),
+                        host.alias("host"))
+    sufs = base.select(
+        "doc_id", "host",
+        F.explode(_host_suffixes(F.col("host"))).alias("suf"))
+    pslf = pages.sparkSession.createDataFrame(
+        [(s, s.count(".") + 1) for s in psl], "suf string, nsuf int")
+    best = (sufs.join(F.broadcast(pslf), "suf")
+            .groupBy("doc_id", "host")
+            .agg(F.max_by(F.struct("nsuf", "suf"), "nsuf").alias("m")))
+    labels = F.split(F.col("host"), "\\.")
+    n = F.size(labels)
+    dom = (best
+           .select("host",
+                   F.col("m.suf").alias("suffix"),
+                   F.col("m.nsuf").alias("nsuf"))
+           # bare-suffix hosts have no label left of the match -> drop
+           .filter(n > F.col("nsuf"))
+           .select("host", "suffix",
+                   F.array_join(
+                       F.slice(labels, n - F.col("nsuf"),
+                               F.col("nsuf") + 1), ".").alias("domain")))
+    return (dom.groupBy("domain", "suffix")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("host").cast("long").alias("n_hosts")))
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: mergeable distinct + SET INTERSECTION estimates
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_MAX = 1 << 56          # the hash domain: 56 bits of md5, like HLL
+
+
+def _kmv_hash(token_col, salt: str = "kmv1"):
+    """56-bit md5 hash, the same engine/oracle-identical recipe as
+    hll_idx_rho (first 14 hex chars -> bigint)."""
+    hx = F.md5(F.concat_ws(":", F.lit(salt), token_col))
+    return F.conv(F.substring(hx, 1, 14), 16, 10).cast("long")
+
+
+def kmv_sketches(docs: DataFrame, group_col: str = "lang",
+                 salt: str = "kmv1", k: int = KMV_K) -> DataFrame:
+    """(grp, hs: array<long>): the k smallest DISTINCT token hashes per
+    group — a KMV/theta sketch (Bar-Yossef et al. 2002; Dasgupta et
+    al., the DataSketches theta line).  k-min sets merge under
+    union-then-keep-k-smallest, so the frame composes across
+    snapshots/streams exactly like the HLL/Bloom/Misra-Gries family —
+    and unlike HLL it supports INTERSECTION estimates (kmv_overlap).
+
+    Scale shape: the token stream never shuffles at vocabulary
+    cardinality — an Arrow kernel folds each partition to its local
+    distinct k-min (<= groups x k longs leaving ANY partition), and the
+    ONE exchange carries n_partitions x groups bounded arrays that
+    merge via flatten -> array_distinct -> sort -> slice.  Same
+    partial-aggregate discipline as hll_registers."""
+    tok = docs.select(F.col(group_col).alias("grp"),
+                      F.explode(F.split(F.col("text"), " ")).alias("token"))
+    h = tok.select("grp", _kmv_hash(F.col("token"), salt).alias("h"))
+
+    def kmin(batches):
+        sets: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("grp")["h"]:
+                s = sets.setdefault(g, set())
+                s.update(int(v) for v in sub.unique())
+                if len(s) > 8 * k:          # bounded partition state
+                    sets[g] = set(sorted(s)[:k])
+        yield pd.DataFrame(
+            [{"grp": g, "hs": sorted(s)[:k]} for g, s in sets.items()],
+            columns=["grp", "hs"])
+
+    part = h.mapInPandas(kmin, "grp string, hs array<long>")
+    return part.groupBy("grp").agg(
+        F.slice(F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list("hs")))), 1, k).alias("hs"))
+
+
+def kmv_overlap(docs: DataFrame, group_col: str = "lang",
+                salt: str = "kmv1", k: int = KMV_K) -> DataFrame:
+    """(grp_a, grp_b, est_a, est_b, est_inter, exact_inter): pairwise
+    distinct-token cardinality AND intersection estimates between
+    groups from their KMV sketches — the cross-corpus overlap audit
+    (contamination screens, source-redundancy checks) that mergeable
+    counters alone cannot answer.
+
+    Estimator, all-integer so both engines agree bitwise: with a full
+    sketch, D ~= (k-1) * 2^56 div h_k; a sketch with fewer than k
+    distinct values IS its set (estimate = size, theta = 2^56).  For a
+    pair, theta = least of the two h_k bounds and est_inter = |{h in
+    both sketches, h < theta}| * 2^56 div theta (theta-sketch
+    intersection).  exact_inter is gate-scale evidence — the exact
+    side IS the vocabulary-cardinality shuffle the sketch avoids;
+    production drops it.  The pair frame is groups^2 rows of k-long
+    arrays — catalog-sized, driver-safe."""
+    sk = kmv_sketches(docs, group_col, salt, k).select(
+        "grp", "hs", F.size("hs").alias("n"),
+        F.when(F.size("hs") < k, F.lit(_KMV_MAX))
+         .otherwise(F.element_at("hs", k)).alias("kth"))
+    est = F.when(F.col("n") < k, F.col("n").cast("long")).otherwise(
+        F.expr(f"CAST({(k - 1) * _KMV_MAX} AS BIGINT) div kth"))
+    sk = sk.select("grp", "hs", "kth", est.alias("est"))
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = (a.join(b, F.col("a.grp") < F.col("b.grp"))
+             .select(F.col("a.grp").alias("grp_a"),
+                     F.col("b.grp").alias("grp_b"),
+                     F.col("a.est").alias("est_a"),
+                     F.col("b.est").alias("est_b"),
+                     F.least("a.kth", "b.kth").alias("theta"),
+                     F.col("a.hs").alias("hs_a"),
+                     F.col("b.hs").alias("hs_b")))
+    matched = F.size(F.array_intersect(
+        F.filter("hs_a", lambda x: x < F.col("theta")),
+        F.filter("hs_b", lambda x: x < F.col("theta")))).cast("long")
+    estim = pairs.select(
+        "grp_a", "grp_b", "est_a", "est_b",
+        F.expr(f"CAST({_KMV_MAX} AS BIGINT)").alias("mx"),
+        matched.alias("matched"), "theta")
+    tok = docs.select(F.col(group_col).alias("grp"),
+                      F.explode(F.split(F.col("text"), " "))
+                      .alias("token")).distinct()
+    xa, xb = tok.alias("xa"), tok.alias("xb")
+    exact = (xa.join(xb, (F.col("xa.token") == F.col("xb.token"))
+                     & (F.col("xa.grp") < F.col("xb.grp")))
+             .groupBy(F.col("xa.grp").alias("grp_a"),
+                      F.col("xb.grp").alias("grp_b"))
+             .agg(F.count("*").cast("long").alias("exact_inter")))
+    return (estim
+            .join(exact, ["grp_a", "grp_b"], "left")
+            .select("grp_a", "grp_b", "est_a", "est_b",
+                    F.expr("matched * mx div theta").alias("est_inter"),
+                    F.coalesce("exact_inter", F.lit(0).cast("long"))
+                    .alias("exact_inter")))
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance: the distributed half of PCA / whitening
+# ---------------------------------------------------------------------------
+
+def embed_covariance(emb: DataFrame, group_col: str = "label",
+                     vec_col: str = "embedding",
+                     scale: int = 10 ** 6) -> DataFrame:
+    """(label, i, j, n, sum_i, sum_j, sum_ij, cov_num): the exact
+    integer second-moment table over micro-unit-quantized embedding
+    components, upper triangle (1-based, i <= j) — the distributed
+    input to PCA / whitening / Mahalanobis dedup radii.  The d x d
+    eigendecomposition is a driver-side numpy call on this
+    catalog-sized frame (d=64 -> 2080 rows); the CORPUS-side pass here
+    is the only part that touches 10^12 rows.
+
+    Engine-exactness contract: components quantize via floor(x * 10^6)
+    on the float32->double widened value (floor is rounding-mode-free,
+    unlike round's half-up/half-even split across engines); products
+    and sums are integers; cov_num = n*sum_ij - sum_i*sum_j is
+    computed in decimal(38,0)/hugeint so a 10^12-row sum cannot wrap.
+    cov_num / (n*(n-1)) / 10^12 recovers the sample covariance in
+    float, but that division happens in the CONSUMER (numpy), never in
+    the gate.
+
+    Scale shape: one narrow projection explodes each row into its
+    d(d+1)/2 index-pair products (never the payload; d=64 -> 2080
+    shorts per row), and map-side partial aggregation collapses every
+    partition to |labels| x 2080 rows before the ONE exchange — the
+    same bounded-exchange discipline as the sketch family.  No
+    self-join, no d^2 shuffle of the corpus."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"))
+    base = emb.select(F.col(group_col).alias("label"), q.alias("q"))
+    pairs = base.select(
+        "label",
+        F.explode(F.expr(
+            "flatten(transform(q, (x, i) -> "
+            "  transform(slice(q, i + 1, size(q) - i), (y, j) -> "
+            "    struct(i + 1 AS i, i + j + 1 AS j, "
+            "           x AS xi, y AS yj, x * y AS p))))")).alias("e"))
+    agg = (pairs.groupBy("label", F.col("e.i").alias("i"),
+                         F.col("e.j").alias("j"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("e.xi").cast("decimal(38,0)")).alias("si"),
+                F.sum(F.col("e.yj").cast("decimal(38,0)")).alias("sj"),
+                F.sum(F.col("e.p").cast("decimal(38,0)")).alias("sp")))
+    return agg.select(
+        "label", "i", "j", F.col("n").cast("long").alias("n"),
+        F.col("si").cast("bigint").alias("sum_i"),
+        F.col("sj").cast("bigint").alias("sum_j"),
+        F.col("sp").cast("bigint").alias("sum_ij"),
+        (F.col("n").cast("decimal(38,0)") * F.col("sp")
+         - F.col("si") * F.col("sj")).cast("decimal(38,0)")
+        .alias("cov_num"))

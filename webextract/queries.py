@@ -2616,6 +2616,41 @@ def q_publish_wet_increment(spark, sf_dir):
     return _doc_id(back).select("doc_id", "text")
 
 
+def q_host_domains(spark, sf_dir):
+    """Registrable-domain rollup (publicsuffix.org longest-match):
+    hosts synthesized from doc_id across all 18 pinned PSL suffixes,
+    with single- and multi-label subdomains ('', www., cdn., a.b.) and
+    a bare-suffix case (doc_id%37==0 -> host IS the suffix, which has
+    no registrant and must drop).  site7.github.io and site9.github.io
+    stay separate registrants; www./cdn. variants of one site fold."""
+    psl = list(corpus.PSL_SNAPSHOT)
+    sub = (F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+           .when(F.col("doc_id") % 4 == 1, F.lit("www."))
+           .when(F.col("doc_id") % 4 == 2, F.lit("cdn."))
+           .otherwise(F.lit("a.b.")))
+    suf = F.element_at(F.array(*[F.lit(s) for s in psl]),
+                       (F.col("doc_id") % 18).cast("int") + 1)
+    host = F.when(
+        F.col("doc_id") % 37 == 0, suf
+    ).otherwise(F.concat(sub, F.lit("site"),
+                         (F.col("doc_id") % 23).cast("string"),
+                         F.lit("."), suf))
+    pages = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("http://"), host, F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return corpus.registrable_domains(pages)
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """KMV/theta sketches per lang + pairwise intersection estimates
+    (the overlap audit HLL cannot do).  All-integer estimator: both
+    engines compute (k-1)*2^56 div h_k and matched*2^56 div theta on
+    the same 56-bit md5 hashes, so the gate is hash-exact, and
+    exact_inter evidences the estimate at gate scale."""
+    return corpus.kmv_overlap(_read(spark, sf_dir, "documents"))
+
+
 # Registry ORDER is the driver-coverage rotation schedule: the driver's
 # CORRECTNESS gate checks exactly the FIRST 50 entries per round (the
 # pytest rehearsal always runs ALL of them).  Round-robin scheme: each
@@ -2767,6 +2802,8 @@ QUERIES = {
     "jsonld_extract": q_jsonld_extract,
     "parse_feeds": q_parse_feeds,
     "lang_pivot": q_lang_pivot,
+    "host_domains": q_host_domains,
+    "kmv_overlap": q_kmv_overlap,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
     "stream_hll": q_stream_hll,
@@ -6621,3 +6658,94 @@ ORACLES["corpus_report"] = """
 # byte-transparent over it
 ORACLES["publish_wet_increment"] = """
     SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"""
+
+# host_domains: rebuild the deterministic hosts, replay the PSL
+# longest-match (LIKE theta-join is oracle-only — the engine side is
+# the suffix-explode broadcast equi-join), and the one-more-label rule.
+ORACLES["host_domains"] = """
+    WITH psl(suf, nsuf) AS (VALUES
+      ('com',1),('org',1),('net',1),('edu',1),('io',1),('dev',1),
+      ('uk',1),('co.uk',2),('org.uk',2),('ac.uk',2),
+      ('au',1),('com.au',2),('net.au',2),
+      ('jp',1),('co.jp',2),('ne.jp',2),
+      ('github.io',2),('blogspot.com',2)),
+    hosts AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 37 = 0 THEN sufp
+             ELSE sub || 'site' || (doc_id % 23) || '.' || sufp
+        END AS host
+      FROM (
+        SELECT doc_id,
+          CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+               WHEN 2 THEN 'cdn.' ELSE 'a.b.' END AS sub,
+          list_extract(
+            ['com','org','net','edu','io','dev',
+             'uk','co.uk','org.uk','ac.uk',
+             'au','com.au','net.au',
+             'jp','co.jp','ne.jp',
+             'github.io','blogspot.com'],
+            CAST(doc_id % 18 AS INTEGER) + 1) AS sufp
+        FROM documents)),
+    best AS (
+      SELECT h.host, p.suf, p.nsuf
+      FROM hosts h JOIN psl p
+        ON h.host = p.suf OR h.host LIKE '%.' || p.suf
+      QUALIFY row_number() OVER (PARTITION BY h.doc_id
+                                 ORDER BY p.nsuf DESC) = 1),
+    dom AS (
+      SELECT host, suf AS suffix,
+        array_to_string(
+          string_split(host, '.')[len(string_split(host, '.')) - nsuf:],
+          '.') AS domain
+      FROM best
+      WHERE len(string_split(host, '.')) > nsuf)
+    SELECT domain, suffix, count(*)::BIGINT AS n_docs,
+           count(DISTINCT host)::BIGINT AS n_hosts
+    FROM dom GROUP BY domain, suffix"""
+
+# kmv_overlap: recompute the k-min sketches exactly (distinct 56-bit
+# md5 hashes, k smallest per lang), then the all-integer theta
+# estimators; the exact side is plain distinct-token set intersection.
+ORACLES["kmv_overlap"] = """
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    d AS (SELECT DISTINCT lang,
+              ('0x' || substring(md5('kmv1:' || token), 1, 14))::BIGINT
+                  AS h
+          FROM tok),
+    rk AS (SELECT lang, h,
+                  row_number() OVER (PARTITION BY lang ORDER BY h) AS r,
+                  count(*) OVER (PARTITION BY lang) AS nd
+           FROM d),
+    sk AS (SELECT lang, h, r, nd FROM rk WHERE r <= 64),
+    kth AS (SELECT lang, max(nd) AS nd,
+                   CASE WHEN max(nd) < 64 THEN 72057594037927936
+                        ELSE max(CASE WHEN r = 64 THEN h END)
+                   END AS kth
+            FROM sk GROUP BY lang),
+    est AS (SELECT lang, kth,
+                   CASE WHEN nd < 64 THEN nd
+                        ELSE 4539628424389459968 // kth END AS est
+            FROM kth),
+    pr AS (SELECT a.lang AS grp_a, b.lang AS grp_b,
+                  a.est AS est_a, b.est AS est_b,
+                  least(a.kth, b.kth) AS theta
+           FROM est a JOIN est b ON a.lang < b.lang),
+    m AS (SELECT p.grp_a, p.grp_b, count(*) AS matched
+          FROM pr p
+          JOIN sk sa ON sa.lang = p.grp_a AND sa.h < p.theta
+          JOIN sk sb ON sb.lang = p.grp_b AND sb.h = sa.h
+                    AND sb.h < p.theta
+          GROUP BY p.grp_a, p.grp_b),
+    ti AS (SELECT DISTINCT lang, token FROM tok),
+    xi AS (SELECT a.lang AS grp_a, b.lang AS grp_b,
+                  count(*)::BIGINT AS exact_inter
+           FROM ti a JOIN ti b ON a.token = b.token AND a.lang < b.lang
+           GROUP BY 1, 2)
+    SELECT p.grp_a, p.grp_b, p.est_a, p.est_b,
+           (coalesce(m.matched, 0) * 72057594037927936 // p.theta)::BIGINT
+               AS est_inter,
+           coalesce(xi.exact_inter, 0)::BIGINT AS exact_inter
+    FROM pr p
+    LEFT JOIN m ON m.grp_a = p.grp_a AND m.grp_b = p.grp_b
+    LEFT JOIN xi ON xi.grp_a = p.grp_a AND xi.grp_b = p.grp_b"""
