@@ -2642,6 +2642,16 @@ def q_host_domains(spark, sf_dir):
     return corpus.registrable_domains(pages)
 
 
+def q_embed_covariance(spark, sf_dir):
+    """Distributed second-moment table over micro-unit-quantized
+    embedding components (upper triangle, 1-based i <= j) — the
+    corpus-side pass of PCA / whitening / Mahalanobis radii.  The
+    floor(x * 10^6) quantization on the float32->double widened value
+    makes every cell integer-exact across engines; cov_num is the
+    decimal(38,0) numerator n*sum_ij - sum_i*sum_j."""
+    return corpus.embed_covariance(_read(spark, sf_dir, "embeddings"))
+
+
 def q_kmv_overlap(spark, sf_dir):
     """KMV/theta sketches per lang + pairwise intersection estimates
     (the overlap audit HLL cannot do).  All-integer estimator: both
@@ -2804,6 +2814,7 @@ QUERIES = {
     "lang_pivot": q_lang_pivot,
     "host_domains": q_host_domains,
     "kmv_overlap": q_kmv_overlap,
+    "embed_covariance": q_embed_covariance,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
     "stream_hll": q_stream_hll,
@@ -6749,3 +6760,34 @@ ORACLES["kmv_overlap"] = """
     FROM pr p
     LEFT JOIN m ON m.grp_a = p.grp_a AND m.grp_b = p.grp_b
     LEFT JOIN xi ON xi.grp_a = p.grp_a AND xi.grp_b = p.grp_b"""
+
+# embed_covariance: replay the floor(double(x) * 1e6) quantization,
+# build the 1-based upper-triangle index pairs via two generate_series
+# laterals, and sum in HUGEINT (the decimal(38,0) twin) so a
+# 10^12-row corpus cannot wrap the covariance numerator.
+ORACLES["embed_covariance"] = """
+    WITH e AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS q
+      FROM embeddings),
+    p AS (
+      SELECT label, gi.i AS i, gj.j AS j,
+             q[gi.i] AS xi, q[gj.j] AS yj
+      FROM e,
+           LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) gi,
+           LATERAL (SELECT unnest(generate_series(1, len(q))) AS j) gj
+      WHERE gj.j >= gi.i),
+    a AS (
+      SELECT label, i, j, count(*)::BIGINT AS n,
+             sum(CAST(xi AS HUGEINT)) AS si,
+             sum(CAST(yj AS HUGEINT)) AS sj,
+             sum(CAST(xi AS HUGEINT) * yj) AS sp
+      FROM p GROUP BY label, i, j)
+    SELECT label, i, j, n,
+           CAST(si AS BIGINT) AS sum_i,
+           CAST(sj AS BIGINT) AS sum_j,
+           CAST(sp AS BIGINT) AS sum_ij,
+           CAST(n AS HUGEINT) * sp - si * sj AS cov_num
+    FROM a"""
