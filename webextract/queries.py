@@ -2714,15 +2714,20 @@ QUERIES = {
     # --- new gates this round ---
     "chunk_hybrid_trained": q_chunk_hybrid_trained,
     "table_schema_evolution": q_table_schema_evolution,
-    # --- implementation touched this round ---
-    "media_raster_png": q_media_raster_png,
-    # --- family representatives (r4-green) ---
+    # --- flagship byte-identity gate: stays in-window every round
+    # (the north rule's headline bar) ---
     "extract_main_text": q_extract_main_text,
-    # media_raster_gif's implementation changed this round (interlace
-    # + local-table variants) -> in-window per the rotation contract,
-    # displacing media_ocr (r4-green; OCR family covered by the
-    # extraction gates + jpeg/png OCR pytest oracles)
-    "media_raster_gif": q_media_raster_gif,
+    # kmv_overlap + host_domains are the session-3 gates whose engine
+    # machinery (KMV/theta sketches with intersection; PSL
+    # longest-match registrable domains) is brand-new code with no
+    # driver row in any round — they take the slots of
+    # media_raster_png / media_raster_gif, whose r5 fixture extensions
+    # (palette/gray PNG, interlaced/local-table GIF) stay covered by
+    # the sf0.01+sf0.1+sf1 pytest oracles and whose gate names carry
+    # r4 driver rows; first-ever rows outrank fixture refreshes in
+    # the final window
+    "kmv_overlap": q_kmv_overlap,
+    "host_domains": q_host_domains,
     # media_frame_mjpeg is new this round (compressed-video decode);
     # it takes media_raster_jpeg's slot — the same JPEG entropy-decode
     # path runs inside every frame, so the codec family stays covered
@@ -2792,6 +2797,11 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "chunk_hybrid_subword": q_chunk_hybrid_subword,
     "table_scan_prune": q_table_scan_prune,
+    # media_raster_png / media_raster_gif rotated past the cap in
+    # session 3 (r4 driver rows; r5 palette/gray + interlace fixture
+    # extensions pytest-oracle-green at sf0.01/sf0.1/sf1)
+    "media_raster_png": q_media_raster_png,
+    "media_raster_gif": q_media_raster_gif,
     # the six late-session gates (corpus_funnel, shard_shuffle,
     # wet_roundtrip, cdx_fetch, corpus_report, publish_wet_increment)
     # are compositions over already-driver-checked rules/machinery;
@@ -2812,8 +2822,6 @@ QUERIES = {
     "jsonld_extract": q_jsonld_extract,
     "parse_feeds": q_parse_feeds,
     "lang_pivot": q_lang_pivot,
-    "host_domains": q_host_domains,
-    "kmv_overlap": q_kmv_overlap,
     "embed_covariance": q_embed_covariance,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "pack_sequences": q_pack_sequences,
