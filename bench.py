@@ -79,7 +79,7 @@ HEADLINE = [
     "corpus_funnel", "shard_shuffle", "wet_roundtrip", "cdx_fetch",
     "corpus_report", "publish_wet_increment", "training_export",
     "jsonld_extract", "parse_feeds", "lang_pivot",
-    "host_domains", "kmv_overlap", "embed_covariance",
+    "host_domains", "kmv_overlap", "embed_covariance", "kmv_merge",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -4911,3 +4911,36 @@ def embed_covariance(emb: DataFrame, group_col: str = "label",
         (F.col("n").cast("decimal(38,0)") * F.col("sp")
          - F.col("si") * F.col("sj")).cast("decimal(38,0)")
         .alias("cov_num"))
+
+
+def kmv_merge_check(docs: DataFrame, group_col: str = "lang",
+                    salt: str = "kmv1", k: int = KMV_K) -> DataFrame:
+    """(grp, est): distinct-token estimates obtained by sketching TWO
+    disjoint corpus halves independently and merging the sketches —
+    the exact path a snapshot-incremental catalog takes (sketch each
+    commit wave, merge at read time).  k-min merge is LOSSLESS: the k
+    smallest of (k-smallest-of-A ∪ k-smallest-of-B) are the k smallest
+    of A ∪ B, so the merged estimate must equal the whole-corpus
+    estimate bit-for-bit — the oracle computes the whole-corpus side
+    directly, making the gate a cross-engine proof of the merge
+    identity rather than a replay of the same computation.
+
+    Scale shape: two bounded sketch frames (groups x k longs each)
+    union and re-fold with the same flatten -> distinct -> sort ->
+    slice combiner; nothing here ever exceeds catalog size."""
+    halves = [
+        kmv_sketches(docs.filter(F.col("doc_id") % 2 == i),
+                     group_col, salt, k)
+        for i in (0, 1)
+    ]
+    merged = (halves[0].unionByName(halves[1])
+              .groupBy("grp")
+              .agg(F.slice(F.array_sort(F.array_distinct(
+                  F.flatten(F.collect_list("hs")))), 1, k).alias("hs")))
+    sk = merged.select(
+        "grp", F.size("hs").alias("n"),
+        F.when(F.size("hs") < k, F.lit(_KMV_MAX))
+         .otherwise(F.element_at("hs", k)).alias("kth"))
+    est = F.when(F.col("n") < k, F.col("n").cast("long")).otherwise(
+        F.expr(f"CAST({(k - 1) * _KMV_MAX} AS BIGINT) div kth"))
+    return sk.select("grp", est.alias("est"))

@@ -6799,3 +6799,37 @@ ORACLES["embed_covariance"] = """
            CAST(sp AS BIGINT) AS sum_ij,
            CAST(n AS HUGEINT) * sp - si * sj AS cov_num
     FROM a"""
+
+
+def q_kmv_merge(spark, sf_dir):
+    """Merge-identity proof for the KMV sketch family: the engine
+    sketches the doc_id-even and doc_id-odd halves independently and
+    merges (union -> keep k smallest); the oracle computes the
+    whole-corpus estimate directly.  k-min merge is lossless, so the
+    two must agree bit-for-bit — the same cross-engine identity the
+    stream≡batch gates pin for HLL/Bloom/Misra-Gries."""
+    return corpus.kmv_merge_check(_read(spark, sf_dir, "documents"))
+
+
+QUERIES["kmv_merge"] = q_kmv_merge
+
+# kmv_merge: the oracle computes the WHOLE-corpus KMV estimate in one
+# pass — it never sees the engine's two-half split, so a pass proves
+# the merge identity, not a shared replay.
+ORACLES["kmv_merge"] = """
+    WITH d AS (SELECT DISTINCT lang,
+                   ('0x' || substring(md5('kmv1:' || token), 1, 14))::BIGINT
+                       AS h
+               FROM (SELECT lang,
+                            unnest(string_split(text, ' ')) AS token
+                     FROM documents)),
+    rk AS (SELECT lang, h,
+                  row_number() OVER (PARTITION BY lang ORDER BY h) AS r,
+                  count(*) OVER (PARTITION BY lang) AS nd
+           FROM d)
+    SELECT lang AS grp,
+           CASE WHEN max(nd) < 64 THEN max(nd)::BIGINT
+                ELSE 4539628424389459968
+                     // max(CASE WHEN r = 64 THEN h END)
+           END AS est
+    FROM rk WHERE r <= 64 GROUP BY lang"""
