@@ -4944,3 +4944,78 @@ def kmv_merge_check(docs: DataFrame, group_col: str = "lang",
     est = F.when(F.col("n") < k, F.col("n").cast("long")).otherwise(
         F.expr(f"CAST({(k - 1) * _KMV_MAX} AS BIGINT) div kth"))
     return sk.select("grp", est.alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# PCA basis + projection: the consumer of embed_covariance
+# ---------------------------------------------------------------------------
+
+def pca_basis(emb: DataFrame, r: int = 8, vec_col: str = "embedding",
+              scale: int = 10 ** 6):
+    """(mean, W, evals): eigendecomposition of the sample covariance
+    reconstructed from embed_covariance's exact integer frame — the
+    driver-side numpy half that frame exists to feed.  Returns the
+    component mean (original units), the top-r eigenvector matrix W
+    (r x d, rows = components, descending eigenvalue) and the r
+    eigenvalues.
+
+    Sign convention (so the basis is a deterministic artifact, not an
+    eigh quirk): each eigenvector's largest-|component| entry is made
+    positive (first index on ties).  The collect here is the
+    catalog-sized d(d+1)/2 covariance frame (d=64 -> 2080 rows) —
+    bounded by dimensionality, never by corpus size.
+    """
+    import numpy as np
+
+    one = emb.select(F.lit(0).alias("g"), F.col(vec_col).alias("v"))
+    rows = embed_covariance(one, group_col="g", vec_col="v",
+                            scale=scale).collect()
+    d = max(row["j"] for row in rows)
+    n = rows[0]["n"]
+    mean = np.zeros(d)
+    cov = np.zeros((d, d))
+    denom = float(n) * (n - 1) * scale * scale
+    for row in rows:
+        i, j = row["i"] - 1, row["j"] - 1
+        if i == j:
+            mean[i] = float(row["sum_i"]) / n / scale
+        c = float(row["cov_num"]) / denom
+        cov[i, j] = c
+        cov[j, i] = c
+    evals, evecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(evals)[::-1][:r]
+    W = evecs[:, order].T                   # r x d
+    for ri in range(W.shape[0]):
+        peak = int(np.argmax(np.abs(W[ri])))
+        if W[ri, peak] < 0:
+            W[ri] = -W[ri]
+    return mean, W, evals[order]
+
+
+def pca_project(emb: DataFrame, r: int = 8, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, proj array<double> length r): center-and-project every
+    embedding onto the pca_basis components — whitening/compaction
+    before downstream ANN or Mahalanobis-radius dedup.
+
+    Scale shape: the basis is a driver artifact (r x d doubles) shipped
+    in the kernel closure; projection is ONE narrow Arrow kernel over
+    the corpus — no exchange, no join, the exact stage profile of
+    pq_encode.  Non-SQL-expressible consumer (eigendecomposition), so
+    its gates are pytest properties: W orthonormal, projected
+    covariance diagonal == eigenvalues, variance non-increasing."""
+    import numpy as np
+
+    mean, W, _ = pca_basis(emb, r, vec_col)
+    mean_l, wt = mean, W.T.copy()           # d x r for the matmul
+
+    @F.pandas_udf("array<double>")
+    def kern(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(e.to_numpy()).astype(np.float64)
+        out = (x - mean_l) @ wt
+        return pd.Series(list(out))
+
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      kern(F.col(vec_col)).alias("proj"))
