@@ -80,6 +80,7 @@ HEADLINE = [
     "corpus_report", "publish_wet_increment", "training_export",
     "jsonld_extract", "parse_feeds", "lang_pivot",
     "host_domains", "kmv_overlap", "embed_covariance", "kmv_merge",
+    "domain_budget",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a
@@ -148,12 +149,13 @@ _FAMILIES = (
     ("graph", ("pagerank", "hits", "anchor_rollup", "cocitation",
                "degree_stats")),
     ("crawl", ("robots_", "parse_", "cdx_", "frontier_", "url_seen",
-               "sitemap", "page_metadata")),
+               "sitemap", "page_metadata", "host_domains",
+               "domain_budget")),
     ("tokenize", ("bpe_", "token_stats", "vocab_stats", "pmi_pairs",
                   "pack_sequences", "len_quantiles", "text_normalize",
                   "doc_fingerprints", "lang_id", "nb_langid")),
     ("retrieval", ("bm25_", "tfidf_", "inverted_",)),
-    ("sketch", ("sketch_", "heavy_hitters",)),
+    ("sketch", ("sketch_", "heavy_hitters", "kmv_")),
     ("sample", ("weighted_sample", "sample_", "source_",
                 "temperature_mix")),
 )

@@ -5019,3 +5019,69 @@ def pca_project(emb: DataFrame, r: int = 8, vec_col: str = "embedding",
 
     return emb.select(F.col(id_col).alias("vec_id"),
                       kern(F.col(vec_col)).alias("proj"))
+
+
+def url_registrable(pages: DataFrame, psl: tuple = PSL_SNAPSHOT,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url, host, domain): every url mapped to its
+    REGISTRABLE domain (one label left of the longest matching public
+    suffix) — the per-url form registrable_domains aggregates away.
+    Bare-suffix hosts drop (no registrant), like the rollup.
+
+    Same scale shape as registrable_domains: bounded dot-suffix
+    explode -> broadcast equi-join on suffix -> max_by back to url
+    granularity; narrow, no corpus-wide exchange."""
+    host = F.lower(F.regexp_extract(
+        F.regexp_replace(F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://",
+                         ""), "^([^/:?]*)", 1))
+    base = pages.select(F.col(id_col).alias("doc_id"), "url",
+                        host.alias("host"))
+    sufs = base.select(
+        "doc_id", "url", "host",
+        F.explode(_host_suffixes(F.col("host"))).alias("suf"))
+    pslf = pages.sparkSession.createDataFrame(
+        [(s, s.count(".") + 1) for s in psl], "suf string, nsuf int")
+    best = (sufs.join(F.broadcast(pslf), "suf")
+            .groupBy("doc_id", "url", "host")
+            .agg(F.max_by(F.struct("nsuf", "suf"), "nsuf").alias("m")))
+    labels = F.split(F.col("host"), "\\.")
+    n = F.size(labels)
+    return (best
+            .select("doc_id", "url", "host",
+                    F.col("m.nsuf").alias("nsuf"))
+            .filter(n > F.col("nsuf"))
+            .select("doc_id", "url", "host",
+                    F.array_join(
+                        F.slice(labels, n - F.col("nsuf"),
+                                F.col("nsuf") + 1), ".").alias("domain")))
+
+
+def domain_budget(pages: DataFrame, budget: int = 3,
+                  psl: tuple = PSL_SNAPSHOT,
+                  id_col: str = "doc_id") -> DataFrame:
+    """(url, domain, depth, slot): per-REGISTRANT crawl-budget
+    admission — the frontier_schedule politeness idea re-keyed from
+    host to registrable domain, which is the level a budget must bind
+    at: a spam registrant sharding itself across a.site.com,
+    b.site.com, ... multiplies its HOST budget by the shard count but
+    cannot move its DOMAIN budget at all (PSL longest-match keeps
+    github.io pages per-REGISTRANT, not per-suffix).  Within a domain,
+    shallower paths rank first (homepage proximity: depth = path
+    segments), ties break by url for a total engine-portable order;
+    slot = position in the domain's queue, rows past ``budget`` drop.
+
+    Scale shape: url_registrable's narrow broadcast-join domain map,
+    then ONE window partitioned by domain — the budget queue is the
+    parallelism unit (frontier_schedule's argument), and the window's
+    partition size is bounded by the very budget it enforces in any
+    steady-state recrawl."""
+    path = F.regexp_replace(
+        F.regexp_replace(F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://",
+                         ""), "^[^/]*", "")
+    depth = (F.size(F.split(path, "/")) - 1).cast("int")
+    mapped = url_registrable(pages, psl, id_col).select(
+        "url", "domain", F.greatest(depth, F.lit(0)).alias("depth"))
+    w = Window.partitionBy("domain").orderBy("depth", "url")
+    return (mapped
+            .withColumn("slot", F.row_number().over(w).cast("int"))
+            .filter(F.col("slot") <= budget))

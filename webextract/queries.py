@@ -6833,3 +6833,87 @@ ORACLES["kmv_merge"] = """
                      // max(CASE WHEN r = 64 THEN h END)
            END AS est
     FROM rk WHERE r <= 64 GROUP BY lang"""
+
+
+def q_domain_budget(spark, sf_dir):
+    """Registrant-level crawl budgets over the same deterministic PSL
+    host grid as host_domains, now with three path depths
+    (/<id>, /p/<id>, /a/b/<id>) so the shallower-first queue order is
+    exercised; budget=3 bites on every multi-shard domain (www./cdn./
+    a.b. variants of one site land in ONE queue — the subdomain-
+    sharding evasion the registrant key exists to stop)."""
+    psl = list(corpus.PSL_SNAPSHOT)
+    sub = (F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+           .when(F.col("doc_id") % 4 == 1, F.lit("www."))
+           .when(F.col("doc_id") % 4 == 2, F.lit("cdn."))
+           .otherwise(F.lit("a.b.")))
+    suf = F.element_at(F.array(*[F.lit(s) for s in psl]),
+                       (F.col("doc_id") % 18).cast("int") + 1)
+    host = F.when(
+        F.col("doc_id") % 37 == 0, suf
+    ).otherwise(F.concat(sub, F.lit("site"),
+                         (F.col("doc_id") % 23).cast("string"),
+                         F.lit("."), suf))
+    path = (F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("/"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+            .otherwise(F.concat(F.lit("/a/b/"),
+                                F.col("doc_id").cast("string"))))
+    pages = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("http://"), host, path).alias("url"))
+    return corpus.domain_budget(pages, budget=3)
+
+
+QUERIES["domain_budget"] = q_domain_budget
+
+# domain_budget: rebuild the host+path grid, replay the PSL longest
+# match per url (LIKE theta-join + QUALIFY, oracle-only), then the
+# shallower-first row_number queue cut at budget 3.
+ORACLES["domain_budget"] = """
+    WITH psl(suf, nsuf) AS (VALUES
+      ('com',1),('org',1),('net',1),('edu',1),('io',1),('dev',1),
+      ('uk',1),('co.uk',2),('org.uk',2),('ac.uk',2),
+      ('au',1),('com.au',2),('net.au',2),
+      ('jp',1),('co.jp',2),('ne.jp',2),
+      ('github.io',2),('blogspot.com',2)),
+    hosts AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 37 = 0 THEN sufp
+             ELSE sub || 'site' || (doc_id % 23) || '.' || sufp
+        END AS host,
+        CASE WHEN doc_id % 3 = 0 THEN '/' || doc_id
+             WHEN doc_id % 3 = 1 THEN '/p/' || doc_id
+             ELSE '/a/b/' || doc_id END AS path
+      FROM (
+        SELECT doc_id,
+          CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+               WHEN 2 THEN 'cdn.' ELSE 'a.b.' END AS sub,
+          list_extract(
+            ['com','org','net','edu','io','dev',
+             'uk','co.uk','org.uk','ac.uk',
+             'au','com.au','net.au',
+             'jp','co.jp','ne.jp',
+             'github.io','blogspot.com'],
+            CAST(doc_id % 18 AS INTEGER) + 1) AS sufp
+        FROM documents)),
+    best AS (
+      SELECT h.doc_id, h.host, h.path, p.suf, p.nsuf
+      FROM hosts h JOIN psl p
+        ON h.host = p.suf OR h.host LIKE '%.' || p.suf
+      QUALIFY row_number() OVER (PARTITION BY h.doc_id
+                                 ORDER BY p.nsuf DESC) = 1),
+    dom AS (
+      SELECT 'http://' || host || path AS url,
+        array_to_string(
+          string_split(host, '.')[len(string_split(host, '.')) - nsuf:],
+          '.') AS domain,
+        (len(string_split(path, '/')) - 1)::INTEGER AS depth
+      FROM best
+      WHERE len(string_split(host, '.')) > nsuf),
+    q AS (
+      SELECT url, domain, depth,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY depth, url)::INTEGER AS slot
+      FROM dom)
+    SELECT url, domain, depth, slot FROM q WHERE slot <= 3"""
