@@ -80,7 +80,7 @@ HEADLINE = [
     "corpus_report", "publish_wet_increment", "training_export",
     "jsonld_extract", "parse_feeds", "lang_pivot",
     "host_domains", "kmv_overlap", "embed_covariance", "kmv_merge",
-    "domain_budget",
+    "domain_budget", "stream_kmv",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -622,3 +622,53 @@ def test_stream_join_matches_batch(spark, tmp_path):
     assert (3, 14) not in pairs        # 1 microsecond past the horizon
     assert (3, 13) not in pairs        # view before the click
     assert (2, 15) in pairs and (1, 15) not in pairs
+
+
+def test_streaming_kmv_matches_batch(spark, tmp_path):
+    """Stream≡batch identity for the KMV/theta sketch: three unordered
+    micro-batches fold into per-lang k-min array state; the sink's
+    merged live sketch (flatten → distinct → sort → slice-k) must
+    EQUAL corpus.kmv_sketches of the same docs, and a full replay
+    through a fresh checkpoint into the same sink must change nothing
+    (k-min merge is monotone — at-least-once is enough)."""
+    from pyspark.sql import functions as F
+    from webextract import corpus
+    from webextract.streaming import stream_kmv_sketches
+
+    k = corpus.KMV_K
+    in_dir = str(tmp_path / "kmv_in")
+    out = str(tmp_path / "kmv_out")
+    rows = [(i, " ".join(f"t{i}b{j}" for j in range(8)),
+             "en" if i % 3 else "de") for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    pages = docs_to_pages(docs)
+    pages_id = pages.withColumn(
+        "doc_id", F.substring("url", 7, 20).cast("bigint"))
+    for lo, hi in ((40, 80), (0, 40), (80, 100000)):
+        (pages_id.filter(f"doc_id >= {lo} and doc_id < {hi}")
+         .drop("doc_id").coalesce(1)
+         .write.mode("append").parquet(in_dir))
+        q = stream_kmv_sketches(spark, in_dir, out,
+                                str(tmp_path / "kmv_ckpt"),
+                                max_files_per_trigger=1)
+        q.awaitTermination()
+
+    def merged(df):
+        return {r["lang"]: list(r["hs"]) for r in
+                df.groupBy("lang").agg(F.slice(F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("hs")))),
+                    1, k).alias("hs")).collect()}
+
+    live = merged(spark.read.parquet(out))
+    batch = {r["grp"]: list(r["hs"]) for r in
+             corpus.kmv_sketches(docs).collect()}
+    assert live == batch
+
+    # full replay into the SAME sink through a fresh checkpoint:
+    # k-min merge must leave the live sketch unchanged
+    q = stream_kmv_sketches(spark, in_dir, out,
+                            str(tmp_path / "kmv_ckpt2"),
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    assert merged(spark.read.parquet(out)) == batch

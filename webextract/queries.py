@@ -6917,3 +6917,83 @@ ORACLES["domain_budget"] = """
                                 ORDER BY depth, url)::INTEGER AS slot
       FROM dom)
     SELECT url, domain, depth, slot FROM q WHERE slot <= 3"""
+
+
+def q_stream_kmv(spark, sf_dir):
+    """Streaming KMV sketch, gate-checked against the SAME all-integer
+    estimator + oracle as the batch sketch: a REAL Structured
+    Streaming run (pages stream → narrow per-partition k-min fold →
+    per-lang array state → parquet append sink); the sink's live
+    sketch (flatten → distinct → sort → slice-k: the monotone k-min
+    merge) must reproduce the whole-corpus estimate bit-for-bit.
+    Stream ≡ oracle, the discipline of the other four sketches."""
+    import hashlib
+    import shutil
+
+    from .streaming import stream_kmv_sketches
+
+    tag = hashlib.md5(("kmv" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_streamkmv_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    d = _read(spark, sf_dir, "documents")
+    docs_to_pages(d.select("doc_id", "text", "lang")
+                  ).coalesce(1).write.parquet(in_dir)
+    q = stream_kmv_sketches(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination()
+    k = corpus.KMV_K
+    sink = spark.read.parquet(out_dir)
+    live = (sink.groupBy("lang")
+            .agg(F.slice(F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("hs")))), 1, k).alias("hs")))
+    sk = live.select(
+        "lang", F.size("hs").alias("n"),
+        F.when(F.size("hs") < k, F.lit(corpus._KMV_MAX))
+         .otherwise(F.element_at("hs", k)).alias("kth"))
+    est = F.when(F.col("n") < k, F.col("n").cast("long")).otherwise(
+        F.expr(f"CAST({(k - 1) * corpus._KMV_MAX} AS BIGINT) div kth"))
+    # exact side counts distinct HASHES (the oracle's nd), so a
+    # 56-bit collision cannot split the two engines at any scale
+    exact = (d.select(F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+                      F.explode(F.split(F.coalesce(F.col("text"),
+                                                   F.lit("")), " "))
+                      .alias("token"))
+             .groupBy("lang")
+             .agg(F.countDistinct(corpus._kmv_hash(F.col("token")))
+                  .alias("exact_distinct")))
+    return (sk.select("lang", est.alias("est"))
+            .join(exact, "lang")
+            .select("lang", "est", "exact_distinct",
+                    F.expr("abs(est - exact_distinct) * 10000 "
+                           "div exact_distinct").alias("rel_err_bp")))
+
+
+QUERIES["stream_kmv"] = q_stream_kmv
+
+# stream_kmv: the oracle computes the whole-corpus KMV estimate and
+# the exact distinct count directly — the engine side must arrive at
+# the identical integers through the streaming state machinery.
+ORACLES["stream_kmv"] = """
+    WITH tok AS (SELECT coalesce(lang, '') AS lang,
+                        unnest(string_split(coalesce(text, ''), ' '))
+                            AS token
+                 FROM documents),
+    d AS (SELECT DISTINCT lang,
+              ('0x' || substring(md5('kmv1:' || token), 1, 14))::BIGINT
+                  AS h
+          FROM tok),
+    rk AS (SELECT lang, h,
+                  row_number() OVER (PARTITION BY lang ORDER BY h) AS r,
+                  count(*) OVER (PARTITION BY lang) AS nd
+           FROM d),
+    est AS (SELECT lang,
+                   CASE WHEN max(nd) < 64 THEN max(nd)::BIGINT
+                        ELSE 4539628424389459968
+                             // max(CASE WHEN r = 64 THEN h END)
+                   END AS est,
+                   max(nd)::BIGINT AS exact_distinct
+            FROM rk WHERE r <= 64 GROUP BY lang)
+    SELECT lang, est, exact_distinct,
+           abs(est - exact_distinct) * 10000 // exact_distinct
+               AS rel_err_bp
+    FROM est"""

@@ -798,3 +798,81 @@ def stream_attribution(spark: SparkSession, clicks_dir: str,
             .format("parquet")
             .option("path", output_dir)
             .start())
+
+
+KMVS_OUT_DDL = "lang string, hs array<bigint>"
+KMVS_STATE_DDL = "hs array<bigint>"
+
+
+def kmv_stream(pages: DataFrame, k: int = 64,
+               salt: str = "kmv1") -> DataFrame:
+    """Stateful streaming KMV/theta sketch — the fifth mergeable
+    sketch on the streaming surface (batch twin: corpus.kmv_sketches),
+    and the only one whose merged form answers set-INTERSECTION
+    questions (corpus.kmv_overlap) over an unbounded crawl.
+
+    Shape mirrors the batch kernel exactly: a narrow mapInPandas fold
+    reduces each micro-batch partition to its local distinct k-min
+    (<= langs x k longs leave ANY partition — the token stream never
+    enters the state exchange), then per-lang state holds ONE sorted
+    k-min array that merges via union-keep-k-smallest and emits only
+    when it changed.  k-min merge is monotone (merging a stale
+    emission into a newer one is the newer one — the kmv_merge gate
+    pins this cross-engine), so the append sink needs no version
+    column and replays are harmless: the live sketch is the
+    flatten -> distinct -> sort -> slice-k of all emitted rows."""
+    from webextract.corpus import _kmv_hash
+    tok = pages.select(
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .alias("token"))
+    rows = tok.select("lang", _kmv_hash(F.col("token")).alias("h"))
+
+    def kmin_fold(batches):
+        import pandas as pd_
+        sets: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("lang")["h"]:
+                s = sets.setdefault(g, set())
+                s.update(int(v) for v in sub.unique())
+                if len(s) > 8 * k:
+                    sets[g] = set(sorted(s)[:k])
+        yield pd_.DataFrame(
+            [{"lang": g, "hs": sorted(s)[:k]} for g, s in sets.items()],
+            columns=["lang", "hs"])
+
+    part = rows.mapInPandas(kmin_fold, "lang string, hs array<bigint>")
+
+    def emit(key, pdfs, state):
+        import pandas as pd_
+        cur = [int(v) for v in state.get[0]] if state.exists else []
+        s = set(cur)
+        for pdf in pdfs:
+            for arr in pdf["hs"]:
+                s.update(int(v) for v in arr)
+        new = sorted(s)[:k]
+        if new != cur:
+            state.update((new,))
+            yield pd_.DataFrame({"lang": [key[0]], "hs": [new]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return part.groupBy("lang").applyInPandasWithState(
+        emit, KMVS_OUT_DDL, KMVS_STATE_DDL, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+def stream_kmv_sketches(spark: SparkSession, input_dir: str,
+                        output_dir: str, checkpoint_dir: str,
+                        max_files_per_trigger: int = 64, k: int = 64):
+    """readStream → stateful KMV k-min state → parquet append sink
+    (availableNow)."""
+    return (kmv_stream(
+                pages_stream(spark, input_dir, max_files_per_trigger),
+                k=k)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", output_dir)
+            .start())
