@@ -80,7 +80,7 @@ HEADLINE = [
     "corpus_report", "publish_wet_increment", "training_export",
     "jsonld_extract", "parse_feeds", "lang_pivot",
     "host_domains", "kmv_overlap", "embed_covariance", "kmv_merge",
-    "domain_budget", "stream_kmv",
+    "domain_budget", "stream_kmv", "robots_crawl_delay", "fetch_plan",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a
@@ -150,7 +150,7 @@ _FAMILIES = (
                "degree_stats")),
     ("crawl", ("robots_", "parse_", "cdx_", "frontier_", "url_seen",
                "sitemap", "page_metadata", "host_domains",
-               "domain_budget")),
+               "domain_budget", "fetch_plan")),
     ("tokenize", ("bpe_", "token_stats", "vocab_stats", "pmi_pairs",
                   "pack_sequences", "len_quantiles", "text_normalize",
                   "doc_fingerprints", "lang_id", "nb_langid")),

@@ -191,3 +191,58 @@ def test_parse_feeds_hand_reference(spark):
         ("b.example", "atom", "http://b.example/e?a=1&b=2",
          "E1", "2026-02-03T00:00:00Z"),
     ]
+
+
+def test_crawl_delay_named_group_wins(spark):
+    """The agent's named group supplies the delay even when `*`
+    carries one; decimal seconds land exactly (1.25 s = 1250 ms);
+    field and value case are both insensitive."""
+    body = ("User-Agent: WebExtract\nCrawl-delay: 1.25\n"
+            "Disallow: /x\n\n"
+            "User-agent: *\nCrawl-delay: 9\n")
+    out = corpus.robots_crawl_delay(_robots(spark, body)).collect()
+    assert [(r["host"], r["delay_ms"]) for r in out] == \
+        [("a.example.com", 1250)]
+
+
+def test_crawl_delay_invalid_line_dropped_first_valid_wins(spark):
+    """A malformed value drops the LINE only; among the valid lines
+    of the chosen group the FIRST wins (lowest line_no)."""
+    body = ("User-agent: *\nCrawl-delay: fast\n"
+            "crawl-delay: 2.5\r\nCrawl-delay: 1\n")
+    out = corpus.robots_crawl_delay(_robots(spark, body)).collect()
+    assert [(r["host"], r["delay_ms"]) for r in out] == \
+        [("a.example.com", 2500)]
+
+
+def test_crawl_delay_foreign_group_ignored(spark):
+    """A delay in a group that does not apply to the agent yields no
+    row — the consumer's default applies, not another bot's ask."""
+    body = ("User-agent: otherbot\nCrawl-delay: 7\n\n"
+            "User-agent: *\nDisallow: /x\n")
+    assert corpus.robots_crawl_delay(_robots(spark, body)).count() == 0
+
+
+def test_fetch_plan_hand_reference(spark):
+    """Domain queue slots × per-HOST delays: site1.com's three hosts
+    share ONE budget queue (shallow-first, url tiebreak) but each
+    host dispatches at its own robots interval; hosts without a
+    directive run at the 1000 ms default; slot 4 drops at budget 3."""
+    pages = spark.createDataFrame(
+        [(1, "http://www.site1.com/a"), (2, "http://site1.com/"),
+         (3, "http://cdn.site1.com/x/y"), (4, "http://site1.com/b/c/d"),
+         (5, "http://other.org/p")],
+        "doc_id long, url string")
+    robots = spark.createDataFrame(
+        [("www.site1.com", "User-agent: *\nCrawl-delay: 2\n")],
+        "host string, robots_txt string")
+    got = sorted(tuple(r) for r in
+                 corpus.fetch_plan(pages, robots, budget=3).collect())
+    assert got == [
+        ("http://cdn.site1.com/x/y", "site1.com", "cdn.site1.com",
+         2, 3, 1000, 2000),
+        ("http://other.org/p", "other.org", "other.org", 1, 1, 1000, 0),
+        ("http://site1.com/", "site1.com", "site1.com", 1, 1, 1000, 0),
+        ("http://www.site1.com/a", "site1.com", "www.site1.com",
+         1, 2, 2000, 2000),
+    ]

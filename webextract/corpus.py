@@ -5085,3 +5085,97 @@ def domain_budget(pages: DataFrame, budget: int = 3,
     return (mapped
             .withColumn("slot", F.row_number().over(w).cast("int"))
             .filter(F.col("slot") <= budget))
+
+
+def robots_crawl_delay(robots: DataFrame,
+                       agent: str = ROBOTS_AGENT) -> DataFrame:
+    """(host, delay_ms): the politeness interval each host asks for —
+    the first VALID Crawl-delay in the agent's selected robots group
+    (exact-agent groups win over '*', robots_rules' §2.2.1 pick),
+    seconds -> milliseconds through decimal(10,3) so '2.5' is exactly
+    2500 on every engine.  Hosts with no valid directive are absent
+    (the consumer coalesces its default).
+
+    Crawl-delay is not in RFC 9309's ABNF, so robots_rules treats it
+    as transparent; HERE it is a first-class group member (it closes
+    User-agent accumulation like a rule line — the common-crawler
+    reading), and the invalid-value guard is the same ASCII-digit
+    try-gate the CDX numerics use: a malformed value drops the LINE,
+    never the host's other directives, never the job.
+
+    Scale shape: robots bodies are KB-sized and host-keyed; the parse
+    is posexplode + two host-partitioned windows + one host-sized
+    aggregation — robots_rules' exact cost profile."""
+    lines = robots.select(
+        "host", F.posexplode(F.split(
+            F.regexp_replace(F.col("robots_txt"), "\r", ""), "\n"))
+        .alias("line_no", "raw"))
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    field = F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    p = (lines.select(
+        "host", "line_no", field.alias("field"), value.alias("value"))
+        .filter(F.col("field").isin("user-agent", "allow",
+                                    "disallow", "crawl-delay")))
+    w = Window.partitionBy("host").orderBy("line_no")
+    grouped = p.withColumn(
+        "group_id",
+        F.sum(((F.col("field") == "user-agent")
+               & ~F.coalesce(F.lag(F.col("field") == "user-agent")
+                             .over(w), F.lit(False))).cast("int"))
+        .over(w))
+    uas = (grouped.filter(F.col("field") == "user-agent")
+           .groupBy("host", "group_id")
+           .agg(F.max((F.lower(F.col("value")) == agent.lower())
+                      .cast("int")).alias("named"),
+                F.max((F.col("value") == "*").cast("int"))
+                .alias("star")))
+    pick = uas.groupBy("host").agg(F.max("named").alias("has_named"))
+    chosen = (uas.join(pick, "host")
+              .filter((F.col("has_named") == 1) & (F.col("named") == 1)
+                      | (F.col("has_named") == 0)
+                      & (F.col("star") == 1))
+              .select("host", "group_id"))
+    cd = (grouped
+          .filter((F.col("field") == "crawl-delay")
+                  & F.col("value").rlike(r"^[0-9]{1,6}(\.[0-9]{1,3})?$")))
+    ms = (F.col("value").cast("decimal(10,3)") * 1000).cast("long")
+    return (cd.join(chosen, ["host", "group_id"])
+            .groupBy("host")
+            .agg(F.min_by(ms, F.col("line_no")).alias("delay_ms")))
+
+
+def fetch_plan(pages: DataFrame, robots: DataFrame, budget: int = 3,
+               agent: str = ROBOTS_AGENT, default_delay_ms: int = 1000,
+               psl: tuple = PSL_SNAPSHOT,
+               id_col: str = "doc_id") -> DataFrame:
+    """(url, domain, host, depth, slot, delay_ms, offset_ms): the
+    WHEN of the crawl loop — domain_budget's registrant queues turned
+    into dispatch times by each host's robots Crawl-delay.  The loop
+    is now closed end-to-end: robots says what MAY be fetched,
+    sitemaps/feeds what EXISTS, CDX what WAS fetched, domain_budget
+    how MUCH per registrant, and this plan WHEN: offset_ms =
+    (slot - 1) * delay_ms, hosts without a directive at the crawler's
+    default interval.
+
+    Scale shape: url_registrable's narrow broadcast-PSL domain map,
+    ONE window per domain queue, then a host-keyed shuffle-hash join
+    to the host-sized delay table (never broadcast — hosts are
+    billions at crawl scale)."""
+    path = F.regexp_replace(
+        F.regexp_replace(F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://",
+                         ""), "^[^/]*", "")
+    m = url_registrable(pages, psl, id_col).withColumn(
+        "depth", F.greatest(
+            (F.size(F.split(path, "/")) - 1).cast("int"), F.lit(0)))
+    w = Window.partitionBy("domain").orderBy("depth", "url")
+    q = (m.select("url", "host", "domain", "depth")
+         .withColumn("slot", F.row_number().over(w).cast("int"))
+         .filter(F.col("slot") <= budget))
+    delays = robots_crawl_delay(robots, agent)
+    delay = F.coalesce(F.col("delay_ms"),
+                       F.lit(default_delay_ms)).cast("long")
+    return (q.join(delays.hint("shuffle_hash"), "host", "left")
+            .select("url", "domain", "host", "depth", "slot",
+                    delay.alias("delay_ms"),
+                    ((F.col("slot") - 1) * delay).alias("offset_ms")))

@@ -6997,3 +6997,149 @@ ORACLES["stream_kmv"] = """
            abs(est - exact_distinct) * 10000 // exact_distinct
                AS rel_err_bp
     FROM est"""
+
+
+def q_robots_crawl_delay(spark, sf_dir):
+    """Politeness-interval extraction over 13 hosts whose bodies walk
+    the grammar: k%6==1 plain `*` delay (2 s), ==2 lowercase CRLF
+    decimal (2.5 s), ==3 a malformed value then two valid ones (first
+    valid wins -> 3 s), ==4 a named WebExtract group (1.25 s) that
+    overrides the `*` group's 9 s, ==5 a delay only in ANOTHER bot's
+    group (no row), ==0 no directive (no row).  The oracle is the
+    ANALYTIC truth table of that grid — independent of the engine's
+    parse path, so a parser bug cannot cancel out."""
+    d = _read(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 13
+    hk = k % 6
+    host = F.concat(F.lit("h"), k.cast("string"), F.lit(".example.com"))
+    body = F.concat(
+        F.when(hk == 4, F.lit("User-Agent: WebExtract\n"
+                              "Crawl-delay: 1.25\nDisallow: /private\n\n"))
+        .otherwise(F.lit("")),
+        F.when(hk == 5, F.lit("User-agent: otherbot\nCrawl-delay: 7\n\n"))
+        .otherwise(F.lit("")),
+        F.lit("User-agent: *\r\n"),
+        F.when(hk == 1, F.lit("Crawl-delay: 2\n")).otherwise(F.lit("")),
+        F.when(hk == 2, F.lit("crawl-delay: 2.5\r\n")).otherwise(F.lit("")),
+        F.when(hk == 3, F.lit("Crawl-delay: fast\nCrawl-delay: 3\n"
+                              "Crawl-delay: 4\n")).otherwise(F.lit("")),
+        F.when(hk == 4, F.lit("Crawl-delay: 9\n")).otherwise(F.lit("")),
+        F.lit("Disallow: /private\n"))
+    robots = (d.select(k.alias("kk")).distinct()
+              .withColumn("doc_id", F.col("kk"))
+              .select(host.alias("host"), body.alias("robots_txt")))
+    return corpus.robots_crawl_delay(robots)
+
+
+QUERIES["robots_crawl_delay"] = q_robots_crawl_delay
+
+ORACLES["robots_crawl_delay"] = """
+    WITH ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents)
+    SELECT 'h' || k || '.example.com' AS host,
+           (CASE k % 6 WHEN 1 THEN 2000 WHEN 2 THEN 2500
+                       WHEN 3 THEN 3000 WHEN 4 THEN 1250 END)::BIGINT
+               AS delay_ms
+    FROM ks WHERE k % 6 IN (1, 2, 3, 4)"""
+
+
+def q_fetch_plan(spark, sf_dir):
+    """The WHEN of the crawl loop over domain_budget's exact PSL host
+    grid: registrant queues (shallow-first, budget 3) joined to
+    per-host robots intervals — hosts whose length%3==1 ask 2 s in
+    the `*` group, ==2 ask 0.5 s in a named webextract group (the 9 s
+    `*` ask must LOSE), ==0 publish no directive and dispatch at the
+    1000 ms default.  offset_ms = (slot-1)*delay_ms.  The oracle
+    replays the PSL longest match + queue window and applies the
+    ANALYTIC delay table."""
+    psl = list(corpus.PSL_SNAPSHOT)
+    sub = (F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+           .when(F.col("doc_id") % 4 == 1, F.lit("www."))
+           .when(F.col("doc_id") % 4 == 2, F.lit("cdn."))
+           .otherwise(F.lit("a.b.")))
+    suf = F.element_at(F.array(*[F.lit(s) for s in psl]),
+                       (F.col("doc_id") % 18).cast("int") + 1)
+    host = F.when(
+        F.col("doc_id") % 37 == 0, suf
+    ).otherwise(F.concat(sub, F.lit("site"),
+                         (F.col("doc_id") % 23).cast("string"),
+                         F.lit("."), suf))
+    path = (F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("/"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+            .otherwise(F.concat(F.lit("/a/b/"),
+                                F.col("doc_id").cast("string"))))
+    pages = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("http://"), host, path).alias("url"))
+    rh = pages.select(
+        F.regexp_extract(F.col("url"), "^http://([^/]*)", 1)
+        .alias("host")).distinct()
+    hk = F.length(F.col("host")) % 3
+    body = F.concat(
+        F.when(hk == 2, F.lit("User-agent: webextract\n"
+                              "Crawl-delay: 0.5\n\n")).otherwise(F.lit("")),
+        F.lit("User-agent: *\n"),
+        F.when(hk == 1, F.lit("Crawl-delay: 2\n")).otherwise(F.lit("")),
+        F.when(hk == 2, F.lit("Crawl-delay: 9\n")).otherwise(F.lit("")),
+        F.lit("Disallow: /private\n"))
+    robots = rh.select("host", body.alias("robots_txt"))
+    return corpus.fetch_plan(pages, robots, budget=3)
+
+
+QUERIES["fetch_plan"] = q_fetch_plan
+
+# fetch_plan: domain_budget's oracle (PSL longest match via LIKE
+# theta-join + QUALIFY, shallow-first queue window) extended to keep
+# the host, then the analytic per-host delay table applied directly.
+ORACLES["fetch_plan"] = """
+    WITH psl(suf, nsuf) AS (VALUES
+      ('com',1),('org',1),('net',1),('edu',1),('io',1),('dev',1),
+      ('uk',1),('co.uk',2),('org.uk',2),('ac.uk',2),
+      ('au',1),('com.au',2),('net.au',2),
+      ('jp',1),('co.jp',2),('ne.jp',2),
+      ('github.io',2),('blogspot.com',2)),
+    hosts AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 37 = 0 THEN sufp
+             ELSE sub || 'site' || (doc_id % 23) || '.' || sufp
+        END AS host,
+        CASE WHEN doc_id % 3 = 0 THEN '/' || doc_id
+             WHEN doc_id % 3 = 1 THEN '/p/' || doc_id
+             ELSE '/a/b/' || doc_id END AS path
+      FROM (
+        SELECT doc_id,
+          CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+               WHEN 2 THEN 'cdn.' ELSE 'a.b.' END AS sub,
+          list_extract(
+            ['com','org','net','edu','io','dev',
+             'uk','co.uk','org.uk','ac.uk',
+             'au','com.au','net.au',
+             'jp','co.jp','ne.jp',
+             'github.io','blogspot.com'],
+            CAST(doc_id % 18 AS INTEGER) + 1) AS sufp
+        FROM documents)),
+    best AS (
+      SELECT h.doc_id, h.host, h.path, p.suf, p.nsuf
+      FROM hosts h JOIN psl p
+        ON h.host = p.suf OR h.host LIKE '%.' || p.suf
+      QUALIFY row_number() OVER (PARTITION BY h.doc_id
+                                 ORDER BY p.nsuf DESC) = 1),
+    dom AS (
+      SELECT 'http://' || host || path AS url, host,
+        array_to_string(
+          string_split(host, '.')[len(string_split(host, '.')) - nsuf:],
+          '.') AS domain,
+        (len(string_split(path, '/')) - 1)::INTEGER AS depth
+      FROM best
+      WHERE len(string_split(host, '.')) > nsuf),
+    q AS (
+      SELECT url, domain, host, depth,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY depth, url)::INTEGER AS slot
+      FROM dom)
+    SELECT url, domain, host, depth, slot,
+           (CASE length(host) % 3 WHEN 1 THEN 2000
+                 WHEN 2 THEN 500 ELSE 1000 END)::BIGINT AS delay_ms,
+           ((slot - 1) * CASE length(host) % 3 WHEN 1 THEN 2000
+                 WHEN 2 THEN 500 ELSE 1000 END)::BIGINT AS offset_ms
+    FROM q WHERE slot <= 3"""
