@@ -656,3 +656,50 @@ def test_canonical_url_table(spark):
     got = [r.c for r in
            df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_bitext_mine_hand_reference(spark):
+    """Margin mining on 5 hand-computed 2-d vectors (all in the y>x
+    half-space so the bits=1 SRP plane co-buckets everything): each
+    source's parallel twin (cos=1.0) wins, and the emitted basis
+    points match the bigint margin formula computed by hand —
+    (1,11) 10297, (2,13) 10408; every cross pair's margin was derived
+    independently of the engine."""
+    from pyspark.sql import functions as F
+
+    from webextract import corpus
+
+    rows = [(1, "en", [1.0, 2.0]), (2, "en", [0.0, 1.0]),
+            (11, "de", [2.0, 4.0]), (12, "de", [1.0, 3.0]),
+            (13, "de", [0.0, 2.0])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, lang string, embedding array<double>")
+    got = sorted(tuple(r) for r in corpus.bitext_mine(
+        emb, "en", "de", k=2, bits=1, margin_bp=10000).collect())
+    assert got == [(1, 11, 1000000, 10297), (2, 13, 1000000, 10408)]
+
+
+def test_bitext_mine_margin_demotes_hub(spark):
+    """A hub target near EVERY source must lose to a specific twin
+    even when its raw cosine to some source is higher than that
+    source's twin cosine — the property raw-cosine mining lacks."""
+    from webextract import corpus
+
+    # en sources fan around (1,2); de: one hub at the fan's center,
+    # one twin parallel to src 3.  Hub beats twin on raw cos for
+    # src 3?  No — construct so hub ties high with everyone (its
+    # neighborhood mean is high, so its margin is LOW), while the
+    # twin's neighborhood is only src 3 and src 1 (lower mean).
+    rows = [(1, "en", [1.0, 2.0]), (2, "en", [1.2, 2.1]),
+            (3, "en", [0.5, 3.0]),
+            (21, "de", [1.1, 2.2]),          # hub: near all sources
+            (22, "de", [0.5, 3.0])]          # twin of src 3
+    emb = spark.createDataFrame(
+        rows, "vec_id long, lang string, embedding array<double>")
+    out = {r["src_id"]: (r["tgt_id"], r["margin_bp"])
+           for r in corpus.bitext_mine(emb, "en", "de", k=2, bits=1,
+                                       margin_bp=0).collect()}
+    assert out[3][0] == 22            # twin wins for its source
+    # the hub IS the best for src 1/2 (they have no twin) but its
+    # margin is depressed toward 1.0 by its own crowded neighborhood
+    assert out[3][1] > out[1][1]

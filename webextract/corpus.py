@@ -5179,3 +5179,82 @@ def fetch_plan(pages: DataFrame, robots: DataFrame, budget: int = 3,
             .select("url", "domain", "host", "depth", "slot",
                     delay.alias("delay_ms"),
                     ((F.col("slot") - 1) * delay).alias("offset_ms")))
+
+
+def bitext_mine(emb: DataFrame, src_lang: str, tgt_lang: str,
+                k: int = 4, bits: int = 8, margin_bp: int = 10000,
+                bucket_cap: int = ANN_BUCKET_CAP,
+                lang_col: str = "lang") -> DataFrame:
+    """(src_id, tgt_id, cos_micro, margin_bp): margin-based parallel-
+    pair mining across two languages (Artetxe & Schwenk 2019's ratio
+    margin, the CCMatrix/LASER bitext recipe) — for each source
+    vector, its best target candidate scored by how much it stands
+    OUT of both vectors' neighborhoods, not by raw cosine:
+    margin = cos(x,y) / ((mean cos of x's top-k) + (mean cos of y's
+    top-k)) / 2).  Raw-cosine mining keeps "hub" vectors that are
+    near EVERYTHING; the denominator demotes them.
+
+    Exactness contract: cosine fixes to integer micros once
+    (round(round(raw,6)*1e6)), then the margin is pure bigint —
+    2*cos*kx*ky*10^4 div (sx*ky + sy*kx) — so ranks and the emitted
+    basis points are engine-bitwise.  Only positive-cosine candidates
+    enter (keeps the denominator positive; anti-parallel vectors are
+    not translation candidates).
+
+    Scale shape: neighborhoods are the SRP-LSH candidate sets — both
+    languages hash through ONE shared hyperplane table, exact cosine
+    runs only inside co-bucketed cross-lang pairs (bucket_cap skew
+    guard, sub-quadratic like embed_near_dup_pairs), and the top-k /
+    margin statistics are windows + aggregates over the PAIR frame
+    (threshold-bounded, ≪ corpus), with the per-src and per-tgt stats
+    shuffle-hash joined back.  Vectors never enter an exchange after
+    the one bucket shuffle."""
+    dims = emb.select(F.size("embedding")).first()[0]
+    signs = _srp_sign_matrix(bits, dims)
+    staged = (emb.select("vec_id", F.col(lang_col).alias("lang"),
+                         "embedding")
+              .filter(F.col("lang").isin(src_lang, tgt_lang))
+              .withColumn("norm", F.sqrt(_dot(F.col("embedding"),
+                                              F.col("embedding"))))
+              .withColumn("bucket", _srp_bucket_col(signs))
+              .localCheckpoint())
+    ok = (staged.groupBy("bucket").count()
+          .filter(F.col("count") <= bucket_cap).select("bucket"))
+    side = staged.join(F.broadcast(ok), "bucket", "left_semi")
+    a = (side.filter(F.col("lang") == src_lang)
+         .select("bucket", F.col("vec_id").alias("src_id"),
+                 F.col("embedding").alias("ea"), F.col("norm").alias("na")))
+    c = (side.filter(F.col("lang") == tgt_lang)
+         .select("bucket", F.col("vec_id").alias("tgt_id"),
+                 F.col("embedding").alias("eb"), F.col("norm").alias("nb")))
+    cosm = F.round(F.round(_dot(F.col("ea"), F.col("eb"))
+                           / (F.col("na") * F.col("nb")), 6)
+                   * 1000000, 0).cast("long")
+    # candidates read three times (fw stats, bw stats, margin join)
+    cand = (a.join(c.hint("shuffle_hash"), "bucket")
+            .withColumn("cos_micro", cosm)
+            .filter(F.col("cos_micro") > 0)
+            .select("src_id", "tgt_id", "cos_micro")
+            .localCheckpoint())
+    wf = Window.partitionBy("src_id").orderBy(F.col("cos_micro").desc(),
+                                              "tgt_id")
+    fstat = (cand.withColumn("rf", F.row_number().over(wf))
+             .filter(F.col("rf") <= k)
+             .groupBy("src_id").agg(F.sum("cos_micro").alias("sx"),
+                                    F.count("*").alias("kx")))
+    wb = Window.partitionBy("tgt_id").orderBy(F.col("cos_micro").desc(),
+                                              "src_id")
+    bstat = (cand.withColumn("rb", F.row_number().over(wb))
+             .filter(F.col("rb") <= k)
+             .groupBy("tgt_id").agg(F.sum("cos_micro").alias("sy"),
+                                    F.count("*").alias("ky")))
+    m = (cand.join(fstat.hint("shuffle_hash"), "src_id")
+         .join(bstat.hint("shuffle_hash"), "tgt_id")
+         .withColumn("margin_bp",
+                     F.expr("(2 * cos_micro * kx * ky * 10000) "
+                            "div (sx * ky + sy * kx)")))
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.col("margin_bp").desc(), F.col("cos_micro").desc(), "tgt_id")
+    return (m.withColumn("r", F.row_number().over(wbest))
+            .filter((F.col("r") == 1) & (F.col("margin_bp") >= margin_bp))
+            .select("src_id", "tgt_id", "cos_micro", "margin_bp"))

@@ -7143,3 +7143,73 @@ ORACLES["fetch_plan"] = """
            ((slot - 1) * CASE length(host) % 3 WHEN 1 THEN 2000
                  WHEN 2 THEN 500 ELSE 1000 END)::BIGINT AS offset_ms
     FROM q WHERE slot <= 3"""
+
+
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining over the embeddings table with lang
+    assigned by vec_id parity (en/de): SRP co-bucket (bits=4 — 16
+    buckets so gate-scale neighborhoods are non-trivial), exact
+    cosine on cross-lang candidates, ratio margin over both top-4
+    neighborhoods in pure bigints, per-source best pair at the
+    10000 bp (margin ≥ 1.0) bar.  The oracle replays hyperplanes,
+    candidates, neighborhoods and the integer margin end-to-end."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        F.when(F.col("vec_id") % 2 == 0, F.lit("en"))
+        .otherwise(F.lit("de")).alias("lang"))
+    return corpus.bitext_mine(emb, "en", "de", k=4, bits=4,
+                              margin_bp=10000)
+
+
+QUERIES["bitext_mine"] = q_bitext_mine
+
+ORACLES["bitext_mine"] = """
+    WITH e AS (SELECT vec_id,
+                      CASE WHEN vec_id % 2 = 0 THEN 'en' ELSE 'de' END
+                          AS lang,
+                      embedding::DOUBLE[] AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, j,
+                 list_sum(list_transform(generate_series(1, len(v)),
+                   d -> CASE WHEN substr(md5(j || ':' || (d-1)), 1, 1)
+                                  >= '8'
+                             THEN v[d] ELSE -v[d] END)) AS dot
+          FROM e CROSS JOIN
+               (SELECT unnest(generate_series(0, 3)) AS j) js),
+    b AS (SELECT vec_id,
+                 string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END,
+                            '' ORDER BY j) AS bucket
+          FROM s GROUP BY vec_id),
+    ok AS (SELECT bucket FROM b GROUP BY bucket
+           HAVING count(*) <= 1024),
+    n AS (SELECT e.vec_id, e.lang, b.bucket, e.v,
+                 sqrt(list_dot_product(e.v, e.v)) AS nrm
+          FROM e JOIN b USING (vec_id)
+                 JOIN ok ON b.bucket = ok.bucket),
+    pos AS (SELECT * FROM (
+              SELECT a.vec_id AS src_id, c.vec_id AS tgt_id,
+                     CAST(round(round(list_dot_product(a.v, c.v)
+                                      / (a.nrm * c.nrm), 6)
+                                * 1000000, 0) AS BIGINT) AS cos_micro
+              FROM n a JOIN n c ON a.bucket = c.bucket
+              WHERE a.lang = 'en' AND c.lang = 'de')
+            WHERE cos_micro > 0),
+    fs AS (SELECT src_id, sum(cos_micro) AS sx, count(*) AS kx
+           FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                     ORDER BY cos_micro DESC, tgt_id) AS rf FROM pos)
+           WHERE rf <= 4 GROUP BY src_id),
+    bs AS (SELECT tgt_id, sum(cos_micro) AS sy, count(*) AS ky
+           FROM (SELECT *, row_number() OVER (PARTITION BY tgt_id
+                     ORDER BY cos_micro DESC, src_id) AS rb FROM pos)
+           WHERE rb <= 4 GROUP BY tgt_id),
+    m AS (SELECT p.src_id, p.tgt_id, p.cos_micro,
+                 (2 * p.cos_micro * f.kx * g.ky * 10000)
+                 // (f.sx * g.ky + g.sy * f.kx) AS margin_bp
+          FROM pos p JOIN fs f USING (src_id)
+                     JOIN bs g USING (tgt_id))
+    SELECT src_id, tgt_id, cos_micro, CAST(margin_bp AS BIGINT)
+               AS margin_bp
+    FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+              ORDER BY margin_bp DESC, cos_micro DESC, tgt_id) AS r
+          FROM m)
+    WHERE r = 1 AND margin_bp >= 10000"""
