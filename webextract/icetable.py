@@ -456,6 +456,77 @@ class IceTable:
                 break
         return stats
 
+    def data_file_rows(self, as_of: str | None = None) -> dict:
+        """{file: record_count} for the live files — the row-count
+        twin of data_file_stats (Iceberg data_file.record_count)."""
+        rows: dict = {}
+        for s in self.snapshots(as_of):
+            for p in s["partitions"]:
+                for f in p["files"]:
+                    if f in (p.get("file_rows") or {}):
+                        rows.setdefault(f, p["file_rows"][f])
+            if s.get("rewrite"):
+                break
+        return rows
+
+    def stats_agg(self, spark, cols: tuple[str, ...] = (),
+                  as_of: str | None = None):
+        """One-row aggregate (n_rows, min_<c>/max_<c> per tracked
+        column, metadata_only flag) answered from MANIFESTS ALONE when
+        that is sound — Iceberg's metadata-only count(*)/min/max, the
+        reason a 10^12-row table answers a dataset-card header without
+        a scan: n_rows = sum of committed record_counts, bounds = fold
+        of the committed per-file footer bounds (write-time column
+        names resolved through any renames; files written before an
+        added column contribute no bound, matching their NULL
+        backfill).
+
+        Soundness gate, checked not assumed: any live DELETE file, a
+        live file without a record count, or a tracked column missing
+        bounds on a file that HAS the column forces the real scan
+        (metadata_only=false) — the answer is always correct, metadata
+        is purely a cost lever (the scan() contract)."""
+        from pyspark.sql import functions as SF
+        data, deletes = self._live_set(as_of)
+        rows_map = self.data_file_rows(as_of)
+        stats = self.data_file_stats(as_of)
+        meta_ok = not deletes and all(f in rows_map for f, _, _ in data)
+        bounds: dict = {}
+        if meta_ok:
+            for c in cols:
+                mn = mx = None
+                for f, sid, _seq in data:
+                    wname = self._resolve_name(c, sid)
+                    if wname is None:
+                        continue           # NULL backfill: no bound
+                    st = stats.get(f, {})
+                    if wname not in st:
+                        meta_ok = False
+                        break
+                    fmn, fmx = st[wname]
+                    mn = fmn if mn is None else min(mn, fmn)
+                    mx = fmx if mx is None else max(mx, fmx)
+                if not meta_ok:
+                    break
+                bounds[c] = (mn, mx)
+        names = ["n_rows"] + [f"{w}_{c}" for c in cols
+                              for w in ("min", "max")]
+        if meta_ok:
+            vals = [sum(rows_map[f] for f, _, _ in data)]
+            for c in cols:
+                vals.extend(bounds[c])
+            row = spark.createDataFrame([tuple(vals)], names)
+        else:
+            df = self._grouped_read(spark, data, deletes)
+            aggs = [SF.count("*").alias("n_rows")]
+            for c in cols:
+                aggs += [SF.min(c).alias(f"min_{c}"),
+                         SF.max(c).alias(f"max_{c}")]
+            row = df.agg(*aggs)
+        return row.withColumn(
+            "metadata_only", SF.lit(bool(meta_ok))).select(
+            *names, "metadata_only")
+
     def scan(self, spark, col: str, lo, hi,
              as_of: str | None = None):
         """Stats-pruned range read: open ONLY files whose committed
@@ -1132,6 +1203,27 @@ class IceTable:
                         fs[f] = {**have, **st}
                 if fs:
                     p["file_stats"] = fs
+        # per-file record counts (Iceberg data_file.record_count):
+        # carried files keep their committed count (a rewrite must not
+        # re-open every kept footer — the file_stats rule), only files
+        # new to the table get ONE footer-only read.  This is what
+        # makes count(*) a metadata-only answer (stats_agg).
+        prior_rows = self.data_file_rows()
+        for p in partitions:
+            fr = dict(p.get("file_rows") or {})
+            for f in p["files"]:
+                if f in fr:
+                    continue
+                if f in prior_rows:
+                    fr[f] = prior_rows[f]
+                    continue
+                try:
+                    import pyarrow.parquet as pq
+                    fr[f] = pq.ParquetFile(f).metadata.num_rows
+                except OSError:
+                    pass
+            if fr:
+                p["file_rows"] = fr
         lock = self._commit_lock()
         try:
             if branch is None:

@@ -7213,3 +7213,53 @@ ORACLES["bitext_mine"] = """
               ORDER BY margin_bp DESC, cos_micro DESC, tgt_id) AS r
           FROM m)
     WHERE r = 1 AND margin_bp >= 10000"""
+
+
+def q_table_stats_agg(spark, sf_dir):
+    """Metadata-only aggregate driver gate: documents committed as 4
+    IceTable waves with tracked bounds, sorted-compacted, then the
+    dataset-card header row (count + per-column min/max) answered from
+    MANIFESTS ALONE — record counts summed, footer bounds folded, no
+    data file opened.  metadata_only=true is part of the compared
+    row, so a silent fallback to the scan path fails the gate; the
+    oracle is the brute-force aggregate over the same rows."""
+    import hashlib
+    import os
+    import shutil
+
+    from .icetable import IceTable
+
+    tag = hashlib.md5(("icestats" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_icestats_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = IceTable(base)
+    tbl.init_schema([("doc_id", "long"), ("url", "string")])
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("u"), F.lpad(F.col("doc_id").cast("string"),
+                                    7, "0")).alias("url"))
+    for w in range(4):
+        out = tbl.staging_dir(f"w{w}", 0)
+        (d.filter(F.col("doc_id") % 4 == w)
+         .coalesce(1).write.mode("overwrite").parquet(out))
+        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                       if fn.endswith(".parquet")
+                       and not fn.startswith((".", "_")))
+        tbl.commit(f"w{w}", [{"part_id": w, "files": files,
+                              "counters": {}}], "t",
+                   stats_cols=("doc_id", "url"))
+    sizes = [os.path.getsize(f) for f in tbl.data_files()]
+    tbl.compact(spark, target_file_bytes=2 * max(sizes) + 2,
+                committed_at="t", sort_by="url")
+    return tbl.stats_agg(spark, ("doc_id", "url"))
+
+
+QUERIES["table_stats_agg"] = q_table_stats_agg
+
+ORACLES["table_stats_agg"] = """
+    SELECT count(*) AS n_rows,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+           min('u' || lpad(doc_id::VARCHAR, 7, '0')) AS min_url,
+           max('u' || lpad(doc_id::VARCHAR, 7, '0')) AS max_url,
+           TRUE AS metadata_only
+    FROM documents"""
