@@ -81,7 +81,7 @@ HEADLINE = [
     "jsonld_extract", "parse_feeds", "lang_pivot",
     "host_domains", "kmv_overlap", "embed_covariance", "kmv_merge",
     "domain_budget", "stream_kmv", "robots_crawl_delay", "fetch_plan",
-    "bitext_mine", "table_stats_agg",
+    "bitext_mine", "table_stats_agg", "sitemap_recrawl",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -246,3 +246,65 @@ def test_parse_cdx_matches_python_reference(spark, lines):
         _shard(spark, text)).collect()), key=nullsafe)
     want = sorted(_ref_parse("s0", text), key=nullsafe)
     assert got == want
+
+
+def test_surt_col_matches_surt_key(spark):
+    """The Spark column SURT must equal the CDX writer's Python rule
+    byte-for-byte on every tricky form — ports (default http/https,
+    non-default, https-default-on-http), query strings, bare hosts,
+    uppercase, and non-http passthrough."""
+    from webextract.corpus import surt_col
+    from webextract.sources import surt_key
+
+    urls = [
+        "http://Example.COM/Path?q=1",
+        "http://example.com:80/x",
+        "https://example.com:443/x",
+        "http://example.com:443/x",      # 443 is NOT http's default
+        "https://example.com:8443/a/b?z=2",
+        "http://example.com",            # bare host gains '/'
+        "http://a.b.example.co.uk/deep/path",
+        "http://example.com/x#frag",     # fragment dropped
+        "doc://opaque/thing",            # non-http passthrough
+        "HTTPS://UPPER.example/MiXeD",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in
+           df.select(surt_col(F.col("url"))).collect()]
+    assert got == [surt_key(u) for u in urls]
+
+
+def test_sitemap_recrawl_decision_table(spark):
+    """Hand decision table: never-captured -> new; lastmod strictly
+    newer than the capture -> modified; equal instant, older, absent
+    and offset-form lastmods -> not emitted."""
+    from webextract import corpus
+
+    entries = spark.createDataFrame(
+        [("h", "http://h.example/new", "2026-01-01", -1),
+         ("h", "http://h.example/mod", "2026-03-02", 700000),
+         ("h", "http://h.example/modz", "2026-03-01T10:00:00.5Z", -1),
+         ("h", "http://h.example/equal", "2026-03-01", -1),
+         ("h", "http://h.example/old", "2025-01-01", -1),
+         ("h", "http://h.example/nolm", None, -1),
+         ("h", "http://h.example/offset", "2026-03-02T01:00:00+02:00",
+          -1)],
+        "host string, url string, lastmod string, priority_micro long")
+    latest = spark.createDataFrame(
+        [("example,h)/mod", "20260301000000"),
+         ("example,h)/modz", "20260301095959"),
+         ("example,h)/equal", "20260301000000"),
+         ("example,h)/old", "20260301000000"),
+         ("example,h)/nolm", "20260301000000"),
+         ("example,h)/offset", "20260301000000")],
+        "surt string, ts string")
+    got = sorted((r["url"], r["reason"], r["lastmod14"],
+                  r["last_capture_ts"]) for r in
+                 corpus.sitemap_recrawl(entries, latest).collect())
+    assert got == [
+        ("http://h.example/mod", "modified", "20260302000000",
+         "20260301000000"),
+        ("http://h.example/modz", "modified", "20260301100000",
+         "20260301095959"),
+        ("http://h.example/new", "new", "20260101000000", None),
+    ]

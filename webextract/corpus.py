@@ -5258,3 +5258,75 @@ def bitext_mine(emb: DataFrame, src_lang: str, tgt_lang: str,
     return (m.withColumn("r", F.row_number().over(wbest))
             .filter((F.col("r") == 1) & (F.col("margin_bp") >= margin_bp))
             .select("src_id", "tgt_id", "cos_micro", "margin_bp"))
+
+
+def surt_col(url):
+    """Column-level SURT canonicalization — the engine twin of the
+    CDX writer's sources.surt_key (kept rule-identical; its docstring
+    is the contract): 'com,example)/path?query' with reversed
+    lowercase host labels, default ports dropped, non-default ports
+    kept after the labels, bare hosts gaining '/'.  Non-http(s)
+    schemes pass through unchanged.  Pure built-in regex/array
+    expressions — narrow, codegen'd, the key derivation side of any
+    sitemap/frontier-to-CDX join."""
+    u = F.coalesce(url, F.lit(""))
+    scheme = F.lower(F.regexp_extract(u, r"(?i)^(https?)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"(?i)^https?://([^/?#]*)", 1))
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r"^[^:]*:(.*)$", 1)
+    rest = F.regexp_extract(u, r"(?i)^https?://[^/?#]*([^#]*)", 1)
+    key = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    default = (((scheme == "http") & (port == "80"))
+               | ((scheme == "https") & (port == "443")))
+    keyp = F.when((port != "") & ~default,
+                  F.concat(key, F.lit(":"), port)).otherwise(key)
+    out = F.concat(keyp, F.lit(")"),
+                   F.when(rest == "", F.lit("/")).otherwise(rest))
+    return F.when(scheme == "", u).otherwise(out)
+
+
+def sitemap_recrawl(entries: DataFrame, latest: DataFrame) -> DataFrame:
+    """(host, url, surt, lastmod14, last_capture_ts, priority_micro,
+    reason): the sitemap->CDX refetch plan — what a polite crawler
+    actually fetches on a recrawl pass.  Joins parse_sitemaps' entry
+    list (what the site SAYS exists/changed) against cdx_latest's
+    per-SURT newest capture (what the archive HAS) and emits only the
+    urls worth fetching: reason='new' (never captured) or 'modified'
+    (a parseable <lastmod>, normalized to the CDX 14-digit form,
+    strictly newer than the last capture).  Unchanged urls, urls
+    whose lastmod equals the capture instant, and entries with no/
+    unparseable lastmod but an existing capture are NOT emitted —
+    <lastmod> is a hint, and the conservative side of an unparseable
+    hint is "don't refetch" (cdx_revisit's change_bp drives refresh
+    of those).
+
+    lastmod normalization accepts the two W3C forms sitemaps actually
+    serve — date-only and full UTC 'Z' timestamps (fractional seconds
+    dropped) — as pure string surgery: strip non-digits, right-pad
+    with zeros to 14.  Offset forms (+hh:mm) would need timezone
+    arithmetic to compare against CDX UTC stamps, so they are treated
+    as absent rather than compared wrongly.
+
+    Scale shape: surt derivation and lastmod normalization are narrow
+    projections; ONE shuffle each side for the surt equi-join (both
+    sides are corpus-scale — nothing broadcasts); the emitted plan is
+    bounded by the change rate, not the sitemap size."""
+    lm = F.col("lastmod")
+    valid = lm.rlike(
+        r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?Z)?$")
+    digits = F.regexp_replace(lm, "[^0-9]", "")
+    lm14 = F.when(valid,
+                  F.substring(F.concat(digits, F.lit("000000")), 1, 14))
+    e = entries.select("host", "url", "priority_micro",
+                       surt_col(F.col("url")).alias("surt"),
+                       lm14.alias("lastmod14"))
+    j = e.join(latest.select("surt",
+                             F.col("ts").alias("last_capture_ts")),
+               "surt", "left")
+    reason = (F.when(F.col("last_capture_ts").isNull(), F.lit("new"))
+              .when(F.col("lastmod14") > F.col("last_capture_ts"),
+                    F.lit("modified")))
+    return (j.withColumn("reason", reason)
+            .filter(F.col("reason").isNotNull())
+            .select("host", "url", "surt", "lastmod14",
+                    "last_capture_ts", "priority_micro", "reason"))

@@ -7263,3 +7263,85 @@ ORACLES["table_stats_agg"] = """
            max('u' || lpad(doc_id::VARCHAR, 7, '0')) AS max_url,
            TRUE AS metadata_only
     FROM documents"""
+
+
+def q_sitemap_recrawl(spark, sf_dir):
+    """Sitemap->CDX refetch planning over 13 hosts x 3 entries: /a has
+    a date-only lastmod captured either EARLIER (odd k: modified) or
+    at the SAME instant (even k: not emitted); /b has a full-Z lastmod
+    and an https default port that must drop in the SURT — captured
+    older on k%3==0 (modified), never captured otherwise (new); /c has
+    no lastmod and a NON-default :8080 port kept in the SURT —
+    uncaptured k%5==0 emits new, captured hosts stay silent.  The
+    capture side carries LITERAL SURT strings, so every join hit pins
+    surt_col's reversal/port rules; the oracle is the analytic truth
+    table."""
+    d = _read(spark, sf_dir, "documents")
+    ks = (d.select((F.col("doc_id") % 13).alias("k")).distinct())
+    k = F.col("k")
+    s = k.cast("string")
+    host = F.concat(F.lit("h"), s, F.lit(".example.com"))
+    m = (k % 9 + 1).cast("string")
+    ea = ks.select(host.alias("host"),
+                   F.concat(F.lit("http://"), host, F.lit("/a/"), s)
+                   .alias("url"),
+                   F.concat(F.lit("2026-0"), m, F.lit("-01"))
+                   .alias("lastmod"),
+                   F.lit(-1).cast("long").alias("priority_micro"))
+    eb = ks.select(host.alias("host"),
+                   F.concat(F.lit("https://"), host, F.lit(":443/b?x="),
+                            s).alias("url"),
+                   F.concat(F.lit("2026-03-01T0"), (k % 6).cast("string"),
+                            F.lit(":30:00Z")).alias("lastmod"),
+                   F.lit(500000).cast("long").alias("priority_micro"))
+    ec = ks.select(host.alias("host"),
+                   F.concat(F.lit("http://"), host, F.lit(":8080/c"))
+                   .alias("url"),
+                   F.lit(None).cast("string").alias("lastmod"),
+                   F.lit(-1).cast("long").alias("priority_micro"))
+    entries = ea.unionByName(eb).unionByName(ec)
+    surt_a = F.concat(F.lit("com,example,h"), s, F.lit(")/a/"), s)
+    la = ks.select(surt_a.alias("surt"),
+                   F.when(k % 2 == 1, F.lit("20250101000000"))
+                   .otherwise(F.concat(F.lit("20260"), m,
+                                       F.lit("01000000"))).alias("ts"))
+    lb = (ks.filter(k % 3 == 0)
+          .select(F.concat(F.lit("com,example,h"), s, F.lit(")/b?x="), s)
+                  .alias("surt"), F.lit("20260215000000").alias("ts")))
+    lc = (ks.filter(k % 5 != 0)
+          .select(F.concat(F.lit("com,example,h"), s, F.lit(":8080)/c"))
+                  .alias("surt"), F.lit("20260101000000").alias("ts")))
+    latest = la.unionByName(lb).unionByName(lc)
+    return corpus.sitemap_recrawl(entries, latest)
+
+
+QUERIES["sitemap_recrawl"] = q_sitemap_recrawl
+
+ORACLES["sitemap_recrawl"] = """
+    WITH ks AS (SELECT DISTINCT doc_id % 13 AS k FROM documents),
+    a AS (SELECT 'h' || k || '.example.com' AS host,
+                 'http://h' || k || '.example.com/a/' || k AS url,
+                 'com,example,h' || k || ')/a/' || k AS surt,
+                 '20260' || (k % 9 + 1) || '01000000' AS lastmod14,
+                 '20250101000000' AS last_capture_ts,
+                 CAST(-1 AS BIGINT) AS priority_micro,
+                 'modified' AS reason
+          FROM ks WHERE k % 2 = 1),
+    b AS (SELECT 'h' || k || '.example.com' AS host,
+                 'https://h' || k || '.example.com:443/b?x=' || k AS url,
+                 'com,example,h' || k || ')/b?x=' || k AS surt,
+                 '202603010' || (k % 6) || '3000' AS lastmod14,
+                 CASE WHEN k % 3 = 0 THEN '20260215000000' END
+                     AS last_capture_ts,
+                 CAST(500000 AS BIGINT) AS priority_micro,
+                 CASE WHEN k % 3 = 0 THEN 'modified' ELSE 'new' END
+                     AS reason
+          FROM ks),
+    c AS (SELECT 'h' || k || '.example.com' AS host,
+                 'http://h' || k || '.example.com:8080/c' AS url,
+                 'com,example,h' || k || ':8080)/c' AS surt,
+                 NULL AS lastmod14, NULL AS last_capture_ts,
+                 CAST(-1 AS BIGINT) AS priority_micro, 'new' AS reason
+          FROM ks WHERE k % 5 = 0)
+    SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL
+    SELECT * FROM c"""
