@@ -81,7 +81,7 @@ HEADLINE = [
     "jsonld_extract", "parse_feeds", "lang_pivot",
     "host_domains", "kmv_overlap", "embed_covariance", "kmv_merge",
     "domain_budget", "stream_kmv", "robots_crawl_delay", "fetch_plan",
-    "bitext_mine", "table_stats_agg", "sitemap_recrawl",
+    "bitext_mine", "table_stats_agg", "sitemap_recrawl", "c4_span_dedup",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a
@@ -141,7 +141,8 @@ _FAMILIES = (
     ("stream", ("stream_",)),
     ("dedup", ("dedup_", "line_dedup", "url_dedup", "within_doc",
                "canonical_dedup", "skew_neardup", "mirror_hosts",
-               "image_neardup", "image_dhash")),
+               "image_neardup", "image_dhash", "c4_span_dedup",
+               "bitext_mine")),
     ("embed", ("embed_", "hashed_tfidf")),
     ("chunk", ("chunk_",)),
     ("quality", ("quality_", "c4_quality", "nb_quality", "lm_perplexity",

@@ -703,3 +703,33 @@ def test_bitext_mine_margin_demotes_hub(spark):
     # the hub IS the best for src 1/2 (they have no twin) but its
     # margin is depressed toward 1.0 by its own crowded neighborhood
     assert out[3][1] > out[1][1]
+
+
+def test_c4_span_dedup_hand_reference(spark):
+    """Hand table: the shared three-sentence block survives only in
+    its first (min doc_id, min position) occurrence; later docs drop
+    exactly those three sentences; short docs pass untouched.  The
+    final sentence keeps its trailing period after the '. ' split, so
+    doc 4's terminal span ('C three.') is DISTINCT from doc 1's
+    interior span ('C three') and survives — and doc 5, which repeats
+    the block both interior and terminal, loses position 0-2 to
+    doc 1's span and 3-5 to doc 4's."""
+    from webextract import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "A one. B two. C three. X tail1."),
+         (2, "A one. B two. C three. Y tail2."),
+         (3, "Z only. Two."),
+         (4, "A one. B two. C three."),
+         (5, "A one. B two. C three. A one. B two. C three.")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["kept_sents"],
+                         r["dropped_sents"])
+           for r in corpus.c4_span_dedup(docs).collect()}
+    assert got == {
+        1: ("A one. B two. C three. X tail1.", 4, 0),
+        2: ("Y tail2.", 1, 3),
+        3: ("Z only. Two.", 2, 0),
+        4: ("A one. B two. C three.", 3, 0),
+        5: ("", 0, 6),
+    }

@@ -5330,3 +5330,64 @@ def sitemap_recrawl(entries: DataFrame, latest: DataFrame) -> DataFrame:
             .filter(F.col("reason").isNotNull())
             .select("host", "url", "surt", "lastmod14",
                     "last_capture_ts", "priority_micro", "reason"))
+
+
+def c4_span_dedup(docs: DataFrame,
+                  broadcast_cap: int = LINE_BROADCAST_CAP) -> DataFrame:
+    """(doc_id, clean_text, kept_sents, dropped_sents): C4's corpus-
+    level three-sentence-span dedup (Raffel et al. 2020 section 2.2 —
+    "discarded all but one of any three-sentence span occurring more
+    than once"): every window of three consecutive sentences hashes;
+    the first occurrence (min (doc_id, position)) survives, every
+    other occurrence drops its three sentences, and documents
+    reassemble from the surviving sentences in order.  Complements
+    line_dedup (df-capped single segments) — a span must recur only
+    TWICE to be cut, but needs three sentences of exact agreement, so
+    the two rules catch different boilerplate.
+
+    Scale shape: the span stream that shuffles on hash carries
+    (doc_id, i, md5) ONLY — sentence text never enters that exchange;
+    the survivor pick is one agg + a co-partitioned shuffle-hash join
+    back.  Removed positions (bounded by the DUPLICATED span count,
+    not the corpus) stage via localCheckpoint and size-gate: broadcast
+    under the cap, shuffle-hash fallback above (line_dedup's
+    protocol).  Text crosses exactly one exchange — the per-doc
+    reassembly groupBy (the line_dedup budget)."""
+    base = _spread(docs).select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\. ").alias("s"))
+    idx = F.when(F.size("s") >= 3,
+                 F.sequence(F.lit(0), F.size("s") - 3)
+                 ).otherwise(F.array().cast("array<int>"))
+    sep = "\x01"   # unambiguous joint: sentences never contain \x01
+    span_h = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(
+            sep, F.get(F.col("s"), i), F.get(F.col("s"), i + 1),
+            F.get(F.col("s"), i + 2))))
+    occ = base.select("doc_id", F.posexplode(span_h).alias("i", "h"))
+    surv = occ.groupBy("h").agg(F.min(F.struct("doc_id", "i")).alias("m"),
+                                F.count("*").alias("n"))
+    rem = (occ.join(surv.hint("shuffle_hash"), "h")
+           .filter((F.col("n") > 1)
+                   & ((F.col("doc_id") != F.col("m.doc_id"))
+                      | (F.col("i") != F.col("m.i"))))
+           .select("doc_id",
+                   F.explode(F.array(F.col("i"), F.col("i") + 1,
+                                     F.col("i") + 2)).alias("pos"))
+           .distinct()
+           .localCheckpoint())
+    small = rem.count() <= broadcast_cap
+    hint = F.broadcast if small else (lambda df: df.hint("shuffle_hash"))
+    sents = base.select("doc_id", F.posexplode("s").alias("pos", "sent"))
+    marked = sents.join(hint(rem.withColumn("rm", F.lit(1))),
+                        ["doc_id", "pos"], "left")
+    kept = F.when(F.col("rm").isNull(), F.struct("pos", "sent"))
+    return (marked.groupBy("doc_id")
+            .agg(F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept)),
+                                 lambda s: s["sent"]), ". ")
+                 .alias("clean_text"),
+                 F.sum(F.when(F.col("rm").isNull(), 1).otherwise(0))
+                 .cast("int").alias("kept_sents"),
+                 F.sum(F.when(F.col("rm").isNotNull(), 1).otherwise(0))
+                 .cast("int").alias("dropped_sents")))

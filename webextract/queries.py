@@ -7345,3 +7345,65 @@ ORACLES["sitemap_recrawl"] = """
           FROM ks WHERE k % 5 = 0)
     SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL
     SELECT * FROM c"""
+
+
+def q_c4_span_dedup(spark, sf_dir):
+    """C4 three-sentence-span dedup over documents with a shared
+    boilerplate block injected at the head of every 7th doc: the
+    block's span survives only in the smallest injected doc_id, every
+    other injected doc loses exactly the three injected sentences
+    (the bridge span into each doc's natural text stays unique), and
+    untouched docs pass through byte-identical.  The oracle replays
+    split/window/md5/survivor/reassembly end-to-end in SQL."""
+    d = _read(spark, sf_dir, "documents")
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("Alpha one two. Beta three four. "
+                       "Gamma five six. "), F.col("text"))
+    ).otherwise(F.col("text"))
+    return corpus.c4_span_dedup(d.select("doc_id", text.alias("text")))
+
+
+QUERIES["c4_span_dedup"] = q_c4_span_dedup
+
+ORACLES["c4_span_dedup"] = """
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 7 = 0
+                           THEN 'Alpha one two. Beta three four. '
+                                || 'Gamma five six. ' || text
+                           ELSE text END AS text
+               FROM documents),
+    arrs AS (SELECT doc_id, string_split(coalesce(text, ''), '. ') AS s
+             FROM d),
+    occ AS (SELECT doc_id, i,
+                   md5(s[i] || chr(1) || s[i+1] || chr(1) || s[i+2])
+                       AS h
+            FROM (SELECT doc_id, s,
+                         unnest(generate_series(1, len(s) - 2)) AS i
+                  FROM arrs)),
+    ranked AS (SELECT doc_id, i, h,
+                      count(*) OVER (PARTITION BY h) AS n,
+                      row_number() OVER (PARTITION BY h
+                                         ORDER BY doc_id, i) AS rn
+               FROM occ),
+    rem AS (SELECT DISTINCT doc_id, unnest([i, i+1, i+2]) AS pos
+            FROM ranked WHERE n > 1 AND rn > 1),
+    sents AS (SELECT doc_id, u.pos, u.sent
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                               s, (x, i) -> struct_pack(pos := i,
+                                                        sent := x))) AS u
+                    FROM arrs)),
+    kept AS (SELECT se.doc_id, se.pos, se.sent
+             FROM sents se LEFT JOIN rem r
+               ON se.doc_id = r.doc_id AND se.pos = r.pos
+             WHERE r.pos IS NULL),
+    tot AS (SELECT doc_id, len(s) AS n_sents FROM arrs)
+    SELECT t.doc_id,
+           coalesce(string_agg(k.sent, '. ' ORDER BY k.pos), '')
+               AS clean_text,
+           count(k.pos)::INTEGER AS kept_sents,
+           (any_value(t.n_sents) - count(k.pos))::INTEGER
+               AS dropped_sents
+    FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id"""
