@@ -633,3 +633,26 @@ def test_bm25_plan_query_vocab_filtered_before_agg(spark):
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert " IN (" in plan, plan[:2000]         # literal vocab filter
     assert "BroadcastHashJoin" in plan          # qt/idf/stats sides
+
+
+def test_pii_card_scrub_luhn(spark):
+    """Checksum-conditional masking: Luhn-valid candidates (plain,
+    spaced, dashed) mask EVERYWHERE by value; a digit run failing the
+    checksum survives; n_cards counts distinct confirmed values."""
+    from webextract import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "pay with 4111111111111111 now"),
+         (2, "order 4111111111111112 shipped"),
+         (3, "amex 3400-0000-0000-009 and visa 4111 1111 1111 1111"),
+         (4, "plain text no digits"),
+         (5, "repeat 5500000000000004 twice 5500000000000004")],
+        "doc_id long, text string")
+    got = sorted(tuple(r) for r in corpus.pii_card_scrub(docs).collect())
+    assert got == [
+        (1, "pay with <CARD> now", 1, 0),
+        (2, "order 4111111111111112 shipped", 0, 1),
+        (3, "amex <CARD> and visa <CARD>", 2, 0),
+        (4, "plain text no digits", 0, 0),
+        (5, "repeat <CARD> twice <CARD>", 1, 0),
+    ]

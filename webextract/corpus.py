@@ -5391,3 +5391,48 @@ def c4_span_dedup(docs: DataFrame,
                  .cast("int").alias("kept_sents"),
                  F.sum(F.when(F.col("rm").isNotNull(), 1).otherwise(0))
                  .cast("int").alias("dropped_sents")))
+
+
+CARD_RE = r"\b\d(?:[ -]?\d){12,18}\b"   # 13-19 digits, space/dash joints
+
+
+def pii_card_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, text_scrubbed, n_cards, n_rejected): payment-card
+    redaction — the CHECKSUM-conditional tier above pii_scrub's
+    pattern tier.  Candidate digit runs (13-19 digits with optional
+    single space/dash joints, the physical card formats) are admitted
+    only when their digits pass the Luhn mod-10 check, so order
+    numbers and timestamps that merely LOOK card-shaped survive;
+    every occurrence of a confirmed value is replaced with <CARD> —
+    by VALUE, not by position, because once a string is known to be a
+    card number it is PII wherever it appears.
+
+    All built-ins, zero shuffle: one regexp_extract_all, a Luhn fold
+    per candidate (reversed digits, double-every-second with the
+    mod-9 carry), and an aggregate() fold of literal replaces over
+    the per-doc confirmed set — the pii_scrub scale shape with a
+    checksum in the middle.  The regex stays in the RE2/Java-common
+    subset so the oracle runs the identical rule."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    cands = F.array_distinct(F.regexp_extract_all(t, F.lit(CARD_RE), 0))
+
+    def luhn_ok(c):
+        rev = F.reverse(F.regexp_replace(c, "[ -]", ""))
+        term = lambda i: F.when(
+            i % 2 == 1, F.ascii(F.substring(rev, i, 1)) - 48
+        ).otherwise(
+            ((F.ascii(F.substring(rev, i, 1)) - 48) * 2) % 9
+            + F.when((F.ascii(F.substring(rev, i, 1)) - 48) == 9,
+                     F.lit(9)).otherwise(F.lit(0)))
+        s = F.aggregate(F.sequence(F.lit(1), F.length(rev)),
+                        F.lit(0), lambda acc, i: acc + term(i))
+        return s % 10 == 0
+
+    good = F.filter(cands, luhn_ok)
+    scrubbed = F.aggregate(good, t,
+                           lambda acc, c: F.replace(acc, c,
+                                                    F.lit("<CARD>")))
+    return docs.select(
+        "doc_id", scrubbed.alias("text_scrubbed"),
+        F.size(good).cast("int").alias("n_cards"),
+        (F.size(cands) - F.size(good)).cast("int").alias("n_rejected"))

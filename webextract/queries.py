@@ -7407,3 +7407,65 @@ ORACLES["c4_span_dedup"] = """
                AS dropped_sents
     FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
     GROUP BY t.doc_id"""
+
+
+def q_pii_card_scrub(spark, sf_dir):
+    """Luhn card redaction over documents with three injected shapes:
+    a Luhn-valid plain Visa test number on every 3rd doc (masked), a
+    near-miss failing the checksum on every 5th (kept — the rule that
+    separates this tier from pattern scrubbing), and a dash-grouped
+    valid MasterCard test number on every 7th (masked through the
+    separator form).  The oracle replays extraction, the Luhn fold
+    and the by-value replace fold in SQL."""
+    d = _read(spark, sf_dir, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" card 4111111111111111")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" ref 4111111111111112")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" mc 5500-0000-0000-0004")).otherwise(F.lit("")))
+    return corpus.pii_card_scrub(d.select("doc_id", text.alias("text")))
+
+
+QUERIES["pii_card_scrub"] = q_pii_card_scrub
+
+ORACLES["pii_card_scrub"] = r"""
+    WITH d AS (SELECT doc_id,
+                      text
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN ' card 4111111111111111' ELSE '' END
+                      || CASE WHEN doc_id % 5 = 0
+                              THEN ' ref 4111111111111112' ELSE '' END
+                      || CASE WHEN doc_id % 7 = 0
+                              THEN ' mc 5500-0000-0000-0004' ELSE '' END
+                          AS text
+               FROM documents),
+    c AS (SELECT doc_id, text,
+                 list_distinct(regexp_extract_all(
+                     text, '\b\d(?:[ -]?\d){12,18}\b', 0)) AS cands
+          FROM d),
+    g AS (SELECT doc_id, text, cands,
+                 list_filter(cands, x -> list_sum(list_transform(
+                     generate_series(1, length(regexp_replace(
+                         x, '[ -]', '', 'g'))),
+                     i -> CASE WHEN i % 2 = 1
+                               THEN ascii(substr(reverse(regexp_replace(
+                                        x, '[ -]', '', 'g')), i, 1)) - 48
+                               ELSE ((ascii(substr(reverse(regexp_replace(
+                                        x, '[ -]', '', 'g')), i, 1)) - 48)
+                                     * 2) % 9
+                                    + CASE WHEN ascii(substr(reverse(
+                                               regexp_replace(x, '[ -]',
+                                               '', 'g')), i, 1)) - 48 = 9
+                                           THEN 9 ELSE 0 END
+                          END)) % 10 = 0) AS good
+          FROM c)
+    SELECT doc_id,
+           list_reduce(list_prepend(text, good),
+                       (acc, x) -> replace(acc, x, '<CARD>'))
+               AS text_scrubbed,
+           len(good)::INTEGER AS n_cards,
+           (len(cands) - len(good))::INTEGER AS n_rejected
+    FROM g"""
