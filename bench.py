@@ -82,7 +82,7 @@ HEADLINE = [
     "host_domains", "kmv_overlap", "embed_covariance", "kmv_merge",
     "domain_budget", "stream_kmv", "robots_crawl_delay", "fetch_plan",
     "bitext_mine", "table_stats_agg", "sitemap_recrawl", "c4_span_dedup",
-    "pii_card_scrub",
+    "pii_card_scrub", "corpus_drift",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -656,3 +656,25 @@ def test_pii_card_scrub_luhn(spark):
         (4, "plain text no digits", 0, 0),
         (5, "repeat <CARD> twice <CARD>", 1, 0),
     ]
+
+
+def test_corpus_drift_hand_reference(spark):
+    """Hand JS table over 8-token sides: a vanished key carries the
+    pure half-relative-entropy term (0.25*ln2/2 = 86643 micro-nats),
+    a shifted key the mixed term, a new key the appearing term; ppm
+    columns are exact integer shares."""
+    from webextract import corpus
+
+    old = spark.createDataFrame(
+        [(1, "en", "a b c d"), (2, "en", "e f"), (3, "de", "g h")],
+        "doc_id long, lang string, text string")
+    new = spark.createDataFrame(
+        [(4, "en", "a b"), (5, "fr", "x y z w v u")],
+        "doc_id long, lang string, text string")
+    got = sorted(tuple(r) for r in
+                 corpus.corpus_drift(old, new).collect())
+    assert got == [
+        ("de", 1, 0, 2, 0, 250000, 0, -250000, 86643),
+        ("en", 2, 1, 6, 2, 750000, 250000, -500000, 65406),
+        ("fr", 0, 1, 0, 6, 0, 750000, 750000, 259930),
+    ]

@@ -5436,3 +5436,51 @@ def pii_card_scrub(docs: DataFrame) -> DataFrame:
         "doc_id", scrubbed.alias("text_scrubbed"),
         F.size(good).cast("int").alias("n_cards"),
         (F.size(cands) - F.size(good)).cast("int").alias("n_rejected"))
+
+
+def corpus_drift(old: DataFrame, new: DataFrame,
+                 key_col: str = "lang") -> DataFrame:
+    """(key, old_docs, new_docs, old_tokens, new_tokens, old_ppm,
+    new_ppm, delta_ppm, js_micro): distribution drift between two
+    corpus snapshots keyed by ``key_col`` — the dataset-card diff a
+    recrawl publishes next to its CDC increment (did this crawl tilt
+    the language mix?  which sources surged?).  Shares are EXACT
+    integer parts-per-million (tokens*10^6 div side total), so the
+    headline delta column is engine-bitwise; js_micro is each key's
+    Jensen-Shannon contribution, computed from those exact ppm
+    integers and rounded to micro-nats under the lm_perplexity ln
+    contract (one rounded ln per key, never summed before rounding).
+    Keys absent from one side carry zero counts and a pure
+    half-relative-entropy term.
+
+    Scale shape: one map-side-combined groupBy per side at key
+    cardinality, a broadcast 1-row totals frame each, and a key-level
+    outer join — catalog-sized everywhere after the two aggregations;
+    text reduces to a token count in the scan projection."""
+    def side(df, tag):
+        toks = F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        g = (df.groupBy(F.coalesce(F.col(key_col), F.lit(""))
+                        .alias("key"))
+             .agg(F.count("*").alias(f"{tag}_docs"),
+                  F.sum(toks).alias(f"{tag}_tokens")))
+        tot = g.agg(F.sum(f"{tag}_tokens").alias(f"{tag}_total"))
+        return (g.crossJoin(F.broadcast(tot))
+                .withColumn(f"{tag}_ppm",
+                            F.expr(f"{tag}_tokens * 1000000 "
+                                   f"div {tag}_total"))
+                .drop(f"{tag}_total"))
+    j = (side(old, "old").join(side(new, "new"), "key", "full_outer")
+         .select("key",
+                 *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+                   for c in ("old_docs", "new_docs", "old_tokens",
+                             "new_tokens", "old_ppm", "new_ppm")]))
+    p = F.col("old_ppm").cast("double") / 1000000.0
+    q = F.col("new_ppm").cast("double") / 1000000.0
+    m = (p + q) / 2.0
+    xlx = (lambda v: F.when(v > 0, v * F.log(v / m)).otherwise(F.lit(0.0)))
+    js = F.round((xlx(p) + xlx(q)) * 500000.0, 0).cast("long")
+    return j.select("key", "old_docs", "new_docs", "old_tokens",
+                    "new_tokens", "old_ppm", "new_ppm",
+                    (F.col("new_ppm") - F.col("old_ppm"))
+                    .alias("delta_ppm"),
+                    js.alias("js_micro"))

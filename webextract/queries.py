@@ -7469,3 +7469,62 @@ ORACLES["pii_card_scrub"] = r"""
            len(good)::INTEGER AS n_cards,
            (len(cands) - len(good))::INTEGER AS n_rejected
     FROM g"""
+
+
+def q_corpus_drift(spark, sf_dir):
+    """Snapshot drift report: even doc_ids play the committed corpus,
+    odd doc_ids the fresh crawl with every 11th odd doc relabeled to
+    a language the old side never saw — so the gate exercises
+    vanished/shifted/appeared keys, the exact ppm shares, and the
+    micro-nat JS terms.  The oracle replays both aggregations and the
+    divergence formula in SQL."""
+    d = _read(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "text")
+    new = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("xx"))
+        .otherwise(F.col("lang")).alias("lang"), "text")
+    return corpus.corpus_drift(old, new)
+
+
+QUERIES["corpus_drift"] = q_corpus_drift
+
+ORACLES["corpus_drift"] = """
+    WITH o AS (SELECT coalesce(lang, '') AS key,
+                      count(*) AS old_docs,
+                      sum(len(string_split(coalesce(text, ''), ' ')))
+                          AS old_tokens
+               FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+    n AS (SELECT CASE WHEN doc_id % 11 = 0 THEN 'xx'
+                      ELSE coalesce(lang, '') END AS key,
+                 count(*) AS new_docs,
+                 sum(len(string_split(coalesce(text, ''), ' ')))
+                     AS new_tokens
+          FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+    j AS (SELECT coalesce(o.key, n.key) AS key,
+                 coalesce(old_docs, 0)::BIGINT AS old_docs,
+                 coalesce(new_docs, 0)::BIGINT AS new_docs,
+                 coalesce(old_tokens, 0)::BIGINT AS old_tokens,
+                 coalesce(new_tokens, 0)::BIGINT AS new_tokens,
+                 coalesce(old_tokens * 1000000
+                          // (SELECT sum(old_tokens) FROM o), 0)::BIGINT
+                     AS old_ppm,
+                 coalesce(new_tokens * 1000000
+                          // (SELECT sum(new_tokens) FROM n), 0)::BIGINT
+                     AS new_ppm
+          FROM o FULL OUTER JOIN n ON o.key = n.key)
+    SELECT key, old_docs, new_docs, old_tokens, new_tokens,
+           old_ppm, new_ppm,
+           (new_ppm - old_ppm)::BIGINT AS delta_ppm,
+           round((CASE WHEN old_ppm > 0
+                       THEN (old_ppm / 1000000.0)
+                            * ln((old_ppm / 1000000.0)
+                                 / ((old_ppm + new_ppm) / 2000000.0))
+                       ELSE 0 END
+                  + CASE WHEN new_ppm > 0
+                         THEN (new_ppm / 1000000.0)
+                              * ln((new_ppm / 1000000.0)
+                                   / ((old_ppm + new_ppm) / 2000000.0))
+                         ELSE 0 END) * 500000.0, 0)::BIGINT AS js_micro
+    FROM j"""
