@@ -82,7 +82,7 @@ HEADLINE = [
     "host_domains", "kmv_overlap", "embed_covariance", "kmv_merge",
     "domain_budget", "stream_kmv", "robots_crawl_delay", "fetch_plan",
     "bitext_mine", "table_stats_agg", "sitemap_recrawl", "c4_span_dedup",
-    "pii_card_scrub", "corpus_drift",
+    "pii_card_scrub", "corpus_drift", "script_profile",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a
@@ -156,7 +156,8 @@ _FAMILIES = (
                "domain_budget", "fetch_plan")),
     ("tokenize", ("bpe_", "token_stats", "vocab_stats", "pmi_pairs",
                   "pack_sequences", "len_quantiles", "text_normalize",
-                  "doc_fingerprints", "lang_id", "nb_langid")),
+                  "doc_fingerprints", "lang_id", "nb_langid",
+                  "script_profile")),
     ("retrieval", ("bm25_", "tfidf_", "inverted_",)),
     ("sketch", ("sketch_", "heavy_hitters", "kmv_")),
     ("sample", ("weighted_sample", "sample_", "source_",

@@ -678,3 +678,27 @@ def test_corpus_drift_hand_reference(spark):
         ("en", 2, 1, 6, 2, 750000, 250000, -500000, 65406),
         ("fr", 0, 1, 0, 6, 0, 750000, 750000, 259930),
     ]
+
+
+def test_script_profile_hand_reference(spark):
+    """Per-script codepoint counts and the fixed-priority dominant
+    pick: pure scripts, a mixed doc going to its majority script,
+    digits/punctuation-only and NULL text landing on 'none'."""
+    from webextract import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "привет мир ok"), (3, "你好世界"),
+         (4, "مرحبا بالعالم"), (5, "123 !!!"), (6, None),
+         (7, "ab привет")],
+        "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 corpus.script_profile(docs).collect())
+    assert got == [
+        (1, 10, 0, 0, 0, "latin"),
+        (2, 2, 9, 0, 0, "cyrillic"),
+        (3, 0, 0, 4, 0, "cjk"),
+        (4, 0, 0, 0, 12, "arabic"),
+        (5, 0, 0, 0, 0, "none"),
+        (6, 0, 0, 0, 0, "none"),
+        (7, 2, 6, 0, 0, "cyrillic"),
+    ]

@@ -5484,3 +5484,40 @@ def corpus_drift(old: DataFrame, new: DataFrame,
                     (F.col("new_ppm") - F.col("old_ppm"))
                     .alias("delta_ppm"),
                     js.alias("js_micro"))
+
+
+def script_profile(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, dominant):
+    Unicode-script histogram + dominant script per document — the
+    script-detection stage ahead of lang_id (a Cyrillic page should
+    never reach a Latin-alphabet language model, and mixed-script
+    spam shows up as a flat histogram).  Counts are per-codepoint
+    over four high-coverage ranges (basic+extended Latin, Cyrillic,
+    CJK unified, Arabic); the dominant pick is a fixed CASE chain
+    (latin >= cyrillic >= cjk >= arabic on ties, 'none' when all
+    zero) so the label is engine-exact without argmax machinery.
+
+    Pure regexp_count projections — zero shuffle, scan-speed at
+    100 TB (lang_id's shape).  Ranges are written as LITERAL
+    endpoint characters (U+00C0-U+024F, U+0400-U+04FF,
+    U+4E00-U+9FFF, U+0600-U+06FF), the one spelling Java regex and
+    RE2 read identically — \\uXXXX vs \\x{XXXX} escape syntax
+    diverges between the engines."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    lat = F.regexp_count(t, F.lit("[A-Za-zÀ-ɏ]"))
+    cyr = F.regexp_count(t, F.lit("[Ѐ-ӿ]"))
+    cjk = F.regexp_count(t, F.lit("[一-鿿]"))
+    ara = F.regexp_count(t, F.lit("[؀-ۿ]"))
+    out = docs.select("doc_id",
+                      lat.cast("long").alias("n_latin"),
+                      cyr.cast("long").alias("n_cyrillic"),
+                      cjk.cast("long").alias("n_cjk"),
+                      ara.cast("long").alias("n_arabic"))
+    l, c, k, a = (F.col("n_latin"), F.col("n_cyrillic"),
+                  F.col("n_cjk"), F.col("n_arabic"))
+    dom = (F.when((l >= c) & (l >= k) & (l >= a) & (l > 0), "latin")
+           .when((c >= k) & (c >= a) & (c > 0), "cyrillic")
+           .when((k >= a) & (k > 0), "cjk")
+           .when(a > 0, "arabic")
+           .otherwise("none"))
+    return out.withColumn("dominant", dom)

@@ -7528,3 +7528,54 @@ ORACLES["corpus_drift"] = """
                                    / ((old_ppm + new_ppm) / 2000000.0))
                          ELSE 0 END) * 500000.0, 0)::BIGINT AS js_micro
     FROM j"""
+
+
+def q_script_profile(spark, sf_dir):
+    """Script histogram over documents with non-Latin snippets
+    injected by residue class — Cyrillic on doc_id%4==1, CJK on ==2,
+    Arabic on ==3 — long enough that the injected script WINS the
+    dominant pick on short docs but loses to long Latin bodies,
+    exercising both sides of every tie chain.  The oracle recounts
+    with the identical literal codepoint ranges under RE2."""
+    d = _read(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 4
+    text = F.concat(
+        F.col("text"),
+        F.when(k == 1, F.lit(" привет мир это тест строка"))
+        .when(k == 2, F.lit(" 你好世界这是测试"))
+        .when(k == 3, F.lit(" مرحبا بالعالم هذا اختبار"))
+        .otherwise(F.lit("")))
+    return corpus.script_profile(d.select("doc_id", text.alias("text")))
+
+
+QUERIES["script_profile"] = q_script_profile
+
+ORACLES["script_profile"] = """
+    WITH d AS (SELECT doc_id,
+                      text || CASE doc_id % 4
+                          WHEN 1 THEN ' привет мир это тест строка'
+                          WHEN 2 THEN ' 你好世界这是测试'
+                          WHEN 3 THEN ' مرحبا بالعالم هذا اختبار'
+                          ELSE '' END AS text
+               FROM documents),
+    c AS (SELECT doc_id,
+                 len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]'))::BIGINT
+                     AS n_latin,
+                 len(regexp_extract_all(text, '[Ѐ-ӿ]'))::BIGINT
+                     AS n_cyrillic,
+                 len(regexp_extract_all(text, '[一-鿿]'))::BIGINT
+                     AS n_cjk,
+                 len(regexp_extract_all(text, '[؀-ۿ]'))::BIGINT
+                     AS n_arabic
+          FROM d)
+    SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,
+           CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+                     AND n_latin >= n_arabic AND n_latin > 0
+                THEN 'latin'
+                WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic
+                     AND n_cyrillic > 0
+                THEN 'cyrillic'
+                WHEN n_cjk >= n_arabic AND n_cjk > 0 THEN 'cjk'
+                WHEN n_arabic > 0 THEN 'arabic'
+                ELSE 'none' END AS dominant
+    FROM c"""
