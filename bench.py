@@ -83,6 +83,7 @@ HEADLINE = [
     "domain_budget", "stream_kmv", "robots_crawl_delay", "fetch_plan",
     "bitext_mine", "table_stats_agg", "sitemap_recrawl", "c4_span_dedup",
     "pii_card_scrub", "corpus_drift", "script_profile",
+    "quality_pr_sweep",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -702,3 +702,22 @@ def test_script_profile_hand_reference(spark):
         (6, 0, 0, 0, 0, "none"),
         (7, 2, 6, 0, 0, "cyrillic"),
     ]
+
+
+def test_quality_pr_sweep_hand_reference(spark):
+    """Hand confusion table over 5 scored docs in 3 buckets: tp/fp
+    cumulate from the top bucket down, fn/tn complement against the
+    broadcast totals, precision/recall in exact basis points."""
+    from webextract import corpus
+
+    scored = spark.createDataFrame(
+        [(1, 25000, True), (2, 21000, True), (3, 15000, False),
+         (4, 12000, True), (5, 5000, False)],
+        "doc_id long, score_micro long, label boolean")
+    got = sorted(tuple(r) for r in
+                 corpus.quality_pr_sweep(scored).collect())
+    assert got == [
+        (0, 0, 0, 1, 3, 2, 0, 0, 6000, 10000),
+        (1, 10000, 1, 1, 3, 1, 0, 1, 7500, 10000),
+        (2, 20000, 2, 0, 2, 0, 1, 2, 10000, 6666),
+    ]

@@ -5521,3 +5521,45 @@ def script_profile(docs: DataFrame) -> DataFrame:
            .when(a > 0, "arabic")
            .otherwise("none"))
     return out.withColumn("dominant", dom)
+
+
+def quality_pr_sweep(scored: DataFrame,
+                     resolution: int = 10000) -> DataFrame:
+    """(bucket, thr_micro, n_pos, n_neg, tp, fp, fn, tn,
+    precision_bp, recall_bp): the operating-curve sweep every quality
+    classifier needs before its threshold ships — for each score
+    bucket, the confusion matrix of the rule "admit iff score >=
+    bucket floor" against a reference label, with precision/recall in
+    exact basis points.  Input: (doc_id, score_micro, label) from any
+    scorer (nb_quality margins, lm_perplexity means, dsir weights)
+    judged against any reference rule (gopher pass, c4 pass, human
+    sample).
+
+    Scale shape: the corpus collapses to a BOUNDED score histogram
+    first (micro-score div ``resolution`` — the ccnet_buckets move:
+    one map-side-combined shuffle at histogram cardinality), and the
+    cumulative confusion sweep is a window over HISTOGRAM CELLS, not
+    documents — the len_quantiles convention: a single-partition
+    window is fine when the frame is catalog-sized by construction.
+    Totals ride a broadcast 1-row frame."""
+    b = F.floor(F.col("score_micro") / resolution).cast("long")
+    g = (scored.groupBy(b.alias("bucket"))
+         .agg(F.sum(F.when(F.col("label"), 1).otherwise(0))
+              .alias("n_pos"),
+              F.sum(F.when(F.col("label"), 0).otherwise(1))
+              .alias("n_neg")))
+    tot = g.agg(F.sum("n_pos").alias("all_pos"),
+                F.sum("n_neg").alias("all_neg"))
+    w = (Window.orderBy(F.col("bucket").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (g.crossJoin(F.broadcast(tot))
+           .withColumn("tp", F.sum("n_pos").over(w))
+           .withColumn("fp", F.sum("n_neg").over(w)))
+    return (cum.select(
+        "bucket", (F.col("bucket") * resolution).alias("thr_micro"),
+        "n_pos", "n_neg", "tp", "fp",
+        (F.col("all_pos") - F.col("tp")).alias("fn"),
+        (F.col("all_neg") - F.col("fp")).alias("tn"),
+        F.expr("tp * 10000 div (tp + fp)").alias("precision_bp"),
+        F.expr("CASE WHEN all_pos > 0 THEN tp * 10000 div all_pos "
+               "ELSE 0 END").alias("recall_bp")))

@@ -7579,3 +7579,51 @@ ORACLES["script_profile"] = """
                 WHEN n_arabic > 0 THEN 'arabic'
                 ELSE 'none' END AS dominant
     FROM c"""
+
+
+def q_quality_pr_sweep(spark, sf_dir):
+    """Operating-curve sweep over a deterministic scorer vs a
+    gopher-lite reference label: score_micro mixes a char-length
+    residue with a doc_id residue (correlated with, but not equal to,
+    the label rule n_tokens >= 12), so buckets carry both label
+    classes and every confusion cell moves across the sweep.  The
+    oracle replays the histogram, the descending cumulation and the
+    basis-point divisions in SQL."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_tok = F.size(F.split(t, " "))
+    score = ((F.length(t) % 50) * 2000
+             + (F.col("doc_id") % 7) * 500).cast("long")
+    scored = d.select("doc_id", score.alias("score_micro"),
+                      (n_tok >= 12).alias("label"))
+    return corpus.quality_pr_sweep(scored)
+
+
+QUERIES["quality_pr_sweep"] = q_quality_pr_sweep
+
+ORACLES["quality_pr_sweep"] = """
+    WITH s AS (SELECT doc_id,
+                      (length(coalesce(text, '')) % 50) * 2000
+                      + (doc_id % 7) * 500 AS score_micro,
+                      len(string_split(coalesce(text, ''), ' ')) >= 12
+                          AS label
+               FROM documents),
+    g AS (SELECT score_micro // 10000 AS bucket,
+                 sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+                 sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+          FROM s GROUP BY 1),
+    c AS (SELECT *,
+                 sum(n_pos) OVER (ORDER BY bucket DESC) AS tp,
+                 sum(n_neg) OVER (ORDER BY bucket DESC) AS fp,
+                 (SELECT sum(n_pos) FROM g) AS all_pos,
+                 (SELECT sum(n_neg) FROM g) AS all_neg
+          FROM g)
+    SELECT bucket::BIGINT AS bucket,
+           (bucket * 10000)::BIGINT AS thr_micro,
+           n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
+           tp::BIGINT AS tp, fp::BIGINT AS fp,
+           (all_pos - tp)::BIGINT AS fn, (all_neg - fp)::BIGINT AS tn,
+           (tp * 10000 // (tp + fp))::BIGINT AS precision_bp,
+           (CASE WHEN all_pos > 0 THEN tp * 10000 // all_pos
+                 ELSE 0 END)::BIGINT AS recall_bp
+    FROM c"""
