@@ -84,6 +84,7 @@ HEADLINE = [
     "bitext_mine", "table_stats_agg", "sitemap_recrawl", "c4_span_dedup",
     "pii_card_scrub", "corpus_drift", "script_profile",
     "quality_pr_sweep",
+    "trustrank", "embed_sq8_topk", "readability", "audio_silence",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

@@ -1310,6 +1310,76 @@ def pq_refine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
                     F.col("rank").cast("int").alias("rank")))
 
 
+def sq8_encode(emb: DataFrame, dims: int = 64) -> DataFrame:
+    """(vec_id, codes array<int> length dims): scalar quantization to
+    8-bit codes — the 4×-lighter sibling of PQ (1 byte/dim vs 4-byte
+    float32, no codebook training): per-dimension global [min, max] is
+    computed in ONE map-side-combined aggregation, then
+    code_d = least(255, floor(round((x_d - mn_d) / (mx_d - mn_d), 6)
+    * 256)) (constant dims collapse to 0).
+
+    Exactness contract: mn/mx are exact float32 order-independent
+    extrema; the quantile arithmetic is widen-to-double + round-6 +
+    *256 + floor — single IEEE-754 ops both engines evaluate
+    identically (the pq_encode convention).  Once encoded, everything
+    downstream is INTEGER.
+
+    Scale shape (10^12 vectors): the stats pass is one aggregation to
+    a single 2×dims-value row (partial combine per partition, no key
+    skew possible — there are no keys); that row broadcasts into a
+    narrow projection.  No join, no shuffle of the corpus."""
+    x = F.col("embedding")
+    stats = emb.agg(
+        F.array(*[F.min(F.get(x, d).cast("double"))
+                  for d in range(dims)]).alias("mns"),
+        F.array(*[F.max(F.get(x, d).cast("double"))
+                  for d in range(dims)]).alias("mxs"))
+    span_d = lambda d: (F.get(F.col("mxs"), d) - F.get(F.col("mns"), d))
+    code_d = lambda d: F.when(
+        span_d(d) > 0,
+        F.least(F.lit(255), F.floor(
+            F.round((F.get(x, d).cast("double")
+                     - F.get(F.col("mns"), d)) / span_d(d), 6)
+            * 256))).otherwise(F.lit(0)).cast("int")
+    return (emb.crossJoin(F.broadcast(stats))
+            .select("vec_id",
+                    F.array(*[code_d(d) for d in range(dims)])
+                    .alias("codes")))
+
+
+def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+             dims: int = 64) -> DataFrame:
+    """(qid, nid, sqdist, rank): symmetric top-k nearest-neighbor
+    search over SQ8 codes — both sides quantized, distance =
+    Σ (qcode_d - ccode_d)² in PURE INTEGER arithmetic (bit-exact in
+    any engine, no float tie hazards; ties break on nid).
+
+    Scale shape: pq_topk's — the n_queries code rows broadcast into a
+    nested-loop join against the corpus CODES (1 byte/dim; raw vectors
+    never read at search time); per-query top-k via partitioned
+    row_number.  Corpus never shuffled.  At 10^12 rows the scan reads
+    the codes column only (column pruning) and the window's partition
+    count equals n_queries — the candidate generation is the
+    brute-force baseline tier; bucketed tiers (SRP/IVF) bound it."""
+    enc = sq8_encode(emb, dims)
+    q = (enc.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("codes").alias("qcodes")))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qcodes"), F.col("codes"),
+                   lambda a, b: (a - b).cast("long")
+                   * (a - b).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    pairs = (enc.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+             .select("qid", F.col("vec_id").alias("nid"),
+                     d2.alias("sqdist")))
+    w = Window.partitionBy("qid").orderBy(F.col("sqdist"), F.col("nid"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "sqdist",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def _srp_sign_matrix(bits: int, dims: int,
                      table: int = 0) -> list[list[float]]:
     """The constant bits×dims hyperplane sign matrix, computed ONCE on
@@ -2913,6 +2983,67 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS,
                          (F.lit(base)
                           + F.coalesce("infl", F.lit(0)))
                          .cast("long").alias("rank_micro")))
+    return ranks
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame,
+              iters: int = PR_ITERS, damping_num: int = 85,
+              damping_den: int = 100) -> DataFrame:
+    """(node, trust_micro): seed-personalized PageRank (TrustRank,
+    Gyöngyi/Garcia-Molina/Pedersen VLDB'04) after ``iters`` synchronous
+    rounds in EXACT integer micro-units — the spam-demotion weight a
+    crawl pipeline attaches when it has a curated whitelist: teleport
+    mass lands ONLY on seed nodes, so trust decays with link distance
+    from the whitelist and link farms reachable only from themselves
+    score 0.
+
+    Exactness contract (pagerank's, with a seed-gated base): seeds
+    start at 10^6, non-seeds at 0; each edge contributes
+    ``(trust[src] * num) div (outdeg[src] * den)`` — integer division
+    per edge, then integer sums; the per-round teleport term is
+    ``(PR_SCALE * (den-num)) div den`` for seeds and 0 otherwise.
+    Bit-identical in any engine and aggregation order.  Self-loops
+    removed, parallel edges each contribute, dangling mass drops
+    (pagerank's simplification).
+
+    Scale shape: identical to pagerank — edges staged ONCE with
+    out-degrees (localCheckpoint), each round is one join against the
+    nodes-sized trust frame plus ONE map-side-combined groupBy(dst);
+    the seed set is a whitelist (thousands of hosts against 10^9
+    nodes), so the seed-flag join broadcasts.  O(iters) shuffles of
+    nodes-sized frames, never of raw pages."""
+    e = (edges.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"))
+         .filter(F.col("src") != F.col("dst")))
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint()
+    sd = seeds.select(F.col("node").cast("long").alias("node"),
+                      F.lit(True).alias("is_seed")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .join(F.broadcast(sd), "node", "left")
+             .select("node", F.coalesce("is_seed", F.lit(False))
+                     .alias("is_seed"))
+             .localCheckpoint())
+    base_val = (PR_SCALE * (damping_den - damping_num)) // damping_den
+    base = F.when(F.col("is_seed"), F.lit(base_val)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(PR_SCALE)).otherwise(F.lit(0))
+        .cast("long").alias("trust_micro"))
+    for _ in range(iters):
+        contrib = F.expr(
+            f"(trust_micro * {int(damping_num)}) div "
+            f"(outdeg * {int(damping_den)})")
+        inflow = (ed.join(ranks, ed["src"] == ranks["node"])
+                  .select(ed["dst"].alias("dst"), contrib.alias("c"))
+                  .groupBy("dst").agg(F.sum("c").alias("infl")))
+        ranks = (nodes.join(inflow, nodes["node"] == inflow["dst"],
+                            "left")
+                 .select("node",
+                         (base + F.coalesce("infl", F.lit(0)))
+                         .cast("long").alias("trust_micro")))
     return ranks
 
 
@@ -5563,3 +5694,39 @@ def quality_pr_sweep(scored: DataFrame,
         F.expr("tp * 10000 div (tp + fp)").alias("precision_bp"),
         F.expr("CASE WHEN all_pos > 0 THEN tp * 10000 div all_pos "
                "ELSE 0 END").alias("recall_bp")))
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_sents, n_syl, fk_micro): Flesch-Kincaid
+    grade-level readability in exact integer micro-units — the
+    audience-difficulty quality signal (C4/Gopher-class pipelines keep
+    prose in a readability band; pathological token soup and legalese
+    both fall outside it).
+
+    Counting contract (engine-exact, RE2 == Java regex on these
+    patterns): words = space-separated tokens; sentences = count of
+    [.!?] terminator characters, floored at 1 (headline-only docs
+    count as one sentence); syllables ≈ maximal [aeiou]+ vowel runs
+    (the classic cheap proxy).  Grade = 0.39·words/sents +
+    11.8·syl/words − 15.59, carried as fk_micro =
+    (390000·words) div sents + (11800000·syl) div words − 15590000 —
+    integer division per document, bit-identical anywhere.
+
+    Pure narrow projection over built-ins (split/regexp_replace/
+    length): zero shuffle, zero Python; at 10^12 docs this rides the
+    same scan as every other per-doc quality column."""
+    t = F.col("text")
+    words = F.size(F.split(t, " ")).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.length(F.regexp_replace(t, r"[^.!?]", "")).cast("long"))
+    syl = F.length(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[aeiou]+", "\x01"),
+            "[^\x01]", "")).cast("long")
+    return (docs.select("doc_id", words.alias("n_words"),
+                        sents.alias("n_sents"), syl.alias("n_syl"))
+            .select("doc_id", "n_words", "n_sents", "n_syl",
+                    F.expr("(390000 * n_words) div n_sents"
+                           " + (11800000 * n_syl) div n_words"
+                           " - 15590000").alias("fk_micro")))

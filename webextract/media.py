@@ -301,6 +301,57 @@ def audio_pcm_stats(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "media").mapInPandas(fn, AUDIO_PCM_SCHEMA)
 
 
+AUDIO_SILENCE_SCHEMA = ("doc_id bigint, channel int, n_silent bigint, "
+                        "n_runs bigint, longest_run bigint")
+
+
+def audio_silence(df: DataFrame, threshold: int = 4096,
+                  min_run: int = 4) -> DataFrame:
+    """df(doc_id, media:binary) → one row per (doc, channel) with
+    REAL decoded-PCM silence segmentation: n_silent = samples with
+    |amplitude| < threshold, n_runs = maximal consecutive-silent runs
+    of length ≥ min_run, longest_run = the longest silent run (0 when
+    none) — the voice-activity pre-gate an audio corpus pipeline runs
+    before spending ASR compute (drop dead air, split on pauses).
+
+    All-integer per-channel outputs over exact decoded int16 samples,
+    so the oracle recomputes every run from the (doc_id, frame,
+    channel) sample formula.  Same 1→N mapInPandas shape as
+    audio_pcm_stats: per-payload work, embarrassingly parallel,
+    non-PCM rows drop."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                dec = parse_wav_pcm(m if m is not None else b"")
+                if dec is None:
+                    continue
+                for c, vals in enumerate(dec[3]):
+                    n_sil = n_runs = longest = cur = 0
+                    for v in vals:
+                        if -threshold < v < threshold:
+                            n_sil += 1
+                            cur += 1
+                        else:
+                            if cur >= min_run:
+                                n_runs += 1
+                            longest = max(longest, cur)
+                            cur = 0
+                    if cur >= min_run:
+                        n_runs += 1
+                    longest = max(longest, cur)
+                    rows.append({"doc_id": did, "channel": c,
+                                 "n_silent": n_sil, "n_runs": n_runs,
+                                 "longest_run": longest})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "channel", "n_silent",
+                               "n_runs", "longest_run"])
+
+    return df.select("doc_id", "media").mapInPandas(
+        fn, AUDIO_SILENCE_SCHEMA)
+
+
 # Attach a `media` column of REAL 16-bit-PCM WAV bytes built from
 with_pcm_wav_media = _media_from_doc_id(make_wav_pcm_bytes)
 

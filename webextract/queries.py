@@ -7627,3 +7627,200 @@ ORACLES["quality_pr_sweep"] = """
            (CASE WHEN all_pos > 0 THEN tp * 10000 // all_pos
                  ELSE 0 END)::BIGINT AS recall_bp
     FROM c"""
+
+
+def q_trustrank(spark, sf_dir):
+    """Seed-personalized PageRank over the hub-skewed host graph
+    (fresh salts vs pagerank/hits): teleport mass lands only on the
+    6 whitelist hosts (node%17==0), so trust decays with distance
+    from the seeds and unreached farms pin at exactly 0.  3 damped
+    rounds in exact integer micro-units; the oracle unrolls the
+    identical seed-gated integer recurrence."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(_pr_host("tr-s").alias("src"),
+                  _pr_host("tr-d1").alias("dst"))
+    e2 = d.select(_pr_host("tr-s").alias("src"),
+                  (_pr_host("tr-d2") % 13).alias("dst"))
+    seeds = (spark.range(0, 97).select(F.col("id").alias("node"))
+             .filter(F.col("node") % 17 == 0))
+    return corpus.trustrank(e1.unionByName(e2), seeds)
+
+
+QUERIES["trustrank"] = q_trustrank
+
+ORACLES["trustrank"] = """
+    WITH h AS (SELECT
+            ('0x' || substring(md5('tr-s:' || doc_id), 1, 8))
+                ::BIGINT % 97 AS src,
+            ('0x' || substring(md5('tr-d1:' || doc_id), 1, 8))
+                ::BIGINT % 97 AS d1,
+            (('0x' || substring(md5('tr-d2:' || doc_id), 1, 8))
+                ::BIGINT % 97) % 13 AS d2
+        FROM documents),
+    edges AS (SELECT src, d1 AS dst FROM h
+              UNION ALL SELECT src, d2 AS dst FROM h),
+    e AS (SELECT src, dst FROM edges WHERE src <> dst),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e
+               UNION ALL SELECT dst AS node FROM e)),
+    r0 AS (SELECT node,
+                  (CASE WHEN node % 17 = 0 THEN 1000000 ELSE 0 END)
+                      ::BIGINT AS trust_micro FROM nodes),
+    i1 AS (SELECT e.dst AS node,
+                  sum((r.trust_micro * 85) // (d.outdeg * 100)) AS infl
+           FROM e JOIN deg d ON e.src = d.src
+                  JOIN r0 r ON e.src = r.node
+           GROUP BY e.dst),
+    r1 AS (SELECT n.node,
+                  ((CASE WHEN n.node % 17 = 0 THEN 150000 ELSE 0 END)
+                   + coalesce(i.infl, 0))::BIGINT AS trust_micro
+           FROM nodes n LEFT JOIN i1 i ON n.node = i.node),
+    i2 AS (SELECT e.dst AS node,
+                  sum((r.trust_micro * 85) // (d.outdeg * 100)) AS infl
+           FROM e JOIN deg d ON e.src = d.src
+                  JOIN r1 r ON e.src = r.node
+           GROUP BY e.dst),
+    r2 AS (SELECT n.node,
+                  ((CASE WHEN n.node % 17 = 0 THEN 150000 ELSE 0 END)
+                   + coalesce(i.infl, 0))::BIGINT AS trust_micro
+           FROM nodes n LEFT JOIN i2 i ON n.node = i.node),
+    i3 AS (SELECT e.dst AS node,
+                  sum((r.trust_micro * 85) // (d.outdeg * 100)) AS infl
+           FROM e JOIN deg d ON e.src = d.src
+                  JOIN r2 r ON e.src = r.node
+           GROUP BY e.dst),
+    r3 AS (SELECT n.node,
+                  ((CASE WHEN n.node % 17 = 0 THEN 150000 ELSE 0 END)
+                   + coalesce(i.infl, 0))::BIGINT AS trust_micro
+           FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
+    SELECT node, trust_micro FROM r3"""
+
+
+def q_embed_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantized top-5 neighbors for the 10 smallest
+    vec_ids: per-dim min/max from ONE corpus agg, round-6 quantize to
+    8-bit codes, then PURE-INTEGER symmetric code distance — the
+    4x-memory-squeeze ANN tier between raw brute force and PQ; the
+    oracle requantizes every vector and re-ranks the identical
+    integer distances."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return corpus.sq8_topk(emb, n_queries=10, k=5)
+
+
+QUERIES["embed_sq8_topk"] = q_embed_sq8_topk
+
+ORACLES["embed_sq8_topk"] = """
+    WITH u AS (SELECT vec_id, d.i AS dim,
+                      embedding[d.i]::DOUBLE AS x
+               FROM embeddings,
+                    unnest(generate_series(1, 64)) AS d(i)),
+    st AS (SELECT dim, min(x) AS mn, max(x) AS mx
+           FROM u GROUP BY dim),
+    codes AS (SELECT u.vec_id, u.dim,
+                     (CASE WHEN st.mx > st.mn THEN least(255,
+                          floor(round((u.x - st.mn) / (st.mx - st.mn),
+                                      6) * 256))
+                      ELSE 0 END)::INTEGER AS code
+              FROM u JOIN st ON u.dim = st.dim),
+    qc AS (SELECT vec_id AS qid, dim, code AS qc
+           FROM codes WHERE vec_id < 10),
+    p AS (SELECT q.qid, c.vec_id AS nid,
+                 sum((q.qc - c.code) * (q.qc - c.code))::BIGINT
+                     AS sqdist
+          FROM qc q JOIN codes c
+               ON c.dim = q.dim AND c.vec_id <> q.qid
+          GROUP BY q.qid, c.vec_id),
+    r AS (SELECT qid, nid, sqdist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sqdist, nid) AS rank
+          FROM p)
+    SELECT qid, nid, sqdist, rank::INTEGER AS rank
+    FROM r WHERE rank <= 5"""
+
+
+def q_readability(spark, sf_dir):
+    """Flesch-Kincaid readability over documents with deterministic
+    sentence breaks injected every (3 + doc_id%5)-th word (the corpus
+    text carries no punctuation), so the terminator count, the
+    floor-at-1 headline branch, and both integer divisions are
+    exercised; the oracle rebuilds the identical punctuated text and
+    unrolls the same micro-unit formula."""
+    d = _read(spark, sf_dir, "documents")
+    k = (F.lit(3) + F.col("doc_id") % 5).cast("int")
+    toks = F.split(F.col("text"), " ")
+    punct = F.array_join(
+        F.transform(toks, lambda tok, i: F.when(
+            (i + 1) % k == 0, F.concat(tok, F.lit("."))).otherwise(tok)),
+        " ")
+    return corpus.readability(
+        d.select("doc_id", punct.alias("text")))
+
+
+QUERIES["readability"] = q_readability
+
+ORACLES["readability"] = """
+    WITH t AS (SELECT doc_id, 3 + doc_id % 5 AS k,
+                      string_split(text, ' ') AS toks
+               FROM documents),
+    w AS (SELECT doc_id, k, d.i AS i, toks[d.i] AS tok
+          FROM t, unnest(generate_series(1, len(toks))) AS d(i)),
+    p AS (SELECT doc_id,
+                 string_agg(CASE WHEN i % k = 0 THEN tok || '.'
+                                 ELSE tok END, ' ' ORDER BY i) AS text
+          FROM w GROUP BY doc_id),
+    c AS (SELECT doc_id,
+                 len(string_split(text, ' '))::BIGINT AS n_words,
+                 greatest(1, length(regexp_replace(
+                     text, '[^.!?]', '', 'g')))::BIGINT AS n_sents,
+                 length(regexp_replace(regexp_replace(
+                     lower(text), '[aeiou]+', chr(1), 'g'),
+                     '[^' || chr(1) || ']', '', 'g'))::BIGINT AS n_syl
+          FROM p)
+    SELECT doc_id, n_words, n_sents, n_syl,
+           ((390000 * n_words) // n_sents
+            + (11800000 * n_syl) // n_words
+            - 15590000)::BIGINT AS fk_micro
+    FROM c"""
+
+
+def q_audio_silence(spark, sf_dir):
+    """Silence-run segmentation over REAL decoded 16-bit PCM WAVs
+    (|sample| < 4096, runs >= 4 count): consecutive samples step by
+    +17 in pre-mod value, so runs sweep across the silence band and
+    both the run-count and the tail-run flush are exercised; the
+    oracle replays every sample from the (doc_id, frame, channel)
+    formula and regroups runs via gaps-and-islands."""
+    docs = media.with_pcm_wav_media(_read(spark, sf_dir, "documents"))
+    return media.audio_silence(docs, threshold=4096, min_run=4)
+
+
+QUERIES["audio_silence"] = q_audio_silence
+
+ORACLES["audio_silence"] = """
+    WITH m AS (SELECT doc_id, (1 + doc_id % 2) AS ch,
+                      (64 + doc_id % 64) AS nf
+               FROM documents),
+    s AS (SELECT doc_id, c.j AS cj, f.i AS i,
+                 abs(((doc_id * 131 + f.i * 17 + c.j * 7919) % 65536)
+                     - 32768) < 4096 AS sil
+          FROM m, unnest(generate_series(0, nf - 1)) AS f(i),
+               unnest(generate_series(0, ch - 1)) AS c(j)),
+    sil_rows AS (SELECT doc_id, cj, i,
+                        i - row_number() OVER (PARTITION BY doc_id, cj
+                                               ORDER BY i) AS grp
+                 FROM s WHERE sil),
+    runs AS (SELECT doc_id, cj, grp, count(*) AS rl
+             FROM sil_rows GROUP BY doc_id, cj, grp),
+    agg AS (SELECT doc_id, cj, sum(rl) AS n_silent,
+                   sum(CASE WHEN rl >= 4 THEN 1 ELSE 0 END) AS n_runs,
+                   max(rl) AS longest
+            FROM runs GROUP BY doc_id, cj),
+    chans AS (SELECT doc_id, c.j AS cj
+              FROM m, unnest(generate_series(0, ch - 1)) AS c(j))
+    SELECT ch.doc_id, ch.cj::INTEGER AS channel,
+           coalesce(a.n_silent, 0)::BIGINT AS n_silent,
+           coalesce(a.n_runs, 0)::BIGINT AS n_runs,
+           coalesce(a.longest, 0)::BIGINT AS longest_run
+    FROM chans ch LEFT JOIN agg a
+         ON ch.doc_id = a.doc_id AND ch.cj = a.cj"""
