@@ -165,3 +165,85 @@ def test_audio_silence_non_wav_drops(spark):
         "doc_id long, media binary")
     rows = media.audio_silence(df).collect()
     assert {r["doc_id"] for r in rows} == {1}
+
+
+def _commit_waves(tbl, df, n_waves=4):
+    import os
+    for w in range(n_waves):
+        out = tbl.staging_dir(f"w{w}", 0)
+        (df.filter(F.col("doc_id") % n_waves == w)
+         .coalesce(1).write.mode("overwrite").parquet(out))
+        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                       if fn.endswith(".parquet")
+                       and not fn.startswith((".", "_")))
+        tbl.commit(f"w{w}", [{"part_id": w, "files": files,
+                              "counters": {}}], "t",
+                   stats_cols=("a", "b"))
+
+
+def test_zorder_prunes_both_dims_linear_sort_cannot(spark, tmp_path):
+    import os
+
+    from webextract.icetable import IceTable
+
+    df = (spark.range(8192).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") / 64).cast("long") % 64).alias("b")))
+    box = [("a", 8, 23), ("b", 8, 23)]
+    b_only = [("a", 0, 63), ("b", 8, 11)]
+    expect = {}
+    for name, preds in (("box", box), ("b_only", b_only)):
+        cond = (F.col("a").between(preds[0][1], preds[0][2])
+                & F.col("b").between(preds[1][1], preds[1][2]))
+        expect[name] = sorted((r["doc_id"], r["a"], r["b"])
+                              for r in df.filter(cond).collect())
+    counts = {}
+    for mode in ("zorder", "linear"):
+        tbl = IceTable(str(tmp_path / mode))
+        # 64 small waves -> all rewritten, fanned into ~16 clustered
+        # files (n_out = ceil(bytes / target))
+        _commit_waves(tbl, df, n_waves=64)
+        sizes = [os.path.getsize(f) for f in tbl.data_files()]
+        target = max(2 * max(sizes) + 2, (sum(sizes) // 16) + 1)
+        if mode == "zorder":
+            tbl.compact(spark, target_file_bytes=target,
+                        committed_at="t", zorder_by=("a", "b"))
+        else:
+            tbl.compact(spark, target_file_bytes=target,
+                        committed_at="t", sort_by="a")
+        for name, preds in (("box", box), ("b_only", b_only)):
+            got, scanned, total = tbl.scan_box(spark, preds)
+            assert sorted((r["doc_id"], r["a"], r["b"])
+                          for r in got.collect()) == expect[name]
+            counts[(mode, name)] = (scanned, total)
+    # 2-D box: the Z-layout must skip files (tight per-file bounding
+    # boxes on BOTH dims)
+    z_scanned, z_total = counts[("zorder", "box")]
+    assert z_scanned < z_total
+    # b-only query: every a-sorted file spans ALL of b (zero pruning),
+    # while Z-files bound b tightly — the one-layout-serves-both-axes
+    # property that justifies the interleave
+    zb_scanned, _ = counts[("zorder", "b_only")]
+    lb_scanned, lb_total = counts[("linear", "b_only")]
+    assert lb_scanned == lb_total
+    assert zb_scanned < lb_scanned
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from webextract.icetable import IceTable
+
+    rows = (spark.createDataFrame([(a, b) for a in range(8)
+                                   for b in range(8)], "a int, b int")
+            .withColumn("z", IceTable.zorder_value(["a", "b"], bits=3))
+            .collect())
+
+    def ref(a, b):
+        z = 0
+        for i in range(3):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows:
+        assert r["z"] == ref(r["a"], r["b"])

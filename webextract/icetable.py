@@ -559,6 +559,43 @@ class IceTable:
               .filter(SF.col(col).between(lo, hi)))
         return df, len(picked), len(data)
 
+    def scan_box(self, spark, preds: list[tuple], as_of: str | None = None):
+        """Multi-column stats-pruned read: open ONLY files whose
+        committed [min, max] bounds overlap EVERY (col, lo, hi) in
+        ``preds`` — the consumer a Z-ORDER rewrite exists for: linear
+        sort gives one prunable dimension, bit-interleaved clustering
+        gives tight per-file bounding boxes on ALL interleaved columns
+        at once, so a 2-D box query (host range × date range is the
+        crawl-table classic) skips files on both axes.  Missing bounds
+        conservatively keep the file; a column added after a file was
+        written prunes it (NULL can't match a range — scan()'s rule);
+        the exact residual filter rides on top, so the result is
+        always correct and pruning stays a pure cost lever."""
+        from pyspark.sql import functions as SF
+        stats = self.data_file_stats(as_of)
+        data, deletes = self._live_set(as_of)
+        picked = []
+        for f, sid, seq in data:
+            keep = True
+            for col, lo, hi in preds:
+                wname = self._resolve_name(col, sid)
+                if wname is None:
+                    keep = False
+                    break
+                st = stats.get(f, {})
+                if wname in st and (st[wname][1] < lo
+                                    or st[wname][0] > hi):
+                    keep = False
+                    break
+            if keep:
+                picked.append((f, sid, seq))
+        if not picked:
+            return None, 0, len(data)
+        df = self._grouped_read(spark, picked, deletes)
+        for col, lo, hi in preds:
+            df = df.filter(SF.col(col).between(lo, hi))
+        return df, len(picked), len(data)
+
     def read(self, spark, as_of: str | None = None):
         """Read the table (optionally time-traveled to snapshot id
         ``as_of``) — only manifest-listed files, never a directory
@@ -1344,10 +1381,33 @@ class IceTable:
         return self._read_mapped(spark, fws)
 
     # -- maintenance ------------------------------------------------------
+    @staticmethod
+    def zorder_value(cols: list[str], bits: int = 16):
+        """Z-value Column: round-robin bit interleave of N non-negative
+        integer columns (bit i of col j lands at position i*N + j) —
+        Iceberg's rewrite_data_files(strategy=>'sort', sort_order=>
+        zorder(...)).  Range-clustering on this value gives every
+        output file a TIGHT bounding box on all interleaved columns
+        simultaneously, which is what multi-dimensional file skipping
+        (scan_box) prunes against; a linear sort can only bound its
+        leading column.  Pure shift/mask expression tree (2·bits·N
+        codegen'd integer ops), no UDF."""
+        from pyspark.sql import functions as SF
+        n = len(cols)
+        z = SF.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            v = SF.col(c).cast("long")
+            for i in range(bits):
+                z = z + SF.shiftleft(
+                    SF.shiftright(v, i).bitwiseAND(SF.lit(1)),
+                    i * n + j)
+        return z
+
     def compact(self, spark, target_file_bytes: int = 128 << 20,
                 committed_at: str = "",
                 versions: dict | None = None,
                 sort_by: str | None = None,
+                zorder_by: tuple[str, ...] | None = None,
                 stats_cols: tuple[str, ...] | None = None) -> dict:
         """Maintenance: rewrite small data files into ~target-size ones
         (Iceberg's rewrite_data_files — the small-files problem: a
@@ -1415,7 +1475,17 @@ class IceTable:
         # deletes converge
         df = self._grouped_read(
             spark, [(f, sid_of[f], seq_of[f]) for f in small], deletes)
-        if sort_by:
+        if zorder_by:
+            # range-cluster on the interleaved Z-value, then project it
+            # away (narrow — within-partition order survives): every
+            # output file gets a tight bounding box on ALL zorder_by
+            # columns, the layout scan_box prunes against
+            cols_out = df.columns
+            df = (df.withColumn("__z", self.zorder_value(list(zorder_by)))
+                  .repartitionByRange(n_out, "__z")
+                  .sortWithinPartitions("__z")
+                  .select(*cols_out))
+        elif sort_by:
             df = (df.repartitionByRange(n_out, sort_by)
                   .sortWithinPartitions(sort_by))
         else:
@@ -1438,7 +1508,8 @@ class IceTable:
         # re-record bounds for every stats column or the wave
         # commits' pruning metadata is destroyed (round-4 review) —
         # sort_by rides along
-        cols = tuple(dict.fromkeys(c for c in (*tracked, sort_by) if c))
+        cols = tuple(dict.fromkeys(
+            c for c in (*tracked, sort_by, *(zorder_by or ())) if c))
         # the rewritten outputs are immutable: footer-read their
         # bounds ONCE here, not inside the CAS loop where every
         # conflict retry would redo the whole pass (second-review)

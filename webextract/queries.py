@@ -7824,3 +7824,56 @@ ORACLES["audio_silence"] = """
            coalesce(a.longest, 0)::BIGINT AS longest_run
     FROM chans ch LEFT JOIN agg a
          ON ch.doc_id = a.doc_id AND ch.cj = a.cj"""
+
+
+def q_table_zorder(spark, sf_dir):
+    """Z-order table-format gate: documents committed as 4 interleaved
+    IceTable waves with two independent integer dimensions a/b (each
+    file spans both full ranges), Z-ORDER-compacted on (a, b), then
+    answered through the multi-column box scan.  The returned rows
+    must equal a plain 2-D SQL filter — the interleave expression, the
+    range-clustering, both columns' footer stats, and scan_box's
+    per-file bounding-box test all sit on the line; the 2-D prune
+    RATIO itself (and its advantage over a linear sort) is pinned in
+    pytest."""
+    import hashlib
+    import os
+    import shutil
+
+    from .icetable import IceTable
+
+    tag = hashlib.md5(("zord" + sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/wx_icezorder_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = IceTable(base)
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 64).alias("a"),
+        ((F.col("doc_id") / 64).cast("long") % 64).alias("b"), "text")
+    for w in range(4):
+        out = tbl.staging_dir(f"w{w}", 0)
+        (d.filter(F.col("doc_id") % 4 == w)
+         .coalesce(1).write.mode("overwrite").parquet(out))
+        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                       if fn.endswith(".parquet")
+                       and not fn.startswith((".", "_")))
+        tbl.commit(f"w{w}", [{"part_id": w, "files": files,
+                              "counters": {}}], "t",
+                   stats_cols=("a", "b"))
+    sizes = [os.path.getsize(f) for f in tbl.data_files()]
+    tbl.compact(spark, target_file_bytes=2 * max(sizes) + 2,
+                committed_at="t", zorder_by=("a", "b"))
+    df, _, _ = tbl.scan_box(spark, [("a", 8, 23), ("b", 8, 23)])
+    if df is None:   # every file pruned: empty result, schema kept
+        return d.select("doc_id", "a", "b").limit(0)
+    return df.select("doc_id", "a", "b")
+
+
+QUERIES["table_zorder"] = q_table_zorder
+
+ORACLES["table_zorder"] = """
+    SELECT doc_id,
+           (doc_id % 64)::BIGINT AS a,
+           ((doc_id // 64) % 64)::BIGINT AS b
+    FROM documents
+    WHERE doc_id % 64 BETWEEN 8 AND 23
+      AND (doc_id // 64) % 64 BETWEEN 8 AND 23"""
