@@ -1327,24 +1327,33 @@ def sq8_encode(emb: DataFrame, dims: int = 64) -> DataFrame:
     Scale shape (10^12 vectors): the stats pass is one aggregation to
     a single 2×dims-value row (partial combine per partition, no key
     skew possible — there are no keys); that row broadcasts into a
-    narrow projection.  No join, no shuffle of the corpus."""
+    narrow projection.  No join, no shuffle of the corpus.
+
+    Expression form: ONE indexed transform() over the embedding with
+    element_at lookups into the broadcast min/max arrays — the
+    64-way unrolled projection compiles past janino's 64 KB
+    whole-stage method limit and falls back to an interpreted
+    ~4000-node tree (the pq_encode lesson, re-learned here: measured
+    14 s → 1.3 s at sf0.01); the compact lambda stays interpreted
+    per element but its body is four arithmetic ops."""
     x = F.col("embedding")
     stats = emb.agg(
         F.array(*[F.min(F.get(x, d).cast("double"))
                   for d in range(dims)]).alias("mns"),
         F.array(*[F.max(F.get(x, d).cast("double"))
                   for d in range(dims)]).alias("mxs"))
-    span_d = lambda d: (F.get(F.col("mxs"), d) - F.get(F.col("mns"), d))
-    code_d = lambda d: F.when(
-        span_d(d) > 0,
-        F.least(F.lit(255), F.floor(
-            F.round((F.get(x, d).cast("double")
-                     - F.get(F.col("mns"), d)) / span_d(d), 6)
-            * 256))).otherwise(F.lit(0)).cast("int")
+
+    def code(v, i):
+        mn = F.element_at(F.col("mns"), i + 1)
+        span = F.element_at(F.col("mxs"), i + 1) - mn
+        return (F.when(span > 0,
+                       F.least(F.lit(255), F.floor(
+                           F.round((v.cast("double") - mn) / span, 6)
+                           * 256)))
+                .otherwise(F.lit(0)).cast("int"))
+
     return (emb.crossJoin(F.broadcast(stats))
-            .select("vec_id",
-                    F.array(*[code_d(d) for d in range(dims)])
-                    .alias("codes")))
+            .select("vec_id", F.transform(x, code).alias("codes")))
 
 
 def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
@@ -1361,18 +1370,32 @@ def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     the codes column only (column pruning) and the window's partition
     count equals n_queries — the candidate generation is the
     brute-force baseline tier; bucketed tiers (SRP/IVF) bound it."""
+    import numpy as np
+
     enc = sq8_encode(emb, dims)
+    # the query side is n_queries rows: stage it so the corpus-wide
+    # stats agg + encode subtree is not re-evaluated for it
     q = (enc.filter(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("qid"),
-                 F.col("codes").alias("qcodes")))
-    d2 = F.aggregate(
-        F.zip_with(F.col("qcodes"), F.col("codes"),
-                   lambda a, b: (a - b).cast("long")
-                   * (a - b).cast("long")),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
+                 F.col("codes").alias("qcodes"))
+         .localCheckpoint())
+
+    @F.pandas_udf("long")
+    def d2(qc: pd.Series, cc: pd.Series) -> pd.Series:
+        if len(qc) == 0:
+            return pd.Series([], dtype="int64")
+        a = np.vstack(qc.to_numpy()).astype(np.int64)
+        b = np.vstack(cc.to_numpy()).astype(np.int64)
+        d = a - b
+        return pd.Series((d * d).sum(axis=1))
+
+    # INTEGER distance in a vectorized Arrow kernel — exact by
+    # construction (int64 throughout), and ~10× the interpreted
+    # zip_with/aggregate HOF pair's throughput on wide arrays
     pairs = (enc.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
              .select("qid", F.col("vec_id").alias("nid"),
-                     d2.alias("sqdist")))
+                     d2(F.col("qcodes"), F.col("codes"))
+                     .alias("sqdist")))
     w = Window.partitionBy("qid").orderBy(F.col("sqdist"), F.col("nid"))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
