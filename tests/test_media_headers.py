@@ -168,19 +168,20 @@ def test_png_codec_roundtrip():
     assert png_decode_rgb(b"") is None
     assert png_decode_rgb(b[:20]) is None                  # truncated IHDR
     assert png_decode_rgb(b[:8] + b[8:].replace(b"IDAT", b"IDAX")) is None
-    # 16-bit depth is SUPPORTED since r5 — but a headers-only stream
-    # (no IDAT) must still be None; a sub-byte depth stays unsupported
+    # every legal depth×type is SUPPORTED since r5 — but a headers-only
+    # stream (no IDAT) must still be None, and an ILLEGAL combination
+    # (depth 4 RGB: spec allows sub-byte only for gray/palette) too
     import struct, zlib
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     deep = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
     assert png_decode_rgb(deep) is None          # no IDAT at all
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
     shallow = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
                + ihdr4
                + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr4)
                              & 0xFFFFFFFF))
-    assert png_decode_rgb(shallow) is None       # depth 4 unsupported
+    assert png_decode_rgb(shallow) is None       # depth 4 RGB is illegal
 
 
 def test_png_gray_and_palette_variants():
@@ -217,8 +218,8 @@ def test_png_gray_and_palette_variants():
     ln = int.from_bytes(stripped[i:i + 4], "big")
     stripped = stripped[:i] + stripped[i + 12 + ln:]
     assert png_decode_rgb(stripped) is None
-    # variant fixture rotation covers all five variants
-    for did in range(10):
+    # variant fixture rotation decodes for all nine variants
+    for did in range(18):
         out = png_decode_rgb(make_png_variant_bytes(did))
         assert out is not None
         assert (out[0], out[1]) == (4 + did % 5, 3 + did % 4)
@@ -254,6 +255,70 @@ def test_png_interlace_and_16bit():
     ihdr_at = bad.find(b"IHDR")
     bad[ihdr_at + 13] = 3                       # ctype byte -> palette
     assert png_decode_rgb(bytes(bad)) is None
+
+
+def test_png_alpha_and_subbyte_variants():
+    """r5 grid completion: alpha color types (4, 6) decode with alpha
+    DISCARDED (PIL convert('RGB') convention), sub-byte gray scales by
+    left-bit-replication, sub-byte palette unpacks MSB-first, and the
+    interlaced scatter handles 4-byte pixels; spec violations None."""
+    from webextract.media import (_png_pack, png_decode_rgb,
+                                  png_encode_gray_alpha,
+                                  png_encode_gray_subbyte,
+                                  png_encode_palette_subbyte,
+                                  png_encode_rgba)
+    # RGBA: alpha bytes must not leak into the RGB output
+    w, h = 5, 6                                   # h=6 cycles all filters
+    rgba = [bytes(v for x in range(w)
+                  for v in ((x * 7 + y) % 256, (x + y * 5) % 256,
+                            (x * 3 + y * 11) % 256, (x * 13 + y) % 256))
+            for y in range(h)]
+    got = png_decode_rgb(png_encode_rgba(w, h, rgba))
+    assert got is not None and got[:2] == (w, h)
+    for y in range(h):
+        for x in range(w):
+            assert got[2][y][3 * x:3 * x + 3] == bytes(
+                ((x * 7 + y) % 256, (x + y * 5) % 256,
+                 (x * 3 + y * 11) % 256))
+    # interlaced RGBA: the Adam7 scatter moves 4-byte pixels intact
+    lace = png_decode_rgb(_png_pack(w, h, rgba, 4, 6, interlace=True))
+    assert lace == got
+    # gray+alpha: gray replicated to RGB, alpha dropped
+    ga = [bytes(v for x in range(w)
+                for v in ((x * 31 + y * 7) % 256, (x + y) % 256))
+          for y in range(h)]
+    got = png_decode_rgb(png_encode_gray_alpha(w, h, ga))
+    for y in range(h):
+        assert got[2][y][0::3] == got[2][y][1::3] == got[2][y][2::3] \
+            == ga[y][0::2]
+    # sub-byte gray at every depth: raw sample s -> s * (255/(2^d-1))
+    for d, scale in ((1, 255), (2, 85), (4, 17)):
+        rows = [bytes((x * 3 + y) % (1 << d) for x in range(9))
+                for y in range(6)]                # w=9: pad bits in play
+        got = png_decode_rgb(png_encode_gray_subbyte(9, 6, rows, d))
+        assert got[:2] == (9, 6), d
+        for y in range(6):
+            assert got[2][y][0::3] == bytes(v * scale for v in rows[y]), d
+    # sub-byte palette: MSB-first index unpack + PLTE lookup
+    plte = bytes(c for i in range(4) for c in (i * 50, i * 60, i * 70))
+    idx = [bytes((x + y) % 4 for x in range(5)) for y in range(6)]
+    got = png_decode_rgb(png_encode_palette_subbyte(5, 6, idx, plte, 2))
+    for y in range(6):
+        for x in range(5):
+            i = (x + y) % 4
+            assert got[2][y][3 * x:3 * x + 3] == bytes(
+                (i * 50, i * 60, i * 70))
+    # index past the palette inside the packed bits is a spec error
+    bad = png_encode_palette_subbyte(2, 2, [b"\x03\x00", b"\x00\x01"],
+                                     bytes(9), 2)   # 3-entry PLTE
+    assert png_decode_rgb(bad) is None
+    # illegal declarations: sub-byte RGBA / 16-bit palette-alpha combos
+    import struct, zlib
+    for depth, ctype in ((4, 6), (2, 4), (16, 3), (3, 0)):
+        ih = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, 0)
+        b = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ih
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ih) & 0xFFFFFFFF))
+        assert png_decode_rgb(b) is None, (depth, ctype)
 
 
 def test_png_raster_and_ocr_match_bmp():

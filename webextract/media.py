@@ -741,18 +741,49 @@ def _png_unfilter(raw: bytes, start: int, h: int, stride: int,
     return rows, off
 
 
+# lazily-built 256-entry tables: byte -> its 8/depth packed samples,
+# MSB-first (PNG spec §7.2 pixel ordering within a byte)
+_PNG_BIT_TABLES: dict[int, list[bytes]] = {}
+
+
+def _png_unpack_bits(row: bytes, depth: int) -> bytes:
+    """Unpack a packed sub-byte scanline (1/2/4-bit samples, MSB
+    first) to one byte per sample — table-driven, one dict lookup per
+    BYTE not per sample.  Caller truncates the trailing pad samples."""
+    tab = _PNG_BIT_TABLES.get(depth)
+    if tab is None:
+        n, mask = 8 // depth, (1 << depth) - 1
+        tab = [bytes((v >> (8 - depth * (k + 1))) & mask for k in range(n))
+               for v in range(256)]
+        _PNG_BIT_TABLES[depth] = tab
+    return b"".join(map(tab.__getitem__, row))
+
+
+def _png_pack_bits(row: bytes, depth: int) -> bytes:
+    """Pack one-byte-per-sample values (each < 2**depth) into the
+    PNG sub-byte wire layout, MSB-first with zero pad bits."""
+    n = 8 // depth
+    out = bytearray((len(row) + n - 1) // n)
+    for i, v in enumerate(row):
+        out[i // n] |= v << (8 - depth * (i % n + 1))
+    return bytes(out)
+
+
 def png_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
-    """REAL PNG pixel decode for the dominant real-web variants: 8/16-
-    bit RGB (color type 2), 8/16-bit GRAYSCALE (type 0, expanded to
-    RGB), 8-bit PALETTE (type 3, PLTE lookup), each in sequential OR
-    Adam7-interlaced scan order (r5 — closes the r4 'RGB8-only' gap;
-    no alpha or sub-byte depths: honest None).  Concatenate IDAT
+    """REAL PNG pixel decode for ALL FIVE color types at every legal
+    bit depth: RGB (type 2, 8/16-bit), GRAYSCALE (type 0, 1/2/4/8/16-
+    bit, left-bit-replication scaling to 8-bit per spec §12.5),
+    PALETTE (type 3, 1/2/4/8-bit packed indices, PLTE lookup),
+    GRAY+ALPHA (type 4) and RGBA (type 6) at 8/16-bit — alpha is
+    DISCARDED (the PIL ``convert("RGB")`` convention) — each in
+    sequential OR Adam7-interlaced scan order.  Concatenate IDAT
     chunks, zlib-inflate, undo the per-scanline filter (all 5 types,
-    left-neighbor offset = bytes-per-pixel; each interlace pass
-    restarts filtering per spec §8.2), scatter interlaced passes onto
-    the pixel grid, reduce 16-bit samples to their high byte (the
-    PIL/libpng 16→8 convention), expand to (w, h, top-down RGB rows).
-    Returns None for non-PNG / unsupported subformats / corrupt
+    left-neighbor offset = max(1, bytes-per-pixel) so sub-byte rows
+    filter at byte granularity per spec; each interlace pass restarts
+    filtering per §8.2), unpack sub-byte samples MSB-first, scatter
+    interlaced passes onto the pixel grid, reduce 16-bit samples to
+    their high byte (the PIL/libpng 16→8 convention), expand to
+    (w, h, top-down RGB rows).  Returns None for non-PNG / corrupt
     streams (palette index past PLTE is a spec error -> None); never
     raises."""
     import struct
@@ -775,11 +806,11 @@ def png_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
                     return None                  # short IHDR declaration
                 w, h = struct.unpack(">II", data[:8])
                 depth, ctype, comp, filt, ilace = data[8:13]
+                legal = {0: (1, 2, 4, 8, 16), 2: (8, 16),
+                         3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
                 if (comp, filt) != (0, 0) or ilace not in (0, 1) \
-                        or ctype not in (0, 2, 3) \
-                        or depth not in (8, 16) \
-                        or (ctype == 3 and depth != 8):
-                    return None                  # unsupported subformat
+                        or depth not in legal.get(ctype, ()):
+                    return None                  # illegal declaration
                 ok = True
             elif typ == b"PLTE":
                 if ln % 3:
@@ -795,38 +826,75 @@ def png_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
         if ctype == 3 and not plte:
             return None                          # palette image needs PLTE
         raw = zlib.decompress(bytes(idat))
-        sb = depth // 8                          # bytes per sample
-        bpp = (3 if ctype == 2 else 1) * sb
-        if ilace == 0:
-            got = _png_unfilter(raw, 0, h, bpp * w, bpp)
+        samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        bpp_f = max(1, samples * depth // 8)     # filter left-offset
+
+        def region(off: int, pw: int, ph: int):
+            # unfilter one (sub-)image and normalize its rows to
+            # exactly `samples` bytes per pixel: sub-byte samples are
+            # unpacked MSB-first (then cut to the real width — the
+            # last byte of a packed row carries pad bits), 16-bit
+            # big-endian samples reduce to their high byte (v >> 8)
+            # via a C-speed slice — never per-pixel Python
+            stride = (pw * samples * depth + 7) // 8
+            got = _png_unfilter(raw, off, ph, stride, bpp_f)
             if got is None:
                 return None
-            deep = got[0]
+            rows, off2 = got
+            if depth < 8:
+                rows = [_png_unpack_bits(r, depth)[:pw * samples]
+                        for r in rows]
+            elif depth == 16:
+                rows = [r[0::2] for r in rows]
+            return rows, off2
+
+        if ilace == 0:
+            got = region(0, w, h)
+            if got is None:
+                return None
+            rows = got[0]
         else:
-            grid = [bytearray(bpp * w) for _ in range(h)]
+            grid = [bytearray(samples * w) for _ in range(h)]
             off = 0
             for x0, y0, dx, dy in _ADAM7:
                 pw = (w - x0 + dx - 1) // dx
                 ph = (h - y0 + dy - 1) // dy
                 if pw <= 0 or ph <= 0:
                     continue                     # empty pass emits nothing
-                got = _png_unfilter(raw, off, ph, bpp * pw, bpp)
+                got = region(off, pw, ph)
                 if got is None:
                     return None
                 prows, off = got
+                sp = samples
                 for j, prow in enumerate(prows):
                     tgt = grid[y0 + j * dy]
                     for k in range(pw):
                         x = x0 + k * dx
-                        tgt[bpp * x:bpp * (x + 1)] = \
-                            prow[bpp * k:bpp * (k + 1)]
-            deep = [bytes(r) for r in grid]
-        # 16-bit samples are big-endian: the high byte is the 8-bit
-        # reduction (v >> 8), a C-speed slice — never per-pixel Python
-        rows = [row[0::2] for row in deep] if sb == 2 else deep
+                        tgt[sp * x:sp * (x + 1)] = \
+                            prow[sp * k:sp * (k + 1)]
+            rows = [bytes(r) for r in grid]
+
+        if ctype == 6:
+            # RGBA: drop the alpha sample (PIL convert("RGB"))
+            out = []
+            for row in rows:
+                rgb = bytearray(3 * w)
+                rgb[0::3] = row[0::4]
+                rgb[1::3] = row[1::4]
+                rgb[2::3] = row[2::4]
+                out.append(bytes(rgb))
+            return (w, h, out)
+        if ctype == 4:
+            rows = [row[0::2] for row in rows]   # drop alpha, keep gray
         if ctype == 2:
             return (w, h, rows)
-        if ctype == 0:
+        if ctype in (0, 4):
+            if depth < 8:
+                # spec §12.5 left-bit-replication == multiply by
+                # 255/(2^depth - 1); a translate table keeps it C-speed
+                scale = {1: 255, 2: 85, 4: 17}[depth]
+                tab = bytes((v * scale) & 0xFF for v in range(256))
+                rows = [row.translate(tab) for row in rows]
             # grayscale: expand each byte to (g, g, g) — slice
             # assignment, no per-pixel Python
             out = []
@@ -960,6 +1028,35 @@ def png_encode_rgb16(w: int, h: int, rows16: list[bytes]) -> bytes:
     """Spec-valid 16-bit RGB PNG: ``rows16`` hold big-endian 2-byte
     samples (6 bytes per pixel)."""
     return _png_pack(w, h, rows16, 6, 2, depth=16)
+
+
+def png_encode_rgba(w: int, h: int, rows: list[bytes]) -> bytes:
+    """Spec-valid 8-bit RGBA PNG (color type 6): ``rows`` hold
+    (r, g, b, a) quads, 4 bytes per pixel."""
+    return _png_pack(w, h, rows, 4, 6)
+
+
+def png_encode_gray_alpha(w: int, h: int, rows: list[bytes]) -> bytes:
+    """Spec-valid 8-bit grayscale+alpha PNG (color type 4): ``rows``
+    hold (g, a) pairs, 2 bytes per pixel."""
+    return _png_pack(w, h, rows, 2, 4)
+
+
+def png_encode_palette_subbyte(w: int, h: int, rows: list[bytes],
+                               plte: bytes, depth: int) -> bytes:
+    """Spec-valid sub-byte palette PNG (color type 3, depth 1/2/4):
+    ``rows`` hold one index byte per pixel; packed MSB-first here."""
+    packed = [_png_pack_bits(r, depth) for r in rows]
+    return _png_pack(w, h, packed, 1, 3, plte=plte, depth=depth)
+
+
+def png_encode_gray_subbyte(w: int, h: int, rows: list[bytes],
+                            depth: int) -> bytes:
+    """Spec-valid sub-byte grayscale PNG (color type 0, depth 1/2/4):
+    ``rows`` hold one RAW sample byte per pixel (< 2**depth) — the
+    decoder scales by left-bit-replication."""
+    packed = [_png_pack_bits(r, depth) for r in rows]
+    return _png_pack(w, h, packed, 1, 0, depth=depth)
 
 
 def gif_decode_rgb(b: bytes) -> tuple[int, int, list[bytes]] | None:
@@ -1692,17 +1789,25 @@ def _png_rgb_rows(doc_id: int, w: int, h: int) -> list[bytes]:
     return rows
 
 
+_PNG_PLTE16 = bytes(c for i in range(16)
+                    for c in ((i * 17 + 3) % 256, (i * 29 + 7) % 256,
+                              (i * 43 + 11) % 256))
+
+
 def make_png_variant_bytes(doc_id: int) -> bytes:
-    """Deterministic VALID PNG rotating through five real-web variants
-    by doc_id % 5 — RGB8, GRAYSCALE8, PALETTE8 (round-4 verdict item
-    5), Adam7-INTERLACED RGB8, and 16-BIT RGB (r5: scan-order and
-    bit-depth coverage on the real raster path).  The interlaced and
-    16-bit flavors reuse the RGB8 pixel formula (16-bit samples are
-    v*257 = v<<8|v, so the high-byte reduction is exact), keeping
-    every variant SQL-recomputable for the raster-stats oracle."""
+    """Deterministic VALID PNG rotating through NINE real-web variants
+    by doc_id % 9 — RGB8, GRAYSCALE8, PALETTE8 (round-4 verdict item
+    5), Adam7-INTERLACED RGB8, 16-BIT RGB, RGBA8, GRAY+ALPHA8, 4-BIT
+    PALETTE, and 2-BIT GRAYSCALE (r5: the full color-type × bit-depth
+    grid on the real raster path).  The interlaced/16-bit/RGBA flavors
+    reuse the RGB8 pixel formula (16-bit samples are v*257 = v<<8|v so
+    the high-byte reduction is exact; alpha is decode-discarded), the
+    gray+alpha flavor the GRAY8 formula, the 4-bit palette flavor the
+    PALETTE8 formula (16 entries = exactly 4 bits), keeping every
+    variant SQL-recomputable for the raster-stats oracle."""
     w = 4 + doc_id % 5
     h = 3 + doc_id % 4
-    v = doc_id % 5
+    v = doc_id % 9
     if v == 0:
         return make_png_bytes(doc_id)
     if v == 1:  # grayscale: g(x, y) replicated into all 3 channels
@@ -1711,18 +1816,36 @@ def make_png_variant_bytes(doc_id: int) -> bytes:
         return png_encode_gray(w, h, rows)
     if v == 2:
         # palette: 16 entries, channel values affine in the index
-        plte = bytes(c for i in range(16)
-                     for c in ((i * 17 + 3) % 256, (i * 29 + 7) % 256,
-                               (i * 43 + 11) % 256))
         rows = [bytes((doc_id + x * 3 + y * 5) % 16
                       for x in range(w)) for y in range(h)]
-        return png_encode_palette(w, h, rows, plte)
+        return png_encode_palette(w, h, rows, _PNG_PLTE16)
     if v == 3:  # Adam7 interlaced, RGB8 formula
         return png_encode_rgb_interlaced(w, h, _png_rgb_rows(doc_id, w, h))
-    # v == 4: 16-bit RGB, each sample v*257 (big-endian v, v)
-    rows16 = [bytes(b for s in row for b in (s, s))
-              for row in _png_rgb_rows(doc_id, w, h)]
-    return png_encode_rgb16(w, h, rows16)
+    if v == 4:  # 16-bit RGB, each sample v*257 (big-endian v, v)
+        rows16 = [bytes(b for s in row for b in (s, s))
+                  for row in _png_rgb_rows(doc_id, w, h)]
+        return png_encode_rgb16(w, h, rows16)
+    if v == 5:  # RGBA: RGB8 formula + alpha the decoder must discard
+        rgba = [bytes(b for x in range(w)
+                      for b in (row[3 * x], row[3 * x + 1], row[3 * x + 2],
+                                (doc_id * 5 + x * 7) % 256))
+                for row in _png_rgb_rows(doc_id, w, h)]
+        return png_encode_rgba(w, h, rgba)
+    if v == 6:  # gray+alpha: GRAY8 formula + discarded alpha
+        ga = [bytes(b for x in range(w)
+                    for b in ((doc_id * 7 + x * 13 + y * 17) % 256,
+                              (doc_id + x * 11 + y * 3) % 256))
+              for y in range(h)]
+        return png_encode_gray_alpha(w, h, ga)
+    if v == 7:  # 4-bit palette: PALETTE8 formula, packed 2 px/byte
+        rows = [bytes((doc_id + x * 3 + y * 5) % 16
+                      for x in range(w)) for y in range(h)]
+        return png_encode_palette_subbyte(w, h, rows, _PNG_PLTE16, 4)
+    # v == 8: 2-bit grayscale — raw sample s in 0..3, decoder scales
+    # by left-bit-replication to s*85
+    rows = [bytes((doc_id + x * 3 + y * 5) % 4
+                  for x in range(w)) for y in range(h)]
+    return png_encode_gray_subbyte(w, h, rows, 2)
 
 
 # PNG payloads rotating rgb/gray/palette color types by doc_id

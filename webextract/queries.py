@@ -2179,13 +2179,15 @@ def q_image_neardup(spark, sf_dir):
 
 def q_media_raster_png(spark, sf_dir):
     """Compressed-codec raster decode (round-3 verdict item 3; round-4
-    item 5 and r5 widened it): payloads are real zlib-deflated PNGs
+    item 5; r5 widened twice): payloads are real zlib-deflated PNGs
     whose scanlines cycle through all five filter types AND whose
     variant rotates RGB8 / GRAYSCALE8 / PALETTE8 / Adam7-INTERLACED /
-    16-BIT by doc_id%5 — the stats only match the oracle if inflate +
-    per-row unfilter + gray expansion + PLTE lookup + the 7-pass
-    interlace scatter + the high-byte 16→8 reduction reconstruct
-    every pixel exactly."""
+    16-BIT / RGBA8 / GRAY+ALPHA8 / 4-BIT-PALETTE / 2-BIT-GRAY by
+    doc_id%9 — the full color-type × bit-depth grid.  The stats only
+    match the oracle if inflate + per-row unfilter + gray expansion +
+    PLTE lookup + the 7-pass interlace scatter + the high-byte 16→8
+    reduction + alpha discard + MSB-first sub-byte unpack + left-bit-
+    replication scaling reconstruct every pixel exactly."""
     docs = media.with_png_variant_media(_read(spark, sf_dir, "documents"))
     return media.raster_stats(docs)
 
@@ -5963,26 +5965,35 @@ ORACLES = {
     # reduction is exact)
     "media_raster_png": """
         WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-                          doc_id % 5 AS v
+                          doc_id % 9 AS v
                    FROM documents),
         px AS (SELECT doc_id,
-                      CASE v WHEN 1 THEN (doc_id * 7 + x.i * 13
-                                          + y.i * 17) % 256
-                             WHEN 2 THEN (((doc_id + x.i * 3 + y.i * 5)
-                                           % 16) * 43 + 11) % 256
-                             ELSE (doc_id + x.i + y.i) % 256 END AS bc,
-                      CASE v WHEN 1 THEN (doc_id * 7 + x.i * 13
-                                          + y.i * 17) % 256
-                             WHEN 2 THEN (((doc_id + x.i * 3 + y.i * 5)
-                                           % 16) * 29 + 7) % 256
-                             ELSE (doc_id * 3 + x.i * 5
-                                   + y.i * 7) % 256 END AS gc,
-                      CASE v WHEN 1 THEN (doc_id * 7 + x.i * 13
-                                          + y.i * 17) % 256
-                             WHEN 2 THEN (((doc_id + x.i * 3 + y.i * 5)
-                                           % 16) * 17 + 3) % 256
-                             ELSE (doc_id * 11 + x.i * 13
-                                   + y.i * 17) % 256 END AS rc
+                      CASE WHEN v IN (1, 6) THEN (doc_id * 7 + x.i * 13
+                                                  + y.i * 17) % 256
+                           WHEN v IN (2, 7)
+                             THEN (((doc_id + x.i * 3 + y.i * 5)
+                                    % 16) * 43 + 11) % 256
+                           WHEN v = 8
+                             THEN ((doc_id + x.i * 3 + y.i * 5) % 4) * 85
+                           ELSE (doc_id + x.i + y.i) % 256 END AS bc,
+                      CASE WHEN v IN (1, 6) THEN (doc_id * 7 + x.i * 13
+                                                  + y.i * 17) % 256
+                           WHEN v IN (2, 7)
+                             THEN (((doc_id + x.i * 3 + y.i * 5)
+                                    % 16) * 29 + 7) % 256
+                           WHEN v = 8
+                             THEN ((doc_id + x.i * 3 + y.i * 5) % 4) * 85
+                           ELSE (doc_id * 3 + x.i * 5
+                                 + y.i * 7) % 256 END AS gc,
+                      CASE WHEN v IN (1, 6) THEN (doc_id * 7 + x.i * 13
+                                                  + y.i * 17) % 256
+                           WHEN v IN (2, 7)
+                             THEN (((doc_id + x.i * 3 + y.i * 5)
+                                    % 16) * 17 + 3) % 256
+                           WHEN v = 8
+                             THEN ((doc_id + x.i * 3 + y.i * 5) % 4) * 85
+                           ELSE (doc_id * 11 + x.i * 13
+                                 + y.i * 17) % 256 END AS rc
                FROM d,
                     unnest(generate_series(0, w - 1)) AS x(i),
                     unnest(generate_series(0, h - 1)) AS y(i))
