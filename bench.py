@@ -85,7 +85,7 @@ HEADLINE = [
     "pii_card_scrub", "corpus_drift", "script_profile",
     "quality_pr_sweep",
     "trustrank", "embed_sq8_topk", "readability", "audio_silence",
-    "table_zorder",
+    "table_zorder", "wordpiece_train", "wordpiece_segment",
 ]
 
 # one 25%-of-corpus boilerplate family: every 4th doc becomes a

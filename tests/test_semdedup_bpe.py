@@ -333,3 +333,74 @@ def test_frontier_schedule_plan_shape(spark):
         cands, ranks, change)).split("\n\n")[0]
     assert "BroadcastHashJoin" in tree
     assert tree.count("Window") == 1
+
+
+def _wp_ref(word_freq: dict, n: int) -> list:
+    """Greedy WordPiece reference: like _bpe_ref but the argmax
+    maximizes the quantized likelihood (n_pair * 10^9) // (n_l * n_r),
+    tie-broken by (raw count desc, denominator asc, lhs, rhs)."""
+    segs = [(list(w), f) for w, f in sorted(word_freq.items())]
+    merges = []
+    for rank in range(n):
+        counts: dict = {}
+        units: dict = {}
+        for syms, f in segs:
+            for s in syms:
+                units[s] = units.get(s, 0) + f
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        scored = {k: (v * 10**9) // (units[k[0]] * units[k[1]])
+                  for k, v in counts.items()}
+        (l, r) = min(counts, key=lambda k: (
+            -scored[k], -counts[k], units[k[0]] * units[k[1]],
+            k[0], k[1]))
+        merges.append((rank, l, r, counts[(l, r)], scored[(l, r)]))
+        for idx, (syms, f) in enumerate(segs):
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[idx] = (out, f)
+    return merges
+
+
+def test_wordpiece_train_matches_greedy_reference(spark):
+    """WordPiece's likelihood argmax against a greedy reference: 'qu'
+    must merge FIRST (q never occurs apart from u) even though 'es'
+    has a higher raw count — the selection rule that distinguishes it
+    from BPE — and the full (rank, lhs, rhs, n, q) table must match."""
+    text = ("quest quest quest queen es es es es es se se se "
+            "essen essen")
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    wf = {"quest": 3, "queen": 1, "es": 5, "se": 3, "essen": 2}
+    got = [(r["rank"], r["lhs"], r["rhs"], r["n"], r["q"])
+           for r in corpus.wordpiece_train(docs, n_merges=4)
+           .orderBy("rank").collect()]
+    assert got == _wp_ref(wf, 4)
+    assert (got[0][1], got[0][2]) == ("q", "u")
+    # BPE on the same corpus picks by raw count instead — the two
+    # trainers genuinely diverge on this vocabulary
+    bpe0 = corpus.bpe_train(docs, n_merges=1).collect()[0]
+    assert (bpe0["lhs"], bpe0["rhs"]) != ("q", "u")
+
+
+def test_wordpiece_train_partitioning_invariant(spark):
+    """Quantized-integer score + totalized argmax: the merge table is
+    identical at any parallelism."""
+    rows = [(i, "hug hug hugs pug pugs pun bun hugs") for i in range(8)]
+    docs1 = spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1)
+    docs8 = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(8)
+    t1 = [tuple(r) for r in corpus.wordpiece_train(docs1, n_merges=5)
+          .orderBy("rank").collect()]
+    t8 = [tuple(r) for r in corpus.wordpiece_train(docs8, n_merges=5)
+          .orderBy("rank").collect()]
+    assert t1 == t8 and len(t1) == 5

@@ -3413,6 +3413,81 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         merges, "rank int, lhs string, rhs string, n long")
 
 
+def wordpiece_train(docs: DataFrame, n_merges: int = 8,
+                    min_freq: int = 1) -> DataFrame:
+    """(rank, lhs, rhs, n, q): WordPiece tokenizer training (Schuster
+    & Nakajima, ICASSP'12; the BERT vocabulary algorithm) — like BPE
+    it iterates count-pairs / merge-argmax / re-segment, but the
+    argmax maximizes the LIKELIHOOD score n(lhs,rhs) / (n(lhs) *
+    n(rhs)) instead of the raw pair count, preferring pairs whose
+    parts rarely occur apart.  Together with bpe_train this covers
+    both dominant subword-vocab trainers; the merge table replays
+    through the same encode kernel (bpe_segment / the trained
+    chunker) since only the TRAINING-time selection rule differs.
+
+    Determinism contract (the repo's integer micro-unit convention):
+    the score is quantized to q = (n * 10^9) div (n_lhs * n_rhs) in
+    pure BIGINT arithmetic — bit-identical in any engine — and the
+    argmax is totalized by (q desc, n desc, n_lhs*n_rhs asc, lhs asc,
+    rhs asc), so sub-quantum likelihood ties resolve identically
+    everywhere.  At gate scale every product fits BIGINT; a 10^12-doc
+    run widens the same expressions to decimal(38,0), like the other
+    micro-unit operators.
+
+    Scale shape: identical to bpe_train — ONE corpus-sized shuffle to
+    the distinct-word frequency frame, then vocab-sized rounds.  The
+    extra WordPiece work per round is a symbol-unit count (one
+    vocab-sized agg whose result is alphabet+merges-sized, always
+    broadcast) joined onto the pair counts before the
+    TakeOrderedAndProject argmax."""
+    spark = docs.sparkSession
+    vocab = (docs.select(F.explode(TOKENS()).alias("w"))
+             .filter(F.col("w").rlike(_BPE_WORD_RE))
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             .filter(F.col("freq") >= min_freq))
+    seg0 = F.regexp_replace("w", "(.)", _BPE_O + "$1" + _BPE_C)
+    frame = (vocab.select(seg0.alias("seg"), "freq")
+             .localCheckpoint())
+    sym_pat = F.lit(_BPE_O + "([^" + _BPE_C + "]+)" + _BPE_C)
+    merges: list = []
+    for rank in range(n_merges):
+        syms = F.regexp_extract_all("seg", sym_pat, F.lit(1))
+        segged = (frame.select("freq", syms.alias("syms"))
+                  .localCheckpoint())
+        units = (segged.select("freq", F.explode("syms").alias("s"))
+                 .groupBy("s").agg(F.sum("freq").alias("ns")))
+        pairs = (segged
+                 .filter(F.size("syms") >= 2)
+                 .select("freq", F.explode(F.expr(
+                     "transform(sequence(0, size(syms) - 2), "
+                     "i -> struct(get(syms, i) AS lhs, "
+                     "get(syms, i + 1) AS rhs))")).alias("p"))
+                 .groupBy("p.lhs", "p.rhs")
+                 .agg(F.sum("freq").alias("n")))
+        ul = F.broadcast(units.select(F.col("s").alias("lhs"),
+                                      F.col("ns").alias("nl")))
+        ur = F.broadcast(units.select(F.col("s").alias("rhs"),
+                                      F.col("ns").alias("nr")))
+        cand = (pairs.join(ul, "lhs").join(ur, "rhs")
+                .withColumn("den", F.col("nl") * F.col("nr"))
+                .withColumn("q", F.expr("(n * 1000000000L) div den")))
+        best = (cand.orderBy(F.col("q").desc(), F.col("n").desc(),
+                             "den", "lhs", "rhs")
+                .limit(1).collect())
+        if not best:
+            break
+        lhs, rhs = best[0]["lhs"], best[0]["rhs"]
+        merges.append((rank, lhs, rhs, int(best[0]["n"]),
+                       int(best[0]["q"])))
+        needle = _BPE_O + lhs + _BPE_C + _BPE_O + rhs + _BPE_C
+        repl = _BPE_O + lhs + rhs + _BPE_C
+        frame = (frame.select(
+            F.replace("seg", F.lit(needle), F.lit(repl)).alias("seg"),
+            "freq").localCheckpoint())
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, n long, q long")
+
+
 def bpe_segment(docs: DataFrame, merges: DataFrame) -> DataFrame:
     """(doc_id, n_words, n_tokens): apply a trained BPE merge table
     (bpe_train's output) to the corpus — the encode side of tokenizer

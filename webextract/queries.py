@@ -909,6 +909,26 @@ def q_bpe_segment(spark, sf_dir):
     return corpus.bpe_segment(docs, corpus.bpe_train(docs, n_merges=4))
 
 
+def q_wordpiece_train(spark, sf_dir):
+    """WordPiece training loop (4 merge rounds) — BPE's iteration with
+    the likelihood argmax n(lr)/(n(l)*n(r)), quantized to BIGINT
+    micro-units so the merge table is engine-exact; the oracle unrolls
+    the identical rounds with the identical quantized score in SQL."""
+    return corpus.wordpiece_train(_read(spark, sf_dir, "documents"),
+                                  n_merges=4)
+
+
+def q_wordpiece_segment(spark, sf_dir):
+    """Encode with the 4-round WordPiece merge table: per-doc word and
+    subword-token counts through the SAME replay kernel as
+    bpe_segment (only the training-time selection rule differs), so
+    encode(train corpus) reproduces the WordPiece trainer's final
+    segmentation word-for-word."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.bpe_segment(docs,
+                              corpus.wordpiece_train(docs, n_merges=4))
+
+
 def q_frontier_schedule(spark, sf_dir):
     """The crawl-planning loop closed end-to-end: pagerank host
     quality x cdx_revisit change rates -> per-host politeness queues
@@ -2716,6 +2736,8 @@ QUERIES = {
     # --- new gates this round ---
     "chunk_hybrid_trained": q_chunk_hybrid_trained,
     "table_schema_evolution": q_table_schema_evolution,
+    "wordpiece_train": q_wordpiece_train,
+    "wordpiece_segment": q_wordpiece_segment,
     # --- flagship byte-identity gate: stays in-window every round
     # (the north rule's headline bar) ---
     "extract_main_text": q_extract_main_text,
@@ -6411,6 +6433,78 @@ def _bpe_oracle(n_rounds: int, final: str = "merges") -> str:
 ORACLES["bpe_train"] = _bpe_oracle(4)
 ORACLES["bpe_segment"] = _bpe_oracle(4, final="segmap")
 ORACLES["training_export"] = _bpe_oracle(4, final="export")
+
+
+def _wp_oracle(n_rounds: int, final: str = "merges") -> str:
+    """WordPiece training unrolled in SQL: _bpe_oracle's round
+    structure with the likelihood argmax — per round a symbol-unit
+    count u{i} joins the pair counts, the quantized score is
+    (n * 10^9) // (n_lhs * n_rhs) in pure BIGINT (both engines
+    truncate identically on positive operands), and the winner
+    totalizes by (q desc, n desc, denominator asc, lhs, rhs).
+    ``final='segmap'`` replays the trained segmentation over every
+    doc's words instead of returning the merge table."""
+    sym = "regexp_extract_all(seg, chr(1) || '([^' || chr(2) "\
+          "|| ']+)' || chr(2), 1)"
+    ctes = ["""toks AS (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    vocab AS (SELECT w, count(*)::BIGINT AS freq FROM toks
+              WHERE regexp_matches(w, '^[!-~]+$') GROUP BY w),
+    s0 AS (SELECT w, regexp_replace(w, '(.)',
+                                    chr(1) || '\\1' || chr(2),
+                                    'g') AS seg, freq
+           FROM vocab)"""]
+    for i in range(n_rounds):
+        ctes.append(f"""u{i} AS (SELECT t.s AS s,
+                    sum(freq)::BIGINT AS ns
+             FROM (SELECT {sym} AS syms, freq FROM s{i}),
+                  unnest(syms) AS t(s)
+             GROUP BY t.s),
+    p{i} AS (SELECT freq, syms FROM
+             (SELECT {sym} AS syms, freq FROM s{i})
+           WHERE len(syms) >= 2),
+    c{i} AS (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+                    sum(freq)::BIGINT AS n
+             FROM p{i},
+                  unnest(generate_series(1, len(syms) - 1)) AS t(i)
+             GROUP BY 1, 2),
+    b{i} AS (SELECT c.lhs, c.rhs, c.n,
+                    (c.n * 1000000000) // (ul.ns * ur.ns) AS q
+             FROM c{i} c
+             JOIN u{i} ul ON c.lhs = ul.s
+             JOIN u{i} ur ON c.rhs = ur.s
+             ORDER BY q DESC, c.n DESC, ul.ns * ur.ns ASC,
+                      c.lhs, c.rhs LIMIT 1),
+    s{i + 1} AS (SELECT w, replace(seg,
+                 (SELECT chr(1) || lhs || chr(2) || chr(1) || rhs
+                         || chr(2) FROM b{i}),
+                 (SELECT chr(1) || lhs || rhs || chr(2) FROM b{i}))
+                     AS seg, freq
+             FROM s{i})""")
+    if final == "merges":
+        sel = "\n        UNION ALL ".join(
+            f"SELECT {i}::INT AS rank, lhs, rhs, n, q FROM b{i}"
+            for i in range(n_rounds))
+        return "WITH " + ",\n    ".join(ctes) + "\n        " + sel
+    # final == "segmap": identical replay tail to _bpe_oracle
+    ctes.append(f"""m AS (SELECT w, len({sym})::BIGINT AS ntok
+           FROM s{n_rounds}),
+    wl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+    cnt AS (SELECT wl.doc_id, count(*)::BIGINT AS n_words,
+                   sum(CASE WHEN regexp_matches(wl.w, '^[!-~]+$')
+                            THEN m.ntok ELSE 1 END)::BIGINT
+                       AS n_tokens
+            FROM wl LEFT JOIN m ON wl.w = m.w
+            GROUP BY wl.doc_id)""")
+    sel = ("SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words, "
+           "coalesce(c.n_tokens, 0) AS n_tokens "
+           "FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id")
+    return "WITH " + ",\n    ".join(ctes) + "\n        " + sel
+
+
+ORACLES["wordpiece_train"] = _wp_oracle(4)
+ORACLES["wordpiece_segment"] = _wp_oracle(4, final="segmap")
 
 ORACLES["lang_pivot"] = """
     SELECT source,
