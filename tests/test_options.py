@@ -146,3 +146,37 @@ def test_cli_chunk_stage(spark, tmp_path):
     # n_tokens above its whitespace word count
     rows = ch.select("chunk_text", "n_tokens").collect()
     assert any(r.n_tokens > len(r.chunk_text.split()) for r in rows)
+
+
+def test_cli_chunk_trained_wordpiece(spark, tmp_path):
+    """--chunk-trainer wordpiece: the in-run vocabulary trains with the
+    likelihood argmax, lands as the uniform 4-column merge-table
+    artifact, and the chunker replays it (trained counts, not word
+    counts)."""
+    from webextract.cli import main
+    out = str(tmp_path / "cli_wp")
+    rc = main(["--synth", "40", "--output", out, "--partitions", "4",
+               "--waves", "1", "--cpus", "4",
+               "--chunk", "hybrid", "--chunk-max-tokens", "32",
+               "--chunk-tokenizer", "trained",
+               "--chunk-trainer", "wordpiece",
+               "--chunk-train-rounds", "4"])
+    assert rc == 0
+    mdf = spark.read.parquet(f"{out}/merges")
+    assert set(mdf.columns) == {"rank", "lhs", "rhs", "n"}
+    assert mdf.count() == 4
+    # the saved artifact IS the wordpiece table for this corpus
+    from webextract import corpus
+    from webextract.icetable import IceTable
+    committed = IceTable(out).read(spark)
+    want = [(r["rank"], r["lhs"], r["rhs"], r["n"])
+            for r in corpus.wordpiece_train(
+                committed.select("text"), n_merges=4)
+            .orderBy("rank").collect()]
+    got = [(r["rank"], r["lhs"], r["rhs"], r["n"])
+           for r in mdf.orderBy("rank").collect()]
+    assert got == want
+    ch = spark.read.parquet(f"{out}/chunks")
+    assert ch.count() > 0
+    from pyspark.sql import functions as F
+    assert ch.agg(F.max("n_tokens")).first()[0] <= 32

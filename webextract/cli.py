@@ -116,6 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-train-rounds", type=int, default=16,
                    help="merge rounds when training the vocabulary "
                         "in-run (no --chunk-merges given)")
+    p.add_argument("--chunk-trainer", default="bpe",
+                   choices=("bpe", "wordpiece"),
+                   help="which trainer builds the in-run vocabulary "
+                        "for --chunk-tokenizer trained (both emit the "
+                        "same merge-table shape; the replay kernel is "
+                        "shared)")
     p.add_argument("--chunk-merge-peers", type=_bool, default=True)
 
     # -- table maintenance (run INSTEAD of extraction when given;
@@ -238,10 +244,13 @@ def main(argv: list[str] | None = None) -> int:
                 mdf = spark.read.parquet(merges_dir)
             else:
                 from webextract import corpus
-                mdf = corpus.bpe_train(
-                    committed.select("text"),
-                    n_merges=args.chunk_train_rounds)
-                mdf.write.mode("overwrite").parquet(merges_dir)
+                trainer = (corpus.wordpiece_train
+                           if args.chunk_trainer == "wordpiece"
+                           else corpus.bpe_train)
+                mdf = trainer(committed.select("text"),
+                              n_merges=args.chunk_train_rounds)
+                mdf.select("rank", "lhs", "rhs", "n") \
+                    .write.mode("overwrite").parquet(merges_dir)
                 summary["merges_dir"] = merges_dir
             merges = tuple((r["lhs"], r["rhs"])
                            for r in mdf.orderBy("rank").collect())
