@@ -721,3 +721,30 @@ def test_quality_pr_sweep_hand_reference(spark):
         (1, 10000, 1, 1, 3, 1, 0, 1, 7500, 10000),
         (2, 20000, 2, 0, 2, 0, 1, 2, 10000, 6666),
     ]
+
+
+def test_wordpiece_round_plan_shape(spark):
+    """One WordPiece training round over the segmented vocab frame:
+    the unit-count side reaches the pair counts as BROADCAST joins
+    (never a shuffle keyed on symbol), the only hash exchanges are the
+    two aggregations (units, pairs), no cartesian; the argmax
+    orderBy(...).limit(1) compiles to the distributed top-1
+    (TakeOrderedAndProject), never a global sort."""
+    from pyspark.sql import functions as F
+    from webextract import corpus
+    segged = spark.createDataFrame(
+        [(3, ["l", "o", "w"]), (2, ["q", "u"])],
+        "freq long, syms array<string>")
+    cand = corpus._wordpiece_candidates(segged)
+    plan = _plan(cand)
+    assert "Cartesian" not in plan
+    tree = plan.split("\n\n")[0]          # node list, before per-node detail
+    assert tree.count("BroadcastHashJoin") == 2
+    # the pair agg is the only hash exchange in the cand plan: the
+    # unit counts are materialized once (localCheckpoint) and enter
+    # both joins as broadcast of an ExistingRDD scan
+    assert tree.count("Exchange") == 1 + 2   # 1 hash + 2 broadcast
+    top = _plan(cand.orderBy(F.col("q").desc(), F.col("n").desc(),
+                             "den", "lhs", "rhs").limit(1))
+    assert ("TakeOrderedAndProject" in top
+            or top.count("Exchange SinglePartition") == 1)

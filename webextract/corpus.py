@@ -3413,6 +3413,38 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         merges, "rank int, lhs string, rhs string, n long")
 
 
+def _wordpiece_candidates(segged: DataFrame) -> DataFrame:
+    """One WordPiece round's scored pair frame over a (freq, syms)
+    segmentation: symbol-unit counts (vocab-sized agg, result is
+    alphabet+merges-sized so it ALWAYS broadcasts onto the pair
+    counts) and the quantized likelihood q = (n * 10^9) div
+    (n_lhs * n_rhs) in pure BIGINT.  Split out of wordpiece_train so
+    the round's plan shape is testable in isolation.
+
+    The units result feeds BOTH broadcast sides; without a
+    materialization Spark recomputes the vocab-sized agg once per
+    side, so the tiny (alphabet+merges rows) result is
+    localCheckpointed — one agg per round."""
+    units = (segged.select("freq", F.explode("syms").alias("s"))
+             .groupBy("s").agg(F.sum("freq").alias("ns"))
+             .localCheckpoint())
+    pairs = (segged
+             .filter(F.size("syms") >= 2)
+             .select("freq", F.explode(F.expr(
+                 "transform(sequence(0, size(syms) - 2), "
+                 "i -> struct(get(syms, i) AS lhs, "
+                 "get(syms, i + 1) AS rhs))")).alias("p"))
+             .groupBy("p.lhs", "p.rhs")
+             .agg(F.sum("freq").alias("n")))
+    ul = F.broadcast(units.select(F.col("s").alias("lhs"),
+                                  F.col("ns").alias("nl")))
+    ur = F.broadcast(units.select(F.col("s").alias("rhs"),
+                                  F.col("ns").alias("nr")))
+    return (pairs.join(ul, "lhs").join(ur, "rhs")
+            .withColumn("den", F.col("nl") * F.col("nr"))
+            .withColumn("q", F.expr("(n * 1000000000L) div den")))
+
+
 def wordpiece_train(docs: DataFrame, n_merges: int = 8,
                     min_freq: int = 1) -> DataFrame:
     """(rank, lhs, rhs, n, q): WordPiece tokenizer training (Schuster
@@ -3454,25 +3486,9 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 8,
         syms = F.regexp_extract_all("seg", sym_pat, F.lit(1))
         segged = (frame.select("freq", syms.alias("syms"))
                   .localCheckpoint())
-        units = (segged.select("freq", F.explode("syms").alias("s"))
-                 .groupBy("s").agg(F.sum("freq").alias("ns")))
-        pairs = (segged
-                 .filter(F.size("syms") >= 2)
-                 .select("freq", F.explode(F.expr(
-                     "transform(sequence(0, size(syms) - 2), "
-                     "i -> struct(get(syms, i) AS lhs, "
-                     "get(syms, i + 1) AS rhs))")).alias("p"))
-                 .groupBy("p.lhs", "p.rhs")
-                 .agg(F.sum("freq").alias("n")))
-        ul = F.broadcast(units.select(F.col("s").alias("lhs"),
-                                      F.col("ns").alias("nl")))
-        ur = F.broadcast(units.select(F.col("s").alias("rhs"),
-                                      F.col("ns").alias("nr")))
-        cand = (pairs.join(ul, "lhs").join(ur, "rhs")
-                .withColumn("den", F.col("nl") * F.col("nr"))
-                .withColumn("q", F.expr("(n * 1000000000L) div den")))
-        best = (cand.orderBy(F.col("q").desc(), F.col("n").desc(),
-                             "den", "lhs", "rhs")
+        best = (_wordpiece_candidates(segged)
+                .orderBy(F.col("q").desc(), F.col("n").desc(),
+                         "den", "lhs", "rhs")
                 .limit(1).collect())
         if not best:
             break
