@@ -5125,29 +5125,182 @@ def embed_covariance(emb: DataFrame, group_col: str = "label",
     float, but that division happens in the CONSUMER (numpy), never in
     the gate.
 
-    Scale shape: one narrow projection explodes each row into its
-    d(d+1)/2 index-pair products (never the payload; d=64 -> 2080
-    shorts per row), and map-side partial aggregation collapses every
-    partition to |labels| x 2080 rows before the ONE exchange — the
-    same bounded-exchange discipline as the sketch family.  No
-    self-join, no d^2 shuffle of the corpus."""
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"))
-    base = emb.select(F.col(group_col).alias("label"), q.alias("q"))
-    pairs = base.select(
-        "label",
-        F.explode(F.expr(
-            "flatten(transform(q, (x, i) -> "
-            "  transform(slice(q, i + 1, size(q) - i), (y, j) -> "
-            "    struct(i + 1 AS i, i + j + 1 AS j, "
-            "           x AS xi, y AS yj, x * y AS p))))")).alias("e"))
-    agg = (pairs.groupBy("label", F.col("e.i").alias("i"),
-                         F.col("e.j").alias("j"))
-           .agg(F.count("*").alias("n"),
-                F.sum(F.col("e.xi").cast("decimal(38,0)")).alias("si"),
-                F.sum(F.col("e.yj").cast("decimal(38,0)")).alias("sj"),
-                F.sum(F.col("e.p").cast("decimal(38,0)")).alias("sp")))
+    Scale shape: an Arrow kernel folds each task's rows to exact
+    integer partial sums (n, S, X'X) per (label, row-length) — at most
+    |labels| x d(d+1)/2 rows leave ANY partition — and the ONE exchange
+    carries those bounded partials into a decimal(38,0) final sum.
+    No self-join, no d^2 shuffle of the corpus.  (r6: this replaced an
+    in-row pair explode — d(d+1)/2 structs per row ground through the
+    hash aggregate; the partial sums are the same integers, just
+    computed batch-at-a-time in numpy.  The f64 matmul is exact
+    because every quantized component, product and running sum is an
+    integer below 2^53 within a bounded row-chunk; chunks whose
+    magnitudes could exceed that bound fall back to int64 matmul, and
+    cross-batch accumulation is arbitrary-precision Python int.)"""
+    base = emb.select(F.col(group_col).alias("label"),
+                      F.col(vec_col).alias("v"))
+    label_dt = base.schema["label"].dataType.simpleString()
+    part_schema = (f"label {label_dt}, i int, j int, n long, "
+                   "si decimal(38,0), sj decimal(38,0), sp decimal(38,0)")
+    sc = float(scale)
+
+    def kern(batches):
+        import decimal
+
+        import numpy as np
+        import pyarrow as pa
+
+        # (label, length) -> [n, S, P, cntS, cntP] — S/P object arrays
+        # (exact bigints), cntS/cntP count NON-NULL contributions per
+        # cell so an all-null cell stays NULL (sum-over-empty), exactly
+        # the explode semantics; None partials compose through F.sum
+        acc: dict = {}
+        label_type = None
+
+        def bump(key, m, S, P):
+            st = acc.get(key)
+            if st is None:
+                L = len(S)
+                acc[key] = [int(m), S.astype(object), P.astype(object),
+                            np.full(L, int(m), dtype=object),
+                            np.full((L, L), int(m), dtype=object)]
+            else:
+                st[0] += int(m)
+                st[1] = st[1] + S.astype(object)
+                st[2] = st[2] + P.astype(object)
+                st[3] = st[3] + int(m)
+                st[4] = st[4] + int(m)
+
+        def slow_row(lb, comps):
+            # exact per-row fallback for null components (sum skips
+            # nulls, n still counts the row — the explode semantics)
+            L = len(comps)
+            key = (lb, L)
+            st = acc.get(key)
+            if st is None:
+                st = acc[key] = [0, np.zeros(L, dtype=object),
+                                 np.zeros((L, L), dtype=object),
+                                 np.zeros(L, dtype=object),
+                                 np.zeros((L, L), dtype=object)]
+            st[0] += 1
+            q = [None if x is None else int(np.floor(np.float64(x) * sc))
+                 for x in comps]
+            for i, qi in enumerate(q):
+                if qi is None:
+                    continue
+                st[1][i] += qi
+                st[3][i] += 1
+                for j in range(i, L):
+                    if q[j] is not None:
+                        st[2][i][j] += qi * q[j]
+                        st[4][i][j] += 1
+
+        for batch in batches:
+            lab_arr = batch.column(0)
+            if label_type is None:
+                label_type = lab_arr.type
+            lab = lab_arr.to_pylist()
+            va = batch.column(1)
+            off = va.offsets.to_numpy()
+            starts = off[:-1]
+            lens = (off[1:] - off[:-1]).astype(np.int64)
+            clean = va.null_count == 0 and va.values.null_count == 0
+            if not clean:
+                rows = va.to_pylist()
+                for r, comps in enumerate(rows):
+                    if comps is None:
+                        comps = []
+                    if any(x is None for x in comps):
+                        slow_row(lab[r], comps)
+                    else:
+                        comps = np.asarray(comps, dtype=np.float64)
+                        q = np.floor(comps * sc)
+                        L = len(comps)
+                        qi = q.astype(np.int64)
+                        bump((lab[r], L), 1, qi,
+                             np.triu(np.outer(qi, qi)))
+                continue
+            flat = va.values.to_numpy(zero_copy_only=False)
+            q = np.floor(flat.astype(np.float64) * sc)
+            groups: dict = {}
+            for r in range(len(lab)):
+                groups.setdefault((lab[r], int(lens[r])), []).append(r)
+            for (lb, L), idx in groups.items():
+                if L == 0:
+                    bump((lb, 0), len(idx), np.zeros(0),
+                         np.zeros((0, 0)))
+                    continue
+                ia = np.asarray(idx, dtype=np.int64)
+                gather = (starts[ia][:, None]
+                          + np.arange(L, dtype=np.int64)[None, :]).ravel()
+                X = q[gather].reshape(len(ia), L)
+                Xi = X.astype(np.int64)
+                S = Xi.sum(axis=0)
+                qmax = float(np.abs(X).max()) if X.size else 0.0
+                m = len(ia)
+                if qmax * qmax * m < float(2 ** 52):
+                    P = np.triu((X.T @ X)).astype(np.int64)
+                else:
+                    # exact int64 path for out-of-f64-range magnitudes
+                    P = np.triu(Xi.T @ Xi)
+                bump((lb, L), m, S, P)
+
+        if not acc:
+            return
+        by_label: dict = {}
+        for (lb, L), st in acc.items():
+            by_label.setdefault(lb, {})[L] = st
+        cols: dict = {k: [] for k in
+                      ("label", "i", "j", "n", "si", "sj", "sp")}
+        for lb, by_len in by_label.items():
+            lengths = sorted(by_len, reverse=True)
+            lmax = lengths[0]
+            cn = 0
+            cS = np.zeros(lmax, dtype=object)
+            cP = np.zeros((lmax, lmax), dtype=object)
+            ccS = np.zeros(lmax, dtype=object)
+            ccP = np.zeros((lmax, lmax), dtype=object)
+            for kx, L in enumerate(lengths):
+                st = by_len[L]
+                cn += st[0]
+                if L:
+                    cS[:L] = cS[:L] + st[1]
+                    cP[:L, :L] = cP[:L, :L] + st[2]
+                    ccS[:L] = ccS[:L] + st[3]
+                    ccP[:L, :L] = ccP[:L, :L] + st[4]
+                lo = lengths[kx + 1] if kx + 1 < len(lengths) else 0
+                # pair (i, j) aggregates rows with len >= j: exactly
+                # the cumulative state once lengths >= L are folded in
+                for j in range(lo + 1, L + 1):
+                    for i in range(1, j + 1):
+                        cols["label"].append(lb)
+                        cols["i"].append(i)
+                        cols["j"].append(j)
+                        cols["n"].append(cn)
+                        cols["si"].append(
+                            decimal.Decimal(int(cS[i - 1]))
+                            if ccS[i - 1] else None)
+                        cols["sj"].append(
+                            decimal.Decimal(int(cS[j - 1]))
+                            if ccS[j - 1] else None)
+                        cols["sp"].append(
+                            decimal.Decimal(int(cP[i - 1, j - 1]))
+                            if ccP[i - 1, j - 1] else None)
+        dec = pa.decimal128(38, 0)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(cols["label"], type=label_type),
+             pa.array(cols["i"], type=pa.int32()),
+             pa.array(cols["j"], type=pa.int32()),
+             pa.array(cols["n"], type=pa.int64()),
+             pa.array(cols["si"], type=dec),
+             pa.array(cols["sj"], type=dec),
+             pa.array(cols["sp"], type=dec)],
+            names=["label", "i", "j", "n", "si", "sj", "sp"])
+
+    part = base.mapInArrow(kern, part_schema)
+    agg = (part.groupBy("label", "i", "j")
+           .agg(F.sum("n").alias("n"), F.sum("si").alias("si"),
+                F.sum("sj").alias("sj"), F.sum("sp").alias("sp")))
     return agg.select(
         "label", "i", "j", F.col("n").cast("long").alias("n"),
         F.col("si").cast("bigint").alias("sum_i"),

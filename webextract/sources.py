@@ -137,20 +137,40 @@ def _iter_gzip_members(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
     """(offset, length, member_bytes) for each gzip member in a
     concatenated-member blob — THE member-walk protocol, shared by the
     record readers and the CDX indexer so offset accounting can never
-    diverge between them.  A torn/garbage tail ends iteration."""
+    diverge between them.  A torn/garbage tail ends iteration.
+
+    Feeds the decompressor bounded chunks off a memoryview instead of
+    the whole remaining tail: `decompress(blob[pos:])` copies the tail
+    in AND back out via ``unused_data`` for every member, which is
+    O(shard²) in member count — a 50k-member shard paid ~1.25 TB of
+    memcpy.  The chunked walk is O(shard) with at most one chunk of
+    lookahead copied per member."""
+    mv = memoryview(blob)
+    n = len(blob)
     pos = 0
-    while pos < len(blob) and blob[pos:pos + 2] == b"\x1f\x8b":
+    while pos < n and blob[pos:pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
+        out = []
+        fed = 0
+        # adaptive feed: start at 4 KiB (typical per-record member →
+        # one iteration, tiny unused_data copy), double toward 1 MiB
+        # so a whole-file-gzip member still walks in few iterations
+        step = 1 << 12
         try:
-            member = d.decompress(blob[pos:])
+            while not d.eof and pos + fed < n:
+                piece = mv[pos + fed:pos + fed + step]
+                out.append(d.decompress(piece))
+                fed += len(piece)
+                if step < (1 << 20):
+                    step <<= 1
         except zlib.error:
             return
         if not d.eof:
             return                               # truncated member
-        consumed = (len(blob) - pos) - len(d.unused_data)
+        consumed = fed - len(d.unused_data)
         if consumed <= 0:
             return
-        yield pos, consumed, member
+        yield pos, consumed, b"".join(out)
         pos += consumed
 
 
