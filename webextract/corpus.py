@@ -51,7 +51,12 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     from .session import est_scan_partitions
     p = df.sparkSession.sparkContext.defaultParallelism
     if est_scan_partitions(df) < p:
-        return df.repartition(p * 2, F.col(key))
+        if key in df.columns:
+            return df.repartition(p * 2, F.col(key))
+        # no high-cardinality key available (e.g. (source, text)
+        # sketch inputs): deterministic round-robin — Spark's
+        # sort-before-repartition keeps row placement replay-stable
+        return df.repartition(p * 2)
     return df
 
 
@@ -3755,7 +3760,7 @@ def hll_registers(docs: DataFrame, p_bits: int = HLL_P_BITS,
     summaries.  rho = 57 - bit_length(56-bit hash suffix) via
     length(bin(w)) — pure string/integer ops, identical in Spark and
     DuckDB."""
-    tok = docs.select(
+    tok = _spread(docs).select(
         F.coalesce(F.col("source"), F.lit("")).alias("source"),
         F.explode(F.split(F.col("text"), " ")).alias("token"))
     idx, rho = hll_idx_rho(F.col("token"), p_bits, salt)
@@ -3815,7 +3820,7 @@ def hll_distinct(docs: DataFrame, p_bits: int = HLL_P_BITS,
     sketch against ground truth at gate scale; production drops them
     (the exact side IS the shuffle the sketch avoids).
     """
-    tok = docs.select(
+    tok = _spread(docs).select(
         F.coalesce(F.col("source"), F.lit("")).alias("source"),
         F.explode(F.split(F.col("text"), " ")).alias("token"))
     regs = hll_registers(docs, p_bits, salt)
@@ -5022,8 +5027,9 @@ def kmv_sketches(docs: DataFrame, group_col: str = "lang",
     ONE exchange carries n_partitions x groups bounded arrays that
     merge via flatten -> array_distinct -> sort -> slice.  Same
     partial-aggregate discipline as hll_registers."""
-    tok = docs.select(F.col(group_col).alias("grp"),
-                      F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tok = _spread(docs).select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"))
     h = tok.select("grp", _kmv_hash(F.col("token"), salt).alias("h"))
 
     def kmin(batches):
@@ -5084,9 +5090,10 @@ def kmv_overlap(docs: DataFrame, group_col: str = "lang",
         "grp_a", "grp_b", "est_a", "est_b",
         F.expr(f"CAST({_KMV_MAX} AS BIGINT)").alias("mx"),
         matched.alias("matched"), "theta")
-    tok = docs.select(F.col(group_col).alias("grp"),
-                      F.explode(F.split(F.col("text"), " "))
-                      .alias("token")).distinct()
+    tok = _spread(docs).select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col("text"), " "))
+        .alias("token")).distinct()
     xa, xb = tok.alias("xa"), tok.alias("xb")
     exact = (xa.join(xb, (F.col("xa.token") == F.col("xb.token"))
                      & (F.col("xa.grp") < F.col("xb.grp")))

@@ -1010,16 +1010,21 @@ def q_stream_hll(spark, sf_dir):
     s = F.col("doc_id").cast("string")
     aug = F.concat(F.col("text"), *[x for i in range(32)
                                     for x in (F.lit(f" u{i}x"), s)])
+    # parallel input shards (r6): register state merges under max, so
+    # the result is input-layout-independent; <= 64 files keeps the
+    # availableNow run at one micro-batch (maxFilesPerTrigger)
+    par = min(spark.sparkContext.defaultParallelism, 64)
     docs_to_pages(d.select("doc_id", aug.alias("text"), "lang")
-                  ).coalesce(1).write.parquet(in_dir)
+                  ).repartition(par).write.parquet(in_dir)
     q = stream_hll_registers(spark, in_dir, out_dir, ckpt)
     q.awaitTermination()
     sink = spark.read.parquet(out_dir)
     live = (sink.groupBy("lang", "idx")
             .agg(F.max("m_j").alias("m_j")))
     est = corpus.hll_estimate(live, group_col="lang")
-    exact = (d.select(F.col("lang"),
-                      F.explode(F.split(aug, " ")).alias("token"))
+    exact = (corpus._spread(d)             # r6: 1-file scan -> 1 task
+             .select(F.col("lang"),
+                     F.explode(F.split(aug, " ")).alias("token"))
              .groupBy("lang")
              .agg(F.countDistinct("token").alias("exact_distinct")))
     return (est.join(exact, "lang")
@@ -1049,8 +1054,11 @@ def q_stream_len_quantiles(spark, sf_dir):
     shutil.rmtree(base, ignore_errors=True)
     in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     d = _read(spark, sf_dir, "documents")
+    # parallel input shards (r6): running counts merge under max —
+    # layout-independent; <= 64 files = one availableNow micro-batch
+    par = min(spark.sparkContext.defaultParallelism, 64)
     docs_to_pages(d.select("doc_id", "text", "lang")
-                  ).coalesce(1).write.parquet(in_dir)
+                  ).repartition(par).write.parquet(in_dir)
     q = stream_len_histogram(spark, in_dir, out_dir, ckpt)
     q.awaitTermination()
     live = (spark.read.parquet(out_dir)
@@ -1354,7 +1362,11 @@ def q_stream_sessions(spark, sf_dir):
                      F.timestamp_millis(
                          F.lit(gmax_ms + 86400_000)).alias("ts"),
                      "user_id"))
-    ev.unionByName(flush).coalesce(1).write.parquet(in_dir)
+    # parallel input shards (r6): <= 64 files keeps the availableNow
+    # run at ONE micro-batch, so watermark progression (and the
+    # emitted session set) is identical to the single-file layout
+    par = min(spark.sparkContext.defaultParallelism, 64)
+    ev.unionByName(flush).repartition(par).write.parquet(in_dir)
     q = stream_sessions(spark, in_dir, out_dir, ckpt)
     q.awaitTermination()
     sess = spark.read.parquet(out_dir)
@@ -1815,7 +1827,13 @@ def q_stream_heavy_hitters(spark, sf_dir):
         F.lit(" t3x"), s, F.lit(" t4x"), s, F.lit(" t5x"), s,
         F.lit(" t6x"), s, F.lit(" t7x"), s)
     aug = d.select("doc_id", tail.alias("text"), "lang")
-    docs_to_pages(aug).coalesce(1).write.parquet(in_dir)
+    # parallel input shards (r6): the sketch is only a CANDIDATE set —
+    # capacity 512 >> the 1% threshold guarantees no above-threshold
+    # token is ever evicted however the batch is chunked, and the
+    # exact recount below re-filters the candidates, so the result is
+    # input-layout-independent; <= 64 files = one micro-batch
+    par = min(spark.sparkContext.defaultParallelism, 64)
+    docs_to_pages(aug).repartition(par).write.parquet(in_dir)
     q = stream_heavy_hitters(spark, in_dir, out_dir, ckpt,
                              capacity=512)
     q.awaitTermination()
@@ -2542,7 +2560,12 @@ def q_wet_roundtrip(spark, sf_dir):
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = f"/tmp/wx_wet_{tag}"
     shutil.rmtree(root, ignore_errors=True)
-    write_wet(txt, root)
+    # spread the shard write over the cores (r6): the sf documents
+    # table is a single small file -> one partition -> one serial
+    # gzip-per-record writer task AND one serial reader task; shard
+    # count follows the session's parallelism, rows are unchanged
+    write_wet(txt.repartition(spark.sparkContext.defaultParallelism),
+              root)
     back = read_wet(spark, f"{root}/*.wet.gz")
     return _doc_id(back).select("doc_id", "text")
 
@@ -2565,7 +2588,9 @@ def q_cdx_fetch(spark, sf_dir):
     tag = hashlib.md5((sf_dir + "cdx").encode()).hexdigest()[:8]
     root = f"/tmp/wx_cdxw_{tag}"
     shutil.rmtree(root, ignore_errors=True)
-    write_warc(pages, root)
+    # spread the shard write over the cores (r6, same as wet_roundtrip)
+    write_warc(pages.repartition(spark.sparkContext.defaultParallelism),
+               root)
     idx = index_warc(spark, f"{root}/*.warc.gz")
     caps = corpus.parse_cdx(idx)
     back = fetch_by_cdx(caps)
@@ -2629,10 +2654,12 @@ def q_publish_wet_increment(spark, sf_dir):
     commit_wave(1, d.filter(F.col("doc_id") % 2 == 1))
     inc = tbl.read_changes(spark, since=cursor)
     wet_dir = f"{base}/wet"
+    # spread the shard write over the cores (r6, same as wet_roundtrip)
     write_wet(inc.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
         .alias("url"),
-        F.lit(None).cast("timestamp").alias("warc_ts"), "text"),
+        F.lit(None).cast("timestamp").alias("warc_ts"), "text")
+        .repartition(spark.sparkContext.defaultParallelism),
         wet_dir)
     back = read_wet(spark, f"{wet_dir}/*.wet.gz")
     return _doc_id(back).select("doc_id", "text")
@@ -7042,8 +7069,11 @@ def q_stream_kmv(spark, sf_dir):
     shutil.rmtree(base, ignore_errors=True)
     in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     d = _read(spark, sf_dir, "documents")
+    # parallel input shards (r6): k-min sets merge losslessly under
+    # union-keep-k — layout-independent; <= 64 files = one micro-batch
+    par = min(spark.sparkContext.defaultParallelism, 64)
     docs_to_pages(d.select("doc_id", "text", "lang")
-                  ).coalesce(1).write.parquet(in_dir)
+                  ).repartition(par).write.parquet(in_dir)
     q = stream_kmv_sketches(spark, in_dir, out_dir, ckpt)
     q.awaitTermination()
     k = corpus.KMV_K
@@ -7059,10 +7089,11 @@ def q_stream_kmv(spark, sf_dir):
         F.expr(f"CAST({(k - 1) * corpus._KMV_MAX} AS BIGINT) div kth"))
     # exact side counts distinct HASHES (the oracle's nd), so a
     # 56-bit collision cannot split the two engines at any scale
-    exact = (d.select(F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
-                      F.explode(F.split(F.coalesce(F.col("text"),
-                                                   F.lit("")), " "))
-                      .alias("token"))
+    exact = (corpus._spread(d)             # r6: 1-file scan -> 1 task
+             .select(F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+                     F.explode(F.split(F.coalesce(F.col("text"),
+                                                  F.lit("")), " "))
+                     .alias("token"))
              .groupBy("lang")
              .agg(F.countDistinct(corpus._kmv_hash(F.col("token")))
                   .alias("exact_distinct")))
