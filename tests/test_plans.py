@@ -252,15 +252,17 @@ def test_quality_ops_are_narrow_projections(spark):
 
 
 def test_embed_near_dup_plan_shape(spark):
-    """Embedding near-dup: staged SRP lineage (no recompute per join
-    side), bucket-key equi-join only — never a sort-merge join, and
-    the bounded bucket-cap frame broadcasts."""
+    """Embedding near-dup (r6 shape): staged SRP lineage (no recompute
+    per consumer), the bounded bucket-cap frame broadcasts, and the
+    pairwise cosine runs in the numpy bucket kernel — ONE shuffle of
+    the staged side into FlatMapGroupsInPandas, no self-join of
+    embedding rows at all."""
     from webextract.corpus import embed_near_dup_pairs
     spark.catalog.clearCache()
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _plan(embed_near_dup_pairs(emb, threshold=0.3))
     assert "SortMergeJoin" not in plan, plan[:2000]
-    assert "ShuffledHashJoin" in plan        # bucket-key pair join
+    assert "FlatMapGroupsInPandas" in plan   # bucket pair kernel
     assert "BroadcastHashJoin" in plan       # cap semi-join
     # the expensive SRP projection lineage is checkpointed: the plan
     # scans the staged RDD, not the parquet relation, for both sides
@@ -279,9 +281,9 @@ def test_embed_multiprobe_plan_shape(spark):
     import re
     plan = _plan(embed_near_dup_pairs(emb, threshold=0.3, tables=2))
     assert "SortMergeJoin" not in plan, plan[:2000]
-    # exactly one INNER bucket self-join per table; the cap prunes are
-    # LeftSemi (broadcast or shuffle-hash depending on stats mode)
-    assert len(re.findall(r"ShuffledHashJoin Inner", plan)) == 2, \
+    # exactly one bucket pair kernel per table (r6: the self-join
+    # became a FlatMapGroupsInPandas); cap prunes stay LeftSemi
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 2, \
         plan[:2000]
     assert "LeftSemi" in plan
     # the parquet source is scanned zero times in the final plan — all
@@ -566,14 +568,15 @@ def test_heavy_hitters_plan_shape(spark):
 
 
 def test_semantic_dedup_plan_shape(spark):
-    """Within-cluster pairs only: the pair join is shuffle-hash on the
-    cluster key (no sort of embedding rows), the cap frame broadcasts,
-    and no cartesian/nested-loop appears anywhere."""
+    """Within-cluster pairs only (r6 shape): the pairwise cosine runs
+    in the numpy bucket kernel — one shuffle of the staged side into
+    FlatMapGroupsInPandas — and no cartesian/nested-loop/self-join of
+    embedding rows appears anywhere."""
     from webextract.queries import q_dedup_semantic
     plan = _plan(q_dedup_semantic(spark, SF))
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoop" not in plan
-    assert "ShuffledHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_bpe_pair_counts_plan_shape(spark):

@@ -918,6 +918,79 @@ def _dot(a, b):
         F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _bucket_pair_dot_candidates(side: DataFrame,
+                                min_raw: float) -> DataFrame:
+    """(vec_a, vec_b, dot, na, nb): within-bucket candidate pairs with
+    the exact pairwise dot product, computed bucket-at-a-time in a
+    numpy kernel instead of a per-pair interpreted zip_with/aggregate
+    over the self-join (guide §4.2 — the _pq_raw_dists_kernel
+    precedent).  ``side`` carries (bucket, vec_id, embedding, norm)
+    with norm already engine-computed; bucket sizes are pre-capped by
+    the caller's quarantine filter, so one group is bounded.
+
+    Bit-identity contract with the join form it replaces: float32
+    components widen exactly to float64 and the dot accumulates in the
+    SAME left-fold order as _dot ((0.0 + p0) + p1 + …) via sequential
+    vectorized adds, so the emitted double equals the zip_with/
+    aggregate result bitwise; ``na``/``nb`` pass through unchanged.
+    The round-6 + threshold decision does NOT happen here — the kernel
+    pre-filters with the conservative RAW bound ``min_raw`` (strictly
+    wider than any round-6 outcome) and the caller re-applies the
+    exact engine-side round(dot/(na*nb), 6) >= threshold, so rounding
+    semantics stay in the engine.  NaN/null components poison the dot
+    to NaN exactly as null-propagation dropped those pairs before, and
+    pairs of different embedding lengths are excluded — the zip_with
+    null-padding outcome.  Shape: ONE shuffle of the staged side (the
+    join shuffled it twice); output is the candidate frame only."""
+    import numpy as np
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"vec_a": [], "vec_b": [], "dot": [], "na": [], "nb": []}
+        col = pdf["embedding"]
+        lens = np.fromiter((0 if e is None else len(e) for e in col),
+                           dtype=np.int64, count=len(col))
+        for L in np.unique(lens):
+            if L < 1:
+                continue
+            sel = np.flatnonzero(lens == L)
+            if len(sel) < 2:
+                continue
+            ids = pdf["vec_id"].to_numpy()[sel]
+            norms = pdf["norm"].to_numpy(dtype=np.float64,
+                                         na_value=np.nan)[sel]
+            X = np.vstack([np.asarray(col.iat[int(r)], dtype=np.float64)
+                           for r in sel])
+            m = len(sel)
+            step = max(1, (1 << 22) // m)      # bound chunk memory
+            for lo in range(0, m, step):
+                hi = min(m, lo + step)
+                acc = np.zeros((hi - lo, m))
+                for d in range(L):             # _dot's left fold
+                    acc = acc + np.multiply.outer(X[lo:hi, d], X[:, d])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw = acc / np.multiply.outer(norms[lo:hi], norms)
+                # isfinite: a zero/NaN norm can never produce a pair
+                # (the old join form raised ANSI DIVIDE_BY_ZERO on a
+                # zero vector; dropping the degenerate pair here keeps
+                # the engine-side division always well-defined)
+                mask = ((ids[lo:hi, None] < ids[None, :])
+                        & np.isfinite(raw) & (raw >= min_raw))
+                ai, bi = np.nonzero(mask)
+                if len(ai):
+                    out["vec_a"].extend(ids[lo:hi][ai].tolist())
+                    out["vec_b"].extend(ids[bi].tolist())
+                    out["dot"].extend(acc[ai, bi].tolist())
+                    out["na"].extend(norms[lo:hi][ai].tolist())
+                    out["nb"].extend(norms[bi].tolist())
+        return pd.DataFrame(out, columns=["vec_a", "vec_b", "dot",
+                                          "na", "nb"])
+
+    return (side.select("bucket", "vec_id", "embedding", "norm")
+            .groupBy("bucket")
+            .applyInPandas(kern, "vec_a long, vec_b long, dot double, "
+                                 "na double, nb double"))
+
+
 def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Brute-force cosine top-k: first `n_queries` vectors vs the corpus.
 
@@ -927,7 +1000,7 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     brute force only ever runs within a bucket/partition.
     Ranking key is round(cos, 6) with nid tiebreak → deterministic and
     engine-portable."""
-    norms = emb.select(
+    norms = _spread(emb, "vec_id").select(
         F.col("vec_id"), F.col("embedding"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"))
     q = (norms.filter(F.col("vec_id") < n_queries)
@@ -1042,7 +1115,7 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
     # bind the (expensive, 2×-referenced) score array to a column:
     # CollapseProject's non-cheap/multi-reference guard keeps it
     # evaluated once per row (same reliance as fingerprints)
-    return (emb.select("vec_id", scores.alias("s"))
+    return (_spread(emb, "vec_id").select("vec_id", scores.alias("s"))
             .select("vec_id",
                     (F.array_position(F.col("s"), F.array_max("s")) - 1)
                     .cast("int").alias("bucket")))
@@ -1061,7 +1134,8 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     nested-loop join — the corpus is never shuffled."""
     chat = _ivf_centroids(emb, n_centroids)
     scores = _ivf_score_array(chat)
-    side = (emb.select("vec_id", "embedding", scores.alias("s"))
+    side = (_spread(emb, "vec_id")
+            .select("vec_id", "embedding", scores.alias("s"))
             .select("vec_id", "embedding",
                     (F.array_position(F.col("s"), F.array_max("s")) - 1)
                     .cast("int").alias("bucket"),
@@ -1244,7 +1318,8 @@ def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
     (CollapseProject's non-cheap guard, same reliance as ivf_assign)."""
     books = _pq_codebooks(emb, m, k)
     kern = _pq_raw_dists_kernel(books)
-    raw = emb.select("vec_id", kern("embedding").alias("dd"))
+    raw = _spread(emb, "vec_id").select(
+        "vec_id", kern("embedding").alias("dd"))
     with_d = raw.select(
         "vec_id", *_pq_rounded_arrays(F.col("dd"), m, k, "d"))
     return with_d.select(
@@ -1357,7 +1432,7 @@ def sq8_encode(emb: DataFrame, dims: int = 64) -> DataFrame:
                            * 256)))
                 .otherwise(F.lit(0)).cast("int"))
 
-    return (emb.crossJoin(F.broadcast(stats))
+    return (_spread(emb, "vec_id").crossJoin(F.broadcast(stats))
             .select("vec_id", F.transform(x, code).alias("codes")))
 
 
@@ -1487,7 +1562,7 @@ def embed_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     ``bucket_cap`` is the per-table skew guard: the bucket universe is
     bounded (≤ 2^bits keys) so the cap frame always broadcasts."""
     dims = emb.select(F.size("embedding")).first()[0]
-    norms = emb.select(
+    norms = _spread(emb, "vec_id").select(
         "vec_id", "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"))
     # stage (embedding, norm) ONCE: every table's cap aggregate and
@@ -1502,23 +1577,13 @@ def embed_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
         ok = (side.groupBy("bucket").count()
               .filter(F.col("count") <= bucket_cap).select("bucket"))
         side_ok = side.join(F.broadcast(ok), "bucket", "left_semi")
-        a = side_ok.select(F.col("bucket"),
-                           F.col("vec_id").alias("vec_a"),
-                           F.col("embedding").alias("ea"),
-                           F.col("norm").alias("na"))
-        c = side_ok.select(F.col("bucket"),
-                           F.col("vec_id").alias("vec_b"),
-                           F.col("embedding").alias("eb"),
-                           F.col("norm").alias("nb"))
-        cos = F.round(_dot(F.col("ea"), F.col("eb"))
-                      / (F.col("na") * F.col("nb")), 6)
-        # shuffle-hash, not sort-merge: the join key has ≤ 2^bits
-        # distinct values, so sorting embedding-array rows buys nothing
-        # and the per-partition build side is bounded by bucket_cap ×
-        # buckets
-        return (a.join(c.hint("shuffle_hash"), "bucket")
-                .filter(F.col("vec_a") < F.col("vec_b"))
-                .withColumn("cos", cos)
+        # r6: pairwise dot in the numpy bucket kernel (ONE shuffle of
+        # the staged side instead of a two-sided shuffle-hash
+        # self-join grinding zip_with per pair); round-6 + threshold
+        # stay engine-side on the bit-exact dot
+        cand = _bucket_pair_dot_candidates(side_ok, threshold - 1e-5)
+        cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+        return (cand.withColumn("cos", cos)
                 .filter(F.col("cos") >= threshold)
                 .select("vec_a", "vec_b", "cos"))
 
@@ -3272,7 +3337,8 @@ def semantic_dedup(emb: DataFrame, n_centroids: int = 16,
     partition replacing the SRP bucket."""
     chat = _ivf_centroids(emb, n_centroids)
     scores = _ivf_score_array(chat)
-    side = (emb.select("vec_id", "embedding", scores.alias("s"))
+    side = (_spread(emb, "vec_id")
+            .select("vec_id", "embedding", scores.alias("s"))
             .select("vec_id", "embedding",
                     (F.array_position(F.col("s"), F.array_max("s")) - 1)
                     .cast("int").alias("bucket"),
@@ -3282,17 +3348,12 @@ def semantic_dedup(emb: DataFrame, n_centroids: int = 16,
     ok = (side.groupBy("bucket").count()
           .filter(F.col("count") <= bucket_cap).select("bucket"))
     inb = side.join(F.broadcast(ok), "bucket", "left_semi")
-    a = inb.select("bucket", F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("ea"),
-                   F.col("norm").alias("na"))
-    b = inb.select("bucket", F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("eb"),
-                   F.col("norm").alias("nb"))
-    cos = F.round(_dot(F.col("ea"), F.col("eb"))
-                  / (F.col("na") * F.col("nb")), 6)
-    dups = (a.join(b.hint("shuffle_hash"), "bucket")
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .withColumn("cos", cos)
+    # r6: pairwise dot in the numpy bucket kernel (ONE shuffle of the
+    # staged side instead of a two-sided self-join grinding zip_with
+    # per pair); round-6 + threshold stay engine-side on the exact dot
+    cand = _bucket_pair_dot_candidates(inb, threshold - 1e-5)
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    dups = (cand.withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)
             .select(F.col("vec_b").alias("dup_id")).distinct())
     return (side.join(dups, side["vec_id"] == dups["dup_id"], "left")
@@ -5616,8 +5677,9 @@ def bitext_mine(emb: DataFrame, src_lang: str, tgt_lang: str,
     the one bucket shuffle."""
     dims = emb.select(F.size("embedding")).first()[0]
     signs = _srp_sign_matrix(bits, dims)
-    staged = (emb.select("vec_id", F.col(lang_col).alias("lang"),
-                         "embedding")
+    staged = (_spread(emb, "vec_id")
+              .select("vec_id", F.col(lang_col).alias("lang"),
+                      "embedding")
               .filter(F.col("lang").isin(src_lang, tgt_lang))
               .withColumn("norm", F.sqrt(_dot(F.col("embedding"),
                                               F.col("embedding"))))
