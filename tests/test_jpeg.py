@@ -253,3 +253,48 @@ def test_video_ocr_frame_windows():
         got = [media.ocr_image(b[o:o + s]) for _, o, s in fr]
         assert got == [t[k * 32:(k + 1) * 32].rstrip() for k in range(3)]
     assert media.parse_avi_frames(media.make_mjpeg_avi_bytes(7))
+
+
+def test_encode_block_cache_byte_identity():
+    """r6: _encode_block memoizes (block, dc_pred) -> concatenated
+    bits.  Cold-cache and warm-cache encodes must be byte-identical
+    for glyph-like AND dense noise content, at every restart/color
+    combination — a cache-key bug would silently corrupt streams."""
+    import numpy as np
+
+    from webextract import jpegmini as J
+    rng = np.random.RandomState(3)
+    for restart in (0, 2):
+        for color in (False, True):
+            rows = [bytes(rng.randint(0, 256, 24, dtype=np.uint8))
+                    for _ in range(16)]
+            J._BLOCK_CACHE.clear()
+            cold = J.jpeg_encode_gray(24, 16, rows, color=color,
+                                      restart=restart)
+            warm = J.jpeg_encode_gray(24, 16, rows, color=color,
+                                      restart=restart)
+            assert cold == warm
+            # decode round-trips through the r6 inline scan loop
+            assert J.jpeg_decode_rgb(cold) is not None
+
+
+def test_decode_scan_hostile_streams():
+    """r6 inline entropy loop: truncated and bit-flipped streams must
+    return None or a decoded frame deterministically, never raise —
+    same contract as the _BitReader path it replaced."""
+    import numpy as np
+
+    from webextract import jpegmini as J
+    rng = np.random.RandomState(4)
+    rows = [bytes(rng.randint(0, 256, 32, dtype=np.uint8))
+            for _ in range(24)]
+    enc = J.jpeg_encode_gray(32, 24, rows, restart=3)
+    assert J.jpeg_decode_rgb(enc) is not None
+    for cut in range(2, len(enc), 11):
+        J.jpeg_decode_rgb(enc[:cut])        # must not raise
+    for i in range(len(enc) // 2, len(enc), 13):
+        mod = bytearray(enc)
+        mod[i] ^= 0x55
+        a = J.jpeg_decode_rgb(bytes(mod))
+        b = J.jpeg_decode_rgb(bytes(mod))
+        assert a == b                        # deterministic outcome

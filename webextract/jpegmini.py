@@ -108,37 +108,62 @@ class _BitWriter:
             self.put((1 << (8 - self._n)) - 1, 8 - self._n)
 
 
+_BLOCK_CACHE: dict = {}
+_BLOCK_CACHE_MAX = 1 << 16
+
+
 def _encode_block(w: _BitWriter, coefs: np.ndarray, dc_pred: int) -> int:
     """Huffman-encode one quantized 8x8 block (raster order); returns
-    the new DC predictor.  Iterates only the nonzero AC positions."""
-    zz = coefs.reshape(64)[_ZZ_IDX]
-    dc = int(zz[0])
-    diff = dc - dc_pred
-    size = _mag_category(diff)
-    code, ln = _ENC_DC[size]
-    w.put(code, ln)
-    if size:
-        bits = diff if diff >= 0 else diff + (1 << size) - 1
-        w.put(bits, size)
-    nz = np.nonzero(zz[1:])[0]
-    prev = 0                              # next unencoded AC position - 1
-    for p in nz:
-        run = int(p) - prev
-        prev = int(p) + 1
-        while run >= 16:
-            zc, zl = _ENC_AC[0xF0]
-            w.put(zc, zl)
-            run -= 16
-        v = int(zz[1 + p])
-        size = _mag_category(v)
-        ac, al = _ENC_AC[(run << 4) | size]
-        w.put(ac, al)
-        bits = v if v >= 0 else v + (1 << size) - 1
-        w.put(bits, size)
-    if prev < 63:
-        ec, el = _ENC_AC[0x00]
-        w.put(ec, el)
-    return dc
+    the new DC predictor.  Iterates only the nonzero AC positions.
+
+    Memoized per (block bytes, dc_pred): the glyph-grid / solid-block
+    fixtures repeat a tiny universe of blocks, so symbol derivation
+    runs once per distinct pair and replays as ONE concatenated put —
+    bit-identical output because put(a,n);put(b,m) equals
+    put((a<<m)|b, n+m) by construction (MSB-first concatenation)."""
+    key = (coefs.tobytes(), dc_pred)
+    hit = _BLOCK_CACHE.get(key)
+    if hit is None:
+        acc = 0
+        nbits = 0
+        zz = coefs.reshape(64)[_ZZ_IDX]
+        dc = int(zz[0])
+        diff = dc - dc_pred
+        size = _mag_category(diff)
+        code, ln = _ENC_DC[size]
+        acc = (acc << ln) | code
+        nbits += ln
+        if size:
+            bits = diff if diff >= 0 else diff + (1 << size) - 1
+            acc = (acc << size) | (bits & ((1 << size) - 1))
+            nbits += size
+        nz = np.nonzero(zz[1:])[0]
+        prev = 0                          # next unencoded AC pos - 1
+        for p in nz:
+            run = int(p) - prev
+            prev = int(p) + 1
+            while run >= 16:
+                zc, zl = _ENC_AC[0xF0]
+                acc = (acc << zl) | zc
+                nbits += zl
+                run -= 16
+            v = int(zz[1 + p])
+            size = _mag_category(v)
+            ac, al = _ENC_AC[(run << 4) | size]
+            acc = (acc << al) | ac
+            nbits += al
+            bits = v if v >= 0 else v + (1 << size) - 1
+            acc = (acc << size) | (bits & ((1 << size) - 1))
+            nbits += size
+        if prev < 63:
+            ec, el = _ENC_AC[0x00]
+            acc = (acc << el) | ec
+            nbits += el
+        if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
+            _BLOCK_CACHE.clear()
+        hit = _BLOCK_CACHE[key] = (acc, nbits, dc)
+    w.put(hit[0], hit[1])
+    return hit[2]
 
 
 def _pad_plane(plane: np.ndarray, bw: int, bh: int) -> np.ndarray:
@@ -1046,42 +1071,156 @@ def _decode_scan(b, pos, sos, frame, qt, dc_tabs, ac_tabs, restart_interval):
         stores.append(np.zeros((mcus_y * vs, mcus_x * hs, 8, 8),
                                dtype=np.float64))
 
-    reader = _BitReader(b, pos)
+    # r6 hot path: the entropy loop keeps the bit-reader state in
+    # LOCAL ints (a 28-bit-minimum reservoir topped up in 8-byte
+    # chunks) instead of per-symbol method calls on _BitReader, and
+    # coefficients collect into index/value lists batch-assigned into
+    # the stores afterwards (each (block, position) is written at most
+    # once in a baseline scan, so the fancy assignment is exact).
+    # Fill/marker/zero-padding/restart semantics replicate _BitReader
+    # bit-for-bit: chunks stop at any 0xFF, stuffed 0xFF00 unstuffs,
+    # a real marker ends the segment with pos at its 0xFF, and codes
+    # near the segment end decode against zero-padded lookahead.
+    # Malformed-stream behavior is unchanged — EOF/bad-code raise and
+    # the jpeg_decode_rgb wrapper returns None, exactly as before.
+    data = b
+    dlen = len(data)
+    p = pos
+    acc = 0
+    nb = 0
+    ended = False
+
+    def topup():
+        nonlocal acc, nb, p, ended
+        while nb < 28:
+            if p >= dlen:
+                ended = True
+                return
+            if data[p] != 0xFF:
+                stop = data.find(0xFF, p, p + 8)
+                end = stop if stop != -1 else min(p + 8, dlen)
+                acc = (acc << ((end - p) * 8)) | int.from_bytes(
+                    data[p:end], "big")
+                nb += (end - p) * 8
+                p = end
+            elif p + 1 < dlen and data[p + 1] == 0x00:
+                acc = (acc << 8) | 0xFF
+                nb += 8
+                p += 2
+            else:
+                ended = True          # marker (or truncated 0xFF tail)
+                return
+
+    comp_meta = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        td, ta = scan_tabs[cid]
+        comp_meta.append((ci, hs, vs, dc_tabs[td], ac_tabs[ta]))
     preds = [0] * len(comps)
+    idxs: list[list[int]] = [[] for _ in comps]
+    vals: list[list[int]] = [[] for _ in comps]
+    zz = ZIGZAG
     mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                reader.restart_sync()
+                acc = 0
+                nb = 0
+                if (p + 1 < dlen and data[p] == 0xFF
+                        and 0xD0 <= data[p + 1] <= 0xD7):
+                    p += 2
+                    ended = False
+                else:
+                    raise ValueError("missing restart marker")
                 preds = [0] * len(comps)
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                td, ta = scan_tabs[cid]
-                dct, act = dc_tabs[td], ac_tabs[ta]
+            for ci, hs, vs, dct, act in comp_meta:
+                dfast, dmax = dct.fast, dct.max_len
+                afast, amax = act.fast, act.max_len
+                ilist, vlist = idxs[ci], vals[ci]
+                cols = mcus_x * hs
                 for by in range(vs):
                     for bx in range(hs):
-                        blk = stores[ci][my * vs + by,
-                                         mx * hs + bx].reshape(64)
-                        size = reader.decode_huff(dct)
+                        base = ((my * vs + by) * cols + mx * hs + bx) * 64
+                        if nb < 28 and not ended:
+                            topup()
+                        if nb >= dmax:
+                            prefix = (acc >> (nb - dmax)) \
+                                & ((1 << dmax) - 1)
+                        elif nb > 0:
+                            prefix = (acc << (dmax - nb)) \
+                                & ((1 << dmax) - 1)
+                        else:
+                            raise EOFError
+                        hit = dfast[prefix]
+                        if hit is None:
+                            raise ValueError("bad huffman code")
+                        size, length = hit
+                        if length > nb:
+                            raise EOFError
+                        nb -= length
+                        acc &= (1 << nb) - 1
                         if size > 11:
                             return None
-                        diff = _extend(reader.receive(size), size)
-                        preds[ci] += diff
-                        blk[0] = preds[ci]
+                        if size:
+                            while nb < size:
+                                if ended:
+                                    raise EOFError
+                                topup()
+                                if nb < size and ended:
+                                    raise EOFError
+                            nb -= size
+                            v = (acc >> nb) & ((1 << size) - 1)
+                            acc &= (1 << nb) - 1
+                            preds[ci] += (v - (1 << size) + 1
+                                          if v < (1 << (size - 1)) else v)
+                        ilist.append(base)
+                        vlist.append(preds[ci])
                         k = 1
                         while k < 64:
-                            rs = reader.decode_huff(act)
-                            r, s = rs >> 4, rs & 0x0F
+                            if nb < 28 and not ended:
+                                topup()
+                            if nb >= amax:
+                                prefix = (acc >> (nb - amax)) \
+                                    & ((1 << amax) - 1)
+                            elif nb > 0:
+                                prefix = (acc << (amax - nb)) \
+                                    & ((1 << amax) - 1)
+                            else:
+                                raise EOFError
+                            hit = afast[prefix]
+                            if hit is None:
+                                raise ValueError("bad huffman code")
+                            rs, length = hit
+                            if length > nb:
+                                raise EOFError
+                            nb -= length
+                            acc &= (1 << nb) - 1
+                            s = rs & 0x0F
                             if s == 0:
-                                if r == 15:
+                                if rs == 0xF0:
                                     k += 16    # ZRL
                                     continue
                                 break          # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 return None
-                            blk[ZIGZAG[k]] = _extend(reader.receive(s), s)
+                            while nb < s:
+                                if ended:
+                                    raise EOFError
+                                topup()
+                                if nb < s and ended:
+                                    raise EOFError
+                            nb -= s
+                            v = (acc >> nb) & ((1 << s) - 1)
+                            acc &= (1 << nb) - 1
+                            ilist.append(base + zz[k])
+                            vlist.append(v - (1 << s) + 1
+                                         if v < (1 << (s - 1)) else v)
                             k += 1
             mcu_i += 1
+    for ci in range(len(comps)):
+        if idxs[ci]:
+            stores[ci].reshape(-1)[
+                np.asarray(idxs[ci], dtype=np.int64)] = vals[ci]
 
     # dequantize + IDCT per component, assemble planes
     planes = []
