@@ -343,16 +343,20 @@ def test_pq_plan_shapes(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     enc = _plan(pq_encode(emb))
     tree = enc.split("\n\n")[0]
-    assert "Exchange" not in tree, tree
+    # r6: the conditional _spread barrier may add ONE narrow
+    # repartition exchange on under-parallelized test tables (it
+    # self-disables at scale); no join may appear
+    assert tree.count("Exchange") <= 1, tree
     assert "Join" not in tree, tree
     topk = _plan(pq_topk(emb))
     assert "BroadcastNestedLoopJoin" in topk, topk[:2000]
     assert "SortMergeJoin" not in topk
-    # one shuffle exchange total: hashpartitioning(qid) for the rank
-    # window (the query side's BroadcastExchange is not a shuffle)
+    # shuffle exchanges: hashpartitioning(qid) for the rank window,
+    # plus at most the _spread repartition (the query side's
+    # BroadcastExchange is not a shuffle)
     tree = topk.split("\n\n")[0]
     shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
-    assert shuffles == 1, tree
+    assert shuffles <= 2, tree
 
 
 def test_line_dedup_plan_shape(spark):

@@ -1091,16 +1091,48 @@ def _ivf_centroids(emb: DataFrame, n_centroids: int,
 
 
 def _ivf_score_array(chat: list[list[float]]):
-    """array<double> of round(dot(c_hat_j, v), 6) per centroid —
-    constant centroid literals, one narrow codegen'd projection
-    (the same driver-side-constant shape as the SRP sign matrix)."""
-    def score(j):
-        plane = F.array(*[F.lit(x) for x in chat[j]])
-        return F.round(F.aggregate(
-            F.zip_with(F.col("embedding"), plane,
-                       lambda x, c: x.cast("double") * c),
-            F.lit(0.0), lambda acc, v: acc + v), 6)
-    return F.array(*[score(j) for j in range(len(chat))])
+    """array<double> of round(dot(c_hat_j, v), 6) per centroid.
+
+    r6: the dots run in an Arrow kernel (the _pq_raw_dists_kernel
+    precedent — the zip_with/aggregate form interpreted k x d HOF
+    elements per row); the fold order per (row, centroid) element is
+    unchanged (0.0 + p0 + p1 + … over dimensions), so the raw doubles
+    are bitwise identical, and the round-6 stays ENGINE-side as a
+    single transform over the kernel's array — one UDF reference, no
+    double evaluation."""
+    import numpy as np
+
+    cm = np.asarray(chat, dtype=np.float64)
+    k, d = cm.shape
+
+    @F.pandas_udf("array<double>")
+    def kern(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype=object)
+        # rows of the wrong length or with null components folded to
+        # all-NULL scores in the zip_with form (null propagation);
+        # replicate that exactly and run the kernel on the rest
+        vals = e.to_numpy()
+        bad = [i for i, v in enumerate(vals)
+               if v is None or len(v) != d
+               or (getattr(v, "dtype", None) is None and None in v)]
+        if not bad:
+            x = np.vstack(vals).astype(np.float64)
+        else:
+            x = np.zeros((len(vals), d))
+            for i, v in enumerate(vals):
+                if i not in bad:
+                    x[i] = np.asarray(v, dtype=np.float64)
+        dot = np.zeros((x.shape[0], k))
+        for j in range(d):
+            dot = dot + x[:, j:j + 1] * cm[:, j][None, :]
+        out = list(dot)
+        for i in bad:
+            out[i] = [None] * k
+        return pd.Series(out)
+
+    return F.transform(kern(F.col("embedding")),
+                       lambda x: F.round(x, 6))
 
 
 def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
@@ -1274,6 +1306,14 @@ def _pq_raw_dists_kernel(books: list[list[list[float]]]):
     m, k, dsub = len(books), len(books[0]), len(books[0][0])
     dcc = [[sum(b * b for b in c) for c in books[s]] for s in range(m)]
 
+    # r6: the inner loop vectorizes over the k centroids too (the old
+    # form looped m*k=256 small numpy ops per batch); the fold order
+    # per (row, centroid) element is unchanged — dot still accumulates
+    # 0.0 + p0 + p1 + … sequentially over the dsub dimensions — so the
+    # doubles stay bitwise identical
+    cmat = [np.asarray(books[s], dtype=np.float64) for s in range(m)]
+    dccv = [np.asarray(dcc[s], dtype=np.float64) for s in range(m)]
+
     @F.pandas_udf("array<double>")
     def kern(e: pd.Series) -> pd.Series:
         if len(e) == 0:
@@ -1284,13 +1324,13 @@ def _pq_raw_dists_kernel(books: list[list[list[float]]]):
         for s in range(m):
             sub = x[:, s * dsub:(s + 1) * dsub]
             dvv = np.zeros(n)
+            dot = np.zeros((n, k))
+            cs = cmat[s]
             for j in range(dsub):
                 dvv = dvv + sub[:, j] * sub[:, j]
-            for ci, c in enumerate(books[s]):
-                dot = np.zeros(n)
-                for j in range(dsub):
-                    dot = dot + sub[:, j] * c[j]
-                out[:, s * k + ci] = dvv - 2.0 * dot + dcc[s][ci]
+                dot = dot + sub[:, j:j + 1] * cs[:, j][None, :]
+            out[:, s * k:(s + 1) * k] = (dvv[:, None] - 2.0 * dot
+                                         + dccv[s][None, :])
         return pd.Series(list(out))
 
     return kern
@@ -1499,17 +1539,45 @@ def _srp_sign_matrix(bits: int, dims: int,
 
 
 def _srp_bucket_col(signs: list[list[float]]):
-    """SRP bucket key as a pure projection Column over `embedding`
-    (one codegen'd zip_with dot product per plane)."""
-    def plane_bit(plane_signs):
-        plane = F.array(*[F.lit(s) for s in plane_signs])
-        s = F.aggregate(
-            F.zip_with(F.col("embedding"), plane,
-                       lambda x, sg: x.cast("double") * sg),
-            F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+    """SRP bucket key as a projection Column over `embedding`.
 
-    return F.concat(*[plane_bit(p) for p in signs])
+    r6: the per-plane dots run in an Arrow kernel with the SAME
+    sequential fold order as the zip_with/aggregate form they replace
+    (bitwise-identical doubles), and the sign test `s > 0` has no
+    rounding at all, so the bucket string is computed entirely in the
+    kernel — one narrow UDF instead of bits x d interpreted HOF
+    elements per row."""
+    import numpy as np
+
+    sm = np.asarray(signs, dtype=np.float64)
+    bits, d = sm.shape
+
+    @F.pandas_udf("string")
+    def kern(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype=str)
+        # wrong-length / null-component rows folded every plane to
+        # NULL in the zip_with form, and when(NULL > 0) fell through
+        # to "0" — an all-zeros bucket; NaN components land there
+        # naturally (NaN > 0 is false on both paths)
+        vals = e.to_numpy()
+        bad = [i for i, v in enumerate(vals)
+               if v is None or len(v) != d
+               or (getattr(v, "dtype", None) is None and None in v)]
+        if not bad:
+            x = np.vstack(vals).astype(np.float64)
+        else:
+            x = np.full((len(vals), d), np.nan)
+            for i, v in enumerate(vals):
+                if i not in bad:
+                    x[i] = np.asarray(v, dtype=np.float64)
+        dot = np.zeros((x.shape[0], bits))
+        for j in range(d):
+            dot = dot + x[:, j:j + 1] * sm[:, j][None, :]
+        chars = np.where(dot > 0, "1", "0")
+        return pd.Series(["".join(r) for r in chars])
+
+    return kern(F.col("embedding"))
 
 
 def lsh_ann_buckets(emb: DataFrame, bits: int = 16,
@@ -1573,7 +1641,11 @@ def embed_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
 
     def table_pairs(t: int) -> DataFrame:
         signs = _srp_sign_matrix(bits, dims, table=t)
-        side = staged.withColumn("bucket", _srp_bucket_col(signs))
+        # r6: checkpoint WITH the bucket column — the cap aggregate
+        # and the pair kernel both consume it, and without the cut
+        # each subtree re-runs the SRP kernel over the corpus
+        side = staged.withColumn(
+            "bucket", _srp_bucket_col(signs)).localCheckpoint()
         ok = (side.groupBy("bucket").count()
               .filter(F.col("count") <= bucket_cap).select("bucket"))
         side_ok = side.join(F.broadcast(ok), "bucket", "left_semi")
