@@ -511,15 +511,59 @@ def minhash_sig_expr(k: int = 16):
     Classic affine-permutation MinHash: mh_j = min over shingles of
     (A_j·h + B_j) mod P — one md5 per shingle total, then k cheap
     integer ops (the md5-per-(seed,shingle) variant measured ~4× the
-    cost).  Pure projection, NO shuffle — the naive explode(shingles)
-    ×explode(seeds)→groupBy shape would exchange k×|shingles| rows per
-    doc.  Identical formula in the DuckDB oracle."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.array_min(F.transform(
-            F.col("hs"),
-            lambda h: (h * (j * F.lit(7919) + 1)
-                       + (j * F.lit(104729) + 1)) % F.lit(MINHASH_P))))
+    cost).  Pure projection, NO shuffle.  Identical formula in the
+    DuckDB oracle.
+
+    r6: the k x |shingles| interpreted HOF elements per row move into
+    an Arrow kernel — ALL-INTEGER arithmetic (h < 2^28, A < 2^17, so
+    A*h + B < 2^45 in int64, then one % and a min), so the kernel is
+    bit-exact against the expression form by construction; rows with
+    null/empty shingle sets keep the array_min-over-empty NULL
+    outcome ([NULL]*k)."""
+    import numpy as np
+
+    A = np.array([j * 7919 + 1 for j in range(k)], dtype=np.int64)
+    B = np.array([j * 104729 + 1 for j in range(k)], dtype=np.int64)
+    P = MINHASH_P
+
+    @F.pandas_udf("array<bigint>")
+    def kern(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype=object)
+        vals = hs.to_numpy()
+        clean = [i for i, v in enumerate(vals)
+                 if v is not None and len(v) > 0
+                 and getattr(v, "dtype", None) is not None
+                 and v.dtype.kind == "i"]
+        out: list = [None] * len(vals)
+        if clean:
+            arrs = [np.asarray(vals[i], dtype=np.int64) for i in clean]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                               count=len(arrs))
+            flat = np.concatenate(arrs)
+            starts = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sig = np.empty((len(arrs), k), dtype=np.int64)
+            for j in range(k):
+                pj = (flat * A[j] + B[j]) % P
+                sig[:, j] = np.minimum.reduceat(pj, starts)
+            for row, i in enumerate(clean):
+                out[i] = sig[row]
+        for i, v in enumerate(vals):
+            if out[i] is None:
+                if v is None or len(v) == 0:
+                    out[i] = [None] * k          # array_min over empty
+                else:
+                    # null elements: min over non-null, exact per row
+                    hv = [int(x) for x in v if x is not None
+                          and x == x]
+                    out[i] = ([min((int(x) * int(a) + int(b)) % P
+                                   for x in hv)
+                               for a, b in zip(A, B)]
+                              if hv else [None] * k)
+        return pd.Series(out)
+
+    return kern(F.col("hs"))
 
 
 def lsh_band_keys(docs: DataFrame, n: int = 3, k: int = 16,
