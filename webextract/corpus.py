@@ -4853,23 +4853,61 @@ def nb_langid(docs: DataFrame, buckets: int = 512, k: float = 0.5,
     (lang, bucket) shuffle bounded at langs x buckets rows; scoring
     moves (doc, bucket, tf) rows once, joins the broadcast weight
     table, and aggregates (doc, lang) with partial sums."""
-    grams = F.expr(
-        "transform(sequence(1, greatest(length(text) - 2, 1)), "
-        "p -> substring(text, p, 3))")
-    bucket = (F.conv(F.substring(
-        F.md5(F.concat_ws(":", F.lit(salt), F.col("g"))), 1, 8),
-        16, 10).cast("long") % buckets)
-    # ONE explode feeds both the trainer and the scorer: the trigram
-    # stream reduces to (doc, lang, bucket, tf) immediately (map-side
-    # combined), and the lang x bucket count table derives from that
-    # frame — a second tiny shuffle instead of a second corpus pass
-    feats = (_spread(docs).select("doc_id", "lang",
-                                  F.explode(grams).alias("g"))
-             .select("doc_id", "lang", bucket.alias("bucket"))
-             .groupBy("doc_id", "lang", "bucket")
-             .agg(F.count("*").alias("tf")))
-    counts = feats.groupBy("lang", "bucket").agg(
-        F.sum("tf").alias("c"))
+    # r6: the trigram hashing + counting runs in Arrow kernels with a
+    # per-worker memoized trigram->bucket md5 map (the trigram universe
+    # is tiny, so each md5 runs once per worker) instead of exploding
+    # one row per occurrence; the (lang, bucket) training counts leave
+    # every task pre-aggregated.  All arithmetic in the kernels is
+    # INTEGER (occurrence counts, micro-nat weights), so the results
+    # are bit-exact against the explode form; the log/round training
+    # math below stays ENGINE-side and its trained integer table is
+    # collected (a catalog-sized artifact, the _ivf_centroids pattern)
+    # into the scoring kernel.
+    def gram_buckets(text, bucket_of):
+        # transform(sequence(1, greatest(length-2, 1)), substring):
+        # null text yields ONE null gram (concat_ws drops the null),
+        # short/empty text yields its (possibly short) prefix gram
+        if text is None or text != text:
+            return (bucket_of(None),)
+        m = len(text) - 2
+        if m < 1:
+            m = 1
+        return tuple(bucket_of(text[p:p + 3]) for p in range(m))
+
+    def bucket_fn():
+        import hashlib
+        memo: dict = {}
+
+        def bucket_of(g):
+            b = memo.get(g)
+            if b is None:
+                s = salt if g is None else f"{salt}:{g}"
+                b = memo[g] = int(hashlib.md5(
+                    s.encode("utf-8")).hexdigest()[:8], 16) % buckets
+            return b
+        return bucket_of
+
+    def count_kern(batches):
+        bucket_of = bucket_fn()
+        acc: dict = {}
+        for pdf in batches:
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                if lang is not None and lang != lang:
+                    lang = None
+                d = acc.setdefault(lang, {})
+                for b in gram_buckets(text, bucket_of):
+                    d[b] = d.get(b, 0) + 1
+        rows = {"lang": [], "bucket": [], "c": []}
+        for lang, d in acc.items():
+            for b, c in d.items():
+                rows["lang"].append(lang)
+                rows["bucket"].append(b)
+                rows["c"].append(c)
+        yield pd.DataFrame(rows, columns=["lang", "bucket", "c"])
+
+    counts = (_spread(docs).select("lang", "text")
+              .mapInPandas(count_kern, "lang string, bucket long, c long")
+              .groupBy("lang", "bucket").agg(F.sum("c").alias("c")))
     lang_tot = counts.groupBy("lang").agg(F.sum("c").alias("n_l"))
     spark = docs.sparkSession
     dense = (lang_tot
@@ -4888,20 +4926,49 @@ def nb_langid(docs: DataFrame, buckets: int = 512, k: float = 0.5,
               .select("lang",
                       F.round(-F.log(F.col("d_l") / F.col("n_docs"))
                               * 1e6, 0).cast("long").alias("prior_micro")))
-    doc_tf = (feats.groupBy("doc_id", "bucket")
-              .agg(F.sum("tf").alias("tf")))
-    scored = (doc_tf
-              .join(F.broadcast(dense), "bucket")
-              .groupBy("doc_id", "lang")
-              .agg(F.sum(F.col("tf") * F.col("w_micro")).alias("s"))
-              .join(F.broadcast(priors), "lang")
-              .select("doc_id", "lang",
-                      (F.col("s") + F.col("prior_micro")).alias("nll")))
-    from pyspark.sql import Window
-    w = Window.partitionBy("doc_id").orderBy("nll", "lang")
-    pred = (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("doc_id", F.col("lang").alias("nb_pred")))
+    # collect the TRAINED integer tables (langs x buckets + langs
+    # priors — catalog-sized, engine-computed, so every weight is the
+    # exact integer the old broadcast join shipped) and score each doc
+    # in one narrow kernel: nll = tf-vector . W[lang] + prior in int64
+    # (tf < 2^20, |w| < 2^26, <= buckets terms -> far below 2^63),
+    # argmin with the (nll, NULL-first, lang) tie-break of the old
+    # row_number window.  This replaces the doc_tf x dense broadcast
+    # join whose output was |doc-bucket pairs| x langs rows.
+    import numpy as np
+    wrows = dense.collect()
+    prows = priors.collect()
+    langs = sorted({r["lang"] for r in wrows},
+                   key=lambda v: (v is not None, v))
+    lidx = {v: i for i, v in enumerate(langs)}
+    wmat = np.zeros((len(langs), buckets), dtype=np.int64)
+    for r in wrows:
+        wmat[lidx[r["lang"]], r["bucket"]] = r["w_micro"]
+    pvec = np.zeros(len(langs), dtype=np.int64)
+    for r in prows:
+        pvec[lidx[r["lang"]]] = r["prior_micro"]
+
+    def score_kern(batches):
+        bucket_of = bucket_fn()
+        for pdf in batches:
+            ids, preds_out = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                tf: dict = {}
+                for b in gram_buckets(text, bucket_of):
+                    tf[b] = tf.get(b, 0) + 1
+                bi = np.fromiter(tf.keys(), dtype=np.int64,
+                                 count=len(tf))
+                tv = np.fromiter(tf.values(), dtype=np.int64,
+                                 count=len(tf))
+                nll = wmat[:, bi] @ tv + pvec
+                ids.append(did)
+                # rows sorted by (NULL-first, lang): argmin's
+                # first-minimum rule IS the window tie-break
+                preds_out.append(langs[int(np.argmin(nll))])
+            yield pd.DataFrame({"doc_id": ids, "nb_pred": preds_out},
+                               columns=["doc_id", "nb_pred"])
+
+    pred = (_spread(docs).select("doc_id", "text")
+            .mapInPandas(score_kern, "doc_id long, nb_pred string"))
     # pred is corpus-sized: pin the label join to shuffle-hash so a
     # stats misestimate never tries to broadcast 10^12 predictions
     return (docs.select("doc_id", F.col("lang").alias("lang_label"))
