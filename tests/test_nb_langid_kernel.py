@@ -81,3 +81,65 @@ def test_nb_langid_kernel_equals_explode_form(spark):
     b = sorted(map(tuple, _old_nb(docs).collect()), key=key)
     assert a == b
     assert len(a) == len(rows)
+
+
+def _old_dsir(docs, is_target, buckets=None, k=None):
+    from webextract.corpus import (DSIR_BUCKETS, DSIR_K, TOKENS,
+                                   shingles_of)
+    buckets = buckets or DSIR_BUCKETS
+    k = k or DSIR_K
+    base = (docs.select("doc_id", "text", is_target.alias("is_t"))
+            .select("doc_id", "is_t", TOKENS().alias("toks")))
+    feats = F.concat(F.col("toks"), shingles_of("toks", 2,
+                                                distinct=False))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("dsir:"), F.col("f"))), 1, 8), 16, 10)
+        .cast("long") % buckets)
+    tf = (base.select("doc_id", "is_t", F.explode(feats).alias("f"))
+          .select("doc_id", "is_t", bucket.alias("b"))
+          .groupBy("doc_id", "is_t", "b").agg(F.count("*").alias("tf")))
+    raw = tf.groupBy("b").agg(F.sum("tf").alias("cr"))
+    tgt = tf.filter("is_t").groupBy("b").agg(F.sum("tf").alias("ct"))
+    dist = (raw.join(tgt, "b", "left")
+            .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")))
+    totals = dist.agg(F.sum("cr").alias("rt"), F.sum("ct").alias("tt"))
+    kb = k * buckets
+    nll = lambda c, t: F.round(  # noqa: E731
+        -F.log((c + F.lit(k)) / (t + F.lit(kb))) * 1e6, 0).cast("long")
+    lr = (dist.crossJoin(F.broadcast(totals))
+          .select("b", (nll(F.col("cr"), F.col("rt"))
+                        - nll(F.col("ct"), F.col("tt")))
+                  .alias("lr_micro")))
+    scored = (tf.join(F.broadcast(lr), "b").groupBy("doc_id")
+              .agg(F.sum("tf").alias("n_feat"),
+                   F.sum(F.col("tf") * F.col("lr_micro")).alias("s")))
+    m = F.floor((2 * F.col("s") + F.col("n_feat"))
+                / (2 * F.col("n_feat")))
+    return scored.select(
+        "doc_id", F.col("n_feat").cast("int").alias("n_feat"),
+        (m.cast("double") / F.lit(1e6)).alias("mean_lw"),
+        (F.col("s") > 0).alias("target_like"))
+
+
+def test_dsir_kernel_equals_explode_form(spark):
+    """r6 dsir_weights kernel: null text drops the doc, empty text
+    keeps its single empty token, double spaces keep empty tokens
+    (split semantics), duplicate doc_ids merge — all must match the
+    old explode/join form exactly."""
+    rows = [
+        (0, "select the best training data for the model", "src0"),
+        (1, "random web page about cooking recipes", "src1"),
+        (2, "the model training loop converges", "src0"),
+        (3, None, "src1"),                    # null text -> absent
+        (4, "", "src1"),                      # one empty token
+        (5, "a  b", "src1"),                  # double space
+        (6, "solo", "src1"),                  # no bigram
+        (6, "solo again", "src1"),            # duplicate doc_id merges
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string").repartition(3)
+    tgt = F.col("source") == "src0"
+    a = sorted(map(tuple, corpus.dsir_weights(docs, tgt).collect()))
+    b = sorted(map(tuple, _old_dsir(docs, tgt).collect()))
+    assert a == b
+    assert len(a) == 6                        # doc 3 absent, doc 6 merged

@@ -3779,20 +3779,72 @@ def dsir_weights(docs: DataFrame, is_target,
     rows — it always broadcasts (unlike lm_perplexity's open
     vocabulary, which must shuffle-hash).  The per-doc score is one
     more 3-column shuffle; raw text never enters an exchange."""
-    base = (_spread(docs.select("doc_id", "text",
-                                is_target.alias("is_t")))
-            .select("doc_id", "is_t", TOKENS().alias("toks")))
-    feats = F.concat(F.col("toks"),
-                     shingles_of("toks", 2, distinct=False))
-    bucket = (F.conv(F.substring(
-        F.md5(F.concat(F.lit("dsir:"), F.col("f"))), 1, 8), 16, 10)
-        .cast("long") % buckets)
-    tf = (base.select("doc_id", "is_t", F.explode(feats).alias("f"))
-          .select("doc_id", "is_t", bucket.alias("b"))
-          .groupBy("doc_id", "is_t", "b").agg(F.count("*").alias("tf"))
-          .localCheckpoint())
-    raw = tf.groupBy("b").agg(F.sum("tf").alias("cr"))
-    tgt = tf.filter("is_t").groupBy("b").agg(F.sum("tf").alias("ct"))
+    # r6: the unigram+bigram explode (one md5-hashed row per
+    # occurrence) and the tf-frame checkpoint + scoring join became
+    # two Arrow kernels around the ENGINE-side log/round training
+    # math — the nb_langid pattern.  Tokenization/bucketing replicate
+    # the expression form exactly (split keeps empty tokens, bigrams
+    # are space-joined, md5 over "dsir:"+f, null text yields no
+    # rows), all kernel arithmetic is integer, and the trained
+    # lr_micro table (``buckets`` integer rows, engine-computed) is
+    # collected catalog-style into the scorer.
+    base = _spread(docs.select("doc_id", "text",
+                               is_target.alias("is_t")))
+
+    def feat_counts(text, bucket_of):
+        if text is None or text != text:
+            return None                      # split(NULL) -> no rows
+        toks = text.split(" ")
+        tf: dict = {}
+        for f in toks:
+            b = bucket_of(f)
+            tf[b] = tf.get(b, 0) + 1
+        for i in range(len(toks) - 1):
+            b = bucket_of(toks[i] + " " + toks[i + 1])
+            tf[b] = tf.get(b, 0) + 1
+        return tf
+
+    def bucket_fn():
+        import hashlib
+        memo: dict = {}
+
+        def bucket_of(f):
+            b = memo.get(f)
+            if b is None:
+                if len(memo) > (1 << 20):    # bound worker memory
+                    memo.clear()
+                b = memo[f] = int(hashlib.md5(
+                    ("dsir:" + f).encode("utf-8")).hexdigest()[:8],
+                    16) % buckets
+            return b
+        return bucket_of
+
+    def count_kern(batches):
+        bucket_of = bucket_fn()
+        acc: dict = {}
+        for pdf in batches:
+            for is_t, text in zip(pdf["is_t"], pdf["text"]):
+                if is_t is not None and is_t != is_t:
+                    is_t = None
+                tf = feat_counts(text, bucket_of)
+                if tf is None:
+                    continue
+                d = acc.setdefault(None if is_t is None else bool(is_t),
+                                   {})
+                for b, c in tf.items():
+                    d[b] = d.get(b, 0) + c
+        rows = {"is_t": [], "b": [], "c": []}
+        for is_t, d in acc.items():
+            for b, c in d.items():
+                rows["is_t"].append(is_t)
+                rows["b"].append(b)
+                rows["c"].append(c)
+        yield pd.DataFrame(rows, columns=["is_t", "b", "c"])
+
+    cnt = (base.select("is_t", "text")
+           .mapInPandas(count_kern, "is_t boolean, b long, c long"))
+    raw = cnt.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = cnt.filter("is_t").groupBy("b").agg(F.sum("c").alias("ct"))
     dist = (raw.join(tgt, "b", "left")
             .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")))
     totals = dist.agg(F.sum("cr").alias("rt"), F.sum("ct").alias("tt"))
@@ -3803,10 +3855,36 @@ def dsir_weights(docs: DataFrame, is_target,
           .select("b", (nll(F.col("cr"), F.col("rt"))
                         - nll(F.col("ct"), F.col("tt")))
                   .alias("lr_micro")))
-    scored = (tf.join(F.broadcast(lr), "b")
+    import numpy as np
+    lrv = np.zeros(buckets, dtype=np.int64)
+    for r in lr.collect():                   # engine-exact integers
+        lrv[r["b"]] = r["lr_micro"]
+
+    def score_kern(batches):
+        bucket_of = bucket_fn()
+        for pdf in batches:
+            ids, ns, ss = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                tf = feat_counts(text, bucket_of)
+                if tf is None:
+                    continue
+                bi = np.fromiter(tf.keys(), dtype=np.int64,
+                                 count=len(tf))
+                tv = np.fromiter(tf.values(), dtype=np.int64,
+                                 count=len(tf))
+                ids.append(did)
+                ns.append(int(tv.sum()))
+                ss.append(int(lrv[bi] @ tv))
+            yield pd.DataFrame({"doc_id": ids, "n_feat": ns, "s": ss},
+                               columns=["doc_id", "n_feat", "s"])
+
+    # groupBy restores the old merge of duplicate doc_id rows (the tf
+    # frame keyed on doc_id before scoring); sums combine linearly
+    scored = (base.select("doc_id", "text")
+              .mapInPandas(score_kern, "doc_id long, n_feat long, s long")
               .groupBy("doc_id")
-              .agg(F.sum("tf").alias("n_feat"),
-                   F.sum(F.col("tf") * F.col("lr_micro")).alias("s")))
+              .agg(F.sum("n_feat").alias("n_feat"),
+                   F.sum("s").alias("s")))
     m = F.floor((2 * F.col("s") + F.col("n_feat"))
                 / (2 * F.col("n_feat")))
     return scored.select(
