@@ -252,17 +252,15 @@ def test_quality_ops_are_narrow_projections(spark):
 
 
 def test_embed_near_dup_plan_shape(spark):
-    """Embedding near-dup (r6 shape): staged SRP lineage (no recompute
-    per consumer), the bounded bucket-cap frame broadcasts, and the
-    pairwise cosine runs in the numpy bucket kernel — ONE shuffle of
-    the staged side into FlatMapGroupsInPandas, no self-join of
-    embedding rows at all."""
+    """Embedding near-dup: staged SRP lineage (no recompute per join
+    side), bucket-key equi-join only — never a sort-merge join, and
+    the bounded bucket-cap frame broadcasts."""
     from webextract.corpus import embed_near_dup_pairs
     spark.catalog.clearCache()
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _plan(embed_near_dup_pairs(emb, threshold=0.3))
     assert "SortMergeJoin" not in plan, plan[:2000]
-    assert "FlatMapGroupsInPandas" in plan   # bucket pair kernel
+    assert "ShuffledHashJoin" in plan        # bucket-key pair join
     assert "BroadcastHashJoin" in plan       # cap semi-join
     # the expensive SRP projection lineage is checkpointed: the plan
     # scans the staged RDD, not the parquet relation, for both sides
@@ -281,9 +279,9 @@ def test_embed_multiprobe_plan_shape(spark):
     import re
     plan = _plan(embed_near_dup_pairs(emb, threshold=0.3, tables=2))
     assert "SortMergeJoin" not in plan, plan[:2000]
-    # exactly one bucket pair kernel per table (r6: the self-join
-    # became a FlatMapGroupsInPandas); cap prunes stay LeftSemi
-    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 2, \
+    # exactly one INNER bucket self-join per table; the cap prunes are
+    # LeftSemi (broadcast or shuffle-hash depending on stats mode)
+    assert len(re.findall(r"ShuffledHashJoin Inner", plan)) == 2, \
         plan[:2000]
     assert "LeftSemi" in plan
     # the parquet source is scanned zero times in the final plan — all
@@ -618,15 +616,19 @@ def test_links_plan_is_narrow(spark, tmp_path):
 
 
 def test_dsir_plan_shape(spark):
-    """Hashed-feature DSIR: the bounded distribution table broadcasts
-    (both the log-ratio join and the totals crossJoin); no sort-merge
-    join anywhere; the term frame is staged so its lineage isn't
-    re-executed per consumer."""
+    """Hashed-feature DSIR (r6 shape): training runs at build time
+    (counting kernel -> engine log/round -> collected integer lr
+    table, the _ivf_centroids pattern), so the returned plan is the
+    SCORING side only — one narrow kernel + the doc_id merge
+    aggregate.  No join of any kind touches the corpus."""
     from webextract.queries import q_dsir_weights
     plan = _plan(q_dsir_weights(spark, SF))
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
     assert "Cartesian" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan, \
+        plan[:2000]
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree
 
 
 def test_bm25_plan_query_vocab_filtered_before_agg(spark):

@@ -33,7 +33,8 @@ def TOKENS():
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
-def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+def _spread(df: DataFrame, key: str = "doc_id",
+            min_bytes: int = 0) -> DataFrame:
     """Conditional parallelism barrier for CPU-heavy array-domain ops.
 
     Repartitions narrow inputs whose scan layout under-parallelizes the
@@ -48,9 +49,14 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     never be inlined into consumers above it.  The probe is plan-stats
     based (session.est_scan_partitions) — no RDD conversion of the
     analyzed plan at operator-build time (round-2 review item 10)."""
-    from .session import est_scan_partitions
+    from .session import est_plan_bytes, est_scan_partitions
     p = df.sparkSession.sparkContext.defaultParallelism
     if est_scan_partitions(df) < p:
+        if min_bytes and est_plan_bytes(df) < min_bytes:
+            # r6: below the work floor the serial scan is cheaper than
+            # the exchange — sub-second inputs skip the barrier (the
+            # sf0.1 board paid ~0.3 s per needless tiny-frame shuffle)
+            return df
         if key in df.columns:
             return df.repartition(p * 2, F.col(key))
         # no high-cardinality key available (e.g. (source, text)
@@ -1044,7 +1050,7 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     brute force only ever runs within a bucket/partition.
     Ranking key is round(cos, 6) with nid tiebreak → deterministic and
     engine-portable."""
-    norms = _spread(emb, "vec_id").select(
+    norms = _spread(emb, "vec_id", min_bytes=2 << 20).select(
         F.col("vec_id"), F.col("embedding"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"))
     q = (norms.filter(F.col("vec_id") < n_queries)
@@ -1191,7 +1197,8 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
     # bind the (expensive, 2×-referenced) score array to a column:
     # CollapseProject's non-cheap/multi-reference guard keeps it
     # evaluated once per row (same reliance as fingerprints)
-    return (_spread(emb, "vec_id").select("vec_id", scores.alias("s"))
+    return (_spread(emb, "vec_id", min_bytes=2 << 20)
+            .select("vec_id", scores.alias("s"))
             .select("vec_id",
                     (F.array_position(F.col("s"), F.array_max("s")) - 1)
                     .cast("int").alias("bucket")))
@@ -1210,7 +1217,7 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     nested-loop join — the corpus is never shuffled."""
     chat = _ivf_centroids(emb, n_centroids)
     scores = _ivf_score_array(chat)
-    side = (_spread(emb, "vec_id")
+    side = (_spread(emb, "vec_id", min_bytes=2 << 20)
             .select("vec_id", "embedding", scores.alias("s"))
             .select("vec_id", "embedding",
                     (F.array_position(F.col("s"), F.array_max("s")) - 1)
@@ -1402,7 +1409,7 @@ def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
     (CollapseProject's non-cheap guard, same reliance as ivf_assign)."""
     books = _pq_codebooks(emb, m, k)
     kern = _pq_raw_dists_kernel(books)
-    raw = _spread(emb, "vec_id").select(
+    raw = _spread(emb, "vec_id", min_bytes=2 << 20).select(
         "vec_id", kern("embedding").alias("dd"))
     with_d = raw.select(
         "vec_id", *_pq_rounded_arrays(F.col("dd"), m, k, "d"))
@@ -1516,7 +1523,8 @@ def sq8_encode(emb: DataFrame, dims: int = 64) -> DataFrame:
                            * 256)))
                 .otherwise(F.lit(0)).cast("int"))
 
-    return (_spread(emb, "vec_id").crossJoin(F.broadcast(stats))
+    return (_spread(emb, "vec_id", min_bytes=2 << 20)
+            .crossJoin(F.broadcast(stats))
             .select("vec_id", F.transform(x, code).alias("codes")))
 
 
@@ -1583,45 +1591,22 @@ def _srp_sign_matrix(bits: int, dims: int,
 
 
 def _srp_bucket_col(signs: list[list[float]]):
-    """SRP bucket key as a projection Column over `embedding`.
+    """SRP bucket key as a pure projection Column over `embedding`
+    (one codegen'd zip_with dot product per plane).  An Arrow-kernel
+    variant was tried in r6 and REVERTED: the SRP frames at these call
+    sites are small (post-filter language slices, per-table stagings),
+    and the Python round-trip cost more than the interpreted dots —
+    measured +1.3 s on dedup_embed_cosine / +1.8 s on multiprobe at
+    sf0.1 with no sf1.0 win."""
+    def plane_bit(plane_signs):
+        plane = F.array(*[F.lit(s) for s in plane_signs])
+        s = F.aggregate(
+            F.zip_with(F.col("embedding"), plane,
+                       lambda x, sg: x.cast("double") * sg),
+            F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
 
-    r6: the per-plane dots run in an Arrow kernel with the SAME
-    sequential fold order as the zip_with/aggregate form they replace
-    (bitwise-identical doubles), and the sign test `s > 0` has no
-    rounding at all, so the bucket string is computed entirely in the
-    kernel — one narrow UDF instead of bits x d interpreted HOF
-    elements per row."""
-    import numpy as np
-
-    sm = np.asarray(signs, dtype=np.float64)
-    bits, d = sm.shape
-
-    @F.pandas_udf("string")
-    def kern(e: pd.Series) -> pd.Series:
-        if len(e) == 0:
-            return pd.Series([], dtype=str)
-        # wrong-length / null-component rows folded every plane to
-        # NULL in the zip_with form, and when(NULL > 0) fell through
-        # to "0" — an all-zeros bucket; NaN components land there
-        # naturally (NaN > 0 is false on both paths)
-        vals = e.to_numpy()
-        bad = [i for i, v in enumerate(vals)
-               if v is None or len(v) != d
-               or (getattr(v, "dtype", None) is None and None in v)]
-        if not bad:
-            x = np.vstack(vals).astype(np.float64)
-        else:
-            x = np.full((len(vals), d), np.nan)
-            for i, v in enumerate(vals):
-                if i not in bad:
-                    x[i] = np.asarray(v, dtype=np.float64)
-        dot = np.zeros((x.shape[0], bits))
-        for j in range(d):
-            dot = dot + x[:, j:j + 1] * sm[:, j][None, :]
-        chars = np.where(dot > 0, "1", "0")
-        return pd.Series(["".join(r) for r in chars])
-
-    return kern(F.col("embedding"))
+    return F.concat(*[plane_bit(p) for p in signs])
 
 
 def lsh_ann_buckets(emb: DataFrame, bits: int = 16,
@@ -1674,7 +1659,7 @@ def embed_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     ``bucket_cap`` is the per-table skew guard: the bucket universe is
     bounded (≤ 2^bits keys) so the cap frame always broadcasts."""
     dims = emb.select(F.size("embedding")).first()[0]
-    norms = _spread(emb, "vec_id").select(
+    norms = emb.select(
         "vec_id", "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"))
     # stage (embedding, norm) ONCE: every table's cap aggregate and
@@ -1685,21 +1670,30 @@ def embed_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
 
     def table_pairs(t: int) -> DataFrame:
         signs = _srp_sign_matrix(bits, dims, table=t)
-        # r6: checkpoint WITH the bucket column — the cap aggregate
-        # and the pair kernel both consume it, and without the cut
-        # each subtree re-runs the SRP kernel over the corpus
-        side = staged.withColumn(
-            "bucket", _srp_bucket_col(signs)).localCheckpoint()
+        side = staged.withColumn("bucket", _srp_bucket_col(signs))
         ok = (side.groupBy("bucket").count()
               .filter(F.col("count") <= bucket_cap).select("bucket"))
         side_ok = side.join(F.broadcast(ok), "bucket", "left_semi")
-        # r6: pairwise dot in the numpy bucket kernel (ONE shuffle of
-        # the staged side instead of a two-sided shuffle-hash
-        # self-join grinding zip_with per pair); round-6 + threshold
-        # stay engine-side on the bit-exact dot
-        cand = _bucket_pair_dot_candidates(side_ok, threshold - 1e-5)
-        cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
-        return (cand.withColumn("cos", cos)
+        a = side_ok.select(F.col("bucket"),
+                           F.col("vec_id").alias("vec_a"),
+                           F.col("embedding").alias("ea"),
+                           F.col("norm").alias("na"))
+        c = side_ok.select(F.col("bucket"),
+                           F.col("vec_id").alias("vec_b"),
+                           F.col("embedding").alias("eb"),
+                           F.col("norm").alias("nb"))
+        cos = F.round(_dot(F.col("ea"), F.col("eb"))
+                      / (F.col("na") * F.col("nb")), 6)
+        # shuffle-hash, not sort-merge: the join key has ≤ 2^bits
+        # distinct values, so sorting embedding-array rows buys nothing
+        # and the per-partition build side is bounded by bucket_cap ×
+        # buckets.  (The r6 numpy pair kernel stays in semantic_dedup,
+        # whose buckets are 16 k-means cells of ~1000+ members; HERE
+        # the 2^bits SRP buckets hold ~tens of vectors each and the
+        # join form measured faster at both scales.)
+        return (a.join(c.hint("shuffle_hash"), "bucket")
+                .filter(F.col("vec_a") < F.col("vec_b"))
+                .withColumn("cos", cos)
                 .filter(F.col("cos") >= threshold)
                 .select("vec_a", "vec_b", "cos"))
 
@@ -4015,7 +4009,7 @@ def hll_registers(docs: DataFrame, p_bits: int = HLL_P_BITS,
     summaries.  rho = 57 - bit_length(56-bit hash suffix) via
     length(bin(w)) — pure string/integer ops, identical in Spark and
     DuckDB."""
-    tok = _spread(docs).select(
+    tok = _spread(docs, min_bytes=2 << 20).select(
         F.coalesce(F.col("source"), F.lit("")).alias("source"),
         F.explode(F.split(F.col("text"), " ")).alias("token"))
     idx, rho = hll_idx_rho(F.col("token"), p_bits, salt)
@@ -4075,7 +4069,7 @@ def hll_distinct(docs: DataFrame, p_bits: int = HLL_P_BITS,
     sketch against ground truth at gate scale; production drops them
     (the exact side IS the shuffle the sketch avoids).
     """
-    tok = _spread(docs).select(
+    tok = _spread(docs, min_bytes=2 << 20).select(
         F.coalesce(F.col("source"), F.lit("")).alias("source"),
         F.explode(F.split(F.col("text"), " ")).alias("token"))
     regs = hll_registers(docs, p_bits, salt)
@@ -5349,7 +5343,7 @@ def kmv_sketches(docs: DataFrame, group_col: str = "lang",
     ONE exchange carries n_partitions x groups bounded arrays that
     merge via flatten -> array_distinct -> sort -> slice.  Same
     partial-aggregate discipline as hll_registers."""
-    tok = _spread(docs).select(
+    tok = _spread(docs, min_bytes=2 << 20).select(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.col("text"), " ")).alias("token"))
     h = tok.select("grp", _kmv_hash(F.col("token"), salt).alias("h"))
@@ -5412,7 +5406,7 @@ def kmv_overlap(docs: DataFrame, group_col: str = "lang",
         "grp_a", "grp_b", "est_a", "est_b",
         F.expr(f"CAST({_KMV_MAX} AS BIGINT)").alias("mx"),
         matched.alias("matched"), "theta")
-    tok = _spread(docs).select(
+    tok = _spread(docs, min_bytes=2 << 20).select(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.col("text"), " "))
         .alias("token")).distinct()
@@ -5938,9 +5932,8 @@ def bitext_mine(emb: DataFrame, src_lang: str, tgt_lang: str,
     the one bucket shuffle."""
     dims = emb.select(F.size("embedding")).first()[0]
     signs = _srp_sign_matrix(bits, dims)
-    staged = (_spread(emb, "vec_id")
-              .select("vec_id", F.col(lang_col).alias("lang"),
-                      "embedding")
+    staged = (emb.select("vec_id", F.col(lang_col).alias("lang"),
+                         "embedding")
               .filter(F.col("lang").isin(src_lang, tgt_lang))
               .withColumn("norm", F.sqrt(_dot(F.col("embedding"),
                                               F.col("embedding"))))

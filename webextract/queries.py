@@ -1022,7 +1022,7 @@ def q_stream_hll(spark, sf_dir):
     live = (sink.groupBy("lang", "idx")
             .agg(F.max("m_j").alias("m_j")))
     est = corpus.hll_estimate(live, group_col="lang")
-    exact = (corpus._spread(d)             # r6: 1-file scan -> 1 task
+    exact = (corpus._spread(d, min_bytes=2 << 20)   # r6: 1-file scan
              .select(F.col("lang"),
                      F.explode(F.split(aug, " ")).alias("token"))
              .groupBy("lang")
@@ -7089,7 +7089,7 @@ def q_stream_kmv(spark, sf_dir):
         F.expr(f"CAST({(k - 1) * corpus._KMV_MAX} AS BIGINT) div kth"))
     # exact side counts distinct HASHES (the oracle's nd), so a
     # 56-bit collision cannot split the two engines at any scale
-    exact = (corpus._spread(d)             # r6: 1-file scan -> 1 task
+    exact = (corpus._spread(d, min_bytes=2 << 20)   # r6: 1-file scan
              .select(F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
                      F.explode(F.split(F.coalesce(F.col("text"),
                                                   F.lit("")), " "))

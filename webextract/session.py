@@ -74,6 +74,20 @@ def get_spark(app: str = "webextract", cpus: int | None = None,
     return b.getOrCreate()
 
 
+def est_plan_bytes(df) -> int:
+    """Catalyst plan-stats sizeInBytes for a frame (r6) — the byte
+    side of the est_scan_partitions probe, used by conditional spread
+    barriers to skip the exchange when the serial scan is cheap
+    anyway.  Unknown stats return 0 (skip-spread direction: an
+    unknown layout is treated as not worth a shuffle when a caller
+    sets a work floor)."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats()
+                       .sizeInBytes()))
+    except Exception:
+        return 0
+
+
 def est_scan_partitions(df) -> int:
     """Estimated scan-task count for a frame WITHOUT forcing an RDD
     conversion of the analyzed plan (round-2 review item 10): Catalyst
