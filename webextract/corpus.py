@@ -1387,13 +1387,20 @@ def _pq_raw_dists_kernel(books: list[list[list[float]]]):
     return kern
 
 
-def _pq_rounded_arrays(dd, m: int, k: int, prefix: str):
+def _pq_rounded_arrays(dd_name: str, m: int, k: int, prefix: str):
     """m array<double> columns of round-6 distances from the kernel's
-    flat raw-distance column ``dd`` — unrolled F.get (0-based, no ANSI
-    error branch), compact enough to stay inside one codegen method."""
-    return [F.array(*[F.round(F.get(dd, s * k + c), 6)
-                      for c in range(k)]).alias(f"{prefix}{s}")
-            for s in range(m)]
+    flat raw-distance column ``dd_name`` — get() (0-based, no ANSI
+    error branch), compact enough to stay inside one codegen method.
+
+    r6: ONE F.expr parse per subspace instead of the unrolled
+    F.round(F.get(...)) Column construction, which cost ~0.5 s of
+    py4j round-trips PER CALL at m=k=16 (and this builder runs twice
+    per query build).  The parsed tree is identical — same 0-based
+    null-safe get(), same round-6 — so the evaluated doubles are
+    unchanged."""
+    return [F.expr("array(" + ", ".join(
+        f"round(get({dd_name}, {s * k + c}), 6)" for c in range(k))
+        + ")").alias(f"{prefix}{s}") for s in range(m)]
 
 
 def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
@@ -1412,12 +1419,12 @@ def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
     raw = _spread(emb, "vec_id", min_bytes=2 << 20).select(
         "vec_id", kern("embedding").alias("dd"))
     with_d = raw.select(
-        "vec_id", *_pq_rounded_arrays(F.col("dd"), m, k, "d"))
+        "vec_id", *_pq_rounded_arrays("dd", m, k, "d"))
     return with_d.select(
         "vec_id",
-        F.array(*[(F.array_position(F.col(f"d{s}"),
-                                    F.array_min(F.col(f"d{s}"))) - 1)
-                  .cast("int") for s in range(m)]).alias("codes"))
+        F.expr("array(" + ", ".join(
+            f"cast(array_position(d{s}, array_min(d{s})) - 1 as int)"
+            for s in range(m)) + ")").alias("codes"))
 
 
 def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
@@ -1437,12 +1444,12 @@ def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     qraw = (emb.filter(F.col("vec_id") < n_queries)
             .select(F.col("vec_id").alias("qid"),
                     kern("embedding").alias("dd")))
-    q = qraw.select("qid", *_pq_rounded_arrays(F.col("dd"), m, kc, "qd"))
-    adist = F.element_at(F.col("qd0"),
-                         F.element_at(F.col("codes"), 1) + 1)
-    for s in range(1, m):
-        adist = adist + F.element_at(F.col(f"qd{s}"),
-                                     F.element_at(F.col("codes"), s + 1) + 1)
+    q = qraw.select("qid", *_pq_rounded_arrays("dd", m, kc, "qd"))
+    # one expr parse for the whole left-assoc lookup chain (r6: the
+    # per-term Column build cost ~0.13 s of py4j per query build)
+    adist = F.expr(" + ".join(
+        f"element_at(qd{s}, element_at(codes, {s + 1}) + 1)"
+        for s in range(m)))
     pairs = (enc.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
              .select("qid", F.col("vec_id").alias("nid"),
                      F.round(adist, 6).alias("adist")))
@@ -1508,11 +1515,15 @@ def sq8_encode(emb: DataFrame, dims: int = 64) -> DataFrame:
     14 s → 1.3 s at sf0.01); the compact lambda stays interpreted
     per element but its body is four arithmetic ops."""
     x = F.col("embedding")
+    # one expr parse per stats array (r6: 128 unrolled agg Columns
+    # cost ~0.4 s of py4j per build; the parsed tree is identical)
     stats = emb.agg(
-        F.array(*[F.min(F.get(x, d).cast("double"))
-                  for d in range(dims)]).alias("mns"),
-        F.array(*[F.max(F.get(x, d).cast("double"))
-                  for d in range(dims)]).alias("mxs"))
+        F.expr("array(" + ", ".join(
+            f"min(cast(get(embedding, {d}) as double))"
+            for d in range(dims)) + ")").alias("mns"),
+        F.expr("array(" + ", ".join(
+            f"max(cast(get(embedding, {d}) as double))"
+            for d in range(dims)) + ")").alias("mxs"))
 
     def code(v, i):
         mn = F.element_at(F.col("mns"), i + 1)
