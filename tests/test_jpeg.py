@@ -298,3 +298,85 @@ def test_decode_scan_hostile_streams():
         a = J.jpeg_decode_rgb(bytes(mod))
         b = J.jpeg_decode_rgb(bytes(mod))
         assert a == b                        # deterministic outcome
+
+
+def test_bitwriter_chunked_flush_identity():
+    """r6: _BitWriter accumulates bits in one big int and flushes in
+    chunks (to_bytes + C-level 0xFF00 stuffing).  Must emit the exact
+    byte stream of a per-byte reference emitter for arbitrary put
+    sequences, including mid-stream pad_align + marker injection (the
+    restart pattern)."""
+    import random
+
+    from webextract import jpegmini as J
+
+    class Ref:
+        def __init__(self):
+            self.out = bytearray()
+            self._acc = 0
+            self._n = 0
+
+        def put(self, code, length):
+            self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+            self._n += length
+            while self._n >= 8:
+                b = (self._acc >> (self._n - 8)) & 0xFF
+                self._n -= 8
+                self._acc &= (1 << self._n) - 1
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+
+        def pad_align(self):
+            if self._n:
+                self.put((1 << (8 - self._n)) - 1, 8 - self._n)
+
+    rnd = random.Random(11)
+    for trial in range(60):
+        a, b = J._BitWriter(), Ref()
+        for _ in range(rnd.randint(0, 600)):
+            ln = rnd.randint(1, 26)
+            code = rnd.getrandbits(ln)
+            a.put(code, ln)
+            b.put(code, ln)
+            if rnd.random() < 0.02:          # restart boundary
+                a.pad_align()
+                b.pad_align()
+                a.out += bytes([0xFF, 0xD0])
+                b.out += bytes([0xFF, 0xD0])
+        a.pad_align()
+        b.pad_align()
+        assert bytes(a.out) == bytes(b.out)
+
+
+def test_gray_segment_memo_identity():
+    """r6: 1-component baseline scans decode through a per-restart-
+    segment memo.  Cold and warm caches must agree; restart=0 and
+    restart=3 encodes of one plane must decode to the same pixels
+    (single-segment vs many-segment paths); truncated/corrupted
+    streams stay deterministic through the memo."""
+    import numpy as np
+
+    from webextract import jpegmini as J
+
+    rng = np.random.RandomState(12)
+    for trial in range(6):
+        w = int(rng.randint(8, 72))
+        h = int(rng.randint(8, 48))
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        rows = [img[y].tobytes() for y in range(h)]
+        enc3 = J.jpeg_encode_gray(w, h, rows, restart=3)
+        enc0 = J.jpeg_encode_gray(w, h, rows, restart=0)
+        J._SEG_CACHE.clear()
+        cold = J.jpeg_decode_rgb(enc3)
+        warm = J.jpeg_decode_rgb(enc3)
+        assert cold is not None and cold == warm
+        assert J.jpeg_decode_rgb(enc0) == cold
+        for cut in range(2, len(enc3), 17):
+            a = J.jpeg_decode_rgb(enc3[:cut])
+            assert a == J.jpeg_decode_rgb(enc3[:cut])
+        for i in range(len(enc3) // 2, len(enc3), 19):
+            mod = bytearray(enc3)
+            mod[i] ^= 0x41
+            assert J.jpeg_decode_rgb(bytes(mod)) == \
+                J.jpeg_decode_rgb(bytes(mod))

@@ -84,7 +84,16 @@ def _mag_category(v: int) -> int:
 
 
 class _BitWriter:
-    """MSB-first bit accumulator with JPEG 0xFF -> 0xFF 0x00 stuffing."""
+    """MSB-first bit accumulator with JPEG 0xFF -> 0xFF 0x00 stuffing.
+
+    Bits collect into ONE big int and flush to bytes in chunks:
+    ``to_bytes`` + C-level ``replace`` perform the byte split and the
+    0xFF00 stuffing (stuffing is per-0xFF-byte, independent of
+    neighbors, so chunked flushing is exact).  Byte-identical to the
+    per-byte emitter it replaces: MSB-first concatenation means the
+    accumulated int IS the bit stream."""
+
+    _FLUSH_BITS = 1 << 13      # flush at ~1 KiB so shifts stay small
 
     def __init__(self) -> None:
         self.out = bytearray()
@@ -94,18 +103,29 @@ class _BitWriter:
     def put(self, code: int, length: int) -> None:
         self._acc = (self._acc << length) | (code & ((1 << length) - 1))
         self._n += length
-        while self._n >= 8:
-            byte = (self._acc >> (self._n - 8)) & 0xFF
-            self._n -= 8
-            self._acc &= (1 << self._n) - 1
-            self.out.append(byte)
-            if byte == 0xFF:
-                self.out.append(0x00)
+        if self._n >= self._FLUSH_BITS:
+            self._flush()
+
+    def _flush(self) -> None:
+        k = self._n >> 3
+        if not k:
+            return
+        rem = self._n & 7
+        chunk = (self._acc >> rem).to_bytes(k, "big")
+        self._acc &= (1 << rem) - 1
+        self._n = rem
+        if b"\xff" in chunk:
+            chunk = chunk.replace(b"\xff", b"\xff\x00")
+        self.out += chunk
 
     def pad_align(self) -> None:
-        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
-        if self._n:
-            self.put((1 << (8 - self._n)) - 1, 8 - self._n)
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3), then
+        flush everything so ``out`` holds the full stuffed stream."""
+        if self._n & 7:
+            pad = 8 - (self._n & 7)
+            self._acc = (self._acc << pad) | ((1 << pad) - 1)
+            self._n += pad
+        self._flush()
 
 
 _BLOCK_CACHE: dict = {}
@@ -562,6 +582,7 @@ class _HuffTable:
     ``max_len`` bits of the stream -> (symbol, code_length)."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.kid = (bytes(bits), bytes(vals))      # content key for memos
         pairs: list[tuple[int, int, int]] = []     # (code, length, symbol)
         code, k = 0, 0
         for length in range(1, 17):
@@ -1046,6 +1067,200 @@ def _prog_assemble(frame, prog, qt):
     return _to_rgb(fh, fw, planes)
 
 
+class _Reject(Exception):
+    """Stream shapes the baseline decoder answers with None."""
+
+
+def _seg_end(data: bytes, p: int) -> int:
+    """Exclusive end of the entropy segment starting at ``p``: the
+    offset of the first REAL-marker 0xFF (stuffed 0xFF00 pairs are
+    data; a truncated trailing 0xFF counts as an end, matching the
+    reader's ended condition)."""
+    dlen = len(data)
+    while True:
+        q = data.find(0xFF, p)
+        if q < 0:
+            return dlen
+        if q + 1 < dlen and data[q + 1] == 0x00:
+            p = q + 2
+            continue
+        return q
+
+
+def _gray_segment(data: bytes, pos: int, n_mcus: int,
+                  dct: _HuffTable, act: _HuffTable):
+    """Entropy-decode ONE restart segment of a 1-component baseline
+    scan from a fresh bit state (predictor 0, empty reservoir — the
+    T.81 state at a scan start or just after RSTn).  Returns
+    (rel_idx:int64 array, vals:int64 array, consumed:int): block j's
+    coefficient at zigzag position k lands at rel offset j*64+zz[k]
+    in a 64*n_mcus span; ``consumed`` is how far the reader advanced.
+    Bit-for-bit the generic loop's reader: 28-bit reservoir, 8-byte
+    chunk fills stopping at any 0xFF, 0xFF00 unstuffing, marker/EOF
+    stops, zero-padded lookahead at the segment end."""
+    dlen = len(data)
+    p = pos
+    acc = 0
+    nb = 0
+    ended = False
+
+    def topup():
+        nonlocal acc, nb, p, ended
+        while nb < 28:
+            if p >= dlen:
+                ended = True
+                return
+            if data[p] != 0xFF:
+                stop = data.find(0xFF, p, p + 8)
+                end = stop if stop != -1 else min(p + 8, dlen)
+                acc = (acc << ((end - p) * 8)) | int.from_bytes(
+                    data[p:end], "big")
+                nb += (end - p) * 8
+                p = end
+            elif p + 1 < dlen and data[p + 1] == 0x00:
+                acc = (acc << 8) | 0xFF
+                nb += 8
+                p += 2
+            else:
+                ended = True          # marker (or truncated 0xFF tail)
+                return
+
+    dfast, dmax = dct.fast, dct.max_len
+    afast, amax = act.fast, act.max_len
+    ilist: list[int] = []
+    vlist: list[int] = []
+    zz = ZIGZAG
+    pred = 0
+    for j in range(n_mcus):
+        base = j * 64
+        if nb < 28 and not ended:
+            topup()
+        if nb >= dmax:
+            prefix = (acc >> (nb - dmax)) & ((1 << dmax) - 1)
+        elif nb > 0:
+            prefix = (acc << (dmax - nb)) & ((1 << dmax) - 1)
+        else:
+            raise EOFError
+        hit = dfast[prefix]
+        if hit is None:
+            raise ValueError("bad huffman code")
+        size, length = hit
+        if length > nb:
+            raise EOFError
+        nb -= length
+        acc &= (1 << nb) - 1
+        if size > 11:
+            raise _Reject
+        if size:
+            while nb < size:
+                if ended:
+                    raise EOFError
+                topup()
+                if nb < size and ended:
+                    raise EOFError
+            nb -= size
+            v = (acc >> nb) & ((1 << size) - 1)
+            acc &= (1 << nb) - 1
+            pred += (v - (1 << size) + 1
+                     if v < (1 << (size - 1)) else v)
+        ilist.append(base)
+        vlist.append(pred)
+        k = 1
+        while k < 64:
+            if nb < 28 and not ended:
+                topup()
+            if nb >= amax:
+                prefix = (acc >> (nb - amax)) & ((1 << amax) - 1)
+            elif nb > 0:
+                prefix = (acc << (amax - nb)) & ((1 << amax) - 1)
+            else:
+                raise EOFError
+            hit = afast[prefix]
+            if hit is None:
+                raise ValueError("bad huffman code")
+            rs, length = hit
+            if length > nb:
+                raise EOFError
+            nb -= length
+            acc &= (1 << nb) - 1
+            s = rs & 0x0F
+            if s == 0:
+                if rs == 0xF0:
+                    k += 16    # ZRL
+                    continue
+                break          # EOB
+            k += rs >> 4
+            if k > 63:
+                raise _Reject
+            while nb < s:
+                if ended:
+                    raise EOFError
+                topup()
+                if nb < s and ended:
+                    raise EOFError
+            nb -= s
+            v = (acc >> nb) & ((1 << s) - 1)
+            acc &= (1 << nb) - 1
+            ilist.append(base + zz[k])
+            vlist.append(v - (1 << s) + 1
+                         if v < (1 << (s - 1)) else v)
+            k += 1
+    return (np.asarray(ilist, dtype=np.int64),
+            np.asarray(vlist, dtype=np.int64), p - pos)
+
+
+# Restart segments decode context-free (predictor and bit state reset
+# at every RSTn), so (segment bytes, MCU count, table contents) fully
+# determine the coefficients — a per-worker memo of a pure function.
+# Glyph-grid corpora repeat a tiny universe of segments (~96% hit rate
+# on rendered English text), making replay a dict hit + array add.
+_SEG_CACHE: dict = {}
+_SEG_CACHE_MAX = 1 << 16
+
+
+def _gray_entropy(data, pos, mcus_total, restart_interval, dct, act,
+                  store) -> bool:
+    """Drive the whole 1-component entropy scan through per-segment
+    decode with memoization; scatters coefficients into ``store``
+    (the (blocks, 8, 8) array, raster-flattened).  Returns False for
+    _Reject shapes (caller answers None); raises like the generic
+    loop on malformed streams."""
+    dlen = len(data)
+    p = pos
+    mcu_i = 0
+    idx_parts: list[np.ndarray] = []
+    val_parts: list[np.ndarray] = []
+    try:
+        while mcu_i < mcus_total:
+            if restart_interval and mcu_i:
+                if (p + 1 < dlen and data[p] == 0xFF
+                        and 0xD0 <= data[p + 1] <= 0xD7):
+                    p += 2
+                else:
+                    raise ValueError("missing restart marker")
+            n_seg = (min(restart_interval, mcus_total - mcu_i)
+                     if restart_interval else mcus_total)
+            key = (data[p:_seg_end(data, p)], n_seg, dct.kid, act.kid)
+            hit = _SEG_CACHE.get(key)
+            if hit is None:
+                hit = _gray_segment(data, p, n_seg, dct, act)
+                if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+                    _SEG_CACHE.clear()
+                _SEG_CACHE[key] = hit
+            rel, vals, consumed = hit
+            if rel.size:
+                idx_parts.append(rel + mcu_i * 64)
+                val_parts.append(vals)
+            p += consumed
+            mcu_i += n_seg
+    except _Reject:
+        return False
+    if idx_parts:
+        store.reshape(-1)[np.concatenate(idx_parts)] = \
+            np.concatenate(val_parts)
+    return True
+
+
 def _decode_scan(b, pos, sos, frame, qt, dc_tabs, ac_tabs, restart_interval):
     fh, fw, comps = frame
     ns = sos[0]
@@ -1120,7 +1335,18 @@ def _decode_scan(b, pos, sos, frame, qt, dc_tabs, ac_tabs, restart_interval):
     vals: list[list[int]] = [[] for _ in comps]
     zz = ZIGZAG
     mcu_i = 0
-    for my in range(mcus_y):
+    # 1-component unsampled scans (the OCR/glyph shape) take the
+    # memoized per-restart-segment path: block index == MCU index, so
+    # segment-relative offsets tile the store directly.  The generic
+    # loop below is skipped (empty range); all other shapes keep it.
+    if len(comps) == 1 and comps[0][1] == 1 and comps[0][2] == 1:
+        if not _gray_entropy(data, p, mcus_x * mcus_y, restart_interval,
+                             comp_meta[0][3], comp_meta[0][4], stores[0]):
+            return None
+        gen_rows = ()
+    else:
+        gen_rows = range(mcus_y)
+    for my in gen_rows:
         for mx in range(mcus_x):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
                 acc = 0

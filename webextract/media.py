@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -1966,29 +1967,41 @@ def render_text_png(text: str) -> bytes:
     return png_encode_rgb(w, h, rows)
 
 
+# 15-bit glyph pattern (row-major 3x5, MSB = top-left) -> char, the
+# vectorized mirror of _FONT_REV's tuple-of-strings keys.
+_FONT_REV_BITS = {
+    sum(1 << (14 - (gy * 3 + gx))
+        for gy, row in enumerate(pat) for gx, c in enumerate(row)
+        if c == "#"): ch
+    for pat, ch in _FONT_REV.items()
+}
+_POW15 = np.array([1 << (14 - i) for i in range(15)], dtype=np.int32)
+
+
 def ocr_image(b: bytes) -> str | None:
     """OCR the glyph grid back out of a rendered image (BMP or PNG via
     decode_rgb): slice each cell's 3x5 pixel block, threshold,
     reverse-match against the font.  Returns None for undecodable /
-    wrong-geometry payloads; unknown glyph patterns decode as '?'."""
+    wrong-geometry payloads; unknown glyph patterns decode as '?'.
+
+    Vectorized: the R channel thresholds in one numpy pass, each
+    cell's 3x5 ink mask packs into a 15-bit int (same pixels the
+    per-cell loop sampled: columns 0..2, rows 0..4 of each
+    _CELL_W x _CELL_H cell), and glyphs resolve via a dict keyed on
+    the packed pattern — bit-for-bit the old reverse match."""
     dec = decode_rgb(b)
     if dec is None:
         return None
     w, h, rows = dec
     if w % _CELL_W or h % _CELL_H:
         return None        # foreign raster, not a glyph grid
-    out = []
-    for cy in range(h // _CELL_H):
-        for cx in range(w // _CELL_W):
-            pat = []
-            for gy in range(5):
-                row = rows[cy * _CELL_H + gy]
-                bits = "".join(
-                    "#" if row[3 * (cx * _CELL_W + gx)] < 128 else " "
-                    for gx in range(3))
-                pat.append(bits)
-            out.append(_FONT_REV.get(tuple(pat), "?"))
-    return "".join(out).rstrip()
+    px = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, 3 * w)
+    ink = px[:, ::3] < 128                       # R channel threshold
+    cells = ink.reshape(h // _CELL_H, _CELL_H, w // _CELL_W, _CELL_W)
+    pats = cells[:, :5, :, :3].transpose(0, 2, 1, 3).reshape(-1, 15)
+    keys = pats.astype(np.int32) @ _POW15
+    rev = _FONT_REV_BITS
+    return "".join([rev.get(int(k), "?") for k in keys]).rstrip()
 
 
 # back-compat name (pre-round-4 the OCR path was BMP-only)
