@@ -347,11 +347,13 @@ def test_pq_plan_shapes(spark):
     assert tree.count("Exchange") <= 1, tree
     assert "Join" not in tree, tree
     topk = _plan(pq_topk(emb))
-    assert "BroadcastNestedLoopJoin" in topk, topk[:2000]
-    assert "SortMergeJoin" not in topk
+    # r6: ADC scores in a codes-only Arrow kernel against the COLLECTED
+    # per-query distance tables (catalog artifact) — no join of any
+    # kind remains; the corpus flows scan -> encode -> kernel narrowly
+    assert "Join" not in topk, topk[:2000]
+    assert "FlatMapInArrow" in topk or "MapInArrow" in topk, topk[:2000]
     # shuffle exchanges: hashpartitioning(qid) for the rank window,
-    # plus at most the _spread repartition (the query side's
-    # BroadcastExchange is not a shuffle)
+    # plus at most the _spread repartition
     tree = topk.split("\n\n")[0]
     shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
     assert shuffles <= 2, tree
