@@ -127,3 +127,83 @@ def test_kernel_null_component(spark):
     new = sorted(map(tuple, _new_pairs(side, 0.5).collect()))
     assert old == new
     assert new == [(1, 2, 1.0)]
+
+
+def _staged_lang(spark, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id long, bucket string, lang string, "
+              "embedding array<float>")
+    return df.select(
+        "bucket", "lang", "vec_id", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        .alias("norm"))
+
+
+def _old_cross(side, src, tgt):
+    """bitext_mine's pre-r6 cross-lang join form (positive-cosine
+    candidates with the engine-side round-6 + micro fix)."""
+    a = (side.filter(F.col("lang") == src)
+         .select("bucket", F.col("vec_id").alias("src_id"),
+                 F.col("embedding").alias("ea"), F.col("norm").alias("na")))
+    c = (side.filter(F.col("lang") == tgt)
+         .select("bucket", F.col("vec_id").alias("tgt_id"),
+                 F.col("embedding").alias("eb"), F.col("norm").alias("nb")))
+    cosm = F.round(F.round(_dot(F.col("ea"), F.col("eb"))
+                           / (F.col("na") * F.col("nb")), 6)
+                   * 1000000, 0).cast("long")
+    return (a.join(c.hint("shuffle_hash"), "bucket")
+            .withColumn("cos_micro", cosm)
+            .filter(F.col("cos_micro") > 0)
+            .select("src_id", "tgt_id", "cos_micro"))
+
+
+def _new_cross(side, src, tgt):
+    cand = corpus._bucket_cross_dot_candidates(side, src, tgt)
+    cosm = F.round(F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                   * 1000000, 0).cast("long")
+    return (cand.withColumn("cos_micro", cosm)
+            .filter(F.col("cos_micro") > 0)
+            .select("src_id", "tgt_id", "cos_micro"))
+
+
+def test_cross_kernel_equals_join_random(spark):
+    """r6: bitext_mine's cross-lang candidate dots moved into the
+    bucket kernel — identical (src, tgt, cos_micro) sets vs the join
+    form, including anti-parallel (cos<=0 dropped), ragged-length and
+    null-component pairs."""
+    import random
+    rnd = random.Random(7)
+    rows = []
+    for i in range(300):
+        bucket = f"b{i % 4}"
+        lang = "en" if i % 2 == 0 else "de"
+        base = [rnd.uniform(-1, 1) for _ in range(12)]
+        rows.append((i, bucket, lang, base))
+    # planted exact translations (same vector, other language)
+    for i in range(0, 60, 2):
+        rows.append((20_000 + i, f"b{i % 4}", "de",
+                     [x for x in rows[i][3]]))
+    # edge rows: ragged length, null component (zero vectors are the
+    # documented divergence — the join form RAISES under ANSI — and
+    # are pinned separately below)
+    rows.append((30_001, "b0", "en", [1.0] * 5))
+    rows.append((30_002, "b0", "de", [1.0, None, 1.0] + [0.5] * 9))
+    side = _staged_lang(spark, rows).localCheckpoint()
+    old = sorted(map(tuple, _old_cross(side, "en", "de").collect()))
+    new = sorted(map(tuple, _new_cross(side, "en", "de").collect()))
+    assert old == new
+    assert len(new) > 0
+
+
+def test_cross_kernel_zero_vector_dropped(spark):
+    """Same deliberate divergence as the same-side kernel: a zero
+    vector made the old cross-lang join raise ANSI DIVIDE_BY_ZERO;
+    the kernel drops the degenerate pair."""
+    rows = [
+        (0, "b", "en", [1.0, 0.0, 0.0]),
+        (1, "b", "de", [0.0, 0.0, 0.0]),     # zero vector
+        (2, "b", "de", [1.0, 0.0, 0.0]),
+    ]
+    side = _staged_lang(spark, rows).localCheckpoint()
+    new = sorted(map(tuple, _new_cross(side, "en", "de").collect()))
+    assert new == [(0, 2, 1000000)]

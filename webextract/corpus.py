@@ -1041,6 +1041,73 @@ def _bucket_pair_dot_candidates(side: DataFrame,
                                  "na double, nb double"))
 
 
+def _bucket_cross_dot_candidates(side: DataFrame, src_lang: str,
+                                 tgt_lang: str) -> DataFrame:
+    """(src_id, tgt_id, dot, na, nb): CROSS-language within-bucket
+    candidate pairs with the exact pairwise dot — the two-sided
+    sibling of _bucket_pair_dot_candidates for bitext mining, where
+    the pair universe is src-side x tgt-side of each SRP bucket
+    instead of the same-side triangle.
+
+    Same bit-identity contract: float32 widens exactly, the dot
+    accumulates in _dot's left-fold order via sequential vectorized
+    adds, na/nb pass through engine-computed, and the round-6 /
+    micro-fix / threshold stay ENGINE-side on these columns.  The
+    kernel pre-filters with the conservative RAW bound dot/(na*nb) > 0
+    (strictly wider than the caller's cos_micro > 0, which needs the
+    round-6 quotient >= 1e-6).  Zero/NaN norms and cross-length pairs
+    drop exactly as in the same-side kernel; ONE shuffle of the staged
+    side replaces the two-sided shuffle-hash join."""
+    import numpy as np
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"src_id": [], "tgt_id": [], "dot": [], "na": [], "nb": []}
+        col = pdf["embedding"]
+        langs = pdf["lang"].to_numpy()
+        lens = np.fromiter((0 if e is None else len(e) for e in col),
+                           dtype=np.int64, count=len(col))
+        for L in np.unique(lens):
+            if L < 1:
+                continue
+            sa = np.flatnonzero((lens == L) & (langs == src_lang))
+            sb = np.flatnonzero((lens == L) & (langs == tgt_lang))
+            if not len(sa) or not len(sb):
+                continue
+            ids_a = pdf["vec_id"].to_numpy()[sa]
+            ids_b = pdf["vec_id"].to_numpy()[sb]
+            norms = pdf["norm"].to_numpy(dtype=np.float64,
+                                         na_value=np.nan)
+            na, nb = norms[sa], norms[sb]
+            A = np.vstack([np.asarray(col.iat[int(r)], dtype=np.float64)
+                           for r in sa])
+            B = np.vstack([np.asarray(col.iat[int(r)], dtype=np.float64)
+                           for r in sb])
+            m, n = len(sa), len(sb)
+            step = max(1, (1 << 22) // max(1, n))
+            for lo in range(0, m, step):
+                hi = min(m, lo + step)
+                acc = np.zeros((hi - lo, n))
+                for d in range(L):             # _dot's left fold
+                    acc = acc + np.multiply.outer(A[lo:hi, d], B[:, d])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw = acc / np.multiply.outer(na[lo:hi], nb)
+                mask = np.isfinite(raw) & (raw > 0.0)
+                ai, bi = np.nonzero(mask)
+                if len(ai):
+                    out["src_id"].extend(ids_a[lo:hi][ai].tolist())
+                    out["tgt_id"].extend(ids_b[bi].tolist())
+                    out["dot"].extend(acc[ai, bi].tolist())
+                    out["na"].extend(na[lo:hi][ai].tolist())
+                    out["nb"].extend(nb[bi].tolist())
+        return pd.DataFrame(out, columns=["src_id", "tgt_id", "dot",
+                                          "na", "nb"])
+
+    return (side.select("bucket", "lang", "vec_id", "embedding", "norm")
+            .groupBy("bucket")
+            .applyInPandas(kern, "src_id long, tgt_id long, dot double, "
+                                 "na double, nb double"))
+
+
 def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Brute-force cosine top-k: first `n_queries` vectors vs the corpus.
 
@@ -1603,31 +1670,51 @@ def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     count equals n_queries — the candidate generation is the
     brute-force baseline tier; bucketed tiers (SRP/IVF) bound it."""
     import numpy as np
+    import pyarrow as pa_
 
     enc = sq8_encode(emb, dims)
-    # the query side is n_queries rows: stage it so the corpus-wide
-    # stats agg + encode subtree is not re-evaluated for it
-    q = (enc.filter(F.col("vec_id") < n_queries)
-         .select(F.col("vec_id").alias("qid"),
-                 F.col("codes").alias("qcodes"))
-         .localCheckpoint())
+    # r6: the n_queries code rows are a catalog artifact — collect
+    # them (one bounded job; the corpus-wide stats agg it triggers ran
+    # for the old localCheckpoint staging too) and score inside ONE
+    # codes-only Arrow kernel over the corpus, the pq_topk shape.
+    # Distances are pure int64 (exact in any evaluation order), so the
+    # only contract is the pair set: all (qid, nid != qid) pairs.
+    qrows = (enc.filter(F.col("vec_id") < n_queries)
+             .select(F.col("vec_id").alias("qid"), "codes").collect())
+    qids = [int(r["qid"]) for r in qrows]
+    qcs = [np.asarray(r["codes"], dtype=np.int64) for r in qrows]
 
-    @F.pandas_udf("long")
-    def d2(qc: pd.Series, cc: pd.Series) -> pd.Series:
-        if len(qc) == 0:
-            return pd.Series([], dtype="int64")
-        a = np.vstack(qc.to_numpy()).astype(np.int64)
-        b = np.vstack(cc.to_numpy()).astype(np.int64)
-        d = a - b
-        return pd.Series((d * d).sum(axis=1))
+    def sqd(batches):
+        empty_i = np.empty(0, dtype=np.int64)
+        for b in batches:
+            nids = b.column("vec_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            codes = b.column("codes").to_pylist()
+            ok = np.asarray([c is not None for c in codes], dtype=bool)
+            cm = (np.asarray([c for c in codes if c is not None],
+                             dtype=np.int64)
+                  if ok.any() else np.empty((0, dims), dtype=np.int64))
+            out_q, out_n, out_d, out_null = [], [], [], []
+            for qi, qid in enumerate(qids):
+                diff = cm - qcs[qi][None, :]
+                d = (diff * diff).sum(axis=1)
+                dist = np.zeros(len(nids), dtype=np.int64)
+                dist[ok] = d
+                keep = nids != qid
+                out_q.append(np.full(int(keep.sum()), qid,
+                                     dtype=np.int64))
+                out_n.append(nids[keep])
+                out_d.append(dist[keep])
+                out_null.append(~ok[keep])
+            yield pa_.RecordBatch.from_arrays(
+                [pa_.array(np.concatenate(out_q) if out_q else empty_i),
+                 pa_.array(np.concatenate(out_n) if out_n else empty_i),
+                 pa_.array(np.concatenate(out_d) if out_d else empty_i,
+                           mask=np.concatenate(out_null)
+                           if out_null else np.empty(0, dtype=bool))],
+                ["qid", "nid", "sqdist"])
 
-    # INTEGER distance in a vectorized Arrow kernel — exact by
-    # construction (int64 throughout), and ~10× the interpreted
-    # zip_with/aggregate HOF pair's throughput on wide arrays
-    pairs = (enc.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-             .select("qid", F.col("vec_id").alias("nid"),
-                     d2(F.col("qcodes"), F.col("codes"))
-                     .alias("sqdist")))
+    pairs = enc.mapInArrow(sqd, "qid long, nid long, sqdist long")
     w = Window.partitionBy("qid").orderBy(F.col("sqdist"), F.col("nid"))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -6002,17 +6089,16 @@ def bitext_mine(emb: DataFrame, src_lang: str, tgt_lang: str,
     ok = (staged.groupBy("bucket").count()
           .filter(F.col("count") <= bucket_cap).select("bucket"))
     side = staged.join(F.broadcast(ok), "bucket", "left_semi")
-    a = (side.filter(F.col("lang") == src_lang)
-         .select("bucket", F.col("vec_id").alias("src_id"),
-                 F.col("embedding").alias("ea"), F.col("norm").alias("na")))
-    c = (side.filter(F.col("lang") == tgt_lang)
-         .select("bucket", F.col("vec_id").alias("tgt_id"),
-                 F.col("embedding").alias("eb"), F.col("norm").alias("nb")))
-    cosm = F.round(F.round(_dot(F.col("ea"), F.col("eb"))
-                           / (F.col("na") * F.col("nb")), 6)
+    # r6: cross-lang pair dots run bucket-at-a-time in the numpy
+    # kernel (the semantic_dedup pattern) — the shuffle-hash join form
+    # ground one interpreted zip_with/aggregate per pair (measured
+    # ~6M pairs at the 10x probe = the whole query's cost); round-6,
+    # micro-fix and the >0 cut stay ENGINE-side on the kernel's
+    # bitwise-identical dot/na/nb columns
+    cosm = F.round(F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
                    * 1000000, 0).cast("long")
     # candidates read three times (fw stats, bw stats, margin join)
-    cand = (a.join(c.hint("shuffle_hash"), "bucket")
+    cand = (_bucket_cross_dot_candidates(side, src_lang, tgt_lang)
             .withColumn("cos_micro", cosm)
             .filter(F.col("cos_micro") > 0)
             .select("src_id", "tgt_id", "cos_micro")
