@@ -1561,7 +1561,9 @@ def q_page_metadata(spark, sf_dir):
     html = F.when(k % 11 == 0,
                   F.lit("<html><body><p>x</p></body></html>")) \
         .otherwise(full)
-    pages = d.select(
+    # r6: the head-parse kernel ran on the few scan splits of the
+    # one-file table (§2.4 trap) — spread before the HTML synthesis
+    pages = corpus._spread(d, min_bytes=2 << 20).select(
         F.concat(F.lit("doc://"), s).alias("url"),
         F.encode(html, "UTF-8").alias("html"))
     return (_doc_id(metadata_df(pages))
@@ -7569,7 +7571,10 @@ def q_pii_card_scrub(spark, sf_dir):
                F.lit(" ref 4111111111111112")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 7 == 0,
                F.lit(" mc 5500-0000-0000-0004")).otherwise(F.lit("")))
-    return corpus.pii_card_scrub(d.select("doc_id", text.alias("text")))
+    # r6: regex + Luhn folds ran on the single scan split (§2.4 trap)
+    return corpus.pii_card_scrub(
+        corpus._spread(d, min_bytes=2 << 20)
+        .select("doc_id", text.alias("text")))
 
 
 QUERIES["pii_card_scrub"] = q_pii_card_scrub
@@ -7688,7 +7693,10 @@ def q_script_profile(spark, sf_dir):
         .when(k == 2, F.lit(" 你好世界这是测试"))
         .when(k == 3, F.lit(" مرحبا بالعالم هذا اختبار"))
         .otherwise(F.lit("")))
-    return corpus.script_profile(d.select("doc_id", text.alias("text")))
+    # r6: four regexp_count passes ran on the single scan split
+    return corpus.script_profile(
+        corpus._spread(d, min_bytes=2 << 20)
+        .select("doc_id", text.alias("text")))
 
 
 QUERIES["script_profile"] = q_script_profile
@@ -7896,8 +7904,13 @@ def q_readability(spark, sf_dir):
         F.transform(toks, lambda tok, i: F.when(
             (i + 1) % k == 0, F.concat(tok, F.lit("."))).otherwise(tok)),
         " ")
+    # r6: the punctuation transform + readability's three regex passes
+    # ran on the single scan split of a one-file table (§2.4 trap) —
+    # spread first so the narrow chain parallelizes; self-disables at
+    # scale like every _spread site
     return corpus.readability(
-        d.select("doc_id", punct.alias("text")))
+        corpus._spread(d, min_bytes=2 << 20)
+        .select("doc_id", punct.alias("text")))
 
 
 QUERIES["readability"] = q_readability
