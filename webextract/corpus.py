@@ -1814,6 +1814,17 @@ def embed_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     # re-runs the norm lineage per table (round-3 review; same
     # rationale as lsh_jaccard_pairs' candidate staging)
     staged = norms.localCheckpoint()
+    # r6: pick the pair engine by corpus size, the _spread pattern.
+    # Sub-2MB frames (plan stats; SRP buckets hold a handful of
+    # vectors) keep the shuffle-hash join — the interpreted per-pair
+    # dot beats the kernel's Python round-trips (measured +0.85 s at
+    # sf0.1).  Larger frames flip to the numpy bucket kernel: at the
+    # 10x probe (~80 vectors/bucket) the join form's per-pair HOF dots
+    # measured 7.2 s vs 4.3 s for the kernel.  Both forms are
+    # bitwise-identical (tests/test_pair_kernel.py) and the 100 TB
+    # shape is unchanged — ONE bucket-keyed shuffle either way.
+    from .session import est_plan_bytes
+    use_kernel = est_plan_bytes(emb) >= (2 << 20)
 
     def table_pairs(t: int) -> DataFrame:
         signs = _srp_sign_matrix(bits, dims, table=t)
@@ -1821,6 +1832,12 @@ def embed_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
         ok = (side.groupBy("bucket").count()
               .filter(F.col("count") <= bucket_cap).select("bucket"))
         side_ok = side.join(F.broadcast(ok), "bucket", "left_semi")
+        if use_kernel:
+            cand = _bucket_pair_dot_candidates(side_ok, threshold - 1e-5)
+            cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+            return (cand.withColumn("cos", cos)
+                    .filter(F.col("cos") >= threshold)
+                    .select("vec_a", "vec_b", "cos"))
         a = side_ok.select(F.col("bucket"),
                            F.col("vec_id").alias("vec_a"),
                            F.col("embedding").alias("ea"),
@@ -1834,10 +1851,7 @@ def embed_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
         # shuffle-hash, not sort-merge: the join key has ≤ 2^bits
         # distinct values, so sorting embedding-array rows buys nothing
         # and the per-partition build side is bounded by bucket_cap ×
-        # buckets.  (The r6 numpy pair kernel stays in semantic_dedup,
-        # whose buckets are 16 k-means cells of ~1000+ members; HERE
-        # the 2^bits SRP buckets hold ~tens of vectors each and the
-        # join form measured faster at both scales.)
+        # buckets.
         return (a.join(c.hint("shuffle_hash"), "bucket")
                 .filter(F.col("vec_a") < F.col("vec_b"))
                 .withColumn("cos", cos)
@@ -5248,6 +5262,11 @@ def corpus_funnel(docs: DataFrame, lang: str = "en",
     explodes into cumulative stage rows — exploding per-doc would 5x
     the exchange for nothing.
     """
+    # r6: sha256 + the Gopher cascade + two shingle explodes all ride
+    # the scan — spread the one-file test layout first (§2.4 trap; the
+    # identical repartition subtree appears under every consumer, so
+    # the final plan reuses ONE exchange).  Self-disables at scale.
+    docs = _spread(docs, min_bytes=2 << 20)
     base = docs.select("doc_id", "lang", "text", TOKENS().alias("toks"))
     # sha256 computed IN THE SCAN PROJECTION so the window exchange
     # below carries a 64-hex key, never the text payload
