@@ -3743,9 +3743,16 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         merges.append((rank, lhs, rhs, int(n)))
         needle = _BPE_O + lhs + _BPE_C + _BPE_O + rhs + _BPE_C
         repl = _BPE_O + lhs + rhs + _BPE_C
-        frame = (frame.select(
+        frame = frame.select(
             F.replace("seg", F.lit(needle), F.lit(repl)).alias("seg"),
-            "freq").localCheckpoint())
+            "freq")
+        # r6: a per-round materialization cost one extra vocab-sized
+        # job per merge (~0.7 s over 8 rounds at the 10x probe); a
+        # replace CHAIN over the checkpointed base is narrow and
+        # vocab-sized, so the lineage cut now lands every 8th round —
+        # same O(n_merges) bound, an 8x smaller constant
+        if (rank + 1) % 8 == 0:
+            frame = frame.localCheckpoint()
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, n long")
 
@@ -3821,8 +3828,12 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 8,
     merges: list = []
     for rank in range(n_merges):
         syms = F.regexp_extract_all("seg", sym_pat, F.lit(1))
-        segged = (frame.select("freq", syms.alias("syms"))
-                  .localCheckpoint())
+        # r6: segged is a narrow regex over the (checkpointed-base)
+        # frame — cheap to recompute for its two consumers, so the
+        # per-round materialization job it cost is gone; the units
+        # count inside _wordpiece_candidates stays materialized (it
+        # feeds BOTH broadcast sides)
+        segged = frame.select("freq", syms.alias("syms"))
         best = (_wordpiece_candidates(segged)
                 .orderBy(F.col("q").desc(), F.col("n").desc(),
                          "den", "lhs", "rhs")
@@ -3834,9 +3845,12 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 8,
                        int(best[0]["q"])))
         needle = _BPE_O + lhs + _BPE_C + _BPE_O + rhs + _BPE_C
         repl = _BPE_O + lhs + rhs + _BPE_C
-        frame = (frame.select(
+        frame = frame.select(
             F.replace("seg", F.lit(needle), F.lit(repl)).alias("seg"),
-            "freq").localCheckpoint())
+            "freq")
+        # r6: lineage cut every 8th round, as in bpe_train
+        if (rank + 1) % 8 == 0:
+            frame = frame.localCheckpoint()
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, n long, q long")
 
