@@ -218,7 +218,19 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                        F.col("doc_a").alias("dst")))
              .localCheckpoint())
-    labels = (docs.select("doc_id").distinct()
+    # r6: propagation runs over only the nodes that appear in a pair.
+    # A doc in no pair is a singleton whose label provably never moves
+    # (no neigh row; the pointer jump is the identity on
+    # label==doc_id), so those rows join the output directly and every
+    # round's joins shrink from |corpus| to |edge endpoints| — at web
+    # scale the edge set is a small fraction of the corpus, at bench
+    # scale the rounds stop re-shuffling dead weight.  The semi join
+    # keeps the old semantics exactly: an edge endpoint that is not a
+    # doc_id never entered `labels` before and still does not.
+    all_ids = docs.select("doc_id").distinct()
+    enodes = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .localCheckpoint())
+    labels = (all_ids.join(enodes, "doc_id", "semi")
               .withColumn("label", F.col("doc_id")))
     prev_sum = None
     converged = False
@@ -231,18 +243,18 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
               .select(labels["doc_id"],
                       F.least(F.col("label"),
                               F.coalesce("nlabel", F.col("label")))
-                      .alias("label"))
-              .localCheckpoint())  # staged: feeds both sides below
+                      .alias("label")))
         if it < 2:
             # dense near-dup clusters (diameter 2-4, the common case)
             # converge on plain propagation before the shortcut could
             # pay for its extra join; jumping starts at round 3, where
             # only long-chain components are still moving
-            labels = l1
+            labels = l1.localCheckpoint()
         else:
             # pointer jump: label(u) ← label(label(u)).  Halves the
             # remaining propagation distance every round, which is what
             # bounds rounds logarithmically for long-chain components.
+            l1 = l1.localCheckpoint()  # staged: feeds both join sides
             ptr = l1.select(F.col("doc_id").alias("p_id"),
                             F.col("label").alias("p_label"))
             labels = (l1.join(ptr, l1["label"] == ptr["p_id"], "left")
@@ -266,12 +278,18 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds "
             f"(component diameter exceeds ~2^{max_iters}; raise it)")
-    out = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    # docs in no pair re-enter as their own singleton cluster (their
+    # labels provably never moved — see the restriction note above)
+    singles = (all_ids.join(enodes, "doc_id", "anti")
+               .select("doc_id", F.col("doc_id").alias("cluster_id")))
+    out = (labels.select("doc_id", F.col("label").alias("cluster_id"))
+           .unionByName(singles))
     if component_cap:
         # probe first (one small aggregation over the checkpointed
         # labels), join only on breach: the common no-oversize path
         # keeps the plain projection plan — no extra exchange in the
-        # returned plan
+        # returned plan.  Singletons need no counting: a size-1
+        # component can never breach the cap.
         sizes = (labels.groupBy("label").agg(F.count("*").alias("sz"))
                  .localCheckpoint())
         mx = sizes.agg(F.max("sz")).first()[0]
@@ -687,7 +705,8 @@ def lsh_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.4,
     # when the frame goes out of scope).  Both consumers below — the id
     # broadcast and the pair broadcast — would otherwise re-execute the
     # whole shingle+minhash+banding lineage (measured ~2× wall).
-    cands = lsh_candidate_pairs(docs, n, k, rows_per_band).localCheckpoint()
+    cands = (lsh_candidate_pairs(docs, n, k, rows_per_band)
+             .localCheckpoint())
     # Size-gate the broadcast hints (round-2 review): at 10^12 docs even
     # a 0.1% near-dup rate makes `cands` ~10^9 rows — an impossible
     # driver-side broadcast.  The count is nearly free (the checkpoint
@@ -763,6 +782,9 @@ def incremental_candidates(old: DataFrame | None, new: DataFrame,
     belt-and-suspenders bound, not a recall-losing prune.  Both small
     sides (hot buckets, new band keys) broadcast behind size gates
     with shuffle-hash fallbacks."""
+    # r6: the two size-gate counts run as ONE job (a union of two
+    # count aggs over the staged frames) instead of two sequential
+    # driver-blocking actions.
     new_bk = (lsh_band_keys(new, n, k, rows_per_band)
               .select(F.col("doc_id").alias("new_id"), "band", "band_key")
               .localCheckpoint())
@@ -781,11 +803,14 @@ def incremental_candidates(old: DataFrame | None, new: DataFrame,
            .agg(F.count("*").alias("c"))
            .filter(F.col("c") > bucket_cap)
            .select("band", "band_key").localCheckpoint())
-    hot_hint = F.broadcast if hot.count() <= broadcast_cap \
+    n_hot, n_new = [r[0] for r in
+                    hot.agg(F.count(F.lit(1)))
+                    .unionAll(new_bk.agg(F.count(F.lit(1)))).collect()]
+    hot_hint = F.broadcast if n_hot <= broadcast_cap \
         else (lambda df: df.hint("shuffle_hash"))
     ok = old_bk.join(hot_hint(hot), ["band", "band_key"], "left_anti")
     new_side = (F.broadcast(new_bk)
-                if new_bk.count() <= broadcast_cap
+                if n_new <= broadcast_cap
                 else new_bk.hint("shuffle_hash"))
     return (ok.join(new_side, ["band", "band_key"])
             .groupBy("new_id")
