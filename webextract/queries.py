@@ -38,18 +38,25 @@ def _doc_id(df: DataFrame) -> DataFrame:
 
 def _stream_shards(frame: DataFrame) -> int:
     """Scale-adaptive shard count for a streaming gate's staged
-    parquet input: ~4 MB per shard between a floor of 8 and
-    min(cores, 64).  The <= 64 cap keeps availableNow at ONE
+    parquet input: ~128 KiB of PLAN-STATS bytes per shard (Catalyst
+    sizeInBytes tracks the compressed source, ~6x under the wire
+    bytes, so this is ~1 MB of text per shard) between a floor of 8
+    and min(cores, 64).  The <= 64 cap keeps availableNow at ONE
     micro-batch at any scale; the floor keeps the write and the
     micro-batch map stage parallel.  Sub-8MB gate inputs measured
     FASTER at 8 shards than at cores shards (write+stream 3.05 ->
-    2.26 s at sf0.1, flat at the 10x probe) — per-file constant cost
-    dominates tiny shards.  Every site's result is input-layout-
+    2.26 s at sf0.1) — per-file constant cost dominates tiny shards —
+    while the micro-batch's token-hash map stage is ~100x heavier per
+    byte than the staging write, so bigger inputs want a shard per
+    core long before the I/O sizing would give one (10x probe,
+    write+stream: 8 shards 5.2 s vs 32 shards 4.5 s — the addBatch
+    map stage was the gap).  Every site's result is input-layout-
     independent (documented per gate), so the count only moves time."""
     from .session import est_plan_bytes
     cores = frame.sparkSession.sparkContext.defaultParallelism
     cap = min(cores, 64)
-    return max(min(8, cap), min(cap, est_plan_bytes(frame) // (4 << 20)))
+    return max(min(8, cap),
+               min(cap, est_plan_bytes(frame) // (128 << 10)))
 
 
 def _extract(spark: SparkSession, sf_dir: str, para_tokens: int = 0,
