@@ -488,3 +488,42 @@ def test_mjpeg_video_frame_decode():
     got = [image_raster_stats(bytes(broken)[o:o + s]) is not None
            for _, o, s in parse_avi_frames(bytes(broken))]
     assert got[0] is False and any(got[1:])
+
+
+def test_render_glyph_rows_cellrow_identity():
+    """The r6 cell-row glyph renderer must be byte-identical to the
+    per-pixel reference canvas for every glyph, blank cells, partial
+    last rows, and unsupported characters."""
+    import random
+    import string
+
+    from webextract.media import (_CELL_H, _CELL_W, _FONT, OCR_COLS,
+                                  OCR_MAX_CHARS, _render_glyph_rows)
+
+    def reference(text):
+        s = text[:OCR_MAX_CHARS]
+        n_rows = max(1, -(-len(s) // OCR_COLS))
+        w, h = OCR_COLS * _CELL_W, n_rows * _CELL_H
+        px = [bytearray(b"\xff" * (3 * w)) for _ in range(h)]
+        for idx, ch in enumerate(s):
+            glyph = _FONT.get(ch)
+            if glyph is None:
+                continue
+            cy, cx = divmod(idx, OCR_COLS)
+            for gy, row in enumerate(glyph):
+                for gx, ink in enumerate(row):
+                    if ink == "#":
+                        x = cx * _CELL_W + gx
+                        y = cy * _CELL_H + gy
+                        px[y][3 * x:3 * x + 3] = b"\x00\x00\x00"
+        return (w, h, [bytes(r) for r in px])
+
+    rng = random.Random(11)
+    alphabet = string.ascii_lowercase + string.digits + "  @?"
+    cases = ["", "a", " " * 10, "".join(sorted(_FONT)),
+             "the quick brown fox 0123456789"]
+    cases += ["".join(rng.choice(alphabet)
+                      for _ in range(rng.randint(0, 200)))
+              for _ in range(200)]
+    for t in cases:
+        assert reference(t) == _render_glyph_rows(t), repr(t[:40])

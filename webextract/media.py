@@ -1923,6 +1923,28 @@ OCR_MAX_CHARS = 128      # rendered text cap (mirrored by the oracle)
 _CELL_W, _CELL_H = 4, 6  # 3x5 glyph + 1px spacing
 
 
+# r6: per-character cell rows prerendered ONCE (glyph "#" -> 3 black
+# bytes, anything else white; the 4th spacing column and the 6th
+# spacing row are white) — rendering a line is then a bytes-join of
+# cell rows instead of per-pixel Python writes.  Byte-identical to
+# the per-pixel canvas by construction (pinned in test_media).
+_WHITE_CELL_ROW = b"\xff" * (3 * _CELL_W)
+
+
+def _glyph_cell_rows(glyph) -> list:
+    rows = []
+    for gy in range(_CELL_H):
+        row = glyph[gy] if glyph is not None and gy < len(glyph) else ""
+        rows.append(b"".join(
+            (b"\x00\x00\x00" if gx < len(row) and row[gx] == "#"
+             else b"\xff\xff\xff") for gx in range(_CELL_W)))
+    return rows
+
+
+_CELL_ROWS = {ch: _glyph_cell_rows(g) for ch, g in _FONT.items()}
+_WHITE_CELL = [_WHITE_CELL_ROW] * _CELL_H
+
+
 def _render_glyph_rows(text: str) -> tuple[int, int, list[bytes]]:
     """Rasterize up to OCR_MAX_CHARS of [a-z0-9 ] text as black 3x5
     glyphs on white: (w, h, top-down RGB rows) — the container-neutral
@@ -1930,19 +1952,15 @@ def _render_glyph_rows(text: str) -> tuple[int, int, list[bytes]]:
     s = text[:OCR_MAX_CHARS]
     n_rows = max(1, -(-len(s) // OCR_COLS))
     w, h = OCR_COLS * _CELL_W, n_rows * _CELL_H
-    px = [bytearray(b"\xff" * (3 * w)) for _ in range(h)]  # white canvas
-    for idx, ch in enumerate(s):
-        glyph = _FONT.get(ch)
-        if glyph is None:
-            continue                           # unsupported: blank cell
-        cy, cx = divmod(idx, OCR_COLS)
-        for gy, row in enumerate(glyph):
-            for gx, ink in enumerate(row):
-                if ink == "#":
-                    x = cx * _CELL_W + gx
-                    y = cy * _CELL_H + gy
-                    px[y][3 * x:3 * x + 3] = b"\x00\x00\x00"
-    return (w, h, [bytes(r) for r in px])
+    rows = []
+    for cy in range(n_rows):
+        line = s[cy * OCR_COLS:(cy + 1) * OCR_COLS]
+        cells = [_CELL_ROWS.get(ch, _WHITE_CELL) for ch in line]
+        if len(cells) < OCR_COLS:
+            cells.extend([_WHITE_CELL] * (OCR_COLS - len(cells)))
+        for gy in range(_CELL_H):
+            rows.append(b"".join(c[gy] for c in cells))
+    return (w, h, rows)
 
 
 def render_text_bmp(text: str) -> bytes:
