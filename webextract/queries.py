@@ -59,6 +59,18 @@ def _stream_shards(frame: DataFrame) -> int:
                min(cap, est_plan_bytes(frame) // (128 << 10)))
 
 
+def _overlap_jobs(thunks):
+    """Run independent gate-fixture Spark jobs concurrently (guide
+    §2.6: overlap independent jobs).  The IceTable gates stage each
+    wave with a coalesce(1) write — a single serial task that leaves
+    every other core idle — so staging the waves from a small thread
+    pool fills the tail.  Returns results in input order; callers
+    keep the COMMITS sequential so the snapshot chain is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        return list(pool.map(lambda f: f(), thunks))
+
+
 def _extract(spark: SparkSession, sf_dir: str, para_tokens: int = 0,
              empty_mod: int = 0) -> DataFrame:
     pages = docs_to_pages(_read(spark, sf_dir, "documents"),
@@ -1147,13 +1159,16 @@ def q_table_scan_prune(spark, sf_dir):
         F.concat(F.lit("u"), F.lpad(F.col("doc_id").cast("string"),
                                     7, "0")).alias("url"),
         "text")
-    for w in range(4):
+    def stage(w):
         out = tbl.staging_dir(f"w{w}", 0)
         (d.filter(F.col("doc_id") % 4 == w)
          .coalesce(1).write.mode("overwrite").parquet(out))
-        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
-                       if fn.endswith(".parquet")
-                       and not fn.startswith((".", "_")))
+        return sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                      if fn.endswith(".parquet")
+                      and not fn.startswith((".", "_")))
+
+    staged = _overlap_jobs([lambda w=w: stage(w) for w in range(4)])
+    for w, files in enumerate(staged):
         tbl.commit(f"w{w}", [{"part_id": w, "files": files,
                               "counters": {}}], "t",
                    stats_cols=("url",))
@@ -1194,25 +1209,36 @@ def q_table_schema_evolution(spark, sf_dir):
         F.concat(F.lit("u"), F.lpad(F.col("doc_id").cast("string"),
                                     7, "0")).alias("url"))
 
-    def commit_wave(w, df, stats):
+    def stage(w, df):
         out = tbl.staging_dir(f"w{w}", 0)
         df.coalesce(1).write.mode("overwrite").parquet(out)
-        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
-                       if fn.endswith(".parquet")
-                       and not fn.startswith((".", "_")))
+        return sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                      if fn.endswith(".parquet")
+                      and not fn.startswith((".", "_")))
+
+    def commit_files(w, files, stats):
         tbl.commit(f"w{w}", [{"part_id": w, "files": files,
                               "counters": {}}], "t", stats_cols=stats)
 
+    # staged data files are plain parquet of the wave frames — their
+    # bytes do not depend on the table's DDL state, so all four waves
+    # stage concurrently (guide §2.6) while the commit/DDL sequence
+    # below is byte-for-byte the old chain
+    d2 = (d.withColumnRenamed("url", "page_url")
+          .withColumn("quality", (F.col("doc_id") % 100).cast("bigint")))
+    waves = [d.filter(F.col("doc_id") % 4 == 0),
+             d.filter(F.col("doc_id") % 4 == 1),
+             d2.filter(F.col("doc_id") % 4 == 2),
+             d2.filter(F.col("doc_id") % 4 == 3)]
+    staged = _overlap_jobs([lambda w=w, df=df: stage(w, df)
+                            for w, df in enumerate(waves)])
     for w in (0, 1):
-        commit_wave(w, d.filter(F.col("doc_id") % 4 == w), ("url",))
+        commit_files(w, staged[w], ("url",))
     snap_v0 = tbl.current_snapshot_id()
     tbl.rename_column("url", "page_url")
     tbl.add_column("quality", "bigint")
-    d2 = (d.withColumnRenamed("url", "page_url")
-          .withColumn("quality", (F.col("doc_id") % 100).cast("bigint")))
     for w in (2, 3):
-        commit_wave(w, d2.filter(F.col("doc_id") % 4 == w),
-                    ("page_url",))
+        commit_files(w, staged[w], ("page_url",))
     full = tbl.read(spark).select("doc_id", "page_url", "quality")
     cdc = (tbl.read_changes(spark, since=snap_v0)
            .select("doc_id", "page_url", "quality"))
@@ -1246,24 +1272,30 @@ def q_table_wap(spark, sf_dir):
     tbl = IceTable(base)
     d = _read(spark, sf_dir, "documents").select("doc_id")
 
-    def commit_wave(w, df, branch=None):
+    def stage(w):
         out = tbl.staging_dir(f"w{w}", 0)
-        df.coalesce(1).write.mode("overwrite").parquet(out)
-        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
-                       if fn.endswith(".parquet")
-                       and not fn.startswith((".", "_")))
+        (d.filter(F.col("doc_id") % 4 == w)
+         .coalesce(1).write.mode("overwrite").parquet(out))
+        return sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                      if fn.endswith(".parquet")
+                      and not fn.startswith((".", "_")))
+
+    def commit_files(w, files, branch=None):
         tbl.commit(f"w{w}", [{"part_id": w, "files": files,
                               "counters": {}}], "t", branch=branch)
 
+    # all four waves stage concurrently (guide §2.6); the branch/tag
+    # choreography below commits them in the old order unchanged
+    staged = _overlap_jobs([lambda w=w: stage(w) for w in range(4)])
     for w in (0, 1):
-        commit_wave(w, d.filter(F.col("doc_id") % 4 == w))
+        commit_files(w, staged[w])
     tbl.create_branch("audit")
-    commit_wave(2, d.filter(F.col("doc_id") % 4 == 2), branch="audit")
+    commit_files(2, staged[2], branch="audit")
     pre = tbl.read(spark)                                   # main: 0,1
     audited = tbl.read(spark, as_of=tbl.ref_head("audit"))  # 0,1,2
     tbl.publish("audit")                                    # main: 0,1,2
     tbl.create_tag("v1")
-    commit_wave(3, d.filter(F.col("doc_id") % 4 == 3))
+    commit_files(3, staged[3])
     post = tbl.read(spark)                                  # 0,1,2,3
     at_tag = tbl.read(spark, as_of=tbl.ref_head("v1"))      # 0,1,2
     return (pre.withColumn("src", F.lit("pre"))
@@ -1327,25 +1359,35 @@ def q_table_row_deletes(spark, sf_dir):
     tbl = IceTable(base)
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
 
-    def commit_wave(w, df):
+    def stage(w, df):
         out = tbl.staging_dir(f"w{w}", 0)
         df.coalesce(1).write.mode("overwrite").parquet(out)
-        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
-                       if fn.endswith(".parquet")
-                       and not fn.startswith((".", "_")))
+        return sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                      if fn.endswith(".parquet")
+                      and not fn.startswith((".", "_")))
+
+    def commit_files(w, files):
         tbl.commit(f"w{w}", [{"part_id": w, "files": files,
                               "counters": {}}], "t",
                    stats_cols=("doc_id",))
 
-    for w in (0, 1):
-        commit_wave(w, d.filter(F.col("doc_id") % 2 == w))
-    tbl.delete_where(spark,
-                     d.filter(F.col("doc_id") % 3 == 1).select("doc_id"),
-                     ("doc_id",), "del0", "t")
+    # the three wave frames are fixed up front and their parquet bytes
+    # do not depend on the delete's sequence number, so they stage
+    # concurrently (guide §2.6); commits and the equality delete keep
+    # the old sequence exactly
     recrawl = (d.filter(F.col("doc_id") % 6 == 1)
                .select("doc_id", F.concat("text", F.lit(" v2"))
                        .alias("text")))
-    commit_wave(2, recrawl)
+    waves = [d.filter(F.col("doc_id") % 2 == 0),
+             d.filter(F.col("doc_id") % 2 == 1), recrawl]
+    staged = _overlap_jobs([lambda w=w, df=df: stage(w, df)
+                            for w, df in enumerate(waves)])
+    for w in (0, 1):
+        commit_files(w, staged[w])
+    tbl.delete_where(spark,
+                     d.filter(F.col("doc_id") % 3 == 1).select("doc_id"),
+                     ("doc_id",), "del0", "t")
+    commit_files(2, staged[2])
     mor = tbl.read(spark)
     sizes = [os.path.getsize(f) for f in tbl.data_files()]
     tbl.compact(spark, target_file_bytes=2 * max(sizes) + 2,
@@ -7403,13 +7445,16 @@ def q_table_stats_agg(spark, sf_dir):
         "doc_id",
         F.concat(F.lit("u"), F.lpad(F.col("doc_id").cast("string"),
                                     7, "0")).alias("url"))
-    for w in range(4):
+    def stage(w):
         out = tbl.staging_dir(f"w{w}", 0)
         (d.filter(F.col("doc_id") % 4 == w)
          .coalesce(1).write.mode("overwrite").parquet(out))
-        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
-                       if fn.endswith(".parquet")
-                       and not fn.startswith((".", "_")))
+        return sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                      if fn.endswith(".parquet")
+                      and not fn.startswith((".", "_")))
+
+    staged = _overlap_jobs([lambda w=w: stage(w) for w in range(4)])
+    for w, files in enumerate(staged):
         tbl.commit(f"w{w}", [{"part_id": w, "files": files,
                               "counters": {}}], "t",
                    stats_cols=("doc_id", "url"))
@@ -8025,13 +8070,16 @@ def q_table_zorder(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").select(
         "doc_id", (F.col("doc_id") % 64).alias("a"),
         ((F.col("doc_id") / 64).cast("long") % 64).alias("b"), "text")
-    for w in range(4):
+    def stage(w):
         out = tbl.staging_dir(f"w{w}", 0)
         (d.filter(F.col("doc_id") % 4 == w)
          .coalesce(1).write.mode("overwrite").parquet(out))
-        files = sorted(os.path.join(out, fn) for fn in os.listdir(out)
-                       if fn.endswith(".parquet")
-                       and not fn.startswith((".", "_")))
+        return sorted(os.path.join(out, fn) for fn in os.listdir(out)
+                      if fn.endswith(".parquet")
+                      and not fn.startswith((".", "_")))
+
+    staged = _overlap_jobs([lambda w=w: stage(w) for w in range(4)])
+    for w, files in enumerate(staged):
         tbl.commit(f"w{w}", [{"part_id": w, "files": files,
                               "counters": {}}], "t",
                    stats_cols=("a", "b"))
