@@ -399,6 +399,13 @@ def make_html_merge_kernel(opt: ConvertOptions = DEFAULT_OPTIONS):
     return merge_batches
 
 
+def _html_fan_out(df: DataFrame, cpus: int) -> int:
+    """Shared fan-out cap — see split._fan_out (the segment-parse
+    stage is python-task-overhead-bound above ~1 partition/core)."""
+    from .split import _fan_out
+    return _fan_out(df, cpus)
+
+
 def extracted_html_split_branch(src: DataFrame,
                                 opt: ConvertOptions = DEFAULT_OPTIONS,
                                 cpus: int = 32,
@@ -411,7 +418,8 @@ def extracted_html_split_branch(src: DataFrame,
             # through the merge key (round-3 review finding)
             .mapInArrow(make_html_split_kernel(opt, target_chars),
                         _HSEG_DDL)
-            .repartition(cpus * 4, F.col("url"), F.col("seg_idx"))
+            .repartition(_html_fan_out(src, cpus), F.col("url"),
+                         F.col("seg_idx"))
             .mapInArrow(make_html_seg_kernel(opt), _HSEGX_DDL))
     agg = (segs.groupBy("url", "warc_ts", "rid")
            .agg(F.first("lang").alias("lang"),

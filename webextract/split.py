@@ -285,6 +285,21 @@ def make_merge_kernel(opt: ConvertOptions = DEFAULT_OPTIONS):
     return merge_batches
 
 
+def _fan_out(df: DataFrame, cpus: int) -> int:
+    """Segment fan-out partition count: the requested cpus*4, capped
+    at the session's total parallelism.  The segment-parse stage is
+    python-task-overhead-bound above ~1 partition per core (measured
+    at sf1.0: 16 parts 5.6 s, 32 parts 4.7 s, 128 parts 7.8 s), so a
+    caller sized for a bigger cluster never over-fans the session it
+    actually runs in; on a real cluster defaultParallelism is the
+    cluster's core count and the cap IS one partition per core."""
+    try:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        cores = cpus * 4
+    return max(1, min(cpus * 4, cores))
+
+
 def extracted_split_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
                        cpus: int = 32, split_bytes: int = SPLIT_BYTES,
                        pages_per_seg: int = 1,
@@ -323,7 +338,8 @@ def extracted_split_df(pages: DataFrame, opt: ConvertOptions = DEFAULT_OPTIONS,
             # emits two rows (round-3 review finding)
             .withColumn("rid", F.monotonically_increasing_id())
             .mapInArrow(make_split_kernel(opt, pages_per_seg), _SEG_DDL)
-            .repartition(cpus * 4, F.col("url"), F.col("seg_idx"))
+            .repartition(_fan_out(pages, cpus), F.col("url"),
+                         F.col("seg_idx"))
             .mapInArrow(make_seg_extract_kernel(opt), _SEGX_DDL))
     # merge shuffle moves BLOCK rows (payload already dropped); one
     # aggregated row per doc feeds the batched merge kernel.  The doc
