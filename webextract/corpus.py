@@ -782,27 +782,44 @@ def incremental_candidates(old: DataFrame | None, new: DataFrame,
     belt-and-suspenders bound, not a recall-losing prune.  Both small
     sides (hot buckets, new band keys) broadcast behind size gates
     with shuffle-hash fallbacks."""
-    # r6: the two size-gate counts run as ONE job (a union of two
-    # count aggs over the staged frames) instead of two sequential
-    # driver-blocking actions.
-    new_bk = (lsh_band_keys(new, n, k, rows_per_band)
-              .select(F.col("doc_id").alias("new_id"), "band", "band_key")
-              .localCheckpoint())
-    if old_band_keys is not None:
-        # parquet-backed artifact: already materialized, no checkpoint
-        old_bk = old_band_keys.select(
-            F.col("doc_id").alias("old_id"), "band", "band_key")
-    else:
-        if old is None:
-            raise ValueError("need old docs or an old_band_keys artifact")
-        old_bk = (lsh_band_keys(old, n, k, rows_per_band)
+    # r6: the NEW-side staging and the OLD-side staging (band keys +
+    # hot-bucket census) are independent job chains, so they run
+    # concurrently from a two-thread pool (guide §2.6 — the serial
+    # version paid each checkpoint as its own driver-blocking job);
+    # the two size-gate counts then run as ONE job (a union of two
+    # count aggs over the staged frames).
+    if old_band_keys is None and old is None:
+        raise ValueError("need old docs or an old_band_keys artifact")
+
+    def stage_new():
+        return (lsh_band_keys(new, n, k, rows_per_band)
+                .select(F.col("doc_id").alias("new_id"), "band",
+                        "band_key")
+                .localCheckpoint())
+
+    def stage_old():
+        if old_band_keys is not None:
+            # parquet-backed artifact: already materialized, no
+            # checkpoint of the key frame itself
+            ob = old_band_keys.select(
+                F.col("doc_id").alias("old_id"), "band", "band_key")
+        else:
+            ob = (lsh_band_keys(old, n, k, rows_per_band)
                   .select(F.col("doc_id").alias("old_id"), "band",
                           "band_key")
                   .localCheckpoint())
-    hot = (old_bk.groupBy("band", "band_key")
-           .agg(F.count("*").alias("c"))
-           .filter(F.col("c") > bucket_cap)
-           .select("band", "band_key").localCheckpoint())
+        h = (ob.groupBy("band", "band_key")
+             .agg(F.count("*").alias("c"))
+             .filter(F.col("c") > bucket_cap)
+             .select("band", "band_key").localCheckpoint())
+        return ob, h
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_new = pool.submit(stage_new)
+        f_old = pool.submit(stage_old)
+        new_bk = f_new.result()
+        old_bk, hot = f_old.result()
     n_hot, n_new = [r[0] for r in
                     hot.agg(F.count(F.lit(1)))
                     .unionAll(new_bk.agg(F.count(F.lit(1)))).collect()]
